@@ -1,13 +1,407 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Dedup, Effective, Rollups, Similarity, Windows}
+import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — queries exercising every implemented operator from
+  * SURVEY.md §2 over the driver's synthetic tables (TESTDATA.md), each with a
+  * DuckDB oracle where SQL-expressible.
+  *
+  * Float determinism policy (oracle hash-parity AND reproducibility at
+  * scale): double sums are taken through DecimalType (order-independent,
+  * exact) and cast back to double at the end; ratios are plain IEEE double
+  * divisions of exact values (identical in both engines); round() is avoided
+  * entirely (Spark's round(double) goes through the shortest-repr BigDecimal
+  * and can differ from DuckDB's by 1 ulp at boundaries).
+  */
 object SparkEntry {
+  import Tables._
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    regionRevenue(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  /** A1/A2/A3: conditional-count pivot ("sentiment histogram" shape, cf.
+    * reference sql/article_daily_counts_mv.sql:11-17) on lineitem flags. */
+  private def pricingPivot(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Rollups.exactSum(col("l_quantity")).cast("double").as("sum_qty"),
+        Rollups.exactSum(col("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        Rollups.countIf(col("l_discount") > 0.05).as("high_discount_count"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J1: fact→dim join chain with broadcast dims (cf. reference MV joins,
+    * sql/serp_daily_counts_mv.sql:16-17). Dims are roster-scale → broadcast;
+    * the only shuffle is the final group-by on 5 region keys. */
+  private def regionRevenue(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("order_cnt"))
+      .orderBy("r_name")
+
+  /** P1+J2+J3: latest-wins dedup + broadcast left join + coalesce chain (the
+    * reference's single most load-bearing semantic — effective labels). */
+  private def effectiveStatus(s: SparkSession, dir: String): DataFrame = {
+    val latest = Effective.latestWins(
+      orders(s, dir).select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_orderkey")),
+      Seq("o_custkey"),
+      Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderstatus").as("latest_status"))
+    Effective.withEffective(
+      customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("o_custkey", col("c_custkey")),
+      latest,
+      Seq("o_custkey"),
+      Map("eff_status" -> Seq(col("latest_status"), col("c_mktsegment"))))
+      .select(col("c_custkey"), col("c_mktsegment"), col("latest_status"), col("eff_status"))
+      .orderBy("c_custkey")
+  }
+
+  /** J4/O5: tagged-union daily metrics — one shuffle instead of the
+    * reference's union-of-keys + 5 left joins (sql/entity_daily_metrics_v.sql). */
+  private def unionDaily(s: SparkSession, dir: String): DataFrame =
+    Rollups.taggedUnionCounts(
+      Seq(
+        "orders" -> orders(s, dir).select(to_date(col("o_orderdate")).as("d")),
+        "ship" -> lineitem(s, dir).select(to_date(col("l_shipdate")).as("d"))),
+      Seq("d"))
+      .orderBy("d")
+
+  private def eventsDaily(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), eventDay(col("ts")).as("d"))
+      .agg(
+        sum(col("value").cast("decimal(18,2)")).as("v"),
+        count(lit(1)).as("n"))
+
+  /** W1: trailing-7-observations window over per-user daily series (ROWS
+    * frame — "last 7 observations", sql/entity_weekly_rollup_v.sql:2-29). */
+  private def trailing7(s: SparkSession, dir: String): DataFrame = {
+    val w = Windows.trailing(Seq("user_id"), "d", 7)
+    eventsDaily(s, dir)
+      .select(col("user_id"), col("d"),
+        sum(col("n")).over(w).as("n7"),
+        sum(col("v")).over(w).cast("double").as("v7"),
+        min(col("d")).over(w).as("win_start"))
+      .orderBy("user_id", "d")
+  }
+
+  /** W2+O6: 30-prior-rows baseline + anomaly gate (≥7 prior observation days,
+    * count ≥ 2× baseline — sql/entity_anomalies_v.sql:4-23,58-61). */
+  private def anomalyBaseline(s: SparkSession, dir: String): DataFrame = {
+    val w = Windows.priorFrame(Seq("user_id"), "d", 30, 1)
+    eventsDaily(s, dir)
+      .select(col("user_id"), col("d"), col("n"),
+        count(lit(1)).over(w).as("prior_days"),
+        sum(col("n")).over(w).as("prior_total"))
+      .filter(col("prior_days") >= 7)
+      .withColumn("baseline", col("prior_total").cast("double") / col("prior_days"))
+      .filter(col("n") >= lit(2.0) * col("baseline"))
+      .select("user_id", "d", "n", "prior_days", "baseline")
+      .orderBy("user_id", "d")
+  }
+
+  /** W7: gaps-and-islands consecutive-day episodes (reference computes this
+    * in a Python loop, dashboard_app/app.py:1602-1635). */
+  private def gapsIslands(s: SparkSession, dir: String): DataFrame =
+    Windows.episodes(
+      events(s, dir).select(col("user_id"), eventDay(col("ts")).as("d")),
+      Seq("user_id"), "d")
+      .select(col("user_id"), col("episode_start"), col("episode_end"), col("episode_days"))
+      .orderBy("user_id", "episode_start")
+
+  /** W6/A10: distinct-on latest-row dedup per (user, event_type). */
+  private def latestDedup(s: SparkSession, dir: String): DataFrame =
+    Effective.latestWins(events(s, dir), Seq("user_id", "event_type"),
+      Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        eventDay(col("ts")).as("d"), col("value"))
+      .orderBy("user_id", "event_type")
+
+  /** A4: top-3 alphabetically-first matching strings per group
+    * (sql/negative_summary_mv.sql:43-46 shape). */
+  private def top3Names(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        Rollups.topKStringsAgg(col("p_name"), col("p_size") > 25, 3).as("top_names"),
+        Rollups.countIf(col("p_size") > 25).as("n_large"))
+      .filter(col("n_large") > 0)
+      .orderBy("p_brand")
+
+  /** A6: screen/rank aggregate with HAVING + top-k (app.py:4400-4426). */
+  private def screenTopSpenders(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        Rollups.exactSum(col("o_totalprice")).cast("double").as("total_spend"),
+        max(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("peak_order"),
+        Rollups.countIf(col("o_totalprice") > 150000).as("big_orders"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("total_spend") >= 100000)
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(20)
+
+  /** A12: exact median per group (Python statistics.median parity —
+    * app.py:2168; exact percentile, never approx). */
+  private def medianPrice(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** P9/O2: pagination via row_number window (offset 100, page 50). */
+  private def pagination(s: SparkSession, dir: String): DataFrame =
+    Windows.paginate(
+      orders(s, dir).select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice")),
+      Seq(col("o_orderdate"), col("o_orderkey")), 100, 50)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy("rn")
+
+  /** Text analysis: token counts + chars-per-token quality component. */
+  private def tokenStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TF.charCount(col("text")).as("n_chars2"),
+        TF.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("chars_per_token", col("n_chars2").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Exact dedup: content-fingerprint groups (md5 of normalized text). */
+  private def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(documents(s, dir), "doc_id", "text")
+      .select(col("fp"), col("n_docs"), col("keep_id"))
+      .orderBy("fp")
+
+  /** Language-ID heuristic: standalone-stopword hit counts per language,
+    * arg-max label (first-listed wins ties). */
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "und", "die"))
+
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val scored = langStopwords.foldLeft(documents(s, dir)) { case (df, (l, ws)) =>
+      df.withColumn(s"${l}_hits", TF.stopwordHits(col("text"), ws))
+    }
+    scored
+      .withColumn("predicted_lang",
+        TF.argMaxLang(langStopwords.map { case (l, _) => l -> col(s"${l}_hits") }))
+      .select(col("doc_id"), col("lang"), col("en_hits"), col("es_hits"),
+        col("de_hits"), col("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** ANN baseline: brute-force cosine top-5 for the first 10 vectors.
+    * (not SQL-expressible portably → rows-only check) */
+  private def cosineKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-bucketed ANN (scale path; rows-only check). */
+  private def cosineIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      5, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** MinHash+LSH near-dup candidates (rows-only check). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(documents(s, dir), "doc_id", "text",
+      shingleSize = 2, numHashes = 32, rowsPerBand = 8)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash fingerprints + prefix buckets (rows-only check). */
+  private def simhashTable(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashTable(documents(s, dir), "doc_id", "text")
+      .orderBy("id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_pivot" -> (pricingPivot _),
+    "q02_region_revenue" -> (regionRevenue _),
+    "q03_effective_status" -> (effectiveStatus _),
+    "q04_union_daily" -> (unionDaily _),
+    "q05_trailing7" -> (trailing7 _),
+    "q06_anomaly_baseline" -> (anomalyBaseline _),
+    "q07_gaps_islands" -> (gapsIslands _),
+    "q08_latest_dedup" -> (latestDedup _),
+    "q09_top3_names" -> (top3Names _),
+    "q10_screen_top_spenders" -> (screenTopSpenders _),
+    "q11_median_price" -> (medianPrice _),
+    "q12_pagination" -> (pagination _),
+    "q13_token_stats" -> (tokenStats _),
+    "q14_doc_fingerprint" -> (docFingerprint _),
+    "q15_lang_id" -> (langId _),
+    "q16_cosine_knn" -> (cosineKnn _),
+    "q17_cosine_ivf" -> (cosineIvf _),
+    "q18_minhash_pairs" -> (minhashPairs _),
+    "q19_simhash" -> (simhashTable _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_pivot" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_discount_count,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_region_revenue" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS order_cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q03_effective_status" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_orderstatus,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT c_custkey, c_mktsegment, l.o_orderstatus AS latest_status,
+        |  COALESCE(l.o_orderstatus, c_mktsegment) AS eff_status
+        |FROM customer c LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l
+        |  ON c.c_custkey = l.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q04_union_daily" ->
+      """WITH tagged AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, 'orders' AS src FROM orders
+        |  UNION ALL
+        |  SELECT CAST(l_shipdate AS DATE) AS d, 'ship' AS src FROM lineitem)
+        |SELECT d,
+        |  CAST(SUM(CASE WHEN src = 'orders' THEN 1 ELSE 0 END) AS BIGINT) AS orders_cnt,
+        |  CAST(SUM(CASE WHEN src = 'ship' THEN 1 ELSE 0 END) AS BIGINT) AS ship_cnt,
+        |  CAST(COUNT(*) AS BIGINT) AS total_cnt
+        |FROM tagged GROUP BY d ORDER BY d""".stripMargin,
+    "q05_trailing7" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS n7,
+        |  CAST(SUM(v) OVER w AS DOUBLE) AS v7,
+        |  MIN(d) OVER w AS win_start
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, d""".stripMargin,
+    "q06_anomaly_baseline" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT user_id, d, n,
+        |    COUNT(*) OVER w AS prior_days,
+        |    SUM(n) OVER w AS prior_total
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, d, CAST(n AS BIGINT) AS n,
+        |  CAST(prior_days AS BIGINT) AS prior_days,
+        |  CAST(prior_total AS DOUBLE) / prior_days AS baseline
+        |FROM scored
+        |WHERE prior_days >= 7 AND n >= 2.0 * (CAST(prior_total AS DOUBLE) / prior_days)
+        |ORDER BY user_id, d""".stripMargin,
+    "q07_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |lagged AS (
+        |  SELECT user_id, d, LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS pd FROM days),
+        |grp AS (
+        |  SELECT user_id, d,
+        |    SUM(CASE WHEN pd IS NULL OR date_diff('day', pd, d) > 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM lagged)
+        |SELECT user_id, MIN(d) AS episode_start, MAX(d) AS episode_end,
+        |  CAST(COUNT(*) AS BIGINT) AS episode_days
+        |FROM grp GROUP BY user_id, g ORDER BY user_id, episode_start""".stripMargin,
+    "q08_latest_dedup" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS DATE) AS d, value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q09_top3_names" ->
+      """SELECT p_brand,
+        |  array_to_string(list_sort(array_agg(p_name) FILTER (WHERE p_size > 25))[1:3], ' | ') AS top_names,
+        |  CAST(COUNT(*) FILTER (WHERE p_size > 25) AS BIGINT) AS n_large
+        |FROM part GROUP BY p_brand
+        |HAVING COUNT(*) FILTER (WHERE p_size > 25) > 0
+        |ORDER BY p_brand""".stripMargin,
+    "q10_screen_top_spenders" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS peak_order,
+        |  CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS big_orders,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) >= 100000
+        |ORDER BY total_spend DESC, o_custkey LIMIT 20""".stripMargin,
+    "q11_median_price" ->
+      """SELECT o_orderpriority, median(o_totalprice) AS median_price,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_pagination" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+        |        ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn > 100 AND rn <= 150 ORDER BY rn""".stripMargin,
+    "q13_token_stats" ->
+      """SELECT doc_id, lang,
+        |  CAST(length(text) AS BIGINT) AS n_chars2,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q14_doc_fingerprint" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q15_lang_id" -> {
+      def hits(w: String) =
+        s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
+      def langHits(ws: Seq[String]) = ws.map(hits).mkString(" + ")
+      val en = langHits(Seq("the", "and", "of"))
+      val es = langHits(Seq("el", "la", "de"))
+      val de = langHits(Seq("der", "und", "die"))
+      s"""SELECT doc_id, lang, en_hits, es_hits, de_hits,
+         |  CASE WHEN es_hits > en_hits AND es_hits >= de_hits THEN 'es'
+         |       WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+         |       ELSE 'en' END AS predicted_lang
+         |FROM (SELECT doc_id, lang, $en AS en_hits, $es AS es_hits, $de AS de_hits
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
 }

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector / set similarity column builders: cosine over `Array[Float]`
+  * embedding columns, token shingling, MinHash signatures and SimHash — all
+  * as native higher-order-function expressions (distributed, no UDFs, no
+  * driver-side math).
+  *
+  * These power the beyond-reference training-data-pipeline operators
+  * (near-dup detection, ANN search). The reference's closest analogue is its
+  * fuzzy entity resolution (`dashboard_app/app.py:1002-1094`) — a
+  * similarity-scored candidate join — which these generalize to corpus scale.
+  */
+object SimilarityFunctions {
+
+  /** Dot product of two float-array columns via zip_with + aggregate. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm of a float-array column. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  /** Cosine similarity of two float-array columns; null-safe on zero norms. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0.0d, d / nn).otherwise(lit(0.0d))
+  }
+
+  /** Word-level shingles (n-grams of whitespace tokens) as an array column.
+    * Short docs (< n tokens) yield one shingle of all tokens. */
+  def tokenShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    transform(sequence(lit(0), count - 1),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+  }
+
+  /** MinHash signature of a string-array (shingle set) column: for each of
+    * `numHashes` seeds, min over elements of xxhash64(seed, element).
+    * Returns Array[Long] of length numHashes. Distinct-ness of elements is
+    * irrelevant to min, so duplicates need no dedup pass. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => aggregate(shingles, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(seed, s))))
+
+  /** LSH band keys from a minhash signature: hash each band of `rowsPerBand`
+    * consecutive signature entries. Docs sharing any band key are near-dup
+    * candidates. Returns Array[Long] of length numHashes/rowsPerBand. */
+  def bandKeys(signature: Column, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), (size(signature) / lit(rowsPerBand)).cast("int") - 1),
+      b => xxhash64(b, array_join(
+        transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")), ",")))
+
+  /** Estimated Jaccard from two equal-length minhash signatures:
+    * fraction of agreeing positions. */
+  def minhashJaccardEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1.0d).otherwise(0.0d)),
+      lit(0.0d), (acc, v) => acc + v) / size(sigA)
+
+  /** Exact Jaccard similarity of two array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > 0.0d, inter / uni).otherwise(lit(0.0d))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: sign-sum of each token-hash's
+    * bits, weighted +1/-1, packed back into a Long. Near-dup docs have
+    * small Hamming distance between simhashes. */
+  def simHash(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val hashes = transform(toks, t => xxhash64(t))
+    // per bit i (0..63): count of hashes with bit set minus count without;
+    // bit i of result = 1 if the balance > 0. shiftright/shiftleft take a
+    // literal Int in the Scala DSL, so dynamic shifts go via call_function.
+    val bitBalances = transform(sequence(lit(0), lit(63)), i =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(
+          call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(bitBalances, sequence(lit(0), lit(63)),
+        (bal, i) => when(bal > 0L, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two Long hash columns (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operator family (reference §2.4 A1–A14).
+  *
+  * The reference's materialized views are conditional-count pivots
+  * ("sentiment histograms": `sum(case when eff_sentiment='positive' then 1
+  * else 0 end)` per (date, entity) — `sql/article_daily_counts_mv.sql:11-17`),
+  * top-N string aggregation (`sql/negative_summary_mv.sql:43-46`), and
+  * screen/rank aggregates with HAVING + top-k (`dashboard_app/app.py:4400-4426`).
+  *
+  * Scale posture: all of these are hash aggregates with map-side partial
+  * aggregation — one shuffle on the group key, partials combined per
+  * executor before exchange. Counts and conditional counts shrink to one row
+  * per group on the map side, so shuffle volume is O(groups), not O(rows).
+  * Numeric sums are taken over DecimalType so results are order-independent
+  * and exactly reproducible (double summation is order-dependent and a
+  * correctness hazard for the hash-compare oracle AND for any re-run diff at
+  * scale).
+  */
+object Rollups {
+
+  /** `sum(case when cond then 1 else 0 end)` — conditional count (A1/A2). */
+  def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** Exact, order-independent sum of a double column: cast through decimal.
+    * scale picks how many fractional digits are significant in the source. */
+  def exactSum(c: Column, precision: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(s"decimal($precision,$scale)"))
+
+  /** Top-k alphabetically-first strings matching a predicate, joined with a
+    * separator (A4: `array_to_string((array_agg(title order by title) filter
+    * (where negative))[1:3], ' | ')`).
+    *
+    * `collect_list` drops the nulls produced by the unmatched branch, so this
+    * is a filtered aggregate. Groups in the reference are bounded (SERP-page
+    * sized); for unbounded groups at 100 TB swap in a bounded top-k
+    * Aggregator — the contract (first k in sort order) is unchanged. */
+  def topKStringsAgg(value: Column, pred: Column, k: Int, sep: String = " | "): Column =
+    array_join(slice(sort_array(collect_list(when(pred, value))), 1, k), sep)
+
+  /** Tagged-union daily metrics (reference J4 `entity_daily_metrics_v`):
+    * instead of N left joins over N pre-aggregated sources (the reference's
+    * `sql/entity_daily_metrics_v.sql:122-167` does union-of-keys + 5 left
+    * joins), union the *inputs* with a source tag and pivot with conditional
+    * counts — ONE shuffle instead of six.
+    *
+    * @param sources (tag, dataframe) pairs; each df must expose `keyCols`
+    */
+  def taggedUnionCounts(sources: Seq[(String, DataFrame)], keyCols: Seq[String]): DataFrame = {
+    val tagged = sources.map { case (tag, df) =>
+      df.select(keyCols.map(col): _*).withColumn("__src", lit(tag))
+    }.reduce(_ unionByName _)
+    val pivots = sources.map { case (tag, _) =>
+      countIf(col("__src") === tag).as(s"${tag}_cnt")
+    } :+ count(lit(1)).as("total_cnt")
+    tagged.groupBy(keyCols.map(col): _*).agg(pivots.head, pivots.tail: _*)
+  }
+}

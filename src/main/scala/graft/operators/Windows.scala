@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Window-function operator family (reference §2.5 W1–W10).
+  *
+  * The reference computes all of its rolling metrics with ROWS-frame windows
+  * over sparse daily series — "last 7 observations", NOT "last 7 calendar
+  * days" (`sql/entity_weekly_rollup_v.sql:2-29`), and 30-day baselines as
+  * `rows between 30 preceding and 1 preceding` (`sql/entity_anomalies_v.sql:4-23`).
+  * Gaps-and-islands (consecutive-day episodes) is done imperatively in Python
+  * (`dashboard_app/app.py:1602-1635`); here it is the classic lag + running-sum
+  * group-id idiom — fully parallel, one shuffle on the partition key.
+  *
+  * Scale posture: every helper partitions by the entity key, so Spark shuffles
+  * once on that key and all frames evaluate within a partition without
+  * further exchange. Skewed entities (mega-brands) are bounded by days ×
+  * metrics, not raw fact rows, because callers aggregate to the daily grain
+  * first (see Rollups).
+  */
+object Windows {
+
+  /** `partition by keys order by ord rows between -(n-1) and current` —
+    * trailing window of the last `n` observations including current (W1). */
+  def trailing(keys: Seq[String], ord: String, n: Int): WindowSpec =
+    Window.partitionBy(keys.map(col): _*).orderBy(col(ord)).rowsBetween(-(n - 1), 0)
+
+  /** `rows between `lo` preceding and `hi` preceding` — strictly-prior frame
+    * for baselines (W2: lo=30 hi=1; W3 variants: 7/1 and 30/8). */
+  def priorFrame(keys: Seq[String], ord: String, lo: Int, hi: Int): WindowSpec =
+    Window.partitionBy(keys.map(col): _*).orderBy(col(ord)).rowsBetween(-lo, -hi)
+
+  /** Gaps-and-islands over a date column (W7): assigns an `episode` id that
+    * increments whenever the day-gap to the previous row (per key) exceeds 1.
+    * Input should be distinct on (keys, dateCol). */
+  def withEpisodeId(df: DataFrame, keys: Seq[String], dateCol: String,
+                    episodeCol: String = "episode"): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+    val gap = when(
+      lag(col(dateCol), 1).over(byKey).isNull
+        .or(datediff(col(dateCol), lag(col(dateCol), 1).over(byKey)) > 1), 1
+    ).otherwise(0)
+    df.withColumn(episodeCol,
+      sum(gap).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Consecutive-day episodes per key: (key, episode_start, episode_end,
+    * episode_days). Reference computes this in a Python loop
+    * (`dashboard_app/app.py:1602-1635`); this is the distributed equivalent. */
+  def episodes(df: DataFrame, keys: Seq[String], dateCol: String): DataFrame = {
+    val withId = withEpisodeId(df.select((keys :+ dateCol).map(col): _*).distinct(),
+      keys, dateCol)
+    withId
+      .groupBy((keys :+ "episode").map(col): _*)
+      .agg(
+        min(col(dateCol)).as("episode_start"),
+        max(col(dateCol)).as("episode_end"),
+        count(lit(1)).as("episode_days"))
+      .drop("episode")
+  }
+
+  /** Pagination via global row_number (reference P9/O2: `limit/offset` with a
+    * separate total count). NOTE: a global ORDER BY materializes a total
+    * order; at 100 TB pagination must always be bounded by selective filters
+    * first (the reference caps every page at <=1000 rows after entity/date
+    * predicates, `dashboard_app/app.py:2865-2873`), so the sorted set is small.
+    */
+  def paginate(df: DataFrame, order: Seq[Column], offset: Long, pageSize: Long,
+               rnCol: String = "rn"): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    df.withColumn(rnCol, row_number().over(w))
+      .filter(col(rnCol) > offset && col(rnCol) <= offset + pageSize)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF, UrlFunctions}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TextFunctions.wordHits counts standalone tokens only") {
+    val df = Seq("the theme of the day", "nothing here", "the the the")
+      .toDF("text")
+      .select(TF.wordHits(col("text"), "the").as("h"))
+    // "the the the": non-overlapping " the " scan finds 2 (middle space shared)
+    assert(df.as[Long].collect().toSeq == Seq(2L, 0L, 2L))
+  }
+
+  test("TextFunctions.tokenCount splits on whitespace runs") {
+    val df = Seq("a  b\tc", " x ", "").toDF("text")
+      .select(TF.tokenCount(col("text")).as("n"))
+    assert(df.as[Long].collect().toSeq == Seq(3L, 1L, 1L))
+  }
+
+  test("TextFunctions.fingerprint is whitespace/case insensitive") {
+    val df = Seq("Hello   World", "hello world").toDF("text")
+      .select(TF.fingerprint(col("text")).as("fp"))
+    val fps = df.as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("TextFunctions.argMaxLang breaks ties toward first-listed") {
+    val df = Seq((1L, 1L), (0L, 2L)).toDF("en", "es")
+      .select(TF.argMaxLang(Seq("en" -> col("en"), "es" -> col("es"))).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es"))
+  }
+
+  test("SimilarityFunctions.cosine on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b").select(SF.cosine(col("a"), col("b")).as("c"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("SimilarityFunctions.tokenShingles builds n-grams") {
+    val df = Seq("a b c d").toDF("text")
+      .select(SF.tokenShingles(col("text"), 2).as("s"))
+    assert(df.as[Seq[String]].head() == Seq("a b", "b c", "c d"))
+  }
+
+  test("SimilarityFunctions.minHashSignature equal sets -> equal signatures") {
+    val df = Seq("x y z x", "z y x").toDF("text")
+      .select(SF.minHashSignature(SF.tokenShingles(col("text"), 1), 8).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1)) // same token set, order-independent
+    assert(sigs(0).length == 8)
+  }
+
+  test("SimilarityFunctions.jaccard exact set similarity") {
+    val df = Seq((Seq("a", "b"), Seq("b", "c"))).toDF("a", "b")
+      .select(SF.jaccard(col("a"), col("b")).as("j"))
+    assert(math.abs(df.as[Double].head() - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("SimilarityFunctions.simHash identical text -> hamming 0, disjoint text differs") {
+    val df = Seq(("same words here", "same words here"),
+      ("same words here", "totally different tokens"))
+      .toDF("a", "b")
+      .select(SF.hammingDistance(SF.simHash(col("a")), SF.simHash(col("b"))).as("h"))
+    val got = df.as[Int].collect()
+    assert(got(0) == 0)
+    assert(got(1) > 0)
+  }
+
+  test("UrlFunctions.normalizeUrl: reference semantics (url_utils.py)") {
+    assert(UrlFunctions.normalizeUrlImpl(
+      "HTTPS://WWW.Example.com//a//b?utm_source=x&b=2&a=1#frag") ==
+      "https://example.com/a/b?a=1&b=2")
+    assert(UrlFunctions.normalizeUrlImpl("  ") == "")
+    assert(UrlFunctions.normalizeUrlImpl(null) == "")
+    // tracking params incl. prefixes utm_* / gaa_* dropped
+    assert(UrlFunctions.normalizeUrlImpl(
+      "http://site.com/p?gclid=1&utm_whatever=2&gaa_x=3&keep=4") ==
+      "http://site.com/p?keep=4")
+  }
+
+  test("UrlFunctions.urlHash is sha256 hex of normalized form") {
+    val h = UrlFunctions.urlHashImpl("https://www.example.com/x")
+    assert(h.length == 64)
+    assert(h == UrlFunctions.urlHashImpl("https://example.com/x"))
+    assert(UrlFunctions.urlHashImpl("") == "")
+  }
+
+  test("UrlFunctions.hostname strips www. everywhere (reference quirk)") {
+    assert(UrlFunctions.hostnameImpl("https://www.example.com/x") == "example.com")
+    assert(UrlFunctions.hostnameImpl("not a url") == "")
+  }
+
+  test("TextFunctions.rollingTokenHash is order-sensitive") {
+    val df = Seq("a b c", "c b a").toDF("text")
+      .select(TF.rollingTokenHash(col("text")).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) != hs(1))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.{Dedup, Effective, Rollups, Similarity, Windows}
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Effective.coalesceChain precedence: override > llm > raw") {
+    val df = Seq(
+      ("a", Some("ov"), Some("llm"), "raw"),
+      ("b", None, Some("llm"), "raw"),
+      ("c", None, None, "raw")
+    ).toDF("id", "ov", "llm", "raw")
+      .withColumn("eff", Effective.coalesceChain(col("ov"), col("llm"), col("raw")))
+    val got = df.select("id", "eff").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "ov", "b" -> "llm", "c" -> "raw"))
+  }
+
+  test("Effective.latestWins keeps the newest row per key") {
+    val df = Seq(
+      ("k1", 1, "old"), ("k1", 3, "new"), ("k1", 2, "mid"),
+      ("k2", 5, "only")
+    ).toDF("k", "ts", "v")
+    val got = Effective.latestWins(df, Seq("k"), Seq(col("ts").desc))
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "new", "k2" -> "only"))
+  }
+
+  test("Windows.episodes splits on day gaps") {
+    val df = Seq(
+      ("u", Date.valueOf("2024-01-01")), ("u", Date.valueOf("2024-01-02")),
+      ("u", Date.valueOf("2024-01-03")), ("u", Date.valueOf("2024-01-07")),
+      ("v", Date.valueOf("2024-02-01"))
+    ).toDF("k", "d")
+    val got = Windows.episodes(df, Seq("k"), "d")
+      .orderBy("k", "episode_start")
+      .select("k", "episode_start", "episode_end", "episode_days")
+      .as[(String, Date, Date, Long)].collect().toSeq
+    assert(got == Seq(
+      ("u", Date.valueOf("2024-01-01"), Date.valueOf("2024-01-03"), 3L),
+      ("u", Date.valueOf("2024-01-07"), Date.valueOf("2024-01-07"), 1L),
+      ("v", Date.valueOf("2024-02-01"), Date.valueOf("2024-02-01"), 1L)))
+  }
+
+  test("Windows.trailing is a ROWS frame of last n observations") {
+    val df = Seq(("u", 1, 10), ("u", 2, 20), ("u", 5, 30), ("u", 9, 40))
+      .toDF("k", "d", "v")
+    val w = Windows.trailing(Seq("k"), "d", 2)
+    val got = df.select(col("d"), sum("v").over(w).as("s"))
+      .orderBy("d").as[(Int, Long)].collect().toSeq
+    // sparse 'dates' still count as adjacent observations (ROWS, not RANGE)
+    assert(got == Seq((1, 10L), (2, 30L), (5, 50L), (9, 70L)))
+  }
+
+  test("Rollups.topKStringsAgg takes k alphabetically-first matches") {
+    val df = Seq(("g", "delta", true), ("g", "alpha", true), ("g", "echo", true),
+      ("g", "bravo", true), ("g", "zulu", false)).toDF("g", "title", "neg")
+    val got = df.groupBy("g")
+      .agg(Rollups.topKStringsAgg(col("title"), col("neg"), 3).as("top"))
+      .select("top").as[String].head()
+    assert(got == "alpha | bravo | delta")
+  }
+
+  test("Rollups.taggedUnionCounts pivots one shuffle over tagged union") {
+    val a = Seq(1, 1, 2).toDF("k")
+    val b = Seq(1, 3).toDF("k")
+    val got = Rollups.taggedUnionCounts(Seq("a" -> a, "b" -> b), Seq("k"))
+      .orderBy("k").as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1, 2L, 1L, 3L), (2, 1L, 0L, 1L), (3, 0L, 1L, 1L)))
+  }
+
+  test("Dedup.exactGroups groups identical normalized content") {
+    val df = Seq((1L, "hello  world"), (2L, "hello world"), (3L, "bye"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactGroups(df, "doc_id", "text")
+      .filter(col("n_docs") > 1).select("keep_id", "n_docs")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("Dedup.minhashCandidatePairs surfaces near-identical docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, base), (2L, base + " tomorrow"), (3L, "totally different content nothing shared here at all whatsoever zero overlap"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(df, "doc_id", "text",
+      shingleSize = 2, numHashes = 16, rowsPerBand = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) || !pairs.contains((2L, 3L)))
+  }
+
+  test("Dedup.verifyJaccard computes exact shingle jaccard") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.verifyJaccard(df, pairs, "doc_id", "text", shingleSize = 2)
+      .orderBy("id_b").as[(Long, Long, Double)].collect().toSeq
+    assert(got.head._3 == 1.0)
+    assert(got.last._3 == 0.0)
+  }
+
+  test("Similarity.bruteForceTopK ranks the identical vector first") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .orderBy("rank").select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq(2L, 4L))
+  }
+
+  test("Similarity.ivfTopK returns ranked neighbors") {
+    val df = (1L to 40L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 10).toFloat))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(df, df.filter(col("vec_id") <= 2), "vec_id", "embedding", 3,
+      nlist = 4, nprobe = 2)
+    assert(got.count() > 0)
+  }
+}

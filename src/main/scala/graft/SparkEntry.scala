@@ -1,7 +1,8 @@
 package graft
 
-import graft.operators.{Dedup, Effective, Rollups, Similarity, Windows}
+import graft.operators.{Dedup, Effective, Rollups, Similarity, StatePropagation, Windows}
 import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF}
+import graft.sources.PipeSeries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -244,6 +245,129 @@ object SparkEntry {
     Dedup.simhashTable(documents(s, dir), "doc_id", "text")
       .orderBy("id")
 
+  /** W11/K5: recursive prev-day active-state propagation via flatMapGroups —
+    * the reference's crisis-event trigger machine shape
+    * (crisis_event_rollups.py:541-561). The DuckDB oracle uses the
+    * closed-form (running max of `start` within continue-segments of
+    * consecutive-day islands) — a differential test of the sequential kernel. */
+  private def activePropagation(s: SparkSession, dir: String): DataFrame = {
+    val flagged = eventsDaily(s, dir)
+      .withColumn("start_f", col("n") >= 5)
+      .withColumn("cont_f", col("n") >= 3)
+      .select("user_id", "d", "n", "start_f", "cont_f")
+    StatePropagation.propagateActive(flagged, Seq("user_id"), "d", "start_f", "cont_f")
+      .select(col("user_id"), col("d"), col("n"), col("active"))
+      .orderBy("user_id", "d")
+  }
+
+  /** W8: trailing streak of qualifying observations ending at the latest row
+    * (reference walks rows reversed while metric >= threshold,
+    * app.py:1380-1387). */
+  private def trailingStreak(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("d").desc)
+    eventsDaily(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(coalesce(min(when(col("n") < 3, col("rn"))) - 1, count(lit(1)))
+        .as("streak_days"))
+      .orderBy("user_id")
+  }
+
+  /** W10: prior-calendar-day lookup — exact date-1 self-join (NOT lag over
+    * sparse rows; reference indexes metrics[date-1],
+    * crisis_event_rollups.py:647-661). */
+  private def lagDelta(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsDaily(s, dir).select("user_id", "d", "n").alias("a")
+    val prior = eventsDaily(s, dir)
+      .select(col("user_id").as("pu"), col("d").as("pd"), col("n").as("prior_n"))
+    daily.join(prior,
+      col("a.user_id") === col("pu") && col("pd") === date_sub(col("a.d"), 1))
+      .select(col("a.user_id"), col("a.d").as("d"), col("a.n").as("n"), col("prior_n"),
+        (col("a.n") - col("prior_n")).as("delta"),
+        (col("a.n").cast("double") / col("prior_n")).as("ratio"))
+      .orderBy("user_id", "d")
+  }
+
+  /** W9: 7-day-anchored rolling windows stepping back from each user's
+    * latest date (app.py:1390-1440). */
+  private def anchoredWeekly(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsDaily(s, dir).select("user_id", "d", "n")
+    val anchors = daily.groupBy("user_id").agg(max(col("d")).as("l"))
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .select(col("user_id"), date_sub(col("l"), col("k") * 7).as("anchor"))
+    anchors.join(daily.withColumnRenamed("user_id", "u2"),
+        col("u2") === col("user_id") &&
+          col("d").between(date_sub(col("anchor"), 6), col("anchor")),
+        "left")
+      .groupBy("user_id", "anchor")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n7"))
+      .orderBy("user_id", "anchor")
+  }
+
+  /** S5/S6: pipe-delimited parallel series — build per-user history strings,
+    * then explode them back with split+arrays_zip+explode and compute the
+    * snapshot daily-change fallback (src/ingest_metrics.py:97-179). */
+  private def pipeSeries(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsDaily(s, dir)
+    val series = daily.groupBy("user_id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+        x => x.getField("v").cast("string")), "|").as("vh"),
+      array_join(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+        x => x.getField("d").cast("string")), "|").as("dh"))
+    val (dailyPct, _) = PipeSeries.snapshotChanges(col("vh"))
+    val withPct = series.withColumn("daily_change_pct", dailyPct)
+    PipeSeries.explodeSeries(withPct, Seq("user_id", "daily_change_pct"), "vh", "dh")
+      .select(col("user_id"), col("date").cast("date").as("d"),
+        col("value").cast("double").as("v"), col("daily_change_pct"))
+      .orderBy("user_id", "d")
+  }
+
+  /** P4/J7: scope restriction as a semi-join (row-level security shape,
+    * app.py:701-736 / sql/rls.sql). */
+  private def semiJoinScope(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(customer(s, dir).filter(col("c_acctbal") > 5000),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        Rollups.exactSum(col("o_totalprice")).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+
+  /** A7: sector-baseline aggregate + rank/percent_rank within peer group
+    * (app.py:4543-4637: mean/median of window values, rank of a peer). */
+  private def sectorBaseline(s: SparkSession, dir: String): DataFrame = {
+    val byNation = customer(s, dir)
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "n_regionkey")
+      .agg(
+        count(lit(1)).as("n_custs"),
+        Rollups.exactSum(col("c_acctbal")).cast("double").as("total_bal"),
+        percentile(col("c_acctbal"), lit(0.5)).as("median_bal"))
+    val w = Window.partitionBy("n_regionkey").orderBy(col("total_bal").desc, col("n_name"))
+    byNation
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy("n_regionkey", "rnk")
+  }
+
+  /** A5: index re-rollup — second-level aggregation over a pre-aggregated
+    * daily gold table, dropping the entity dimension (app.py:3128-3139). */
+  private def indexRollup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), eventDay(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("d", "event_type")
+      .agg(sum(col("cnt")).as("cnt"), count(lit(1)).as("active_users"))
+      .orderBy("d", "event_type")
+
+  /** O3/O4: top-k with composite tie-breaks (score desc, casefolded name asc
+    * — app.py:5022-5028). */
+  private def topkComposite(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_retailprice").desc, lower(col("p_name")), col("p_partkey"))
+      .limit(10)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -263,7 +387,16 @@ object SparkEntry {
     "q16_cosine_knn" -> (cosineKnn _),
     "q17_cosine_ivf" -> (cosineIvf _),
     "q18_minhash_pairs" -> (minhashPairs _),
-    "q19_simhash" -> (simhashTable _)
+    "q19_simhash" -> (simhashTable _),
+    "q20_active_propagation" -> (activePropagation _),
+    "q21_trailing_streak" -> (trailingStreak _),
+    "q22_lag_delta" -> (lagDelta _),
+    "q23_anchored_weekly" -> (anchoredWeekly _),
+    "q24_pipe_series" -> (pipeSeries _),
+    "q25_semi_join_scope" -> (semiJoinScope _),
+    "q26_sector_baseline" -> (sectorBaseline _),
+    "q27_index_rollup" -> (indexRollup _),
+    "q28_topk_composite" -> (topkComposite _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -402,6 +535,110 @@ object SparkEntry {
          |FROM (SELECT doc_id, lang, $en AS en_hits, $es AS es_hits, $de AS de_hits
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q20_active_propagation" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |flags AS (SELECT user_id, d, n, n >= 5 AS s, n >= 3 AS c FROM daily),
+        |isl AS (
+        |  SELECT *, SUM(CASE WHEN pd IS NULL OR date_diff('day', pd, d) > 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM (SELECT *, LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS pd FROM flags)),
+        |seg AS (
+        |  SELECT *, SUM(CASE WHEN c THEN 0 ELSE 1 END)
+        |    OVER (PARTITION BY user_id, island ORDER BY d ROWS UNBOUNDED PRECEDING) AS segment
+        |  FROM isl),
+        |act AS (
+        |  SELECT *, MAX(CASE WHEN s THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id, island, segment ORDER BY d ROWS UNBOUNDED PRECEDING) = 1 AS chain_s
+        |  FROM seg)
+        |SELECT user_id, d, CAST(n AS BIGINT) AS n, (s OR (c AND chain_s)) AS active
+        |FROM act ORDER BY user_id, d""".stripMargin,
+    "q21_trailing_streak" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, d, n,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d DESC) AS rn
+        |      FROM daily)
+        |SELECT user_id,
+        |  CAST(COALESCE(MIN(CASE WHEN n < 3 THEN rn END) - 1, COUNT(*)) AS BIGINT) AS streak_days
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22_lag_delta" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.user_id, a.d, CAST(a.n AS BIGINT) AS n, CAST(b.n AS BIGINT) AS prior_n,
+        |  CAST(a.n - b.n AS BIGINT) AS delta,
+        |  CAST(a.n AS DOUBLE) / b.n AS ratio
+        |FROM daily a JOIN daily b
+        |  ON a.user_id = b.user_id AND b.d = a.d - 1
+        |ORDER BY a.user_id, a.d""".stripMargin,
+    "q23_anchored_weekly" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |latest AS (SELECT user_id, MAX(d) AS l FROM daily GROUP BY 1),
+        |anchors AS (
+        |  SELECT user_id, l - CAST(7 * k AS INTEGER) AS anchor
+        |  FROM latest, (SELECT unnest(range(4)) AS k))
+        |SELECT a.user_id, a.anchor, CAST(COALESCE(SUM(dd.n), 0) AS BIGINT) AS n7
+        |FROM anchors a LEFT JOIN daily dd
+        |  ON dd.user_id = a.user_id AND dd.d BETWEEN a.anchor - 6 AND a.anchor
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q24_pipe_series" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT user_id,
+        |    string_agg(CAST(v AS VARCHAR), '|' ORDER BY d) AS vh,
+        |    string_agg(CAST(d AS VARCHAR), '|' ORDER BY d) AS dh
+        |  FROM daily GROUP BY user_id),
+        |pct AS (
+        |  SELECT *, string_split(vh, '|') AS vl FROM series),
+        |pct2 AS (
+        |  SELECT user_id, vh, dh,
+        |    CASE WHEN len(vl) >= 2 AND CAST(vl[-2] AS DOUBLE) <> 0.0
+        |         THEN (CAST(vl[-1] AS DOUBLE) - CAST(vl[-2] AS DOUBLE)) / CAST(vl[-2] AS DOUBLE) * 100.0
+        |    END AS daily_change_pct
+        |  FROM pct)
+        |SELECT user_id, CAST(d_str AS DATE) AS d, CAST(v_str AS DOUBLE) AS v, daily_change_pct
+        |FROM (SELECT user_id, daily_change_pct,
+        |        unnest(string_split(dh, '|')) AS d_str,
+        |        unnest(string_split(vh, '|')) AS v_str
+        |      FROM pct2)
+        |ORDER BY user_id, d""".stripMargin,
+    "q25_semi_join_scope" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q26_sector_baseline" ->
+      """WITH by_nation AS (
+        |  SELECT n_name, n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |    median(c_acctbal) AS median_bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, n_regionkey)
+        |SELECT n_name, n_regionkey, n_custs, total_bal, median_bal,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  PERCENT_RANK() OVER w AS pct_rank
+        |FROM by_nation
+        |WINDOW w AS (PARTITION BY n_regionkey ORDER BY total_bal DESC, n_name)
+        |ORDER BY n_regionkey, rnk""".stripMargin,
+    "q27_index_rollup" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q28_topk_composite" ->
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM part
+        |ORDER BY p_retailprice DESC, lower(p_name), p_partkey
+        |LIMIT 10""".stripMargin
   )
 }

@@ -368,6 +368,71 @@ object SparkEntry {
       .orderBy(col("p_retailprice").desc, lower(col("p_name")), col("p_partkey"))
       .limit(10)
 
+  /** K1/K3: narrative classification + entity-day rollup over documents
+    * (sentiment/finance flags synthesized deterministically from doc_id;
+    * grouped by source). Kernel parity is covered by differential goldens in
+    * KernelsSpec; rows-only check here. */
+  private def narrativeRollup(s: SparkSession, dir: String): DataFrame = {
+    val items = documents(s, dir)
+      .withColumn("title", col("text"))
+      .withColumn("snippet", lit(""))
+      .withColumn("url", lit(""))
+      .withColumn("sentiment",
+        when(col("doc_id") % 3 === 0, "negative")
+          .when(col("doc_id") % 3 === 1, "neutral").otherwise("positive"))
+      .withColumn("finance_routine", col("doc_id") % 7 === 0)
+    graft.operators.NarrativeRollup.rollupEntityDay(items, Seq("source"))
+      .orderBy("source")
+  }
+
+  /** K11/K12: control + finance-routine classification over synthesized URLs
+    * (rows-only; kernel parity via reference goldens in KernelsSpec). */
+  private def controlClassify(s: SparkSession, dir: String): DataFrame = {
+    val classifyUdf = udf((company: String, url: String, websites: String) =>
+      graft.functions.RiskRules.classifyControl(company, url,
+        graft.functions.RiskRules.parseCompanyDomains(websites)))
+    val financeUdf = udf((title: String, url: String) =>
+      graft.functions.RiskRules.isFinancialRoutine(title, "", url, ""))
+    documents(s, dir)
+      .withColumn("url",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("https://www."), col("source"), lit(".com/page/"), col("doc_id")))
+          .otherwise(concat(lit("https://news.example.com/a/"), col("doc_id"))))
+      .withColumn("controlled", classifyUdf(col("source"), col("url"),
+        concat(col("source"), lit(".com"))))
+      .withColumn("finance_routine", financeUdf(col("text"), col("url")))
+      .groupBy("source")
+      .agg(Rollups.countIf(col("controlled")).as("controlled_cnt"),
+        Rollups.countIf(col("finance_routine")).as("finance_cnt"),
+        count(lit(1)).as("n"))
+      .orderBy("source")
+  }
+
+  /** K6: fuzzy entity resolution — misspelled queries resolved against the
+    * nation dim via crossJoin + difflib-parity ratio + best/runner-up margin
+    * (thresholds 0.82/margin 0.02, app.py:1204-1217). Rows-only (difflib has
+    * no SQL equivalent). */
+  private def fuzzyResolve(s: SparkSession, dir: String): DataFrame = {
+    val dim = nation(s, dir).select(col("n_name"))
+    val queries = dim.select(
+      lower(expr("substring(n_name, 1, length(n_name) - 1)")).as("q")).distinct()
+    val scored = queries.crossJoin(broadcast(dim))
+      .withColumn("score",
+        graft.functions.TextLookup.seqRatioUdf(col("q"), lower(col("n_name"))))
+    val w = Window.partitionBy("q").orderBy(col("score").desc, col("n_name"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .groupBy("q")
+      .agg(
+        max(when(col("rnk") === 1, col("n_name"))).as("resolved"),
+        max(when(col("rnk") === 1, col("score"))).as("score"),
+        max(when(col("rnk") === 2, col("score"))).as("runner_up"))
+      .withColumn("accepted",
+        col("score") >= 0.82 &&
+          (col("score") >= 0.99 || coalesce(col("runner_up"), lit(0.0)) < col("score") - 0.02))
+      .orderBy("q")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -396,7 +461,10 @@ object SparkEntry {
     "q25_semi_join_scope" -> (semiJoinScope _),
     "q26_sector_baseline" -> (sectorBaseline _),
     "q27_index_rollup" -> (indexRollup _),
-    "q28_topk_composite" -> (topkComposite _)
+    "q28_topk_composite" -> (topkComposite _),
+    "q29_narrative_rollup" -> (narrativeRollup _),
+    "q30_control_classify" -> (controlClassify _),
+    "q31_fuzzy_resolve" -> (fuzzyResolve _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.functions.NarrativeRules
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** K3 `rollup_entity_day_narrative` (reference
+  * `dashboard_app/narrative_runtime.py:448-548`) as a relational Spark
+  * pipeline instead of a per-group Python loop:
+  *
+  *  1. classify each item (UDF over title/snippet/url/source, no Other
+  *     fallback),
+  *  2. per group: count candidates (negative, non-finance), tag histogram,
+  *  3. gate: candidates >= min_negative_top_stories (default 2),
+  *  4. primary tag = histogram max with the reference tie-break
+  *     (count desc, crisis-group first, fixed tag order, casefolded name),
+  *  5. `Other` fallback when gate met, nothing tagged, and unmatched >=
+  *     other_min_support.
+  *
+  * One shuffle on the group key; the tie-break is a window row_number over
+  * the (small) per-group tag histogram. Groups are SERP-page bounded in the
+  * reference, so no skew concern; the histogram path never collects items.
+  */
+object NarrativeRollup {
+
+  private val classifyUdf = udf(
+    (title: String, snippet: String, url: String, source: String,
+     sentiment: String, financeRoutine: java.lang.Boolean) => {
+      val r = NarrativeRules.classifyNarrativeTags(
+        title, Option(snippet).getOrElse(""), Option(url).getOrElse(""),
+        Option(source).getOrElse(""), sentiment, financeRoutine,
+        allowOtherFallback = false)
+      r.primaryTag.orNull
+    })
+
+  /** Tie-break rank columns for a tag column (group rank, fixed order,
+    * casefolded), built from the literal tag tables. */
+  private def groupRank(tag: Column): Column = {
+    val groups = NarrativeRules.TagGroups
+    val whenCrisis = groups.collect { case (t, "crisis") => t }.toSeq
+    val whenNon = groups.collect { case (t, "non_crisis") => t }.toSeq
+    when(tag.isin(whenCrisis: _*), 0)
+      .when(tag.isin(whenNon: _*), 1)
+      .otherwise(2)
+  }
+
+  private def tagOrder(tag: Column): Column =
+    NarrativeRules.TagOrder.foldLeft(lit(999)) { case (acc, (t, i)) =>
+      when(tag === t, i).otherwise(acc)
+    }
+
+  /** @param items  item-grain df with columns title, snippet, url, source,
+    *               sentiment (string), finance_routine (boolean)
+    * @param keys   group key columns (entity, date in the reference)
+    * @return per-key rollup: gate_met, negative_item_count, tagged_item_count,
+    *         unmatched_negative_items, primary_tag, primary_group, is_crisis,
+    *         supporting_negative_items, rule_version
+    */
+  def rollupEntityDay(
+      items: DataFrame,
+      keys: Seq[String],
+      minNegativeTopStories: Int = NarrativeRules.MinNegTopStories,
+      otherMinSupport: Int = NarrativeRules.OtherMinSupport): DataFrame = {
+    val keyCols = keys.map(col)
+    val candidate = lower(trim(coalesce(col("sentiment"), lit("")))) === "negative" &&
+      !coalesce(col("finance_routine"), lit(false))
+
+    val classified = items.withColumn("__cand", candidate)
+      .withColumn("__tag",
+        when(col("__cand"),
+          classifyUdf(col("title"), col("snippet"), col("url"), col("source"),
+            col("sentiment"), col("finance_routine"))))
+
+    val dayAgg = classified.groupBy(keyCols: _*).agg(
+      Rollups.countIf(col("__cand")).as("negative_item_count"),
+      Rollups.countIf(col("__cand") && col("__tag").isNotNull).as("tagged_item_count"),
+      Rollups.countIf(col("__cand") && col("__tag").isNull).as("unmatched_negative_items"))
+
+    val histo = classified
+      .filter(col("__cand") && col("__tag").isNotNull)
+      .groupBy((keyCols :+ col("__tag").as("tag")): _*)
+      .agg(count(lit(1)).as("tag_count"))
+    val w = Window.partitionBy(keyCols: _*).orderBy(
+      col("tag_count").desc, groupRank(col("tag")), tagOrder(col("tag")), lower(col("tag")))
+    val primary = histo.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((keyCols :+ col("tag").as("__primary") :+
+        col("tag_count").as("__primary_count")): _*)
+
+    val gate = col("negative_item_count") >= math.max(1, minNegativeTopStories)
+    dayAgg.join(primary, keys, "left")
+      .withColumn("gate_met", gate)
+      .withColumn("primary_tag",
+        when(!gate, lit(null: String))
+          .when(col("__primary").isNotNull, col("__primary"))
+          .when(col("unmatched_negative_items") >= math.max(1, otherMinSupport), lit("Other")))
+      .withColumn("primary_group",
+        when(col("primary_tag").isNull, lit(null: String))
+          .when(groupRank(col("primary_tag")) === 0, lit("crisis"))
+          .otherwise(lit("non_crisis")))
+      .withColumn("is_crisis",
+        when(col("primary_tag").isNull, lit(null: java.lang.Boolean))
+          .otherwise(col("primary_group") === "crisis"))
+      .withColumn("supporting_negative_items",
+        when(!gate, lit(0L))
+          .when(col("__primary").isNotNull, col("__primary_count"))
+          .when(col("primary_tag") === "Other", col("unmatched_negative_items"))
+          .otherwise(lit(0L)))
+      .withColumn("tagged_item_count", when(gate, col("tagged_item_count")).otherwise(lit(0L)))
+      // gate failure counts every candidate as unmatched (reference
+      // narrative_runtime.py:487-501 resets item results wholesale)
+      .withColumn("unmatched_negative_items",
+        when(gate, col("unmatched_negative_items")).otherwise(col("negative_item_count")))
+      .withColumn("rule_version", lit(NarrativeRules.RuleVersion))
+      .drop("__primary", "__primary_count")
+  }
+}

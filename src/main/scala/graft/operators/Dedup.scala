@@ -45,22 +45,19 @@ object Dedup {
       numHashes: Int = 32,
       rowsPerBand: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    // Signature via relational explode + min-aggregate, NOT a higher-order
-    // aggregate expression: HOF lambdas are CodegenFallback (interpreted) and
-    // get re-evaluated wherever the column is referenced; the relational form
-    // is whole-stage-codegen'd, map-side-combined, and materializes the
-    // signature once behind a shuffle. Row volume is docs × shingles ×
-    // numHashes, shrunk to docs × numHashes by the partial min before the
-    // exchange — the scalable shape at corpus size.
-    val seeds = broadcast(docs.sparkSession.range(numHashes).toDF("seed"))
+    // Signature via relational explode + numHashes codegen'd min-aggregates,
+    // NOT a higher-order aggregate expression: HOF lambdas are
+    // CodegenFallback (interpreted) and get re-evaluated wherever the column
+    // is referenced. Each shingle is string-hashed ONCE; the hash family is
+    // derived by re-hashing the 64-bit value with the seed (cheap long
+    // mixing, no string re-scan). One shuffle on the doc id, map-side
+    // partial min — the scalable shape at corpus size.
     val shingled = docs.select(col(idCol).as("id"),
       explode(array_distinct(S.tokenShingles(col(textCol), shingleSize))).as("sh"))
-    val mins = shingled.join(seeds)
-      .select(col("id"), col("seed"), xxhash64(col("seed"), col("sh")).as("h"))
-      .groupBy("id", "seed").agg(min(col("h")).as("mh"))
-    val sigs = mins.groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+    val hashed = shingled.select(col("id"), xxhash64(col("sh")).as("h"))
+    val minAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sigs
       .select(col("id"), col("sig"), explode(S.bandKeys(col("sig"), rowsPerBand)).as("band"))
     // skew guard: drop pathological buckets (boilerplate floods) before pairing
@@ -94,12 +91,26 @@ object Dedup {
   /** SimHash table: per-doc 64-bit simhash plus a 16-bit prefix bucket —
     * near-dups (small Hamming distance) mostly share prefix buckets; pairing
     * within buckets is the scale path (4 rotated prefix tables catch all
-    * pairs within Hamming distance 3 — standard simhash sharding). */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).as("id"),
-      S.simHash(col(textCol)).as("simhash"))
+    * pairs within Hamming distance 3 — standard simhash sharding).
+    *
+    * Relational formulation (explode tokens -> 64 codegen'd conditional-sum
+    * aggregates -> bit reassembly) rather than a higher-order expression:
+    * HOF lambdas are interpreted and were ~5x slower at bench scale. One
+    * shuffle on the doc id with map-side partial aggregation. */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+    val hashed = toks.select(col("id"), xxhash64(col("tok")).as("h"))
+    val balances = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    hashed.groupBy("id").agg(balances.head, balances.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0L, lit(1L << i)).otherwise(0L)).reduce(_ bitwiseOR _)
+          .as("simhash"))
       .withColumn("bucket16", shiftrightunsigned(col("simhash"), 48))
+  }
 
   /** Embedding near-dup pairs: cosine >= threshold among vectors sharing a
     * coarse LSH bucket (random-hyperplane sign bits from fixed seeds). */

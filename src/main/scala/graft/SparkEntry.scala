@@ -433,6 +433,27 @@ object SparkEntry {
       .orderBy("q")
   }
 
+  /** Multimodal plumbing: synthesize media rows from documents, run the
+    * stubbed batched decode, sample video frames (rows-only check; the
+    * decode kernel is a documented stub — plumbing is real and tested). */
+  private def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeMedia(
+      documents(s, dir), "doc_id", "text")
+    graft.multimodal.Multimodal.decodeFeatures(media)
+      .select(col("media_id"), col("media_type"), col("decode_ok"),
+        size(col("feature")).as("feature_dim"))
+      .orderBy("media_id")
+  }
+
+  /** Embedding near-dup pairs via random-hyperplane LSH buckets + cosine
+    * threshold (rows-only). */
+  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    // synthetic embeddings are near-orthogonal (max pairwise cos ~0.48), so
+    // the "near-dup" gate is set where the data actually has neighbors
+    Dedup.embeddingNearDupPairs(embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.3, planeBits = 6)
+      .orderBy("id_a", "id_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -464,7 +485,9 @@ object SparkEntry {
     "q28_topk_composite" -> (topkComposite _),
     "q29_narrative_rollup" -> (narrativeRollup _),
     "q30_control_classify" -> (controlClassify _),
-    "q31_fuzzy_resolve" -> (fuzzyResolve _)
+    "q31_fuzzy_resolve" -> (fuzzyResolve _),
+    "q32_multimodal_decode" -> (multimodalDecode _),
+    "q33_embedding_neardup" -> (embeddingNearDup _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,62 @@
+package graft.ingest
+
+import graft.ingest.CsvNormalize._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S1 roster loader (reference `src/ingest_v2.py:106-181`): parse
+  * `main-roster.csv` (header-alias tolerant), produce the `companies` and
+  * `ceos` dimension snapshots. The reference's dict-overwrite semantics
+  * (LAST row per company name wins) are reproduced with a dedup window over
+  * the file order.
+  *
+  * Dims are roster-scale — a full-snapshot overwrite per delivery is the
+  * Spark-idiomatic replacement for per-row `on conflict do update`.
+  */
+object RosterIngest {
+
+  def readRosterCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("mode", "PERMISSIVE").csv(path)
+      .withColumn("__file_order", monotonically_increasing_id())
+
+  /** companies dim from a roster df (last row per name wins). */
+  def companies(roster: DataFrame): DataFrame = {
+    val parsed = roster.select(
+      aliased(roster, Seq("Company", "company")).as("name"),
+      coalesce(aliased(roster, Seq("Stock", "stock")), lit("")).as("ticker"),
+      coalesce(aliased(roster, Seq("Sector", "sector")), lit("")).as("sector"),
+      coalesce(aliased(roster, Seq("Websites", "websites", "Website", "website")), lit(""))
+        .as("websites"),
+      parseBool(aliased(roster, Seq("Favorite", "favorite", "Favorites", "favorites",
+        "Company Favorite", "company_favorite", "Favorite Company", "favorite_company")))
+        .as("favorite"),
+      col("__file_order"))
+      .filter(col("name").isNotNull)
+    val w = Window.partitionBy("name").orderBy(col("__file_order").desc)
+    parsed.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .withColumn("id", sha2(col("name"), 256)) // deterministic surrogate id
+      .select("id", "name", "ticker", "sector", "websites", "favorite")
+  }
+
+  /** ceos dim: name-resolution join against companies (J6), last row per
+    * (ceo, company) wins. */
+  def ceos(roster: DataFrame, companiesDim: DataFrame): DataFrame = {
+    val parsed = roster.select(
+      aliased(roster, Seq("CEO", "ceo")).as("ceo_name"),
+      aliased(roster, Seq("Company", "company")).as("company_name"),
+      coalesce(aliased(roster, Seq("CEO Alias", "ceo alias", "alias")), lit("")).as("alias"),
+      parseBool(aliased(roster, Seq("CEO Favorite", "ceo_favorite", "CEO Favorites",
+        "ceo_favorites", "Favorites", "favorites", "Favorite CEO", "favorite_ceo",
+        "Favorite (CEO)"))).as("favorite"),
+      col("__file_order"))
+      .filter(col("ceo_name").isNotNull && col("company_name").isNotNull)
+    val w = Window.partitionBy("ceo_name", "company_name").orderBy(col("__file_order").desc)
+    parsed.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .join(broadcast(companiesDim.select(col("id").as("company_id"),
+        col("name").as("company_name"))), Seq("company_name"))
+      .withColumn("id", sha2(concat(col("ceo_name"), lit("|"), col("company_id")), 256))
+      .select(col("id"), col("ceo_name").as("name"), col("company_id"), col("alias"),
+        col("favorite"))
+  }
+}

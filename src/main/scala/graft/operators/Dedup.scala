@@ -136,7 +136,8 @@ object Dedup {
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), S.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        graft.plans.GraftExtensions.cosine(emb.sparkSession, col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }

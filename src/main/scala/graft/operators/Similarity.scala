@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{SimilarityFunctions => S}
+import graft.plans.GraftExtensions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -34,7 +35,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        S.cosine(col("qvec"), col("cvec")).as("cos"))
+        GraftExtensions.cosine(corpus.sparkSession, col("qvec"), col("cvec")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -61,7 +62,7 @@ object Similarity {
     def nearestBuckets(df: DataFrame, id: String, out: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("__cos").desc, col("cent_id"))
       df.join(cents)
-        .withColumn("__cos", S.cosine(col(vecCol), col("cent")))
+        .withColumn("__cos", GraftExtensions.cosine(corpus.sparkSession, col(vecCol), col("cent")))
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") <= n)
         .select(col(id), col(vecCol), col("cent_id").as(out))
@@ -76,7 +77,7 @@ object Similarity {
     val scored = bucketedCorpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        S.cosine(col("qvec"), col(vecCol)).as("cos"))
+        GraftExtensions.cosine(corpus.sparkSession, col("qvec"), col(vecCol)).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

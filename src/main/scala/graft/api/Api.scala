@@ -1,0 +1,169 @@
+package graft.api
+
+import graft.operators.Rollups.countIf
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Endpoint-equivalent query functions (reference step 7): each function is
+  * the DataFrame form of one Flask route's SQL + post-processing, reading
+  * the gold/view tables built by graft.gold / graft.views. All are thin —
+  * the heavy lifting happened at gold-build time — and every filter is a
+  * plain pushdown-able predicate over date-partitioned tables.
+  */
+object Api {
+
+  /** P2: 'brand' is compatible with {'brand','company'}
+    * (`dashboard_app/app.py:187-198`). */
+  def entityTypeFilter(c: Column, entityType: String): Column =
+    if (entityType == "brand" || entityType == "company") c.isin("brand", "company")
+    else c === entityType
+
+  /** `GET /api/v1/daily_counts` (`app.py:2757-2787`): filter the
+    * article-daily-counts gold table by entity kind, rolling window, and
+    * company scope; order by (date, company). */
+  def dailyCounts(
+      articleDailyCounts: DataFrame,
+      entityType: String,
+      days: Int,
+      scopeCompanyIds: Option[Seq[String]] = None,
+      asOf: Column = current_date()): DataFrame = {
+    val scoped = scopeCompanyIds match {
+      case Some(ids) => articleDailyCounts.filter(col("company_id").isin(ids: _*))
+      case None => articleDailyCounts
+    }
+    scoped
+      .filter(entityTypeFilter(col("entity_type"), entityType))
+      .filter(col("date") >= date_sub(asOf, days))
+      .orderBy(col("date"), col("company"))
+  }
+
+  /** `GET /api/v1/insights/screen` (`app.py:4400-4426`, A6): rank entities
+    * by a screenable metric over a date window. */
+  def screen(
+      entityDailyMetrics: DataFrame,
+      companies: DataFrame,
+      metric: String,
+      entityType: String,
+      startDate: Column,
+      endDate: Column,
+      minTotal: Long = 1L,
+      sectorContains: Option[String] = None,
+      limit: Int = 25): DataFrame = {
+    val m = col(metric)
+    val base = entityDailyMetrics
+      .filter(col("entity_type") === (if (entityType == "brand") "brand" else entityType))
+      .filter(col("date").between(startDate, endDate))
+      .join(broadcast(companies.select(col("id").as("company_id"),
+        coalesce(col("sector"), lit("")).as("sector"))), Seq("company_id"))
+    val sectorFiltered = sectorContains match {
+      case Some(s) => base.filter(lower(col("sector")).contains(s.toLowerCase)) // P5
+      case None => base
+    }
+    sectorFiltered
+      .groupBy(col("entity_type"), col("entity_id"), col("company_id"), col("ceo_id"))
+      .agg(
+        max(col("entity_name")).as("entity_name"),
+        max(col("company")).as("company"),
+        max(col("ceo")).as("ceo"),
+        max(col("sector")).as("sector"),
+        sum(m).as("window_value"),
+        max(when(col("date") === endDate, m)).as("latest_value"),
+        max(m).as("peak_value"),
+        countIf(m > 0).as("signal_days"))
+      .filter(col("window_value") >= minTotal)
+      .orderBy(col("window_value").desc, col("latest_value").desc, col("entity_name"))
+      .limit(limit)
+  }
+
+  private val trendMetrics = Seq(
+    "article_negative_count", "article_total_count", "serp_negative_count",
+    "serp_uncontrolled_count", "top_stories_negative_count",
+    "top_stories_uncontrolled_count", "crisis_risk_count")
+
+  /** `GET /api/v1/insights/trend_summary` (K9, `app.py:5137-5266`): last-7-
+    * observation window vs the prior 7, per-metric deltas, and the
+    * `classify_search_impact` label (`app.py:1443-1463`). One row per
+    * requested entity. */
+  def trendSummary(entityDailyMetrics: DataFrame, entityType: String,
+      entityId: String): DataFrame = {
+    val w = Window.partitionBy("entity_id").orderBy(col("date").desc)
+    val tagged = entityDailyMetrics
+      .filter(entityTypeFilter(col("entity_type"), entityType) &&
+        col("entity_id") === entityId)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__bucket",
+        when(col("__rn") <= 7, "current").when(col("__rn") <= 14, "prior"))
+      .filter(col("__bucket").isNotNull)
+    val aggs = trendMetrics.flatMap { m =>
+      Seq(
+        sum(when(col("__bucket") === "current", col(m)).otherwise(0L)).as(s"${m}_7d"),
+        sum(when(col("__bucket") === "prior", col(m)).otherwise(0L)).as(s"${m}_prior_7d"))
+    }
+    val summed = tagged.groupBy("entity_type", "entity_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val withDeltas = trendMetrics.foldLeft(summed) { (df, m) =>
+      df.withColumn(s"${m}_delta", col(s"${m}_7d") - col(s"${m}_prior_7d"))
+    }
+    withDeltas.withColumn("search_impact", {
+      val news = col("article_negative_count_7d") >= 7
+      val negSearch = col("serp_negative_count_7d") >= 3 ||
+        col("top_stories_negative_count_7d") >= 4
+      val uncontrolled = col("serp_uncontrolled_count_7d") >= 5 ||
+        col("top_stories_uncontrolled_count_7d") >= 4
+      when(negSearch && news, "news_and_search_negative")
+        .when(negSearch, "search_negative")
+        .when(uncontrolled && news, "news_and_search_uncontrolled")
+        .when(uncontrolled, "search_uncontrolled")
+        .when(news, "news_only")
+        .otherwise("muted")
+    })
+      .withColumn("search_nuance", {
+        // build_search_nuance label (`app.py:1466-1490`)
+        val negSearch = col("serp_negative_count_7d") >= 3 ||
+          col("top_stories_negative_count_7d") >= 4
+        val gap = col("serp_uncontrolled_count_7d") >= 5 ||
+          col("top_stories_uncontrolled_count_7d") >= 4
+        when(negSearch && gap, "negative_visibility_and_control_gap")
+          .when(negSearch, "negative_visibility")
+          .when(gap, "control_gap_without_negative_visibility")
+          .otherwise("low_or_controlled_search_signal")
+      })
+  }
+
+  /** `GET /api/v1/insights/anomalies` (`app.py:5197-5216`): filter + cap. */
+  def anomalies(anomaliesView: DataFrame, entityType: String, entityId: String,
+      days: Int, limit: Int = 12, asOf: Column = current_date()): DataFrame =
+    anomaliesView
+      .filter(entityTypeFilter(col("entity_type"), entityType) &&
+        col("entity_id") === entityId)
+      .filter(col("date") >= date_sub(asOf, math.min(days, 180)))
+      .orderBy(col("date").desc, col("severity_score").desc)
+      .limit(math.min(limit, 200))
+
+  /** `GET /api/v1/serp_features/series` (`app.py:3118-3139`): per-feature
+    * daily series for one entity, brand/company aliasing applied. */
+  def serpFeatureSeries(serpFeatureDaily: DataFrame, entityType: String,
+      entityName: String, featureTypes: Seq[String], days: Int,
+      asOf: Column = current_date()): DataFrame =
+    serpFeatureDaily
+      .filter(entityTypeFilter(col("entity_type"), entityType))
+      .filter(lower(col("entity_name")) === entityName.toLowerCase) // P8
+      .filter(if (featureTypes.isEmpty) lit(true)
+        else col("feature_type").isin(featureTypes: _*))
+      .filter(col("date") >= date_sub(asOf, math.min(days, 365)))
+      .orderBy(col("date"), col("feature_type"))
+
+  /** `GET /api/v1/negative_summary` (`app.py:7011-7041`): one day's negative
+    * article summary, scope-filtered. */
+  def negativeSummary(negativeSummaryMv: DataFrame, onDate: Column,
+      scopeCompanyIds: Option[Seq[String]] = None): DataFrame = {
+    val scoped = scopeCompanyIds match {
+      case Some(ids) => negativeSummaryMv.filter(col("company_id").isin(ids: _*))
+      case None => negativeSummaryMv
+    }
+    scoped.filter(col("date") === onDate)
+      .filter(col("negative_count") > 0 || col("crisis_risk_count") > 0)
+      .orderBy(col("negative_count").desc, col("company"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.api.Api
+import graft.gold.{GoldTables, Schemas}
+import graft.views.{EntityAnomalies, EntityDailyMetrics}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** API layer over the same reference-schema fixtures used by GoldParitySpec. */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(getClass.getResource(s"/fixtures/$name.jsonl").getPath)
+
+  private lazy val companies = fixture("companies", Schemas.companies)
+  private lazy val ceos = fixture("ceos", Schemas.ceos)
+  private lazy val camd = fixture("company_article_mentions_daily", Schemas.companyArticleMentionsDaily)
+  private lazy val ceamd = fixture("ceo_article_mentions_daily", Schemas.ceoArticleMentionsDaily)
+  private lazy val cam = fixture("company_article_mentions", Schemas.companyArticleMentions)
+  private lazy val ceam = fixture("ceo_article_mentions", Schemas.ceoArticleMentions)
+  private lazy val cao = fixture("company_article_overrides", Schemas.companyArticleOverrides)
+  private lazy val ceao = fixture("ceo_article_overrides", Schemas.ceoArticleOverrides)
+  private lazy val serpRuns = fixture("serp_runs", Schemas.serpRuns)
+  private lazy val serpResults = fixture("serp_results", Schemas.serpResults)
+  private lazy val sro = fixture("serp_result_overrides", Schemas.serpResultOverrides)
+  private lazy val sfi = fixture("serp_feature_items", Schemas.serpFeatureItems)
+  private lazy val sfio = fixture("serp_feature_item_overrides", Schemas.serpFeatureItemOverrides)
+  private lazy val sfuo = fixture("serp_feature_url_overrides", Schemas.serpFeatureUrlOverrides)
+
+  private lazy val articleMv = GoldTables.articleDailyCounts(camd, ceamd, companies, ceos, cao, ceao)
+  private lazy val featureMv = GoldTables.serpFeatureDaily(sfi, sfio, sfuo)
+  private lazy val edm = EntityDailyMetrics.build(
+    articleMv,
+    GoldTables.serpDailyCounts(serpRuns, serpResults, sro, companies, ceos),
+    EntityDailyMetrics.articleCrisis(camd, ceamd, cam, ceam, ceos),
+    EntityDailyMetrics.topStoriesSentiment(featureMv, companies, ceos),
+    EntityDailyMetrics.topStoriesControl(GoldTables.serpFeatureControlDaily(sfi, sfio, sfuo)))
+
+  test("dailyCounts: brand aliasing, scope filter, (date, company) order") {
+    val all = Api.dailyCounts(articleMv, "brand", 100000)
+    assert(all.select("entity_type").distinct().as[String].collect().toSet == Set("brand"))
+    val scoped = Api.dailyCounts(articleMv, "brand", 100000, Some(Seq("c1")))
+    assert(scoped.select("company_id").distinct().as[String].collect().toSeq == Seq("c1"))
+    val dates = all.select(col("date").cast("string")).as[String].collect()
+    assert(dates.sameElements(dates.sorted))
+  }
+
+  test("screen: window aggregate with having + composite order + limit") {
+    val got = Api.screen(edm, companies, "article_negative_count", "brand",
+      lit("2025-03-01").cast("date"), lit("2025-04-14").cast("date"),
+      minTotal = 1, limit = 2)
+    val rows = got.select("entity_id", "window_value", "signal_days").collect()
+    assert(rows.length <= 2)
+    assert(rows.nonEmpty)
+    // descending by window_value
+    val wv = rows.map(_.getLong(1))
+    assert(wv.sameElements(wv.sortBy(-_)))
+    // sector filter excludes non-matching
+    val tech = Api.screen(edm, companies, "article_negative_count", "brand",
+      lit("2025-03-01").cast("date"), lit("2025-04-14").cast("date"),
+      sectorContains = Some("tech"), limit = 10)
+    assert(tech.select("sector").distinct().as[String].collect().forall(_.toLowerCase.contains("tech")))
+  }
+
+  test("trendSummary: 7-vs-prior-7 windows, deltas, impact label domain") {
+    val got = Api.trendSummary(edm, "brand", "c1")
+    assert(got.count() == 1)
+    val r = got.collect()(0)
+    val cur = r.getAs[Long]("article_negative_count_7d")
+    val prior = r.getAs[Long]("article_negative_count_prior_7d")
+    assert(r.getAs[Long]("article_negative_count_delta") == cur - prior)
+    val label = r.getAs[String]("search_impact")
+    assert(Set("news_and_search_negative", "search_negative",
+      "news_and_search_uncontrolled", "search_uncontrolled", "news_only", "muted")
+      .contains(label))
+  }
+
+  test("anomalies + serpFeatureSeries filters") {
+    val an = EntityAnomalies.build(edm)
+    val got = Api.anomalies(an, "brand", "c2", days = 180, limit = 5,
+      asOf = lit("2025-04-14").cast("date"))
+    assert(got.count() <= 5)
+    val series = Api.serpFeatureSeries(featureMv, "brand", "acme corporation",
+      Seq("top_stories_items"), days = 365, asOf = lit("2025-04-14").cast("date"))
+    assert(series.select("feature_type").distinct().as[String].collect().toSeq ==
+      Seq("top_stories_items"))
+    assert(series.count() > 0)
+  }
+}

@@ -454,6 +454,81 @@ object SparkEntry {
       threshold = 0.3, planeBits = 6)
       .orderBy("id_a", "id_b")
 
+  /** A14: composite weighted signal score (entity-store.js:131-215 /
+    * app.py:765-804 weight normalization): plain column arithmetic over a
+    * small weight map. */
+  private def signalScore(s: SparkSession, dir: String): DataFrame = {
+    val weights = Map("click" -> 0.24, "view" -> 0.24, "error" -> 0.16,
+      "purchase" -> 0.12, "signup" -> 0.10)
+    val pivots = weights.toSeq.sortBy(_._1).map { case (t, _) =>
+      Rollups.countIf(col("event_type") === t).as(s"${t}_cnt")
+    }
+    val score = weights.toSeq.sortBy(_._1).map { case (t, w) =>
+      col(s"${t}_cnt") * w
+    }.reduce(_ + _)
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("signal_score", score)
+      .orderBy(col("signal_score").desc, col("user_id"))
+      .limit(50)
+  }
+
+  /** A16: distinct counting — exact (oracle-checked) alongside the
+    * approx_count_distinct scale path (its estimate is engine-specific, so
+    * the oracle checks exact only and the approx column is informational...
+    * kept out of the oracle projection). */
+  private def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** A13: deterministic random sample (orderBy rand(seed) limit n —
+    * scripts/sentiment_bakeoff.py:204-300; rows-only: engine PRNGs differ). */
+  private def randomSample(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .orderBy(rand(42), col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** K10: evidence summarizer — histogram rows by type/reason/sentiment
+    * (app.py:1515-1561). */
+  private def evidenceHistogram(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("bucket",
+        when(col("value") >= 100, "high").when(col("value") >= 30, "mid")
+          .otherwise("low"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("event_type", "bucket")
+
+  /** K7: storyline candidate scores — per-bucket affected counts, episode
+    * durations (W7) and the fixed linear score formula
+    * (app.py:1968-2211: affected*6 + items*0.35 + avg_dur*2 + active*0.4). */
+  private def storylineScores(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsDaily(s, dir).filter(col("n") >= 2)
+    val episodes = Windows.episodes(daily.select(col("user_id"), col("d")),
+      Seq("user_id"), "d")
+    val perBucket = daily
+      .withColumn("bucket", col("user_id") % 5)
+      .groupBy("bucket")
+      .agg(countDistinct(col("user_id")).as("affected"),
+        sum(col("n")).as("items"))
+    val bucketDur = episodes.withColumn("bucket", col("user_id") % 5)
+      .groupBy("bucket")
+      .agg((sum(col("episode_days")).cast("double") / count(lit(1))).as("avg_dur"),
+        sum(col("episode_days")).as("active_days"))
+    perBucket.join(bucketDur, Seq("bucket"))
+      .withColumn("score",
+        col("affected") * 6.0 + col("items") * 0.35 +
+          col("avg_dur") * 2.0 + col("active_days") * 0.4)
+      .orderBy(col("score").desc, col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -487,7 +562,12 @@ object SparkEntry {
     "q30_control_classify" -> (controlClassify _),
     "q31_fuzzy_resolve" -> (fuzzyResolve _),
     "q32_multimodal_decode" -> (multimodalDecode _),
-    "q33_embedding_neardup" -> (embeddingNearDup _)
+    "q33_embedding_neardup" -> (embeddingNearDup _),
+    "q34_signal_score" -> (signalScore _),
+    "q35_distinct_users" -> (distinctUsers _),
+    "q36_random_sample" -> (randomSample _),
+    "q37_evidence_histogram" -> (evidenceHistogram _),
+    "q38_storyline_scores" -> (storylineScores _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -730,6 +810,60 @@ object SparkEntry {
       """SELECT p_partkey, p_name, p_retailprice
         |FROM part
         |ORDER BY p_retailprice DESC, lower(p_name), p_partkey
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "q34_signal_score" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_cnt,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_cnt,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_cnt,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_cnt,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * CAST(0.24 AS DOUBLE)
+        |    + SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * CAST(0.16 AS DOUBLE)
+        |    + SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * CAST(0.12 AS DOUBLE)
+        |    + SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * CAST(0.10 AS DOUBLE)
+        |    + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * CAST(0.24 AS DOUBLE) AS signal_score
+        |FROM events GROUP BY user_id
+        |ORDER BY signal_score DESC, user_id LIMIT 50""".stripMargin,
+    "q35_distinct_users" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q37_evidence_histogram" ->
+      """SELECT event_type,
+        |  CASE WHEN value >= 100 THEN 'high' WHEN value >= 30 THEN 'mid'
+        |       ELSE 'low' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "q38_storyline_scores" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |lagged AS (
+        |  SELECT user_id, d, n, LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS pd FROM daily),
+        |grp AS (
+        |  SELECT user_id, d, n,
+        |    SUM(CASE WHEN pd IS NULL OR date_diff('day', pd, d) > 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM lagged),
+        |episodes AS (
+        |  SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS episode_days
+        |  FROM grp GROUP BY user_id, g),
+        |per_bucket AS (
+        |  SELECT user_id % 5 AS bucket,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS affected,
+        |    CAST(SUM(n) AS BIGINT) AS items
+        |  FROM daily GROUP BY 1),
+        |bucket_dur AS (
+        |  SELECT user_id % 5 AS bucket,
+        |    CAST(SUM(episode_days) AS DOUBLE) / COUNT(*) AS avg_dur,
+        |    CAST(SUM(episode_days) AS BIGINT) AS active_days
+        |  FROM episodes GROUP BY 1)
+        |SELECT b.bucket, b.affected, b.items, d.avg_dur, d.active_days,
+        |  b.affected * CAST(6.0 AS DOUBLE) + b.items * CAST(0.35 AS DOUBLE)
+        |    + d.avg_dur * CAST(2.0 AS DOUBLE) + d.active_days * CAST(0.4 AS DOUBLE) AS score
+        |FROM per_bucket b JOIN bucket_dur d ON b.bucket = d.bucket
+        |ORDER BY score DESC, b.bucket""".stripMargin
   )
 }

@@ -529,6 +529,14 @@ object SparkEntry {
       .orderBy(col("score").desc, col("bucket"))
   }
 
+  /** §5 bake-off analogue: confusion matrix of labeled lang vs the langid
+    * heuristic's prediction (reference scripts/sentiment_bakeoff.py writes
+    * agreement + confusion artifacts; this is that comparison as a query). */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LabelEval.confusionMatrix(
+      langId(s, dir), col("lang"), col("predicted_lang"))
+      .orderBy("expected", "predicted")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -567,8 +575,25 @@ object SparkEntry {
     "q35_distinct_users" -> (distinctUsers _),
     "q36_random_sample" -> (randomSample _),
     "q37_evidence_histogram" -> (evidenceHistogram _),
-    "q38_storyline_scores" -> (storylineScores _)
+    "q38_storyline_scores" -> (storylineScores _),
+    "q39_lang_confusion" -> (langConfusion _)
   )
+
+  /** shared langid scoring subquery SQL (q15 / q39) */
+  private lazy val langIdSql: String = {
+    def hits(w: String) =
+      s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
+    def langHits(ws: Seq[String]) = ws.map(hits).mkString(" + ")
+    val en = langHits(Seq("the", "and", "of"))
+    val es = langHits(Seq("el", "la", "de"))
+    val de = langHits(Seq("der", "und", "die"))
+    s"""SELECT doc_id, lang, en_hits, es_hits, de_hits,
+       |  CASE WHEN es_hits > en_hits AND es_hits >= de_hits THEN 'es'
+       |       WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+       |       ELSE 'en' END AS predicted_lang
+       |FROM (SELECT doc_id, lang, $en AS en_hits, $es AS es_hits, $de AS de_hits
+       |      FROM documents)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_pivot" ->
@@ -692,21 +717,20 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
-    "q15_lang_id" -> {
-      def hits(w: String) =
-        s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
-      def langHits(ws: Seq[String]) = ws.map(hits).mkString(" + ")
-      val en = langHits(Seq("the", "and", "of"))
-      val es = langHits(Seq("el", "la", "de"))
-      val de = langHits(Seq("der", "und", "die"))
-      s"""SELECT doc_id, lang, en_hits, es_hits, de_hits,
-         |  CASE WHEN es_hits > en_hits AND es_hits >= de_hits THEN 'es'
-         |       WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
-         |       ELSE 'en' END AS predicted_lang
-         |FROM (SELECT doc_id, lang, $en AS en_hits, $es AS es_hits, $de AS de_hits
-         |      FROM documents)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q15_lang_id" -> s"$langIdSql\nORDER BY doc_id",
+    "q39_lang_confusion" ->
+      s"""WITH pred AS ($langIdSql),
+         |counts AS (
+         |  SELECT lang AS expected, predicted_lang AS predicted,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |totals AS (
+         |  SELECT expected, CAST(SUM(n) AS BIGINT) AS class_total
+         |  FROM counts GROUP BY 1)
+         |SELECT c.expected, c.predicted, c.n, t.class_total,
+         |  CAST(c.n AS DOUBLE) / t.class_total AS class_share
+         |FROM counts c JOIN totals t ON c.expected = t.expected
+         |ORDER BY c.expected, c.predicted""".stripMargin,
     "q20_active_propagation" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n

@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- Seq("q02_region_revenue", "q05_trailing7", "q10_screen_top_spenders", "q25_semi_join_scope")) {
+      println(s"===== $q")
+      println(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString.take(2600))
+    }
+    spark.stop()
+  }
+}

@@ -128,4 +128,35 @@ class IngestSpec extends SparkSpec {
     assert(snaps("GLX")._1.get == 2.5)
     assert(snaps("GLX")._2.isEmpty)
   }
+
+  test("SerpIngest: runs + results with deterministic ids and rank dedup") {
+    val path = writeCsv(
+      """company,title,snippet,source,url,published_date,position,sentiment,controlled
+        |Acme Corp,Result one,,site,https://www.site.com/a?utm_source=t,2025-01-05,1,negative,false
+        |Acme Corp,Result two,,site,https://site.com/b,2025-01-05,2,neutral,true
+        |Acme Corp,Result dup,,site,https://site.com/b,2025-01-05,2,positive,true
+        |Nope Co,Unresolvable,,site,https://site.com/c,2025-01-05,3,neutral,
+        |""".stripMargin)
+    val comps = Seq(("c1", "Acme Corp", "ACM", "Industrials", "acme.com", false))
+      .toDF("id", "name", "ticker", "sector", "websites", "favorite")
+    val ceos = Seq.empty[(String, String, String, String, Boolean)]
+      .toDF("id", "name", "company_id", "alias", "favorite")
+    val norm = graft.ingest.SerpIngest.normalize(
+      graft.ingest.SerpIngest.readModalCsv(spark, path), "company", comps, ceos,
+      lit("2025-01-05 06:00:00").cast("timestamp"))
+    val runs = graft.ingest.SerpIngest.serpRuns(norm)
+    assert(runs.count() == 1) // one run per entity per run_at
+    val results = graft.ingest.SerpIngest.serpResults(norm)
+    // dup (run, rank, url_hash) collapsed first-wins; unresolvable dropped
+    assert(results.count() == 2)
+    val r2 = results.filter(col("rank") === 2)
+      .select("title", "sentiment_label").as[(String, String)].head()
+    assert(r2 == (("Result two", "neutral")))
+    // utm param stripped into canonical url but hash keys the raw-normalized form
+    val r1 = results.filter(col("rank") === 1).select("url").as[String].head()
+    assert(r1 == "https://site.com/a")
+    // child rows join back to the run
+    assert(results.join(runs.withColumnRenamed("id", "rid"),
+      results("serp_run_id") === col("rid")).count() == 2)
+  }
 }

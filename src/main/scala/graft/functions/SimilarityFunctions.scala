@@ -39,6 +39,36 @@ object SimilarityFunctions {
       i => array_join(slice(toks, i + 1, lit(n)), " "))
   }
 
+  /** 64-bit hashes of word shingles WITHOUT materializing shingle strings:
+    * for n<=3 a zip_with chain hashes the token tuple directly (one light
+    * lambda per shingle instead of slice+array_join string building — the
+    * measured hot path of LSH dedup); larger n falls back to hashing
+    * [[tokenShingles]]. */
+  def tokenShingleHashes(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    n match {
+      case 1 => transform(toks, t => xxhash64(t))
+      case 2 =>
+        // zip_with pads the shorter side with null — slice the result back
+        // to the true shingle count
+        when(size(toks) < 2, array(xxhash64(array_join(toks, " "))))
+          .otherwise(slice(
+            zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(1))),
+              (a, b) => xxhash64(a, b)),
+            lit(1), size(toks) - 1))
+      case 3 =>
+        when(size(toks) < 3, array(xxhash64(array_join(toks, " "))))
+          .otherwise(slice(
+            zip_with(
+              zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(1))),
+                (a, b) => struct(a.as("a"), b.as("b"))),
+              slice(toks, lit(3), greatest(size(toks) - 2, lit(1))),
+              (ab, c) => xxhash64(ab.getField("a"), ab.getField("b"), c)),
+            lit(1), size(toks) - 2))
+      case _ => transform(tokenShingles(text, n), s => xxhash64(s))
+    }
+  }
+
   /** MinHash signature of a string-array (shingle set) column: for each of
     * `numHashes` seeds, min over elements of xxhash64(seed, element).
     * Returns Array[Long] of length numHashes. Distinct-ness of elements is

@@ -52,9 +52,8 @@ object Dedup {
     // derived by re-hashing the 64-bit value with the seed (cheap long
     // mixing, no string re-scan). One shuffle on the doc id, map-side
     // partial min — the scalable shape at corpus size.
-    val shingled = docs.select(col(idCol).as("id"),
-      explode(array_distinct(S.tokenShingles(col(textCol), shingleSize))).as("sh"))
-    val hashed = shingled.select(col("id"), xxhash64(col("sh")).as("h"))
+    val hashed = docs.select(col(idCol).as("id"),
+      explode(array_distinct(S.tokenShingleHashes(col(textCol), shingleSize))).as("h"))
     val minAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))

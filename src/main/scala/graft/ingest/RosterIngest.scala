@@ -39,6 +39,33 @@ object RosterIngest {
       .select("id", "name", "ticker", "sector", "websites", "favorite")
   }
 
+  /** S2 boards roster (`src/ingest_metrics.py:215-255`): resolve (ceo,
+    * company) names -> ids, derive the domain, dedup on (ceo_id, url) with
+    * last-row-wins (the ON CONFLICT DO UPDATE analogue). */
+  def boards(boardsCsv: DataFrame, companiesDim: DataFrame, ceosDim: DataFrame): DataFrame = {
+    val parsed = boardsCsv
+      .withColumn("__file_order", monotonically_increasing_id())
+      .select(
+        aliased(boardsCsv, Seq("CEO", "ceo")).as("ceo_name"),
+        coalesce(aliased(boardsCsv, Seq("Company", "company")), lit("")).as("company_name"),
+        aliased(boardsCsv, Seq("URL", "url")).as("url"),
+        coalesce(aliased(boardsCsv, Seq("Source", "source")), lit("")).as("source"),
+        to_timestamp(aliased(boardsCsv, Seq("last_updated", "Last Updated")))
+          .as("last_updated"),
+        col("__file_order"))
+      .filter(col("ceo_name").isNotNull && col("url").isNotNull)
+      .withColumn("domain", graft.functions.UrlFunctions.hostName(col("url")))
+      .join(broadcast(companiesDim.select(col("id").as("company_id"),
+        col("name").as("company_name"))), Seq("company_name"))
+      .join(broadcast(ceosDim.select(col("id").as("ceo_id"),
+        col("name").as("ceo_name"), col("company_id").as("ceo_company_id"))),
+        Seq("ceo_name"))
+      .filter(col("company_id") === col("ceo_company_id"))
+    val w = Window.partitionBy("ceo_id", "url").orderBy(col("__file_order").desc)
+    parsed.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("ceo_id", "company_id", "url", "domain", "source", "last_updated")
+  }
+
   /** ceos dim: name-resolution join against companies (J6), last row per
     * (ceo, company) wins. */
   def ceos(roster: DataFrame, companiesDim: DataFrame): DataFrame = {

@@ -159,4 +159,25 @@ class IngestSpec extends SparkSpec {
     assert(results.join(runs.withColumnRenamed("id", "rid"),
       results("serp_run_id") === col("rid")).count() == 2)
   }
+
+  test("RosterIngest.boards: name resolution + (ceo,url) last-wins dedup") {
+    val rosterPath = writeCsv(
+      """CEO,Company,CEO Alias,Websites,Stock,Sector,Favorite,CEO Favorite
+        |Jane Doe,Acme Corp,,acme.com,ACM,Industrials,,
+        |""".stripMargin)
+    val roster = RosterIngest.readRosterCsv(spark, rosterPath)
+    val comps = RosterIngest.companies(roster)
+    val ceos = RosterIngest.ceos(roster, comps)
+    val boardsPath = writeCsv(
+      """CEO,Company,URL,Source,last_updated
+        |Jane Doe,Acme Corp,https://www.boards.com/acme,manual,2025-01-01T00:00:00
+        |Jane Doe,Acme Corp,https://www.boards.com/acme,crawler,2025-02-01T00:00:00
+        |Jane Doe,Wrong Co,https://www.boards.com/x,manual,
+        |""".stripMargin)
+    val got = RosterIngest.boards(
+      spark.read.option("header", "true").csv(boardsPath), comps, ceos)
+      .select("url", "domain", "source").as[(String, String, String)].collect()
+    assert(got.length == 1) // dup collapsed last-wins; unresolvable dropped
+    assert(got(0) == (("https://www.boards.com/acme", "boards.com", "crawler")))
+  }
 }

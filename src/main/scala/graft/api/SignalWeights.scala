@@ -1,0 +1,65 @@
+package graft.api
+
+/** A14 composite-signal weight handling (reference
+  * `dashboard_app/app.py:175-184,765-804`): default weights plus the legacy
+  * `serpNegativeFeatures` rescaling — when a preset still carries the old
+  * combined feature weight, the five per-feature defaults are scaled so
+  * their sum matches it; explicit per-feature values always win.
+  */
+object SignalWeights {
+
+  val Defaults: Map[String, Double] = Map(
+    "newsNegative" -> 0.24,
+    "organicNegative" -> 0.24,
+    "topStoriesNegative" -> 0.16,
+    "aioCitationsNegative" -> 0.12,
+    "paaNegative" -> 0.1,
+    "videosNegative" -> 0.07,
+    "perspectivesNegative" -> 0.07,
+    "serpControl" -> 0.1)
+
+  private val FeatureKeys = Seq("topStoriesNegative", "aioCitationsNegative",
+    "paaNegative", "videosNegative", "perspectivesNegative")
+
+  /** `_coerce_weight` (`app.py:751-762`): unparseable/non-finite ->
+    * fallback; then clamp to [0, 1]. */
+  private def coerce(v: Option[Any], fallback: Double): Double = {
+    val numeric = v match {
+      case Some(d: Double) => d
+      case Some(i: Int) => i.toDouble
+      case Some(l: Long) => l.toDouble
+      case Some(s: String) => s.toDoubleOption.getOrElse(fallback)
+      case _ => fallback
+    }
+    val finite = if (java.lang.Double.isFinite(numeric)) numeric else fallback
+    if (finite < 0) 0.0 else if (finite > 1) 1.0 else finite
+  }
+
+  /** `normalize_signal_weight_payload` (`app.py:765-804`). */
+  def normalize(payload: Map[String, Any]): Map[String, Double] = {
+    val featureDefaultSum = FeatureKeys.map(Defaults).sum match {
+      case 0.0 => 1.0
+      case s => s
+    }
+    val legacyFeatureWeight = coerce(payload.get("serpNegativeFeatures"), featureDefaultSum)
+    val featureScale = legacyFeatureWeight / featureDefaultSum
+    Map(
+      "newsNegative" -> coerce(payload.get("newsNegative"), Defaults("newsNegative")),
+      "organicNegative" -> coerce(
+        payload.get("organicNegative").orElse(payload.get("serpNegativeOrganic")),
+        Defaults("organicNegative")),
+      "serpControl" -> coerce(payload.get("serpControl"), Defaults("serpControl"))
+    ) ++ FeatureKeys.map { k =>
+      k -> coerce(payload.get(k), Defaults(k) * featureScale)
+    }
+  }
+
+  /** The weighted linear score (entity-store.js:131-215 shape):
+    * sum of metric*weight minus the control term. */
+  def score(metrics: Map[String, Long], weights: Map[String, Double]): Double = {
+    val negatives = (weights - "serpControl").toSeq.sortBy(_._1).map {
+      case (k, w) => metrics.getOrElse(k, 0L) * w
+    }.sum
+    negatives - metrics.getOrElse("serpControl", 0L) * weights.getOrElse("serpControl", 0.0)
+  }
+}

@@ -178,6 +178,55 @@ object TextLookup {
     if (scores.isEmpty) (0.0, "") else scores.maxBy(_._1)
   }
 
+  /** `normalized_sector_keys` (`app.py:988-999`): normalized + singularized
+    * variants, deduped in order. */
+  def normalizedSectorKeys(text: String): Seq[String] = {
+    val normalized = normalizeLookupText(text)
+    if (normalized.isEmpty) Seq.empty
+    else {
+      val singular = normalized.split(" ").map(singularizeLookupToken).mkString(" ")
+      Seq(normalized, singular).distinct
+    }
+  }
+
+  /** `_score_sector_candidate` (`app.py:1067-1094`): exact 1.0, normalized
+    * 0.99, singular 0.985, prefix 0.955, contains 0.94, else best fuzzy. */
+  def scoreSectorCandidate(query: String, sector: String): (Double, String) = {
+    val queryRaw = Option(query).getOrElse("").trim
+    val sectorRaw = Option(sector).getOrElse("").trim
+    if (queryRaw.isEmpty || sectorRaw.isEmpty) return (0.0, "")
+    if (queryRaw.toLowerCase == sectorRaw.toLowerCase) return (1.0, "sector_exact")
+    val queryKeys = normalizedSectorKeys(queryRaw)
+    val sectorKeys = normalizedSectorKeys(sectorRaw)
+    if (queryKeys.isEmpty || sectorKeys.isEmpty) return (0.0, "")
+    if (queryKeys.head == sectorKeys.head) return (0.99, "sector_normalized")
+    if (queryKeys.length > 1 && queryKeys(1) == sectorKeys.last)
+      return (0.985, "sector_singular")
+    var best = (0.0, "")
+    for (qk <- queryKeys; sk <- sectorKeys) {
+      if (qk.length >= 4 && sk.startsWith(qk) && 0.955 > best._1)
+        best = (0.955, "sector_prefix")
+      if (qk.length >= 4 && sk.contains(qk) && 0.94 > best._1)
+        best = (0.94, "sector_contains")
+      val ratio = sequenceMatcherRatio(qk, sk)
+      if (ratio > best._1) best = (ratio, "sector_fuzzy")
+    }
+    best
+  }
+
+  /** `resolve_sector_lookup` margin rule (`app.py:1204-1217`): accept top
+    * candidate at >= 0.82 unless a runner-up is within 0.02 (waived when the
+    * top is >= 0.99). */
+  def resolveWithMargin(
+      scored: Seq[(String, Double)],
+      threshold: Double = 0.82,
+      margin: Double = 0.02): Option[(String, Double)] = {
+    val sorted = scored.sortBy(-_._2)
+    sorted.headOption.filter(_._2 >= threshold).filter { top =>
+      top._2 >= 0.99 || sorted.drop(1).headOption.forall(_._2 < top._2 - margin)
+    }
+  }
+
   val seqRatioUdf = udf(sequenceMatcherRatio _)
   val normalizeLookupUdf = udf((s: String) => normalizeLookupText(s))
 }

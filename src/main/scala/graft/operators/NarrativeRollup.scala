@@ -83,10 +83,21 @@ object NarrativeRollup {
       .agg(count(lit(1)).as("tag_count"))
     val w = Window.partitionBy(keyCols: _*).orderBy(
       col("tag_count").desc, groupRank(col("tag")), tagOrder(col("tag")), lower(col("tag")))
-    val primary = histo.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select((keyCols :+ col("tag").as("__primary") :+
-        col("tag_count").as("__primary_count")): _*)
+    // one pass: rank for the primary AND collect the full ordered histogram
+    // (tags list + tag_counts map in the reference's sorted order,
+    // narrative_runtime.py:510-519,546)
+    val ranked = histo.withColumn("__rn", row_number().over(w))
+    val primary = ranked
+      .groupBy(keyCols: _*)
+      .agg(
+        max(when(col("__rn") === 1, col("tag"))).as("__primary"),
+        max(when(col("__rn") === 1, col("tag_count"))).as("__primary_count"),
+        transform(array_sort(collect_list(struct(col("__rn"), col("tag")))),
+          x => x.getField("tag")).as("__tags"),
+        map_from_entries(
+          transform(array_sort(collect_list(struct(col("__rn"), col("tag"),
+            col("tag_count")))),
+            x => struct(x.getField("tag"), x.getField("tag_count")))).as("__tag_counts"))
 
     val gate = col("negative_item_count") >= math.max(1, minNegativeTopStories)
     dayAgg.join(primary, keys, "left")
@@ -112,7 +123,15 @@ object NarrativeRollup {
       // narrative_runtime.py:487-501 resets item results wholesale)
       .withColumn("unmatched_negative_items",
         when(gate, col("unmatched_negative_items")).otherwise(col("negative_item_count")))
+      .withColumn("tags",
+        when(!gate, array().cast("array<string>"))
+          .when(col("__tags").isNotNull, col("__tags"))
+          .when(col("primary_tag") === "Other", array(lit("Other")))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("tag_counts",
+        when(gate, coalesce(col("__tag_counts"),
+          map().cast("map<string,bigint>"))).otherwise(map().cast("map<string,bigint>")))
       .withColumn("rule_version", lit(NarrativeRules.RuleVersion))
-      .drop("__primary", "__primary_count")
+      .drop("__primary", "__primary_count", "__tags", "__tag_counts")
   }
 }

@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.net.URI
 import java.util.regex.Pattern
 
 /** Control / finance-routine classification kernels (reference K11/K12:
@@ -109,16 +108,19 @@ object RiskRules {
     tokens.filter(_.length >= 3).toSet
   }
 
+  /** (hostname www-stripped, RAW-case path) via [[PyUrl]] — the reference's
+    * helper predicates (`src/risk_rules.py:140-235`) keep the path's case, so
+    * `user/`/`company/`/`in/` prefix checks are case-sensitive; only
+    * `classify_control` itself lowercases its path copy. */
   private def hostAndPath(url: String): (String, String) = {
     try {
-      val u = new URI(Option(url).getOrElse("").trim)
-      val host = Option(u.getHost).getOrElse("").toLowerCase.replace("www.", "")
-      val path = Option(u.getPath).getOrElse("").toLowerCase
-      (host, path)
+      val p = PyUrl.urlparse(Option(url).getOrElse(""))
+      (p.hostname.replace("www.", ""), p.path)
     } catch { case _: Exception => ("", "") }
   }
 
-  private def stripSlashes(p: String): String = p.stripPrefix("/").stripSuffix("/")
+  // python str.strip("/"): ALL leading/trailing slashes
+  private def stripSlashes(p: String): String = p.replaceAll("^/+|/+$", "")
 
   private def isBrandYoutubeChannel(company: String, url: String): Boolean = {
     val (host, rawPath) = hostAndPath(url)
@@ -127,8 +129,10 @@ object RiskRules {
     if (brandToken.isEmpty) return false
     val path = stripSlashes(rawPath)
     if (path.isEmpty) return false
+    // prefix check is case-insensitive (`path.lower().startswith("user/")`,
+    // risk_rules.py:153) but the slug keeps raw case (normToken lowers it)
     val slug =
-      if (path.startsWith("user/")) path.substring(5)
+      if (path.toLowerCase.startsWith("user/")) path.substring(5)
       else if (path.startsWith("@")) path.substring(1)
       else path.split("/", 2)(0)
     val slugToken = normToken(slug)
@@ -149,7 +153,7 @@ object RiskRules {
     val (host, rawPath) = hostAndPath(url)
     if (host != "linkedin.com") return false
     val path = stripSlashes(rawPath)
-    if (!path.startsWith("company/")) return false
+    if (!path.toLowerCase.startsWith("company/")) return false
     val rest = if (path.contains("/")) path.split("/", 2)(1) else ""
     val slug = if (rest.nonEmpty) rest.split("/", 2)(0) else ""
     if (slug.isEmpty) return false
@@ -163,7 +167,8 @@ object RiskRules {
     val (host, rawPath) = hostAndPath(url)
     if (host != "linkedin.com") return false
     val path = stripSlashes(rawPath)
-    if (!(path.startsWith("in/") || path.startsWith("pub/"))) return false
+    if (!(path.toLowerCase.startsWith("in/") || path.toLowerCase.startsWith("pub/")))
+      return false
     val rest = if (path.contains("/")) path.split("/", 2)(1) else ""
     val slug = if (rest.nonEmpty) rest.split("/", 2)(0) else ""
     if (slug.isEmpty) return false
@@ -201,8 +206,9 @@ object RiskRules {
       personName: String = null,
       publisher: String = null): Boolean = {
     if (publisherMatchesCompany(company, Option(publisher).getOrElse(""))) return true
-    val (host, path) = hostAndPath(url)
+    val (host, rawPath) = hostAndPath(url)
     if (host.isEmpty) return false
+    val path = rawPath.toLowerCase
     if (entityType == "ceo") {
       if (CeoUncontrolledDomains.exists(bad => host == bad || host.endsWith("." + bad)))
         return false

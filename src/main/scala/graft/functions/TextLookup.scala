@@ -58,20 +58,22 @@ object TextLookup {
     if (la + lb == 0) return 1.0 // difflib: 2*0/0 would ZeroDivide; callers never hit
 
     // b2j with autojunk: drop "popular" elements (> 1% of b, len(b) >= 200)
+    // from the index ONLY. CPython keeps `bpopular` separate from `bjunk`
+    // (difflib.__chain_b) — with no isjunk arg the junk set stays EMPTY, so
+    // isbjunk is false for popular chars and the junk-extension loops in
+    // find_longest_match never fire.
     val b2j = mutable.HashMap.empty[Char, mutable.ArrayBuffer[Int]]
     var j = 0
     while (j < lb) {
       b2j.getOrElseUpdate(b.charAt(j), mutable.ArrayBuffer.empty[Int]) += j
       j += 1
     }
-    val junk = mutable.HashSet.empty[Char]
     if (lb >= 200) {
       val ntest = lb / 100 + 1
       b2j.keys.toList.foreach { ch =>
-        if (b2j(ch).length > ntest) { junk += ch; b2j.remove(ch) }
+        if (b2j(ch).length > ntest) b2j.remove(ch)
       }
     }
-    def isbjunk(ch: Char): Boolean = junk.contains(ch)
 
     def findLongestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
       var besti = alo; var bestj = blo; var bestsize = 0
@@ -97,16 +99,11 @@ object TextLookup {
         j2len = newj2len
         i += 1
       }
-      // extend with non-junk then junk, mirroring difflib
-      while (besti > alo && bestj > blo && !isbjunk(b.charAt(bestj - 1)) &&
+      // extension loops: bjunk is empty (no isjunk param), so difflib's
+      // second (junk) extension pass is a no-op — only this pair remains
+      while (besti > alo && bestj > blo &&
         a.charAt(besti - 1) == b.charAt(bestj - 1)) { besti -= 1; bestj -= 1; bestsize += 1 }
       while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-        !isbjunk(b.charAt(bestj + bestsize)) &&
-        a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) bestsize += 1
-      while (besti > alo && bestj > blo && isbjunk(b.charAt(bestj - 1)) &&
-        a.charAt(besti - 1) == b.charAt(bestj - 1)) { besti -= 1; bestj -= 1; bestsize += 1 }
-      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-        isbjunk(b.charAt(bestj + bestsize)) &&
         a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) bestsize += 1
       (besti, bestj, bestsize)
     }

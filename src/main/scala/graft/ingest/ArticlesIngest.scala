@@ -46,7 +46,9 @@ object ArticlesIngest {
       .filter(col("canonical_url") =!= "")
       .withColumn("publisher", coalesce(aliased(raw, Seq("source")), lit("")))
       .withColumn("snippet", coalesce(aliased(raw, Seq("snippet")), lit("")))
-      .withColumn("sentiment_in", lower(aliased(raw, Seq("sentiment"))))
+      // reference: (row.get('sentiment') or '').strip().lower() or None
+      // (`ingest_v2.py:277`) — trim first, empty → null, then lowercase
+      .withColumn("sentiment_in", lower(trimToNull(aliased(raw, Seq("sentiment")))))
       .withColumn("control_in",
         parseControlClass(aliased(raw, Seq("controlled", "control_class"))))
       .withColumn("finance_in", parseOptionalBool(aliased(raw, Seq("finance_routine"))))

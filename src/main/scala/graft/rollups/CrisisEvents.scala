@@ -1,7 +1,8 @@
 package graft.rollups
 
 import graft.operators.{Effective, NarrativeRollup, Rollups, StatePropagation}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** K5: the crisis-event trigger machine
@@ -42,26 +43,50 @@ object CrisisEvents {
     * @param topStories item-grain negative non-finance top-stories evidence:
     *                  (date, entity_type, entity_id, title, snippet, url, source)
     * @param recentArticles same shape, recent negative articles
+    * @param topStoriesOrder within-entity-day load order of the top-stories
+    *                  source — the reference reads them `ORDER BY date, name,
+    *                  position NULLS LAST, id` (`crisis_event_rollups.py:382`),
+    *                  i.e. pass `Seq(col("position").asc_nulls_last, col("id"))`
+    *                  when those columns exist. "First occurrence wins" in the
+    *                  dedup depends on this order, so it must be explicit —
+    *                  never derived from physical row order.
+    * @param recentArticlesOrder same for recent articles (reference order
+    *                  `published_at DESC NULLS LAST, id` —
+    *                  `crisis_event_rollups.py:476,522`).
     * @return active crisis-event rows (entity_crisis_event_daily grain)
     */
   def build(
       metrics: DataFrame,
       topStories: DataFrame,
-      recentArticles: DataFrame): DataFrame = {
+      recentArticles: DataFrame,
+      topStoriesOrder: Seq[Column] = Nil,
+      recentArticlesOrder: Seq[Column] = Nil): DataFrame = {
     val keys = Seq("date", "entity_type", "entity_id")
     val evCols = keys.map(col) ++ Seq(col("title"), col("snippet"), col("url"), col("source"))
 
     // ordered evidence dedup (`crisis_event_rollups.py:259-271`): key = url
-    // else title::source, top-stories first, first occurrence wins
-    val tagged = topStories.select(evCols: _*).withColumn("__rank", lit(0))
-      .unionByName(recentArticles.select(evCols: _*).withColumn("__rank", lit(1)))
-      .withColumn("__pos", monotonically_increasing_id())
+    // else title::source, top-stories first, first occurrence wins. The
+    // within-source position is materialized as a row_number over the
+    // caller-supplied ordering (fallback: content order — deterministic even
+    // though no reference analog) so the surviving row is plan-independent.
+    def positioned(df: DataFrame, rank: Int, order: Seq[Column]): DataFrame = {
+      val ord = if (order.nonEmpty) order
+        else Seq(col("title").asc, col("url").asc, col("source").asc, col("snippet").asc)
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      df.withColumn("__pos", row_number().over(w))
+        .select((evCols :+ col("__pos")): _*)
+        .withColumn("__rank", lit(rank))
+    }
+    val tagged = positioned(topStories, 0, topStoriesOrder)
+      .unionByName(positioned(recentArticles, 1, recentArticlesOrder))
       .withColumn("__key",
         when(lower(trim(coalesce(col("url"), lit("")))) =!= "",
           lower(trim(col("url"))))
           .otherwise(concat(lower(trim(coalesce(col("title"), lit("")))), lit("::"),
             lower(trim(coalesce(col("source"), lit("")))))))
-      .filter(col("__key") =!= "::")
+      // NB: the reference key is never empty (the fallback always contains
+      // "::"), so its `if not key` guard is dead — even an all-empty row
+      // survives dedup once. No filter here, faithfully.
     val evidence = Effective.latestWins(tagged, keys :+ "__key",
       Seq(col("__rank").asc, col("__pos").asc))
 

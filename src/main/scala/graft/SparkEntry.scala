@@ -216,21 +216,28 @@ object SparkEntry {
   }
 
   /** ANN baseline: brute-force cosine top-5 for the first 10 vectors.
-    * (not SQL-expressible portably → rows-only check) */
+    * Oracled against DuckDB `list_cosine_similarity` ranking: the score
+    * itself is excluded from the output (DuckDB computes FLOAT[] cosine in
+    * float, ours accumulates in double — ~1e-7 apart) but the RANKINGS agree
+    * bit-for-bit because the minimum adjacent-neighbor gap in this data is
+    * ~2e-5, 200x the float error (measured at sf0.01 and sf0.1). */
   private def cosineKnn(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", 5)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-bucketed ANN (scale path; rows-only check). */
+  /** IVF-bucketed ANN (scale path). Fully deterministic given the centroid
+    * rule (first nlist vectors by id), so the oracle replays the same
+    * assignment/probe/rank pipeline in SQL; margins (min best-vs-second
+    * centroid gap ~1e-5) dwarf the float-vs-double cosine difference. */
   private def cosineIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       5, nlist = 16, nprobe = 4)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -381,7 +388,11 @@ object SparkEntry {
         when(col("doc_id") % 3 === 0, "negative")
           .when(col("doc_id") % 3 === 1, "neutral").otherwise("positive"))
       .withColumn("finance_routine", col("doc_id") % 7 === 0)
+    // tags (array) / tag_counts (map) -> JSON strings: the driver's compare
+    // sorts rows by every column in pandas, which cannot hash lists
     graft.operators.NarrativeRollup.rollupEntityDay(items, Seq("source"))
+      .withColumn("tags", to_json(col("tags")))
+      .withColumn("tag_counts", to_json(col("tag_counts")))
       .orderBy("source")
   }
 
@@ -486,11 +497,16 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
-  /** A13: deterministic random sample (orderBy rand(seed) limit n —
-    * scripts/sentiment_bakeoff.py:204-300; rows-only: engine PRNGs differ). */
+  /** A13: reproducible uniform sample via hash ordering — ORDER BY
+    * md5(key) LIMIT n. The reference samples with a seeded PRNG
+    * (scripts/sentiment_bakeoff.py:204-300) whose stream is engine-specific;
+    * hash-ordering gives the same statistical uniformity but is
+    * deterministic across engines AND stable under data growth (a row's
+    * hash never changes), which is what a training pipeline wants from a
+    * holdout/eval sample. md5 exists in both Spark and DuckDB → oracled. */
   private def randomSample(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
-      .orderBy(rand(42), col("o_orderkey"))
+      .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
       .limit(100)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
@@ -537,6 +553,48 @@ object SparkEntry {
       langId(s, dir), col("lang"), col("predicted_lang"))
       .orderBy("expected", "predicted")
 
+  /** Exact n-gram Jaccard dedup (the verification kernel behind MinHash-LSH
+    * q18, as its own oracled query): word-bigram shingle sets, candidates
+    * blocked by language over a bounded doc subset, true Jaccard emitted for
+    * pairs >= 0.08. At corpus scale the candidate generator is the LSH pass
+    * (q18) — this exact kernel then runs only on its survivors, so the
+    * bounded block here mirrors the real per-bucket workload shape. */
+  private def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
+    val sets = documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(SF.tokenShingles(col("text"), 2)).as("sh"))
+    val a = sets.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), SF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= lit(0.08))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Quality scoring for corpus filtering: length/token/stopword/digit
+    * components plus an integer-threshold keep flag (classic pretraining
+    * quality-filter shape; ratios are exact int/int double divisions →
+    * bit-identical across engines). */
+  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokenCount(col("text"))
+    val stopHits = TF.stopwordHits(col("text"), Seq("the", "a", "and", "of"))
+    documents(s, dir)
+      .select(col("doc_id"),
+        TF.charCount(col("text")).as("n_chars"),
+        toks.as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_nonspace"),
+        stopHits.as("stop_hits"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("n_digits"))
+      .withColumn("mean_token_len", col("n_nonspace").cast("double") / col("n_tokens"))
+      .withColumn("stopword_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("digit_ratio", col("n_digits").cast("double") / col("n_chars"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 20 && col("n_tokens") <= 2000 && col("stop_hits") >= 1)
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -576,7 +634,9 @@ object SparkEntry {
     "q36_random_sample" -> (randomSample _),
     "q37_evidence_histogram" -> (evidenceHistogram _),
     "q38_storyline_scores" -> (storylineScores _),
-    "q39_lang_confusion" -> (langConfusion _)
+    "q39_lang_confusion" -> (langConfusion _),
+    "q40_jaccard_verify" -> (jaccardVerify _),
+    "q41_quality_score" -> (qualityScore _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -888,6 +948,98 @@ object SparkEntry {
         |  b.affected * CAST(6.0 AS DOUBLE) + b.items * CAST(0.35 AS DOUBLE)
         |    + d.avg_dur * CAST(2.0 AS DOUBLE) + d.active_days * CAST(0.4 AS DOUBLE) AS score
         |FROM per_bucket b JOIN bucket_dur d ON b.bucket = d.bucket
-        |ORDER BY score DESC, b.bucket""".stripMargin
+        |ORDER BY score DESC, b.bucket""".stripMargin,
+    // cosine similarity itself is excluded from both projections: DuckDB's
+    // list_cosine_similarity on FLOAT[] accumulates in float (~1e-7 off our
+    // double); rankings still agree because measured adjacent-rank margins
+    // are >= 1e-5 at sf0.01/sf0.1 (see cosineKnn scaladoc).
+    "q16_cosine_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.qid, c.vec_id AS nid,
+        |         list_cosine_similarity(q.qv, c.embedding) AS cos
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.qid)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |  FROM pairs) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q17_cosine_ivf" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cent
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |corpus_assign AS (
+        |  SELECT e.vec_id AS nid, e.embedding AS vec, c.cent_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
+        |  FROM embeddings e, cents c),
+        |bucketed AS (SELECT nid, vec, cent_id AS bucket FROM corpus_assign WHERE r = 1),
+        |probes AS (
+        |  SELECT qid, qv, bucket FROM (
+        |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cent_id AS bucket,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
+        |    FROM embeddings e, cents c WHERE e.vec_id < 10) t
+        |  WHERE r <= 4),
+        |scored AS (
+        |  SELECT p.qid, b.nid, list_cosine_similarity(p.qv, b.vec) AS cos
+        |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket AND p.qid <> b.nid)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q36_random_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q40_jaccard_verify" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang, s FROM (
+        |    SELECT doc_id, lang,
+        |      CASE WHEN len(w) < 2 THEN array_to_string(w, ' ')
+        |           ELSE w[i] || ' ' || w[i + 1] END AS s
+        |    FROM d, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)) t),
+        |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS m
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(m AS DOUBLE) / (ca.n + cb.n - m) AS jaccard
+        |FROM inter
+        |JOIN counts ca ON ca.doc_id = id_a
+        |JOIN counts cb ON cb.doc_id = id_b
+        |WHERE CAST(m AS DOUBLE) / (ca.n + cb.n - m) >= CAST(0.08 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q41_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+         |  CAST(${qHits(Seq("the", "a", "and", "of"))} AS BIGINT) AS stop_hits,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+         |    AS n_digits,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / len(string_split_regex(trim(text), '\\s+')) AS mean_token_len,
+         |  CAST(${qHits(Seq("the", "a", "and", "of"))} AS DOUBLE)
+         |    / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS digit_ratio,
+         |  len(string_split_regex(trim(text), '\\s+')) BETWEEN 20 AND 2000
+         |    AND ${qHits(Seq("the", "a", "and", "of"))} >= 1 AS quality_ok
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /** standalone-stopword hit total for the quality-score oracle (same
+    * length-difference trick as langIdSql). */
+  private def qHits(words: Seq[String]): String =
+    words.map { w =>
+      s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
+    }.mkString(" + ")
 }

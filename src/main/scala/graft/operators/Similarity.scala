@@ -55,9 +55,13 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
+    // cent_id = position in id order — row_number, NOT
+    // monotonically_increasing_id (which depends on physical partitioning and
+    // would make bucket tie-breaks nondeterministic across plans)
     val cents = broadcast(
       corpus.orderBy(col(idCol)).limit(nlist)
-        .select(monotonically_increasing_id().as("cent_id"), col(vecCol).as("cent")))
+        .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("cent_id"),
+          col(vecCol).as("cent")))
 
     def nearestBuckets(df: DataFrame, id: String, out: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("__cos").desc, col("cent_id"))

@@ -33,10 +33,10 @@ object SparkEntry {
     lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        Rollups.exactSum(col("l_quantity")).cast("double").as("sum_qty"),
-        Rollups.exactSum(col("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+        Rollups.exactMoneySum(col("l_quantity"), 0).as("sum_qty"),
+        Rollups.exactMoneySum(col("l_extendedprice")).as("sum_base_price"),
+        Rollups.exactDiscountedSum(col("l_extendedprice"), col("l_discount"))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"),
         Rollups.countIf(col("l_discount") > 0.05).as("high_discount_count"))
       .withColumn("avg_qty", col("sum_qty") / col("count_order"))
@@ -53,8 +53,8 @@ object SparkEntry {
       .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("double").as("revenue"),
+        Rollups.exactDiscountedSum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
         countDistinct(col("o_orderkey")).as("order_cnt"))
       .orderBy("r_name")
 
@@ -154,8 +154,9 @@ object SparkEntry {
     orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(
-        Rollups.exactSum(col("o_totalprice")).cast("double").as("total_spend"),
-        max(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("peak_order"),
+        Rollups.exactMoneySum(col("o_totalprice")).as("total_spend"),
+        // max needs no decimal detour: the doubles are exact 2-dec values
+        max(col("o_totalprice")).as("peak_order"),
         Rollups.countIf(col("o_totalprice") > 150000).as("big_orders"),
         count(lit(1)).as("n_orders"))
       .filter(col("total_spend") >= 100000)
@@ -337,7 +338,7 @@ object SparkEntry {
         col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        Rollups.exactSum(col("o_totalprice")).cast("double").as("total"))
+        Rollups.exactMoneySum(col("o_totalprice")).as("total"))
       .orderBy("o_orderstatus")
 
   /** A7: sector-baseline aggregate + rank/percent_rank within peer group
@@ -348,7 +349,7 @@ object SparkEntry {
       .groupBy("n_name", "n_regionkey")
       .agg(
         count(lit(1)).as("n_custs"),
-        Rollups.exactSum(col("c_acctbal")).cast("double").as("total_bal"),
+        Rollups.exactMoneySum(col("c_acctbal")).as("total_bal"),
         percentile(col("c_acctbal"), lit(0.5)).as("median_bal"))
     val w = Window.partitionBy("n_regionkey").orderBy(col("total_bal").desc, col("n_name"))
     byNation
@@ -519,7 +520,7 @@ object SparkEntry {
           .otherwise("low"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        Rollups.exactMoneySum(col("value")).as("total_value"))
       .orderBy("event_type", "bucket")
 
   /** K7: storyline candidate scores — per-bucket affected counts, episode

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   * query code below assumes otherwise.
   */
 object Tables {
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

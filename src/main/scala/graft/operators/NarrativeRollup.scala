@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.NarrativeRules
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** K3 `rollup_entity_day_narrative` (reference
@@ -18,9 +17,10 @@ import org.apache.spark.sql.functions._
   *  5. `Other` fallback when gate met, nothing tagged, and unmatched >=
   *     other_min_support.
   *
-  * One shuffle on the group key; the tie-break is a window row_number over
-  * the (small) per-group tag histogram. Groups are SERP-page bounded in the
-  * reference, so no skew concern; the histogram path never collects items.
+  * Two map-side-combined shuffles — (keys, tag) then (keys) — with the
+  * classify UDF evaluated exactly once per item; the tie-break is an
+  * array_sort over each key's (small) tag histogram. Groups are SERP-page
+  * bounded in the reference, so no skew concern; items are never collected.
   */
 object NarrativeRollup {
 
@@ -72,35 +72,38 @@ object NarrativeRollup {
           classifyUdf(col("title"), col("snippet"), col("url"), col("source"),
             col("sentiment"), col("finance_routine"))))
 
-    val dayAgg = classified.groupBy(keyCols: _*).agg(
-      Rollups.countIf(col("__cand")).as("negative_item_count"),
-      Rollups.countIf(col("__cand") && col("__tag").isNotNull).as("tagged_item_count"),
-      Rollups.countIf(col("__cand") && col("__tag").isNull).as("unmatched_negative_items"))
+    // ONE linear pipeline — groupBy(keys, tag) then groupBy(keys) — instead
+    // of separate day-count and histogram branches joined back together:
+    // the branch shape re-evaluates the whole classify-UDF subplan per
+    // branch (Spark shares no subplans without persistence) and needs a
+    // window + join. Here the UDF runs exactly once per item, both shuffles
+    // are map-side combined, and the reference tie-break (count desc,
+    // crisis-group first, fixed tag order, casefolded name —
+    // narrative_runtime.py:510-519,546) is an array_sort over the per-key
+    // tag histogram structs (lexicographic struct compare; count negated
+    // for descending).
+    val byTag = classified
+      .groupBy((keyCols :+ col("__tag")): _*)
+      .agg(Rollups.countIf(col("__cand")).as("__cnt"))
 
-    val histo = classified
-      .filter(col("__cand") && col("__tag").isNotNull)
-      .groupBy((keyCols :+ col("__tag").as("tag")): _*)
-      .agg(count(lit(1)).as("tag_count"))
-    val w = Window.partitionBy(keyCols: _*).orderBy(
-      col("tag_count").desc, groupRank(col("tag")), tagOrder(col("tag")), lower(col("tag")))
-    // one pass: rank for the primary AND collect the full ordered histogram
-    // (tags list + tag_counts map in the reference's sorted order,
-    // narrative_runtime.py:510-519,546)
-    val ranked = histo.withColumn("__rn", row_number().over(w))
-    val primary = ranked
-      .groupBy(keyCols: _*)
-      .agg(
-        max(when(col("__rn") === 1, col("tag"))).as("__primary"),
-        max(when(col("__rn") === 1, col("tag_count"))).as("__primary_count"),
-        transform(array_sort(collect_list(struct(col("__rn"), col("tag")))),
-          x => x.getField("tag")).as("__tags"),
-        map_from_entries(
-          transform(array_sort(collect_list(struct(col("__rn"), col("tag"),
-            col("tag_count")))),
-            x => struct(x.getField("tag"), x.getField("tag_count")))).as("__tag_counts"))
+    val perKey = byTag.groupBy(keyCols: _*).agg(
+      sum(col("__cnt")).as("negative_item_count"),
+      sum(when(col("__tag").isNotNull, col("__cnt")).otherwise(0L))
+        .as("tagged_item_count"),
+      sum(when(col("__tag").isNull, col("__cnt")).otherwise(0L))
+        .as("unmatched_negative_items"),
+      array_sort(collect_list(when(col("__tag").isNotNull && col("__cnt") > 0,
+        struct((-col("__cnt")).as("nc"), groupRank(col("__tag")).as("g"),
+          tagOrder(col("__tag")).as("o"), lower(col("__tag")).as("l"),
+          col("__tag").as("tag"), col("__cnt").as("cnt"))))).as("__sorted"))
 
     val gate = col("negative_item_count") >= math.max(1, minNegativeTopStories)
-    dayAgg.join(primary, keys, "left")
+    perKey
+      .withColumn("__primary", get(col("__sorted"), lit(0)).getField("tag"))
+      .withColumn("__primary_count", get(col("__sorted"), lit(0)).getField("cnt"))
+      .withColumn("__tags", transform(col("__sorted"), x => x.getField("tag")))
+      .withColumn("__tag_counts", map_from_entries(
+        transform(col("__sorted"), x => struct(x.getField("tag"), x.getField("cnt")))))
       .withColumn("gate_met", gate)
       .withColumn("primary_tag",
         when(!gate, lit(null: String))
@@ -125,13 +128,13 @@ object NarrativeRollup {
         when(gate, col("unmatched_negative_items")).otherwise(col("negative_item_count")))
       .withColumn("tags",
         when(!gate, array().cast("array<string>"))
-          .when(col("__tags").isNotNull, col("__tags"))
+          .when(size(col("__tags")) > 0, col("__tags"))
           .when(col("primary_tag") === "Other", array(lit("Other")))
           .otherwise(array().cast("array<string>")))
       .withColumn("tag_counts",
         when(gate, coalesce(col("__tag_counts"),
           map().cast("map<string,bigint>"))).otherwise(map().cast("map<string,bigint>")))
       .withColumn("rule_version", lit(NarrativeRules.RuleVersion))
-      .drop("__primary", "__primary_count", "__tags", "__tag_counts")
+      .drop("__primary", "__primary_count", "__tags", "__tag_counts", "__sorted")
   }
 }

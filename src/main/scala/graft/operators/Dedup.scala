@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{SimilarityFunctions => S, TextFunctions => T}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator family for training-data pipelines: exact
@@ -134,18 +134,29 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       planeBits: Int = 8): DataFrame = {
-    // random-hyperplane LSH without a literal plane matrix: use xxhash64 of
-    // (seed, index) as deterministic pseudo-random plane coefficients.
-    val sign = (bit: Int) => {
-      val prods = expr(
-        s"""aggregate(zip_with(vec, sequence(0, size(vec)-1),
-           |  (v, i) -> v * (cast(xxhash64($bit, i) % 1000 as double) / 1000.0)),
-           |  0.0d, (acc, x) -> acc + x)""".stripMargin)
-      when(prods > 0.0d, 1L).otherwise(0L)
+    // Random-hyperplane LSH with the planes materialized as float-array
+    // LITERALS (deterministic splitmix64 coefficients) and each sign bit
+    // computed by the native codegen'd CosineSimilarity expression —
+    // sign(cos(v, p)) == sign(dot(v, p)). The previous zip_with/aggregate
+    // formulation was CodegenFallback: planeBits interpreted lambda passes
+    // over every vector per row.
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
     }
+    val spark = emb.sparkSession
+    def plane(b: Int): Column = array((0 until dim).map { i =>
+      lit(((splitmix((b.toLong << 32) | i.toLong) % 1000L) / 1000.0).toFloat)
+    }: _*)
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket",
-        (0 until planeBits).map(b => sign(b) * (1L << b)).reduce(_ + _))
+        (0 until planeBits).map { b =>
+          when(graft.plans.GraftExtensions.cosine(spark, col("vec"), plane(b)) > 0.0d,
+            lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))

@@ -51,11 +51,16 @@ object SparkEntry {
       .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      // two-level aggregate instead of countDistinct: level 1 groups by
+      // (region, order) with map-side combine — partial scaled-long revenue
+      // sums — level 2 folds to regions where count(*) IS the distinct
+      // order count. Same bit-exact result, no distinct expand.
+      .groupBy(col("r_name"), col("o_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("__part"))
       .groupBy(col("r_name"))
-      .agg(
-        Rollups.exactDiscountedSum(col("l_extendedprice"), col("l_discount"))
-          .as("revenue"),
-        countDistinct(col("o_orderkey")).as("order_cnt"))
+      .agg((sum(col("__part")).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("order_cnt"))
       .orderBy("r_name")
 
   /** P1+J2+J3: latest-wins dedup + broadcast left join + coalesce chain (the

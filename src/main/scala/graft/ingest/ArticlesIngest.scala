@@ -106,26 +106,15 @@ object ArticlesIngest {
 
   /** Merge a new articles batch into the existing articles table with the
     * reference's conflict semantics (S12, `ingest_v2.py:195-222`): coalesce-
-    * preserving field updates, min(first_seen), max(last_seen). Pure-parquet
-    * MERGE equivalent: union + per-key merge aggregate. */
-  def mergeArticles(existing: DataFrame, batch: DataFrame): DataFrame = {
-    val tagged = existing.withColumn("__is_new", lit(false))
-      .unionByName(batch.withColumn("__is_new", lit(true)))
-    // "excluded" (new) wins when non-null; seen-at windows widen
-    def newFirst(c: String) = coalesce(
-      max(when(col("__is_new"), col(c))), max(when(!col("__is_new"), col(c)))).as(c)
-    tagged.groupBy("canonical_url", "id")
-      .agg(
-        newFirst("title"), newFirst("publisher"), newFirst("snippet"),
-        newFirst("published_at"),
-        least(min(when(col("__is_new"), col("first_seen_at"))),
-          min(when(!col("__is_new"), col("first_seen_at")))).as("first_seen_at_x"),
-        greatest(max(when(col("__is_new"), col("last_seen_at"))),
-          max(when(!col("__is_new"), col("last_seen_at")))).as("last_seen_at_x"),
-        newFirst("source"))
-      .withColumnRenamed("first_seen_at_x", "first_seen_at")
-      .withColumnRenamed("last_seen_at_x", "last_seen_at")
-  }
+    * preserving field updates, min(first_seen), max(last_seen). Delegates to
+    * the generalized pure-parquet MERGE ([[graft.sinks.MergeWriter]]). */
+  def mergeArticles(existing: DataFrame, batch: DataFrame): DataFrame =
+    graft.sinks.MergeWriter.merge(existing, batch,
+      graft.sinks.MergeWriter.MergeSpec(
+        keys = Seq("canonical_url", "id"),
+        coalescePreserving = Seq("title", "publisher", "snippet", "published_at", "source"),
+        minOf = Seq("first_seen_at"),
+        maxOf = Seq("last_seen_at")))
 
   /** Mention rows (brand flavor): resolve company, drop unresolvable
     * (`ingest_v2.py:304-308`). */

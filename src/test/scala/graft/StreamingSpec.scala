@@ -3,7 +3,8 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import graft.streaming.DailyIngestStream
+import graft.streaming.{ActiveStateStream, DailyIngestStream, FlaggedDay}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 class StreamingSpec extends SparkSpec {
@@ -56,5 +57,54 @@ class StreamingSpec extends SparkSpec {
       ("2024-05-01", 1L, 2L, 15.0),
       ("2024-05-02", 2L, 2L, 10.0),
       ("2024-05-03", 3L, 1L, 1.0)))
+  }
+
+  test("stateful active-state propagation across micro-batches == batch kernel") {
+    import java.sql.Date
+    implicit val sqlCtx = spark.sqlContext
+    def fd(e: String, d: String, s: Boolean, c: Boolean) =
+      FlaggedDay(e, Date.valueOf(d), s, c)
+
+    // scenario with a start, continuation, gap reset, and restart —
+    // split across two micro-batches mid-streak
+    val batch1 = Seq(
+      fd("e1", "2025-06-01", true, true),
+      fd("e1", "2025-06-02", false, true),
+      fd("e2", "2025-06-01", false, true)) // never starts
+    val batch2 = Seq(
+      fd("e1", "2025-06-03", false, true), // extends streak across batches
+      fd("e1", "2025-06-05", false, true), // gap -> reset, cont alone no start
+      fd("e1", "2025-06-06", true, false), // restart
+      fd("e2", "2025-06-02", false, true),
+      fd("e1", "2025-06-01", true, true)) // LATE duplicate -> dropped
+
+    val input = MemoryStream[FlaggedDay]
+    val out = ActiveStateStream.propagate(input.toDS())
+    val q = out.writeStream.format("memory").queryName("active_out")
+      .outputMode("append").start()
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("active_out")
+      .select(col("entity"), col("date").cast("string"), col("active"), col("episode_day"))
+      .as[(String, String, Boolean, Int)].collect().toSet
+    assert(got == Set(
+      ("e1", "2025-06-01", true, 1),
+      ("e1", "2025-06-02", true, 2),
+      ("e2", "2025-06-01", false, 0),
+      ("e1", "2025-06-03", true, 3),
+      ("e1", "2025-06-05", false, 0),
+      ("e1", "2025-06-06", true, 1),
+      ("e2", "2025-06-02", false, 0)))
+
+    // parity: the same (deduped) input through the BATCH kernel gives the
+    // same answer — flatMapGroupsWithState with empty state == flatMapGroups
+    val all = (batch1 ++ batch2).distinct.toDF()
+    val viaBatch = graft.operators.StatePropagation.propagateActive(
+      all, Seq("entity"), "date", "start", "cont")
+      .select(col("entity"), col("date").cast("string"), col("active"), col("episode_day"))
+      .as[(String, String, Boolean, Int)].collect().toSet
+    assert(viaBatch == got)
   }
 }

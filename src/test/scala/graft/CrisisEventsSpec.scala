@@ -67,4 +67,41 @@ class CrisisEventsSpec extends SparkSpec {
     assert(!got.contains("2025-06-06"))
     assert(got.size == 3)
   }
+
+  test("evidence dedup winner follows explicit source order, not plan order") {
+    // two same-day top-stories rows with the SAME dedup key (same url) but
+    // different titles/positions: the reference loads ORDER BY position
+    // NULLS LAST, id and keeps the first occurrence — so position 1 must
+    // win regardless of physical row order, and the surviving title drives
+    // narrative classification.
+    val metrics = Seq(("2025-06-01", 2L, 4L, "0.50"))
+      .toDF("ds", "article_negative_count", "article_total_count", "pct")
+      .select(col("ds").cast("date").as("date"), lit("brand").as("entity_type"),
+        lit("c1").as("entity_id"), lit("Acme").as("entity_name"),
+        col("article_negative_count"), col("article_total_count"),
+        col("pct").cast("decimal(38,6)").as("article_negative_pct"))
+
+    def tsRows(rows: (String, Int, String)*) = rows.toSeq
+      .toDF("title", "position", "url")
+      .select(lit(java.sql.Date.valueOf("2025-06-01")).as("date"),
+        lit("brand").as("entity_type"), lit("c1").as("entity_id"),
+        col("title"), lit("").as("snippet"), col("url"), lit("src").as("source"),
+        col("position"))
+
+    // reversed insertion order on purpose: position 2 row first
+    val topStories = tsRows(
+      ("Acme data breach exposes records", 2, "https://x.example/a"),
+      ("Acme fraud scandal", 1, "https://x.example/a"),
+      ("Acme fraud charges widen", 3, "https://x.example/b"))
+    val empty = tsRows().limit(0)
+
+    val got = CrisisEvents.build(metrics, topStories, empty,
+      topStoriesOrder = Seq(col("position").asc_nulls_last))
+      .select("primary_tag", "negative_top_stories_count").collect()
+    // dedup keeps "Acme fraud scandal" (pos 1) + "Acme fraud charges widen"
+    // -> Fraud x2 beats Data Breaches (whose row lost the dedup)
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "Fraud")
+    assert(got(0).getLong(1) == 3L) // raw pre-dedup count
+  }
 }

@@ -1008,6 +1008,18 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q29_narrative_rollup" -> narrativeOracleSql,
+    "q30_control_classify" -> controlOracleSql,
+    // decode is a documented stub (no codecs in-container): the oracle checks
+    // the CONTRACT columns — id/type mapping, decode success on non-empty
+    // payloads (sha2 hex -> 32 bytes), fixed feature dimensionality
+    "q32_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  true AS decode_ok,
+        |  CAST(8 AS INTEGER) AS feature_dim
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q36_random_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
@@ -1060,4 +1072,167 @@ object SparkEntry {
     words.map { w =>
       s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
     }.mkString(" + ")
+
+  /** q30 oracle: K11/K12 classification semantics in DuckDB SQL for the
+    * synthesized URL shapes (`https://www.<source>.com/page/<id>` and
+    * `https://news.example.com/a/<id>`). Expressed at the SEMANTIC level —
+    * hostname derivation, company-domain suffix match, brand-token-in-host,
+    * finance term/ticker regexes (both RE2-safe), finance source domains —
+    * not as a precomputed answer; path-based branches (social post/profile
+    * slugs) cannot fire for these paths and are noted, not encoded. */
+  private lazy val controlOracleSql: String = {
+    import graft.functions.{NarrativeRules => NR, RiskRules => RR}
+    val financeList = RR.FinanceSources.toSeq.sorted.map(d => s"'$d'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN doc_id % 2 = 0 THEN lower(source) || '.com'
+       |         ELSE 'news.example.com' END AS host
+       |  FROM documents),
+       |cls AS (
+       |  SELECT source,
+       |    -- classify_control: publisher null; paths /page/<id> and /a/<id>
+       |    -- can never hit the social post/profile/path-keyword branches,
+       |    -- so control reduces to company-domain match + brand-token-in-host
+       |    (host = lower(source) || '.com'
+       |      OR ends_with(host, '.' || lower(source) || '.com')
+       |      OR len(list_filter(
+       |           string_split(host, '.')[1:-2],
+       |           x -> regexp_replace(x, '[^a-z0-9]', '', 'g') =
+       |                regexp_replace(lower(source), '[^a-z0-9]', '', 'g')
+       |                AND regexp_replace(lower(source), '[^a-z0-9]', '', 'g') <> ''))
+       |         > 0) AS controlled,
+       |    (regexp_matches(text, '${NR.sqlPattern(RR.FinanceTermsRe)}')
+       |      OR regexp_matches(text, '${RR.TickerRe.pattern()}')
+       |      OR len(list_filter($financeList,
+       |           d -> host = d OR ends_with(host, '.' || d))) > 0) AS finance
+       |  FROM t)
+       |SELECT source,
+       |  CAST(SUM(CASE WHEN controlled THEN 1 ELSE 0 END) AS BIGINT) AS controlled_cnt,
+       |  CAST(SUM(CASE WHEN finance THEN 1 ELSE 0 END) AS BIGINT) AS finance_cnt,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM cls GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q29 oracle: the FULL narrative kernel (K1/K2/K3) in DuckDB SQL,
+    * generated from the same compiled pattern constants the Scala kernel
+    * uses ([[graft.functions.NarrativeRules]]) — possible because the whole
+    * battery is RE2-compatible. Classification CASE mirrors the battery's
+    * fixed decision order; the rollup mirrors NarrativeRollup (gate,
+    * histogram tie-break, Other fallback); tags/tag_counts are built as the
+    * same JSON strings Spark's to_json emits. */
+  private lazy val narrativeOracleSql: String = {
+    import graft.functions.{NarrativeRules => NR}
+    def re(hay: String, p: java.util.regex.Pattern): String =
+      s"regexp_matches($hay, '${NR.sqlPattern(p)}')"
+    // classify haystack: Seq(title, snippet, source, url).mkString(" ").trim
+    // with snippet = url = '' -> two spaces between title and source
+    val hay = "trim(title || '  ' || source)"
+    // low-priority haystack filters empty components -> single space
+    val lpHay = "trim(title || ' ' || source)"
+
+    val lp = Seq(
+      s"(${re(lpHay, NR.LowPriorityTariffContextRe)} AND ${re(lpHay, NR.LowPriorityTariffLegalRe)}" +
+        s" AND NOT ${re(lpHay, NR.LowPriorityTariffBlockerRe)} AND NOT ${re(lpHay, NR.LowPriorityCrisisBlockerRe)})",
+      s"(${re(lpHay, NR.WorkforceRe)} AND NOT ${re(lpHay, NR.LowPriorityCrisisBlockerRe)}" +
+        s" AND NOT ${re(lpHay, NR.LowPriorityLegalEnforcementRe)})",
+      s"(${re(lpHay, NR.LowPriorityDelayActionRe)} AND ${re(lpHay, NR.LowPriorityDelayContextRe)}" +
+        s" AND NOT ${re(lpHay, NR.LowPriorityDelayBlockerRe)} AND NOT ${re(lpHay, NR.LowPriorityCrisisBlockerRe)})",
+      s"(${re(lpHay, NR.LowPriorityFeeActionRe)} AND ${re(lpHay, NR.LowPriorityFeeContextRe)}" +
+        s" AND NOT ${re(lpHay, NR.LowPriorityCrisisBlockerRe)})",
+      s"(${re(lpHay, NR.LowPriorityDebtActionRe)} AND ${re(lpHay, NR.LowPriorityDebtContextRe)}" +
+        s" AND NOT ${re(lpHay, NR.LowPriorityDebtBlockerRe)} AND NOT ${re(lpHay, NR.LowPriorityCrisisBlockerRe)})",
+      s"(${re(lpHay, NR.LowPriorityStoreActionRe)} AND ${re(lpHay, NR.LowPriorityStoreContextRe)}" +
+        s" AND NOT ${re(lpHay, NR.LowPriorityCrisisBlockerRe)} AND NOT ${re(lpHay, NR.LowPriorityLegalEnforcementRe)})"
+    ).mkString("(", " OR ", ")")
+
+    // fixed decision order: crisis battery first (first hit is primary),
+    // then non-crisis — matches classifyNarrativeTags
+    val battery: Seq[(String, String)] = Seq(
+      re(hay, NR.FraudRe) -> "Fraud",
+      re(hay, NR.DataBreachRe) -> "Data Breaches",
+      s"(${re(hay, NR.CeoDepartRe)} AND NOT ${re(hay, NR.CeoDepartExcludeRe)})" ->
+        "CEO Departures (firings, resignations)",
+      re(hay, NR.WorkforceRe) -> "Workforce Reductions",
+      re(hay, NR.LaborRe) -> "Labor Disputes",
+      re(hay, NR.AccidentRe) -> "Accidents & Disasters",
+      re(hay, NR.ActivistInvestorRe) -> "Activist Investor Interest",
+      re(hay, NR.UnforcedRe) -> "Unforced Errors",
+      re(hay, NR.LegalRe) -> "Legal & Regulatory",
+      re(hay, NR.RebrandingRe) -> "Rebranding",
+      re(hay, NR.MnaRe) -> "Mergers and acquisitions",
+      s"(${re(hay, NR.PlannedExecRe)} AND NOT ${re(hay, NR.PlannedExecExcludeRe)})" ->
+        "Planned Executive Turnover")
+    val primaryCase = "CASE WHEN NOT cand THEN NULL WHEN " + lp + " THEN NULL " +
+      battery.map { case (cond, tag) => s"WHEN $cond THEN '$tag'" }.mkString(" ") +
+      " ELSE NULL END"
+
+    def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString("(", ", ", ")")
+    val groupRankCase = s"CASE WHEN tag IN ${inList(NR.CrisisTags)} THEN 0 " +
+      s"WHEN tag IN ${inList(NR.NonCrisisTags)} THEN 1 ELSE 2 END"
+    val tagOrderCase = "CASE " + NR.TagOrder.toSeq.sortBy(_._2)
+      .map { case (t, i) => s"WHEN tag = '$t' THEN $i" }.mkString(" ") + " ELSE 999 END"
+
+    s"""WITH items AS (
+       |  SELECT source, text AS title,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'negative'
+       |         WHEN doc_id % 3 = 1 THEN 'neutral' ELSE 'positive' END AS sentiment,
+       |    (doc_id % 7 = 0) AS finance_routine
+       |  FROM documents),
+       |cls AS (
+       |  SELECT source,
+       |    (sentiment = 'negative' AND NOT finance_routine) AS cand,
+       |    CASE WHEN (sentiment = 'negative' AND NOT finance_routine)
+       |         THEN $primaryCase END AS tag
+       |  FROM items),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS negative_item_count,
+       |    CAST(SUM(CASE WHEN cand AND tag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tagged0,
+       |    CAST(SUM(CASE WHEN cand AND tag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched0
+       |  FROM cls GROUP BY source),
+       |histo AS (
+       |  SELECT source, tag, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY COUNT(*) DESC, $groupRankCase, $tagOrderCase, lower(tag)) AS rn
+       |  FROM cls WHERE cand AND tag IS NOT NULL GROUP BY source, tag),
+       |hsum AS (
+       |  SELECT source,
+       |    max(CASE WHEN rn = 1 THEN tag END) AS hp,
+       |    max(CASE WHEN rn = 1 THEN cnt END) AS hpc,
+       |    coalesce('[' || string_agg('"' || tag || '"', ',' ORDER BY rn) || ']', '[]') AS tags_json,
+       |    coalesce('{' || string_agg('"' || tag || '":' || cnt, ',' ORDER BY rn) || '}', '{}') AS counts_json
+       |  FROM histo GROUP BY source),
+       |joined AS (
+       |  SELECT a.source, a.negative_item_count, a.tagged0, a.unmatched0,
+       |    a.negative_item_count >= ${NR.MinNegTopStories} AS gate_met,
+       |    h.hp, h.hpc, coalesce(h.tags_json, '[]') AS tags_json,
+       |    coalesce(h.counts_json, '{}') AS counts_json
+       |  FROM agg a LEFT JOIN hsum h ON a.source = h.source),
+       |named AS (
+       |  SELECT *,
+       |    CASE WHEN NOT gate_met THEN NULL
+       |         WHEN hp IS NOT NULL THEN hp
+       |         WHEN unmatched0 >= ${NR.OtherMinSupport} THEN 'Other' END AS primary_tag
+       |  FROM joined)
+       |SELECT source, negative_item_count,
+       |  CASE WHEN gate_met THEN tagged0 ELSE 0 END AS tagged_item_count,
+       |  CASE WHEN gate_met THEN unmatched0 ELSE negative_item_count END AS unmatched_negative_items,
+       |  gate_met, primary_tag,
+       |  CASE WHEN primary_tag IS NULL THEN NULL
+       |       WHEN primary_tag IN ${inList(NR.CrisisTags)} THEN 'crisis'
+       |       ELSE 'non_crisis' END AS primary_group,
+       |  CASE WHEN primary_tag IS NULL THEN NULL
+       |       ELSE primary_tag IN ${inList(NR.CrisisTags)} END AS is_crisis,
+       |  CASE WHEN NOT gate_met THEN 0
+       |       WHEN hp IS NOT NULL THEN hpc
+       |       WHEN primary_tag = 'Other' THEN unmatched0
+       |       ELSE 0 END AS supporting_negative_items,
+       |  CASE WHEN NOT gate_met THEN '[]'
+       |       WHEN tags_json <> '[]' THEN tags_json
+       |       WHEN primary_tag = 'Other' THEN '["Other"]'
+       |       ELSE '[]' END AS tags,
+       |  CASE WHEN gate_met THEN counts_json ELSE '{}' END AS tag_counts,
+       |  '${NR.RuleVersion}' AS rule_version
+       |FROM named ORDER BY source""".stripMargin
+  }
 }

@@ -159,6 +159,12 @@ object NarrativeRules {
       "falsif(?:y|ied|ication)|misappropriation|insider trading|securities fraud|wire fraud|" +
       "mail fraud|money laundering|kickback(?:s)?|tax evasion|false claims|bid rigging)\\b")
 
+  /** RE2-compatible source string for SQL oracles: the battery uses only
+    * `\b`, alternation, non-capturing groups and char classes (no
+    * lookaround), so DuckDB's regexp_matches accepts the exact same pattern
+    * with an inline case-insensitivity flag. */
+  def sqlPattern(p: Pattern): String = "(?i)" + p.pattern()
+
   private def hit(p: Pattern, hay: String): Boolean = p.matcher(hay).find()
 
   private def haystack(title: String, snippet: String, url: String, source: String): String =

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions — the 100 TB posture enforced as tests, not
+  * prose. A plan regression (a broadcast that silently becomes a shuffle
+  * join, a projection that stops pruning the parquet scan, a global sort
+  * where a top-k should be) is a scale bug even when row-level results stay
+  * correct, so the shapes are pinned here. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): SparkPlan =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+
+  private def planString(q: String): String = plan(q).toString
+
+  test("q02 joins every dim via broadcast — no shuffle join anywhere") {
+    val p = planString("q02_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "fact-dim chain must not shuffle-join:\n" + p.take(2000))
+  }
+
+  test("q01 scan prunes to exactly the referenced lineitem columns") {
+    val p = planString("q01_pricing_pivot")
+    // the scan's output column list (ReadSchema renders truncated)
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    for (c <- Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"))
+      assert(scanCols.contains(c), s"$c must be read: $scanCols")
+    for (c <- Seq("l_orderkey", "l_partkey", "l_shipdate", "l_tax", "l_comment"))
+      assert(!scanCols.contains(c), s"$c must be pruned: $scanCols")
+  }
+
+  test("q28 top-k is TakeOrderedAndProject, never a global sort") {
+    val p = planString("q28_topk_composite")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("\nSort ") && !p.contains("+- Sort "), "no global sort")
+  }
+
+  test("q36 hash-ordered sample is also a bounded top-k") {
+    val p = planString("q36_random_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("filter pushdown reaches the parquet scan (q16 query-vector filter)") {
+    val p = planString("q16_cosine_knn")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(vec_id,10\\)".r.findFirstIn(p).isDefined
+      || p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"),
+      "vec_id < 10 must push to the scan:\n" +
+        "PushedFilters[^\\n]*".r.findAllIn(p).mkString("\n"))
+  }
+
+  test("whole-stage codegen covers the hot aggregation paths") {
+    // an unexecuted adaptive plan hides codegen spans — plan once with AQE
+    // off to see the static codegen grouping
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q01_pricing_pivot", "q13_token_stats", "q41_quality_score")) {
+        val p = SparkEntry.queries(q)(spark, dir).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        // '*'-prefixed operators are inside a WholeStageCodegen span
+        assert(p.contains("* HashAggregate") || p.contains("* Project"),
+          s"$q lost codegen:\n" + p.take(1200))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("narrative rollup is two chained aggregates — no join, no window") {
+    val p = planString("q29_narrative_rollup")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "single-pass pipeline must not join:\n" + p.take(2000))
+    assert(!p.contains("WindowExec"), "no window in the rollup")
+  }
+}

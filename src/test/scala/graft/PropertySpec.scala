@@ -84,4 +84,59 @@ class PropertySpec extends SparkSpec {
     assert(resolveWithMargin(Seq("a" -> 0.995, "b" -> 0.99)).contains(("a", 0.995))) // exact waives margin
     assert(resolveWithMargin(Seq("a" -> 0.5)).isEmpty) // below threshold
   }
+
+  test("exactMoneySum is bit-identical to decimal exactSum on 2-dec doubles") {
+    import org.apache.spark.sql.functions._
+    val centsGen = Gen.listOfN(200, Gen.chooseNum(-5000000L, 5000000L))
+    forAll(centsGen, n = 8) { cents =>
+      val df = cents.map(c => c / 100.0).toDF("v")
+      val got = df.agg(
+        graft.operators.Rollups.exactMoneySum(col("v")).as("fast"),
+        graft.operators.Rollups.exactSum(col("v")).cast("double").as("slow"))
+        .as[(Double, Double)].head()
+      assert(java.lang.Double.doubleToRawLongBits(got._1) ==
+        java.lang.Double.doubleToRawLongBits(got._2), s"mismatch: $got")
+    }
+  }
+
+  test("MergeWriter: empty batch is identity; re-merging a batch is idempotent") {
+    import graft.sinks.MergeWriter
+    import graft.sinks.MergeWriter.MergeSpec
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 30)
+      v <- Gen.option(Gen.alphaLowerStr.map(_.take(6)))
+      lo <- Gen.chooseNum(0L, 1000L)
+      hi <- Gen.chooseNum(1000L, 2000L)
+    } yield (s"k$k", v, lo, hi)
+    val spec = MergeSpec(keys = Seq("k"), coalescePreserving = Seq("v"),
+      minOf = Seq("lo"), maxOf = Seq("hi"))
+    forAll2(Gen.listOfN(25, rowGen), Gen.listOfN(25, rowGen), n = 6) { (e0, b0) =>
+      val existing = e0.distinctBy(_._1).toDF("k", "v", "lo", "hi")
+      val batch = b0.distinctBy(_._1).toDF("k", "v", "lo", "hi")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.as[(String, Option[String], Long, Long)].collect().sortBy(_._1).toSeq
+      assert(canon(MergeWriter.merge(existing, batch.limit(0), spec)) == canon(existing))
+      val once = MergeWriter.merge(existing, batch, spec)
+      val twice = MergeWriter.merge(once, batch, spec)
+      assert(canon(twice) == canon(once))
+    }
+  }
+
+  test("minhash: exact duplicate docs always become a candidate pair with est 1.0") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "totally different words here now"),
+      (4L, "alpha beta gamma delta epsilon zeta"), // another dup
+      (5L, "unrelated content entirely")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 16, rowsPerBand = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.contains((1L, 2L, 1.0)))
+    assert(pairs.contains((1L, 4L, 1.0)))
+    assert(pairs.contains((2L, 4L, 1.0)))
+    assert(!pairs.exists(p => (p._1 == 3L || p._2 == 3L) && p._3 == 1.0))
+  }
 }

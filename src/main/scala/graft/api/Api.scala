@@ -34,7 +34,7 @@ object Api {
     }
     scoped
       .filter(entityTypeFilter(col("entity_type"), entityType))
-      .filter(col("date") >= date_sub(asOf, days))
+      .filter(col("date") >= date_sub(asOf, ApiLimits.clampDays(days, ApiLimits.SeriesMaxDays)))
       .orderBy(col("date"), col("company"))
   }
 
@@ -73,7 +73,7 @@ object Api {
         countIf(m > 0).as("signal_days"))
       .filter(col("window_value") >= minTotal)
       .orderBy(col("window_value").desc, col("latest_value").desc, col("entity_name"))
-      .limit(limit)
+      .limit(ApiLimits.clampLimit(limit, ApiLimits.ScreenMaxLimit))
   }
 
   private val trendMetrics = Seq(
@@ -137,9 +137,9 @@ object Api {
     anomaliesView
       .filter(entityTypeFilter(col("entity_type"), entityType) &&
         col("entity_id") === entityId)
-      .filter(col("date") >= date_sub(asOf, math.min(days, 180)))
+      .filter(col("date") >= date_sub(asOf, ApiLimits.clampDays(days, ApiLimits.TrendMaxDays)))
       .orderBy(col("date").desc, col("severity_score").desc)
-      .limit(math.min(limit, 200))
+      .limit(ApiLimits.clampLimit(limit, ApiLimits.AnomaliesMaxLimit))
 
   /** `GET /api/v1/serp_features/series` (`app.py:3118-3139`): per-feature
     * daily series for one entity, brand/company aliasing applied. */
@@ -151,7 +151,7 @@ object Api {
       .filter(lower(col("entity_name")) === entityName.toLowerCase) // P8
       .filter(if (featureTypes.isEmpty) lit(true)
         else col("feature_type").isin(featureTypes: _*))
-      .filter(col("date") >= date_sub(asOf, math.min(days, 365)))
+      .filter(col("date") >= date_sub(asOf, ApiLimits.clampDays(days, ApiLimits.SeriesMaxDays)))
       .orderBy(col("date"), col("feature_type"))
 
   /** `GET /api/v1/negative_summary` (`app.py:7011-7041`): one day's negative

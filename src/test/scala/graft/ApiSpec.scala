@@ -39,9 +39,12 @@ class ApiSpec extends SparkSpec {
     EntityDailyMetrics.topStoriesControl(GoldTables.serpFeatureControlDaily(sfi, sfio, sfuo)))
 
   test("dailyCounts: brand aliasing, scope filter, (date, company) order") {
-    val all = Api.dailyCounts(articleMv, "brand", 100000)
+    // days clamps to SeriesMaxDays (365) per the reference guardrail, so
+    // anchor asOf inside the fixture window
+    val asOf = lit("2025-04-15").cast("date")
+    val all = Api.dailyCounts(articleMv, "brand", 100000, asOf = asOf)
     assert(all.select("entity_type").distinct().as[String].collect().toSet == Set("brand"))
-    val scoped = Api.dailyCounts(articleMv, "brand", 100000, Some(Seq("c1")))
+    val scoped = Api.dailyCounts(articleMv, "brand", 100000, Some(Seq("c1")), asOf = asOf)
     assert(scoped.select("company_id").distinct().as[String].collect().toSeq == Seq("c1"))
     val dates = all.select(col("date").cast("string")).as[String].collect()
     assert(dates.sameElements(dates.sorted))
@@ -87,5 +90,20 @@ class ApiSpec extends SparkSpec {
     assert(series.select("feature_type").distinct().as[String].collect().toSeq ==
       Seq("top_stories_items"))
     assert(series.count() > 0)
+  }
+
+  test("endpoint guardrails: reference clamp semantics") {
+    import graft.api.ApiLimits._
+    assert(clampLimit(0, ScreenMaxLimit) == 1)
+    assert(clampLimit(-5, AnomaliesMaxLimit) == 1)
+    assert(clampLimit(99999, ArticlesMaxLimit) == 1000)
+    assert(clampLimit(99999, FeatureItemsMaxLimit) == 500)
+    assert(clampLimit(99999, AnomaliesMaxLimit) == 200)
+    assert(clampLimit(99999, ScreenMaxLimit) == 100)
+    assert(clampOffset(-3) == 0 && clampOffset(7) == 7)
+    assert(clampDays(0, SeriesMaxDays) == 1)
+    assert(clampDays(9999, SeriesMaxDays) == 365)
+    assert(clampDays(9999, TrendMaxDays) == 180)
+    assert(clampDays(9999, ScreenMaxDays) == 90)
   }
 }

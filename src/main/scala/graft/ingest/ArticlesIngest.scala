@@ -38,6 +38,10 @@ object ArticlesIngest {
     * input rows, with canonical url, effective sentiment/control columns. */
   def normalize(raw: DataFrame, entityType: String, companiesDim: DataFrame): DataFrame = {
     val withUrl = raw
+      // CSV file order: monotonically_increasing_id is file-position-stable HERE because it
+      // sits directly above the file scan (partition ids follow file-split offsets);
+      // it must never be computed above a union/join/shuffle — see CrisisEvents for
+      // the explicit-ordering alternative when no file order exists
       .withColumn("__order", monotonically_increasing_id())
       .withColumn("title", trimToNull(aliased(raw, Seq("title"))))
       .withColumn("url_raw", trimToNull(aliased(raw, Seq("url"))))

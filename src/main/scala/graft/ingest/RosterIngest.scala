@@ -18,6 +18,10 @@ object RosterIngest {
 
   def readRosterCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("mode", "PERMISSIVE").csv(path)
+      // CSV file order: monotonically_increasing_id is file-position-stable HERE because it
+      // sits directly above the file scan (partition ids follow file-split offsets);
+      // it must never be computed above a union/join/shuffle — see CrisisEvents for
+      // the explicit-ordering alternative when no file order exists
       .withColumn("__file_order", monotonically_increasing_id())
 
   /** companies dim from a roster df (last row per name wins). */

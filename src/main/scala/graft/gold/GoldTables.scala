@@ -145,7 +145,7 @@ object GoldTables {
   /** Shared item-grain effective labels for the four serp-feature MVs:
     * item-override > url-override > llm > raw
     * (`sql/serp_feature_daily_mv.sql:8-13`). */
-  private def featureItemsEffective(
+  def featureItemsEffective(
       items: DataFrame,
       itemOverrides: DataFrame,
       urlOverrides: DataFrame): DataFrame =
@@ -172,7 +172,14 @@ object GoldTables {
   /** `serp_feature_daily_mv` (`sql/serp_feature_daily_mv.sql:1-14`). */
   def serpFeatureDaily(items: DataFrame, itemOverrides: DataFrame,
       urlOverrides: DataFrame): DataFrame =
-    featureItemsEffective(items, itemOverrides, urlOverrides)
+    serpFeatureDailyFromEffective(featureItemsEffective(items, itemOverrides, urlOverrides))
+
+  /** Aggregate stage over an already-computed effective-items DF — the
+    * batch-rebuild path ([[GoldRefresh]]) computes featureItemsEffective
+    * ONCE, persists it, and derives all four serp-feature MVs from it
+    * (Spark shares no subplans across separate builders). */
+  def serpFeatureDailyFromEffective(eff: DataFrame): DataFrame =
+    eff
       .groupBy(col("date"), col("entity_type"), col("entity_id"), col("entity_name"),
         col("feature_type"))
       .agg(
@@ -184,7 +191,11 @@ object GoldTables {
   /** `serp_feature_control_daily_mv` (`sql/serp_feature_control_daily_mv.sql:1-18`). */
   def serpFeatureControlDaily(items: DataFrame, itemOverrides: DataFrame,
       urlOverrides: DataFrame): DataFrame =
-    featureItemsEffective(items, itemOverrides, urlOverrides)
+    serpFeatureControlDailyFromEffective(
+      featureItemsEffective(items, itemOverrides, urlOverrides))
+
+  def serpFeatureControlDailyFromEffective(eff: DataFrame): DataFrame =
+    eff
       .groupBy(col("date"), col("entity_type"), col("entity_id"), col("entity_name"),
         col("feature_type"))
       .agg(
@@ -195,7 +206,11 @@ object GoldTables {
     * the entity dimension dropped — the "Index" grain. */
   def serpFeatureDailyIndex(items: DataFrame, itemOverrides: DataFrame,
       urlOverrides: DataFrame): DataFrame =
-    featureItemsEffective(items, itemOverrides, urlOverrides)
+    serpFeatureDailyIndexFromEffective(
+      featureItemsEffective(items, itemOverrides, urlOverrides))
+
+  def serpFeatureDailyIndexFromEffective(eff: DataFrame): DataFrame =
+    eff
       .groupBy(col("date"), col("entity_type"), col("feature_type"))
       .agg(
         count(lit(1)).as("total_count"),
@@ -206,7 +221,11 @@ object GoldTables {
   /** `serp_feature_control_daily_index_mv`. */
   def serpFeatureControlDailyIndex(items: DataFrame, itemOverrides: DataFrame,
       urlOverrides: DataFrame): DataFrame =
-    featureItemsEffective(items, itemOverrides, urlOverrides)
+    serpFeatureControlDailyIndexFromEffective(
+      featureItemsEffective(items, itemOverrides, urlOverrides))
+
+  def serpFeatureControlDailyIndexFromEffective(eff: DataFrame): DataFrame =
+    eff
       .groupBy(col("date"), col("entity_type"), col("feature_type"))
       .agg(
         countIf(col("eff_control").isNotNull).as("total_count"),

@@ -613,6 +613,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality stats (Gopher-style pretraining filters): distinct-
+    * token ratio, top-unigram fraction, top-bigram fraction per document,
+    * plus a repetitive flag. Fully relational (explode -> two chained
+    * aggregations per n-gram order); ratios are exact int/int divisions. */
+  private def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val uni = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        max(col("c")).as("top_token_count"))
+    val bi = documents(s, dir).select(col("doc_id"),
+      explode(SF.tokenShingles(col("text"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_bigram_count"))
+    uni.join(bi, "doc_id")
+      .withColumn("distinct_ratio",
+        col("distinct_tokens").cast("double") / col("n_tokens"))
+      .withColumn("top_token_frac",
+        col("top_token_count").cast("double") / col("n_tokens"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_count").cast("double") / col("n_bigrams"))
+      .withColumn("repetitive",
+        col("top_token_frac") > lit(0.1) || col("top_bigram_frac") > lit(0.05))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -654,7 +684,8 @@ object SparkEntry {
     "q38_storyline_scores" -> (storylineScores _),
     "q39_lang_confusion" -> (langConfusion _),
     "q40_jaccard_verify" -> (jaccardVerify _),
-    "q41_quality_score" -> (qualityScore _)
+    "q41_quality_score" -> (qualityScore _),
+    "q42_repetition_stats" -> (repetitionStats _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1009,6 +1040,38 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q29_narrative_rollup" -> narrativeOracleSql,
+    "q42_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+        |    CAST(MAX(c) AS BIGINT) AS top_token_count
+        |  FROM tc GROUP BY 1),
+        |d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |      FROM documents),
+        |bg0 AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+        |  FROM d, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)
+        |  WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(w, ' ') FROM d WHERE len(w) < 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY 1, 2),
+        |bi AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |    CAST(MAX(c) AS BIGINT) AS top_bigram_count
+        |  FROM bc GROUP BY 1)
+        |SELECT doc_id, n_tokens, distinct_tokens, top_token_count,
+        |  n_bigrams, top_bigram_count,
+        |  CAST(distinct_tokens AS DOUBLE) / n_tokens AS distinct_ratio,
+        |  CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_frac,
+        |  CAST(top_bigram_count AS DOUBLE) / n_bigrams AS top_bigram_frac,
+        |  (CAST(top_token_count AS DOUBLE) / n_tokens > CAST(0.1 AS DOUBLE)
+        |    OR CAST(top_bigram_count AS DOUBLE) / n_bigrams > CAST(0.05 AS DOUBLE))
+        |    AS repetitive
+        |FROM uni JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q30_control_classify" -> controlOracleSql,
     // decode is a documented stub (no codecs in-container): the oracle checks
     // the CONTRACT columns — id/type mapping, decode success on non-empty

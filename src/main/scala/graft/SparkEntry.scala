@@ -618,16 +618,20 @@ object SparkEntry {
     * plus a repetitive flag. Fully relational (explode -> two chained
     * aggregations per n-gram order); ratios are exact int/int divisions. */
   private def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    // n-grams travel as xxhash64 values, never as strings (string bigram
+    // materialization benched 3x slower); counts over hashes equal counts
+    // over the strings modulo a 2^-64 pairwise collision tolerance
     val toks = documents(s, dir).select(col("doc_id"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-    val uni = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("t"))
+    val uni = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("distinct_tokens"),
         max(col("c")).as("top_token_count"))
     val bi = documents(s, dir).select(col("doc_id"),
-      explode(SF.tokenShingles(col("text"), 2)).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      explode(SF.tokenShingleHashes(col("text"), 2)).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         sum(col("c")).as("n_bigrams"),
         max(col("c")).as("top_bigram_count"))

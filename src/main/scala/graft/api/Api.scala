@@ -166,4 +166,61 @@ object Api {
       .filter(col("negative_count") > 0 || col("crisis_risk_count") > 0)
       .orderBy(col("negative_count").desc, col("company"))
   }
+
+  /** `GET /api/v1/insights/evidence` (A10, `app.py:5346-5530`): evidence
+    * rows (articles + top-stories union, negative-or-uncontrolled) deduped
+    * per (date, evidence_type, url, title) keeping the highest sort_weight,
+    * ordered date desc / sort_weight desc / title, capped at the evidence
+    * limit. Ties on the full dedup key are broken by sort_weight exactly as
+    * the reference's `distinct on ... order by ..., sort_weight desc`. */
+  def evidence(
+      evidenceRows: DataFrame,
+      startDate: Column,
+      endDate: Column,
+      limit: Int = 50): DataFrame = {
+    val keyed = evidenceRows
+      .filter(col("date").between(startDate, endDate))
+      .withColumn("__u", coalesce(col("url"), lit("")))
+      .withColumn("__t", coalesce(col("title"), lit("")))
+    graft.operators.Effective.latestWins(keyed,
+      Seq("date", "evidence_type", "__u", "__t"),
+      Seq(col("sort_weight").desc))
+      .drop("__u", "__t")
+      .orderBy(col("date").desc, col("sort_weight").desc, col("title"))
+      .limit(ApiLimits.clampLimit(limit, ApiLimits.AnomaliesMaxLimit))
+  }
+
+  /** `GET /api/v1/narrative_overlay` window ordering (O4,
+    * `app.py:4116-4128`): the reference runs FIVE sequential stable sorts
+    * (last key most significant) to pick the top windows, then re-sorts the
+    * selected page chronologically. A single orderBy with the keys in
+    * reverse significance order is equivalent (rows equal on every key are
+    * unordered in both engines). `limit = 0` means all windows. */
+  def narrativeOverlayWindows(windows: DataFrame, limit: Int): DataFrame = {
+    val selected = windows.orderBy(
+      when(col("active_on_end_date"), 0).otherwise(1),
+      col("duration_days").desc_nulls_last,
+      col("end_date").desc_nulls_last,
+      col("negative_item_count").desc_nulls_last,
+      lower(col("display_tag")))
+    val page = if (limit == 0) selected else selected.limit(limit)
+    page.orderBy(col("start_date"), col("end_date"), lower(col("display_tag")))
+  }
+
+  /** `GET /api/v1/processed_articles` (`app.py:2855-2980`): modal list —
+    * entity-day article rows ordered by (entity name, title), paginated
+    * with the 1000-row cap. */
+  def processedArticles(
+      mentionRows: DataFrame,
+      onDate: Column,
+      entityType: String,
+      limit: Int = 200,
+      offset: Int = 0): DataFrame = {
+    val filtered = mentionRows
+      .filter(entityTypeFilter(col("entity_type"), entityType) && col("date") === onDate)
+    graft.operators.Windows.paginate(filtered,
+      Seq(col("entity_name"), col("title")),
+      ApiLimits.clampOffset(offset),
+      ApiLimits.clampLimit(limit, ApiLimits.ArticlesMaxLimit))
+  }
 }

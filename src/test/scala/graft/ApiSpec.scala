@@ -106,4 +106,55 @@ class ApiSpec extends SparkSpec {
     assert(clampDays(9999, TrendMaxDays) == 180)
     assert(clampDays(9999, ScreenMaxDays) == 90)
   }
+
+  test("evidence: A10 dedup keeps highest sort_weight, ordered and capped") {
+    val rows = Seq(
+      ("2025-05-02", "article", "T1", "u1", 5L),
+      ("2025-05-02", "article", "T1", "u1", 9L), // same key, higher weight wins
+      ("2025-05-02", "top_stories", "T1", "u1", 3L), // different evidence_type
+      ("2025-05-01", "article", "T2", "u2", 7L),
+      ("2025-04-01", "article", "old", "u3", 9L) // outside window
+    ).toDF("ds", "evidence_type", "title", "url", "sort_weight")
+      .withColumn("date", col("ds").cast("date")).drop("ds")
+    val got = Api.evidence(rows, lit("2025-05-01").cast("date"),
+      lit("2025-05-31").cast("date"), limit = 10)
+      .select("date", "evidence_type", "title", "sort_weight")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("2025-05-02", "article", "T1", 9L),
+      ("2025-05-02", "top_stories", "T1", 3L),
+      ("2025-05-01", "article", "T2", 7L)))
+  }
+
+  test("narrative overlay: five-pass selection order then chronological page") {
+    val w = Seq(
+      // (display_tag, start, end, duration, neg, active_on_end)
+      ("Fraud", "2025-01-05", "2025-01-09", 5, 10, false),
+      ("Legal", "2025-01-01", "2025-01-10", 10, 3, false),
+      ("Breach", "2025-02-01", "2025-02-03", 3, 50, true), // active wins all
+      ("Labor", "2025-01-02", "2025-01-11", 10, 4, false) // same dur as Legal, later end
+    ).toDF("display_tag", "start_date", "end_date", "duration_days",
+      "negative_item_count", "active_on_end_date")
+    // selection order: Breach (active), Labor (dur 10, end 01-11),
+    // Legal (dur 10, end 01-10), Fraud -> limit 3 drops Fraud;
+    // page re-sorted chronologically by start
+    val got = Api.narrativeOverlayWindows(w, limit = 3)
+      .select("display_tag").as[String].collect()
+    assert(got.toSeq == Seq("Legal", "Labor", "Breach"))
+  }
+
+  test("processedArticles: (entity_name, title) pagination with caps") {
+    val rows = Seq(
+      ("2025-05-01", "brand", "Acme", "B title"),
+      ("2025-05-01", "brand", "Acme", "A title"),
+      ("2025-05-01", "brand", "Zeta", "C title"),
+      ("2025-05-01", "ceo", "Jane", "X title"),
+      ("2025-05-02", "brand", "Acme", "other day")
+    ).toDF("ds", "entity_type", "entity_name", "title")
+      .withColumn("date", col("ds").cast("date")).drop("ds")
+    val got = Api.processedArticles(rows, lit("2025-05-01").cast("date"),
+      "brand", limit = 2, offset = 1)
+      .select("entity_name", "title").as[(String, String)].collect()
+    assert(got.toSeq == Seq(("Acme", "B title"), ("Zeta", "C title")))
+  }
 }

@@ -42,6 +42,21 @@ object DailyIngestStream {
       .select((col("day_window.start").cast("date").as("date") +:
         keys.map(col) :+ col("n") :+ col("v")): _*)
 
+  /** Streaming URL-canonical dedup — the incremental form of the articles
+    * table's `on conflict (canonical_url) do nothing`-style first-wins
+    * insert (S12): duplicates of a key arriving within the watermark window
+    * are dropped with bounded state (keys older than the watermark are
+    * evicted — exactly the trade a streaming MERGE makes at 100 TB: exact
+    * dedup inside the lateness bound, batch reconciliation beyond it). */
+  def dedupByKeyWithinWatermark(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermark: String = "1 day"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Gold sink: dynamic-partition-overwrite upsert of the affected dates,
     * driven per micro-batch. Idempotent: replaying a batch rewrites the same
     * partitions (the Delta-MERGE analogue on plain parquet, cf. S12). */

@@ -107,4 +107,26 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String, Boolean, Int)].collect().toSet
     assert(viaBatch == got)
   }
+
+  test("streaming url dedup drops within-watermark duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val deduped = DailyIngestStream.dedupByKeyWithinWatermark(
+      input.toDF().toDF("url_hash", "ts"), "ts", Seq("url_hash"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(
+      ("h1", Timestamp.valueOf("2024-05-01 10:00:00")),
+      ("h1", Timestamp.valueOf("2024-05-01 11:00:00")), // dup in-batch
+      ("h2", Timestamp.valueOf("2024-05-01 10:30:00")))
+    q.processAllAvailable()
+    input.addData(
+      ("h1", Timestamp.valueOf("2024-05-01 12:00:00")), // dup across batches
+      ("h3", Timestamp.valueOf("2024-05-01 13:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("url_hash")
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("h1", "h2", "h3"))
+  }
 }

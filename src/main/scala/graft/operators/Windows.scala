@@ -61,16 +61,19 @@ object Windows {
       .drop("episode")
   }
 
-  /** Pagination via global row_number (reference P9/O2: `limit/offset` with a
-    * separate total count). NOTE: a global ORDER BY materializes a total
-    * order; at 100 TB pagination must always be bounded by selective filters
-    * first (the reference caps every page at <=1000 rows after entity/date
-    * predicates, `dashboard_app/app.py:2865-2873`), so the sorted set is small.
-    */
+  /** Pagination (reference P9/O2: `limit/offset` with a separate total
+    * count) as a BOUNDED top-k: `orderBy(...).limit(offset + pageSize)`
+    * plans as TakeOrderedAndProject — a per-partition bounded heap + one
+    * driver-side merge of offset+pageSize rows, never a full-table global
+    * sort — and only then is the (tiny) page numbered by a window. The
+    * naive global row_number window moves the ENTIRE input to one
+    * partition; with capped offsets (ApiLimits) offset+pageSize is at most
+    * a few thousand rows regardless of table size. */
   def paginate(df: DataFrame, order: Seq[Column], offset: Long, pageSize: Long,
                rnCol: String = "rn"): DataFrame = {
+    val top = df.orderBy(order: _*).limit((offset + pageSize).toInt)
     val w = Window.orderBy(order: _*)
-    df.withColumn(rnCol, row_number().over(w))
-      .filter(col(rnCol) > offset && col(rnCol) <= offset + pageSize)
+    top.withColumn(rnCol, row_number().over(w))
+      .filter(col(rnCol) > offset)
   }
 }

@@ -46,6 +46,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("q12 pagination bounds the sort: top-k feeds a tiny page window") {
+    val p = planString("q12_pagination")
+    assert(p.contains("TakeOrderedAndProject"),
+      "pagination must not globally sort the table:\n" + p.take(1500))
+  }
+
   test("filter pushdown reaches the parquet scan (q16 query-vector filter)") {
     val p = planString("q16_cosine_knn")
     assert("PushedFilters: \\[[^\\]]*LessThan\\(vec_id,10\\)".r.findFirstIn(p).isDefined

@@ -54,7 +54,7 @@ object PeriodParser {
   /** `resolve_time_window` (`period_parser.py:60-167`). */
   def resolveTimeWindow(userMessage: String, today: LocalDate = LocalDate.now(),
       defaultDays: Int = 90): Window = {
-    val text = Option(userMessage).getOrElse("").trim.toLowerCase
+    val text = Option(userMessage).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
 
     for (p <- explicitQuarterPatterns) {
       val m = p.matcher(text)
@@ -120,7 +120,7 @@ object PeriodParser {
 
   /** `infer_days` (`query_planner.py:47-59`). */
   def inferDays(userMessage: String, defaultDays: Int = 30): Int = {
-    val text = Option(userMessage).getOrElse("").toLowerCase
+    val text = Option(userMessage).getOrElse("").toLowerCase(java.util.Locale.ROOT)
     if (text.contains("today")) 1
     else if (text.contains("this week") || text.contains("last 7 days") ||
       text.contains("past week")) 7

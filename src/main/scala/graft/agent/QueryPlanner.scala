@@ -44,7 +44,7 @@ object QueryPlanner {
   def planQuery(userMessage: String, today: LocalDate = LocalDate.now()): Option[Plan] = {
     val text = Option(userMessage).getOrElse("").trim
     if (text.isEmpty) return None
-    val lowered = text.toLowerCase
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
     val sector = extractSector(text)
     val window = resolveTimeWindow(text, today, defaultDays = 90)
 

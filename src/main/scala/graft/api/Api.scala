@@ -57,7 +57,7 @@ object Api {
       .join(broadcast(companies.select(col("id").as("company_id"),
         coalesce(col("sector"), lit("")).as("sector"))), Seq("company_id"))
     val sectorFiltered = sectorContains match {
-      case Some(s) => base.filter(lower(col("sector")).contains(s.toLowerCase)) // P5
+      case Some(s) => base.filter(lower(col("sector")).contains(s.toLowerCase(java.util.Locale.ROOT))) // P5
       case None => base
     }
     sectorFiltered
@@ -148,7 +148,7 @@ object Api {
       asOf: Column = current_date()): DataFrame =
     serpFeatureDaily
       .filter(entityTypeFilter(col("entity_type"), entityType))
-      .filter(lower(col("entity_name")) === entityName.toLowerCase) // P8
+      .filter(lower(col("entity_name")) === entityName.toLowerCase(java.util.Locale.ROOT)) // P8
       .filter(if (featureTypes.isEmpty) lit(true)
         else col("feature_type").isin(featureTypes: _*))
       .filter(col("date") >= date_sub(asOf, ApiLimits.clampDays(days, ApiLimits.SeriesMaxDays)))

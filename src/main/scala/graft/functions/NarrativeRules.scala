@@ -35,7 +35,7 @@ object NarrativeRules {
       case _ => 2
     }
     (groupRank, TagOrder.getOrElse(Option(tag).getOrElse(""), 999),
-      Option(tag).getOrElse("").toLowerCase)
+      Option(tag).getOrElse("").toLowerCase(java.util.Locale.ROOT))
   }
 
   private def ci(p: String) = Pattern.compile(p, Pattern.CASE_INSENSITIVE)
@@ -213,7 +213,7 @@ object NarrativeRules {
       sentiment: String = null,
       financeRoutine: java.lang.Boolean = null,
       allowOtherFallback: Boolean = true): NarrativeResult = {
-    val sentimentL = Option(sentiment).getOrElse("").trim.toLowerCase
+    val sentimentL = Option(sentiment).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
     if (sentimentL.nonEmpty && sentimentL != "negative") return Empty
     if (financeRoutine != null && financeRoutine.booleanValue()) return Empty
 

@@ -3,6 +3,7 @@ package graft.functions
 import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
 import java.nio.charset.{CodingErrorAction, StandardCharsets}
+import java.util.Locale
 
 /** Faithful port of the CPython 3.11 `urllib.parse` primitives the reference
   * engine builds on (`src/url_utils.py:1-47`, `src/risk_rules.py:64-69` use
@@ -44,7 +45,9 @@ object PyUrl {
           val colon = hostinfo.indexOf(':')
           if (colon >= 0) hostinfo.substring(0, colon) else hostinfo
         }
-      host.toLowerCase
+      // Locale.ROOT: Python str.lower() is locale-independent; a tr_TR
+      // default locale would dot-strip 'I' and fork hash keys per executor
+      host.toLowerCase(Locale.ROOT)
     }
   }
 
@@ -80,7 +83,7 @@ object PyUrl {
     val i = url.indexOf(':')
     if (i > 0 && url.charAt(0).isLetter && url.charAt(0) < 128 &&
       url.substring(0, i).forall(isSchemeChar)) {
-      scheme = url.substring(0, i).toLowerCase
+      scheme = url.substring(0, i).toLowerCase(Locale.ROOT)
       url = url.substring(i + 1)
     }
 
@@ -94,6 +97,7 @@ object PyUrl {
       if (hasOpen != hasClose) throw new InvalidUrlException("Invalid IPv6 URL")
       if (hasOpen && hasClose) checkBracketedHost(
         netloc.substring(netloc.indexOf('[') + 1, netloc.indexOf(']')))
+      checkNetloc(netloc)
     }
 
     var fragment = ""
@@ -105,13 +109,26 @@ object PyUrl {
     Parsed(scheme, netloc, url, "", query, fragment)
   }
 
+  /** `_checknetloc`: a non-ASCII netloc whose NFKC normalization introduces
+    * one of `/?#@:` raises ValueError in CPython (spoofing guard) — the
+    * reference then errors out of normalize/hostname for such URLs. */
+  private def checkNetloc(netloc: String): Unit = {
+    if (netloc.isEmpty || netloc.forall(_ < 128)) return
+    val n = netloc.replace("@", "").replace(":", "").replace("#", "").replace("?", "")
+    val n2 = java.text.Normalizer.normalize(n, java.text.Normalizer.Form.NFKC)
+    if (n != n2 && "/?#@:".exists(c => n2.indexOf(c) >= 0))
+      throw new InvalidUrlException("netloc contains invalid characters under NFKC")
+  }
+
   /** `_check_bracketed_host`: IPvFuture `v<hex>.<...>` allowed, otherwise the
     * host must parse as IPv6 (an IPv4 in brackets raises). Approximated with
     * shape checks (hex/colon/zone chars, >=2 colons) — exactness only matters
     * for the raise-vs-not decision on rare bracketed hosts. */
   private def checkBracketedHost(host: String): Unit = {
-    if (host.nonEmpty && (host.charAt(0) == 'v' || host.charAt(0) == 'V')) {
-      if (!host.matches("(?i)v[a-f0-9]+\\..+"))
+    // CPython special-cases LOWERCASE 'v' only; "Vdead.beef" falls through
+    // to ip_address() and raises
+    if (host.nonEmpty && host.charAt(0) == 'v') {
+      if (!host.matches("v[a-fA-F0-9]+\\..+"))
         throw new InvalidUrlException("IPvFuture address is invalid")
     } else {
       val body = host.takeWhile(_ != '%') // zone-id suffix allowed
@@ -200,6 +217,25 @@ object PyUrl {
     }
     sb.toString
   }
+
+  /** Python-compatible string ordering: tuples sort by Unicode CODE POINT,
+    * while Java's String.compareTo compares UTF-16 code units — they differ
+    * when a non-BMP character (surrogate pair) meets a char in
+    * [U+E000, U+FFFF]. */
+  val codePointOrdering: Ordering[String] = (a: String, b: String) => {
+    var i = 0; var j = 0
+    var res = 0
+    while (res == 0 && i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) res = Integer.compare(ca, cb)
+      else { i += Character.charCount(ca); j += Character.charCount(cb) }
+    }
+    if (res != 0) res else Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** tuple-of-two-strings ordering matching Python's `list.sort()`. */
+  val pairOrdering: Ordering[(String, String)] =
+    Ordering.Tuple2(codePointOrdering, codePointOrdering)
 
   /** `urlencode(pairs, doseq=True)` over string pairs. */
   def urlencode(pairs: Seq[(String, String)]): String =

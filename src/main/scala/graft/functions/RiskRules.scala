@@ -55,7 +55,7 @@ object RiskRules {
 
   // --- token helpers (`src/risk_rules.py:72-137`) ---
   def normToken(s: String): String =
-    Option(s).getOrElse("").toLowerCase.filter(_.isLetterOrDigit)
+    Option(s).getOrElse("").toLowerCase(java.util.Locale.ROOT).filter(_.isLetterOrDigit)
 
   private def nameTokens(value: String, minLen: Int = 4): List[String] =
     Option(value).getOrElse("").split("[\\W_]+").toList
@@ -131,7 +131,7 @@ object RiskRules {
     // prefix check is case-insensitive (`path.lower().startswith("user/")`,
     // risk_rules.py:153) but the slug keeps raw case (normToken lowers it)
     val slug =
-      if (path.toLowerCase.startsWith("user/")) path.substring(5)
+      if (path.toLowerCase(java.util.Locale.ROOT).startsWith("user/")) path.substring(5)
       else if (path.startsWith("@")) path.substring(1)
       else path.split("/", 2)(0)
     val slugToken = normToken(slug)
@@ -140,9 +140,9 @@ object RiskRules {
 
   private def linkedinSlugMatchesCompany(company: String, slug: String): Boolean = {
     if (company == null || company.isEmpty || slug == null || slug.isEmpty) return false
-    val companyTokens = company.toLowerCase.split("\\W+").toList.map(normToken)
+    val companyTokens = company.toLowerCase(java.util.Locale.ROOT).split("\\W+").toList.map(normToken)
       .filter(t => t.nonEmpty && !NameIgnoreTokens.contains(t) && t.length >= 4)
-    val slugTokens = slug.toLowerCase.split("[\\W_]+").toList.map(normToken)
+    val slugTokens = slug.toLowerCase(java.util.Locale.ROOT).split("[\\W_]+").toList.map(normToken)
       .filter(t => t.nonEmpty && t.length >= 3)
     if (companyTokens.isEmpty || slugTokens.isEmpty) return false
     companyTokens.exists(ct => slugTokens.exists(st => st.contains(ct) || ct.contains(st)))
@@ -151,7 +151,7 @@ object RiskRules {
   private def isLinkedinCompanyPage(company: String, host: String, rawPath: String): Boolean = {
     if (host != "linkedin.com") return false
     val path = stripSlashes(rawPath)
-    if (!path.toLowerCase.startsWith("company/")) return false
+    if (!path.toLowerCase(java.util.Locale.ROOT).startsWith("company/")) return false
     val rest = if (path.contains("/")) path.split("/", 2)(1) else ""
     val slug = if (rest.nonEmpty) rest.split("/", 2)(0) else ""
     if (slug.isEmpty) return false
@@ -164,7 +164,7 @@ object RiskRules {
   private def isLinkedinPersonProfile(name: String, host: String, rawPath: String): Boolean = {
     if (host != "linkedin.com") return false
     val path = stripSlashes(rawPath)
-    if (!(path.toLowerCase.startsWith("in/") || path.toLowerCase.startsWith("pub/")))
+    if (!(path.toLowerCase(java.util.Locale.ROOT).startsWith("in/") || path.toLowerCase(java.util.Locale.ROOT).startsWith("pub/")))
       return false
     val rest = if (path.contains("/")) path.split("/", 2)(1) else ""
     val slug = if (rest.nonEmpty) rest.split("/", 2)(0) else ""
@@ -208,7 +208,7 @@ object RiskRules {
     // PyUrl parses per row to 1.
     val (host, rawPath) = hostAndPath(url)
     if (host.isEmpty) return false
-    val path = rawPath.toLowerCase
+    val path = rawPath.toLowerCase(java.util.Locale.ROOT)
     if (entityType == "ceo") {
       if (CeoUncontrolledDomains.exists(bad => host == bad || host.endsWith("." + bad)))
         return false

@@ -28,7 +28,7 @@ object TextLookup {
     "ag", "nv", "lp", "llp", "the")
 
   def normalizeLookupText(text: String, stripCompanySuffixes: Boolean = false): String = {
-    val value = Option(text).getOrElse("").trim.toLowerCase
+    val value = Option(text).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
     if (value.isEmpty) return ""
     val replaced = value.replace("&", " and ")
     val spaced = replaced.replaceAll("[^a-z0-9]+", " ")
@@ -131,7 +131,7 @@ object TextLookup {
       ticker: String,
       isCompany: Boolean): (Double, String) = {
     val queryRaw = Option(query).getOrElse("").trim
-    val queryLower = queryRaw.toLowerCase
+    val queryLower = queryRaw.toLowerCase(java.util.Locale.ROOT)
     val queryFull = normalizeLookupText(queryRaw)
     val queryBase = normalizeLookupText(queryRaw, stripCompanySuffixes = isCompany)
     if (queryRaw.isEmpty || queryFull.isEmpty) return (0.0, "")
@@ -144,9 +144,9 @@ object TextLookup {
     val aliasFull = normalizeLookupText(al)
     val aliasBase = normalizeLookupText(al, stripCompanySuffixes = isCompany)
 
-    if (isCompany && tk.nonEmpty && queryLower == tk.toLowerCase) return (1.0, "ticker_exact")
-    if (queryLower == name.toLowerCase) return (0.995, "name_exact")
-    if (al.nonEmpty && queryLower == al.toLowerCase) return (0.992, "alias_exact")
+    if (isCompany && tk.nonEmpty && queryLower == tk.toLowerCase(java.util.Locale.ROOT)) return (1.0, "ticker_exact")
+    if (queryLower == name.toLowerCase(java.util.Locale.ROOT)) return (0.995, "name_exact")
+    if (al.nonEmpty && queryLower == al.toLowerCase(java.util.Locale.ROOT)) return (0.992, "alias_exact")
     if (queryFull == nameFull) return (0.99, "name_normalized")
     if (al.nonEmpty && queryFull == aliasFull) return (0.988, "alias_normalized")
     if (queryBase.nonEmpty && queryBase == nameBase) return (0.985, "name_base")
@@ -170,7 +170,7 @@ object TextLookup {
       scores += ((sequenceMatcherRatio(queryFull, aliasFull), "alias_fuzzy"))
     }
     if (isCompany && tk.nonEmpty)
-      scores += ((sequenceMatcherRatio(queryLower, tk.toLowerCase), "ticker_fuzzy"))
+      scores += ((sequenceMatcherRatio(queryLower, tk.toLowerCase(java.util.Locale.ROOT)), "ticker_fuzzy"))
 
     if (scores.isEmpty) (0.0, "") else scores.maxBy(_._1)
   }
@@ -192,7 +192,7 @@ object TextLookup {
     val queryRaw = Option(query).getOrElse("").trim
     val sectorRaw = Option(sector).getOrElse("").trim
     if (queryRaw.isEmpty || sectorRaw.isEmpty) return (0.0, "")
-    if (queryRaw.toLowerCase == sectorRaw.toLowerCase) return (1.0, "sector_exact")
+    if (queryRaw.toLowerCase(java.util.Locale.ROOT) == sectorRaw.toLowerCase(java.util.Locale.ROOT)) return (1.0, "sector_exact")
     val queryKeys = normalizedSectorKeys(queryRaw)
     val sectorKeys = normalizedSectorKeys(sectorRaw)
     if (queryKeys.isEmpty || sectorKeys.isEmpty) return (0.0, "")

@@ -42,7 +42,7 @@ object UrlFunctions {
       catch { case _: PyUrl.InvalidUrlException => return "" }
 
     val scheme = if (parsed.scheme.isEmpty) "http" else parsed.scheme
-    var netloc = parsed.netloc.toLowerCase
+    var netloc = parsed.netloc.toLowerCase(java.util.Locale.ROOT)
     if (netloc.startsWith("www.")) netloc = netloc.substring(4)
     val path = parsed.path.replaceAll("//+", "/")
 
@@ -50,7 +50,7 @@ object UrlFunctions {
       .filterNot { case (k, _) =>
         TrackingParams.contains(k) || k.startsWith("utm_") || k.startsWith("gaa_")
       }
-      .sorted
+      .sorted(PyUrl.pairOrdering) // Python sorts by code point, not UTF-16
     PyUrl.urlunsplit(scheme, netloc, path, PyUrl.urlencode(pairs), "")
   }
 

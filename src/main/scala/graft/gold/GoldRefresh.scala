@@ -41,11 +41,16 @@ object GoldRefresh {
   /** All 7 gold tables in the reference's refresh order. The returned pairs
     * are (table name, DataFrame); callers write them with
     * `partitionBy("date")` + dynamic partition overwrite. */
-  def rebuildAll(in: BronzeInputs): Seq[(String, DataFrame)] = {
+  def rebuildAll(in: BronzeInputs): Seq[(String, DataFrame)] =
+    rebuildAllWithHandle(in)._1
+
+  /** rebuildAll plus the persisted shared intermediate, so callers that
+    * materialize everything (refreshToParquet) can unpersist it after. */
+  def rebuildAllWithHandle(in: BronzeInputs): (Seq[(String, DataFrame)], DataFrame) = {
     val eff = GoldTables.featureItemsEffective(
       in.serpFeatureItems, in.serpFeatureItemOverrides, in.serpFeatureUrlOverrides)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    Seq(
+    val tables = Seq(
       "serp_feature_daily" ->
         GoldTables.serpFeatureDailyFromEffective(eff),
       "serp_feature_control_daily" ->
@@ -64,19 +69,29 @@ object GoldRefresh {
         GoldTables.negativeSummary(in.companyMentionsDaily, in.ceoMentionsDaily,
           in.companyMentions, in.ceoMentions, in.companies, in.ceos, in.articles,
           in.companyArticleOverrides, in.ceoArticleOverrides))
+    (tables, eff)
   }
 
   /** Rebuild and write every gold table under `base/<name>` partitioned by
     * date with dynamic partition overwrite (the incremental analogue of the
     * reference's whole-MV refresh). Returns per-table wall times. */
   def refreshToParquet(in: BronzeInputs, base: String): Seq[(String, Double)] = {
-    val tables = rebuildAll(in)
+    val (tables, eff) = rebuildAllWithHandle(in)
     val spark = tables.head._2.sparkSession
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    tables.map { case (name, df) =>
-      val t0 = System.nanoTime()
-      df.write.mode("overwrite").partitionBy("date").parquet(s"$base/$name")
-      name -> (System.nanoTime() - t0) / 1e9
+    try
+      tables.map { case (name, df) =>
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").partitionBy("date").parquet(s"$base/$name")
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    finally {
+      eff.unpersist() // the shared intermediate must not outlive the refresh
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
   }
 }

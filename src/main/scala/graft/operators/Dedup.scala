@@ -140,7 +140,12 @@ object Dedup {
     // sign(cos(v, p)) == sign(dot(v, p)). The previous zip_with/aggregate
     // formulation was CodegenFallback: planeBits interpreted lambda passes
     // over every vector per row.
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val dimRow = emb.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty || dimRow(0).isNullAt(0))
+      // empty (or null-vector-first) input: zero pairs, correct schema
+      return emb.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0d).as("cos")).limit(0)
+    val dim = dimRow(0).getInt(0)
     def splitmix(x0: Long): Long = {
       var z = x0 + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

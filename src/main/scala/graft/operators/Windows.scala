@@ -71,7 +71,12 @@ object Windows {
     * a few thousand rows regardless of table size. */
   def paginate(df: DataFrame, order: Seq[Column], offset: Long, pageSize: Long,
                rnCol: String = "rn"): DataFrame = {
-    val top = df.orderBy(order: _*).limit((offset + pageSize).toInt)
+    // saturate: a pathological offset must not wrap Int and crash (the
+    // reference leaves offset uncapped too — Postgres scans offset rows —
+    // so the cost contract is the caller's ApiLimits clamp, but the crash
+    // would be ours)
+    val n = math.min(math.max(offset, 0L) + math.max(pageSize, 0L), Int.MaxValue.toLong).toInt
+    val top = df.orderBy(order: _*).limit(n)
     val w = Window.orderBy(order: _*)
     top.withColumn(rnCol, row_number().over(w))
       .filter(col(rnCol) > offset)

@@ -72,8 +72,10 @@ object MergeWriter {
     val joined = t.join(b, keyCols, "full_outer")
     val inserted = col("__t_present").isNull // key only in batch
     val takeNew = spec.updateOnlyIfNewerBy match {
-      // missing old timestamp counts as older (update applies)
-      case Some(ts) => coalesce(col(s"__b_$ts") >= col(s"__t_$ts"), lit(true))
+      // Postgres semantics: `excluded.ts >= target.ts` is NULL (-> no
+      // update) when EITHER side is NULL — a batch row without a timestamp
+      // never overwrites, and a target row without one is never overwritten
+      case Some(ts) => coalesce(col(s"__b_$ts") >= col(s"__t_$ts"), lit(false))
       case None => lit(true)
     }
     val updated = col("__b_present").isNotNull && !inserted && takeNew

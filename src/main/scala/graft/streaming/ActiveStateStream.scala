@@ -47,7 +47,13 @@ object ActiveStateStream {
     val sorted = rows.toArray
       .filter(r => r.date.toLocalDate.toEpochDay > prevEpoch)
       .sortBy(_.date.toLocalDate.toEpochDay)
-    val out = sorted.map { r =>
+    // at-least-once sources can duplicate a day WITHIN a batch; only the
+    // first occurrence may advance the streak
+    val out = sorted.iterator.filter { r =>
+      val e = r.date.toLocalDate.toEpochDay
+      val keep = e > prevEpoch
+      keep
+    }.map { r =>
       val epoch = r.date.toLocalDate.toEpochDay
       if (prevEpoch != Long.MinValue && epoch - prevEpoch > 1) prevActive = false
       val active = r.start || (r.cont && prevActive)
@@ -56,7 +62,7 @@ object ActiveStateStream {
       prevActive = active
       prevEpoch = epoch
       ActiveDay(entity, r.date, active, streak)
-    }
+    }.toArray
     if (out.nonEmpty) state.update(ActiveState(prevEpoch, prevActive, streak))
     out.iterator
   }

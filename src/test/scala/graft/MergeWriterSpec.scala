@@ -65,6 +65,23 @@ class MergeWriterSpec extends SparkSpec {
     assert(out(1) == (("k2", "v-old", ts("2025-06-10 00:00:00"))))
   }
 
+  test("conditional update: NULL timestamps never win (Postgres NULL >= x)") {
+    val existing = Seq(
+      ("k1", "v-old", Option(ts("2025-06-10 00:00:00"))),
+      ("k2", "v-old", Option.empty[Timestamp])
+    ).toDF("k", "v", "edited_at")
+    val batch = Seq(
+      ("k1", "v-null-ts", Option.empty[Timestamp]), // NULL excluded.ts -> no update
+      ("k2", "v-new", Option(ts("2025-06-11 00:00:00"))) // NULL target.ts -> no update
+    ).toDF("k", "v", "edited_at")
+    val out = MergeWriter.merge(existing, batch, MergeSpec(
+      keys = Seq("k"), overwrite = Seq("v", "edited_at"),
+      updateOnlyIfNewerBy = Some("edited_at")))
+      .orderBy("k").as[(String, String, Option[Timestamp])].collect()
+    assert(out(0) == (("k1", "v-old", Some(ts("2025-06-10 00:00:00")))))
+    assert(out(1) == (("k2", "v-old", None)))
+  }
+
   test("intra-batch latest-wins dedup via batchOrder") {
     val existing = Seq(("k1", "orig", 1L)).toDF("k", "v", "seq")
     val batch = Seq(("k1", "first", 10L), ("k1", "last", 20L), ("k2", "only", 5L))

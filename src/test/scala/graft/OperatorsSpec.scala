@@ -117,4 +117,14 @@ class OperatorsSpec extends SparkSpec {
       nlist = 4, nprobe = 2)
     assert(got.count() > 0)
   }
+
+  test("paginate saturates pathological offsets instead of wrapping Int") {
+    import graft.operators.Windows
+    val df = (1 to 10).toDF("x")
+    // would previously compute limit((Int.MaxValue - 100 + 1000).toInt) < 0
+    val got = Windows.paginate(df, Seq(col("x")), Int.MaxValue.toLong - 100, 1000)
+    assert(got.count() == 0) // beyond the data, but no crash
+    val page = Windows.paginate(df, Seq(col("x")), 8, 5).select("x").as[Int].collect()
+    assert(page.toSeq == Seq(9, 10))
+  }
 }

@@ -73,6 +73,7 @@ class StreamingSpec extends SparkSpec {
       fd("e2", "2025-06-01", false, true)) // never starts
     val batch2 = Seq(
       fd("e1", "2025-06-03", false, true), // extends streak across batches
+      fd("e1", "2025-06-03", false, true), // in-batch duplicate -> one output
       fd("e1", "2025-06-05", false, true), // gap -> reset, cont alone no start
       fd("e1", "2025-06-06", true, false), // restart
       fd("e2", "2025-06-02", false, true),

@@ -70,6 +70,14 @@ URLS = [
     "http://a.com/triple///slash//x",
     "   ",
     "",
+    # NFKC netloc spoofing guard (CPython _checknetloc raises -> reference "")
+    "http://a\u2100b.com/x",
+    "http://ex\u00e4mple.com/ok",
+    # non-BMP query keys: Python sorts pairs by code point
+    "http://a.com/x?\uffa0=1&\U0001F600=2&b=3",
+    # bracketed hosts: lowercase-v IPvFuture ok, uppercase V raises
+    "http://[vdead.beef]/x",
+    "http://[Vdead.beef]/x",
     "http://sub.www.deep.www.com/x",
     "http://a.com/search?q=hello world&lang=en us",
 ]

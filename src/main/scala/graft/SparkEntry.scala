@@ -286,18 +286,21 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
-  /** W10: prior-calendar-day lookup — exact date-1 self-join (NOT lag over
-    * sparse rows; reference indexes metrics[date-1],
-    * crisis_event_rollups.py:647-661). */
+  /** W10: prior-calendar-day lookup (reference indexes metrics[date-1],
+    * crisis_event_rollups.py:647-661). A bare lag() over sparse rows would
+    * be WRONG (it fetches the previous EXISTING row, any gap away) — but
+    * lag() + an exact `prev == date-1` filter is equivalent to the date-1
+    * self-join while aggregating the daily table ONCE (the join shape
+    * recomputes the whole scan->aggregate subplan for each side). */
   private def lagDelta(s: SparkSession, dir: String): DataFrame = {
-    val daily = eventsDaily(s, dir).select("user_id", "d", "n").alias("a")
-    val prior = eventsDaily(s, dir)
-      .select(col("user_id").as("pu"), col("d").as("pd"), col("n").as("prior_n"))
-    daily.join(prior,
-      col("a.user_id") === col("pu") && col("pd") === date_sub(col("a.d"), 1))
-      .select(col("a.user_id"), col("a.d").as("d"), col("a.n").as("n"), col("prior_n"),
-        (col("a.n") - col("prior_n")).as("delta"),
-        (col("a.n").cast("double") / col("prior_n")).as("ratio"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+    eventsDaily(s, dir).select("user_id", "d", "n")
+      .withColumn("__pd", lag(col("d"), 1).over(w))
+      .withColumn("prior_n", lag(col("n"), 1).over(w))
+      .filter(col("__pd") === date_sub(col("d"), 1))
+      .select(col("user_id"), col("d"), col("n"), col("prior_n"),
+        (col("n") - col("prior_n")).as("delta"),
+        (col("n").cast("double") / col("prior_n")).as("ratio"))
       .orderBy("user_id", "d")
   }
 
@@ -532,19 +535,25 @@ object SparkEntry {
     * durations (W7) and the fixed linear score formula
     * (app.py:1968-2211: affected*6 + items*0.35 + avg_dur*2 + active*0.4). */
   private def storylineScores(s: SparkSession, dir: String): DataFrame = {
+    // one linear pipeline (window -> episode agg -> bucket agg): the
+    // previous two-branch + join shape recomputed the scan->daily-aggregate
+    // subplan for the per-bucket counts AND the episode durations
     val daily = eventsDaily(s, dir).filter(col("n") >= 2)
-    val episodes = Windows.episodes(daily.select(col("user_id"), col("d")),
-      Seq("user_id"), "d")
-    val perBucket = daily
-      .withColumn("bucket", col("user_id") % 5)
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val islands = daily
+      .withColumn("__pd", lag(col("d"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__pd").isNull || datediff(col("d"), col("__pd")) > 1, 1).otherwise(0))
+      .withColumn("__island",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val perEpisode = islands.groupBy(col("user_id"), col("__island"))
+      .agg(count(lit(1)).as("episode_days"), sum(col("n")).as("ep_n"))
+    perEpisode.withColumn("bucket", col("user_id") % 5)
       .groupBy("bucket")
       .agg(countDistinct(col("user_id")).as("affected"),
-        sum(col("n")).as("items"))
-    val bucketDur = episodes.withColumn("bucket", col("user_id") % 5)
-      .groupBy("bucket")
-      .agg((sum(col("episode_days")).cast("double") / count(lit(1))).as("avg_dur"),
+        sum(col("ep_n")).as("items"),
+        (sum(col("episode_days")).cast("double") / count(lit(1))).as("avg_dur"),
         sum(col("episode_days")).as("active_days"))
-    perBucket.join(bucketDur, Seq("bucket"))
       .withColumn("score",
         col("affected") * 6.0 + col("items") * 0.35 +
           col("avg_dur") * 2.0 + col("active_days") * 0.4)

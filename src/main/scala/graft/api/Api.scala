@@ -223,4 +223,79 @@ object Api {
       ApiLimits.clampOffset(offset),
       ApiLimits.clampLimit(limit, ApiLimits.ArticlesMaxLimit))
   }
+
+  /** `GET /api/v1/narrative_timeline` (`app.py:3637-3905`): per-tag rollup
+    * of an entity's narrative daily rows over the lookback window — weighted
+    * mentions (tag_counts, floor 1), day presence, group voting (primary's
+    * group wins for its own tag, fixed non-crisis vocabulary, else the row's
+    * is_crisis), and the W8 trailing streak ending at the target date,
+    * sorted (active, duration desc, mentions-on-date desc, total desc, tag).
+    *
+    * The trailing streak is relational, not a walk: with distinct
+    * day-offsets from the target sorted ascending, `sorted(i) == i` holds
+    * exactly for the consecutive prefix, so the streak is the count of
+    * prefix matches. Tags come from a fixed vocabulary, so the reference's
+    * casefold-dedup-keep-first collapses to array_distinct with the primary
+    * prepended. */
+  def narrativeTimeline(
+      narrativeDaily: DataFrame,
+      targetDate: java.sql.Date,
+      days: Int): DataFrame = {
+    import graft.functions.NarrativeRules
+    val d = ApiLimits.clampDays(days, ApiLimits.SeriesMaxDays)
+    val start = java.sql.Date.valueOf(targetDate.toLocalDate.minusDays(d - 1L))
+    val target = lit(targetDate)
+    val nonCrisis = NarrativeRules.NonCrisisTags
+
+    val exploded = narrativeDaily
+      .filter(col("date").between(lit(start), target) && col("primary_tag").isNotNull)
+      .withColumn("tag", explode(array_distinct(
+        concat(array(col("primary_tag")), coalesce(col("tags"),
+          array().cast("array<string>"))))))
+      .withColumn("weight",
+        greatest(coalesce(element_at(col("tag_counts"), col("tag")), lit(1L)), lit(1L)))
+      .withColumn("vote",
+        when(lower(col("tag")) === lower(col("primary_tag")) &&
+          col("primary_group").isin("crisis", "non_crisis"), col("primary_group"))
+          .when(col("tag").isin(nonCrisis: _*), "non_crisis")
+          .when(col("is_crisis").isNotNull,
+            when(col("is_crisis"), "crisis").otherwise("non_crisis")))
+
+    val agg = exploded.groupBy(lower(col("tag")).as("__norm"))
+      .agg(
+        max(col("tag")).as("tag"),
+        sum(col("weight")).as("mentions_total"),
+        countDistinct(col("date")).as("days_present"),
+        min(col("date")).as("first_seen_date"),
+        max(col("date")).as("last_seen_date"),
+        coalesce(sum(when(col("date") === target, col("weight"))), lit(0L))
+          .as("mentions_on_date"),
+        graft.operators.Rollups.countIf(col("vote") === "crisis").as("__cv"),
+        graft.operators.Rollups.countIf(col("vote") === "non_crisis").as("__ncv"),
+        sort_array(collect_set(datediff(target, col("date")))).as("__offs"))
+
+    agg
+      .withColumn("active_on_date", element_at(col("__offs"), 1) === 0)
+      .withColumn("current_duration_days",
+        aggregate(zip_with(col("__offs"),
+          sequence(lit(0), size(col("__offs")) - 1),
+          (o, i) => when(o === i, 1).otherwise(0)), lit(0), (acc, x) => acc + x))
+      .withColumn("group",
+        when(col("__cv") > col("__ncv"), "crisis")
+          .when(col("__ncv") > 0, "non_crisis"))
+      .withColumn("display_tag",
+        when(col("group") === "non_crisis" || col("tag").isin(nonCrisis: _*),
+          concat(col("tag"), lit(" (non-crisis)"))).otherwise(col("tag")))
+      .withColumn("is_crisis", col("group") === "crisis")
+      .withColumn("is_non_crisis", col("group") === "non_crisis")
+      .withColumn("current_start_date",
+        when(col("current_duration_days") > 0,
+          date_sub(target, col("current_duration_days") - 1)))
+      .withColumn("current_end_date",
+        when(col("current_duration_days") > 0, target))
+      .drop("__norm", "__cv", "__ncv", "__offs")
+      .orderBy(when(col("active_on_date"), 0).otherwise(1),
+        col("current_duration_days").desc, col("mentions_on_date").desc,
+        col("mentions_total").desc, lower(col("tag")))
+  }
 }

@@ -157,4 +157,48 @@ class ApiSpec extends SparkSpec {
       .select("entity_name", "title").as[(String, String)].collect()
     assert(got.toSeq == Seq(("Acme", "B title"), ("Zeta", "C title")))
   }
+
+  test("narrativeTimeline: weighted buckets, group votes, trailing streak") {
+    import java.sql.Date
+    def row(ds: String, primary: String, group: String, tags: Seq[String],
+        counts: Map[String, Long], crisis: Boolean) =
+      (Date.valueOf(ds), primary, group, tags, counts, crisis)
+    val rows = Seq(
+      // Fraud active 06-03..06-05 (streak 3), also seen 06-01 (gap)
+      row("2025-06-01", "Fraud", "crisis", Seq("Fraud"), Map("Fraud" -> 2L), true),
+      row("2025-06-03", "Fraud", "crisis", Seq("Fraud", "Legal & Regulatory"),
+        Map("Fraud" -> 3L, "Legal & Regulatory" -> 1L), true),
+      row("2025-06-04", "Fraud", "crisis", Seq("Fraud"), Map("Fraud" -> 1L), true),
+      row("2025-06-05", "Fraud", "crisis", Seq("Fraud"), Map("Fraud" -> 4L), true),
+      // M&A non-crisis on the target day only
+      row("2025-06-05", "Mergers and acquisitions", "non_crisis",
+        Seq("Mergers and acquisitions"), Map("Mergers and acquisitions" -> 1L), false)
+    ).toDF("date", "primary_tag", "primary_group", "tags", "tag_counts", "is_crisis")
+
+    val got = Api.narrativeTimeline(rows, Date.valueOf("2025-06-05"), 30)
+      .select("tag", "display_tag", "group", "active_on_date",
+        "current_duration_days", "mentions_on_date", "mentions_total",
+        "days_present", "current_start_date")
+      .collect()
+    val byTag = got.map(r => r.getString(0) -> r).toMap
+
+    val fraud = byTag("Fraud")
+    assert(fraud.getString(2) == "crisis" && fraud.getBoolean(3))
+    assert(fraud.getInt(4) == 3) // streak 06-03..05, gap breaks 06-01
+    assert(fraud.getLong(5) == 4L && fraud.getLong(6) == 10L)
+    assert(fraud.getLong(7) == 4L)
+    assert(fraud.get(8).toString == "2025-06-03")
+
+    val mna = byTag("Mergers and acquisitions")
+    assert(mna.getString(1) == "Mergers and acquisitions (non-crisis)")
+    assert(mna.getString(2) == "non_crisis" && mna.getInt(4) == 1)
+
+    // Legal tag: secondary on 06-03 only — inactive, votes fall to is_crisis
+    val legal = byTag("Legal & Regulatory")
+    assert(!legal.getBoolean(3) && legal.getInt(4) == 0 && legal.getString(2) == "crisis")
+
+    // sort: active first (Fraud streak 3 > M&A streak 1), inactive last
+    assert(got.map(_.getString(0)).toSeq ==
+      Seq("Fraud", "Mergers and acquisitions", "Legal & Regulatory"))
+  }
 }

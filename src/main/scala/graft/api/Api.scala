@@ -298,4 +298,64 @@ object Api {
         col("current_duration_days").desc, col("mentions_on_date").desc,
         col("mentions_total").desc, lower(col("tag")))
   }
+
+  /** `GET /api/v1/narrative_tags` (`app.py:3454-3637`): one row per entity
+    * for a single date — the modal primary tag (max by (count, tag)),
+    * weight-sorted tag list with display variants, and crisis/non-crisis
+    * presence flags. Handles multi-row inputs (the item-grain fallback
+    * path) even though the crisis-event grain is one row per entity-day. */
+  def narrativeTags(narrativeDaily: DataFrame, onDate: Column): DataFrame = {
+    import graft.functions.NarrativeRules
+    val nonCrisis = NarrativeRules.NonCrisisTags
+    def display(tag: Column, group: Column): Column =
+      when(group === "non_crisis" || tag.isin(nonCrisis: _*),
+        concat(tag, lit(" (non-crisis)"))).otherwise(tag)
+
+    val base = narrativeDaily
+      .filter(col("date") === onDate && col("primary_tag").isNotNull &&
+        trim(coalesce(col("entity_name"), lit(""))) =!= "")
+
+    // modal primary: count per (tag, group), Python max by (count, tag)
+    val pw = Window.partitionBy("entity_name")
+      .orderBy(col("__cnt").desc, col("primary_tag").desc)
+    val primary = base.groupBy("entity_name", "primary_tag", "primary_group")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") === 1)
+      .select(col("entity_name"), col("primary_tag"), col("primary_group"),
+        display(col("primary_tag"), col("primary_group")).as("primary_display_tag"))
+
+    // row-level crisis/non-crisis votes
+    val flags = base.groupBy("entity_name").agg(
+      coalesce(max(when(col("primary_group") === "crisis" ||
+        col("is_crisis") === true, true)), lit(false)).as("__hc"),
+      coalesce(max(when(col("primary_group") === "non_crisis" ||
+        col("is_crisis") === false, true)), lit(false)).as("__hnc"))
+
+    // weight-summed tags, ordered (-weight, tag); array_sort on
+    // (negated weight, tag) structs gives the reference's sort
+    val tags = base
+      .withColumn("tag", explode(coalesce(col("tags"), array().cast("array<string>"))))
+      .filter(trim(col("tag")) =!= "")
+      .withColumn("w",
+        greatest(coalesce(element_at(col("tag_counts"), col("tag")), lit(1L)), lit(1L)))
+      .groupBy("entity_name", "tag").agg(sum(col("w")).as("w"))
+      .groupBy("entity_name").agg(
+        transform(array_sort(collect_list(struct((-col("w")).as("nw"), col("tag")))),
+          x => x.getField("tag")).as("tags"),
+        coalesce(max(col("tag").isin(nonCrisis: _*)), lit(false)).as("__tag_nc"))
+      .withColumn("display_tags",
+        transform(col("tags"), t => display(t, lit(null: String))))
+
+    primary.join(flags, Seq("entity_name"), "left")
+      .join(tags, Seq("entity_name"), "left")
+      .withColumn("has_crisis", coalesce(col("__hc"), lit(false)))
+      .withColumn("has_non_crisis",
+        coalesce(col("__hnc"), lit(false)) || coalesce(col("__tag_nc"), lit(false)))
+      .withColumn("tags", coalesce(col("tags"), array().cast("array<string>")))
+      .withColumn("display_tags",
+        coalesce(col("display_tags"), array().cast("array<string>")))
+      .drop("__hc", "__hnc", "__tag_nc")
+      .orderBy("entity_name")
+  }
 }

@@ -201,4 +201,48 @@ class ApiSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq ==
       Seq("Fraud", "Mergers and acquisitions", "Legal & Regulatory"))
   }
+
+  test("narrativeTags: modal primary, weight-sorted tags, presence flags") {
+    import java.sql.Date
+    val rows = Seq(
+      // Acme: one crisis-event row
+      (Date.valueOf("2025-06-05"), "Acme", "Fraud", "crisis",
+        Seq("Fraud", "Legal & Regulatory"),
+        Map("Fraud" -> 2L, "Legal & Regulatory" -> 5L), Option(true)),
+      // Globex: multi-row (fallback grain) — M&A appears twice, Fraud once
+      (Date.valueOf("2025-06-05"), "Globex", "Mergers and acquisitions", "non_crisis",
+        Seq("Mergers and acquisitions"), Map("Mergers and acquisitions" -> 1L),
+        Option(false)),
+      (Date.valueOf("2025-06-05"), "Globex", "Mergers and acquisitions", "non_crisis",
+        Seq("Mergers and acquisitions"), Map("Mergers and acquisitions" -> 1L),
+        Option(false)),
+      (Date.valueOf("2025-06-05"), "Globex", "Fraud", "crisis",
+        Seq("Fraud"), Map("Fraud" -> 9L), Option(true)),
+      // other day must be ignored
+      (Date.valueOf("2025-06-04"), "Acme", "Other", "crisis",
+        Seq("Other"), Map("Other" -> 1L), Option(true))
+    ).toDF("date", "entity_name", "primary_tag", "primary_group", "tags",
+      "tag_counts", "is_crisis")
+
+    val got = Api.narrativeTags(rows, lit(Date.valueOf("2025-06-05")))
+      .select("entity_name", "primary_tag", "primary_display_tag", "tags",
+        "display_tags", "has_crisis", "has_non_crisis")
+      .as[(String, String, String, Seq[String], Seq[String], Boolean, Boolean)]
+      .collect()
+    assert(got.map(_._1).toSeq == Seq("Acme", "Globex"))
+
+    val acme = got(0)
+    assert(acme._2 == "Fraud" && acme._3 == "Fraud")
+    // Legal weight 5 beats Fraud 2
+    assert(acme._4 == Seq("Legal & Regulatory", "Fraud"))
+    assert(acme._6 && !acme._7)
+
+    val globex = got(1)
+    assert(globex._2 == "Mergers and acquisitions") // modal: 2 rows beat 1
+    assert(globex._3 == "Mergers and acquisitions (non-crisis)")
+    // weights: Fraud 9 beats M&A 1+1=2
+    assert(globex._4 == Seq("Fraud", "Mergers and acquisitions"))
+    assert(globex._5 == Seq("Fraud", "Mergers and acquisitions (non-crisis)"))
+    assert(globex._6 && globex._7)
+  }
 }

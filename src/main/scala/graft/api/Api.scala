@@ -358,4 +358,21 @@ object Api {
       .drop("__hc", "__hnc", "__tag_nc")
       .orderBy("entity_name")
   }
+
+  /** `GET /api/v1/serp_feature_items` (`app.py:3353-3454`): one entity-day's
+    * feature items ordered `feature_type, position nulls last, sentiment`,
+    * paginated with the 500-item cap. */
+  def serpFeatureItems(
+      items: DataFrame,
+      onDate: Column,
+      entityType: String,
+      entityId: Column,
+      limit: Int = 200,
+      offset: Int = 0): DataFrame =
+    graft.operators.Windows.paginate(
+      items.filter(entityTypeFilter(col("entity_type"), entityType) &&
+        col("date") === onDate && col("entity_id") === entityId),
+      Seq(col("feature_type"), col("position").asc_nulls_last, col("sentiment_label")),
+      ApiLimits.clampOffset(offset),
+      ApiLimits.clampLimit(limit, ApiLimits.FeatureItemsMaxLimit))
 }

@@ -127,4 +127,21 @@ class OperatorsSpec extends SparkSpec {
     val page = Windows.paginate(df, Seq(col("x")), 8, 5).select("x").as[Int].collect()
     assert(page.toSeq == Seq(9, 10))
   }
+
+  test("IVF ANN recall@5 vs brute force is measured and bounded") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val approx = pairs(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4))
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    // deterministic for this data; nprobe=4/16 trades recall for a 4x
+    // smaller probe set — the quality floor is pinned so an accidental
+    // bucketing regression (wrong centroid ids, broken probe join) fails
+    assert(recall >= 0.55, s"recall@5 = $recall")
+    assert(exact.size == 100 && approx.size == 100)
+  }
 }

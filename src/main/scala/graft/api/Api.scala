@@ -375,4 +375,20 @@ object Api {
       Seq(col("feature_type"), col("position").asc_nulls_last, col("sentiment_label")),
       ApiLimits.clampOffset(offset),
       ApiLimits.clampLimit(limit, ApiLimits.FeatureItemsMaxLimit))
+
+  /** `GET /api/v1/processed_serps` (`app.py:2981-3040`): one day's SERP
+    * result rows ordered (entity name, rank), paginated with the 1000-row
+    * cap. `serpRows` carries the run-date join already applied (gold grain). */
+  def processedSerps(
+      serpRows: DataFrame,
+      onDate: Column,
+      entityType: String,
+      limit: Int = 200,
+      offset: Int = 0): DataFrame =
+    graft.operators.Windows.paginate(
+      serpRows.filter(entityTypeFilter(col("entity_type"), entityType) &&
+        col("date") === onDate),
+      Seq(col("entity_name"), col("rank")),
+      ApiLimits.clampOffset(offset),
+      ApiLimits.clampLimit(limit, ApiLimits.ArticlesMaxLimit))
 }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-reproducible hashing for the dedup/LSH operator family.
+  *
+  * Spark's `xxhash64` has no equivalent in other SQL engines, which makes
+  * queries built on it impossible to verify differentially. This family is
+  * built on md5 — available and bit-identical everywhere — so the SAME
+  * signature/bucket pipeline can be replayed in DuckDB (the correctness
+  * oracle) or any warehouse:
+  *
+  *  - [[md5Hash60]] == DuckDB `(md5_number_lower(s) % 2^60)::BIGINT`
+  *    (`md5_number_lower` is the little-endian uint64 of digest bytes 8..15;
+  *    we rebuild it from the hex string byte-reversed, then mask to 60 bits
+  *    so the value fits a signed BIGINT in every engine).
+  *  - [[affine31]] is the classic universal-hash permutation family
+  *    `(a*h + b) mod p` over the 31-bit residue of the base hash, entirely
+  *    in Long arithmetic (products < 2^62 — ANSI-overflow-safe with no
+  *    decimal widening; see SPARK ANSI notes in the repo memory).
+  *
+  * Throughput note: md5 over short shingle strings is ~2x the cost of
+  * xxhash64 tuple hashing, which is why [[Dedup]] keeps the xxhash64 family
+  * as an option; the portable family is the default for anything that needs
+  * cross-engine verification, and the banding/harvest topology (the part
+  * that matters at 100 TB) is identical for both.
+  */
+object PortableHash {
+
+  /** 2^60 — the mask modulus keeping hashes positive in signed 64-bit. */
+  val Mod60: Long = 1152921504606846976L
+
+  /** Mersenne prime 2^31 - 1 for the affine permutation family. */
+  val P31: Long = 2147483647L
+
+  /** 60-bit positive hash of a string column, equal to DuckDB's
+    * `(md5_number_lower(s) % 1152921504606846976)::BIGINT`. */
+  def md5Hash60(c: Column): Column = {
+    val hex = md5(c.cast("string").cast("binary"))
+    // digest bytes 8..15 little-endian => hex byte pairs 31,29,...,17 MSB-first
+    val le = concat((0 until 8).map(i => substring(hex, 31 - 2 * i, 2)): _*)
+    pmod(conv(le, 16, 10).cast("decimal(20,0)"), lit(Mod60).cast("decimal(20,0)"))
+      .cast("long")
+  }
+
+  /** The same computation as a DuckDB SQL fragment (for generated oracles). */
+  def md5Hash60Sql(expr: String): String =
+    s"((md5_number_lower($expr) % ${Mod60}::UBIGINT)::BIGINT)"
+
+  /** Deterministic splitmix64 step — the coefficient source for permutation
+    * families and hyperplane literals (same stream every run/engine). */
+  def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Coefficients (a, b) of the i-th affine permutation: a in [1, p-1],
+    * b in [0, p-1], fixed for all time (they are part of any persisted
+    * signature's format). */
+  def affineCoeffs(i: Int): (Long, Long) = {
+    val a = java.lang.Math.floorMod(splitmix(0x5EEDL + 2L * i), P31 - 1) + 1
+    val b = java.lang.Math.floorMod(splitmix(0xB0B5L + 2L * i + 1), P31)
+    (a, b)
+  }
+
+  /** i-th permutation of a base hash column: `(a_i * (h & 0x7FFFFFFF) + b_i)
+    * mod p31`. Long-only arithmetic: products < 2^62. */
+  def affine31(i: Int, h: Column): Column = {
+    val (a, b) = affineCoeffs(i)
+    (lit(a) * h.bitwiseAND(lit(0x7FFFFFFFL)) + lit(b)) % lit(P31)
+  }
+
+  /** DuckDB fragment for [[affine31]] over a fragment computing the base
+    * hash. */
+  def affine31Sql(i: Int, hExpr: String): String = {
+    val (a, b) = affineCoeffs(i)
+    s"(($a * ($hExpr & 2147483647) + $b) % $P31)"
+  }
+}

@@ -102,4 +102,31 @@ class FunctionsSpec extends SparkSpec {
     val hs = df.as[Long].collect()
     assert(hs(0) != hs(1))
   }
+
+  test("PortableHash.md5Hash60 matches DuckDB md5_number_lower % 2^60") {
+    import graft.functions.PortableHash
+    // goldens computed with DuckDB v1.0.0:
+    //   select (md5_number_lower(s) % 1152921504606846976::UBIGINT)::BIGINT
+    val goldens = Seq(
+      "abc" -> 180110074134370006L,
+      "hello world" -> 273974725705911187L,
+      "" -> 1027657360040624361L,
+      "a b c d" -> 780873055019354461L,
+      "the quick brown fox" -> 342711634746194520L)
+    val got = goldens.map(_._1).toDF("s")
+      .select(PortableHash.md5Hash60(col("s")).as("h")).as[Long].collect()
+    assert(got.toSeq == goldens.map(_._2))
+  }
+
+  test("PortableHash.affine31 stays in [0, p) and matches the SQL fragment") {
+    import graft.functions.PortableHash
+    val hs = Seq(0L, 1L, PortableHash.Mod60 - 1, 987654321098765L)
+    val got = hs.toDF("h")
+      .select(PortableHash.affine31(3, col("h")).as("m")).as[Long].collect()
+    got.foreach(m => assert(m >= 0 && m < PortableHash.P31))
+    // mirror of affine31Sql evaluated in Scala
+    val (a, b) = PortableHash.affineCoeffs(3)
+    val exp = hs.map(h => (a * (h & 0x7FFFFFFFL) + b) % PortableHash.P31)
+    assert(got.toSeq == exp)
+  }
 }

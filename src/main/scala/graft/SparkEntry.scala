@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Effective, Rollups, Similarity, StatePropagation, Windows}
-import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF}
+import graft.functions.{PortableHash, SimilarityFunctions => SF, TextFunctions => TF}
 import graft.sources.PipeSeries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -247,16 +247,28 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** MinHash+LSH near-dup candidates (rows-only check). */
+  /** MinHash+LSH near-dup candidates — portable md5Hash60/affine31 hash
+    * family so the WHOLE signature → band → bucket → pair pipeline replays
+    * bit-for-bit in the DuckDB oracle. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatePairs(documents(s, dir), "doc_id", "text",
-      shingleSize = 2, numHashes = 32, rowsPerBand = 8)
+      shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
       .orderBy("id_a", "id_b")
 
-  /** SimHash fingerprints + prefix buckets (rows-only check). */
+  /** SimHash fingerprints + prefix-block buckets (portable 60-bit family —
+    * oracle recomputes the same balances/assembly in SQL). */
   private def simhashTable(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashTable(documents(s, dir), "doc_id", "text")
+    Dedup.simhashTable(documents(s, dir), "doc_id", "text", portable = true)
       .orderBy("id")
+
+  /** SimHash near-dup PAIRS via 4 rotated prefix-block tables — complete for
+    * Hamming <= 3 by pigeonhole, so the oracle can be the brute-force
+    * `bit_count(xor)` join (a completeness proof, not just a replay). */
+  private def simhashPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      Dedup.simhashTable(documents(s, dir), "doc_id", "text", portable = true),
+      bits = 60)
+      .orderBy("id_a", "id_b")
 
   /** W11/K5: recursive prev-day active-state propagation via flatMapGroups —
     * the reference's crisis-event trigger machine shape
@@ -465,13 +477,16 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
-  /** Embedding near-dup pairs via random-hyperplane LSH buckets + cosine
-    * threshold (rows-only). */
+  /** Embedding near-dup pairs via banded random-hyperplane LSH + cosine
+    * threshold. Planes are deterministic literals, so the oracle replays the
+    * identical band keys; cos is emitted as float (1-ulp double wobble
+    * between engines' accumulators disappears at float precision). */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
     // synthetic embeddings are near-orthogonal (max pairwise cos ~0.48), so
     // the "near-dup" gate is set where the data actually has neighbors
     Dedup.embeddingNearDupPairs(embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.3, planeBits = 6)
+      threshold = 0.3, dim = 64, numBands = 4, bandBits = 6)
+      .select(col("id_a"), col("id_b"), col("cos").cast("float").as("cos"))
       .orderBy("id_a", "id_b")
 
   /** A14: composite weighted signal score (entity-store.js:131-215 /
@@ -698,7 +713,8 @@ object SparkEntry {
     "q39_lang_confusion" -> (langConfusion _),
     "q40_jaccard_verify" -> (jaccardVerify _),
     "q41_quality_score" -> (qualityScore _),
-    "q42_repetition_stats" -> (repetitionStats _)
+    "q42_repetition_stats" -> (repetitionStats _),
+    "q43_simhash_pairs" -> (simhashPairsQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -717,7 +733,107 @@ object SparkEntry {
        |      FROM documents)""".stripMargin
   }
 
+  /** q18 oracle: full portable minhash pipeline replayed in DuckDB SQL —
+    * md5Hash60 shingle hashes, 32 affine permutations, band CSV keys, the
+    * same (2, maxBucket) bucket-size gate, signature-agreement Jaccard. */
+  private lazy val minhashOracleSql: String = {
+    val n = 32; val rpb = 8; val bands = n / rpb
+    val mins = (0 until n)
+      .map(i => s"min(${PortableHash.affine31Sql(i, "h")}) AS m$i").mkString(",\n    ")
+    val sigList = (0 until n).map(i => s"m$i").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val csv = (0 until rpb).map(r => s"m${b * rpb + r}").mkString(", ")
+      s"SELECT id, [$sigList] AS sig, $b AS bno, concat_ws(',', $csv) AS bk FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val estJ = (0 until n)
+      .map(i => s"CASE WHEN a.sig[${i + 1}] = b.sig[${i + 1}] THEN 1 ELSE 0 END")
+      .mkString("\n    + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT id, array_to_string(tk[u.i + 1 : u.i + 2], ' ') AS s
+       |  FROM toks, unnest(range(greatest(len(tk) - 1, 1))) AS u(i)),
+       |h AS (SELECT id, ${PortableHash.md5Hash60Sql("s")} AS h FROM sh),
+       |sig AS (SELECT id, $mins FROM h GROUP BY id),
+       |banded AS (
+       |  $bandSelects),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bno, bk) AS bsz FROM banded)
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |  CAST($estJ AS DOUBLE) / 32.0 AS est_jaccard
+       |FROM sized a JOIN sized b ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+       |WHERE a.bsz BETWEEN 2 AND 1000
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Shared CTE body recomputing the portable 60-bit simhash table in SQL
+    * (token md5Hash60 -> per-bit +/-1 balances -> bit assembly). */
+  private lazy val simhashSqlCte: String = {
+    val bits = 60
+    val bals = (0 until bits)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n    ")
+    val assemble = (0 until bits)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END")
+      .mkString("\n    + ")
+    s"""toks AS (
+       |  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT id, ${PortableHash.md5Hash60Sql("tok")} AS h FROM toks),
+       |bal AS (SELECT id, $bals FROM h GROUP BY id),
+       |sim AS (SELECT id, $assemble AS simhash FROM bal)""".stripMargin
+  }
+
+  /** q33 oracle: replay the hyperplane band keys (same float-rounded plane
+    * literals, sign of dot == sign of cosine), bucket-size gate, then exact
+    * double cosine over candidate pairs. */
+  private lazy val embNearDupOracleSql: String = {
+    val dim = 64; val numBands = 4; val bandBits = 6
+    def planeSql(p: Int): String =
+      (0 until dim).map(i => Dedup.planeCoeff(p, i).toDouble.toString)
+        .mkString("[", ", ", "]")
+    def bandKeySql(b: Int): String =
+      (0 until bandBits).map { bit =>
+        s"CASE WHEN list_dot_product(v, ${planeSql(b * bandBits + bit)}) > 0 THEN ${1L << bit} ELSE 0 END"
+      }.mkString("\n    + ")
+    val bandSelects = (0 until numBands).map(b =>
+      s"SELECT vec_id AS id, $b AS bno,\n    ${bandKeySql(b)} AS bk FROM e")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |banded AS (
+       |  $bandSelects),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bno, bk) AS bsz FROM banded),
+       |pp AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM sized a JOIN sized b ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+       |  WHERE a.bsz BETWEEN 2 AND 1000),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    list_dot_product(ea.v, eb.v)
+       |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS c
+       |  FROM pp JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+       |SELECT id_a, id_b, CAST(c AS FLOAT) AS cos
+       |FROM scored WHERE c >= CAST(0.3 AS DOUBLE)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q18_minhash_pairs" -> minhashOracleSql,
+    "q19_simhash" ->
+      s"""WITH $simhashSqlCte
+         |SELECT id, simhash, simhash >> 45 AS bucket FROM sim ORDER BY id""".stripMargin,
+    // brute-force Hamming join == the banded pairing by pigeonhole
+    // completeness (<= 3 differing bits leave >= 1 of 4 blocks intact)
+    "q43_simhash_pairs" ->
+      s"""WITH $simhashSqlCte
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q33_embedding_neardup" -> embNearDupOracleSql,
     "q01_pricing_pivot" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,13 +1,13 @@
 package graft.operators
 
-import graft.functions.{SimilarityFunctions => S, TextFunctions => T}
+import graft.functions.{PortableHash => PH, SimilarityFunctions => S, TextFunctions => T}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator family for training-data pipelines: exact
-  * (fingerprint hash), MinHash+LSH near-dup, SimHash near-dup, and n-gram
-  * Jaccard verification — each designed so the only shuffles are on hash /
-  * band keys (never an all-pairs cross join).
+  * (fingerprint hash), MinHash+LSH near-dup, SimHash near-dup (table AND
+  * pairing stage), and n-gram Jaccard verification — each designed so the
+  * only shuffles are on hash / band keys (never an all-pairs cross join).
   *
   * Reference analogue: url_hash dedup on ingest
   * (`src/ingest_v2.py:195-222`, `src/url_utils.py:43-47`) — generalize from
@@ -15,12 +15,19 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB posture:
   *  - exact dedup = one hash-aggregate shuffle on the 128-bit fingerprint;
-  *  - LSH candidate generation = explode to (bandKey, doc) then harvest each
-  *    band bucket with one aggregation — shuffle is O(docs × bands), pair
-  *    expansion touches only same-bucket members (empirically tiny vs n²);
-  *  - band-key hot buckets (boilerplate docs) are the skew risk: cap bucket
-  *    size before pairing (`maxBucket`), mirroring production LSH dedup
-  *    pipelines, and/or rely on AQE skew-join splitting.
+  *  - ALL LSH candidate generation (minhash bands, simhash blocks,
+  *    hyperplane bands) goes through one shared shape, [[bucketPairs]]:
+  *    explode to (band, key, member), harvest each bucket with ONE
+  *    aggregation, expand pairs only within buckets. Shuffle volume is
+  *    O(docs x bands); pair expansion is quadratic only within `maxBucket`;
+  *  - hot buckets (boilerplate floods) are dropped whole by the `maxBucket`
+  *    cap — the documented recall/robustness trade of production LSH dedup —
+  *    so no operator here can go quadratic on skewed data.
+  *
+  * Two hash families (see [[graft.functions.PortableHash]]): the default
+  * xxhash64 family (fastest; Spark-only) and a portable md5-based family
+  * whose whole pipeline can be replayed bit-for-bit in another SQL engine
+  * (our DuckDB correctness oracle uses it). Banding topology is identical.
   */
 object Dedup {
 
@@ -32,10 +39,35 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Shared LSH bucket-harvest: group `(bandCols, member)` rows by band key,
+    * collect members, drop singleton and over-`maxBucket` buckets, expand
+    * in-bucket pairs (i < j in collected order). Returns (m_a, m_b) member
+    * structs; callers project/dedupe. One shuffle on the band key; the
+    * quadratic expansion is bounded by `maxBucket` per bucket. */
+  private[operators] def bucketPairs(
+      banded: DataFrame,
+      bandCols: Seq[Column],
+      member: Column,
+      maxBucket: Int): DataFrame = {
+    val buckets = banded.groupBy(bandCols: _*)
+      .agg(collect_list(member).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets.select(explode(flatten(
+      transform(col("members"), (m, i) =>
+        transform(
+          slice(col("members"), i + lit(2), size(col("members")) - i - 1),
+          m2 => struct(m.as("a"), m2.as("b")))))).as("p"))
+      .select(col("p.a").as("m_a"), col("p.b").as("m_b"))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across
     * bands. Only pairs sharing >=1 LSH band collide; the estimate comes from
     * full-signature agreement.
+    *
+    * `portable = true` switches the hash family to md5Hash60 + affine
+    * permutations (cross-engine-replayable, ~2x the hashing cost); the
+    * banding/harvest topology — the scale-critical part — is identical.
     */
   def minhashCandidatePairs(
       docs: DataFrame,
@@ -44,45 +76,49 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       rowsPerBand: Int = 4,
-      maxBucket: Int = 1000): DataFrame = {
-    // Signature pipeline: shingle hashes computed in-place on the scan
-    // (tokenShingleHashes hashes token tuples directly, no shingle strings),
+      maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    // Signature pipeline: shingle hashes computed in-place on the scan,
     // exploded, then numHashes codegen'd min-aggregates — ONE shuffle (the
     // group-by on doc id) for the whole stage. No distinct pass: min over a
     // multiset equals min over the set, so duplicate shingles cost nothing
     // (a prior array_distinct here was 5x the cost of the hashing itself).
     // A window-lead relational variant benches identically at sf0.1 but
     // adds a shuffle — in-place wins at corpus scale.
-    val hashed = docs.select(col(idCol).as("id"),
-      explode(S.tokenShingleHashes(col(textCol), shingleSize)).as("h"))
-    val minAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val hashed =
+      if (portable)
+        docs.select(col(idCol).as("id"),
+          explode(S.tokenShingles(col(textCol), shingleSize)).as("s"))
+          .select(col("id"), PH.md5Hash60(col("s")).as("h"))
+      else
+        docs.select(col(idCol).as("id"),
+          explode(S.tokenShingleHashes(col(textCol), shingleSize)).as("h"))
+    val minAggs = (0 until numHashes).map { i =>
+      val perm = if (portable) PH.affine31(i, col("h")) else xxhash64(lit(i), col("h"))
+      min(perm).as(s"m$i")
+    }
     val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    // Candidate pairs by harvesting each band bucket in ONE aggregation —
-    // groupBy(band) -> collect members -> expand in-bucket pairs — instead
-    // of a band self-join. The self-join shape recomputes the (scan ->
-    // shingle -> signature) subplan for each join side plus once more for a
-    // bucket-size guard (Spark does not share subplans without explicit
-    // persistence); this shape computes signatures once and shuffles once on
-    // the band key. The skew guard becomes a plain size filter on the
-    // collected bucket (boilerplate floods are dropped whole, as before);
-    // per-bucket pair expansion is quadratic only within maxBucket.
-    val banded = sigs
-      .select(col("id"), col("sig"), explode(S.bandKeys(col("sig"), rowsPerBand)).as("band"))
-    val buckets = banded.groupBy("band")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    val pairs = buckets.select(explode(flatten(
-      transform(col("members"), (m, i) =>
-        transform(
-          slice(col("members"), i + lit(2), size(col("members")) - i - 1),
-          m2 => struct(
-            least(m.getField("id"), m2.getField("id")).as("id_a"),
-            greatest(m.getField("id"), m2.getField("id")).as("id_b"),
-            S.minhashJaccardEstimate(m.getField("sig"), m2.getField("sig"))
-              .as("est_jaccard")))))).as("p"))
-    pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-      col("p.est_jaccard").as("est_jaccard"))
+    // Band keys: the portable family keeps the raw component CSV (engine
+    // replayable); the default compresses each band to one xxhash64.
+    val numBands = numHashes / rowsPerBand
+    def bandKey(b: Int): Column = {
+      val csv = array_join(
+        transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string")), ",")
+      if (portable) csv else xxhash64(lit(b), csv).cast("string")
+    }
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("bno", "bk")))
+    val pairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
+      struct(col("id"), col("sig")), maxBucket)
+    pairs.select(
+      least(col("m_a.id"), col("m_b.id")).as("id_a"),
+      greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
+      ((0 until numHashes).map(i =>
+        when(element_at(col("m_a.sig"), i + 1) === element_at(col("m_b.sig"), i + 1),
+          lit(1)).otherwise(lit(0))).reduce(_ + _).cast("double") / numHashes.toDouble)
+        .as("est_jaccard"))
       .distinct()
   }
 
@@ -102,72 +138,123 @@ object Dedup {
       .select(col("id_a"), col("id_b"), S.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
-  /** SimHash table: per-doc 64-bit simhash plus a 16-bit prefix bucket —
-    * near-dups (small Hamming distance) mostly share prefix buckets; pairing
-    * within buckets is the scale path (4 rotated prefix tables catch all
-    * pairs within Hamming distance 3 — standard simhash sharding).
+  /** SimHash bit width per family: 64 (xxhash64) / 60 (portable md5Hash60 —
+    * masked to 2^60 so every engine's signed BIGINT holds it). */
+  def simhashBits(portable: Boolean): Int = if (portable) 60 else 64
+
+  /** SimHash table: per-doc simhash fingerprint plus the top prefix block as
+    * a coarse bucket. Near-dups (small Hamming distance) mostly share prefix
+    * blocks; [[simhashPairs]] is the full pairing stage.
     *
-    * Relational formulation (explode tokens -> 64 codegen'd conditional-sum
-    * aggregates -> bit reassembly) rather than a higher-order expression:
-    * HOF lambdas are interpreted and were ~5x slower at bench scale. One
-    * shuffle on the doc id with map-side partial aggregation. */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Relational formulation (explode tokens -> per-bit codegen'd
+    * conditional-sum aggregates -> bit reassembly) rather than a
+    * higher-order expression: HOF lambdas are interpreted and were ~5x
+    * slower at bench scale. One shuffle on the doc id with map-side partial
+    * aggregation. */
+  def simhashTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      portable: Boolean = false): DataFrame = {
+    val bits = simhashBits(portable)
     val toks = docs.select(col(idCol).as("id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-    val hashed = toks.select(col("id"), xxhash64(col("tok")).as("h"))
-    val balances = (0 until 64).map { i =>
+    val hashed = toks.select(col("id"),
+      (if (portable) PH.md5Hash60(col("tok")) else xxhash64(col("tok"))).as("h"))
+    val balances = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i")
     }
     hashed.groupBy("id").agg(balances.head, balances.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i =>
+        (0 until bits).map(i =>
           when(col(s"b$i") > 0L, lit(1L << i)).otherwise(0L)).reduce(_ bitwiseOR _)
           .as("simhash"))
-      .withColumn("bucket16", shiftrightunsigned(col("simhash"), 48))
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), bits - bits / 4))
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold among vectors sharing a
-    * coarse LSH bucket (random-hyperplane sign bits from fixed seeds). */
+  /** SimHash near-dup pairing: rotated prefix-block tables. The `bits`-wide
+    * simhash splits into 4 blocks; by pigeonhole any pair within Hamming
+    * distance 3 agrees on at least one whole block, so bucketing each block
+    * (4 band tables through [[bucketPairs]]) finds EVERY such pair — then an
+    * exact `bit_count(xor)` filter keeps true ones. Complete for
+    * maxHamming <= 3; higher thresholds would need more blocks.
+    *
+    * Input: output of [[simhashTable]] (id, simhash). Output:
+    * (id_a, id_b, hamming), id_a < id_b, hamming <= maxHamming.
+    */
+  def simhashPairs(
+      sims: DataFrame,
+      bits: Int = 64,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming <= 3, "4 prefix blocks are complete only to Hamming 3")
+    val blockBits = bits / 4
+    val mask = (1L << blockBits) - 1
+    val blockKeys = array((0 until 4).map { j =>
+      shiftrightunsigned(col("simhash"), blockBits * j).bitwiseAND(lit(mask))
+    }: _*)
+    val banded = sims.select(col("id"), col("simhash"),
+      posexplode(blockKeys).as(Seq("bno", "bk")))
+    val pairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
+      struct(col("id"), col("simhash")), maxBucket)
+    pairs.select(
+      least(col("m_a.id"), col("m_b.id")).as("id_a"),
+      greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
+      bit_count(col("m_a.simhash").bitwiseXOR(col("m_b.simhash"))).cast("long")
+        .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Hyperplane coefficient for plane `p`, element `i` — deterministic
+    * splitmix64 stream, rounded to float so the literal is representable
+    * identically in every engine. */
+  def planeCoeff(p: Int, i: Int): Float =
+    ((PH.splitmix((p.toLong << 32) | i.toLong) % 1000L) / 1000.0).toFloat
+
+  /** Embedding near-dup pairs: cosine >= threshold among vectors sharing at
+    * least one of `numBands` random-hyperplane LSH band keys (`bandBits`
+    * sign bits each — `sign(cos(v, plane)) == sign(dot(v, plane))`).
+    *
+    * Banded like minhash: a single `bandBits`-bit table has only
+    * 2^bandBits buckets, whose occupancy grows linearly with the corpus —
+    * the round-2 single-table formulation went quadratic on any dense
+    * bucket. Multiple independent band tables + the shared
+    * [[bucketPairs]] harvest with its `maxBucket` cap bound the pair
+    * expansion while multiplying recall (P[miss] = (1 - p^bandBits)^numBands
+    * for per-bit agreement probability p = 1 - theta/pi).
+    *
+    * Planes are literal float arrays (deterministic splitmix coefficients),
+    * each sign bit computed by the native codegen'd CosineSimilarity
+    * expression; `dim` is a required parameter (schema knowledge — no
+    * driver-side probe job).
+    */
   def embeddingNearDupPairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planeBits: Int = 8): DataFrame = {
-    // Random-hyperplane LSH with the planes materialized as float-array
-    // LITERALS (deterministic splitmix64 coefficients) and each sign bit
-    // computed by the native codegen'd CosineSimilarity expression —
-    // sign(cos(v, p)) == sign(dot(v, p)). The previous zip_with/aggregate
-    // formulation was CodegenFallback: planeBits interpreted lambda passes
-    // over every vector per row.
-    val dimRow = emb.select(size(col(vecCol))).head(1)
-    if (dimRow.isEmpty || dimRow(0).isNullAt(0))
-      // empty (or null-vector-first) input: zero pairs, correct schema
-      return emb.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
-        lit(0.0d).as("cos")).limit(0)
-    val dim = dimRow(0).getInt(0)
-    def splitmix(x0: Long): Long = {
-      var z = x0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
+      dim: Int,
+      numBands: Int = 8,
+      bandBits: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
     val spark = emb.sparkSession
-    def plane(b: Int): Column = array((0 until dim).map { i =>
-      lit(((splitmix((b.toLong << 32) | i.toLong) % 1000L) / 1000.0).toFloat)
-    }: _*)
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket",
-        (0 until planeBits).map { b =>
-          when(graft.plans.GraftExtensions.cosine(spark, col("vec"), plane(b)) > 0.0d,
-            lit(1L << b)).otherwise(0L)
-        }.reduce(_ + _))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.plans.GraftExtensions.cosine(emb.sparkSession, col("vec_a"), col("vec_b")).as("cos"))
+    def plane(p: Int): Column =
+      array((0 until dim).map(i => lit(planeCoeff(p, i))): _*)
+    def bandKey(b: Int): Column =
+      (0 until bandBits).map { bit =>
+        when(graft.plans.GraftExtensions.cosine(spark,
+          col("vec"), plane(b * bandBits + bit)) > 0.0d, lit(1L << bit)).otherwise(0L)
+      }.reduce(_ + _)
+    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"),
+        posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("bno", "bk")))
+    val pairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
+      struct(col("id"), col("vec")), maxBucket)
+    pairs.select(
+      least(col("m_a.id"), col("m_b.id")).as("id_a"),
+      greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
+      graft.plans.GraftExtensions.cosine(spark, col("m_a.vec"), col("m_b.vec")).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }

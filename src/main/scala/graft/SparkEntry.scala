@@ -465,6 +465,34 @@ object SparkEntry {
       .orderBy("q")
   }
 
+  /** K6 (portable mode): the same fuzzy-resolution shape (crossJoin +
+    * best/runner-up margin accept) scored by normalized Levenshtein
+    * similarity — SQL-expressible in any engine, so this variant carries a
+    * full DuckDB oracle. The difflib-parity scorer (q31) stays pinned by
+    * KernelsSpec byte-for-byte goldens; at corpus scale Levenshtein mode is
+    * also the cheaper scorer (codegen'd builtin, no UDF). */
+  private def fuzzyResolveLev(s: SparkSession, dir: String): DataFrame = {
+    val dim = nation(s, dir).select(col("n_name"))
+    val queries = dim.select(
+      lower(expr("substring(n_name, 1, length(n_name) - 1)")).as("q")).distinct()
+    val scored = queries.crossJoin(broadcast(dim))
+      .withColumn("score",
+        lit(1.0) - levenshtein(col("q"), lower(col("n_name"))).cast("double") /
+          greatest(length(col("q")), length(col("n_name"))).cast("double"))
+    val w = Window.partitionBy("q").orderBy(col("score").desc, col("n_name"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .groupBy("q")
+      .agg(
+        max(when(col("rnk") === 1, col("n_name"))).as("resolved"),
+        max(when(col("rnk") === 1, col("score"))).as("score"),
+        max(when(col("rnk") === 2, col("score"))).as("runner_up"))
+      .withColumn("accepted",
+        col("score") >= 0.82 &&
+          (col("score") >= 0.99 || coalesce(col("runner_up"), lit(0.0)) < col("score") - 0.02))
+      .orderBy("q")
+  }
+
   /** Multimodal plumbing: synthesize media rows from documents, run the
     * stubbed batched decode, sample video frames (rows-only check; the
     * decode kernel is a documented stub — plumbing is real and tested). */
@@ -714,7 +742,8 @@ object SparkEntry {
     "q40_jaccard_verify" -> (jaccardVerify _),
     "q41_quality_score" -> (qualityScore _),
     "q42_repetition_stats" -> (repetitionStats _),
-    "q43_simhash_pairs" -> (simhashPairsQ _)
+    "q43_simhash_pairs" -> (simhashPairsQ _),
+    "q44_fuzzy_resolve_lev" -> (fuzzyResolveLev _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -834,6 +863,29 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "q33_embedding_neardup" -> embNearDupOracleSql,
+    "q44_fuzzy_resolve_lev" ->
+      """WITH dim AS (SELECT n_name FROM nation),
+        |q AS (
+        |  SELECT DISTINCT lower(substring(n_name, 1, length(n_name) - 1)) AS q
+        |  FROM nation),
+        |scored AS (
+        |  SELECT q.q, d.n_name,
+        |    CAST(1.0 AS DOUBLE) - CAST(levenshtein(q.q, lower(d.n_name)) AS DOUBLE)
+        |      / CAST(greatest(length(q.q), length(d.n_name)) AS DOUBLE) AS score
+        |  FROM q, dim d),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q ORDER BY score DESC, n_name) AS rnk
+        |  FROM scored)
+        |SELECT q,
+        |  MAX(CASE WHEN rnk = 1 THEN n_name END) AS resolved,
+        |  MAX(CASE WHEN rnk = 1 THEN score END) AS score,
+        |  MAX(CASE WHEN rnk = 2 THEN score END) AS runner_up,
+        |  (MAX(CASE WHEN rnk = 1 THEN score END) >= CAST(0.82 AS DOUBLE) AND
+        |   (MAX(CASE WHEN rnk = 1 THEN score END) >= CAST(0.99 AS DOUBLE) OR
+        |    COALESCE(MAX(CASE WHEN rnk = 2 THEN score END), CAST(0.0 AS DOUBLE))
+        |      < MAX(CASE WHEN rnk = 1 THEN score END) - CAST(0.02 AS DOUBLE)))
+        |    AS accepted
+        |FROM r WHERE rnk <= 2 GROUP BY q ORDER BY q""".stripMargin,
     "q01_pricing_pivot" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

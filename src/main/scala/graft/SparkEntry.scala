@@ -241,8 +241,9 @@ object SparkEntry {
     * centroid gap ~1e-5) dwarf the float-vs-double cosine difference. */
   private def cosineIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
+    val cents = Similarity.headCentroids(emb, "vec_id", "embedding", 16)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      5, nlist = 16, nprobe = 4)
+      5, centroids = cents, nprobe = 4)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }

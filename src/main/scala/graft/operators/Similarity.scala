@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{SimilarityFunctions => S}
 import graft.plans.GraftExtensions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,10 +42,88 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-bucketed approximate top-k: corpus assigned to nearest of `nlist`
-    * deterministic centroids (first `nlist` corpus vectors by id — stand-in
-    * for trained centroids; plumbing identical), queries probe the `nprobe`
-    * nearest centroid buckets only.
+  /** Index-build step: the first `nlist` corpus vectors in id order as
+    * stand-in centroids. ONE tiny driver action (limit-pushed scan of nlist
+    * rows) at index-build time — never per query. Prefer
+    * [[trainCentroidsKMeans]] for real data distributions. */
+  def headCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): Seq[(Int, Seq[Float])] =
+    corpus.orderBy(col(idCol)).limit(nlist).select(col(vecCol)).collect()
+      .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+
+  /** Index-build step: Lloyd k-means over the corpus, initialized from
+    * [[headCentroids]]. Each iteration is ONE distributed pass: shuffle-free
+    * argmax assignment against centroid literals (same kernel as
+    * [[ivfTopK]]'s write path), then a per-bucket mean aggregation whose
+    * result (nlist rows) is collected — the only driver data per iteration.
+    * Empty clusters keep their previous centroid. Deterministic given the
+    * corpus: no random init, ties broken by centroid id. */
+  def trainCentroidsKMeans(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 5): Seq[(Int, Seq[Float])] = {
+    val spark = corpus.sparkSession
+    var cents = headCentroids(corpus, idCol, vecCol, nlist)
+    val dim = cents.head._2.length
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col(vecCol).as("vec"))
+        .withColumn("bucket", nearestCentroid(spark, col("vec"), cents))
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("vec"), i + 1).cast("double")).as(s"s$i"))
+      val aggs = count(lit(1)).as("n") +: sums
+      val means = assigned.groupBy("bucket")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val n = r.getAs[Long]("n").toDouble
+          r.getAs[Int]("bucket") ->
+            (0 until dim).map(i => (r.getAs[Double](s"s$i") / n).toFloat)
+        }.toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** Shuffle-free nearest-centroid assignment: a codegen'd `greatest()` fold
+    * over per-centroid cosine structs — pure projection, no Exchange, no
+    * window (the round-2 formulation shuffled corpus × nlist rows through a
+    * row_number window). Ties break to the smallest cent_id via the negated
+    * id field. */
+  private def nearestCentroid(
+      spark: org.apache.spark.sql.SparkSession,
+      vec: Column,
+      centroids: Seq[(Int, Seq[Float])]): Column = {
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(
+        GraftExtensions.cosine(spark, vec, array(cvec.map(lit): _*)).as("c"),
+        lit(-cid).as("ni"))
+    }
+    -greatest(scored: _*).getField("ni")
+  }
+
+  /** Query-side probe buckets: the `nprobe` nearest centroids per query row,
+    * via sort of the (negated-cos, cent_id) struct array — on the small query
+    * side only; the corpus is never windowed. */
+  private def probeBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      vec: Column,
+      centroids: Seq[(Int, Seq[Float])],
+      nprobe: Int): Column = {
+    val scored = array(centroids.map { case (cid, cvec) =>
+      struct(
+        (-GraftExtensions.cosine(spark, vec, array(cvec.map(lit): _*))).as("nc"),
+        lit(cid).as("i"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+  }
+
+  /** IVF-bucketed approximate top-k: corpus assigned to its nearest centroid
+    * bucket once (write-time, shuffle-free literal argmax), queries probe the
+    * `nprobe` nearest centroid buckets only. `centroids` is an explicit
+    * index parameter ((cent_id, vector) pairs — [[headCentroids]] stand-ins
+    * or [[trainCentroidsKMeans]] output), mirroring a trained IVF index.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -53,35 +131,21 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nlist: Int = 16,
+      centroids: Seq[(Int, Seq[Float])],
       nprobe: Int = 4): DataFrame = {
-    // cent_id = position in id order — row_number, NOT
-    // monotonically_increasing_id (which depends on physical partitioning and
-    // would make bucket tie-breaks nondeterministic across plans)
-    val cents = broadcast(
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("cent_id"),
-          col(vecCol).as("cent")))
+    val spark = corpus.sparkSession
 
-    def nearestBuckets(df: DataFrame, id: String, out: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("__cos").desc, col("cent_id"))
-      df.join(cents)
-        .withColumn("__cos", GraftExtensions.cosine(corpus.sparkSession, col(vecCol), col("cent")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= n)
-        .select(col(id), col(vecCol), col("cent_id").as(out))
-    }
-
-    val bucketedCorpus = nearestBuckets(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), "neighbor_id", "bucket", 1)
-    val probes = nearestBuckets(
-      queries.select(col(idCol).as("query_id"), col(vecCol)), "query_id", "bucket", nprobe)
-      .select(col("query_id"), col(vecCol).as("qvec"), col("bucket"))
+    val bucketedCorpus = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol),
+        nearestCentroid(spark, col(vecCol), centroids).as("bucket"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(probeBuckets(spark, col(vecCol), centroids, nprobe)).as("bucket"))
 
     val scored = bucketedCorpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        GraftExtensions.cosine(corpus.sparkSession, col("qvec"), col(vecCol)).as("cos"))
+        GraftExtensions.cosine(spark, col("qvec"), col(vecCol)).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

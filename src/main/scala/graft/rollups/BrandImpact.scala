@@ -17,16 +17,20 @@ object BrandImpact {
     *                 days per brand (entity_crisis_tag_daily grain)
     * @return per-tag summary */
   def summary(tagDaily: DataFrame): DataFrame = {
-    val endDate = tagDaily.agg(max(col("date"))).collect()(0).getDate(0)
+    // range end as a lazy broadcast 1-row crossJoin — NOT a driver-side
+    // collect, which would both block on an extra job and recompute the
+    // (unpersisted) tagDaily subtree before the main pass even starts
+    val endDate = tagDaily.agg(max(col("date")).as("__range_end"))
     val episodes = Windows.episodes(tagDaily.select(col("tag"), col("entity_name"),
       col("date")), Seq("tag", "entity_name"), "date")
+      .crossJoin(broadcast(endDate))
     episodes.groupBy("tag")
       .agg(
         countDistinct(col("entity_name")).as("affected_brands"),
         count(lit(1)).as("episodes"),
         (sum(col("episode_days")).cast("double") / count(lit(1))).as("avg_duration_days"),
         max(col("episode_days")).as("longest_episode_days"),
-        countDistinct(when(col("episode_end") === lit(endDate), col("entity_name")))
+        countDistinct(when(col("episode_end") === col("__range_end"), col("entity_name")))
           .as("brands_active_on_end"))
       .orderBy(col("affected_brands").desc, col("tag"))
   }

@@ -114,7 +114,7 @@ class OperatorsSpec extends SparkSpec {
     val df = (1L to 40L).map(i =>
       (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 10).toFloat))).toDF("vec_id", "embedding")
     val got = Similarity.ivfTopK(df, df.filter(col("vec_id") <= 2), "vec_id", "embedding", 3,
-      nlist = 4, nprobe = 2)
+      centroids = Similarity.headCentroids(df, "vec_id", "embedding", 4), nprobe = 2)
     assert(got.count() > 0)
   }
 
@@ -136,12 +136,20 @@ class OperatorsSpec extends SparkSpec {
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
     val approx = pairs(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
-      nlist = 16, nprobe = 4))
+      centroids = Similarity.headCentroids(emb, "vec_id", "embedding", 16), nprobe = 4))
     val recall = approx.intersect(exact).size.toDouble / exact.size
     // deterministic for this data; nprobe=4/16 trades recall for a 4x
     // smaller probe set — the quality floor is pinned so an accidental
     // bucketing regression (wrong centroid ids, broken probe join) fails
     assert(recall >= 0.55, s"recall@5 = $recall")
+
+    // trained centroids (deterministic Lloyd iterations) must hold at least
+    // the same floor — and in practice beat the first-n stand-ins
+    val trained = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding", 16, iters = 3)
+    val approxT = pairs(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      centroids = trained, nprobe = 4))
+    val recallT = approxT.intersect(exact).size.toDouble / exact.size
+    assert(recallT >= 0.55, s"trained recall@5 = $recallT (head = $recall)")
     assert(exact.size == 100 && approx.size == 100)
   }
 }

@@ -81,4 +81,25 @@ class PlanAuditSpec extends SparkSpec {
       "single-pass pipeline must not join:\n" + p.take(2000))
     assert(!p.contains("WindowExec"), "no window in the rollup")
   }
+
+  test("q17 IVF: bucket assignment is a pure projection — one window, one hash exchange") {
+    // round-2 shape windowed corpus x nlist rows (an Exchange per side);
+    // the literal-argmax assignment must leave the ONLY hash exchange at
+    // the final per-query rank window
+    val p = planString("q17_cosine_ivf")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1, s"corpus assignment must not shuffle ($hashExchanges):\n" + p.take(2500))
+    // "Window [" is the window exec; WindowGroupLimit lines are the top-k
+    // pushdown around it and are expected
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows <= 1, s"only the final rank window may remain ($windows)")
+  }
+
+  test("q33 banded hyperplane LSH: no cartesian/self-join — bucket-harvest only") {
+    val p = planString("q33_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), "no cartesian pair expansion")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"),
+      "pairs must come from the in-bucket expansion, not a join:\n" + p.take(2500))
+  }
 }

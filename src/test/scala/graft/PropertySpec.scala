@@ -139,4 +139,52 @@ class PropertySpec extends SparkSpec {
     assert(pairs.contains((2L, 4L, 1.0)))
     assert(!pairs.exists(p => (p._1 == 3L || p._2 == 3L) && p._3 == 1.0))
   }
+
+  test("embedding LSH: recall floor vs brute force on planted near-dups") {
+    import org.apache.spark.sql.functions._
+    val dim = 16
+    // 20 base vectors (deterministic), each with a jittered near-copy
+    // (cos > 0.99) — plus the cross-pair noise floor far below threshold
+    def vec(seed: Long, eps: Float): Array[Float] =
+      Array.tabulate(dim)(j => ((graft.functions.PortableHash.splitmix(
+        seed * 131 + j) % 1000L) / 1000.0f) + (if (j == 0) eps else 0f))
+    val rows = (0L until 20L).flatMap { s =>
+      Seq((2 * s, vec(s, 0f)), (2 * s + 1, vec(s, 0.01f)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val thr = 0.995
+    val got = graft.operators.Dedup.embeddingNearDupPairs(
+      emb, "vec_id", "embedding", threshold = thr, dim = dim,
+      numBands = 8, bandBits = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = (0L until 20L).map(s => (2 * s, 2 * s + 1)).toSet
+    // every emitted pair is a true near-dup (cos filter is exact)...
+    def cosLocal(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val na = math.sqrt(x.map(v => v.toDouble * v.toDouble).sum)
+      val nb = math.sqrt(y.map(v => v.toDouble * v.toDouble).sum)
+      if (na * nb > 0) dot / (na * nb) else 0.0
+    }
+    val m = rows.toMap
+    assert(got.forall(p => truth.contains(p) || cosLocal(m(p._1), m(p._2)) >= thr))
+    // ...and the planted pairs are recalled above the floor
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.75, s"recall = $recall (${got.size} pairs)")
+  }
+
+  test("bucketPairs: a flooded bucket is dropped whole — output stays bounded") {
+    import org.apache.spark.sql.functions._
+    // 100 identical vectors all but guarantee one dense bucket per band;
+    // maxBucket=10 must drop them (0 pairs), never go quadratic (4950)
+    val emb = (0L until 100L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val n = graft.operators.Dedup.embeddingNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.5, dim = 8,
+      numBands = 2, bandBits = 4, maxBucket = 10).count()
+    assert(n == 0, s"flooded bucket must be dropped whole, got $n pairs")
+    // same guard on the simhash pairing stage
+    val sims = (0L until 100L).map(i => (i, 0x0F0F0F0FL)).toDF("id", "simhash")
+    val sp = graft.operators.Dedup.simhashPairs(sims, bits = 64, maxBucket = 10).count()
+    assert(sp == 0, s"simhash flooded bucket must be dropped whole, got $sp")
+  }
 }

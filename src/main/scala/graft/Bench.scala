@@ -32,13 +32,15 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
-    // Timed pass: min of 2 back-to-back executions per query, with a GC
+    // Timed pass: min of 3 back-to-back executions per query, with a GC
     // between queries so one query's garbage (broadcast blocks, shuffle
     // buffers) is not billed to the next — a single-shot suite measurement
-    // was charging queries up to 3x their isolated steady-state time.
+    // was charging queries up to 3x their isolated steady-state time, and
+    // min-of-2 still let one bad sample through (q36 r2 "regression" was
+    // pure variance).
     val results = ordered.map { case (name, fn) =>
       System.gc()
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

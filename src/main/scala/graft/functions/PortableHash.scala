@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   * signature/bucket pipeline can be replayed in DuckDB (the correctness
   * oracle) or any warehouse:
   *
-  *  - [[md5Hash60]] == DuckDB `(md5_number_lower(s) % 2^60)::BIGINT`
-  *    (`md5_number_lower` is the little-endian uint64 of digest bytes 8..15;
-  *    we rebuild it from the hex string byte-reversed, then mask to 60 bits
-  *    so the value fits a signed BIGINT in every engine).
+  *  - [[md5Hash60]] == DuckDB `('0x' || substring(md5(s), 2, 15))::BIGINT`
+  *    — hex digest chars 2..16, i.e. 60 bits of the digest, parsed as an
+  *    integer. 60 (not 64) keeps the value positive in a signed BIGINT in
+  *    every engine, with no byte-order or unsigned-modulo gymnastics.
   *  - [[affine31]] is the classic universal-hash permutation family
   *    `(a*h + b) mod p` over the 31-bit residue of the base hash, entirely
   *    in Long arithmetic (products < 2^62 — ANSI-overflow-safe with no
@@ -35,18 +35,15 @@ object PortableHash {
   val P31: Long = 2147483647L
 
   /** 60-bit positive hash of a string column, equal to DuckDB's
-    * `(md5_number_lower(s) % 1152921504606846976)::BIGINT`. */
-  def md5Hash60(c: Column): Column = {
-    val hex = md5(c.cast("string").cast("binary"))
-    // digest bytes 8..15 little-endian => hex byte pairs 31,29,...,17 MSB-first
-    val le = concat((0 until 8).map(i => substring(hex, 31 - 2 * i, 2)): _*)
-    pmod(conv(le, 16, 10).cast("decimal(20,0)"), lit(Mod60).cast("decimal(20,0)"))
-      .cast("long")
-  }
+    * `('0x' || substring(md5(s), 2, 15))::BIGINT`. One substring + one
+    * radix parse — an earlier little-endian-uint64 formulation (8
+    * substrings + concat + decimal pmod) was ~30% of q18's runtime. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 2, 15), 16, 10).cast("long")
 
   /** The same computation as a DuckDB SQL fragment (for generated oracles). */
   def md5Hash60Sql(expr: String): String =
-    s"((md5_number_lower($expr) % ${Mod60}::UBIGINT)::BIGINT)"
+    s"(('0x' || substring(md5($expr), 2, 15))::BIGINT)"
 
   /** Deterministic splitmix64 step — the coefficient source for permutation
     * families and hyperplane literals (same stream every run/engine). */

@@ -31,12 +31,36 @@ object SimilarityFunctions {
   }
 
   /** Word-level shingles (n-grams of whitespace tokens) as an array column.
-    * Short docs (< n tokens) yield one shingle of all tokens. */
+    * Short docs (< n tokens) yield one shingle of all tokens.
+    *
+    * n<=3 uses the same zip_with chain as [[tokenShingleHashes]] with a
+    * concat_ws lambda body — the generic slice+array_join-per-index
+    * formulation was 7x slower (2.95 s vs 0.4 s just building strings at
+    * sf0.1) and dominated portable-minhash runtime. */
   def tokenShingles(text: Column, n: Int): Column = {
     val toks = split(trim(lower(text)), "\\s+")
-    val count = greatest(size(toks) - (n - 1), lit(1))
-    transform(sequence(lit(0), count - 1),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    n match {
+      case 1 => toks
+      case 2 =>
+        when(size(toks) < 2, array(array_join(toks, " ")))
+          .otherwise(slice(
+            zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(1))),
+              (a, b) => concat_ws(" ", a, b)),
+            lit(1), size(toks) - 1))
+      case 3 =>
+        when(size(toks) < 3, array(array_join(toks, " ")))
+          .otherwise(slice(
+            zip_with(
+              zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(1))),
+                (a, b) => struct(a.as("a"), b.as("b"))),
+              slice(toks, lit(3), greatest(size(toks) - 2, lit(1))),
+              (ab, c) => concat_ws(" ", ab.getField("a"), ab.getField("b"), c)),
+            lit(1), size(toks) - 2))
+      case _ =>
+        val count = greatest(size(toks) - (n - 1), lit(1))
+        transform(sequence(lit(0), count - 1),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))
+    }
   }
 
   /** 64-bit hashes of word shingles WITHOUT materializing shingle strings:

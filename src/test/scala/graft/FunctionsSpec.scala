@@ -103,16 +103,16 @@ class FunctionsSpec extends SparkSpec {
     assert(hs(0) != hs(1))
   }
 
-  test("PortableHash.md5Hash60 matches DuckDB md5_number_lower % 2^60") {
+  test("PortableHash.md5Hash60 matches DuckDB hex-substring parse") {
     import graft.functions.PortableHash
     // goldens computed with DuckDB v1.0.0:
-    //   select (md5_number_lower(s) % 1152921504606846976::UBIGINT)::BIGINT
+    //   select ('0x' || substring(md5(s), 2, 15))::BIGINT
     val goldens = Seq(
-      "abc" -> 180110074134370006L,
-      "hello world" -> 273974725705911187L,
-      "" -> 1027657360040624361L,
-      "a b c d" -> 780873055019354461L,
-      "the quick brown fox" -> 342711634746194520L)
+      "abc" -> 370089762377648L,
+      "hello world" -> 1060100440397377232L,
+      "" -> 296548016511300100L,
+      "a b c d" -> 89888562366379890L,
+      "the quick brown fox" -> 68619688644668907L)
     val got = goldens.map(_._1).toDF("s")
       .select(PortableHash.md5Hash60(col("s")).as("h")).as[Long].collect()
     assert(got.toSeq == goldens.map(_._2))

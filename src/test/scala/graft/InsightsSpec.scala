@@ -112,6 +112,28 @@ class InsightsSpec extends SparkSpec {
     assertParity(peer.select(peerGold.columns.map(col).toSeq: _*), peerGold)
   }
 
+  // --------------------------------------------------------- storylines
+
+  test("K7 storyline candidates match the reference builder (all 3 families)") {
+    val filtered = graft.rollups.Storylines.filterNonCrisis(narrativeRows, false)
+    // storyline_key alone is not unique (same tag under group 'crisis' vs
+    // group None collides, faithfully) — order by (key, score desc)
+    val got = graft.rollups.Storylines.storylineCandidates(filtered, "brand")
+      .orderBy(col("storyline_key"), col("score").desc)
+    assertParity(got, golden("storyline_candidates"))
+  }
+
+  test("find_storylines selection: preferred types then score fill, in order") {
+    val filtered = graft.rollups.Storylines.filterNonCrisis(narrativeRows, false)
+    val cands = graft.rollups.Storylines.storylineCandidates(filtered, "brand")
+    assertParity(graft.rollups.Storylines.findStorylines(cands, 3),
+      golden("storyline_selection"))
+    // with a larger limit the fill stage kicks in and stays deduped
+    val five = graft.rollups.Storylines.findStorylines(cands, 5).collect()
+    assert(five.length == 5)
+    assert(five.map(_.getAs[String]("storyline_key")).distinct.length == 5)
+  }
+
   // ------------------------------------------------------- serp features
 
   private lazy val serpDaily = Seq(

@@ -340,6 +340,210 @@ def sector_baseline(sector, days=14, entity_name_id="e1"):
     return out, summary, peer
 
 
+# ------------------------------- storyline candidates (app.py:1968-2211)
+def normalized_narrative_group(tag, primary_group, is_crisis):  # app.py:1898
+    group = (primary_group or '').strip().lower()
+    if group in {'crisis', 'non_crisis'}:
+        return group
+    if tag in NON_CRISIS_NARRATIVE_TAGS:
+        return 'non_crisis'
+    if is_crisis is True:
+        return 'crisis'
+    if is_crisis is False:
+        return 'non_crisis'
+    return None
+
+
+def build_storyline_candidates(analytics_type, rows_in):
+    plural = 'brands' if analytics_type == 'brand' else 'CEOs'
+    by_sector_tag, by_tag, by_sector = {}, {}, {}
+    for row in rows_in:
+        tag = (row.get('narrative_primary_tag') or '').strip()
+        if not tag:
+            continue
+        day = date.fromisoformat(row['date'])
+        sector = (row.get('sector') or '').strip() or 'Unspecified'
+        eid = str(row.get('entity_id') or '')
+        ename = (row.get('entity_name') or '').strip()
+        neg = int(row.get('negative_item_count') or 0)
+        grp = normalized_narrative_group(tag, row.get('narrative_primary_group'),
+                                         row.get('narrative_is_crisis'))
+        tk = f"{tag.casefold()}::{grp or ''}"
+        disp = narrative_display_tag(tag, grp)
+
+        b = by_sector_tag.setdefault((sector, tk), {
+            'sector': sector, 'tag': tag, 'display_tag': disp,
+            'entity_days': {}, 'entity_names': {},
+            'entity_negative_item_totals': {}, 'days': set(),
+            'total_negative_items': 0})
+        b['entity_days'].setdefault(eid, set()).add(day)
+        b['entity_names'][eid] = ename
+        b['entity_negative_item_totals'][eid] = b['entity_negative_item_totals'].get(eid, 0) + neg
+        b['days'].add(day)
+        b['total_negative_items'] += neg
+
+        t = by_tag.setdefault(tk, {
+            'tag': tag, 'display_tag': disp, 'sectors': set(),
+            'entity_days': {}, 'entity_names': {},
+            'entity_negative_item_totals': {}, 'sector_negative_item_totals': {},
+            'days': set(), 'total_negative_items': 0})
+        t['sectors'].add(sector)
+        t['entity_days'].setdefault(eid, set()).add(day)
+        t['entity_names'][eid] = ename
+        t['entity_negative_item_totals'][eid] = t['entity_negative_item_totals'].get(eid, 0) + neg
+        t['sector_negative_item_totals'][sector] = t['sector_negative_item_totals'].get(sector, 0) + neg
+        t['days'].add(day)
+        t['total_negative_items'] += neg
+
+        s = by_sector.setdefault(sector, {
+            'sector': sector, 'entity_days': {}, 'entity_names': {},
+            'entity_negative_item_totals': {}, 'tag_negative_item_totals': {},
+            'days': set(), 'total_negative_items': 0})
+        s['entity_days'].setdefault(eid, set()).add(day)
+        s['entity_names'][eid] = ename
+        s['entity_negative_item_totals'][eid] = s['entity_negative_item_totals'].get(eid, 0) + neg
+        s['tag_negative_item_totals'][disp] = s['tag_negative_item_totals'].get(disp, 0) + neg
+        s['days'].add(day)
+        s['total_negative_items'] += neg
+
+    cands = []
+    base_none = {'sectors_affected': None, 'median_duration_days': None,
+                 'active_days': None, 'sector': None, 'display_tag': None,
+                 'dominant_tags': None}
+    for b in by_sector_tag.values():
+        durations = []
+        for ds in b['entity_days'].values():
+            durations.extend(consecutive_day_durations(list(ds)))
+        if not durations:
+            continue
+        n = len(b['entity_days'])
+        avg_d = rnd(sum(durations) / len(durations), 2)
+        mx = max(durations)
+        top = sorted(b['entity_negative_item_totals'].items(),
+                     key=lambda kv: (-kv[1], b['entity_names'].get(kv[0], '').casefold()))[:3]
+        score = rnd(n * 6 + b['total_negative_items'] * 0.35 + avg_d * 2
+                    + len(b['days']) * 0.4, 2)
+        cands.append({**base_none,
+            'storyline_key': f"sector_tag:{b['sector']}:{b['tag'].casefold()}",
+            'storyline_type': 'sector_tag_pattern',
+            'headline': f"{b['sector']} saw concentrated {b['display_tag'].lower()} pressure",
+            'angle': (f"{n} {plural} in {b['sector']} showed {b['display_tag']} "
+                      "in negative search/news coverage during the selected window."),
+            'why_interesting': (
+                f"Average duration was {avg_d} days, with a maximum streak of {mx} days "
+                f"and {b['total_negative_items']} tagged negative evidence items."),
+            'score': score, 'entities_affected': n, 'avg_duration_days': avg_d,
+            'max_duration_days': mx, 'episode_count': len(durations),
+            'total_negative_items': b['total_negative_items'],
+            'active_days': len(b['days']), 'sector': b['sector'],
+            'display_tag': b['display_tag'],
+            'sample_entities': [b['entity_names'].get(e, e) for e, _ in top],
+            'sample_sectors': [b['sector']]})
+
+    for b in by_tag.values():
+        if len(b['sectors']) < 2:
+            continue
+        durations = []
+        for ds in b['entity_days'].values():
+            durations.extend(consecutive_day_durations(list(ds)))
+        if not durations:
+            continue
+        n = len(b['entity_days'])
+        avg_d = rnd(sum(durations) / len(durations), 2)
+        mx = max(durations)
+        top_sectors = sorted(b['sector_negative_item_totals'].items(),
+                             key=lambda kv: (-kv[1], kv[0].casefold()))[:3]
+        top = sorted(b['entity_negative_item_totals'].items(),
+                     key=lambda kv: (-kv[1], b['entity_names'].get(kv[0], '').casefold()))[:3]
+        score = rnd(len(b['sectors']) * 7 + n * 4 + avg_d * 1.6
+                    + b['total_negative_items'] * 0.25, 2)
+        cands.append({**base_none,
+            'storyline_key': f"cross_sector:{b['tag'].casefold()}",
+            'storyline_type': 'cross_sector_narrative',
+            'headline': f"{b['display_tag']} crossed sector lines",
+            'angle': (f"The {b['display_tag']} narrative appeared across "
+                      f"{len(b['sectors'])} sectors and {n} {plural} in the selected window."),
+            'why_interesting': (
+                f"It persisted for {avg_d} days on average, peaked at {mx} days, "
+                f"and generated {b['total_negative_items']} tagged negative evidence items."),
+            'score': score, 'entities_affected': n,
+            'sectors_affected': len(b['sectors']), 'avg_duration_days': avg_d,
+            'max_duration_days': mx, 'episode_count': len(durations),
+            'total_negative_items': b['total_negative_items'],
+            'display_tag': b['display_tag'],
+            'sample_entities': [b['entity_names'].get(e, e) for e, _ in top],
+            'sample_sectors': [s for s, _ in top_sectors]})
+
+    for b in by_sector.values():
+        durations = []
+        for ds in b['entity_days'].values():
+            durations.extend(consecutive_day_durations(list(ds)))
+        if not durations:
+            continue
+        n = len(b['entity_days'])
+        avg_d = rnd(sum(durations) / len(durations), 2)
+        med = float(median(durations))
+        mx = max(durations)
+        top_tags = sorted(b['tag_negative_item_totals'].items(),
+                          key=lambda kv: (-kv[1], kv[0].casefold()))[:3]
+        top = sorted(b['entity_negative_item_totals'].items(),
+                     key=lambda kv: (-kv[1], b['entity_names'].get(kv[0], '').casefold()))[:3]
+        score = rnd(avg_d * 3 + n * 3 + b['total_negative_items'] * 0.18, 2)
+        cands.append({**base_none,
+            'storyline_key': f"sector_duration:{b['sector']}",
+            'storyline_type': 'sector_duration_outlier',
+            'headline': f"{b['sector']} crises lingered in search",
+            'angle': (f"{b['sector']} showed one of the more persistent "
+                      f"search-visible crisis patterns for {n} {plural} in the selected window."),
+            'why_interesting': (
+                f"Average duration was {avg_d} days, the median episode lasted {med} days, "
+                f"and the strongest themes were {', '.join(t for t, _ in top_tags[:2]) or 'mixed'}."),
+            'score': score, 'entities_affected': n, 'avg_duration_days': avg_d,
+            'median_duration_days': med, 'max_duration_days': mx,
+            'episode_count': len(durations),
+            'total_negative_items': b['total_negative_items'],
+            'sector': b['sector'],
+            'dominant_tags': [t for t, _ in top_tags],
+            'sample_entities': [b['entity_names'].get(e, e) for e, _ in top],
+            'sample_sectors': [b['sector']]})
+    return cands
+
+
+def find_storylines(cands, limit=3):  # app.py:5022-5057
+    cands = sorted(cands, key=lambda r: (
+        0 if r['storyline_type'] == 'cross_sector_narrative' else 1,
+        -(r['score'] or 0), (r['headline'] or '').casefold()))
+    selected, keys = [], set()
+    for st in ['cross_sector_narrative', 'sector_duration_outlier', 'sector_tag_pattern']:
+        m = next((r for r in cands if r['storyline_type'] == st
+                  and r['storyline_key'] not in keys), None)
+        if m:
+            selected.append(m)
+            keys.add(m['storyline_key'])
+        if len(selected) >= limit:
+            break
+    if len(selected) < limit:
+        for r in sorted(cands, key=lambda i: (-(i['score'] or 0),
+                                              (i['headline'] or '').casefold())):
+            if r['storyline_key'] in keys:
+                continue
+            selected.append(r)
+            keys.add(r['storyline_key'])
+            if len(selected) >= limit:
+                break
+    return selected
+
+
+# find_storylines default: non-crisis rows dropped before building
+filtered = [r for r in rows
+            if normalized_narrative_group(
+                (r.get('narrative_primary_tag') or '').strip(),
+                r.get('narrative_primary_group'),
+                r.get('narrative_is_crisis')) != 'non_crisis']
+storyline_cands = build_storyline_candidates('brand', filtered)
+storyline_sel = find_storylines(storyline_cands, 3)
+
+
 def dump(name, data):
     with open(os.path.join(GOLD, name), "w") as f:
         if isinstance(data, list):
@@ -357,4 +561,7 @@ sb_rows, sb_summary, sb_peer = sector_baseline("Tech")
 dump("insights_sector_baseline_rows.jsonl", sb_rows)
 dump("insights_sector_baseline_summary.jsonl", sb_summary)
 dump("insights_sector_baseline_peer.jsonl", sb_peer)
+dump("storyline_candidates.jsonl",
+     sorted(storyline_cands, key=lambda r: (r["storyline_key"], -r["score"])))
+dump("storyline_selection.jsonl", storyline_sel)
 print(f"narrative fixture rows: {len(rows)}; metric rows: {len(metrics_rows)}")

@@ -65,4 +65,66 @@ class GoldRefreshSpec extends SparkSpec {
     assert(back.columns.contains("date")) // partition column restored
     assert(canon(back) == canon(GoldRefresh.rebuildAll(in).toMap.apply("article_daily_counts")))
   }
+
+  test("override refresh: incremental == full rebuild, untouched partitions' files unmodified") {
+    import org.apache.spark.sql.functions._
+    import graft.gold.OverrideRefresh
+
+    val base = Files.createTempDirectory("graft-ovr").toString
+    GoldRefresh.refreshToParquet(in, base)
+
+    // pick a real item to override: flip its sentiment on its date
+    val item = in.serpFeatureItems
+      .select(col("id"), col("date")).orderBy("id").limit(1).collect()(0)
+    val itemId = item.getString(0)
+    val touchedDate = item.getDate(1)
+    val newOverride = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row.fromSeq(
+        Schemas.serpFeatureItemOverrides.fields.map(_.name).map {
+          case "serp_feature_item_id" => itemId
+          case "override_sentiment_label" => "negative"
+          case _ => null
+        }.toSeq))),
+      Schemas.serpFeatureItemOverrides)
+    val withOverride = in.copy(serpFeatureItemOverrides =
+      in.serpFeatureItemOverrides
+        .filter(col("serp_feature_item_id") =!= itemId)
+        .unionByName(newOverride))
+
+    // snapshot file states of an affected table before the incremental pass
+    def fileStates(table: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$base/$table")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = fileStates("serp_feature_daily")
+    val beforeArticle = fileStates("article_daily_counts")
+
+    val times = OverrideRefresh.refreshAfterOverride(
+      withOverride, base, "serp_feature_item", Seq(touchedDate))
+    assert(times.map(_._1) == OverrideRefresh.Dependencies("serp_feature_item"))
+
+    // every affected table equals a FULL rebuild with the new override
+    val full = GoldRefresh.rebuildAll(withOverride).toMap
+    for (t <- OverrideRefresh.Dependencies("serp_feature_item"))
+      assert(canon(spark.read.parquet(s"$base/$t")) == canon(full(t)), s"table $t diverged")
+
+    // untouched DATE partitions of the affected table: files unmodified
+    val after = fileStates("serp_feature_daily")
+    val touchedPrefix = s"date=$touchedDate"
+    val untouchedBefore = before.filterNot(_._1.contains(touchedPrefix))
+    untouchedBefore.foreach { case (path, mtime) =>
+      assert(after.get(path).contains(mtime), s"untouched partition file rewritten: $path")
+    }
+    // and the touched partition WAS rewritten (new part-file names)
+    assert(after.keySet.filter(_.contains(touchedPrefix)) !=
+      before.keySet.filter(_.contains(touchedPrefix)),
+      "touched partition must be rewritten")
+
+    // unaffected tables: no file touched at all
+    assert(fileStates("article_daily_counts") == beforeArticle,
+      "article_daily_counts is not downstream of serp_feature_item")
+  }
 }

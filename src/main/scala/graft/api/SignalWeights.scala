@@ -62,4 +62,62 @@ object SignalWeights {
     }.sum
     negatives - metrics.getOrElse("serpControl", 0L) * weights.getOrElse("serpControl", 0.0)
   }
+
+  // ------------------------------------------------------- preset store
+  // `GET/POST/DELETE /api/internal/signal_presets` (`app.py:6270-6382`)
+  // over a `signal_weight_presets` table: (id, tab_id, preset_name,
+  // weights, created_by, updated_by, created_at, updated_at).
+
+  /** `normalize_signal_preset_tab_id` (`app.py:739-742`). */
+  def normalizeTabId(value: String): String = {
+    val t = Option(value).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
+    if (t == "brands" || t == "ceos") t else ""
+  }
+
+  /** `normalize_signal_preset_name` (`app.py:744-748`): whitespace collapse
+    * then an 80-char cap. */
+  def normalizePresetName(value: String): String = {
+    val name = Option(value).getOrElse("").trim.split("\\s+").mkString(" ")
+    if (name.length > 80) name.take(80).trim else name
+  }
+
+  /** Stable JSON for a weights map (sorted keys — the storage format). */
+  def weightsJson(weights: Map[String, Double]): String =
+    weights.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+  /** GET: list presets, optional tab filter, ordered
+    * (tab_id, lower(name), name). */
+  def listPresets(
+      presets: org.apache.spark.sql.DataFrame,
+      tabId: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val filtered = tabId.map(normalizeTabId).filter(_.nonEmpty) match {
+      case Some(t) => presets.filter(col("tab_id") === t)
+      case None => presets
+    }
+    filtered.orderBy(col("tab_id"), lower(col("preset_name")), col("preset_name"))
+  }
+
+  /** POST upsert: `on conflict (tab_id, preset_name) do update set
+    * weights_json/updated_by/updated_at` — id/created_by/created_at are
+    * NOT listed, so [[graft.sinks.MergeWriter]]'s default (existing wins on
+    * update, batch on insert) preserves them exactly like the reference's
+    * ON CONFLICT clause. Returns the merged table. */
+  def upsertPreset(
+      presets: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.sinks.MergeWriter.merge(presets, batch,
+      graft.sinks.MergeWriter.MergeSpec(
+        keys = Seq("tab_id", "preset_name"),
+        overwrite = Seq("weights", "updated_by", "updated_at")))
+
+  /** DELETE by (tab_id, preset_name). */
+  def deletePreset(
+      presets: org.apache.spark.sql.DataFrame,
+      tabId: String, presetName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    presets.filter(!(col("tab_id") === normalizeTabId(tabId) &&
+      col("preset_name") === normalizePresetName(presetName)))
+  }
 }

@@ -224,6 +224,44 @@ class InsightsSpec extends SparkSpec {
     assert(scoped.collect().map(_.getAs[String]("ticker")).toSeq == Seq("ACM"))
   }
 
+  test("preset store: list order, on-conflict upsert semantics, delete") {
+    import graft.api.SignalWeights
+    val presets = Seq(
+      ("p1", "brands", "Zeta", """{"newsNegative":0.2}""", "ann", "ann", "2025-01-01 00:00:00", "2025-01-01 00:00:00"),
+      ("p2", "ceos", "alpha", """{"newsNegative":0.3}""", "bob", "bob", "2025-01-02 00:00:00", "2025-01-02 00:00:00"))
+      .toDF("id", "tab_id", "preset_name", "weights", "created_by", "updated_by",
+        "created_at", "updated_at")
+
+    // GET ordering: tab_id, lower(name), name; tab filter normalizes input
+    val listed = SignalWeights.listPresets(presets).collect().map(_.getString(0))
+    assert(listed.toSeq == Seq("p1", "p2"))
+    assert(SignalWeights.listPresets(presets, Some("  CEOS ")).count() == 1)
+    assert(SignalWeights.listPresets(presets, Some("bogus")).count() == 2) // '' -> no filter
+
+    // upsert existing key: weights/updated_* replaced, id/created_* preserved
+    val batch = Seq(
+      ("pX", "brands", "Zeta", """{"newsNegative":0.5}""", "carol", "carol", "2025-02-01 00:00:00", "2025-02-01 00:00:00"),
+      ("pY", "brands", "New One", """{"newsNegative":0.4}""", "carol", "carol", "2025-02-01 00:00:00", "2025-02-01 00:00:00"))
+      .toDF("id", "tab_id", "preset_name", "weights", "created_by", "updated_by",
+        "created_at", "updated_at")
+    val merged = SignalWeights.upsertPreset(presets, batch)
+    val zeta = merged.filter(col("preset_name") === "Zeta").collect()(0)
+    assert(zeta.getAs[String]("id") == "p1")                    // preserved
+    assert(zeta.getAs[String]("created_by") == "ann")           // preserved
+    assert(zeta.getAs[String]("updated_by") == "carol")         // replaced
+    assert(zeta.getAs[String]("weights").contains("0.5"))       // replaced
+    assert(merged.filter(col("preset_name") === "New One").count() == 1) // inserted
+    assert(merged.count() == 3)
+
+    // delete by (tab, name) with normalization
+    assert(SignalWeights.deletePreset(merged, "BRANDS", "  Zeta  ").count() == 2)
+
+    // name normalization caps at 80 and collapses whitespace
+    assert(SignalWeights.normalizePresetName("  a   b  ") == "a b")
+    assert(SignalWeights.normalizePresetName("x" * 100).length == 80)
+  }
+
+
   test("available dates + boards readers") {
     val camd = Seq(("c1", "2025-03-02"), ("c1", "2025-03-01"), ("c2", "2025-03-02"))
       .toDF("company_id", "date").withColumn("date", to_date(col("date")))

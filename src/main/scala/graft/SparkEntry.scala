@@ -604,6 +604,65 @@ object SparkEntry {
       .orderBy(col("score").desc, col("bucket"))
   }
 
+  /** sector_baseline endpoint rows (app.py:4523-4569) over the TPC-H-ish
+    * tables: entities = customers, sector = market segment, metric = daily
+    * order count. The window end is the SECTOR's own max date, resolved
+    * lazily (broadcast 1-row crossJoin, no driver probe); ordering pins
+    * Postgres NULLS FIRST on latest_value. Rounded summary/peer columns are
+    * exercised by InsightsSpec goldens (bround vs binary-round engines
+    * diverge at shortest-repr boundaries, so they stay out of the oracle). */
+  private def sectorBaselineRows(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("date"))
+      .agg(count(lit(1)).as("n"))
+    val edm = daily.select(
+      col("date"), lit("brand").as("entity_type"),
+      col("o_custkey").as("entity_id"), col("o_custkey").as("company_id"),
+      lit(null).cast("string").as("ceo_id"), lit("").as("entity_name"),
+      lit("").as("company"), lit("").as("ceo"), col("n"))
+    val companies = customer(s, dir).select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_mktsegment").as("sector"))
+    val rows = graft.api.Insights.sectorBaselineRows(
+      edm, companies, "brand", "BUILDING", "n", days = 30)
+    rows.select(col("entity_id"), col("sector"), col("window_value"),
+      col("avg_daily_value"), col("latest_value"), col("peak_value"),
+      col("signal_days"))
+      .orderBy(col("entity_id"))
+  }
+
+  /** aggregate_crisis_patterns endpoint (app.py:4696-4784) over events:
+    * entities = users, tags = event types, with the group-normalization
+    * ladder exercised (well-formed / empty / garbage labels + an is_crisis
+    * flag). The rounded avg-duration column is dropped from the oracle
+    * surface (same bround-parity rationale as q45); everything else —
+    * episodes, medians, actives, top-3 samples — is hash-checked. */
+  private def crisisPatterns(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("user_id"), eventDay(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rows = daily.select(
+      col("d").as("date"),
+      col("user_id").cast("string").as("entity_id"),
+      concat(lit("user_"), col("user_id")).as("entity_name"),
+      concat(lit("S"), col("user_id") % 3).as("sector"),
+      col("event_type").as("narrative_primary_tag"),
+      when(col("event_type").isin("click", "view"), "crisis")
+        .when(col("event_type") === "error", "")
+        .otherwise("odd_label").as("narrative_primary_group"),
+      when(col("event_type") === "error", true)
+        .otherwise(lit(null).cast("boolean")).as("narrative_is_crisis"),
+      col("n").as("negative_item_count"))
+      // window end = global max day, attached lazily (no driver probe)
+      .crossJoin(broadcast(daily.agg(max(col("d")).as("__end"))))
+    graft.api.Insights.aggregateCrisisPatterns(rows, col("__end"), "brand", false, 10)
+      .select(col("tag"), col("group"), col("is_crisis"),
+        col("brands_affected"), col("episode_count"),
+        col("median_duration_days"), col("max_duration_days"),
+        col("active_entities_latest"), col("total_negative_items"),
+        array_join(col("sample_entities"), "|").as("sample_entities"))
+  }
+
   /** §5 bake-off analogue: confusion matrix of labeled lang vs the langid
     * heuristic's prediction (reference scripts/sentiment_bakeoff.py writes
     * agreement + confusion artifacts; this is that comparison as a query). */
@@ -744,7 +803,9 @@ object SparkEntry {
     "q41_quality_score" -> (qualityScore _),
     "q42_repetition_stats" -> (repetitionStats _),
     "q43_simhash_pairs" -> (simhashPairsQ _),
-    "q44_fuzzy_resolve_lev" -> (fuzzyResolveLev _)
+    "q44_fuzzy_resolve_lev" -> (fuzzyResolveLev _),
+    "q45_sector_baseline_rows" -> (sectorBaselineRows _),
+    "q46_crisis_patterns" -> (crisisPatterns _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -864,6 +925,78 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "q33_embedding_neardup" -> embNearDupOracleSql,
+    "q45_sector_baseline_rows" ->
+      """WITH daily AS (
+        |  SELECT o_custkey AS eid, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |dim AS (SELECT c_custkey AS id, c_mktsegment AS sector FROM customer),
+        |base AS (SELECT * FROM daily JOIN dim ON id = eid WHERE sector = 'BUILDING'),
+        |mx AS (SELECT max(d) AS end_d FROM base),
+        |win AS (SELECT base.*, end_d FROM base, mx WHERE d BETWEEN end_d - 29 AND end_d)
+        |SELECT eid AS entity_id, max(sector) AS sector,
+        |  CAST(SUM(n) AS DOUBLE) AS window_value,
+        |  AVG(n) AS avg_daily_value,
+        |  CAST(MAX(CASE WHEN d = end_d THEN n END) AS DOUBLE) AS latest_value,
+        |  CAST(MAX(n) AS DOUBLE) AS peak_value,
+        |  CAST(COUNT(CASE WHEN n > 0 THEN 1 END) AS BIGINT) AS signal_days
+        |FROM win GROUP BY eid ORDER BY entity_id""".stripMargin,
+    "q46_crisis_patterns" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |mx AS (SELECT max(d) AS end_d FROM daily),
+        |norm AS (
+        |  SELECT d AS dt, CAST(user_id AS VARCHAR) AS eid,
+        |    'user_' || CAST(user_id AS VARCHAR) AS ename,
+        |    event_type AS tag, lower(event_type) AS tag_key, n AS neg,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 'crisis'
+        |         WHEN event_type = 'error' THEN 'crisis'
+        |         ELSE 'odd_label' END AS grp
+        |  FROM daily),
+        |ed AS (SELECT DISTINCT tag_key, grp, eid, dt FROM norm),
+        |isl AS (
+        |  SELECT *, CASE WHEN lag(dt) OVER w IS NULL
+        |      OR dt - lag(dt) OVER w > 1 THEN 1 ELSE 0 END AS brk
+        |  FROM ed WINDOW w AS (PARTITION BY tag_key, grp, eid ORDER BY dt)),
+        |isl2 AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY tag_key, grp, eid ORDER BY dt
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM isl),
+        |epi AS (
+        |  SELECT tag_key, grp, eid, island, CAST(COUNT(*) AS BIGINT) AS episode_days
+        |  FROM isl2 GROUP BY 1, 2, 3, 4),
+        |dur AS (
+        |  SELECT tag_key, grp, CAST(COUNT(*) AS BIGINT) AS episode_count,
+        |    quantile_cont(episode_days, 0.5) AS median_duration_days,
+        |    CAST(MAX(episode_days) AS BIGINT) AS max_duration_days
+        |  FROM epi GROUP BY 1, 2),
+        |ra AS (
+        |  SELECT tag_key, grp, max(tag) AS tag,
+        |    CAST(COUNT(DISTINCT eid) AS BIGINT) AS brands_affected,
+        |    CAST(COUNT(DISTINCT CASE WHEN dt = (SELECT end_d FROM mx) THEN eid END)
+        |      AS BIGINT) AS active_entities_latest,
+        |    CAST(SUM(neg) AS BIGINT) AS total_negative_items
+        |  FROM norm GROUP BY 1, 2),
+        |pe AS (
+        |  SELECT tag_key, grp, eid, SUM(neg) AS etotal, max(ename) AS ename
+        |  FROM norm GROUP BY 1, 2, 3),
+        |pr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY tag_key, grp
+        |    ORDER BY etotal DESC, lower(ename)) AS r FROM pe),
+        |samples AS (
+        |  SELECT tag_key, grp, string_agg(ename, '|' ORDER BY r) AS sample_entities
+        |  FROM pr WHERE r <= 3 GROUP BY 1, 2)
+        |SELECT ra.tag, CASE WHEN ra.grp = '' THEN NULL ELSE ra.grp END AS "group",
+        |  ra.grp = 'crisis' AS is_crisis, ra.brands_affected, dur.episode_count,
+        |  dur.median_duration_days, dur.max_duration_days,
+        |  ra.active_entities_latest, ra.total_negative_items, samples.sample_entities
+        |FROM ra
+        |JOIN dur ON dur.tag_key = ra.tag_key AND dur.grp = ra.grp
+        |JOIN samples ON samples.tag_key = ra.tag_key AND samples.grp = ra.grp
+        |ORDER BY ra.brands_affected DESC, dur.episode_count DESC,
+        |  ra.total_negative_items DESC, lower(ra.tag)
+        |LIMIT 10""".stripMargin,
     "q44_fuzzy_resolve_lev" ->
       """WITH dim AS (SELECT n_name FROM nation),
         |q AS (

@@ -133,6 +133,24 @@ object MarketData {
       .orderBy(col("date").desc)
   }
 
+  /** `GET /api/v1/roster` / `roster.csv` (`app.py:6676-6689,4211-4222`):
+    * company × ceo left join with ''-coalesced optionals, ordered
+    * (company, ceo). */
+  def roster(companies: DataFrame, ceos: DataFrame): DataFrame =
+    companies
+      .join(broadcast(ceos.select(col("company_id").as("__cid"),
+        col("name").as("__ceo_name"), col("alias"), col("favorite").as("__ceo_fav"))),
+        col("id") === col("__cid"), "left")
+      .select(
+        col("__ceo_name").as("ceo"), col("name").as("company"),
+        coalesce(col("alias"), lit("")).as("ceo_alias"),
+        coalesce(col("websites"), lit("")).as("websites"),
+        coalesce(col("ticker"), lit("")).as("stock"),
+        coalesce(col("sector"), lit("")).as("sector"),
+        coalesce(col("favorite"), lit(false)).as("company_favorite"),
+        coalesce(col("__ceo_fav"), lit(false)).as("ceo_favorite"))
+      .orderBy(col("company"), col("ceo"))
+
   /** `GET /api/v1/boards` (`app.py:5083-5105`): board rows resolved through
     * ceo → company, ordered (ceo, domain). */
   def boards(

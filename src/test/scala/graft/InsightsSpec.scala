@@ -277,4 +277,24 @@ class InsightsSpec extends SparkSpec {
     assert(MarketData.boards(boards, ceos, comps,
       scopeCompanyIds = Some(Seq("c9"))).count() == 0)
   }
+
+  test("roster: company x ceo left join, coalesced optionals, (company, ceo) order") {
+    val comps = Seq(
+      ("c1", "Acme", "acme.com", "ACM", "Tech", true),
+      ("c2", "Globex", null, null, null, null.asInstanceOf[Any]))
+      .map(t => (t._1, t._2, t._3, t._4, t._5,
+        Option(t._6).map(_.asInstanceOf[Boolean])))
+      .toDF("id", "name", "websites", "ticker", "sector", "favorite")
+    val ceos = Seq(("e1", "Jane Doe", "c1", null: String, false))
+      .toDF("id", "name", "company_id", "alias", "favorite")
+    val got = MarketData.roster(comps, ceos).collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("company") == "Acme" &&
+      got(0).getAs[String]("ceo") == "Jane Doe" &&
+      got(0).getAs[String]("ceo_alias") == "")
+    // company without a ceo still appears (left join), optionals coalesced
+    assert(got(1).getAs[String]("company") == "Globex" &&
+      got(1).getAs[String]("stock") == "" &&
+      !got(1).getAs[Boolean]("company_favorite"))
+  }
 }

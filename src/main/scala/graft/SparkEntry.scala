@@ -262,6 +262,16 @@ object SparkEntry {
     Dedup.simhashTable(documents(s, dir), "doc_id", "text", portable = true)
       .orderBy("id")
 
+  /** Dedup GROUPS from LSH candidate pairs: connected components (min-label
+    * propagation) over the q18 pair graph — the keep/drop decision step of
+    * a corpus dedup pipeline. Oracled against a recursive-CTE reachability
+    * query over the same pairs. */
+  private def dedupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashCandidatePairs(documents(s, dir), "doc_id", "text",
+        shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true))
+      .orderBy("id")
+
   /** SimHash near-dup PAIRS via 4 rotated prefix-block tables — complete for
     * Hamming <= 3 by pigeonhole, so the oracle can be the brute-force
     * `bit_count(xor)` join (a completeness proof, not just a replay). */
@@ -805,7 +815,8 @@ object SparkEntry {
     "q43_simhash_pairs" -> (simhashPairsQ _),
     "q44_fuzzy_resolve_lev" -> (fuzzyResolveLev _),
     "q45_sector_baseline_rows" -> (sectorBaselineRows _),
-    "q46_crisis_patterns" -> (crisisPatterns _)
+    "q46_crisis_patterns" -> (crisisPatterns _),
+    "q47_dedup_groups" -> (dedupGroups _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -824,10 +835,10 @@ object SparkEntry {
        |      FROM documents)""".stripMargin
   }
 
-  /** q18 oracle: full portable minhash pipeline replayed in DuckDB SQL —
+  /** Shared CTE body replaying the portable minhash pipeline in DuckDB SQL —
     * md5Hash60 shingle hashes, 32 affine permutations, band CSV keys, the
-    * same (2, maxBucket) bucket-size gate, signature-agreement Jaccard. */
-  private lazy val minhashOracleSql: String = {
+    * (2, maxBucket) bucket-size gate (feeds q18 and q47). */
+  private lazy val minhashPipelineCte: String = {
     val n = 32; val rpb = 8; val bands = n / rpb
     val mins = (0 until n)
       .map(i => s"min(${PortableHash.affine31Sql(i, "h")}) AS m$i").mkString(",\n    ")
@@ -836,10 +847,7 @@ object SparkEntry {
       val csv = (0 until rpb).map(r => s"m${b * rpb + r}").mkString(", ")
       s"SELECT id, [$sigList] AS sig, $b AS bno, concat_ws(',', $csv) AS bk FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    val estJ = (0 until n)
-      .map(i => s"CASE WHEN a.sig[${i + 1}] = b.sig[${i + 1}] THEN 1 ELSE 0 END")
-      .mkString("\n    + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS tk
        |  FROM documents),
        |sh AS (
@@ -849,13 +857,35 @@ object SparkEntry {
        |sig AS (SELECT id, $mins FROM h GROUP BY id),
        |banded AS (
        |  $bandSelects),
-       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bno, bk) AS bsz FROM banded)
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bno, bk) AS bsz FROM banded)""".stripMargin
+  }
+
+  private lazy val minhashOracleSql: String = {
+    val estJ = (0 until 32)
+      .map(i => s"CASE WHEN a.sig[${i + 1}] = b.sig[${i + 1}] THEN 1 ELSE 0 END")
+      .mkString("\n    + ")
+    s"""WITH $minhashPipelineCte
        |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |  CAST($estJ AS DOUBLE) / 32.0 AS est_jaccard
        |FROM sized a JOIN sized b ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
        |WHERE a.bsz BETWEEN 2 AND 1000
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** q47 oracle: minhash pairs -> connected components via a recursive CTE
+    * (min reachable id per node == the distributed label propagation). */
+  private lazy val dedupGroupsOracleSql: String =
+    s"""WITH RECURSIVE $minhashPipelineCte,
+       |mpairs AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM sized a JOIN sized b ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+       |  WHERE a.bsz BETWEEN 2 AND 1000),
+       |edges AS (SELECT ia AS a, ib AS b FROM mpairs UNION SELECT ib, ia FROM mpairs),
+       |walk(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id)
+       |SELECT id, min(lbl) AS component FROM walk GROUP BY id ORDER BY id""".stripMargin
 
   /** Shared CTE body recomputing the portable 60-bit simhash table in SQL
     * (token md5Hash60 -> per-bit +/-1 balances -> bit assembly). */
@@ -925,6 +955,7 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "q33_embedding_neardup" -> embNearDupOracleSql,
+    "q47_dedup_groups" -> dedupGroupsOracleSql,
     "q45_sector_baseline_rows" ->
       """WITH daily AS (
         |  SELECT o_custkey AS eid, CAST(o_orderdate AS DATE) AS d,

@@ -119,7 +119,9 @@ object Insights {
       analyticsType: String = "brand",
       includeNonCrisis: Boolean = false,
       limit: Int = 10): DataFrame = {
-    val base = prepare(narrativeRows, includeNonCrisis)
+    // three aggregation branches read `base` — Spark shares no subplans, so
+    // without a persist the narrative-row subtree is recomputed per branch
+    val base = prepare(narrativeRows, includeNonCrisis).persist()
     val key = Seq("__tag_key", "__grp")
 
     // per-pattern episode durations over each entity's distinct day set
@@ -191,6 +193,7 @@ object Insights {
         when(trim(coalesce(col("sector"), lit(""))) === "", "Unspecified")
           .otherwise(trim(col("sector"))))
       .withColumn("__pattern", concat(col("__tag_key"), lit("::"), col("__grp")))
+      .persist() // three branches below; see aggregateCrisisPatterns
 
     val entityTagDays = base
       .select(col("__sector"), col("entity_id"), col("__pattern"), col("date")).distinct()

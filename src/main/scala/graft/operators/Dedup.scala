@@ -206,6 +206,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair graph — the step that turns
+    * candidate PAIRS (minhash/simhash/embedding LSH output) into dedup
+    * GROUPS with a canonical keeper (min id per component).
+    *
+    * Algorithm: min-label propagation — each round every node takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Near-dup components are dense and
+    * shallow (duplicates of one document all pair with each other), so
+    * diameter is small; for adversarial long-chain graphs the
+    * large-star/small-star formulation (Kiveris et al.) halves diameter per
+    * round — swap the propagation step if that workload appears. Each round
+    * is one join + one min-aggregate (two shuffles over the edge list);
+    * `localCheckpoint` truncates the growing lineage so round N's plan does
+    * not replay rounds 1..N-1.
+    *
+    * Returns (id, component) for every node in `pairs`, component = min id
+    * reachable. Deterministic.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("__nlbl"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("__nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "__old"), "id")
+        .filter(col("lbl") =!= col("__old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("lbl", "component")
+  }
+
   /** Hyperplane coefficient for plane `p`, element `i` — deterministic
     * splitmix64 stream, rounded to float so the literal is representable
     * identically in every engine. */

@@ -80,6 +80,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("Dedup.connectedComponents: chains merge, singleton edges keep, min id wins") {
+    // components: {1,2,3,8,9} (via 9-1 bridge), {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
+    // a long chain still converges (diameter > 2 rounds)
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(cc.forall(_._2 == 1L) && cc.length == 12)
+  }
+
   test("Dedup.minhashCandidatePairs surfaces near-identical docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq((1L, base), (2L, base + " tomorrow"), (3L, "totally different content nothing shared here at all whatsoever zero overlap"))

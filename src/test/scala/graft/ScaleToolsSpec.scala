@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.SkewJoin
+import graft.sinks.Exports
+import org.apache.spark.sql.functions._
+
+/** S10/S11 export sinks and the scale toolbox (salted skew join, bucketed
+  * co-located join). The bucketing test is the 100 TB claim made checkable:
+  * two tables bucketed on the join key join with NO shuffle exchange. */
+class ScaleToolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S10: roster/stock CSV export round-trips with reference headers") {
+    val roster = Seq(("Jane Doe", "Acme", "", "acme.com", "ACM", "Tech", true, false))
+      .toDF("ceo", "company", "ceo_alias", "websites", "stock", "sector",
+        "company_favorite", "ceo_favorite")
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Exports.writeSingleCsv(Exports.rosterCsvFrame(roster), s"$dir/roster")
+    val back = spark.read.option("header", "true").csv(s"$dir/roster")
+    assert(back.columns.toSeq == Seq("CEO", "Company", "CEO Alias", "Websites",
+      "Stock", "Sector", "Company Favorite", "CEO Favorite"))
+    assert(back.count() == 1)
+
+    val stockRows = Seq(("ACM", "Acme", 10.0, 1.5, 2.5,
+      Seq(100.0, 101.5), Seq("2025-03-01", "2025-03-02"), "2025-03-02 09:00:00"))
+      .toDF("ticker", "company", "opening_price", "daily_change_pct",
+        "seven_day_change_pct", "price_history", "date_history", "last_updated")
+    Exports.writeSingleCsv(Exports.stockCsvFrame(stockRows), s"$dir/stock")
+    val stockBack = spark.read.option("header", "true").csv(s"$dir/stock").collect()(0)
+    assert(stockBack.getAs[String]("price_history") == "100.0|101.5")
+    assert(stockBack.getAs[String]("date_history") == "2025-03-01|2025-03-02")
+  }
+
+  test("S11: JSON-lines export round-trips typed rows") {
+    val df = Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "name", "v")
+    val dir = Files.createTempDirectory("graft-json").toString
+    Exports.writeJson(df, s"$dir/out")
+    val back = spark.read.json(s"$dir/out")
+    assert(back.count() == 2)
+    assert(back.filter(col("name") === "a").collect()(0).getAs[Double]("v") == 2.5)
+  }
+
+  test("salted join == plain join on skewed data (both variants)") {
+    // 90% of fact rows share one hot key
+    val fact = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k${i % 7}", i))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B"), ("k3", "C"),
+      ("k4", "D"), ("k5", "E"), ("k6", "F"), ("k0", "Z")).toDF("k", "label")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "label").as[(String, Int, String)].collect().sorted.toSeq
+    val plain = canon(fact.join(dim, Seq("k")))
+    assert(canon(SkewJoin.saltedJoin(fact, dim, Seq("k"), saltBuckets = 8)) == plain)
+    assert(canon(SkewJoin.saltedJoinHotKeys(fact, dim, Seq("k"),
+      hotKeys = Seq("hot"), saltBuckets = 8)) == plain)
+
+    // the salt actually spreads the hot key across buckets
+    val spread = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(8L)))
+      .filter(col("k") === "hot").select("__salt").distinct().count()
+    assert(spread >= 6, s"hot key must scatter over most buckets ($spread)")
+  }
+
+  test("bucketed tables co-locate: join plans with no shuffle exchange") {
+    // session warehouse dir (static conf) — tables dropped in finally
+    spark.sql("DROP TABLE IF EXISTS bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("id", "pa")
+    val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("id", "pb")
+    a.write.bucketBy(8, "id").sortBy("id").saveAsTable("bucketed_a")
+    b.write.bucketBy(8, "id").sortBy("id").saveAsTable("bucketed_b")
+    try {
+      // bucketed join must not add Exchange on either side (pre-shuffled
+      // on disk — the co-located-join capability for repeated big joins)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "bucketed-bucketed join must be shuffle-free:\n" + plan.take(2000))
+      assert(joined.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+}

@@ -19,6 +19,59 @@ import org.apache.spark.sql.functions._
   */
 object Insights {
 
+  // ------------------------------------------------------ window resolution
+
+  /** Resolved insights window (`resolve_insights_window`,
+    * `app.py:1911-1966`). */
+  final case class InsightsWindow(
+      start: java.time.LocalDate,
+      end: java.time.LocalDate,
+      latestAvailable: java.time.LocalDate,
+      days: Int,
+      windowMode: String,
+      requestedStart: Option[String],
+      requestedEnd: Option[String])
+
+  /** `resolve_insights_window`: explicit calendar window (validated, end
+    * clamped to the latest available narrative date) or the rolling
+    * `days`-clamped default anchored at that date. Errors mirror the
+    * reference's LookupError('no_data') / ValueError(message) as Left. */
+  def resolveInsightsWindow(
+      latestAvailableDate: Option[java.time.LocalDate],
+      startDateParam: Option[String] = None,
+      endDateParam: Option[String] = None,
+      daysParam: Option[String] = None,
+      defaultDays: Int = 90,
+      minDays: Int = 1,
+      maxDays: Int = 365): Either[String, InsightsWindow] = {
+    val latest = latestAvailableDate match {
+      case Some(d) => d
+      case None => return Left("no_data")
+    }
+    val startStr = startDateParam.map(_.trim).filter(_.nonEmpty)
+    val endStr = endDateParam.map(_.trim).filter(_.nonEmpty)
+    if (startStr.nonEmpty || endStr.nonEmpty) {
+      if (startStr.isEmpty || endStr.isEmpty)
+        return Left("start_date and end_date are both required when using an explicit calendar window")
+      val (s, e) =
+        try (java.time.LocalDate.parse(startStr.get), java.time.LocalDate.parse(endStr.get))
+        catch { case _: java.time.format.DateTimeParseException =>
+          return Left("invalid date format (YYYY-MM-DD)") }
+      if (s.isAfter(e)) return Left("start_date must be on or before end_date")
+      if (s.isAfter(latest)) return Left("no_data")
+      val actualEnd = if (e.isBefore(latest)) e else latest
+      if (s.isAfter(actualEnd)) return Left("no_data")
+      Right(InsightsWindow(s, actualEnd, latest,
+        java.time.temporal.ChronoUnit.DAYS.between(s, actualEnd).toInt + 1,
+        "calendar", Some(s.toString), Some(e.toString)))
+    } else {
+      val days0 = daysParam.flatMap(_.trim.toIntOption).getOrElse(defaultDays)
+      val days = math.min(math.max(days0, minDays), maxDays)
+      Right(InsightsWindow(latest.minusDays(days - 1L), latest, latest, days,
+        "rolling", None, None))
+    }
+  }
+
   // -------------------------------------------------------- narrative rows
 
   /** `fetch_negative_top_stories_narrative_rows` (`app.py:1742-1830`):

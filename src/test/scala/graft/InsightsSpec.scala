@@ -112,6 +112,37 @@ class InsightsSpec extends SparkSpec {
     assertParity(peer.select(peerGold.columns.map(col).toSeq: _*), peerGold)
   }
 
+  test("resolve_insights_window: rolling default, calendar clamp, error ladder") {
+    import java.time.LocalDate
+    val latest = Some(LocalDate.parse("2025-03-28"))
+    // rolling: days clamped, anchored at latest
+    val r = Insights.resolveInsightsWindow(latest, daysParam = Some("10")).toOption.get
+    assert(r.windowMode == "rolling" && r.days == 10 &&
+      r.start == LocalDate.parse("2025-03-19") && r.end == LocalDate.parse("2025-03-28"))
+    assert(Insights.resolveInsightsWindow(latest, daysParam = Some("9999"))
+      .toOption.get.days == 365)
+    assert(Insights.resolveInsightsWindow(latest, daysParam = Some("junk"))
+      .toOption.get.days == 90)
+    // calendar: end clamps to latest, days counted inclusively
+    val c = Insights.resolveInsightsWindow(latest,
+      startDateParam = Some("2025-03-20"), endDateParam = Some("2025-04-05")).toOption.get
+    assert(c.windowMode == "calendar" && c.end == LocalDate.parse("2025-03-28") &&
+      c.days == 9 && c.requestedEnd.contains("2025-04-05"))
+    // error ladder
+    assert(Insights.resolveInsightsWindow(None) == Left("no_data"))
+    assert(Insights.resolveInsightsWindow(latest,
+      startDateParam = Some("2025-03-20")).isLeft)
+    assert(Insights.resolveInsightsWindow(latest,
+      startDateParam = Some("2025-05-01"), endDateParam = Some("2025-05-02"))
+      == Left("no_data"))
+    assert(Insights.resolveInsightsWindow(latest,
+      startDateParam = Some("2025-03-05"), endDateParam = Some("2025-03-01"))
+      == Left("start_date must be on or before end_date"))
+    assert(Insights.resolveInsightsWindow(latest,
+      startDateParam = Some("bad"), endDateParam = Some("2025-03-01"))
+      == Left("invalid date format (YYYY-MM-DD)"))
+  }
+
   // --------------------------------------------------------- storylines
 
   test("K7 storyline candidates match the reference builder (all 3 families)") {

@@ -133,6 +133,32 @@ object MarketData {
       .orderBy(col("date").desc)
   }
 
+  /** `POST /api/internal/favorites` (`app.py:6220-6267`), company flavor:
+    * flip the favorite flag on the company dim row matched by name. */
+  def setCompanyFavorite(
+      companies: DataFrame, name: String, favorite: Boolean): DataFrame =
+    companies.withColumn("favorite",
+      when(col("name") === name, lit(favorite)).otherwise(col("favorite")))
+
+  /** ceo flavor — optionally disambiguated by company name (`update ceos
+    * ... where name = %s and company_id = (select id from companies where
+    * name = %s)`). */
+  def setCeoFavorite(
+      ceos: DataFrame, companies: DataFrame, name: String,
+      company: Option[String], favorite: Boolean): DataFrame = company match {
+    case Some(c) =>
+      ceos.join(broadcast(companies.filter(col("name") === c)
+        .select(col("id").as("__fav_cid"))),
+        col("company_id") === col("__fav_cid"), "left")
+        .withColumn("favorite",
+          when(col("name") === name && col("__fav_cid").isNotNull, lit(favorite))
+            .otherwise(col("favorite")))
+        .drop("__fav_cid")
+    case None =>
+      ceos.withColumn("favorite",
+        when(col("name") === name, lit(favorite)).otherwise(col("favorite")))
+  }
+
   /** `GET /api/v1/roster` / `roster.csv` (`app.py:6676-6689,4211-4222`):
     * company × ceo left join with ''-coalesced optionals, ordered
     * (company, ceo). */

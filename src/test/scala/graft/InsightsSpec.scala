@@ -309,6 +309,22 @@ class InsightsSpec extends SparkSpec {
       scopeCompanyIds = Some(Seq("c9"))).count() == 0)
   }
 
+  test("favorites: flip by name; ceo flavor disambiguates via company") {
+    val comps = Seq(("c1", "Acme", false), ("c2", "Globex", false))
+      .toDF("id", "name", "favorite")
+    val flipped = MarketData.setCompanyFavorite(comps, "Acme", favorite = true)
+    assert(flipped.filter(col("favorite")).collect().map(_.getString(1)).toSeq == Seq("Acme"))
+
+    // two ceos share a name across companies; only the Acme one flips
+    val ceos = Seq(("e1", "Jane Doe", "c1", false), ("e2", "Jane Doe", "c2", false))
+      .toDF("id", "name", "company_id", "favorite")
+    val f1 = MarketData.setCeoFavorite(ceos, comps, "Jane Doe", Some("Acme"), true)
+    assert(f1.filter(col("favorite")).collect().map(_.getString(0)).toSeq == Seq("e1"))
+    // without a company, both match (reference updates every row by name)
+    val f2 = MarketData.setCeoFavorite(ceos, comps, "Jane Doe", None, true)
+    assert(f2.filter(col("favorite")).count() == 2)
+  }
+
   test("roster: company x ceo left join, coalesced optionals, (company, ceo) order") {
     val comps = Seq(
       ("c1", "Acme", "acme.com", "ACM", "Tech", true),

@@ -241,13 +241,15 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("__nlbl"))
+      // carry the previous label through, so convergence is a filter-count
+      // on the already-materialized frame — not a second join per round
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("__nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("__nlbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("__old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "__old"), "id")
-        .filter(col("lbl") =!= col("__old")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("__old")).count()
+      labels = next.drop("__old")
       i += 1
     }
     edges.unpersist()

@@ -229,8 +229,13 @@ object Dedup {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+    // both directions from ONE pass over pairs (a union of two selects
+    // would duplicate the upstream pair-generation subtree — Spark shares
+    // no subplans — which for an LSH pair input doubles the dominant cost)
+    val edges = pairs.select(explode(array(
+      struct(col(idACol).as("src"), col(idBCol).as("dst")),
+      struct(col(idBCol).as("src"), col(idACol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()

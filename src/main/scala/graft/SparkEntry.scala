@@ -248,6 +248,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** int8-quantized ANN: quantize the corpus (portable floor(x*s+0.5)
+    * formula), brute-force cosine top-k over the quantized vectors. All dot
+    * products are exact small-integer sums until the final division, so the
+    * oracle's ranks match bit-for-bit. */
+  private def quantizedKnn(s: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
+    Similarity.bruteForceTopKQuantized(q, q.filter(col("vec_id") < 10), "vec_id", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** MinHash+LSH near-dup candidates — portable md5Hash60/affine31 hash
     * family so the WHOLE signature → band → bucket → pair pipeline replays
     * bit-for-bit in the DuckDB oracle. */
@@ -816,7 +827,8 @@ object SparkEntry {
     "q44_fuzzy_resolve_lev" -> (fuzzyResolveLev _),
     "q45_sector_baseline_rows" -> (sectorBaselineRows _),
     "q46_crisis_patterns" -> (crisisPatterns _),
-    "q47_dedup_groups" -> (dedupGroups _)
+    "q47_dedup_groups" -> (dedupGroups _),
+    "q48_quantized_knn" -> (quantizedKnn _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -956,6 +968,30 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
     "q33_embedding_neardup" -> embNearDupOracleSql,
     "q47_dedup_groups" -> dedupGroupsOracleSql,
+    "q48_quantized_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma > 0 THEN list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / CAST(ma AS DOUBLE)) + 0.5)
+        |           AS DOUBLE))
+        |    ELSE list_transform(embedding, x -> CAST(0.0 AS DOUBLE)) END AS v
+        |  FROM e),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |      AS cos
+        |  FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |      AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q45_sector_baseline_rows" ->
       """WITH daily AS (
         |  SELECT o_custkey AS eid, CAST(o_orderdate AS DATE) AS d,

@@ -164,6 +164,13 @@ class OperatorsSpec extends SparkSpec {
       centroids = trained, nprobe = 4))
     val recallT = approxT.intersect(exact).size.toDouble / exact.size
     assert(recallT >= 0.55, s"trained recall@5 = $recallT (head = $recall)")
+
+    // int8 quantization: ~0.3% per-element error must barely move top-k
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val quant = pairs(Similarity.bruteForceTopKQuantized(
+      q, q.filter(col("vec_id") < 20), "vec_id", 5))
+    val recallQ = quant.intersect(exact).size.toDouble / exact.size
+    assert(recallQ >= 0.9, s"quantized recall@5 = $recallQ")
     assert(exact.size == 100 && approx.size == 100)
   }
 }

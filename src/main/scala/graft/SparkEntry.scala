@@ -259,6 +259,23 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Training-data chunking: 64-token windows, 16-token overlap — pure
+    * explode, no shuffle (chunks inherit scan partitioning). */
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.chunkByTokens(documents(s, dir), "doc_id", "text",
+      chunkSize = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Sequence packing: per-language streaming bin assignment under a
+    * 2048-token budget (cumulative-sum window; the pack key bounds the
+    * window so no global sort exists). */
+  private def packDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    graft.operators.Chunking.packSequences(d, Seq("lang"), "doc_id", "n_tokens", 2048L)
+      .orderBy("lang", "doc_id")
+  }
+
   /** MinHash+LSH near-dup candidates — portable md5Hash60/affine31 hash
     * family so the WHOLE signature → band → bucket → pair pipeline replays
     * bit-for-bit in the DuckDB oracle. */
@@ -828,7 +845,9 @@ object SparkEntry {
     "q45_sector_baseline_rows" -> (sectorBaselineRows _),
     "q46_crisis_patterns" -> (crisisPatterns _),
     "q47_dedup_groups" -> (dedupGroups _),
-    "q48_quantized_knn" -> (quantizedKnn _)
+    "q48_quantized_knn" -> (quantizedKnn _),
+    "q49_chunking" -> (chunkDocs _),
+    "q50_packing" -> (packDocs _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -992,6 +1011,32 @@ object SparkEntry {
         |      AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q49_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk,
+        |    CAST(greatest(ceil(CAST(len(tk) - 16 AS DOUBLE) / 48), 1) AS INT) AS nc
+        |  FROM d)
+        |SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |  array_to_string(tk[u.i * 48 + 1 : u.i * 48 + 64], ' ') AS chunk_text,
+        |  CAST(least(len(tk) - u.i * 48, 64) AS INT) AS n_tokens
+        |FROM c, unnest(range(nc)) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q50_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS bin,
+        |  CAST(cum - n_tokens
+        |    - CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT) * 2048
+        |    AS BIGINT) AS bin_offset
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
     "q45_sector_baseline_rows" ->
       """WITH daily AS (
         |  SELECT o_custkey AS eid, CAST(o_orderdate AS DATE) AS d,

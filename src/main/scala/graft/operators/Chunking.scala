@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation: document chunking and sequence packing — the
+  * two reshaping passes between a cleaned corpus and a token-budgeted
+  * training set.
+  *
+  * 100 TB posture: chunking is a per-row explode (no shuffle at all —
+  * chunks inherit the scan's partitioning); packing is one window pass per
+  * pack key. Token counts use the whitespace tokenizer shared with the
+  * text-analysis family (`q13_token_stats`); swap in a BPE count column
+  * upstream when available — both operators take the count as data, not a
+  * hardcoded tokenizer.
+  */
+object Chunking {
+
+  /** Split each document into token windows of `chunkSize` with `overlap`
+    * tokens carried between consecutive chunks (stride = chunkSize -
+    * overlap). Output: (idCol, chunk_idx, chunk_text, n_tokens); documents
+    * shorter than one chunk yield chunk 0 whole. Pure projection + explode:
+    * zero shuffles, chunk order deterministic. */
+  def chunkByTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got overlap=$overlap chunkSize=$chunkSize")
+    val stride = chunkSize - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    // number of chunks: ceil(max(n - overlap, 1) / stride)
+    val n = size(toks)
+    val nChunks = greatest(ceil((n - overlap).cast("double") / stride), lit(1.0))
+      .cast("int")
+    docs.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(
+          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(size(col("__toks")) - col("chunk_idx") * stride, lit(chunkSize))
+          .as("n_tokens"))
+  }
+
+  /** Streaming sequence packing: order documents deterministically (by
+    * `orderCol` within each `packKey` partition), then assign each to the
+    * bin where its cumulative token count lands: `bin = floor((cumsum -
+    * tokens) / budget)` — the standard one-pass packing used by large
+    * training pipelines (bins fill to ~budget; a document larger than the
+    * budget gets its own bin span). One window pass per pack key; the pack
+    * key (e.g. a date or shard column) bounds each window's data so no
+    * global sort exists. Output: input columns + (bin, bin_offset). */
+  def packSequences(
+      docs: DataFrame,
+      packKeys: Seq[String],
+      orderCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(packKeys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col(tokenCol)).cast("double") / budget).cast("long"))
+      .withColumn("bin_offset", col("__cum") - col(tokenCol) - col("bin") * budget)
+      .drop("__cum")
+  }
+}

@@ -80,6 +80,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("Chunking: overlap reconstruction, short docs, packing budget invariants") {
+    import graft.operators.Chunking
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than a chunk
+      (3L, (1 to 4).map(i => s"x$i").mkString(" "))   // exactly one stride
+    ).toDF("doc_id", "text")
+    val chunks = Chunking.chunkByTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L)
+    // stride 3 over 10 tokens -> ceil(9/3)=3 chunks; consecutive chunks
+    // share exactly `overlap` boundary tokens
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_.getAs[Int]("n_tokens")).toSeq == Seq(4, 4, 4))
+    assert(chunks.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_text")).toSeq
+      == Seq("a b"))
+
+    val toPack = Seq(("en", 1L, 100L), ("en", 2L, 900L), ("en", 3L, 600L),
+      ("en", 4L, 2500L), ("de", 5L, 1000L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val packed = Chunking.packSequences(toPack, Seq("lang"), "doc_id", "n_tokens", 1024L)
+      .orderBy("lang", "doc_id").collect()
+    // en: cum-before = 0,100,1000,1600 -> bins 0,0,0,1 ; oversized doc 4
+    // starts in bin 1; de restarts at bin 0
+    assert(packed.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin"))).toSeq ==
+      Seq((5L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)))
+    // bin_offset is the start position within the bin
+    assert(packed.find(_.getAs[Long]("doc_id") == 2L).get.getAs[Long]("bin_offset") == 100L)
+  }
+
   test("Dedup.connectedComponents: chains merge, singleton edges keep, min id wins") {
     // components: {1,2,3,8,9} (via 9-1 bridge), {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))

@@ -95,6 +95,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows <= 1, s"only the final rank window may remain ($windows)")
   }
 
+  test("q49 chunking is shuffle-free: the only exchange is the query's final sort") {
+    val p = planString("q49_chunking")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunk explode must inherit scan partitioning:\n" + p.take(2000))
+  }
+
   test("q33 banded hyperplane LSH: no cartesian/self-join — bucket-harvest only") {
     val p = planString("q33_embedding_neardup")
     assert(!p.contains("CartesianProduct"), "no cartesian pair expansion")

@@ -48,6 +48,11 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // variance note (stderr — stdout carries only the driver's JSON
+      // line): spread = (max-min)/min over the 3 samples; anything large
+      // means the min is load-dependent, not plan-dependent
+      System.err.println(
+        f"[bench] $name%-28s min=${times.min}%.3f spread=${(times.max - times.min) / times.min}%.2f")
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

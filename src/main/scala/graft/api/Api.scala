@@ -72,7 +72,11 @@ object Api {
         max(m).as("peak_value"),
         countIf(m > 0).as("signal_days"))
       .filter(col("window_value") >= minTotal)
-      .orderBy(col("window_value").desc, col("latest_value").desc, col("entity_name"))
+      // Postgres `latest_value desc` is NULLS FIRST (entities without a row
+      // on the window end sort above equal-window peers) — matters for
+      // which rows survive the limit
+      .orderBy(col("window_value").desc,
+        col("latest_value").desc_nulls_first, col("entity_name"))
       .limit(ApiLimits.clampLimit(limit, ApiLimits.ScreenMaxLimit))
   }
 

@@ -261,6 +261,71 @@ object Dedup {
     labels.withColumnRenamed("lbl", "component")
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * adversarial-diameter twin of [[connectedComponents]]: label
+    * propagation needs O(diameter) rounds, this converges in O(log n)
+    * regardless of shape (each round hangs every node off its
+    * neighborhood minimum, collapsing chains exponentially).
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(N(u) ∪ u);
+    *  - small-star(u): every neighbor v <= u (and u itself) attaches to m.
+    *
+    * Each half-round is one groupBy(min) + one join over the edge list;
+    * convergence = edge set stable (count + order-independent checksum).
+    * Output matches [[connectedComponents]] exactly: (id, component = min
+    * reachable id) for every node in `pairs`. */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    // neighbor view in both directions, from one pass (no subtree dup)
+    def nbrs(e: DataFrame): DataFrame = e.select(explode(array(
+      struct(col("u"), col("v")),
+      struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    def withMin(n: DataFrame): DataFrame =
+      n.join(n.groupBy("u").agg(min(col("v")).as("__mn")), "u")
+        .withColumn("__m", least(col("__mn"), col("u")))
+
+    var edges = canon(pairs.select(col(idACol).as("u"), col(idBCol).as("v")))
+      .localCheckpoint()
+    var sig: (Long, String) = (-1L, "")
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val large = withMin(nbrs(edges)).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+      val ln = canon(large.unionByName(edges.select(col("u"), col("v"))))
+        .localCheckpoint()
+      // small-star over the large-star output
+      val n2 = withMin(nbrs(ln))
+      val small = n2.filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .unionByName(n2.select(col("u"), col("__m").as("v")))
+      val next = canon(small).localCheckpoint()
+      // order-independent edge-set signature; decimal sum (ANSI mode throws
+      // on Long overflow of summed hashes)
+      val row = next.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()(0)
+      val newSig = (row.getLong(0), String.valueOf(row.get(1)))
+      done = newSig == sig
+      sig = newSig
+      edges = next
+      i += 1
+    }
+    // converged stars: every edge is (member, root); roots label themselves
+    val members = edges.select(col("u").as("id"), col("v").as("lbl"))
+    val roots = edges.select(col("v").as("id"), col("v").as("lbl"))
+    members.unionByName(roots).groupBy("id").agg(min(col("lbl")).as("component"))
+  }
+
   /** Hyperplane coefficient for plane `p`, element `i` — deterministic
     * splitmix64 stream, rounded to float so the literal is representable
     * identically in every engine. */

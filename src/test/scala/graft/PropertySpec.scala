@@ -173,6 +173,26 @@ class PropertySpec extends SparkSpec {
     assert(recall >= 0.75, s"recall = $recall (${got.size} pairs)")
   }
 
+  test("connected components: star variant == label propagation on random graphs + a long path") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    def cc(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.connectedComponents(df).as[(Long, Long)].collect().toMap
+    def ccStar(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.connectedComponentsStar(df).as[(Long, Long)].collect().toMap
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val pairs = (1 to n).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      assert(ccStar(pairs) == cc(pairs), s"trial $trial diverged")
+    }
+    // a 120-node path: diameter 119 — label propagation would need ~119
+    // rounds (capped), the star variant collapses it within its default cap
+    val path = (1L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = ccStar(path)
+    assert(star.size == 120 && star.values.forall(_ == 1L))
+  }
+
   test("bucketPairs: a flooded bucket is dropped whole — output stays bounded") {
     import org.apache.spark.sql.functions._
     // 100 identical vectors all but guarantee one dense bucket per band;

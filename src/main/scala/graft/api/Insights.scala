@@ -173,7 +173,9 @@ object Insights {
       includeNonCrisis: Boolean = false,
       limit: Int = 10): DataFrame = {
     // three aggregation branches read `base` — Spark shares no subplans, so
-    // without a persist the narrative-row subtree is recomputed per branch
+    // without a persist the narrative-row subtree is recomputed per branch.
+    // The cache entry outlives the call (Spark's LRU bounds the footprint);
+    // batch drivers issuing many calls can spark.catalog.clearCache()
     val base = prepare(narrativeRows, includeNonCrisis).persist()
     val key = Seq("__tag_key", "__grp")
 

@@ -77,6 +77,11 @@ object Windows {
     // would be ours)
     val n = math.min(math.max(offset, 0L) + math.max(pageSize, 0L), Int.MaxValue.toLong).toInt
     val top = df.orderBy(order: _*).limit(n)
+    // the unpartitioned window triggers Spark's "No Partition Defined"
+    // warning — BENIGN here by construction: its input is the limit(n)
+    // above (<= offset+pageSize rows, ApiLimits-capped), never the table.
+    // Numbering must be global for page semantics, so a partitioned window
+    // cannot express it; do not "fix" the warning by partitioning.
     val w = Window.orderBy(order: _*)
     top.withColumn(rnCol, row_number().over(w))
       .filter(col(rnCol) > offset)

@@ -259,6 +259,18 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private val stratifiedRates =
+    Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.1)
+
+  /** Deterministic stratified sampling: per-language keep rates resolved to
+    * integer ppm thresholds over md5Hash60(doc_id) — reproducible,
+    * partition-independent, engine-replayable (pure pushdown filter). */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      documents(s, dir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", stratifiedRates)
+      .orderBy("doc_id")
+
   /** Training-data chunking: 64-token windows, 16-token overlap — pure
     * explode, no shuffle (chunks inherit scan partitioning). */
   private def chunkDocs(s: SparkSession, dir: String): DataFrame =
@@ -847,7 +859,8 @@ object SparkEntry {
     "q47_dedup_groups" -> (dedupGroups _),
     "q48_quantized_knn" -> (quantizedKnn _),
     "q49_chunking" -> (chunkDocs _),
-    "q50_packing" -> (packDocs _)
+    "q50_packing" -> (packDocs _),
+    "q51_stratified_sample" -> (stratifiedSample _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1011,6 +1024,11 @@ object SparkEntry {
         |      AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q51_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${graft.operators.Sampling.stratifiedSampleSql("doc_id", "lang",
+              stratifiedRates)}
+         |ORDER BY doc_id""".stripMargin,
     "q49_chunking" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

@@ -41,9 +41,12 @@ object PortableHash {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 2, 15), 16, 10).cast("long")
 
-  /** The same computation as a DuckDB SQL fragment (for generated oracles). */
+  /** The same computation as a DuckDB SQL fragment (for generated oracles).
+    * The VARCHAR cast mirrors the Spark side's `.cast("string")` (and
+    * DuckDB's md5 only accepts VARCHAR) — identical digits for integer
+    * ids, no-op for string inputs. */
   def md5Hash60Sql(expr: String): String =
-    s"(('0x' || substring(md5($expr), 2, 15))::BIGINT)"
+    s"(('0x' || substring(md5(CAST($expr AS VARCHAR)), 2, 15))::BIGINT)"
 
   /** Deterministic splitmix64 step — the coefficient source for permutation
     * families and hyperplane literals (same stream every run/engine). */

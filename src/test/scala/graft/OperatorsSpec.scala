@@ -80,6 +80,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("Sampling: rates hold within tolerance; decision is partition-independent") {
+    import graft.operators.Sampling
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "cls")
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = Sampling.stratifiedSample(df, "id", "cls", rates)
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    // hash-uniformity: observed rate within ~4 sigma of the target
+    assert(math.abs(s1("en") - 1000L) < 90, s"en=${s1("en")}")
+    assert(math.abs(s1("de") - 200L) < 60, s"de=${s1("de")}")
+    // identical decisions regardless of physical layout
+    val s2 = Sampling.stratifiedSample(df.repartition(13), "id", "cls", rates)
+      .select("id").as[Long].collect().toSet
+    val ids1 = Sampling.stratifiedSample(df, "id", "cls", rates)
+      .select("id").as[Long].collect().toSet
+    assert(s2 == ids1)
+    // default rate 0 drops unlisted strata entirely
+    assert(Sampling.stratifiedSample(df, "id", "cls", Map("en" -> 1.0)).
+      filter(col("cls") === "de").count() == 0)
+  }
+
   test("Chunking: overlap reconstruction, short docs, packing budget invariants") {
     import graft.operators.Chunking
     val docs = Seq(

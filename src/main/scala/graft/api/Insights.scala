@@ -364,10 +364,14 @@ object Insights {
     val w = Window.orderBy(
       col("window_value").desc, col("latest_value").desc_nulls_first, col("entity_name"))
     val ranked = rows.withColumn("rank", row_number().over(w))
+    // the reference subtracts the ALREADY-4dp-rounded summary values
+    // (app.py:4629-4631 reads avg_window_value/median_window_value), so
+    // round before the delta — unrounded aggregates can diverge by 5e-5
     val stats = rows.agg(
       count(lit(1)).as("__peer_count"),
-      avg(coalesce(col("window_value"), lit(0.0))).as("__avg"),
-      percentile(coalesce(col("window_value"), lit(0.0)), lit(0.5)).as("__median"))
+      bround(avg(coalesce(col("window_value"), lit(0.0))), 4).as("__avg"),
+      bround(percentile(coalesce(col("window_value"), lit(0.0)), lit(0.5)), 4)
+        .as("__median"))
     ranked.filter(col("entity_id") === entityId)
       .crossJoin(broadcast(stats))
       .select(

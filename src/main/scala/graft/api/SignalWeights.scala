@@ -81,10 +81,29 @@ object SignalWeights {
     if (name.length > 80) name.take(80).trim else name
   }
 
-  /** Stable JSON for a weights map (sorted keys — the storage format). */
+  /** Stable JSON for a weights map (sorted keys — the storage format).
+    * Keys are JSON-string-escaped so a quote/backslash/control char in a
+    * metric key cannot corrupt the stored preset. */
   def weightsJson(weights: Map[String, Double]): String =
     weights.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""${escapeJsonString(k)}":$v""" }
+      .mkString("{", ",", "}")
+
+  private def escapeJsonString(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
 
   /** GET: list presets, optional tab filter, ordered
     * (tab_id, lower(name), name). */

@@ -49,7 +49,22 @@ object Dedup {
       bandCols: Seq[Column],
       member: Column,
       maxBucket: Int): DataFrame = {
-    val buckets = banded.groupBy(bandCols: _*)
+    // Per-key MEMORY bound, not just pair bound: cap membership to
+    // maxBucket+1 rows BEFORE collect_list — a flooded band bucket
+    // (boilerplate docs, zero vectors) would otherwise build its whole
+    // member list (embedding vectors included) in one aggregation buffer
+    // even though the size filter then drops it. The row_number window
+    // hash-partitions on the same band key as the aggregate below, so the
+    // cap adds an in-partition sort but no extra Exchange; keeping
+    // maxBucket+1 rows preserves the over-cap signal, so the size filter
+    // still drops flooded buckets whole — bucket survival is bit-identical
+    // to the uncapped formulation.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bandCols: _*).orderBy(monotonically_increasing_id())
+    val capped = banded
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket + 1)
+    val buckets = capped.groupBy(bandCols: _*)
       .agg(collect_list(member).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
     buckets.select(explode(flatten(
@@ -221,6 +236,12 @@ object Dedup {
     * `localCheckpoint` truncates the growing lineage so round N's plan does
     * not replay rounds 1..N-1.
     *
+    * If the graph has not converged after `maxIter` rounds (diameter >
+    * maxIter — an adversarial chain, not a near-dup clique), the partial
+    * labels are NOT min-reachable: rather than silently returning them,
+    * this logs a warning and falls back to [[connectedComponentsStar]],
+    * whose O(log n) rounds converge on any shape.
+    *
     * Returns (id, component) for every node in `pairs`, component = min id
     * reachable. Deterministic.
     */
@@ -258,7 +279,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels.withColumnRenamed("lbl", "component")
+    if (changed > 0) {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents: not converged after $maxIter rounds " +
+          s"($changed labels still changing — graph diameter exceeds maxIter); " +
+          "falling back to large-star/small-star (O(log n) rounds)")
+      connectedComponentsStar(pairs, idACol, idBCol)
+    } else labels.withColumnRenamed("lbl", "component")
   }
 
   /** Connected components via alternating large-star / small-star rounds

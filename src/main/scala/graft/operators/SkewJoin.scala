@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * This is the classic manual remedy for the case AQE's runtime skew-join
   * splitting cannot reach (e.g. a skewed aggregation feeding a join inside
-  * one stage, or a deterministic-plan requirement). Result is EXACTLY equal
-  * to `large.join(small, keys)` — the salt is an internal column, dropped
-  * on output. The small side grows `saltBuckets`x (it must be the
-  * dimension/small side; for two huge skewed sides prefer AQE).
+  * one stage, or a deterministic-plan requirement). For the supported join
+  * types (inner / left / left_semi / left_anti — i.e. small-side rows are
+  * never emitted unmatched) the result is EXACTLY equal to
+  * `large.join(small, keys, joinType)` — the salt is an internal column,
+  * dropped on output. right/full outer are rejected: the small side is
+  * replicated `saltBuckets`x, so every unmatched small-side row would be
+  * emitted once per salt value. The small side grows `saltBuckets`x (it
+  * must be the dimension/small side; for two huge skewed sides prefer AQE).
   *
   * 100 TB posture: shuffle volume is unchanged on the large side (one pass,
   * now uniformly distributed) and `saltBuckets`x on the small side — the
@@ -29,6 +33,11 @@ object SkewJoin {
       saltBuckets: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    val jt = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin supports inner/left/left_semi/left_anti only: '$joinType' would " +
+        "emit each unmatched small-side row saltBuckets times (small side is " +
+        "replicated across salts)")
     val keyCols = keys.map(col)
     // uniform deterministic salt from the full large-side row hash: rows of
     // the same hot key scatter across buckets

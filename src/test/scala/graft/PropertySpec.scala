@@ -191,6 +191,11 @@ class PropertySpec extends SparkSpec {
     val path = (1L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val star = ccStar(path)
     assert(star.size == 120 && star.values.forall(_ == 1L))
+    // propagation hits its round cap on the same path — it must NOT return
+    // the partial labels silently; the star fallback makes it correct anyway
+    val fallback = graft.operators.Dedup.connectedComponents(path, maxIter = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(fallback == star)
   }
 
   test("bucketPairs: a flooded bucket is dropped whole — output stays bounded") {

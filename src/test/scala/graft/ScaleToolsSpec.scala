@@ -60,6 +60,19 @@ class ScaleToolsSpec extends SparkSpec {
       pmod(xxhash64(fact.columns.map(col): _*), lit(8L)))
       .filter(col("k") === "hot").select("__salt").distinct().count()
     assert(spread >= 6, s"hot key must scatter over most buckets ($spread)")
+
+    // left join keeps unmatched LARGE rows exactly once...
+    val factX = fact.unionByName(Seq(("nokey", -1)).toDF("k", "v"))
+    def canonL(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "label").as[(String, Int, Option[String])]
+        .collect().sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(canonL(SkewJoin.saltedJoin(factX, dim, Seq("k"), saltBuckets = 8,
+      joinType = "left")) == canonL(factX.join(dim, Seq("k"), "left")))
+    // ...and join types that would emit unmatched SMALL rows are rejected
+    for (jt <- Seq("right", "right_outer", "full", "full_outer"))
+      assertThrows[IllegalArgumentException] {
+        SkewJoin.saltedJoin(fact, dim, Seq("k"), saltBuckets = 8, joinType = jt)
+      }
   }
 
   test("bucketed tables co-locate: join plans with no shuffle exchange") {

@@ -25,7 +25,12 @@ object Bench {
     // has nothing to do with the query's plan — alphabetically-first queries
     // were charged ~2s of C2 compiler time. Engine throughput (what the
     // 100 TB posture cares about) is the steady-state number.
+    // dev-only subset filter (comma-separated names); the driver sets no
+    // SPARK_GRAFT_ONLY, so its run always covers the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

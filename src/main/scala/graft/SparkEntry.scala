@@ -308,8 +308,12 @@ object SparkEntry {
     * query over the same pairs. */
   private def dedupGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
+      // persist the LSH pair graph: CC's per-round actions would otherwise
+      // re-run the whole signature pipeline (plan-identical calls share the
+      // entry; LRU-bounded — same documented policy as the Insights base)
       Dedup.minhashCandidatePairs(documents(s, dir), "doc_id", "text",
-        shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true))
+        shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+        .persist())
       .orderBy("id")
 
   /** SimHash near-dup PAIRS via 4 rotated prefix-block tables — complete for
@@ -688,6 +692,10 @@ object SparkEntry {
     * surface (same bround-parity rationale as q45); everything else —
     * episodes, medians, actives, top-3 samples — is hash-checked. */
   private def crisisPatterns(s: SparkSession, dir: String): DataFrame = {
+    // The daily agg feeds BOTH the max-date probe and the narrative rows;
+    // the probe recompute is absorbed by aggregateCrisisPatterns' persist
+    // of `base` (plan-identical calls share the cache entry — an eager
+    // localCheckpoint here benched 2x slower by defeating that reuse)
     val daily = events(s, dir)
       .groupBy(col("user_id"), eventDay(col("ts")).as("d"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -35,11 +35,21 @@ object PortableHash {
   val P31: Long = 2147483647L
 
   /** 60-bit positive hash of a string column, equal to DuckDB's
-    * `('0x' || substring(md5(s), 2, 15))::BIGINT`. One substring + one
-    * radix parse — an earlier little-endian-uint64 formulation (8
-    * substrings + concat + decimal pmod) was ~30% of q18's runtime. */
+    * `('0x' || substring(md5(s), 2, 15))::BIGINT`. Uses the native
+    * [[graft.plans.Md5Hash60]] codegen expression (digest bytes masked
+    * straight into a long — no hex string, substring, or radix parse per
+    * row; an earlier little-endian-uint64 formulation was ~30% of q18's
+    * runtime, and the conv(substring(md5)) formulation kept three
+    * allocations per shingle). Falls back to the built-in formulation if
+    * no active session exists to register the function against. */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string").cast("binary")), 2, 15), 16, 10).cast("long")
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        call_function("graft_md5h60", c.cast("string").cast("binary"))
+      case None =>
+        conv(substring(md5(c.cast("string").cast("binary")), 2, 15), 16, 10).cast("long")
+    }
 
   /** The same computation as a DuckDB SQL fragment (for generated oracles).
     * The VARCHAR cast mirrors the Spark side's `.cast("string")` (and

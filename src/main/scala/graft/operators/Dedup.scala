@@ -259,8 +259,12 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // init = round 1 fused: label(v) = min(v, N(v)) directly from the edge
+    // list (one aggregate — no join against identity labels). Dense near-dup
+    // cliques are already converged here, so the loop's first pass is the
+    // confirming round and typical inputs finish in ONE iteration.
+    var labels = edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("__n"))
+      .select(col("id"), least(col("id"), col("__n")).as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var i = 0

@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5h60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5h60"),
+      (children: Seq[Expression]) => Md5Hash60(children.head)))
   }
 }
 
@@ -31,6 +35,11 @@ object GraftExtensions {
     if (!registry.functionExists(FunctionIdentifier("graft_cosine"))) {
       registry.createOrReplaceTempFunction("graft_cosine",
         (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
+        "built-in")
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_md5h60"))) {
+      registry.createOrReplaceTempFunction("graft_md5h60",
+        (children: Seq[Expression]) => Md5Hash60(children.head),
         "built-in")
     }
   }

@@ -48,6 +48,25 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"))
   }
 
+  test("native md5h60 == conv(substring(md5)) formulation, and stays codegen'd") {
+    val rnd = new scala.util.Random(7)
+    val samples = Seq("", "a", "hello world", "héllo ünïcode ✓",
+      "x" * 500, "0", "\t\n") ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val df = samples.toDF("s")
+    val both = df.select(
+      graft.functions.PortableHash.md5Hash60(col("s")).as("native"),
+      conv(substring(md5(col("s").cast("binary")), 2, 15), 16, 10)
+        .cast("long").as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+    assert(both.filter(col("native") < 0).count() == 0, "60-bit => positive")
+    // parquet-backed scan stays inside one WholeStageCodegen span
+    val doc = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = doc.select(graft.functions.PortableHash.md5Hash60(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"))
+  }
+
   test("SparkSessionExtensions route registers graft_cosine") {
     val s2 = spark.newSession()
     new graft.plans.GraftExtensions().apply(

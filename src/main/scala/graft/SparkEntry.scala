@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Effective, Rollups, Similarity, StatePropagation, Windows}
+import graft.operators.{AsofJoin, Dedup, Effective, Rollups, Similarity, StatePropagation, Windows}
 import graft.functions.{PortableHash, SimilarityFunctions => SF, TextFunctions => TF}
 import graft.sources.PipeSeries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -324,6 +324,27 @@ object SparkEntry {
       Dedup.simhashTable(documents(s, dir), "doc_id", "text", portable = true),
       bits = 60)
       .orderBy("id_a", "id_b")
+
+  /** As-of (point-in-time) join: each purchase event matched to the SAME
+    * user's latest at-or-before click — the trades→quotes shape. Single
+    * key-shuffle union-sort plan (no range explosion); oracled against
+    * DuckDB's native ASOF LEFT JOIN. Timestamps emitted as epoch micros
+    * (exact decimal ns→us floor on the Spark side == DuckDB's ns→us read). */
+  private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    def us(c: Column): Column =
+      floor(c.cast("decimal(20,0)") / lit(1000)).cast("long")
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    AsofJoin.asofBackward(purchases, clicks, Seq("user_id"), "ts", "ts",
+      Seq("click_id", "click_ts", "click_value"))
+      .select(col("event_id"), col("user_id"), us(col("ts")).as("ts_us"),
+        col("click_id"), us(col("click_ts")).as("click_ts_us"), col("click_value"))
+      .orderBy("event_id")
+  }
 
   /** W11/K5: recursive prev-day active-state propagation via flatMapGroups —
     * the reference's crisis-event trigger machine shape
@@ -868,7 +889,8 @@ object SparkEntry {
     "q48_quantized_knn" -> (quantizedKnn _),
     "q49_chunking" -> (chunkDocs _),
     "q50_packing" -> (packDocs _),
-    "q51_stratified_sample" -> (stratifiedSample _)
+    "q51_stratified_sample" -> (stratifiedSample _),
+    "q52_asof_join" -> (asofJoinQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1037,6 +1059,19 @@ object SparkEntry {
          |WHERE ${graft.operators.Sampling.stratifiedSampleSql("doc_id", "lang",
               stratifiedRates)}
          |ORDER BY doc_id""".stripMargin,
+    "q52_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts AS click_ts,
+        |    arg_max(event_id, event_id) AS click_id,
+        |    arg_max(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  c.click_id, epoch_us(c.click_ts) AS click_ts_us, c.click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
     "q49_chunking" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Effective, Rollups, Similarity, Windows}
+import graft.operators.{AsofJoin, Dedup, Effective, Rollups, Similarity, Windows}
 import org.apache.spark.sql.functions._
 import java.sql.Date
 
@@ -224,5 +224,28 @@ class OperatorsSpec extends SparkSpec {
     val recallQ = quant.intersect(exact).size.toDouble / exact.size
     assert(recallQ >= 0.9, s"quantized recall@5 = $recallQ")
     assert(exact.size == 100 && approx.size == 100)
+  }
+
+  test("asof join: backward/forward, inclusive ties, unmatched nulls, right dedup") {
+    val left = Seq((1L, "k1", 10L), (2L, "k1", 20L), (3L, "k1", 5L), (4L, "k2", 50L))
+      .toDF("lid", "k", "ts")
+    // k1 has right rows at ts 10 (two rows — dedup must pick rid 12) and 15;
+    // k2 has none before 50 (backward-unmatched) but one after
+    val rightN = Seq((11L, "k1", 10L, "a"), (12L, "k1", 10L, "b"), (13L, "k1", 15L, "c"),
+      (14L, "k2", 60L, "d")).toDF("rid", "k", "rts", "pv")
+    val back = AsofJoin.asofBackward(left, rightN, Seq("k"), "ts", "rts", Seq("rid", "pv"))
+      .as[(Long, String, Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> (r._4, r._5)).toMap
+    assert(back(1L) == (Some(12L), Some("b"))) // tie at ts=10: inclusive + max-struct dedup
+    assert(back(2L) == (Some(13L), Some("c"))) // latest at-or-before 20 is 15
+    assert(back(3L) == (None, None))           // nothing at-or-before 5
+    assert(back(4L) == (None, None))           // k2's only row is after 50
+    val fwd = AsofJoin.asofForward(left, rightN, Seq("k"), "ts", "rts", Seq("rid", "pv"))
+      .as[(Long, String, Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(fwd(1L) == Some(12L)) // inclusive at equal ts
+    assert(fwd(2L) == None)      // nothing at-or-after 20 on k1... (15 < 20)
+    assert(fwd(3L) == Some(12L)) // earliest at-or-after 5 is ts=10
+    assert(fwd(4L) == Some(14L))
   }
 }

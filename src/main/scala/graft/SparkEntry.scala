@@ -346,6 +346,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Binned range join: per-user error EPISODES (gaps-and-islands intervals,
+    * the q07 kernel over error days) joined to the purchase events that fall
+    * inside them — a composed interval-attribution pipeline. Day ordinates
+    * (exact integers) keep the bin arithmetic engine-portable; the oracle is
+    * the same episode CTE plus a plain inequality join. */
+  private def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    def dayNum(c: Column): Column = datediff(c, lit("1970-01-01")).cast("long")
+    val ev = events(s, dir)
+    val errorDays = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), eventDay(col("ts")).as("d"))
+    val episodes = Windows.episodes(errorDays, Seq("user_id"), "d")
+      .select(col("user_id"), dayNum(col("episode_start")).as("ep_start"),
+        dayNum(col("episode_end")).as("ep_end"), col("episode_days"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), dayNum(eventDay(col("ts"))).as("p_day"))
+    graft.operators.RangeJoin.pointsInIntervals(purchases, episodes,
+      Seq("user_id"), "p_day", "ep_start", "ep_end", binWidth = 4L)
+      .select(col("user_id"), col("event_id"), col("p_day"),
+        col("ep_start"), col("ep_end"), col("episode_days"))
+      .orderBy("user_id", "event_id", "ep_start")
+  }
+
   /** W11/K5: recursive prev-day active-state propagation via flatMapGroups —
     * the reference's crisis-event trigger machine shape
     * (crisis_event_rollups.py:541-561). The DuckDB oracle uses the
@@ -890,7 +912,8 @@ object SparkEntry {
     "q49_chunking" -> (chunkDocs _),
     "q50_packing" -> (packDocs _),
     "q51_stratified_sample" -> (stratifiedSample _),
-    "q52_asof_join" -> (asofJoinQ _)
+    "q52_asof_join" -> (asofJoinQ _),
+    "q53_range_join" -> (rangeJoinQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1072,6 +1095,32 @@ object SparkEntry {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY p.event_id""".stripMargin,
+    "q53_range_join" ->
+      """WITH edays AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE event_type = 'error'),
+        |lagged AS (
+        |  SELECT user_id, d, LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS pd
+        |  FROM edays),
+        |grp AS (
+        |  SELECT user_id, d,
+        |    SUM(CASE WHEN pd IS NULL OR date_diff('day', pd, d) > 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM lagged),
+        |eps AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '1970-01-01', MIN(d)) AS ep_start,
+        |    date_diff('day', DATE '1970-01-01', MAX(d)) AS ep_end,
+        |    CAST(COUNT(*) AS BIGINT) AS episode_days
+        |  FROM grp GROUP BY user_id, g),
+        |purchases AS (
+        |  SELECT event_id, user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS p_day
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.p_day, e.ep_start, e.ep_end, e.episode_days
+        |FROM purchases p JOIN eps e
+        |  ON p.user_id = e.user_id AND p.p_day BETWEEN e.ep_start AND e.ep_end
+        |ORDER BY p.user_id, p.event_id, e.ep_start""".stripMargin,
     "q49_chunking" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

@@ -248,4 +248,23 @@ class OperatorsSpec extends SparkSpec {
     assert(fwd(3L) == Some(12L)) // earliest at-or-after 5 is ts=10
     assert(fwd(4L) == Some(14L))
   }
+
+  test("range join == naive non-equi join on random data, across bin widths") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong)).toDF("pid", "k", "p")
+    val intervals = (1 to 80).map { i =>
+      val s = rnd.nextInt(95).toLong
+      (1000L + i, s"k${rnd.nextInt(5)}", s, s + rnd.nextInt(12))
+    }.toDF("iid", "k", "s", "e")
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("p").between(col("s"), col("e")))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    for (w <- Seq(1L, 4L, 16L, 1000L)) {
+      val got = RangeJoin.pointsInIntervals(points, intervals, Seq("k"), "p", "s", "e", w)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"binWidth=$w diverged (${got.size} vs ${naive.size})")
+    }
+  }
 }

@@ -368,6 +368,32 @@ object SparkEntry {
       .orderBy("user_id", "event_id", "ep_start")
   }
 
+  /** Sessionization over the event stream: Spark's native `session_window`
+    * (6-hour inactivity gap — the median per-user inter-event gap here is
+    * ~7h, so real splits occur) with per-session stats and a 1-based
+    * session index. Same-session iff gap < 6h (session_window merges
+    * overlapping [ts, ts+gap) windows), which the oracle replays as a
+    * lag + cumulative-sum islands build with a `>= gap` split in micros.
+    * Batch twin of the streaming state machinery in graft.streaming. */
+  private def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), eventTs(col("ts")).as("t"), col("event_type"))
+    val sess = ev
+      .groupBy(col("user_id"), session_window(col("t"), "6 hours").as("w"))
+      .agg(min(col("t")).as("s"), max(col("t")).as("e"),
+        count(lit(1)).as("n_events"),
+        Rollups.countIf(col("event_type") === "purchase").as("n_purchases"))
+    sess
+      .select(col("user_id"),
+        unix_micros(col("s")).as("session_start_us"),
+        unix_micros(col("e")).as("session_end_us"),
+        col("n_events"), col("n_purchases"))
+      .withColumn("session_idx", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("session_start_us")))
+        .cast("long"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** W11/K5: recursive prev-day active-state propagation via flatMapGroups —
     * the reference's crisis-event trigger machine shape
     * (crisis_event_rollups.py:541-561). The DuckDB oracle uses the
@@ -913,7 +939,8 @@ object SparkEntry {
     "q50_packing" -> (packDocs _),
     "q51_stratified_sample" -> (stratifiedSample _),
     "q52_asof_join" -> (asofJoinQ _),
-    "q53_range_join" -> (rangeJoinQ _)
+    "q53_range_join" -> (rangeJoinQ _),
+    "q54_sessionize" -> (sessionizeQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1121,6 +1148,30 @@ object SparkEntry {
         |FROM purchases p JOIN eps e
         |  ON p.user_id = e.user_id AND p.p_day BETWEEN e.ep_start AND e.ep_end
         |ORDER BY p.user_id, p.event_id, e.ep_start""".stripMargin,
+    "q54_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pd
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(CASE WHEN pd IS NULL
+        |             OR date_diff('microsecond', pd, ts) >= 21600000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id,
+        |    epoch_us(MIN(ts)) AS session_start_us,
+        |    epoch_us(MAX(ts)) AS session_end_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |      AS n_purchases
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, session_start_us, session_end_us, n_events, n_purchases,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY session_start_us)
+        |    AS BIGINT) AS session_idx
+        |FROM s ORDER BY user_id, session_idx""".stripMargin,
     "q49_chunking" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

@@ -394,6 +394,22 @@ object SparkEntry {
       .orderBy("user_id", "session_idx")
   }
 
+  /** SCD2 interval build: each user's event_type stream as a change log —
+    * consecutive duplicates collapse, every change opens a validity interval
+    * closed (exclusively) by the next change; the open interval is
+    * `is_current`. One shuffle + one sort shared by both window passes. */
+  private def scd2Q(s: SparkSession, dir: String): DataFrame = {
+    def us(c: Column): Column =
+      floor(c.cast("decimal(20,0)") / lit(1000)).cast("long")
+    val changes = events(s, dir)
+      .select(col("user_id"), us(col("ts")).as("t"), col("event_type").as("status"))
+    graft.operators.Scd2.buildIntervals(changes, Seq("user_id"), "t", Seq("status"))
+      .select(col("user_id"), col("status"),
+        col("valid_from").as("valid_from_us"), col("valid_to").as("valid_to_us"),
+        col("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
   /** W11/K5: recursive prev-day active-state propagation via flatMapGroups —
     * the reference's crisis-event trigger machine shape
     * (crisis_event_rollups.py:541-561). The DuckDB oracle uses the
@@ -940,7 +956,8 @@ object SparkEntry {
     "q51_stratified_sample" -> (stratifiedSample _),
     "q52_asof_join" -> (asofJoinQ _),
     "q53_range_join" -> (rangeJoinQ _),
-    "q54_sessionize" -> (sessionizeQ _)
+    "q54_sessionize" -> (sessionizeQ _),
+    "q55_scd2_intervals" -> (scd2Q _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1172,6 +1189,22 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY session_start_us)
         |    AS BIGINT) AS session_idx
         |FROM s ORDER BY user_id, session_idx""".stripMargin,
+    "q55_scd2_intervals" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS t, MAX(event_type) AS status
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, t, status,
+        |    LAG(status) OVER (PARTITION BY user_id ORDER BY t) AS ps
+        |  FROM c),
+        |ch AS (SELECT user_id, t, status FROM l WHERE ps IS NULL OR ps <> status),
+        |iv AS (
+        |  SELECT user_id, status, t AS valid_from_us,
+        |    LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS valid_to_us
+        |  FROM ch)
+        |SELECT user_id, status, valid_from_us, valid_to_us,
+        |  (valid_to_us IS NULL) AS is_current
+        |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
     "q49_chunking" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

@@ -249,6 +249,27 @@ class OperatorsSpec extends SparkSpec {
     assert(fwd(4L) == Some(14L))
   }
 
+  test("scd2: dup-collapse, exclusive valid_to, is_current, one shuffle") {
+    import graft.operators.Scd2
+    val changes = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "a"), ("u1", 3L, "b"), ("u1", 5L, "b"),
+      ("u1", 7L, "a"), ("u2", 4L, "x"),
+      ("u2", 6L, "x"), ("u2", 6L, "y") // same-ts tie: max state wins
+    ).toDF("k", "t", "st")
+    val got = Scd2.buildIntervals(changes, Seq("k"), "t", Seq("st"))
+      .as[(String, String, Long, Option[Long], Boolean)].collect().sortBy(r => (r._1, r._3))
+    assert(got.toSeq == Seq(
+      ("u1", "a", 1L, Some(3L), false),
+      ("u1", "b", 3L, Some(7L), false),
+      ("u1", "a", 7L, None, true),
+      ("u2", "x", 4L, Some(6L), false),
+      ("u2", "y", 6L, None, true)))
+    // both window passes share one Exchange (same partitioning + ordering)
+    val plan = Scd2.buildIntervals(changes, Seq("k"), "t", Seq("st"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan.take(1500))
+  }
+
   test("range join == naive non-equi join on random data, across bin widths") {
     import graft.operators.RangeJoin
     val rnd = new scala.util.Random(11)

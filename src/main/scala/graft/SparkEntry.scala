@@ -410,6 +410,19 @@ object SparkEntry {
       .orderBy("user_id", "valid_from_us")
   }
 
+  private val bm25Queries = Seq(
+    (1, Seq("hash", "join")),
+    (2, Seq("window", "agg")),
+    (3, Seq("slow", "scan", "filter")))
+
+  /** BM25 keyword search: top-10 docs per query, rank-oracled (scores sum
+    * through decimal(38,12) — order-independent, so ranks replay exactly;
+    * the floats themselves stay out of the compare surface). */
+  private def bm25Q(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.bm25TopK(documents(s, dir), "doc_id", "text",
+      bm25Queries, k = 10)
+      .orderBy("query_id", "rank")
+
   /** W11/K5: recursive prev-day active-state propagation via flatMapGroups —
     * the reference's crisis-event trigger machine shape
     * (crisis_event_rollups.py:541-561). The DuckDB oracle uses the
@@ -957,7 +970,8 @@ object SparkEntry {
     "q52_asof_join" -> (asofJoinQ _),
     "q53_range_join" -> (rangeJoinQ _),
     "q54_sessionize" -> (sessionizeQ _),
-    "q55_scd2_intervals" -> (scd2Q _)
+    "q55_scd2_intervals" -> (scd2Q _),
+    "q56_bm25_topk" -> (bm25Q _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1205,6 +1219,41 @@ object SparkEntry {
         |SELECT user_id, status, valid_from_us, valid_to_us,
         |  (valid_to_us IS NULL) AS is_current
         |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
+    "q56_bm25_topk" -> {
+      val vals = bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      val inList = bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $vals),
+         |base AS (
+         |  SELECT id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term
+         |  FROM (SELECT doc_id AS id,
+         |          string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |        FROM documents)),
+         |tfq AS (
+         |  SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS tf, ANY_VALUE(dl) AS dl
+         |  FROM base WHERE term IN ($inList) GROUP BY 1, 2),
+         |dfc AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    AVG(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE))
+         |      AS avgdl
+         |  FROM documents),
+         |scored AS (
+         |  SELECT q.query_id, tfq.id,
+         |    CAST(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * tfq.tf * 2.2
+         |      / (tfq.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfq.dl / s.avgdl))
+         |      AS DECIMAL(38,12)) AS sc
+         |  FROM tfq JOIN q ON q.term = tfq.term
+         |  JOIN dfc d ON d.term = tfq.term, stats s),
+         |agg AS (SELECT query_id, id, SUM(sc) AS score FROM scored GROUP BY 1, 2)
+         |SELECT query_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id)
+         |    AS BIGINT) AS rank,
+         |  id AS doc_id
+         |FROM agg
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "q49_chunking" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

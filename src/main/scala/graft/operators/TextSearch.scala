@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational BM25 keyword search over a document corpus — the ranking
+  * stage of a training-data / retrieval pipeline, as pure DataFrame ops.
+  *
+  * Scoring (Lucene's BM25 variant, always-positive idf):
+  * {{{
+  *   idf(t)      = ln((N - df + 0.5) / (df + 0.5) + 1)
+  *   score(t, d) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  * }}}
+  *
+  * Plan shape (100 TB posture):
+  *  - doc length rides the tokenization projection (`size(tk)` next to
+  *    `explode(tk)`), so no corpus-wide join on doc id exists anywhere;
+  *  - tokens are filtered to the query vocabulary BEFORE the tf aggregate —
+  *    the only corpus shuffle is (doc, query-term) rows, a tiny fraction of
+  *    the token stream;
+  *  - query terms and per-term document frequencies broadcast;
+  *  - per-(query, doc) scores sum through DecimalType(38,12): deterministic
+  *    under partial-aggregation order (double addition is non-associative),
+  *    which keeps ranks reproducible run-to-run and engine-to-engine — the
+  *    repo-wide decimal-sum policy;
+  *  - top-k per query is a bounded rank window over the scored rows.
+  *
+  * Returns (query_id, rank, doc_id) with rank 1..k by (score desc, doc id).
+  */
+object TextSearch {
+
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Int, Seq[String])],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k > 0, "need queries and k > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+
+    def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+    // (doc, term, tf, dl) for query terms only; persisted because both the
+    // df aggregate and the scoring join read it (plan-identical reuse,
+    // LRU-bounded — the repo's documented cache policy)
+    val tfq = base.filter(col("term").isin(allTerms: _*))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .persist()
+    val dfc = tfq.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = docs.select(size(tokens(col(textCol))).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val termScore = idf * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tfq
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfc), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"),
+        termScore.cast("decimal(38,12)").as("__s"))
+      .groupBy("query_id", "id")
+      .agg(sum(col("__s")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"))
+  }
+}

@@ -270,6 +270,24 @@ class OperatorsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan.take(1500))
   }
 
+  test("bm25: tf monotonicity, rare-term idf boost, k bound") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (1L, "spark spark spark filler filler"),   // tf=3 for 'spark'
+      (2L, "spark filler filler filler filler"), // tf=1
+      (3L, "needle filler filler filler filler"),// rare term
+      (4L, "filler spark filler spark filler"),  // tf=2
+      (5L, "nothing here at all")
+    ).toDF("doc_id", "text")
+    val got = TextSearch.bm25TopK(docs, "doc_id", "text",
+      Seq((1, Seq("spark")), (2, Seq("needle", "spark"))), k = 2)
+      .as[(Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // q1: higher tf ranks first (equal dl); k caps at 2
+    assert(got.filter(_._1 == 1).map(_._3).toSeq == Seq(1L, 4L))
+    // q2: the rare 'needle' (df=1) outscores any single 'spark' hit (df=3)
+    assert(got.filter(_._1 == 2).head._3 == 3L)
+  }
+
   test("range join == naive non-equi join on random data, across bin widths") {
     import graft.operators.RangeJoin
     val rnd = new scala.util.Random(11)

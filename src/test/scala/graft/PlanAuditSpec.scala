@@ -101,6 +101,27 @@ class PlanAuditSpec extends SparkSpec {
       "chunk explode must inherit scan partitioning:\n" + p.take(2000))
   }
 
+  test("q52 as-of join is a union-sort, not a join: zero join operators") {
+    val p = planString("q52_asof_join")
+    assert(!p.contains("Join"), "as-of must not plan any join:\n" + p.take(2000))
+    assert(p.contains("Union"), "tagged union expected")
+    assert("Window \\[".r.findAllIn(p).size == 1, "one propagation window")
+  }
+
+  test("q53 range join is an equi-join on bins: no cartesian/nested-loop") {
+    val p = planString("q53_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "binned range join must never plan a product:\n" + p.take(2000))
+  }
+
+  test("q56 bm25: query/df tables broadcast; no cartesian product") {
+    val p = planString("q56_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), "query vocabulary must broadcast")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-scale shuffle join in the scoring chain:\n" + p.take(2000))
+  }
+
   test("q33 banded hyperplane LSH: no cartesian/self-join — bucket-harvest only") {
     val p = planString("q33_embedding_neardup")
     assert(!p.contains("CartesianProduct"), "no cartesian pair expansion")

@@ -130,4 +130,38 @@ class StreamingSpec extends SparkSpec {
       .as[String].collect().sorted.toSeq
     assert(got == Seq("h1", "h2", "h3"))
   }
+
+  test("streaming session_window finalizes the same sessions as batch (q54 kernel)") {
+    val rows = Seq(
+      (1L, "2024-05-01 10:00:00"), (1L, "2024-05-01 12:30:00"), // one session (<6h gaps)
+      (1L, "2024-05-01 20:00:00"),                              // 7.5h gap -> new session
+      (2L, "2024-05-01 09:00:00"),
+      (2L, "2024-05-02 09:00:00")                               // next day -> new session
+    ).map { case (u, t) => (u, Timestamp.valueOf(t)) }
+
+    def sessionsOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("t"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").cast("string").as("s"), col("n_events"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val stream = sessionsOf(
+      input.toDF().toDF("user_id", "t").withWatermark("t", "0 seconds"))
+    val q = stream.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    // sentinel far past every session end: advances the watermark so all
+    // real sessions finalize (its own open session never emits)
+    input.addData((99L, Timestamp.valueOf("2024-06-01 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_out")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = sessionsOf(rows.toDF("user_id", "t"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch && batch.size == 4, s"$streamed vs $batch")
+  }
 }

@@ -423,6 +423,22 @@ object SparkEntry {
       bm25Queries, k = 10)
       .orderBy("query_id", "rank")
 
+  private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** One-pass multi-column numeric profile of lineitem (exact
+    * cardinalities + medians); per-column rows explode from a single
+    * aggregated row — no per-column scans or jobs. */
+  private def profileQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profileNumeric(lineitem(s, dir), profileCols)
+      .orderBy("col_name")
+
+  /** Tokenizer vocabulary: term counts with a min-count floor, bounded
+    * top-k, deterministic (count desc, term) ids. */
+  private def vocabQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.buildVocab(documents(s, dir), "text",
+      minCount = 5L, maxVocab = 100)
+      .orderBy("vocab_id")
+
   /** W11/K5: recursive prev-day active-state propagation via flatMapGroups —
     * the reference's crisis-event trigger machine shape
     * (crisis_event_rollups.py:541-561). The DuckDB oracle uses the
@@ -971,7 +987,9 @@ object SparkEntry {
     "q53_range_join" -> (rangeJoinQ _),
     "q54_sessionize" -> (sessionizeQ _),
     "q55_scd2_intervals" -> (scd2Q _),
-    "q56_bm25_topk" -> (bm25Q _)
+    "q56_bm25_topk" -> (bm25Q _),
+    "q57_profile" -> (profileQ _),
+    "q58_vocab" -> (vocabQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1254,6 +1272,29 @@ object SparkEntry {
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
+    "q57_profile" -> {
+      val perCol = profileCols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT($c) AS BIGINT) AS n,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_value,
+           |  CAST(MAX($c) AS DOUBLE) AS max_value,
+           |  median($c) AS median
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$perCol\nORDER BY col_name"
+    },
+    "q58_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM t
+        |  GROUP BY term HAVING COUNT(*) >= 5
+        |  ORDER BY n DESC, term LIMIT 100)
+        |SELECT term, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS vocab_id
+        |FROM c ORDER BY vocab_id""".stripMargin,
     "q49_chunking" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

@@ -79,4 +79,28 @@ object TextSearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("doc_id"))
   }
+
+  /** Tokenizer-prep vocabulary builder: term counts over the corpus,
+    * a `minCount` floor, and deterministic ids by (count desc, term).
+    *
+    * Scale shape: ONE map-side-combined shuffle on the term (the token
+    * stream never moves raw — partial counts do); the global ranking is
+    * applied only AFTER the vocabulary is bounded to `maxVocab` by a
+    * TakeOrderedAndProject top-k (per-partition bounded heaps), so the
+    * unpartitioned id window sees at most `maxVocab` rows — the q12
+    * pagination pattern, never a corpus-wide global sort. */
+  def buildVocab(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long,
+      maxVocab: Int): DataFrame = {
+    val counts = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("term"))
+      .limit(maxVocab)
+    counts.withColumn("vocab_id", row_number().over(
+      Window.orderBy(col("n").desc, col("term"))).cast("long"))
+  }
 }

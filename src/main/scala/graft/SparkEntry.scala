@@ -309,11 +309,11 @@ object SparkEntry {
   private def dedupGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
       // persist the LSH pair graph: CC's per-round actions would otherwise
-      // re-run the whole signature pipeline (plan-identical calls share the
-      // entry; LRU-bounded — same documented policy as the Insights base)
-      Dedup.minhashCandidatePairs(documents(s, dir), "doc_id", "text",
-        shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
-        .persist())
+      // re-run the whole signature pipeline. Tracked in the bounded cache
+      // registry (Caching) — same policy as the Insights/Storylines bases.
+      graft.Caching.track(
+        Dedup.minhashCandidatePairs(documents(s, dir), "doc_id", "text",
+          shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)))
       .orderBy("id")
 
   /** SimHash near-dup PAIRS via 4 rotated prefix-block tables — complete for

@@ -174,9 +174,10 @@ object Insights {
       limit: Int = 10): DataFrame = {
     // three aggregation branches read `base` — Spark shares no subplans, so
     // without a persist the narrative-row subtree is recomputed per branch.
-    // The cache entry outlives the call (Spark's LRU bounds the footprint);
-    // batch drivers issuing many calls can spark.catalog.clearCache()
-    val base = prepare(narrativeRows, includeNonCrisis).persist()
+    // Tracked in the Caching registry (FIFO-bounded): Spark's CacheManager
+    // keeps entries alive until unpersisted, so untracked library-internal
+    // persists would accumulate one per distinct input plan forever.
+    val base = graft.Caching.track(prepare(narrativeRows, includeNonCrisis))
     val key = Seq("__tag_key", "__grp")
 
     // per-pattern episode durations over each entity's distinct day set
@@ -243,12 +244,13 @@ object Insights {
       analyticsType: String = "brand",
       includeNonCrisis: Boolean = false,
       limit: Int = 25): DataFrame = {
-    val base = prepare(narrativeRows, includeNonCrisis)
+    // three branches below read `base`; tracked in the bounded cache
+    // registry (see aggregateCrisisPatterns)
+    val base = graft.Caching.track(prepare(narrativeRows, includeNonCrisis)
       .withColumn("__sector",
         when(trim(coalesce(col("sector"), lit(""))) === "", "Unspecified")
           .otherwise(trim(col("sector"))))
-      .withColumn("__pattern", concat(col("__tag_key"), lit("::"), col("__grp")))
-      .persist() // three branches below; see aggregateCrisisPatterns
+      .withColumn("__pattern", concat(col("__tag_key"), lit("::"), col("__grp"))))
 
     val entityTagDays = base
       .select(col("__sector"), col("entity_id"), col("__pattern"), col("date")).distinct()

@@ -41,7 +41,15 @@ object PortableHash {
     * row; an earlier little-endian-uint64 formulation was ~30% of q18's
     * runtime, and the conv(substring(md5)) formulation kept three
     * allocations per shingle). Falls back to the built-in formulation if
-    * no active session exists to register the function against. */
+    * no active session exists to register the function against.
+    *
+    * Single-session assumption: `graft_md5h60` is registered against the
+    * session active when the Column is BUILT; analyzing that Column under a
+    * different SparkSession (`newSession()`, multi-session drivers) fails to
+    * resolve the temp function. Multi-session deployments should install
+    * [[graft.plans.GraftExtensions]] via
+    * `spark.sql.extensions=graft.plans.GraftExtensions` (config-based
+    * registration, applied to every session) — that is the supported path. */
   def md5Hash60(c: Column): Column =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) =>

@@ -77,9 +77,19 @@ object AsofJoin {
     require(payload.nonEmpty, "payload must name at least one right column")
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"payload collides with left columns: $collisions")
+    // __-prefixed names are internal (`__ts/__side/__p/__m`); a caller column
+    // with one of those names would be silently replaced by withColumn and
+    // re-emitted wrong — refuse instead (mirrors the payload guard above)
+    val reserved = (left.columns ++ payload).filter(_.startsWith("__"))
+    require(reserved.isEmpty, s"column names may not start with '__': ${reserved.toSet}")
 
-    // one deterministic right row per (key, ts): max payload struct
+    // one deterministic right row per (key, ts): max payload struct.
+    // SQL-join null semantics: a null join key never matches — drop
+    // null-keyed right rows up front (Window.partitionBy would otherwise
+    // group them WITH null-keyed left rows and hand those a bogus match);
+    // null-keyed LEFT rows survive with a null payload, like a left join.
     val rightRows = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .groupBy((keys.map(col) :+ col(rightTs).as("__ts")): _*)
       .agg(max(struct(payload.map(col): _*)).as("__p"))
       .withColumn("__side", lit(0))

@@ -38,6 +38,13 @@ object Scd2 {
       tsCol: String,
       stateCols: Seq[String]): DataFrame = {
     require(stateCols.nonEmpty, "stateCols must be non-empty")
+    // __-prefixed names are internal (`__s/__pt/__prev`) and the three
+    // interval columns are produced by this operator — an input column with
+    // any of those names would be silently clobbered; refuse instead
+    val reserved = (keys ++ stateCols :+ tsCol).filter(c =>
+      c.startsWith("__") || c == "valid_from" || c == "valid_to" || c == "is_current")
+    require(reserved.isEmpty,
+      s"column names may not start with '__' or shadow interval outputs: ${reserved.toSet}")
     val withS = changes.select(
       (keys.map(col) :+ col(tsCol) :+ struct(stateCols.map(col): _*).as("__s")): _*)
     val w = Window.partitionBy(keys.map(col): _*)

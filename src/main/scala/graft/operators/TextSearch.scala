@@ -38,25 +38,67 @@ object TextSearch {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    require(queries.nonEmpty && k > 0, "need queries and k > 0")
+    require(queries.nonEmpty, "need queries")
     val spark = docs.sparkSession
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
     val qterms = queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "term")
+    // interactive mode: the vocabulary is small enough to plan as isin
+    // literals (predicate pushes into the token projection, no join)
+    bm25Core(docs, idCol, textCol, qterms, k, k1, b,
+      vocabPrune = _.filter(col("term").isin(allTerms: _*)))
+  }
 
+  /** BM25 over an unbounded query SET (a 10k-query evaluation sweep): the
+    * queries arrive as a DataFrame `(query_id, term)` — one row per query
+    * term — and vocabulary pruning becomes a broadcast LEFT SEMI join
+    * against the distinct query vocabulary instead of an `isin` literal
+    * list (which would plan a multi-thousand-element predicate). Scoring
+    * joins stay broadcast on the query side; the corpus still shuffles
+    * only its query-vocabulary token subset. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
+    val qterms = queryTerms.select(col("query_id"), col("term")).distinct()
+    val vocab = broadcast(qterms.select("term").distinct())
+    bm25Core(docs, idCol, textCol, qterms, k, k1, b,
+      vocabPrune = _.join(vocab, Seq("term"), "left_semi"))
+  }
+
+  /** DataFrame-queries overload with default BM25 parameters. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: DataFrame, k: Int): DataFrame =
+    bm25TopK(docs, idCol, textCol, queryTerms, k, 1.2, 0.75)
+
+  private def bm25Core(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      qterms: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double,
+      vocabPrune: DataFrame => DataFrame): DataFrame = {
+    require(k > 0, "need k > 0")
     def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
     val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
       .select(col("id"), size(col("tk")).cast("double").as("dl"),
         explode(col("tk")).as("term"))
     // (doc, term, tf, dl) for query terms only; persisted because both the
-    // df aggregate and the scoring join read it (plan-identical reuse,
-    // LRU-bounded — the repo's documented cache policy)
-    val tfq = base.filter(col("term").isin(allTerms: _*))
+    // df aggregate and the scoring join read it. Routed through
+    // Caching.track so long-lived sessions don't accumulate an entry per
+    // distinct (docs, queries) plan — Spark's CacheManager never drops
+    // entries on its own; the registry FIFO-bounds them.
+    val tfq = graft.Caching.track(vocabPrune(base)
       .groupBy("id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
-      .persist()
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl")))
     val dfc = tfq.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val stats = docs.select(size(tokens(col(textCol))).cast("double").as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))

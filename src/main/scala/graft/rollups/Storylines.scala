@@ -93,7 +93,7 @@ object Storylines {
     * `supporting_metrics`; columns absent for a storyline type are null). */
   def storylineCandidates(
       narrativeRows: DataFrame, analyticsType: String = "brand"): DataFrame = {
-    val base = prepare(narrativeRows).persist()
+    val base = graft.Caching.track(prepare(narrativeRows))
     val plural = if (analyticsType == "brand") "brands" else "CEOs"
     val dbl = (c: Column) => c.cast("double").cast("string")
 

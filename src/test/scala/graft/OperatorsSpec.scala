@@ -249,6 +249,32 @@ class OperatorsSpec extends SparkSpec {
     assert(fwd(4L) == Some(14L))
   }
 
+  test("asof join: null keys never match; reserved __-names refused") {
+    // SQL-join semantics: a null-keyed right row is invisible; a null-keyed
+    // left row survives unmatched (Window.partitionBy would otherwise put
+    // both in one null-key group and hand the left row a bogus match)
+    val left = Seq((1L, Option("k1"), 10L), (2L, Option.empty[String], 10L))
+      .toDF("lid", "k", "ts")
+    val right = Seq((11L, Option("k1"), 5L, "a"), (12L, Option.empty[String], 5L, "b"))
+      .toDF("rid", "k", "rts", "pv")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "rts", Seq("rid", "pv"))
+      .as[(Long, Option[String], Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> (r._4, r._5)).toMap
+    assert(got(1L) == (Some(11L), Some("a")))
+    assert(got(2L) == (None, None))
+
+    val bad = left.withColumnRenamed("lid", "__m")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(bad, right, Seq("k"), "ts", "rts", Seq("rid"))
+    }
+    assert(e.getMessage.contains("__"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Scd2.buildIntervals(
+        Seq(("u", 1L, "a")).toDF("k", "t", "valid_from"), Seq("k"), "t", Seq("valid_from"))
+    }
+    assert(e2.getMessage.contains("valid_from"))
+  }
+
   test("scd2: dup-collapse, exclusive valid_to, is_current, one shuffle") {
     import graft.operators.Scd2
     val changes = Seq(
@@ -286,6 +312,14 @@ class OperatorsSpec extends SparkSpec {
     assert(got.filter(_._1 == 1).map(_._3).toSeq == Seq(1L, 4L))
     // q2: the rare 'needle' (df=1) outscores any single 'spark' hit (df=3)
     assert(got.filter(_._1 == 2).head._3 == 3L)
+
+    // DataFrame-queries overload (semi-join vocab prune) must produce the
+    // identical ranking, including duplicate query terms collapsing
+    val qdf = Seq((1, "spark"), (2, "needle"), (2, "spark"), (2, "spark"))
+      .toDF("query_id", "term")
+    val gotDf = TextSearch.bm25TopK(docs, "doc_id", "text", qdf, 2)
+      .as[(Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(gotDf.toSeq == got.toSeq)
   }
 
   test("range join == naive non-equi join on random data, across bin widths") {

@@ -122,6 +122,21 @@ class PlanAuditSpec extends SparkSpec {
       "no corpus-scale shuffle join in the scoring chain:\n" + p.take(2000))
   }
 
+  test("bm25 DataFrame-queries overload: semi-join vocab prune broadcasts; no product") {
+    // the unbounded-query-set path must keep the q56 plan shape with the
+    // isin literal list replaced by a broadcast LEFT SEMI prune
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qt = spark.createDataFrame(Seq((1, "the"), (1, "data"), (2, "model")))
+      .toDF("query_id", "term")
+    val p = graft.operators.TextSearch.bm25TopK(docs, "doc_id", "text", qt, 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "vocabulary prune must be a broadcast semi-join:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-scale shuffle join in the scoring chain:\n" + p.take(2000))
+  }
+
   test("q33 banded hyperplane LSH: no cartesian/self-join — bucket-harvest only") {
     val p = planString("q33_embedding_neardup")
     assert(!p.contains("CartesianProduct"), "no cartesian pair expansion")

@@ -169,13 +169,21 @@ object SparkEntry {
       .limit(20)
 
   /** A12: exact median per group (Python statistics.median parity —
-    * app.py:2168; exact percentile, never approx). */
+    * app.py:2168; exact, never approx). Served by the two-pass
+    * count+offset selection kernel (Profiling.exactMedianByKey): at corpus
+    * scale a hot group's values no longer buffer in one percentile
+    * aggregation buffer — bit-identical to exact percentile (pinned in
+    * ProfilingSpec). */
   private def medianPrice(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
       .groupBy(col("o_orderpriority"))
-      .agg(
-        percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
-        count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"))
+      .join(
+        graft.operators.Profiling.exactMedianByKey(
+          orders(s, dir), "o_orderpriority", "o_totalprice")
+          .withColumnRenamed("median", "median_price"),
+        Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("median_price"), col("n"))
       .orderBy("o_orderpriority")
 
   /** P9/O2: pagination via row_number window (offset 100, page 50). */
@@ -425,9 +433,11 @@ object SparkEntry {
 
   private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
-  /** One-pass multi-column numeric profile of lineitem (exact
-    * cardinalities + medians); per-column rows explode from a single
-    * aggregated row — no per-column scans or jobs. */
+  /** Multi-column numeric profile of lineitem — EXACT cardinalities and
+    * medians, scale-safely: one melted map-side-combined shuffle to the
+    * distinct-value grain, n/n_null/n_distinct/min/max off that grain (no
+    * Expand), medians by iterative bucket refinement (two-pass
+    * count+offset selection — no value-buffering percentile anywhere). */
   private def profileQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profiling.profileNumeric(lineitem(s, dir), profileCols)
       .orderBy("col_name")

@@ -1,42 +1,281 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
 
 /** Data-quality profiling — the pre-training corpus/table health check
-  * (null rates, cardinalities, ranges, exact medians) as ONE aggregation
-  * pass over the scan.
+  * (null rates, cardinalities, ranges, exact medians).
   *
   * Reference analogue: the ingest sanity checks scattered through
   * `src/ingest_v2.py` (row counts, empty-field guards) — generalized to a
   * declarative multi-column profile.
   *
-  * 100 TB posture: every per-column statistic is computed in a single
-  * `df.agg(...)` — one scan, one (tiny) reduction; emitting per-column
-  * ROWS is a driver-free explode of the single aggregated row, so adding
-  * columns never adds jobs or scans. The exact `countDistinct` columns
-  * plan through Expand (one duplicate of the projected row per distinct
-  * aggregate) — the documented price of exact cardinalities; swap in
-  * `approx_count_distinct` (HLL++, no Expand) via `exact = false` when
-  * profiling at full corpus scale.
+  * 100 TB posture (exact mode): the naive one-`agg` formulation (N exact
+  * `countDistinct` + N exact `percentile` in one aggregate) plans through
+  * Expand (N+1 copies of every scanned row) and buffers EVERY value of
+  * every column in aggregation buffers that merge on one final reducer — a
+  * guaranteed OOM at corpus scale. This implementation instead:
+  *
+  *  1. melts the N columns into `(col_name, value)` rows with `stack`
+  *     (one scan, no Expand, codegen'd);
+  *  2. pre-aggregates to the DISTINCT-VALUE grain `(col_name, value) →
+  *     cnt` — ONE map-side-combined shuffle, the only corpus-sized
+  *     movement in the whole profile;
+  *  3. reads n / n_null / n_distinct / min / max off that grain with a
+  *     tiny second aggregate (n_distinct is a plain `count`, exact, no
+  *     Expand);
+  *  4. finds each exact median by iterative bucket refinement over the
+  *     (persisted) distinct-value grain — the two-pass count+offset
+  *     selection algorithm: each round buckets the current bracket into
+  *     [[Buckets]] ranges, counts them (a B-row collect), and narrows to
+  *     the <=2 adjacent buckets containing the target ranks, shrinking the
+  *     bracket geometrically; when <= [[FinalizeDistinct]] distinct values
+  *     remain the exact order statistics are resolved from one bounded
+  *     collect. No executor ever buffers more than its share of the
+  *     distinct-value grain; the driver never holds more than
+  *     max(B·N, FinalizeDistinct) tiny rows.
+  *
+  * The result is numerically identical to exact `percentile` /
+  * Python `statistics.median` / DuckDB `median` (same order statistics,
+  * same `lower + (higher-lower)·0.5` interpolation) — and the whole
+  * profile is a handful of small jobs over one shuffled pass of the data.
+  *
+  * `exact = false` swaps in the sketch mode: one lazy aggregation pass
+  * with `approx_count_distinct` (HLL++) and `percentile_approx` — no
+  * Expand, bounded buffers, for interactive profiling where estimates
+  * suffice.
   */
 object Profiling {
 
+  /** Buckets per refinement round (each round shrinks the median bracket
+    * by ~this factor; 4096 resolves a 600k-distinct column in one round). */
+  val Buckets = 4096
+
+  /** Distinct-value count below which the bracket is resolved exactly via
+    * a single driver-side collect of the (value, cnt) tail. */
+  val FinalizeDistinct = 65536
+
+  /** Refinement-round cap. Linear bucketing shrinks the bracket width by
+    * ~Buckets× per round, so even pathological double ranges (1e-300 ..
+    * 1e300) converge within ~170 rounds; each round is one tiny job over
+    * the persisted distinct-value grain. Past the cap the bracket is
+    * force-finalized (correct, but may collect more than
+    * [[FinalizeDistinct]] rows). */
+  val MaxRounds = 256
+
   /** Profile numeric columns: (col_name, n, n_null, n_distinct, min_value,
-    * max_value, median) — one row per column from one aggregation. */
+    * max_value, median) — one row per column. Exact mode is scale-safe
+    * (see object scaladoc) and runs its jobs eagerly, returning the
+    * materialized per-column rows. */
   def profileNumeric(
       df: DataFrame,
       cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    if (exact) profileExact(df, cols) else profileApprox(df, cols)
+  }
+
+  /** Exact medians per group for a single value column — the reusable
+    * two-pass count+offset selection kernel (A12 at scale: exact
+    * `statistics.median` parity without buffering a group's values in one
+    * aggregation buffer). Returns a small materialized DataFrame
+    * `(keyCol, median)`, one row per distinct non-null key. String keys.
+    *
+    * Intended for LOW-CARDINALITY key sets (the reference's A12 medians
+    * group by enums): driver memory for the finalize step is bounded by
+    * keys × [[FinalizeDistinct]] tiny rows. For millions of groups use a
+    * per-key cumulative window over the distinct-value grain instead
+    * (bounded by per-key distinct values) or `percentile_approx`. */
+  def exactMedianByKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val grouped = df
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"), col(valueCol).cast("double").as("__v"))
+      .groupBy("__k", "__v").agg(count(lit(1)).as("__cnt"))
+      .persist()
+    try {
+      val ns = grouped.filter(col("__v").isNotNull)
+        .groupBy("__k")
+        .agg(sum(col("__cnt")).as("n"), count(lit(1)).as("d"),
+          min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val med = medians(grouped, ns)
+      val rows = ns.keys.toSeq.sorted.map(k => Row(k, med(k).map(Double.box).orNull))
+      spark.createDataFrame(rows.asJava,
+        StructType(Seq(StructField(keyCol, StringType), StructField("median", DoubleType))))
+    } finally grouped.unpersist(blocking = false)
+  }
+
+  /** The melted distinct-value grain `(col_name, value) -> cnt` — exposed
+    * for plan audits (this is the ONLY corpus-sized shuffle in the exact
+    * profile). */
+  private[graft] def meltedGrouped(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    df.select(expr(s"stack(${cols.size}, $stackArgs) AS (__k, __v)"))
+      .groupBy("__k", "__v").agg(count(lit(1)).as("__cnt"))
+  }
+
+  private def profileExact(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val grouped = meltedGrouped(df, cols).persist()
+    try {
+      // n / n_null / n_distinct / min / max off the distinct-value grain:
+      // 4 rows out, exact cardinality as a plain count — no Expand anywhere
+      val stats = grouped.groupBy("__k").agg(
+        coalesce(sum(when(col("__v").isNotNull, col("__cnt"))), lit(0L)).as("n"),
+        coalesce(sum(when(col("__v").isNull, col("__cnt"))), lit(0L)).as("n_null"),
+        count(when(col("__v").isNotNull, lit(1))).as("n_distinct"),
+        min(col("__v")).as("mn"),
+        max(col("__v")).as("mx"))
+        .collect()
+        .map(r => r.getString(0) -> r).toMap
+      val ns = stats.map { case (k, r) =>
+        k -> ((r.getLong(1), r.getLong(3),
+          if (r.isNullAt(4)) 0.0 else r.getDouble(4),
+          if (r.isNullAt(5)) 0.0 else r.getDouble(5)))
+      }
+      val med = medians(grouped, ns)
+      val rows = cols.map { c =>
+        val r = stats(c)
+        Row(c, r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else Double.box(r.getDouble(4)),
+          if (r.isNullAt(5)) null else Double.box(r.getDouble(5)),
+          med(c).map(Double.box).orNull)
+      }
+      spark.createDataFrame(rows.asJava, profileSchema)
+    } finally grouped.unpersist(blocking = false)
+  }
+
+  private val profileSchema = StructType(Seq(
+    StructField("col_name", StringType),
+    StructField("n", LongType),
+    StructField("n_null", LongType),
+    StructField("n_distinct", LongType),
+    StructField("min_value", DoubleType),
+    StructField("max_value", DoubleType),
+    StructField("median", DoubleType)))
+
+  /** Per-key refinement state: the median's ranks r1 <= r2 lie inside the
+    * value bracket [lo, hi]; `offset` values sort strictly below `lo`;
+    * `distinct` distinct values remain in the bracket. */
+  private case class Bracket(
+      lo: Double, hi: Double, offset: Long, distinct: Long, r1: Long, r2: Long)
+
+  /** Exact weighted medians for every key of a `(__k, __v, __cnt)`
+    * distinct-value grain (persisted by the caller). `ns` maps key ->
+    * (non-null count, distinct count, min, max) — all read off the caller's
+    * stats aggregate so seeding costs no extra job. */
+  private def medians(
+      grouped: DataFrame,
+      ns: Map[String, (Long, Long, Double, Double)]): Map[String, Option[Double]] = {
+    val done = scala.collection.mutable.Map.empty[String, Option[Double]]
+    var live = Map.empty[String, Bracket]
+
+    ns.foreach { case (k, (n, d, mn, mx)) =>
+      if (n == 0L) done(k) = None
+      else {
+        val r1 = (n + 1L) / 2L
+        val r2 = (n + 2L) / 2L
+        live += k -> Bracket(mn, mx, 0L, d, r1, r2)
+      }
+    }
+
+    def interp(v1: Double, v2: Double): Double = v1 + (v2 - v1) * 0.5
+
+    var round = 0
+    while (live.nonEmpty) {
+      round += 1
+      // resolve collapsed brackets
+      val (flat, open) = live.partition { case (_, b) => b.lo == b.hi }
+      flat.foreach { case (k, b) => done(k) = Some(b.lo) }
+      live = open
+      if (live.nonEmpty) {
+        val (smalls, bigs) =
+          live.partition { case (_, b) => b.distinct <= FinalizeDistinct || round > MaxRounds }
+
+        if (smalls.nonEmpty) {
+          // finalize: collect the bounded (value, cnt) tails and walk to the
+          // target order statistics
+          val cond = smalls.map { case (k, b) =>
+            col("__k") === k && col("__v").between(b.lo, b.hi)
+          }.reduce(_ || _)
+          val tail = grouped.filter(col("__v").isNotNull && cond)
+            .select("__k", "__v", "__cnt").collect()
+            .groupBy(_.getString(0))
+          smalls.foreach { case (k, b) =>
+            val vs = tail(k).map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+            var cum = b.offset
+            var v1 = Double.NaN
+            var v2 = Double.NaN
+            var i = 0
+            while (i < vs.length && cum < b.r2) {
+              cum += vs(i)._2
+              if (v1.isNaN && cum >= b.r1) v1 = vs(i)._1
+              if (cum >= b.r2) v2 = vs(i)._1
+              i += 1
+            }
+            done(k) = Some(interp(v1, v2))
+          }
+          live = bigs
+        }
+
+        if (bigs.nonEmpty) {
+          // one bucket-count pass for every still-wide bracket
+          val cond = bigs.map { case (k, b) =>
+            col("__k") === k && col("__v").between(b.lo, b.hi)
+          }.reduce(_ || _)
+          val bidx = bigs.map { case (k, b) =>
+            when(col("__k") === k, least(lit(Buckets - 1), greatest(lit(0),
+              floor((col("__v") - lit(b.lo)) / lit(b.hi - b.lo) * lit(Buckets)))).cast("int"))
+          }.reduce(_ otherwise _)
+          val hist = grouped.filter(col("__v").isNotNull && cond)
+            .select(col("__k"), bidx.as("__b"), col("__v"), col("__cnt"))
+            .groupBy("__k", "__b")
+            .agg(sum(col("__cnt")).as("w"), min(col("__v")).as("mn"),
+              max(col("__v")).as("mx"), count(lit(1)).as("g"))
+            .collect()
+            .groupBy(_.getString(0))
+          live = bigs.map { case (k, b) =>
+            val bs = hist(k).map(r =>
+              (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+              .sortBy(_._1)
+            // first buckets whose cumulative weight reaches r1 / r2
+            var cum = b.offset
+            var i1 = -1
+            var i2 = -1
+            var i = 0
+            while (i < bs.length && i2 < 0) {
+              cum += bs(i)._2
+              if (i1 < 0 && cum >= b.r1) i1 = i
+              if (i2 < 0 && cum >= b.r2) i2 = i
+              i += 1
+            }
+            val offBelow = b.offset + bs.take(i1).map(_._2).sum
+            val sel = bs.slice(i1, i2 + 1)
+            k -> Bracket(sel.head._3, sel.last._4, offBelow,
+              sel.map(_._5).sum, b.r1, b.r2)
+          }
+        }
+      }
+    }
+    done.toMap
+  }
+
+  /** Sketch-mode profile: one lazy aggregation pass, HLL++ cardinalities,
+    * t-digest-style approximate medians — no Expand, bounded buffers. */
+  private def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__n_$c"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__d_$c"),
+        approx_count_distinct(col(c)).as(s"__d_$c"),
         min(col(c)).cast("double").as(s"__min_$c"),
         max(col(c)).cast("double").as(s"__max_$c"),
-        percentile(col(c), lit(0.5)).as(s"__med_$c"))
+        percentile_approx(col(c).cast("double"), lit(0.5), lit(10000)).as(s"__med_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { c =>

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Profiling
+import org.apache.spark.sql.functions._
+
+/** The scale-safe exact profile must agree bit-for-bit with the
+  * buffer-everything formulation it replaced (exact `percentile` +
+  * `countDistinct` in one agg), and its plan must stay free of the two
+  * scale killers: Expand and value-buffering percentile aggregation. */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def referenceProfile(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Map[String, Row6] =
+    cols.map { c =>
+      val r = df.agg(
+        count(col(c)).as("n"),
+        count(lit(1)).as("rows"),
+        countDistinct(col(c)).as("d"),
+        min(col(c)).cast("double").as("mn"),
+        max(col(c)).cast("double").as("mx"),
+        percentile(col(c), lit(0.5)).as("med")).collect()(0)
+      c -> Row6(r.getLong(0), r.getLong(1) - r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+    }.toMap
+
+  case class Row6(n: Long, nNull: Long, d: Long,
+      mn: Option[Double], mx: Option[Double], med: Option[Double])
+
+  private def got(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Map[String, Row6] =
+    Profiling.profileNumeric(df, cols).collect().map { r =>
+      r.getString(0) -> Row6(r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))
+    }.toMap
+
+  test("exact profile == percentile/countDistinct reference on lineitem") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    assert(got(li, cols) == referenceProfile(li, cols))
+  }
+
+  test("exact profile handles nulls, all-null columns, and odd/even counts") {
+    val df = Seq[(Option[Double], Option[Double], Option[Double])](
+      (Some(1.0), None, Some(5.0)),
+      (Some(2.0), None, Some(5.0)),
+      (Some(2.0), None, Some(7.0)),
+      (Some(10.0), None, None)
+    ).toDF("a", "b", "c")
+    val g = got(df, Seq("a", "b", "c"))
+    assert(g("a") == Row6(4, 0, 3, Some(1.0), Some(10.0), Some(2.0)))
+    assert(g("b") == Row6(0, 4, 0, None, None, None))
+    // c: even count {5,5,7} -> n=3 odd -> median 5
+    assert(g("c") == Row6(3, 1, 2, Some(5.0), Some(7.0), Some(5.0)))
+    assert(g == referenceProfile(df, Seq("a", "b", "c")))
+  }
+
+  test("randomized: refinement medians == percentile across distributions") {
+    val rnd = new scala.util.Random(7)
+    // heavy duplication, skew, negatives, wide magnitude spread
+    val data = (1 to 5000).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => (rnd.nextInt(10).toDouble, rnd.nextDouble() * 1e9 - 5e8)
+        case 1 => (42.0, math.pow(10, rnd.nextInt(12)) * rnd.nextDouble())
+        case 2 => (rnd.nextGaussian() * 1e-6, -rnd.nextInt(3).toDouble)
+        case _ => (rnd.nextDouble(), rnd.nextDouble())
+      }
+    }
+    val df = data.toDF("x", "y")
+    assert(got(df, Seq("x", "y")) == referenceProfile(df, Seq("x", "y")))
+  }
+
+  test("exactMedianByKey == grouped percentile (q11 kernel)") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val expRows = orders.groupBy("o_orderpriority")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("m"))
+      .as[(String, Double)].collect().toMap
+    val gotRows = Profiling.exactMedianByKey(orders, "o_orderpriority", "o_totalprice")
+      .as[(String, Double)].collect().toMap
+    assert(gotRows == expRows)
+  }
+
+  test("plan: the melted grain is the only shuffle — no Expand, no percentile buffers") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val p = Profiling.meltedGrouped(li, cols).queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), "melt must not plan Expand:\n" + p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "one map-side-combined shuffle:\n" + p.take(1500))
+    assert(p.contains("HashAggregate"), "distinct-value grain must hash-aggregate")
+    // the public result is a materialized local relation: every heavy job
+    // already ran through the melted grain above
+    val res = Profiling.profileNumeric(li, cols)
+    val rp = res.queryExecution.executedPlan.toString
+    assert(rp.contains("LocalTableScan"), rp.take(500))
+    // sketch mode stays lazy and Expand-free too
+    val ap = Profiling.profileNumeric(li, cols, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!ap.contains("Expand"), "approx mode must not plan Expand:\n" + ap.take(1500))
+  }
+}

@@ -621,8 +621,11 @@ object SparkEntry {
 
   /** K6: fuzzy entity resolution — misspelled queries resolved against the
     * nation dim via crossJoin + difflib-parity ratio + best/runner-up margin
-    * (thresholds 0.82/margin 0.02, app.py:1204-1217). Rows-only (difflib has
-    * no SQL equivalent). */
+    * (thresholds 0.82/margin 0.02, app.py:1204-1217). Fully DuckDB-oracled:
+    * the oracle reimplements SequenceMatcher.ratio in pure SQL (recursive
+    * matching-block decomposition — see the q31 oracleSql entry), so the
+    * difflib scorer is now hash-checked end-to-end, not just pinned by the
+    * KernelsSpec goldens. */
   private def fuzzyResolve(s: SparkSession, dir: String): DataFrame = {
     val dim = nation(s, dir).select(col("n_name"))
     val queries = dim.select(
@@ -1403,6 +1406,67 @@ object SparkEntry {
         |ORDER BY ra.brands_affected DESC, dur.episode_count DESC,
         |  ra.total_negative_items DESC, lower(ra.tag)
         |LIMIT 10""".stripMargin,
+    // difflib.SequenceMatcher.ratio() in pure single-statement SQL: the
+    // recursive CTE mirrors get_matching_blocks' divide-and-conquer — each
+    // live (a-range, b-range) segment finds its longest common substring
+    // (ties: smallest i then smallest j, find_longest_match's scan order;
+    // autojunk never fires under 200 chars) via a bounded position/length
+    // cross-product, then splits into left/right remainder segments plus a
+    // dead row carrying the matched length; ratio = 2*sum(m)/(|a|+|b|).
+    // Validated char-for-char against CPython difflib over every pair.
+    "q31_fuzzy_resolve" ->
+      """WITH RECURSIVE
+        |dim AS (SELECT n_name FROM nation),
+        |q AS (
+        |  SELECT DISTINCT lower(substring(n_name, 1, length(n_name) - 1)) AS q
+        |  FROM nation),
+        |pairs AS (
+        |  SELECT q.q, d.n_name, q.q AS a, lower(d.n_name) AS b,
+        |    row_number() OVER (ORDER BY q.q, d.n_name) AS pid
+        |  FROM q, dim d),
+        |gs AS (
+        |  SELECT unnest(generate_series(1, (SELECT MAX(length(n_name)) FROM nation))) AS x),
+        |seg AS (
+        |  SELECT pid, a, b, 1 AS alo, length(a) AS ahi, 1 AS blo, length(b) AS bhi, 0 AS m
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT f.pid, f.a, f.b,
+        |    CASE c.kind WHEN 1 THEN f.alo WHEN 2 THEN f.bi + f.bk ELSE 1 END AS alo,
+        |    CASE c.kind WHEN 1 THEN f.bi - 1 WHEN 2 THEN f.ahi ELSE 0 END AS ahi,
+        |    CASE c.kind WHEN 1 THEN f.blo WHEN 2 THEN f.bj + f.bk ELSE 1 END AS blo,
+        |    CASE c.kind WHEN 1 THEN f.bj - 1 WHEN 2 THEN f.bhi ELSE 0 END AS bhi,
+        |    CASE c.kind WHEN 3 THEN f.bk ELSE 0 END AS m
+        |  FROM (
+        |    SELECT s.pid, s.a, s.b, s.alo, s.ahi, s.blo, s.bhi,
+        |           best.i AS bi, best.j AS bj, best.k AS bk
+        |    FROM seg s, LATERAL (
+        |      SELECT i.x AS i, j.x AS j, k.x AS k
+        |      FROM gs i, gs j, gs k
+        |      WHERE i.x BETWEEN s.alo AND s.ahi AND j.x BETWEEN s.blo AND s.bhi
+        |        AND i.x + k.x - 1 <= s.ahi AND j.x + k.x - 1 <= s.bhi
+        |        AND substring(s.a, i.x, k.x) = substring(s.b, j.x, k.x)
+        |      ORDER BY k.x DESC, i.x, j.x
+        |      LIMIT 1) best
+        |    WHERE s.m = 0 AND s.alo <= s.ahi AND s.blo <= s.bhi
+        |  ) f, (VALUES (1), (2), (3)) c(kind)),
+        |msum AS (SELECT pid, SUM(m) AS mm FROM seg GROUP BY pid),
+        |ratio AS (
+        |  SELECT p.q, p.n_name,
+        |    2.0 * COALESCE(ms.mm, 0) / (length(p.a) + length(p.b)) AS score
+        |  FROM pairs p LEFT JOIN msum ms ON ms.pid = p.pid),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q ORDER BY score DESC, n_name) AS rnk
+        |  FROM ratio)
+        |SELECT q,
+        |  MAX(CASE WHEN rnk = 1 THEN n_name END) AS resolved,
+        |  MAX(CASE WHEN rnk = 1 THEN score END) AS score,
+        |  MAX(CASE WHEN rnk = 2 THEN score END) AS runner_up,
+        |  (MAX(CASE WHEN rnk = 1 THEN score END) >= CAST(0.82 AS DOUBLE) AND
+        |   (MAX(CASE WHEN rnk = 1 THEN score END) >= CAST(0.99 AS DOUBLE) OR
+        |    COALESCE(MAX(CASE WHEN rnk = 2 THEN score END), CAST(0.0 AS DOUBLE))
+        |      < MAX(CASE WHEN rnk = 1 THEN score END) - CAST(0.02 AS DOUBLE)))
+        |    AS accepted
+        |FROM r WHERE rnk <= 2 GROUP BY q ORDER BY q""".stripMargin,
     "q44_fuzzy_resolve_lev" ->
       """WITH dim AS (SELECT n_name FROM nation),
         |q AS (

@@ -63,7 +63,44 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Scale-proof section: if the 10x replica built by graft.ScaleGen is on
+    // disk, run the heavy operator family against it once (single-shot —
+    // plans are already JIT-warm from the suite above; the page-cache-cold
+    // scan is part of an honest 10x measurement) and report per-query times
+    // plus the t(10x)/t(1x) ratio. ~10 = linear scaling; the ratio IS the
+    // empirical scaling exponent the plan pins only argue for.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1")
+    val heavy = Seq("q57_profile", "q46_crisis_patterns", "q43_simhash_pairs",
+      "q18_minhash_pairs", "q47_dedup_groups", "q52_asof_join", "q53_range_join",
+      "q54_sessionize", "q55_scd2_intervals", "q56_bm25_topk")
+    val sf1Json =
+      if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
+      else {
+        val r1 = heavy.filter(h => only.forall(_.contains(h))).flatMap { name =>
+          System.gc()
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, sf1Dir)
+              .write.format("noop").mode("overwrite").save()
+            val t = (System.nanoTime() - t0) / 1e9
+            val ratio = results.toMap.get(name)
+              .map(base => math.round(t / base * 100.0) / 100.0)
+            System.err.println(f"[bench] sf1 $name%-24s t=$t%.3f ratio=${ratio.getOrElse(-1.0)}%.2f")
+            Some((name, t, ratio))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}"); None
+          }
+        }
+        if (r1.isEmpty) ""
+        else {
+          val ts = r1.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
+          val rs = r1.flatMap { case (k, _, r) => r.map("\"" + k + "\":" + _) }
+            .mkString("{", ",", "}")
+          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); single-shot timings; ratio ~10 = linear scaling""""
+        }
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json}""")
     spark.stop()
   }
 }

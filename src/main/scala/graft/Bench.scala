@@ -70,7 +70,7 @@ object Bench {
     // scan is part of an honest 10x measurement) and report per-query times
     // plus the t(10x)/t(1x) ratio. ~10 = linear scaling; the ratio IS the
     // empirical scaling exponent the plan pins only argue for.
-    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1")
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/bench-data/sf1")
     val heavy = Seq("q57_profile", "q46_crisis_patterns", "q43_simhash_pairs",
       "q18_minhash_pairs", "q47_dedup_groups", "q52_asof_join", "q53_range_join",
       "q54_sessionize", "q55_scd2_intervals", "q56_bm25_topk")

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   *    unchanged so dim joins still resolve.
   *
   * Usage: `runMain graft.ScaleGen [srcDir] [outDir] [copies]`; defaults
-  * `/root/testdata/sf0.1 → /root/repo/target/sf1 × 10`.
+  * `/root/testdata/sf0.1 → /root/repo/bench-data/sf1 × 10`.
   */
 object ScaleGen {
 
@@ -49,7 +49,7 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outDir = args.lift(1).getOrElse("/root/repo/target/sf1")
+    val outDir = args.lift(1).getOrElse("/root/repo/bench-data/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

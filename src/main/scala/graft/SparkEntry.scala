@@ -304,6 +304,59 @@ object SparkEntry {
       shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
       .orderBy("id_a", "id_b")
 
+  /** Incremental dedup: the corpus signature store (doc_id % 10 != 0,
+    * [[graft.operators.Dedup.minhashBandTable]]) probed by a new batch
+    * (doc_id % 10 == 0) — only new-sided pairs, harvested from only the
+    * buckets the batch touches; the store is never re-hashed. Same portable
+    * hash family/params as q18, so the oracle replays the full pipeline and
+    * filters to batch-sided pairs. */
+  private def incrementalDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    def band(df: DataFrame) = Dedup.minhashBandTable(df, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+    Dedup.minhashIncrementalPairs(
+      band(docs.filter(col("doc_id") % 10 === 0)),
+      band(docs.filter(col("doc_id") % 10 =!= 0)),
+      numHashes = 32, maxBucket = 1000)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Benchmark decontamination: corpus docs sharing >= 50% of a test item's
+    * distinct word trigrams (test set = every 101st doc). The corpus n-gram
+    * stream is pruned against the broadcast test vocabulary BEFORE the only
+    * shuffle — the BM25 vocabulary-prune posture. */
+  private def contaminationQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val testSet = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("test_id"), col("text"))
+    graft.operators.Decontamination.contaminationReport(
+      docs, "doc_id", "text", testSet, "test_id", "text", n = 3, minOverlapFrac = 0.5)
+      .orderBy("doc_id", "test_id")
+  }
+
+  /** PII scrub report: deterministic synthetic identifiers (email, phone,
+    * IPv4) injected into every 7th document, then detected and redacted by
+    * the RE2-compatible TextScrub battery — counts, scrubbed length, and a
+    * fingerprint of the scrubbed text, all engine-replayable. */
+  private def piiScrubQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextScrub
+    val synth = when(col("doc_id") % 7 === 0,
+      concat(col("text"),
+        lit(" contact agent"), col("doc_id").cast("string"),
+        lit("@corp.example.com call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"))).otherwise(col("text"))
+    documents(s, dir).select(col("doc_id"), synth.as("__t"))
+      .select(col("doc_id"),
+        TextScrub.emailCount(col("__t")).cast("long").as("n_emails"),
+        TextScrub.phoneCount(col("__t")).cast("long").as("n_phones"),
+        TextScrub.ipv4Count(col("__t")).cast("long").as("n_ips"),
+        length(TextScrub.scrub(col("__t"))).cast("long").as("clean_len"),
+        md5(TextScrub.scrub(col("__t")).cast("binary")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprints + prefix-block buckets (portable 60-bit family —
     * oracle recomputes the same balances/assembly in SQL). */
   private def simhashTable(s: SparkSession, dir: String): DataFrame =
@@ -1002,7 +1055,10 @@ object SparkEntry {
     "q55_scd2_intervals" -> (scd2Q _),
     "q56_bm25_topk" -> (bm25Q _),
     "q57_profile" -> (profileQ _),
-    "q58_vocab" -> (vocabQ _)
+    "q58_vocab" -> (vocabQ _),
+    "q59_contamination" -> (contaminationQ _),
+    "q60_incremental_dedup" -> (incrementalDedupQ _),
+    "q61_pii_scrub" -> (piiScrubQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1055,6 +1111,23 @@ object SparkEntry {
        |  CAST($estJ AS DOUBLE) / 32.0 AS est_jaccard
        |FROM sized a JOIN sized b ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
        |WHERE a.bsz BETWEEN 2 AND 1000
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q60 oracle: the same full signature/band/bucket pipeline as q18, with
+    * pairs restricted to at-least-one-batch-side (doc_id % 10 == 0) — the
+    * definitional check that the incremental probe emits exactly
+    * `pairs(store ∪ batch)` minus the store-only pairs. */
+  private lazy val incrementalDedupOracleSql: String = {
+    val estJ = (0 until 32)
+      .map(i => s"CASE WHEN a.sig[${i + 1}] = b.sig[${i + 1}] THEN 1 ELSE 0 END")
+      .mkString("\n    + ")
+    s"""WITH $minhashPipelineCte
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |  CAST($estJ AS DOUBLE) / 32.0 AS est_jaccard
+       |FROM sized a JOIN sized b ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+       |WHERE a.bsz BETWEEN 2 AND 1000
+       |  AND (a.id % 10 = 0 OR b.id % 10 = 0)
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1308,6 +1381,54 @@ object SparkEntry {
         |SELECT term, n,
         |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS vocab_id
         |FROM c ORDER BY vocab_id""".stripMargin,
+    "q59_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS ngram
+        |  FROM toks, unnest(generate_series(1, len(l) - 2)) AS u(i)
+        |  WHERE len(l) >= 3),
+        |tg AS (SELECT doc_id AS test_id, ngram FROM grams WHERE doc_id % 101 = 0),
+        |totals AS (SELECT test_id, CAST(COUNT(*) AS BIGINT) AS test_total FROM tg GROUP BY 1),
+        |hits AS (
+        |  SELECT g.doc_id, t.test_id, CAST(COUNT(*) AS BIGINT) AS matched
+        |  FROM grams g JOIN tg t USING (ngram) GROUP BY 1, 2)
+        |SELECT doc_id, test_id, matched, test_total,
+        |  CAST(matched AS DOUBLE) / test_total AS overlap_frac
+        |FROM hits JOIN totals USING (test_id)
+        |WHERE CAST(matched AS DOUBLE) / test_total >= CAST(0.5 AS DOUBLE)
+        |ORDER BY doc_id, test_id""".stripMargin,
+    "q60_incremental_dedup" -> incrementalDedupOracleSql,
+    "q61_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\b555-[0-9]{4}\\b"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN
+         |      text || ' contact agent' || CAST(doc_id AS VARCHAR)
+         |        || '@corp.example.com call 555-'
+         |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |        || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |        || '.' || CAST(doc_id % 100 AS VARCHAR)
+         |    ELSE text END AS tt
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, tt,
+         |    regexp_replace(regexp_replace(regexp_replace(tt,
+         |      '$email', '<EMAIL>', 'g'),
+         |      '$ip', '<IP>', 'g'),
+         |      '$phone', '<PHONE>', 'g') AS clean
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(tt, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(tt, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(tt, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(length(clean) AS BIGINT) AS clean_len,
+         |  md5(clean) AS clean_fp
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "q49_chunking" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

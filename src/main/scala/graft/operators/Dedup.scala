@@ -93,6 +93,29 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBucket: Int = 1000,
       portable: Boolean = false): DataFrame = {
+    val banded = minhashBandTable(docs, idCol, textCol,
+      shingleSize, numHashes, rowsPerBand, portable)
+    val pairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
+      struct(col("id"), col("sig")), maxBucket)
+    pairs.select(
+      least(col("m_a.id"), col("m_b.id")).as("id_a"),
+      greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
+      sigAgreement(col("m_a.sig"), col("m_b.sig"), numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** The persistable MinHash signature/band table `(id, sig, bno, bk)` — the
+    * "signature store" of an incremental dedup pipeline: write it once per
+    * corpus, append per batch, and candidate pairs for new data come from
+    * [[minhashIncrementalPairs]] without ever re-hashing the corpus. */
+  def minhashBandTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      portable: Boolean = false): DataFrame = {
     // Signature pipeline: shingle hashes computed in-place on the scan,
     // exploded, then numHashes codegen'd min-aggregates — ONE shuffle (the
     // group-by on doc id) for the whole stage. No distinct pass: min over a
@@ -123,17 +146,50 @@ object Dedup {
           x => x.cast("string")), ",")
       if (portable) csv else xxhash64(lit(b), csv).cast("string")
     }
-    val banded = sigs.select(col("id"), col("sig"),
+    sigs.select(col("id"), col("sig"),
       posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("bno", "bk")))
-    val pairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
-      struct(col("id"), col("sig")), maxBucket)
-    pairs.select(
-      least(col("m_a.id"), col("m_b.id")).as("id_a"),
-      greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
-      ((0 until numHashes).map(i =>
-        when(element_at(col("m_a.sig"), i + 1) === element_at(col("m_b.sig"), i + 1),
-          lit(1)).otherwise(lit(0))).reduce(_ + _).cast("double") / numHashes.toDouble)
-        .as("est_jaccard"))
+  }
+
+  /** Signature-agreement Jaccard estimate between two minhash signatures. */
+  private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+    ((0 until numHashes).map(i =>
+      when(element_at(a, i + 1) === element_at(b, i + 1), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _).cast("double") / numHashes.toDouble)
+
+  /** Incremental near-dup candidates: pairs with AT LEAST ONE side in the
+    * new batch, harvested from only the buckets the batch touches — the
+    * corpus's band table ([[minhashBandTable]], persisted as the signature
+    * store) is probed, never recomputed. This is how a 100 TB corpus
+    * absorbs a daily increment: hash the batch, semi-join its band keys
+    * into the store, and harvest.
+    *
+    * Bucket survival (2 <= members <= maxBucket) is evaluated over the
+    * FULL membership (store + batch) of each touched bucket, so the
+    * emitted pairs are exactly `batchPairs(store ∪ new) \ batchPairs
+    * (store)` — pinned in OperatorsSpec — with one boundary documented:
+    * a bucket pushed OVER maxBucket by the batch emits nothing now, but
+    * its old-old pairs were already emitted in a previous run and are not
+    * retracted (dedup decisions are append-only downstream).
+    */
+  def minhashIncrementalPairs(
+      newBand: DataFrame,
+      storeBand: DataFrame,
+      numHashes: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
+    val tagged = storeBand.withColumn("__new", lit(false))
+      .unionByName(newBand.withColumn("__new", lit(true)))
+    // the batch's band keys are small: broadcast the semi-join that prunes
+    // the store scan to touched buckets (at corpus scale the store is also
+    // partitioned by band key, so this prune becomes partition pruning)
+    val touched = tagged.join(
+      broadcast(newBand.select("bno", "bk").distinct()), Seq("bno", "bk"), "left_semi")
+    bucketPairs(touched, Seq(col("bno"), col("bk")),
+      struct(col("id"), col("sig"), col("__new")), maxBucket)
+      .filter(col("m_a.__new") || col("m_b.__new"))
+      .select(
+        least(col("m_a.id"), col("m_b.id")).as("id_a"),
+        greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
+        sigAgreement(col("m_a.sig"), col("m_b.sig"), numHashes).as("est_jaccard"))
       .distinct()
   }
 

@@ -230,10 +230,23 @@ object Dedup {
     val bits = simhashBits(portable)
     val toks = docs.select(col(idCol).as("id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-    val hashed = toks.select(col("id"),
-      (if (portable) PH.md5Hash60(col("tok")) else xxhash64(col("tok"))).as("h"))
+    // Hash per DISTINCT (doc, token), not per occurrence: the bit balance
+    // over the token multiset equals the count-weighted balance over the
+    // token set, and natural-language repetition makes distinct tokens a
+    // small fraction of occurrences — one extra map-side-combined shuffle
+    // (distinct pairs only) buys an occurrences/distinct reduction of the
+    // md5 work AND of the 60 conditional sums. (On the synthetic bench
+    // corpus the end-to-end q43 win is small — its cost is dominated by
+    // the in-bucket pair harvest, which the tiny 30-word vocabulary makes
+    // pathologically dense — but signature build time is what scales with
+    // corpus size on natural text.)
+    val cnts = toks.groupBy("id", "tok").agg(count(lit(1)).as("c"))
+    val hashed = cnts.select(col("id"),
+      (if (portable) PH.md5Hash60(col("tok")) else xxhash64(col("tok"))).as("h"),
+      col("c"))
     val balances = (0 until bits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, col("c")).otherwise(-col("c")))
+        .as(s"b$i")
     }
     hashed.groupBy("id").agg(balances.head, balances.tail: _*)
       .select(col("id"),

@@ -131,6 +131,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("h1", "h2", "h3"))
   }
 
+  test("streaming incremental dedup: per-batch emissions telescope to the batch pair set") {
+    import graft.streaming.DedupStream
+    val base = Files.createTempDirectory("graft-ddstream").toString
+    val store = s"$base/store"
+    val pairs = s"$base/pairs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // default micro-batch trigger: AvailableNow would finalize before the
+    // MemoryStream deliveries below
+    val q = DedupStream.writer(
+      input.toDF().toDF("doc_id", "text"), store, pairs, s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // three deliveries carve the corpus by doc_id thirds
+    val rows = docs.as[(Long, String)].collect()
+    for (b <- 0 until 3) {
+      input.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.read.parquet(pairs)
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Dedup.minhashCandidatePairs(
+      docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty, s"${streamed.size} vs ${batch.size}")
+    // the store now holds every doc's band rows exactly once
+    assert(spark.read.parquet(store).select("id").distinct().count() == docs.count())
+  }
+
   test("streaming session_window finalizes the same sessions as batch (q54 kernel)") {
     val rows = Seq(
       (1L, "2024-05-01 10:00:00"), (1L, "2024-05-01 12:30:00"), // one session (<6h gaps)

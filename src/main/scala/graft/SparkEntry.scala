@@ -357,6 +357,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Quality gating at an EXACT per-group percentile: per-language p25 of
+    * document length from the two-pass selection kernel
+    * (Profiling.exactQuantilesByKey — no value buffering), then keep docs
+    * at or above their language's threshold. The R-7 interpolation matches
+    * DuckDB quantile_cont bit-for-bit. */
+  private def qualityGateQ(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
+    val th = graft.operators.Profiling.exactQuantilesByKey(d, "lang", "n_chars", Seq(0.25))
+      .select(col("lang"), col("value").as("p25"))
+    d.join(broadcast(th), "lang")
+      .filter(col("n_chars") >= col("p25"))
+      .groupBy("lang")
+      .agg(first(col("p25")).as("p25"),
+        count(lit(1)).as("n_kept"),
+        min(col("n_chars")).as("min_kept"))
+      .orderBy("lang")
+  }
+
   /** SimHash fingerprints + prefix-block buckets (portable 60-bit family —
     * oracle recomputes the same balances/assembly in SQL). */
   private def simhashTable(s: SparkSession, dir: String): DataFrame =
@@ -1058,7 +1077,8 @@ object SparkEntry {
     "q58_vocab" -> (vocabQ _),
     "q59_contamination" -> (contaminationQ _),
     "q60_incremental_dedup" -> (incrementalDedupQ _),
-    "q61_pii_scrub" -> (piiScrubQ _)
+    "q61_pii_scrub" -> (piiScrubQ _),
+    "q62_quality_gate" -> (qualityGateQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1400,6 +1420,17 @@ object SparkEntry {
         |WHERE CAST(matched AS DOUBLE) / test_total >= CAST(0.5 AS DOUBLE)
         |ORDER BY doc_id, test_id""".stripMargin,
     "q60_incremental_dedup" -> incrementalDedupOracleSql,
+    "q62_quality_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |th AS (SELECT lang, quantile_cont(n_chars, 0.25) AS p25 FROM d GROUP BY lang)
+        |SELECT d.lang, th.p25,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_kept
+        |FROM d JOIN th USING (lang)
+        |WHERE n_chars >= p25
+        |GROUP BY 1, 2 ORDER BY lang""".stripMargin,
     "q61_pii_scrub" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

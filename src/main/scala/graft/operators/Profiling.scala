@@ -111,6 +111,45 @@ object Profiling {
     } finally grouped.unpersist(blocking = false)
   }
 
+  /** Exact per-group quantiles at arbitrary probabilities — the same
+    * selection kernel with R-7 interpolation (`pos = p*(n-1)`, linear
+    * between the straddling order statistics: what `percentile`, DuckDB
+    * `quantile_cont`, and numpy default to). Returns a small materialized
+    * `(keyCol, prob, value)` DataFrame; one refinement loop per prob over
+    * one shared distinct-value grain. Same low-key-cardinality contract as
+    * [[exactMedianByKey]]. */
+  def exactQuantilesByKey(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probs must be in [0, 1]")
+    val spark = df.sparkSession
+    val grouped = df
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"), col(valueCol).cast("double").as("__v"))
+      .groupBy("__k", "__v").agg(count(lit(1)).as("__cnt"))
+      .persist()
+    try {
+      val ns = grouped.filter(col("__v").isNotNull)
+        .groupBy("__k")
+        .agg(sum(col("__cnt")).as("n"), count(lit(1)).as("d"),
+          min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val rows = for {
+        p <- probs
+        qs = quantiles(grouped, ns, p)
+        k <- ns.keys.toSeq.sorted
+      } yield Row(k, p, qs(k).map(Double.box).orNull)
+      spark.createDataFrame(rows.asJava,
+        StructType(Seq(StructField(keyCol, StringType),
+          StructField("prob", DoubleType), StructField("value", DoubleType))))
+    } finally grouped.unpersist(blocking = false)
+  }
+
   /** The melted distinct-value grain `(col_name, value) -> cnt` — exposed
     * for plan audits (this is the ONLY corpus-sized shuffle in the exact
     * profile). */
@@ -160,32 +199,44 @@ object Profiling {
     StructField("max_value", DoubleType),
     StructField("median", DoubleType)))
 
-  /** Per-key refinement state: the median's ranks r1 <= r2 lie inside the
-    * value bracket [lo, hi]; `offset` values sort strictly below `lo`;
-    * `distinct` distinct values remain in the bracket. */
+  /** Per-key refinement state: the target order statistics r1 <= r2 lie
+    * inside the value bracket [lo, hi]; `offset` values sort strictly
+    * below `lo`; `distinct` distinct values remain in the bracket; `frac`
+    * interpolates between the two straddling order statistics. */
   private case class Bracket(
-      lo: Double, hi: Double, offset: Long, distinct: Long, r1: Long, r2: Long)
+      lo: Double, hi: Double, offset: Long, distinct: Long,
+      r1: Long, r2: Long, frac: Double)
 
-  /** Exact weighted medians for every key of a `(__k, __v, __cnt)`
-    * distinct-value grain (persisted by the caller). `ns` maps key ->
-    * (non-null count, distinct count, min, max) — all read off the caller's
-    * stats aggregate so seeding costs no extra job. */
+  /** Exact weighted medians (`quantiles` at p = 0.5). */
   private def medians(
       grouped: DataFrame,
-      ns: Map[String, (Long, Long, Double, Double)]): Map[String, Option[Double]] = {
+      ns: Map[String, (Long, Long, Double, Double)]): Map[String, Option[Double]] =
+    quantiles(grouped, ns, 0.5)
+
+  /** Exact weighted p-quantile for every key of a `(__k, __v, __cnt)`
+    * distinct-value grain (persisted by the caller). `ns` maps key ->
+    * (non-null count, distinct count, min, max) — all read off the caller's
+    * stats aggregate so seeding costs no extra job. R-7 interpolation:
+    * `pos = p*(n-1)` (0-indexed), value = v(floor) + (v(ceil) - v(floor)) *
+    * (pos - floor) — what exact `percentile` / DuckDB `quantile_cont` /
+    * numpy compute. */
+  private def quantiles(
+      grouped: DataFrame,
+      ns: Map[String, (Long, Long, Double, Double)],
+      prob: Double): Map[String, Option[Double]] = {
     val done = scala.collection.mutable.Map.empty[String, Option[Double]]
     var live = Map.empty[String, Bracket]
 
     ns.foreach { case (k, (n, d, mn, mx)) =>
       if (n == 0L) done(k) = None
       else {
-        val r1 = (n + 1L) / 2L
-        val r2 = (n + 2L) / 2L
-        live += k -> Bracket(mn, mx, 0L, d, r1, r2)
+        val pos = prob * (n - 1).toDouble
+        val lower = math.floor(pos).toLong
+        val r1 = lower + 1L                           // 1-indexed straddling ranks
+        val r2 = math.ceil(pos).toLong + 1L
+        live += k -> Bracket(mn, mx, 0L, d, r1, r2, pos - lower)
       }
     }
-
-    def interp(v1: Double, v2: Double): Double = v1 + (v2 - v1) * 0.5
 
     var round = 0
     while (live.nonEmpty) {
@@ -219,7 +270,10 @@ object Profiling {
               if (cum >= b.r2) v2 = vs(i)._1
               i += 1
             }
-            done(k) = Some(interp(v1, v2))
+            // lerp as v1*(1-f) + v2*f — the exact form DuckDB quantile_cont
+            // and Spark Percentile evaluate (v1 + (v2-v1)*f differs by an
+            // ulp at some fracs, which a hash compare catches)
+            done(k) = Some(v1 * (1.0 - b.frac) + v2 * b.frac)
           }
           live = bigs
         }
@@ -258,7 +312,7 @@ object Profiling {
             val offBelow = b.offset + bs.take(i1).map(_._2).sum
             val sel = bs.slice(i1, i2 + 1)
             k -> Bracket(sel.head._3, sel.last._4, offBelow,
-              sel.map(_._5).sum, b.r1, b.r2)
+              sel.map(_._5).sum, b.r1, b.r2, b.frac)
           }
         }
       }

@@ -83,6 +83,26 @@ class ProfilingSpec extends SparkSpec {
     assert(gotRows == expRows)
   }
 
+  test("exactQuantilesByKey == percentile at arbitrary probs, incl. 0 and 1") {
+    val rnd = new scala.util.Random(23)
+    val data = (1 to 3000).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(3) match {
+        case 0 => rnd.nextInt(20).toDouble
+        case 1 => rnd.nextDouble() * 1e6
+        case _ => -rnd.nextGaussian() * 1e-3
+      }))
+    val df = data.toDF("g", "x")
+    val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val exp = df.groupBy("g")
+      .agg(percentile(col("x"), typedLit(probs)).as("q"))
+      .as[(String, Seq[Double])].collect()
+      .flatMap { case (g, qs) => probs.zip(qs).map { case (p, v) => (g, p, v) } }
+      .toSet
+    val got = Profiling.exactQuantilesByKey(df, "g", "x", probs)
+      .as[(String, Double, Double)].collect().toSet
+    assert(got == exp)
+  }
+
   test("plan: the melted grain is the only shuffle — no Expand, no percentile buffers") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

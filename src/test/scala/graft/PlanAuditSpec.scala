@@ -137,6 +137,20 @@ class PlanAuditSpec extends SparkSpec {
       "no corpus-scale shuffle join in the scoring chain:\n" + p.take(2000))
   }
 
+  test("q59 contamination: test vocabulary broadcast-pruned before the count shuffle") {
+    val p = planString("q59_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "corpus gram stream must semi-join the broadcast test vocabulary:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q62 quality gate: exact-quantile thresholds broadcast back, no window, no sort-merge") {
+    val p = planString("q62_quality_gate")
+    assert(p.contains("BroadcastHashJoin"), "threshold table must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      "no per-group value buffering may appear:\n" + p.take(2000))
+  }
+
   test("q33 banded hyperplane LSH: no cartesian/self-join — bucket-harvest only") {
     val p = planString("q33_embedding_neardup")
     assert(!p.contains("CartesianProduct"), "no cartesian pair expansion")

@@ -263,6 +263,19 @@ object Dedup {
     * exact `bit_count(xor)` filter keeps true ones. Complete for
     * maxHamming <= 3; higher thresholds would need more blocks.
     *
+    * Exact-duplicate collapse: identical documents have IDENTICAL
+    * fingerprints, land together in all four block buckets, and expand
+    * quadratically in each — so the harvest runs over DISTINCT fingerprints
+    * and the id groups are re-expanded afterwards (within-group pairs are
+    * Hamming 0 by definition; cross-group pairs inherit the representative
+    * distance). Output is identical; the quadratic stage shrinks from docs²
+    * to fingerprints² per bucket, which is the difference between linear
+    * and blow-up on corpora with heavy exact duplication. `maxBucket`
+    * consequently caps two grains: distinct FINGERPRINTS per block bucket,
+    * and ids per exact-dup group (an over-cap duplication flood is dropped
+    * whole, as before — its quadratic pair set belongs in the exact-dedup
+    * GROUP representation, [[fingerprintGroups]], not a pair list).
+    *
     * Input: output of [[simhashTable]] (id, simhash). Output:
     * (id_a, id_b, hamming), id_a < id_b, hamming <= maxHamming.
     */
@@ -277,17 +290,49 @@ object Dedup {
     val blockKeys = array((0 until 4).map { j =>
       shiftrightunsigned(col("simhash"), blockBits * j).bitwiseAND(lit(mask))
     }: _*)
-    val banded = sims.select(col("id"), col("simhash"),
+    // one row per distinct fingerprint, carrying its exact-dup id group.
+    // maxBucket bounds the GROUP too (same capped-collect pattern as
+    // bucketPairs): a duplication flood past maxBucket is dropped whole —
+    // its pair set is quadratic in the flood size and belongs to the
+    // exact-dedup GROUP representation (fingerprintGroups), not a pair
+    // list. Tracked in the bounded cache registry (three consumers below).
+    val wcap = org.apache.spark.sql.expressions.Window
+      .partitionBy("simhash").orderBy(monotonically_increasing_id())
+    val groups = graft.Caching.track(
+      sims.withColumn("__rn", row_number().over(wcap))
+        .filter(col("__rn") <= maxBucket + 1)
+        .groupBy("simhash").agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) <= maxBucket))
+    val banded = groups.select(col("simhash"),
       posexplode(blockKeys).as(Seq("bno", "bk")))
-    val pairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
-      struct(col("id"), col("simhash")), maxBucket)
-    pairs.select(
-      least(col("m_a.id"), col("m_b.id")).as("id_a"),
-      greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
-      bit_count(col("m_a.simhash").bitwiseXOR(col("m_b.simhash"))).cast("long")
-        .as("hamming"))
+    val repPairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
+      col("simhash").as("s"), maxBucket)
+      .select(col("m_a").as("sa"), col("m_b").as("sb"),
+        bit_count(col("m_a").bitwiseXOR(col("m_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // cross-group expansion: every id of group a against every id of group b
+    val cross = repPairs
+      .join(groups.select(col("simhash").as("sa"), col("ids").as("ia")), "sa")
+      .join(groups.select(col("simhash").as("sb"), col("ids").as("ib")), "sb")
+      .select(explode(flatten(transform(col("ia"), a =>
+        transform(col("ib"), b => struct(a.as("x"), b.as("y")))))).as("p"),
+        col("hamming"))
+      .select(least(col("p.x"), col("p.y")).as("id_a"),
+        greatest(col("p.x"), col("p.y")).as("id_b"), col("hamming"))
+    // within-group pairs: exact duplicates, Hamming 0 (ids pre-sorted)
+    val within = groups.filter(size(col("ids")) >= 2)
+      .select(explode(flatten(
+        transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+            b => struct(a.as("x"), b.as("y")))))).as("p"))
+      .select(col("p.x").as("id_a"), col("p.y").as("id_b"),
+        lit(0L).as("hamming"))
+    // no final distinct needed: band-duplicates were folded at the
+    // representative grain (repPairs.distinct, pre-expansion — far cheaper
+    // than distinct over the expanded id pairs), each id maps to exactly
+    // one fingerprint, and within/cross are disjoint by construction
+    cross.unionByName(within)
   }
 
   /** Connected components over a near-dup pair graph — the step that turns

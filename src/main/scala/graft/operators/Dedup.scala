@@ -93,15 +93,45 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBucket: Int = 1000,
       portable: Boolean = false): DataFrame = {
-    val banded = minhashBandTable(docs, idCol, textCol,
-      shingleSize, numHashes, rowsPerBand, portable)
-    val pairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
-      struct(col("id"), col("sig")), maxBucket)
-    pairs.select(
-      least(col("m_a.id"), col("m_b.id")).as("id_a"),
-      greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
-      sigAgreement(col("m_a.sig"), col("m_b.sig"), numHashes).as("est_jaccard"))
+    // Exact-dup collapse (same move as simhashPairs): identical documents
+    // carry identical SIGNATURES and collide in every band, expanding
+    // quadratically in each. Harvest over distinct signatures, then expand
+    // the exact-dup id groups back — within-group pairs estimate 1.0 by
+    // definition, cross pairs inherit the representative agreement.
+    // maxBucket bounds distinct signatures per bucket AND ids per group
+    // (an over-cap duplication flood is dropped whole, as before).
+    val sigs = minhashSigs(docs, idCol, textCol, shingleSize, numHashes, portable)
+    val wcap = org.apache.spark.sql.expressions.Window
+      .partitionBy("sig").orderBy(monotonically_increasing_id())
+    val groups = graft.Caching.track(
+      sigs.withColumn("__rn", row_number().over(wcap))
+        .filter(col("__rn") <= maxBucket + 1)
+        .groupBy("sig").agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) <= maxBucket))
+    val banded = bandify(groups.select(col("sig")), numHashes, rowsPerBand, portable)
+    val repPairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
+      col("sig").as("s"), maxBucket)
+      .select(col("m_a").as("sa"), col("m_b").as("sb"))
       .distinct()
+      .withColumn("est_jaccard", sigAgreement(col("sa"), col("sb"), numHashes))
+    val cross = repPairs
+      .join(groups.select(col("sig").as("sa"), col("ids").as("ia")), "sa")
+      .join(groups.select(col("sig").as("sb"), col("ids").as("ib")), "sb")
+      .select(explode(flatten(transform(col("ia"), a =>
+        transform(col("ib"), b => struct(a.as("x"), b.as("y")))))).as("p"),
+        col("est_jaccard"))
+      .select(least(col("p.x"), col("p.y")).as("id_a"),
+        greatest(col("p.x"), col("p.y")).as("id_b"), col("est_jaccard"))
+    val within = groups.filter(size(col("ids")) >= 2)
+      .select(explode(flatten(
+        transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+            b => struct(a.as("x"), b.as("y")))))).as("p"))
+      .select(col("p.x").as("id_a"), col("p.y").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+    // unique by construction: sig-pairs band-deduped pre-expansion, each id
+    // has one signature, within/cross disjoint
+    cross.unionByName(within)
   }
 
   /** The persistable MinHash signature/band table `(id, sig, bno, bk)` — the
@@ -115,14 +145,26 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       rowsPerBand: Int = 4,
+      portable: Boolean = false): DataFrame =
+    bandify(minhashSigs(docs, idCol, textCol, shingleSize, numHashes, portable),
+      numHashes, rowsPerBand, portable)
+
+  /** The MinHash signature table `(id, sig)`.
+    *
+    * Signature pipeline: shingle hashes computed in-place on the scan,
+    * exploded, then numHashes codegen'd min-aggregates — ONE shuffle (the
+    * group-by on doc id) for the whole stage. No distinct pass: min over a
+    * multiset equals min over the set, so duplicate shingles cost nothing
+    * (a prior array_distinct here was 5x the cost of the hashing itself).
+    * A window-lead relational variant benches identically at sf0.1 but
+    * adds a shuffle — in-place wins at corpus scale. */
+  def minhashSigs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
       portable: Boolean = false): DataFrame = {
-    // Signature pipeline: shingle hashes computed in-place on the scan,
-    // exploded, then numHashes codegen'd min-aggregates — ONE shuffle (the
-    // group-by on doc id) for the whole stage. No distinct pass: min over a
-    // multiset equals min over the set, so duplicate shingles cost nothing
-    // (a prior array_distinct here was 5x the cost of the hashing itself).
-    // A window-lead relational variant benches identically at sf0.1 but
-    // adds a shuffle — in-place wins at corpus scale.
     val hashed =
       if (portable)
         docs.select(col(idCol).as("id"),
@@ -135,10 +177,18 @@ object Dedup {
       val perm = if (portable) PH.affine31(i, col("h")) else xxhash64(lit(i), col("h"))
       min(perm).as(s"m$i")
     }
-    val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    // Band keys: the portable family keeps the raw component CSV (engine
-    // replayable); the default compresses each band to one xxhash64.
+  }
+
+  /** Explode a signature-carrying frame into per-band rows `(…, bno, bk)`.
+    * Band keys: the portable family keeps the raw component CSV (engine
+    * replayable); the default compresses each band to one xxhash64. */
+  private def bandify(
+      withSig: DataFrame,
+      numHashes: Int,
+      rowsPerBand: Int,
+      portable: Boolean): DataFrame = {
     val numBands = numHashes / rowsPerBand
     def bandKey(b: Int): Column = {
       val csv = array_join(
@@ -146,8 +196,8 @@ object Dedup {
           x => x.cast("string")), ",")
       if (portable) csv else xxhash64(lit(b), csv).cast("string")
     }
-    sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("bno", "bk")))
+    withSig.select(withSig.columns.map(col) :+
+      posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("bno", "bk")): _*)
   }
 
   /** Signature-agreement Jaccard estimate between two minhash signatures. */

@@ -103,6 +103,25 @@ class ProfilingSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("sketch mode: exact min/max/n, HLL cardinality within tolerance, median near exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val exact = got(li, cols)
+    val approx = Profiling.profileNumeric(li, cols, exact = false).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    }.toMap
+    for (c <- cols) {
+      val e = exact(c)
+      val (n, d, mn, mx, med) = approx(c)
+      assert(n == e.n && mn == e.mn.get && mx == e.mx.get, s"$c n/min/max must stay exact")
+      // default rsd 0.05 is a standard deviation, not a bound — allow 2 sigma
+      assert(math.abs(d - e.d).toDouble / e.d <= 0.10, s"$c HLL err ${d} vs ${e.d}")
+      // rank error of percentile_approx(acc=10000) is tiny; bound loosely by value
+      val spanFrac = math.abs(med - e.med.get) / (e.mx.get - e.mn.get)
+      assert(spanFrac <= 0.01, s"$c approx median $med vs ${e.med.get}")
+    }
+  }
+
   test("plan: the melted grain is the only shuffle — no Expand, no percentile buffers") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -376,6 +376,20 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Training-mix rebalancing: uniform per-source token budget (half the
+    * corpus), integer ppm keep-rates, deterministic md5 sampling — the
+    * domain-mixing pass of a pretraining pipeline. All rate arithmetic is
+    * integer floor division, replayed verbatim by the oracle. */
+  private def domainMixQ(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val budget = d.agg(sum(col("n_tokens"))).collect()(0).getLong(0) / 2L
+    graft.operators.Mixing.mixUniform(d, "doc_id", "source", "n_tokens", budget)
+      .groupBy("source", "rate_ppm")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("source")
+  }
+
   /** SimHash fingerprints + prefix-block buckets (portable 60-bit family —
     * oracle recomputes the same balances/assembly in SQL). */
   private def simhashTable(s: SparkSession, dir: String): DataFrame =
@@ -1078,7 +1092,8 @@ object SparkEntry {
     "q59_contamination" -> (contaminationQ _),
     "q60_incremental_dedup" -> (incrementalDedupQ _),
     "q61_pii_scrub" -> (piiScrubQ _),
-    "q62_quality_gate" -> (qualityGateQ _)
+    "q62_quality_gate" -> (qualityGateQ _),
+    "q63_domain_mix" -> (domainMixQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1420,6 +1435,29 @@ object SparkEntry {
         |WHERE CAST(matched AS DOUBLE) / test_total >= CAST(0.5 AS DOUBLE)
         |ORDER BY doc_id, test_id""".stripMargin,
     "q60_incremental_dedup" -> incrementalDedupOracleSql,
+    // replays Mixing's integer rate arithmetic verbatim: budget = total//2,
+    // uniform weight = 1e6 // n_sources, rate = min(1e6, (budget*w // 1e6)
+    // * 1e6 // tokens) — floor divisions only, HUGEINT-safe
+    "q63_domain_mix" -> {
+      val md5 = graft.functions.PortableHash.md5Hash60Sql("doc_id")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS t
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(SUM(t) AS BIGINT) AS st FROM d GROUP BY 1),
+         |g AS (SELECT CAST(SUM(st) // 2 AS BIGINT) AS budget,
+         |        CAST(1000000 // COUNT(*) AS BIGINT) AS w FROM tot),
+         |r AS (SELECT source,
+         |        CAST(LEAST(1000000, ((g.budget * g.w // 1000000) * 1000000)
+         |          // greatest(st, 1)) AS BIGINT) AS rate_ppm
+         |      FROM tot, g),
+         |kept AS (
+         |  SELECT d.source, r.rate_ppm, d.t FROM d JOIN r USING (source)
+         |  WHERE ($md5 % 1000000) < r.rate_ppm)
+         |SELECT source, rate_ppm, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(t) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY 1, 2 ORDER BY source""".stripMargin
+    },
     "q62_quality_gate" ->
       """WITH d AS (
         |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars

@@ -62,6 +62,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("domain mixing: integer rates honor the budget; oversampled sources cap at 1e6") {
+    import graft.operators.Mixing
+    // source a: 1000 tokens, b: 100, c: 10 — uniform budget 300/source
+    val totals = Map("a" -> 1000L, "b" -> 100L, "c" -> 10L)
+    val rates = Mixing.ratesPpm(totals, budgetTokens = 900L,
+      weightsPpm = Map("a" -> 333333L, "b" -> 333333L, "c" -> 333333L))
+    assert(rates("a") == 299000L)       // (900*333333/1e6)*1e6/1000 = 299 * 1000
+    assert(rates("b") == 1000000L)      // budget 299 > 100 tokens -> capped
+    assert(rates("c") == 1000000L)
+    // unknown source -> rate over max(0,1) tokens, still capped at 1e6
+    assert(Mixing.ratesPpm(Map.empty, 10L, Map("x" -> Mixing.Ppm))("x") == Mixing.Ppm)
+
+    // determinism + rate application: same filter decisions on re-run
+    val docs = (1L to 2000L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val m1 = Mixing.mixUniform(docs, "doc_id", "source", "n_tokens", 6000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val m2 = Mixing.mixUniform(docs, "doc_id", "source", "n_tokens", 6000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(m1 == m2 && m1.nonEmpty)
+    // realized token share per source lands near the target (ppm sampler
+    // is exact-rate, not exact-count; 10-token docs -> ±1 doc tolerance)
+    val share = Mixing.mixUniform(docs, "doc_id", "source", "n_tokens", 6000L)
+      .groupBy("source").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    share.values.foreach(t => assert(math.abs(t - 2000L) <= 400L, share.toString))
+  }
+
   test("pii scrub: detection counts, redaction, untouched text") {
     val rows = Seq(
       (1L, "mail a.b+c@x-y.co then call 555-1234 from 10.0.200.9 done"),

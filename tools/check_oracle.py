@@ -1,8 +1,9 @@
 import duckdb, json, glob, sys
 import pandas as pd
 
-sfdir = '/root/testdata/sf0.01'
-out = '/tmp/verify_out'
+import os
+sfdir = os.environ.get('SFDIR', '/root/testdata/sf0.01')
+out = os.environ.get('VOUT', '/tmp/verify_out')
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")

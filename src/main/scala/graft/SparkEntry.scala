@@ -830,6 +830,21 @@ object SparkEntry {
       .limit(100)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** Per-key EXACT-SIZE deterministic sample: k docs per language in md5
+    * order — the per-stratum twin of q36 (rate-based q51 gives exact RATES;
+    * this gives exact COUNTS per class, the eval-set construction shape).
+    * The rank window is bounded by WindowGroupLimit pushdown (per-partition
+    * top-k heaps), never a full per-key sort spill. */
+  private def perKeySample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
   /** K10: evidence summarizer — histogram rows by type/reason/sentiment
     * (app.py:1515-1561). */
   private def evidenceHistogram(s: SparkSession, dir: String): DataFrame =
@@ -1093,7 +1108,8 @@ object SparkEntry {
     "q60_incremental_dedup" -> (incrementalDedupQ _),
     "q61_pii_scrub" -> (piiScrubQ _),
     "q62_quality_gate" -> (qualityGateQ _),
-    "q63_domain_mix" -> (domainMixQ _)
+    "q63_domain_mix" -> (domainMixQ _),
+    "q64_per_key_sample" -> (perKeySample _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1435,6 +1451,13 @@ object SparkEntry {
         |WHERE CAST(matched AS DOUBLE) / test_total >= CAST(0.5 AS DOUBLE)
         |ORDER BY doc_id, test_id""".stripMargin,
     "q60_incremental_dedup" -> incrementalDedupOracleSql,
+    "q64_per_key_sample" ->
+      """SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     // replays Mixing's integer rate arithmetic verbatim: budget = total//2,
     // uniform weight = 1e6 // n_sources, rate = min(1e6, (budget*w // 1e6)
     // * 1e6 // tokens) — floor divisions only, HUGEINT-safe

@@ -151,6 +151,12 @@ class PlanAuditSpec extends SparkSpec {
       "no per-group value buffering may appear:\n" + p.take(2000))
   }
 
+  test("q64 per-key sample: rank window is WindowGroupLimit-bounded") {
+    val p = planString("q64_per_key_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "per-key top-k must push the rank limit into per-partition heaps:\n" + p.take(2000))
+  }
+
   test("q33 banded hyperplane LSH: no cartesian/self-join — bucket-harvest only") {
     val p = planString("q33_embedding_neardup")
     assert(!p.contains("CartesianProduct"), "no cartesian pair expansion")

@@ -210,6 +210,31 @@ object SparkEntry {
       .select(col("fp"), col("n_docs"), col("keep_id"))
       .orderBy("fp")
 
+  /** Incremental EXACT dedup: the batch (doc_id % 10 == 0) collapsed to
+    * fingerprint groups and anti-joined against the corpus fingerprint
+    * store — only first-ever-seen content survives; the store is never
+    * recomputed. Exact-dedup twin of q60. */
+  private def incrementalExactQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    graft.operators.Dedup.incrementalExactNew(
+      docs.filter(col("doc_id") % 10 === 0),
+      graft.operators.Dedup.exactGroups(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text").select("fp"),
+      "doc_id", "text")
+      .orderBy("fp")
+  }
+
+  /** Token capacity planning: BPE-pretokenizer counts (the tokens a merge
+    * stage will see) next to whitespace counts — punctuation- and
+    * digit-heavy text undercounts badly under whitespace splitting. */
+  private def bpeTokensQ(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      TF.tokenCount(col("text")).as("ws_tokens"),
+      TF.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .withColumn("ratio",
+        col("bpe_tokens").cast("double") / col("ws_tokens"))
+      .orderBy("doc_id")
+
   /** Language-ID heuristic: standalone-stopword hit counts per language,
     * arg-max label (first-listed wins ties). */
   private val langStopwords: Seq[(String, Seq[String])] = Seq(
@@ -1109,7 +1134,9 @@ object SparkEntry {
     "q61_pii_scrub" -> (piiScrubQ _),
     "q62_quality_gate" -> (qualityGateQ _),
     "q63_domain_mix" -> (domainMixQ _),
-    "q64_per_key_sample" -> (perKeySample _)
+    "q64_per_key_sample" -> (perKeySample _),
+    "q65_incremental_exact" -> (incrementalExactQ _),
+    "q66_bpe_tokens" -> (bpeTokensQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1451,6 +1478,28 @@ object SparkEntry {
         |WHERE CAST(matched AS DOUBLE) / test_total >= CAST(0.5 AS DOUBLE)
         |ORDER BY doc_id, test_id""".stripMargin,
     "q60_incremental_dedup" -> incrementalDedupOracleSql,
+    "q65_incremental_exact" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |bg AS (
+        |  SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        |  FROM f WHERE doc_id % 10 = 0 GROUP BY fp)
+        |SELECT fp, n_docs, keep_id FROM bg
+        |WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id % 10 <> 0)
+        |ORDER BY fp""".stripMargin,
+    // alternation branches have disjoint first-char classes, so Java's
+    // leftmost-first and RE2's leftmost-longest pick identical tokens
+    "q66_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS DOUBLE)
+         |    / len(regexp_split_to_array(trim(text), '\\s+')) AS ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q64_per_key_sample" ->
       """SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -29,6 +29,18 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+")).cast("long")
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 family shape, lookahead
+    * dropped for RE2 portability): an optional leading space glued to a
+    * letter run, digit run, or punctuation run. Runs in Java regex AND RE2
+    * (DuckDB/Go) identically, so pre-tokenized counts replay in oracles. */
+  val BpePretokenRe = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Pre-tokenizer token count — the "tokens the BPE merge stage will see"
+    * estimate a token-budgeted pipeline plans capacity with (whitespace
+    * counts undercount punctuation-heavy and digit-heavy text). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePretokenRe), lit(0))).cast("long")
+
   /** Number of occurrences of `word` as a standalone token, via the
     * length-difference trick over space-padded text: literal (non-regex)
     * replace of `" word "` with `" "` removes word.length+1 chars per

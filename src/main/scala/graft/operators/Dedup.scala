@@ -39,6 +39,22 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Incremental EXACT dedup — the fingerprint-store twin of
+    * [[minhashIncrementalPairs]]: a new batch is collapsed to its
+    * fingerprint groups and anti-joined against the corpus's fingerprint
+    * store, so only first-ever-seen content survives; the store is
+    * appended, never recomputed. Returns the batch's NEW fingerprints
+    * `(fp, n_docs, keep_id)` (within-batch duplicates collapse to min id,
+    * same as [[exactGroups]]). At scale the store is bucketed by fp, making
+    * the anti-join co-located. */
+  def incrementalExactNew(
+      newDocs: DataFrame,
+      storeFps: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    exactGroups(newDocs, idCol, textCol)
+      .join(storeFps.select(col("fp")), Seq("fp"), "left_anti")
+
   /** Shared LSH bucket-harvest: group `(bandCols, member)` rows by band key,
     * collect members, drop singleton and over-`maxBucket` buckets, expand
     * in-bucket pairs (i < j in collected order). Returns (m_a, m_b) member

@@ -91,6 +91,32 @@ class PipelineOpsSpec extends SparkSpec {
     share.values.foreach(t => assert(math.abs(t - 2000L) <= 400L, share.toString))
   }
 
+  test("incremental exact dedup: only first-ever-seen fingerprints survive") {
+    val store = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha  beta"),  // whitespace-normalized dup of store doc 1
+      (11L, "delta"), (12L, "delta"), // new content, within-batch dup
+      (13L, "epsilon")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExactNew(batch,
+      Dedup.exactGroups(store, "doc_id", "text").select("fp"), "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+    assert(got == Set((2L, 11L), (1L, 13L))) // delta x2 keep 11; epsilon; alpha-beta dropped
+  }
+
+  test("bpe pretokenizer: splits letter/digit/punct runs; whitespace undercounts") {
+    import graft.functions.TextFunctions
+    val rows = Seq((1L, "pay $1,234.56 now!"), (2L, "plain words only"), (3L, "a1b2"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.tokenCount(col("t")).as("ws"),
+        TextFunctions.bpeTokenCount(col("t")).as("bpe"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // "pay" " $" "1" "," "234" "." "56" " now" "!" = 9 vs 3 whitespace tokens
+    assert(rows(0) == ((1L, 3L, 9L)))
+    assert(rows(1) == ((2L, 3L, 3L))) // pure words: identical
+    assert(rows(2) == ((3L, 1L, 4L))) // a 1 b 2
+  }
+
   test("pii scrub: detection counts, redaction, untouched text") {
     val rows = Seq(
       (1L, "mail a.b+c@x-y.co then call 555-1234 from 10.0.200.9 done"),

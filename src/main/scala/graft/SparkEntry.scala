@@ -810,6 +810,18 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), col("cos").cast("float").as("cos"))
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup: cluster-scoped semantic dedup — nearest-of-16-head-centroid
+    * assignment (q17's replayable rule), exact cosine pairs WITHIN a cluster
+    * only (the paper's move that keeps pairwise off the corpus), components,
+    * keep = min id. Threshold sits at the q33 neighbor gate (synthetic
+    * embeddings are near-orthogonal; max pairwise cos ~0.48). */
+  private def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val cents = Similarity.headCentroids(emb, "vec_id", "embedding", 16)
+    Dedup.semanticDedupGroups(emb, "vec_id", "embedding", cents, threshold = 0.3)
+      .orderBy("id")
+  }
+
   /** A14: composite weighted signal score (entity-store.js:131-215 /
     * app.py:765-804 weight normalization): plain column arithmetic over a
     * small weight map. */
@@ -1136,7 +1148,8 @@ object SparkEntry {
     "q63_domain_mix" -> (domainMixQ _),
     "q64_per_key_sample" -> (perKeySample _),
     "q65_incremental_exact" -> (incrementalExactQ _),
-    "q66_bpe_tokens" -> (bpeTokensQ _)
+    "q66_bpe_tokens" -> (bpeTokensQ _),
+    "q67_semantic_dedup" -> (semanticDedupQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1293,6 +1306,36 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
     "q33_embedding_neardup" -> embNearDupOracleSql,
     "q47_dedup_groups" -> dedupGroupsOracleSql,
+    // q17's centroid/assignment replay + q33's exact-double cosine scoring
+    // + q47's recursive reachability, composed: cluster-scoped pairs only.
+    "q67_semantic_dedup" ->
+      """WITH RECURSIVE cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cent
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |asg AS (
+        |  SELECT e.vec_id AS id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         c.cent_id AS bucket,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
+        |  FROM embeddings e, cents c),
+        |b AS (SELECT id, v, bucket FROM asg WHERE r = 1),
+        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b),
+        |mp AS (
+        |  SELECT a.id AS ia, bb.id AS ib
+        |  FROM sized a JOIN sized bb ON a.bucket = bb.bucket AND a.id < bb.id
+        |  WHERE a.bsz BETWEEN 2 AND 10000
+        |    AND list_dot_product(a.v, bb.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+        |      >= CAST(0.3 AS DOUBLE)),
+        |edges AS (SELECT ia AS a, ib AS b FROM mp UNION SELECT ib, ia FROM mp),
+        |walk(id, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e2.b, w.lbl FROM walk w JOIN edges e2 ON e2.a = w.id),
+        |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+        |SELECT b.id, coalesce(comp.component, b.id) AS component,
+        |  coalesce(comp.component, b.id) = b.id AS is_keeper
+        |FROM b LEFT JOIN comp USING (id) ORDER BY id""".stripMargin,
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

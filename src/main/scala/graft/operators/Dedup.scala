@@ -589,4 +589,50 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .distinct()
   }
+
+  /** SemDeDup-style semantic deduplication (cluster-then-pairwise, after
+    * Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication" — public method): assign every
+    * embedding to its nearest centroid, compare pairs ONLY within a
+    * cluster, connect pairs with cosine >= `threshold` into components,
+    * and keep the minimum id per component.
+    *
+    * Returns one row per input vector: `(id, component, is_keeper)` —
+    * `component` = min id reachable through >=threshold cluster-scoped
+    * pairs (own id when unpaired), `is_keeper` = id == component.
+    *
+    * 100 TB posture: this is the point of SemDeDup — the quadratic
+    * pairwise stage is scoped to a cluster, never the corpus. Assignment
+    * is the shuffle-free centroid-literal argmax projection shared with
+    * [[Similarity.ivfTopK]]'s write path (no Exchange); the only shuffles
+    * are the cluster-key harvest ([[bucketPairs]], flooded clusters
+    * dropped whole by `maxBucket`) and the component propagation
+    * ([[connectedComponents]], O(1) rounds on near-dup cliques). With
+    * `nlist` sized so corpus/nlist fits an executor (the paper's k ~
+    * sqrt(n) regime), no stage is quadratic in the corpus.
+    */
+  def semanticDedupGroups(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Float])],
+      threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    val spark = emb.sparkSession
+    val assigned = emb
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", Similarity.nearestCentroid(spark, col("vec"), centroids))
+    val pairs = bucketPairs(assigned, Seq(col("bucket")),
+      struct(col("id"), col("vec")), maxBucket)
+      .select(
+        least(col("m_a.id"), col("m_b.id")).as("id_a"),
+        greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
+        graft.plans.GraftExtensions.cosine(spark, col("m_a.vec"), col("m_b.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val comps = connectedComponents(pairs)
+    assigned.select(col("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .withColumn("is_keeper", col("component") === col("id"))
+  }
 }

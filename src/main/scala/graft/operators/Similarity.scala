@@ -91,7 +91,7 @@ object Similarity {
     * window (the round-2 formulation shuffled corpus × nlist rows through a
     * row_number window). Ties break to the smallest cent_id via the negated
     * id field. */
-  private def nearestCentroid(
+  private[operators] def nearestCentroid(
       spark: org.apache.spark.sql.SparkSession,
       vec: Column,
       centroids: Seq[(Int, Seq[Float])]): Column = {

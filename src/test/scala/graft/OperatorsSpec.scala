@@ -340,4 +340,30 @@ class OperatorsSpec extends SparkSpec {
       assert(got == naive, s"binWidth=$w diverged (${got.size} vs ${naive.size})")
     }
   }
+
+  test("semantic dedup: within-cluster merge, cross-cluster pairs ignored") {
+    import graft.operators.Dedup
+    // two orthogonal cluster axes; ids 1/2/3 on axis-x (3 slightly rotated),
+    // ids 10/11 on axis-y. 1~2~3 are mutual near-dups within one cluster;
+    // 10~11 within the other. Cross-cluster cosines are ~0 -> never compared
+    // anyway under cluster scoping.
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f, 0f)
+    val emb = Seq(
+      (1L, v(1, 0)), (2L, v(0.999, 0.04)), (3L, v(0.995, 0.1)),
+      (10L, v(0, 1)), (11L, v(0.04, 0.999))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 1f, 0f, 0f)))
+    val got = Dedup.semanticDedupGroups(emb, "vec_id", "embedding", cents, 0.9)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+
+    // cross-cluster near-pair is NOT merged (the SemDeDup recall trade):
+    // 20 sits at 45 degrees (assigned to cluster 0 by tie-break), 21 leans
+    // y-side -> different cluster, despite cos(20,21) ~ 0.99
+    val emb2 = Seq(
+      (20L, v(0.7071, 0.7071)), (21L, v(0.60, 0.80))).toDF("vec_id", "embedding")
+    val got2 = Dedup.semanticDedupGroups(emb2, "vec_id", "embedding", cents, 0.9)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((20L, 20L, true), (21L, 21L, true)))
+  }
 }

@@ -822,6 +822,14 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Exact duplicated-span screen (Lee et al. substring-dedup signal):
+    * per-doc fraction of 8-token rolling windows whose content appears in
+    * another document. */
+  private def dupSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(documents(s, dir), "doc_id", "text", windowTokens = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** A14: composite weighted signal score (entity-store.js:131-215 /
     * app.py:765-804 weight normalization): plain column arithmetic over a
     * small weight map. */
@@ -1149,7 +1157,8 @@ object SparkEntry {
     "q64_per_key_sample" -> (perKeySample _),
     "q65_incremental_exact" -> (incrementalExactQ _),
     "q66_bpe_tokens" -> (bpeTokensQ _),
-    "q67_semantic_dedup" -> (semanticDedupQ _)
+    "q67_semantic_dedup" -> (semanticDedupQ _),
+    "q68_dup_spans" -> (dupSpansQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1336,6 +1345,22 @@ object SparkEntry {
         |SELECT b.id, coalesce(comp.component, b.id) AS component,
         |  coalesce(comp.component, b.id) = b.id AS is_keeper
         |FROM b LEFT JOIN comp USING (id) ORDER BY id""".stripMargin,
+    // the oracle groups on window STRINGS where Spark groups on their
+    // md5Hash60 — identical grouping absent 60-bit collisions
+    "q68_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |pd AS (SELECT s, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM win GROUP BY 1, 2),
+        |nd AS (SELECT s, doc_id, c, COUNT(*) OVER (PARTITION BY s) AS ndocs FROM pd)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_windows,
+        |  CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup_frac
+        |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -590,6 +590,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicated-span detection — the exact-substring dedup signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), bounded to fixed `windowTokens`-token rolling windows: a
+    * window instance is DUPLICATED when its content also appears in at
+    * least one OTHER document. Returns one row per document with >=
+    * `windowTokens` tokens: `(id, n_windows, dup_windows, dup_frac)` —
+    * the per-doc fraction a span-level deduper would cut.
+    *
+    * Shape: tokenize → explode rolling-window hashes (portable md5Hash60
+    * so the oracle can replay on window STRINGS — equal strings == equal
+    * hashes absent 60-bit collisions) → aggregate to `(window, doc)`
+    * grain → count docs per window with ONE window function (no
+    * self-join) → fold back to docs. Three hash-key Exchanges, all
+    * O(total windows); nothing is quadratic, no pair expansion exists at
+    * all — this is the cheap screen you run BEFORE an expensive
+    * suffix-array pass at 100 TB. */
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), split(trim(lower(col(textCol))), "\\s+").as("t"))
+      .filter(size(col("t")) >= windowTokens)
+    val wins = toks.select(col("id"),
+      explode(transform(
+        sequence(lit(0), size(col("t")) - windowTokens),
+        i => PH.md5Hash60(array_join(slice(col("t"), i + 1, lit(windowTokens)), " "))))
+        .as("h"))
+    val perDoc = wins.groupBy("h", "id").agg(count(lit(1)).as("c"))
+    val wNd = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    perDoc
+      .withColumn("nd", count(lit(1)).over(wNd))
+      .groupBy("id")
+      .agg(
+        sum(col("c")).as("n_windows"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(lit(0L))).as("dup_windows"))
+      .withColumn("dup_frac",
+        col("dup_windows").cast("double") / col("n_windows"))
+  }
+
   /** SemDeDup-style semantic deduplication (cluster-then-pairwise, after
     * Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication" — public method): assign every

@@ -341,6 +341,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("duplicated spans: cross-doc windows flagged, within-doc repeats are not") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      // docs 1 and 2 share the span "a b c" (each contributes 1 window of 3)
+      (1L, "a b c x y"),       // windows: "a b c","b c x","c x y" -> 1 dup
+      (2L, "q a b c z"),       // windows: "q a b","a b c","b c z" -> 1 dup
+      // doc 3 repeats its own trigram twice but shares nothing -> 0 dups
+      (3L, "m n o m n o m n"), // 6 windows, "m n o" twice but only doc 3
+      (4L, "t u")              // < 3 tokens -> excluded entirely
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", windowTokens = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 1.0 / 3),
+      (2L, 3L, 1L, 1.0 / 3),
+      (3L, 6L, 0L, 0.0)))
+  }
+
   test("semantic dedup: within-cluster merge, cross-cluster pairs ignored") {
     import graft.operators.Dedup
     // two orthogonal cluster axes; ids 1/2/3 on axis-x (3 slightly rotated),

@@ -560,6 +560,13 @@ object SparkEntry {
       minCount = 5L, maxVocab = 100)
       .orderBy("vocab_id")
 
+  /** Per-doc keyword extraction: top-3 terms by exact tf/df (rank-order
+    * core of tf-idf; ln-free for cross-engine bit parity). */
+  private def keywordsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.keywordsTopK(documents(s, dir), "doc_id", "text", 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "rank")
+
   /** W11/K5: recursive prev-day active-state propagation via flatMapGroups —
     * the reference's crisis-event trigger machine shape
     * (crisis_event_rollups.py:541-561). The DuckDB oracle uses the
@@ -1158,7 +1165,8 @@ object SparkEntry {
     "q65_incremental_exact" -> (incrementalExactQ _),
     "q66_bpe_tokens" -> (bpeTokensQ _),
     "q67_semantic_dedup" -> (semanticDedupQ _),
-    "q68_dup_spans" -> (dupSpansQ _)
+    "q68_dup_spans" -> (dupSpansQ _),
+    "q69_keywords" -> (keywordsQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1361,6 +1369,20 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_windows,
         |  CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup_frac
         |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q69_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |d AS (SELECT doc_id, term, tf,
+        |        CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+        |      FROM tf),
+        |r AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS BIGINT) AS rank
+        |      FROM d)
+        |SELECT doc_id, rank, term, tf, df, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

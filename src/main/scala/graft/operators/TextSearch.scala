@@ -145,4 +145,36 @@ object TextSearch {
     counts.withColumn("vocab_id", row_number().over(
       Window.orderBy(col("n").desc, col("term"))).cast("long"))
   }
+
+  /** Per-document keyword extraction: top-`k` terms by tf/df — term
+    * frequency over document frequency, the rank-equivalent core of
+    * tf-idf for a fixed corpus (idf is monotone-decreasing in df), chosen
+    * over log-idf because tf/df is ONE exact integer-ratio double
+    * division, bit-identical across engines (the repo's float policy;
+    * ln() is the classic 1-ulp parity hazard). Ties break (score desc,
+    * term asc). Returns `(id, rank, term, tf, df, score)`.
+    *
+    * Scale shape: one map-side-combined shuffle to the `(doc, term)`
+    * grain, df via ONE window on the term (no vocabulary self-join), and
+    * the per-doc top-k rank window is WindowGroupLimit-bounded (the q64
+    * pattern) — every stage is linear in the token stream. */
+  def keywordsTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id")
+          .orderBy(col("score").desc, col("term").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
 }

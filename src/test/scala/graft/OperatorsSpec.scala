@@ -341,6 +341,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("keywords: tf/df ranking, score ties break on term, k bound") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      // doc 1: "rare" appears once and only here (score 1/1 = 1.0, top);
+      // "common"/"x"/"y" all 1/2 -> three-way tie broken alphabetically
+      (1L, "rare x y common"),
+      (2L, "x y common common common")).toDF("doc_id", "text")
+    val got = TextSearch.keywordsTopK(docs, "doc_id", "text", 3)
+      .select("id", "rank", "term").as[(Long, Long, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 1L, "rare"), (1L, 2L, "common"), (1L, 3L, "x"),
+      // doc 2: common tf=3 df=2 -> 1.5 beats x/y (0.5 each); k bounds to 3
+      (2L, 1L, "common"), (2L, 2L, "x"), (2L, 3L, "y")))
+  }
+
   test("duplicated spans: cross-doc windows flagged, within-doc repeats are not") {
     import graft.operators.Dedup
     val docs = Seq(

@@ -567,6 +567,21 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "rank")
 
+  /** Deterministic epoch-3 shard audit: per-shard doc/token counts and the
+    * shard's first doc (pins the whole permutation — any assignment or
+    * ordering drift moves some shard's head). */
+  private def epochShardsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sharding.assignShards(
+      documents(s, dir).select(col("doc_id"), col("text")), "doc_id",
+      epoch = 3, numShards = 8)
+      .withColumn("t", TF.tokenCount(col("text")))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        min(when(col("shard_pos") === 1, col("doc_id"))).as("first_doc"))
+      .orderBy("shard")
+
   /** W11/K5: recursive prev-day active-state propagation via flatMapGroups —
     * the reference's crisis-event trigger machine shape
     * (crisis_event_rollups.py:541-561). The DuckDB oracle uses the
@@ -1166,7 +1181,8 @@ object SparkEntry {
     "q66_bpe_tokens" -> (bpeTokensQ _),
     "q67_semantic_dedup" -> (semanticDedupQ _),
     "q68_dup_spans" -> (dupSpansQ _),
-    "q69_keywords" -> (keywordsQ _)
+    "q69_keywords" -> (keywordsQ _),
+    "q70_epoch_shards" -> (epochShardsQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1383,6 +1399,21 @@ object SparkEntry {
         |      FROM d)
         |SELECT doc_id, rank, term, tf, df, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q70_epoch_shards" -> {
+      val k = graft.functions.PortableHash.md5Hash60Sql("'3:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS t,
+         |    $k AS k
+         |  FROM documents),
+         |s AS (SELECT doc_id, t, k, CAST(k % 8 AS INTEGER) AS shard FROM a),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS rn
+         |      FROM s)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc
+         |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+    },
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -341,6 +341,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("epoch shards: partition-invariant, epoch-fresh, complete permutation") {
+    import graft.operators.Sharding
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, epoch: Int) =
+      Sharding.assignShards(df, "doc_id", epoch, 4)
+        .select("doc_id", "shard", "shard_pos")
+        .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val a = run(docs, 1)
+    // independent of the input's physical partitioning
+    assert(run(docs.repartition(7), 1) == a)
+    // every shard's positions are exactly 1..size (a true permutation)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+    }
+    // a different epoch re-deals assignments (fresh permutation)
+    assert(run(docs, 2) != a)
+  }
+
   test("keywords: tf/df ranking, score ties break on term, k bound") {
     import graft.operators.TextSearch
     val docs = Seq(

@@ -304,6 +304,15 @@ object SparkEntry {
       "doc_id", "lang", stratifiedRates)
       .orderBy("doc_id")
 
+  /** Deterministic token-weighted sample: 50 docs, inclusion odds rising
+    * with token count (integer-exact priority, no pow/ln). */
+  private def weightedSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      documents(s, dir)
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("w")),
+      "doc_id", "w", 50)
+      .orderBy("priority", "doc_id")
+
   /** Training-data chunking: 64-token windows, 16-token overlap — pure
     * explode, no shuffle (chunks inherit scan partitioning). */
   private def chunkDocs(s: SparkSession, dir: String): DataFrame =
@@ -1182,7 +1191,8 @@ object SparkEntry {
     "q67_semantic_dedup" -> (semanticDedupQ _),
     "q68_dup_spans" -> (dupSpansQ _),
     "q69_keywords" -> (keywordsQ _),
-    "q70_epoch_shards" -> (epochShardsQ _)
+    "q70_epoch_shards" -> (epochShardsQ _),
+    "q71_weighted_sample" -> (weightedSampleQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1413,6 +1423,17 @@ object SparkEntry {
          |  CAST(SUM(t) AS BIGINT) AS n_tokens,
          |  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc
          |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+    },
+    "q71_weighted_sample" -> {
+      val k = graft.functions.PortableHash.md5Hash60Sql("doc_id")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+         |    ($k % 1000000000) AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, w, CAST(h // w AS BIGINT) AS priority FROM d)
+         |SELECT doc_id, w, priority FROM p
+         |ORDER BY priority, doc_id LIMIT 50""".stripMargin
     },
     "q48_quantized_knn" ->
       """WITH e AS (

@@ -51,4 +51,31 @@ object Sampling {
     s"((${PH.md5Hash60Sql(idExpr)} % $Ppm) < " +
       s"(CASE $cases ELSE ${math.round(defaultRate * Ppm)} END))"
   }
+
+  /** Deterministic weighted sample of exactly `k` rows, inclusion odds
+    * rising with `weightCol` (integer weights >= 1, e.g. token counts):
+    * priority = floor((md5Hash60(id) mod 1e9) / w), keep the k smallest
+    * (ties by id). A heavy row divides its uniform hash draw by a larger
+    * weight, so for thresholds t << 1e9/w the inclusion probability is
+    * ~proportional to w — the integer-exact, seedless, engine-replayable
+    * stand-in for A-ES exponential jumps (whose u^(1/w) keys would hang
+    * float parity on pow/ln).
+    *
+    * Scale shape: priority is a projection on the scan; "k smallest" is a
+    * TakeOrderedAndProject (per-partition bounded heaps, no global sort,
+    * no shuffle of the corpus). */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    // exact integer floor division: (a - a mod w) is divisible by w, so the
+    // double quotient is an exact integer (values < 2^53) — no float-floor
+    // boundary hazard
+    val h = pmod(PH.md5Hash60(col(idCol)), lit(1000000000L))
+    df.withColumn("priority",
+      ((h - pmod(h, col(weightCol))) / col(weightCol)).cast("long"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
 }

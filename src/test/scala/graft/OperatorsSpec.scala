@@ -341,6 +341,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: exact k, partition-invariant, heavy rows dominate") {
+    import graft.operators.Sampling
+    // 500 light rows (w=1) vs 500 heavy rows (w=100): heavy rows' priorities
+    // are ~100x smaller, so a 100-row sample should be nearly all heavy
+    val rows = (1L to 500L).map((_, 1L)) ++ (501L to 1000L).map((_, 100L))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", 100)
+      .select("id", "w").as[(Long, Long)].collect().toSeq
+    assert(got.size == 100)
+    assert(got.count(_._2 == 100L) >= 90, s"heavy rows: ${got.count(_._2 == 100L)}")
+    val again = Sampling.weightedSample(df.repartition(13), "id", "w", 100)
+      .select("id", "w").as[(Long, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == got.sortBy(_._1))
+  }
+
   test("epoch shards: partition-invariant, epoch-fresh, complete permutation") {
     import graft.operators.Sharding
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

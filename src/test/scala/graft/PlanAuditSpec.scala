@@ -164,4 +164,37 @@ class PlanAuditSpec extends SparkSpec {
       && !p.contains("BroadcastHashJoin"),
       "pairs must come from the in-bucket expansion, not a join:\n" + p.take(2500))
   }
+
+  test("q67 semantic dedup: pairing is cluster-harvest, no cartesian, one label join") {
+    val p = planString("q67_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "no all-pairs expansion")
+    // the ONLY join allowed is the final id⟕component label join (id-keyed
+    // equi-join; AQE broadcasts it when labels are small). The pair stage
+    // itself must be the in-cluster collect+expand, never a self-join.
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(joins <= 1, s"expected at most the label join, found $joins:\n" + p.take(2500))
+    // the pairing subtree itself is invisible here (connectedComponents
+    // localCheckpoints its labels, truncating lineage to Scan ExistingRDD);
+    // its harvest shape is pinned by the q33 bucket-harvest test, which
+    // shares bucketPairs
+  }
+
+  test("q68 duplicated spans: window-hash grain only — zero join operators") {
+    val p = planString("q68_dup_spans")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "doc counts per window must come from a window fn, not a self-join:\n" + p.take(2500))
+  }
+
+  test("q69 keywords: per-doc top-k rank is WindowGroupLimit-bounded, no join") {
+    val p = planString("q69_keywords")
+    assert(p.contains("WindowGroupLimit"),
+      "per-doc top-k must push the rank limit into per-partition heaps:\n" + p.take(2000))
+    assert(!p.contains("Join"), "df must come from a window, not a vocab join")
+  }
+
+  test("q71 weighted sample is a bounded top-k, never a global sort") {
+    val p = planString("q71_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
 }

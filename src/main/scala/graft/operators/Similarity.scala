@@ -86,21 +86,26 @@ object Similarity {
     cents
   }
 
-  /** Shuffle-free nearest-centroid assignment: a codegen'd `greatest()` fold
-    * over per-centroid cosine structs — pure projection, no Exchange, no
-    * window (the round-2 formulation shuffled corpus × nlist rows through a
-    * row_number window). Ties break to the smallest cent_id via the negated
-    * id field. */
+  /** Shuffle-free nearest-centroid assignment: the native
+    * [[graft.plans.NearestCentroid]] argmax kernel — pure projection, no
+    * Exchange, no window; the row norm is computed once and centroid norms
+    * are cached at plan build, so per-row cost is a single fused loop
+    * (the prior `greatest()`-of-cosine-structs fold re-walked the vector
+    * 2×nlist times and outgrew Janino past ~16 centroids). Ties break to
+    * the smallest cent_id (bit-parity with the fold, pinned in PlansSpec).
+    *
+    * Assumes `centroids` ids are 0..n-1 in order (the contract of
+    * [[headCentroids]]/[[trainCentroidsKMeans]]). */
   private[operators] def nearestCentroid(
       spark: org.apache.spark.sql.SparkSession,
       vec: Column,
       centroids: Seq[(Int, Seq[Float])]): Column = {
-    val scored = centroids.map { case (cid, cvec) =>
-      struct(
-        GraftExtensions.cosine(spark, vec, array(cvec.map(lit): _*)).as("c"),
-        lit(-cid).as("ni"))
-    }
-    -greatest(scored: _*).getField("ni")
+    require(centroids.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "centroid ids must be 0..n-1 in order")
+    val matrix = array(centroids.map { case (_, cvec) =>
+      array(cvec.map(lit): _*)
+    }: _*)
+    GraftExtensions.nearestCentroid(spark, vec, matrix)
   }
 
   /** Query-side probe buckets: the `nprobe` nearest centroids per query row,

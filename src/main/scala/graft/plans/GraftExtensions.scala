@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_md5h60"),
       new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5h60"),
       (children: Seq[Expression]) => Md5Hash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))
   }
 }
 
@@ -42,11 +46,23 @@ object GraftExtensions {
         (children: Seq[Expression]) => Md5Hash60(children.head),
         "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_nearest_centroid"))) {
+      registry.createOrReplaceTempFunction("graft_nearest_centroid",
+        (children: Seq[Expression]) => NearestCentroid(children(0), children(1)),
+        "built-in")
+    }
   }
 
   /** Column-API handle for the native cosine (registers on first use). */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_cosine", a, b)
+  }
+
+  /** Column-API handle for the native nearest-centroid argmax: `matrix`
+    * must be a foldable `array<array<float>>` of centroid literals. */
+  def nearestCentroid(spark: SparkSession, vec: Column, matrix: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_nearest_centroid", vec, matrix)
   }
 }

@@ -67,6 +67,47 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"))
   }
 
+  test("nearest-centroid argmax == greatest-of-cosine-structs fold, bit for bit") {
+    // the composed fold this expression replaced — kept here as the parity
+    // reference (greatest on (cos, -cid): max cos, ties to smallest cid)
+    def folded(vec: org.apache.spark.sql.Column,
+        cents: Seq[(Int, Seq[Float])]): org.apache.spark.sql.Column = {
+      val scored = cents.map { case (cid, cvec) =>
+        struct(
+          GraftExtensions.cosine(spark, vec, array(cvec.map(lit): _*)).as("c"),
+          lit(-cid).as("ni"))
+      }
+      -greatest(scored: _*).getField("ni")
+    }
+    val cents = (0 until 24).map(c =>
+      (c, Seq.tabulate(16)(j => math.cos(c * 7 + j * 3).toFloat)))
+    val matrix = array(cents.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+    val both = vecs.select(
+      GraftExtensions.nearestCentroid(spark, col("embedding"), matrix).as("native"),
+      folded(col("embedding"), cents).as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() == 0)
+    // exact-tie + zero-norm edge: duplicate centroid -> smallest id wins;
+    // zero row vector -> all cosines 0.0 -> centroid 0
+    val dup = Seq((0, Seq(1f, 0f)), (1, Seq(1f, 0f)), (2, Seq(0f, 1f)))
+    val dmx = array(dup.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+    val edge = Seq(Tuple1(Array(1f, 0f)), Tuple1(Array(0f, 0f))).toDF("v")
+    val got = edge.select(
+      GraftExtensions.nearestCentroid(spark, col("v"), dmx).as("n"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 0))
+    // and the assignment projection stays inside whole-stage codegen
+    // (a parquet-backed scan — a local relation would eagerly collapse)
+    val pq = java.nio.file.Files.createTempDirectory("nc").toString + "/v"
+    vecs.write.mode("overwrite").parquet(pq)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = spark.read.parquet(pq).select(
+        GraftExtensions.nearestCentroid(spark, col("embedding"), matrix))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("*(1) Project"), p.take(800))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("SparkSessionExtensions route registers graft_cosine") {
     val s2 = spark.newSession()
     new graft.plans.GraftExtensions().apply(

@@ -841,18 +841,21 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), col("cos").cast("float").as("cos"))
       .orderBy("id_a", "id_b")
 
-  /** SemDeDup: cluster-scoped semantic dedup — nearest-of-16-head-centroid
+  /** SemDeDup: cluster-scoped semantic dedup — nearest-head-centroid
     * assignment (q17's replayable rule), exact cosine pairs WITHIN a cluster
     * only (the paper's move that keeps pairwise off the corpus), components,
-    * keep = min id. Threshold sits at the q33 neighbor gate (synthetic
-    * embeddings are near-orthogonal; max pairwise cos ~0.48). */
+    * keep = min id. Threshold 0.42 sits at the TOP of this corpus's
+    * similarity range (near-orthogonal synthetic embeddings, max pairwise
+    * cos ~0.48): true near-dups only — a looser 0.3 gate marks 2/3 of the
+    * corpus as one chainy near-dup graph, which both misrepresents the
+    * operator and costs ~8 propagation rounds instead of ~2. */
   private def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
     // 64 clusters: with the native argmax kernel assignment is ~free, so a
     // higher nlist directly divides the quadratic in-cluster pair stage
     // (measured at the 10x replica: 25 s at nlist=16 -> 3 s at 64)
     val cents = Similarity.headCentroids(emb, "vec_id", "embedding", 64)
-    Dedup.semanticDedupGroups(emb, "vec_id", "embedding", cents, threshold = 0.3)
+    Dedup.semanticDedupGroups(emb, "vec_id", "embedding", cents, threshold = 0.42)
       .orderBy("id")
   }
 
@@ -1372,7 +1375,7 @@ object SparkEntry {
         |  WHERE a.bsz BETWEEN 2 AND 10000
         |    AND list_dot_product(a.v, bb.v)
         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
-        |      >= CAST(0.3 AS DOUBLE)),
+        |      >= CAST(0.42 AS DOUBLE)),
         |edges AS (SELECT ia AS a, ib AS b FROM mp UNION SELECT ib, ia FROM mp),
         |walk(id, lbl) AS (
         |  SELECT a, a FROM edges

@@ -591,6 +591,31 @@ object SparkEntry {
         min(when(col("shard_pos") === 1, col("doc_id"))).as("first_doc"))
       .orderBy("shard")
 
+  /** Tokenizer apply: encode every doc against the q58 vocabulary —
+    * order-preserving token→id with OOV→0, ids as CSV for cross-engine
+    * byte-comparability. */
+  private def tokenIdsQ(s: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.operators.TextSearch.buildVocab(documents(s, dir), "text",
+      minCount = 5L, maxVocab = 100)
+    graft.operators.TextSearch.encodeWithVocab(documents(s, dir), "doc_id", "text", vocab)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Length-bucketed batching: per-batch padding-waste audit. Batch 0
+    * holds the 32 longest docs, each batch pads to its own max. */
+  private def lengthBatchesQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Batching.lengthBatches(
+      documents(s, dir).select(col("doc_id"), TF.tokenCount(col("text")).as("len")),
+      "doc_id", "len", batchSize = 32)
+      .groupBy("batch")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("pad_waste", col("n_docs") * col("max_len") - col("sum_len"))
+      .orderBy("batch")
+
   /** W11/K5: recursive prev-day active-state propagation via flatMapGroups —
     * the reference's crisis-event trigger machine shape
     * (crisis_event_rollups.py:541-561). The DuckDB oracle uses the
@@ -1198,7 +1223,9 @@ object SparkEntry {
     "q68_dup_spans" -> (dupSpansQ _),
     "q69_keywords" -> (keywordsQ _),
     "q70_epoch_shards" -> (epochShardsQ _),
-    "q71_weighted_sample" -> (weightedSampleQ _)
+    "q71_weighted_sample" -> (weightedSampleQ _),
+    "q72_token_ids" -> (tokenIdsQ _),
+    "q73_length_batches" -> (lengthBatchesQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1441,6 +1468,45 @@ object SparkEntry {
          |SELECT doc_id, w, priority FROM p
          |ORDER BY priority, doc_id LIMIT 50""".stripMargin
     },
+    // the q58 vocabulary CTE verbatim, then an order-preserving encode
+    "q72_token_ids" ->
+      """WITH t0 AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM t0
+        |  GROUP BY term HAVING COUNT(*) >= 5
+        |  ORDER BY n DESC, term LIMIT 100),
+        |v AS (
+        |  SELECT term,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS vocab_id
+        |  FROM c),
+        |toks AS (
+        |  SELECT doc_id, i AS pos, l[i] AS term
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+        |        FROM documents),
+        |    unnest(generate_series(1, len(l))) AS u(i)),
+        |j AS (
+        |  SELECT toks.doc_id, toks.pos, COALESCE(v.vocab_id, 0) AS vid
+        |  FROM toks LEFT JOIN v USING (term))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  string_agg(CAST(vid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q73_length_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS len
+        |  FROM documents),
+        |r AS (SELECT doc_id, len,
+        |        ROW_NUMBER() OVER (ORDER BY len DESC, doc_id) - 1 AS rn
+        |      FROM d),
+        |b AS (SELECT doc_id, len, CAST(rn // 32 AS BIGINT) AS batch FROM r)
+        |SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(len) AS BIGINT) AS max_len,
+        |  CAST(SUM(len) AS BIGINT) AS sum_len,
+        |  CAST(COUNT(*) * MAX(len) - SUM(len) AS BIGINT) AS pad_waste
+        |FROM b GROUP BY batch ORDER BY batch""".stripMargin,
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

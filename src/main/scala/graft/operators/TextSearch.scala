@@ -146,6 +146,39 @@ object TextSearch {
       Window.orderBy(col("n").desc, col("term"))).cast("long"))
   }
 
+  /** Tokenizer APPLY step: encode each document against a `(term,
+    * vocab_id)` vocabulary ([[buildVocab]]'s output) — order-preserving
+    * token→id mapping with OOV→0. Returns `(id, n_tokens, n_oov,
+    * ids_csv)`; ids ride as a CSV string so the result is byte-comparable
+    * across engines (parquet list columns stringify differently per
+    * reader).
+    *
+    * Scale shape: the vocabulary is bounded (maxVocab) → broadcast join;
+    * one shuffle to reassemble per-doc sequences. The collect_list is
+    * bounded by document length — inherent to the op (a doc's ids must
+    * coexist in one row) — and order is restored by an in-row array_sort
+    * on (pos, id) structs, NOT a sort of the exploded stream. */
+  def encodeWithVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("pos", "term")))
+    toks
+      .join(broadcast(vocab.select(col("term"), col("vocab_id"))), Seq("term"), "left")
+      .withColumn("vid", coalesce(col("vocab_id"), lit(0L)))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("vid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("vid")))),
+            s => s.getField("vid").cast("string")),
+          ",").as("ids_csv"))
+  }
+
   /** Per-document keyword extraction: top-`k` terms by tf/df — term
     * frequency over document frequency, the rank-equivalent core of
     * tf-idf for a fixed corpus (idf is monotone-decreasing in df), chosen

@@ -341,6 +341,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("vocab encode: order preserved, OOV->0, repeated terms map consistently") {
+    import graft.operators.TextSearch
+    val docs = Seq((1L, "b a zz a"), (2L, "zz")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L), ("b", 2L)).toDF("term", "vocab_id")
+    val got = TextSearch.encodeWithVocab(docs, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 1L, "2,1,0,1"), (2L, 1L, 1L, "0")))
+  }
+
+  test("length batches: scalable rank == naive global window, exact batching") {
+    import graft.operators.Batching
+    val rnd = new scala.util.Random(5)
+    val docs = (1L to 400L).map(i => (i, 1L + rnd.nextInt(40).toLong))
+      .toDF("id", "len")
+    val got = Batching.lengthBatches(docs, "id", "len", 7)
+      .select("id", "rank", "batch").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val naive = docs.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("len").desc, col("id"))).cast("long"))
+      .withColumn("batch", floor((col("rank") - 1) / 7).cast("long"))
+      .select("id", "rank", "batch").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == naive)
+  }
+
   test("weighted sample: exact k, partition-invariant, heavy rows dominate") {
     import graft.operators.Sampling
     // 500 light rows (w=1) vs 500 heavy rows (w=100): heavy rows' priorities

@@ -197,4 +197,17 @@ class PlanAuditSpec extends SparkSpec {
     val p = planString("q71_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("q72 vocab encode: vocabulary joins broadcast, no corpus shuffle join") {
+    val p = planString("q72_token_ids")
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q73 length batches: offsets broadcast back; rank windows are length-partitioned") {
+    val p = planString("q73_length_batches")
+    assert(p.contains("BroadcastHashJoin"),
+      "length offsets must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
 }

@@ -892,6 +892,20 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Incremental duplicated-span screen: batch docs (doc_id % 7 == 0)
+    * scored against the span store of the rest — dup = in-store OR
+    * repeated within the batch. */
+  private def dupSpansIncQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    Dedup.duplicatedSpansIncremental(
+      docs.filter(col("doc_id") % 7 === 0),
+      Dedup.spanWindowHashes(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+        .select("h").distinct(),
+      "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** A14: composite weighted signal score (entity-store.js:131-215 /
     * app.py:765-804 weight normalization): plain column arithmetic over a
     * small weight map. */
@@ -1225,7 +1239,8 @@ object SparkEntry {
     "q70_epoch_shards" -> (epochShardsQ _),
     "q71_weighted_sample" -> (weightedSampleQ _),
     "q72_token_ids" -> (tokenIdsQ _),
-    "q73_length_batches" -> (lengthBatchesQ _)
+    "q73_length_batches" -> (lengthBatchesQ _),
+    "q74_dup_spans_inc" -> (dupSpansIncQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1507,6 +1522,28 @@ object SparkEntry {
         |  CAST(SUM(len) AS BIGINT) AS sum_len,
         |  CAST(COUNT(*) * MAX(len) - SUM(len) AS BIGINT) AS pad_waste
         |FROM b GROUP BY batch ORDER BY batch""".stripMargin,
+    "q74_dup_spans_inc" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |nw AS (SELECT * FROM win WHERE doc_id % 7 = 0),
+        |store AS (SELECT DISTINCT s FROM win WHERE doc_id % 7 <> 0),
+        |pd AS (SELECT s, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM nw GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT pd.s, pd.doc_id, pd.c,
+        |    COUNT(*) OVER (PARTITION BY pd.s) AS ndocs,
+        |    store.s IS NOT NULL AS in_store
+        |  FROM pd LEFT JOIN store ON pd.s = store.s)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN ndocs >= 2 OR in_store THEN c ELSE 0 END) AS BIGINT)
+        |    AS dup_windows,
+        |  CAST(SUM(CASE WHEN ndocs >= 2 OR in_store THEN c ELSE 0 END) AS DOUBLE)
+        |    / SUM(c) AS dup_frac
+        |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -606,7 +606,10 @@ object Dedup {
     * O(total windows); nothing is quadratic, no pair expansion exists at
     * all — this is the cheap screen you run BEFORE an expensive
     * suffix-array pass at 100 TB. */
-  def duplicatedSpans(
+  /** The `(id, h)` rolling-window hash stream underlying
+    * [[duplicatedSpans]]/[[duplicatedSpansIncremental]]; `distinct` over
+    * its `h` column is the persistable span store. */
+  def spanWindowHashes(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -614,12 +617,20 @@ object Dedup {
     val toks = docs
       .select(col(idCol).as("id"), split(trim(lower(col(textCol))), "\\s+").as("t"))
       .filter(size(col("t")) >= windowTokens)
-    val wins = toks.select(col("id"),
+    toks.select(col("id"),
       explode(transform(
         sequence(lit(0), size(col("t")) - windowTokens),
         i => PH.md5Hash60(array_join(slice(col("t"), i + 1, lit(windowTokens)), " "))))
         .as("h"))
-    val perDoc = wins.groupBy("h", "id").agg(count(lit(1)).as("c"))
+  }
+
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    val perDoc = spanWindowHashes(docs, idCol, textCol, windowTokens)
+      .groupBy("h", "id").agg(count(lit(1)).as("c"))
     val wNd = org.apache.spark.sql.expressions.Window.partitionBy("h")
     perDoc
       .withColumn("nd", count(lit(1)).over(wNd))
@@ -627,6 +638,37 @@ object Dedup {
       .agg(
         sum(col("c")).as("n_windows"),
         sum(when(col("nd") >= 2, col("c")).otherwise(lit(0L))).as("dup_windows"))
+      .withColumn("dup_frac",
+        col("dup_windows").cast("double") / col("n_windows"))
+  }
+
+  /** Incremental [[duplicatedSpans]] — the span-level member of the
+    * incremental-dedup triple ([[incrementalExactNew]] exact,
+    * [[minhashIncrementalPairs]] near-dup): a NEW batch's window instance
+    * is duplicated if its content appears in the corpus SPAN STORE
+    * (`storeHashes`: distinct `h` from [[spanWindowHashes]], appended
+    * never recomputed) or in another new document. Only the batch is
+    * hashed; the store is probed by an equi-join on the window hash — at
+    * corpus scale the store is bucketed by `h`, making the probe
+    * co-located, and the batch side is the small one. */
+  def duplicatedSpansIncremental(
+      newDocs: DataFrame,
+      storeHashes: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    val perDoc = spanWindowHashes(newDocs, idCol, textCol, windowTokens)
+      .groupBy("h", "id").agg(count(lit(1)).as("c"))
+    val wNd = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    perDoc
+      .withColumn("nd", count(lit(1)).over(wNd))
+      .join(storeHashes.select(col("h")).withColumn("__in_store", lit(true)),
+        Seq("h"), "left")
+      .groupBy("id")
+      .agg(
+        sum(col("c")).as("n_windows"),
+        sum(when(col("nd") >= 2 || col("__in_store"), col("c")).otherwise(lit(0L)))
+          .as("dup_windows"))
       .withColumn("dup_frac",
         col("dup_windows").cast("double") / col("n_windows"))
   }

@@ -434,6 +434,28 @@ class OperatorsSpec extends SparkSpec {
       (3L, 6L, 0L, 0.0)))
   }
 
+  test("incremental span screen == one-shot screen restricted to the batch") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(9)
+    val words = Array("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val store = Dedup.spanWindowHashes(docs.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", windowTokens = 3).select("h").distinct()
+    val inc = Dedup.duplicatedSpansIncremental(batch, store, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // a batch window is duplicated iff some OTHER doc (store or batch)
+    // shares it -> identical to the one-shot screen on the full corpus,
+    // restricted to batch ids
+    val full = Dedup.duplicatedSpans(docs, "doc_id", "text", 3)
+      .filter(col("id") % 4 === 0)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
   test("semantic dedup: within-cluster merge, cross-cluster pairs ignored") {
     import graft.operators.Dedup
     // two orthogonal cluster axes; ids 1/2/3 on axis-x (3 slightly rotated),

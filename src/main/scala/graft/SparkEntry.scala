@@ -892,6 +892,28 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Interval-overlap join (binned, each pair exactly once): click
+    * influence windows [ts, ts+5min] × purchase attribution windows
+    * [ts-30min, ts] per user — the attribution-overlap shape. */
+  private def intervalOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    def us(c: Column): Column =
+      floor(c.cast("decimal(20,0)") / lit(1000)).cast("long")
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        us(col("ts")).as("c_start"))
+      .withColumn("c_end", col("c_start") + lit(300000000L))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        us(col("ts")).as("p_end"))
+      .withColumn("p_start", col("p_end") - lit(1800000000L))
+    graft.operators.RangeJoin.intervalOverlapJoin(
+      clicks, purchases, Seq("user_id"),
+      "c_start", "c_end", "p_start", "p_end", binWidth = 1800000000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** Incremental duplicated-span screen: batch docs (doc_id % 7 == 0)
     * scored against the span store of the rest — dup = in-store OR
     * repeated within the batch. */
@@ -1240,7 +1262,8 @@ object SparkEntry {
     "q71_weighted_sample" -> (weightedSampleQ _),
     "q72_token_ids" -> (tokenIdsQ _),
     "q73_length_batches" -> (lengthBatchesQ _),
-    "q74_dup_spans_inc" -> (dupSpansIncQ _)
+    "q74_dup_spans_inc" -> (dupSpansIncQ _),
+    "q75_interval_overlap" -> (intervalOverlapQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1544,6 +1567,19 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN ndocs >= 2 OR in_store THEN c ELSE 0 END) AS DOUBLE)
         |    / SUM(c) AS dup_frac
         |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // naive non-equi overlap join — the binned plan must reproduce it
+    "q75_interval_overlap" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(ts) AS cs, epoch_us(ts) + 300000000 AS ce
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(ts) - 1800000000 AS ps, epoch_us(ts) AS pe
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, click_id, purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id AND cs <= pe AND ps <= ce
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

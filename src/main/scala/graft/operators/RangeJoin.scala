@@ -65,4 +65,43 @@ object RangeJoin {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bin")
   }
+
+  /** Inner interval-OVERLAP join: every (left row, right row) pair on
+    * matching `keys` whose closed intervals intersect
+    * (`lStart <= rEnd AND rStart <= lEnd`). The interval×interval
+    * generalization of [[pointsInIntervals]] — attribution windows ×
+    * influence windows, maintenance windows × incidents, SCD2 validity
+    * overlap checks.
+    *
+    * Both sides explode to covered bins and equi-join on (keys, bin);
+    * overlapping intervals share every bin the INTERSECTION covers, so
+    * the pair is kept only in the intersection's FIRST bin
+    * (`bin(greatest(lStart, rStart))` — a bin both sides provably cover):
+    * each matched pair appears exactly once, no post-join dedup. Shuffle
+    * volume is O(rows × avg_span/binWidth) per side; a hot key degrades
+    * by bin population, never to per-key all-pairs. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val collisions = right.columns.filterNot(keys.contains).toSet
+      .intersect(left.columns.filterNot(keys.contains).toSet)
+    require(collisions.isEmpty,
+      s"right columns collide with left columns: $collisions")
+    val lb = left.withColumn("__bin",
+      explode(sequence(bin(col(leftStart)), bin(col(leftEnd)))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(bin(col(rightStart)), bin(col(rightEnd)))))
+    lb.join(rb, keys :+ "__bin")
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col("__bin") === bin(greatest(col(leftStart), col(rightStart))))
+      .drop("__bin")
+  }
 }

@@ -341,6 +341,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap join == naive non-equi join, each pair exactly once") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(17)
+    val left = (1 to 120).map { i =>
+      val s = rnd.nextInt(90).toLong
+      (i.toLong, s"k${rnd.nextInt(4)}", s, s + rnd.nextInt(15))
+    }.toDF("lid", "k", "ls", "le")
+    val right = (1 to 120).map { i =>
+      val s = rnd.nextInt(90).toLong
+      (1000L + i, s"k${rnd.nextInt(4)}", s, s + rnd.nextInt(15))
+    }.toDF("rid", "k", "rs", "re")
+    val naive = left.join(right, Seq("k"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    for (w <- Seq(1L, 5L, 32L, 1000L)) {
+      val got = RangeJoin.intervalOverlapJoin(left, right, Seq("k"),
+        "ls", "le", "rs", "re", w)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"binWidth=$w diverged (${got.size} vs ${naive.size})")
+      assert(got.distinct.size == got.size, s"binWidth=$w emitted duplicates")
+    }
+  }
+
   test("vocab encode: order preserved, OOV->0, repeated terms map consistently") {
     import graft.operators.TextSearch
     val docs = Seq((1L, "b a zz a"), (2L, "zz")).toDF("doc_id", "text")

@@ -210,4 +210,10 @@ class PlanAuditSpec extends SparkSpec {
       "length offsets must broadcast:\n" + p.take(2000))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q75 interval overlap is an equi-join on bins: no cartesian/nested-loop") {
+    val p = planString("q75_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "overlap must bin to an equi-join:\n" + p.take(2000))
+  }
 }

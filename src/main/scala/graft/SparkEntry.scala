@@ -892,6 +892,27 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** End-to-end curation gate: the keep/drop decision table a pretraining
+    * pipeline derives per document — composes the q42 repetition rule, the
+    * q15 language-id agreement check, and the q62 per-language exact-p25
+    * length gate into one verdict. */
+  private def curationGateQ(s: SparkSession, dir: String): DataFrame = {
+    val rep = repetitionStats(s, dir).select(col("doc_id"), col("repetitive"))
+    val lng = langId(s, dir)
+      .select(col("doc_id"),
+        (col("predicted_lang") === col("lang")).as("lang_match"))
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
+    val th = graft.operators.Profiling.exactQuantilesByKey(d, "lang", "n_chars", Seq(0.25))
+      .select(col("lang"), col("value").as("p25"))
+    val len = d.join(broadcast(th), "lang")
+      .select(col("doc_id"), (col("n_chars") >= col("p25")).as("length_ok"))
+    rep.join(lng, "doc_id").join(len, "doc_id")
+      .withColumn("keep",
+        !col("repetitive") && col("lang_match") && col("length_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Interval-overlap join (binned, each pair exactly once): click
     * influence windows [ts, ts+5min] × purchase attribution windows
     * [ts-30min, ts] per user — the attribution-overlap shape. */
@@ -1263,7 +1284,8 @@ object SparkEntry {
     "q72_token_ids" -> (tokenIdsQ _),
     "q73_length_batches" -> (lengthBatchesQ _),
     "q74_dup_spans_inc" -> (dupSpansIncQ _),
-    "q75_interval_overlap" -> (intervalOverlapQ _)
+    "q75_interval_overlap" -> (intervalOverlapQ _),
+    "q76_curation_gate" -> (curationGateQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1580,6 +1602,43 @@ object SparkEntry {
         |SELECT c.user_id AS user_id, click_id, purchase_id
         |FROM c JOIN p ON c.user_id = p.user_id AND cs <= pe AND ps <= ce
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    // composes the q42 repetition rule, q15 langid agreement, and the q62
+    // per-lang exact p25 length gate into one per-doc verdict
+    "q76_curation_gate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         |uni AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_token_count
+         |        FROM tc GROUP BY 1),
+         |d2 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+         |       FROM documents),
+         |bg0 AS (
+         |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+         |  FROM d2, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)
+         |  WHERE len(w) >= 2
+         |  UNION ALL
+         |  SELECT doc_id, array_to_string(w, ' ') FROM d2 WHERE len(w) < 2),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY 1, 2),
+         |bi AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count
+         |       FROM bc GROUP BY 1),
+         |rep AS (
+         |  SELECT doc_id,
+         |    (CAST(top_token_count AS DOUBLE) / n_tokens > CAST(0.1 AS DOUBLE)
+         |     OR CAST(top_bigram_count AS DOUBLE) / n_bigrams > CAST(0.05 AS DOUBLE))
+         |      AS repetitive
+         |  FROM uni JOIN bi USING (doc_id)),
+         |lid AS (SELECT doc_id, predicted_lang = lang AS lang_match
+         |        FROM ($langIdSql)),
+         |dd AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+         |       FROM documents),
+         |th AS (SELECT lang, quantile_cont(n_chars, 0.25) AS p25 FROM dd GROUP BY lang),
+         |len AS (SELECT doc_id, n_chars >= p25 AS length_ok
+         |        FROM dd JOIN th USING (lang))
+         |SELECT doc_id, repetitive, lang_match, length_ok,
+         |  (NOT repetitive AND lang_match AND length_ok) AS keep
+         |FROM rep JOIN lid USING (doc_id) JOIN len USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -166,6 +166,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).select("id").distinct().count() == docs.count())
   }
 
+  test("streaming span screen: online scoring matches the offline incremental prefix") {
+    import graft.streaming.SpanScreenStream
+    val base = Files.createTempDirectory("graft-spanstream").toString
+    val store = s"$base/store"
+    val out = s"$base/out"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = SpanScreenStream.writer(
+      input.toDF().toDF("doc_id", "text"), store, out, s"$base/ckpt",
+      windowTokens = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val rows = docs.as[(Long, String)].collect()
+    for (b <- 0 until 3) {
+      input.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // batch 2's streamed rows == offline incremental screen of batch 2
+    // against the store of batches 0+1
+    val streamed = spark.read.parquet(out)
+      .filter(col("id") % 3 === 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val offline = graft.operators.Dedup.duplicatedSpansIncremental(
+      docs.filter(col("doc_id") % 3 === 2),
+      graft.operators.Dedup.spanWindowHashes(
+        docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", 3)
+        .select("h").distinct(),
+      "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == offline && offline.nonEmpty)
+    // the store stayed a set: one row per distinct window hash
+    val sh = spark.read.parquet(store)
+    assert(sh.count() == sh.distinct().count())
+    assert(sh.count() ==
+      graft.operators.Dedup.spanWindowHashes(docs, "doc_id", "text", 3)
+        .select("h").distinct().count())
+  }
+
   test("streaming session_window finalizes the same sessions as batch (q54 kernel)") {
     val rows = Seq(
       (1L, "2024-05-01 10:00:00"), (1L, "2024-05-01 12:30:00"), // one session (<6h gaps)

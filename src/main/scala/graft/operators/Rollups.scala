@@ -56,12 +56,15 @@ object Rollups {
     * separator (A4: `array_to_string((array_agg(title order by title) filter
     * (where negative))[1:3], ' | ')`).
     *
-    * `collect_list` drops the nulls produced by the unmatched branch, so this
-    * is a filtered aggregate. Groups in the reference are bounded (SERP-page
-    * sized); for unbounded groups at 100 TB swap in a bounded top-k
-    * Aggregator — the contract (first k in sort order) is unchanged. */
+    * The aggregation runs through [[graft.functions.BoundedTopKStrings]]:
+    * buffers hold at most k strings map-side and per merge, so a hot group
+    * costs O(k) memory — no value-list materialization anywhere (the
+    * composed `sort_array(collect_list(...))` form buffers the whole
+    * group; equality with it is pinned in FunctionsSpec). The `when(pred,
+    * value)` branch yields nulls for unmatched rows, which the Aggregator
+    * skips — the same filtered-aggregate composition `collect_list` gave. */
   def topKStringsAgg(value: Column, pred: Column, k: Int, sep: String = " | "): Column =
-    array_join(slice(sort_array(collect_list(when(pred, value))), 1, k), sep)
+    udaf(graft.functions.BoundedTopKStrings(k)).apply(when(pred, value))
 
   /** Tagged-union daily metrics (reference J4 `entity_daily_metrics_v`):
     * instead of N left joins over N pre-aggregated sources (the reference's

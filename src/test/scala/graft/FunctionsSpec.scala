@@ -118,6 +118,29 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == goldens.map(_._2))
   }
 
+  test("bounded top-k aggregator == sort_array(collect_list)[1:k], O(k) buffers") {
+    import graft.functions.BoundedTopKStrings
+    val rnd = new scala.util.Random(21)
+    // hot group 0 (2000 values), sparse groups, a group with zero matches
+    val rows = (1 to 2000).map(i => (0L, s"v${rnd.nextInt(500)}%03d", true)) ++
+      (1 to 50).map(i => (1L + rnd.nextInt(5), s"w${rnd.nextInt(30)}", rnd.nextBoolean())) ++
+      Seq((9L, "zzz", false))
+    val df = rows.toDF("g", "v", "p")
+    val bounded = df.groupBy("g")
+      .agg(graft.operators.Rollups.topKStringsAgg(col("v"), col("p"), 3).as("t"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val composed = df.groupBy("g")
+      .agg(array_join(
+        slice(sort_array(collect_list(when(col("p"), col("v")))), 1, 3), " | ").as("t"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(bounded == composed)
+    // direct buffer-bound check: reduce/merge never exceed k entries
+    val agg = BoundedTopKStrings(3)
+    val b = ('m' to 'z').map(_.toString).foldLeft(agg.zero)(agg.reduce _)
+    assert(b.size == 3 && b == Seq("m", "n", "o"))
+    assert(agg.merge(b, Seq("a", "b", "c")) == Seq("a", "b", "c"))
+  }
+
   test("PortableHash.affine31 stays in [0, p) and matches the SQL fragment") {
     import graft.functions.PortableHash
     val hs = Seq(0L, 1L, PortableHash.Mod60 - 1, 987654321098765L)

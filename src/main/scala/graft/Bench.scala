@@ -75,7 +75,8 @@ object Bench {
       "q18_minhash_pairs", "q47_dedup_groups", "q52_asof_join", "q53_range_join",
       "q54_sessionize", "q55_scd2_intervals", "q56_bm25_topk",
       "q59_contamination", "q60_incremental_dedup",
-      "q67_semantic_dedup", "q68_dup_spans")
+      "q67_semantic_dedup", "q68_dup_spans", "q74_dup_spans_inc",
+      "q76_curation_gate")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

@@ -892,6 +892,29 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Content-defined chunking: rolling-hash boundaries (window 4, divisor
+    * 64 → ~64-token expected chunks) — edit-robust chunk alignment for
+    * chunk-level dedup. Entirely in-row; the only added plan node is the
+    * chunk explode. */
+  private def cdcChunksQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.cdcChunks(documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Per-language quality deciles: ntile feature-bucketing of doc length
+    * within each language — the discretization step before balanced
+    * per-bucket sampling. Total order (n_chars, doc_id) makes the tiling
+    * deterministic; ntile's floor-distribution semantics agree across
+    * engines. */
+  private def qualityDecilesQ(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("decile", ntile(10).over(
+        Window.partitionBy("lang")
+          .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .orderBy("doc_id")
+
   /** End-to-end curation gate: the keep/drop decision table a pretraining
     * pipeline derives per document — composes the q42 repetition rule, the
     * q15 language-id agreement check, and the q62 per-language exact-p25
@@ -1285,7 +1308,9 @@ object SparkEntry {
     "q73_length_batches" -> (lengthBatchesQ _),
     "q74_dup_spans_inc" -> (dupSpansIncQ _),
     "q75_interval_overlap" -> (intervalOverlapQ _),
-    "q76_curation_gate" -> (curationGateQ _)
+    "q76_curation_gate" -> (curationGateQ _),
+    "q77_quality_deciles" -> (qualityDecilesQ _),
+    "q78_cdc_chunks" -> (cdcChunksQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1639,6 +1664,43 @@ object SparkEntry {
          |  (NOT repetitive AND lang_match AND length_ok) AS keep
          |FROM rep JOIN lid USING (doc_id) JOIN len USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q77_quality_deciles" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(NTILE(10) OVER (PARTITION BY lang
+        |    ORDER BY length(text), doc_id) AS BIGINT) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q78_cdc_chunks" -> {
+      val wh = graft.functions.PortableHash.md5Hash60Sql(
+        "array_to_string(t[i - 3:i], ' ')")
+      val ch = graft.functions.PortableHash.md5Hash60Sql(
+        "array_to_string(t[sp:ep], ' ')")
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS n FROM d),
+         |b AS (
+         |  SELECT doc_id, t, n,
+         |    CASE WHEN n >= 4 THEN
+         |      list_filter(generate_series(4, n), i -> ($wh % 64) = 0)
+         |    ELSE [] END AS bpos
+         |  FROM base),
+         |s AS (
+         |  SELECT doc_id, t, n,
+         |    list_prepend(1, list_transform(bpos, x -> x + 1)) AS ss,
+         |    list_append(bpos, n) AS es
+         |  FROM b),
+         |chunks AS (
+         |  SELECT doc_id, t, ss[ci] AS sp, es[ci] AS ep
+         |  FROM s, unnest(generate_series(1, len(ss))) AS u(ci)
+         |  WHERE ss[ci] <= es[ci])
+         |SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sp) - 1 AS BIGINT)
+         |    AS chunk_idx,
+         |  CAST(sp AS BIGINT) AS start_pos,
+         |  CAST(ep - sp + 1 AS BIGINT) AS n_tokens,
+         |  $ch AS chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+    },
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -47,6 +47,61 @@ object Chunking {
           .as("n_tokens"))
   }
 
+  /** Content-defined chunking (CDC, the rsync/LBFS rolling-boundary
+    * trick): a chunk boundary falls AFTER token position `i` wherever the
+    * hash of the trailing `windowTokens`-token window is ≡ 0 mod
+    * `divisor` — so boundaries are anchored to CONTENT, not offsets, and
+    * an insertion early in a document shifts only the chunk it lands in,
+    * leaving every later chunk hash identical (the property that makes
+    * chunk-level dedup robust to edits; fixed-stride chunking loses all
+    * alignment after one insertion). Expected chunk length ≈ `divisor`
+    * tokens.
+    *
+    * Returns one row per chunk: `(id, chunk_idx, start_pos, n_tokens,
+    * chunk_hash)` with `start_pos` 1-based and `chunk_hash` the portable
+    * hash of the chunk text (the dedup key).
+    *
+    * Scale shape: boundary detection, chunk assembly, and hashing are all
+    * in-row higher-order functions over the token array — the ONLY plan
+    * node added over the scan is the final explode (zero shuffles, the
+    * q49 posture); hashes are [[graft.functions.PortableHash.md5Hash60]]
+    * so the whole pass replays in the SQL oracle. */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 4,
+      divisor: Int = 64): DataFrame = {
+    require(windowTokens > 0 && divisor > 0, "windowTokens and divisor must be positive")
+    import graft.functions.{PortableHash => PH}
+    val w = windowTokens
+    val base = docs.select(col(idCol).as("id"),
+      split(trim(lower(col(textCol))), "\\s+").as("t"))
+      .withColumn("n", size(col("t")))
+    val bounds = base.withColumn("bpos",
+      when(col("n") >= w,
+        filter(sequence(lit(w), col("n")), i =>
+          pmod(PH.md5Hash60(array_join(slice(col("t"), i - w + 1, lit(w)), " ")),
+            lit(divisor.toLong)) === 0L))
+        .otherwise(array().cast("array<int>")))
+    val spans = bounds
+      .withColumn("ss", concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
+      .withColumn("es", concat(col("bpos"), array(col("n"))))
+      // a boundary at the last token would open an empty trailing chunk
+      .withColumn("spans",
+        filter(zip_with(col("ss"), col("es"), (s, e) => struct(s.as("s"), e.as("e"))),
+          p => p.getField("s") <= p.getField("e")))
+    spans
+      .select(col("id"), col("t"),
+        posexplode(col("spans")).as(Seq("chunk_idx", "p")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("p.s").cast("long").as("start_pos"),
+        (col("p.e") - col("p.s") + 1).cast("long").as("n_tokens"),
+        PH.md5Hash60(
+          array_join(slice(col("t"), col("p.s"), col("p.e") - col("p.s") + 1), " "))
+          .as("chunk_hash"))
+  }
+
   /** Streaming sequence packing: order documents deterministically (by
     * `orderCol` within each `packKey` partition), then assign each to the
     * bin where its cumulative token count lands: `bin = floor((cumsum -

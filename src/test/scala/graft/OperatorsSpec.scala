@@ -457,6 +457,37 @@ class OperatorsSpec extends SparkSpec {
       (3L, 6L, 0L, 0.0)))
   }
 
+  test("cdc chunks: exact tiling, and an early edit leaves later chunks stable") {
+    import graft.operators.Chunking
+    val rnd = new scala.util.Random(33)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val body = Seq.fill(400)(words(rnd.nextInt(words.length)))
+    val original = (1L, body.mkString(" "))
+    // insert one token near the front — content-defined boundaries must
+    // re-anchor, so chunks after the edited one keep identical hashes
+    val edited = (2L, (body.take(3) ++ Seq("INSERTED") ++ body.drop(3)).mkString(" "))
+    val df = Seq(original, edited).toDF("doc_id", "text")
+    val chunks = Chunking.cdcChunks(df, "doc_id", "text", windowTokens = 4, divisor = 16)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).toSeq }
+    val o = chunks(1L); val e = chunks(2L)
+    // exact tiling: starts/lengths cover 1..n with no gaps or overlap
+    for (c <- Seq(o, e)) {
+      assert(c.head._3 == 1L)
+      c.sliding(2).foreach {
+        case Seq((_, _, s1, n1, _), (_, _, s2, _, _)) => assert(s2 == s1 + n1)
+        case _ =>
+      }
+    }
+    assert(o.map(_._4).sum == 400L && e.map(_._4).sum == 401L)
+    // all chunk hashes from the second chunk after the edit onward realign
+    val oh = o.map(_._5); val eh = e.map(_._5)
+    val commonTail = oh.reverse.zip(eh.reverse).takeWhile { case (a, b) => a == b }.size
+    assert(commonTail >= oh.size - 2,
+      s"only $commonTail of ${oh.size} trailing chunks realigned")
+    assert(oh != eh)
+  }
+
   test("incremental span screen == one-shot screen restricted to the batch") {
     import graft.operators.Dedup
     val rnd = new scala.util.Random(9)

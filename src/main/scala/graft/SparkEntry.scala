@@ -901,6 +901,25 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "chunk_idx")
 
+  /** Chunk-level exact dedup — the CDC payoff: duplicated content chunks
+    * across documents (edit-robust, so shared passages dedupe even when
+    * the surrounding documents differ). One hash-agg shuffle over q78's
+    * chunk table. */
+  private def chunkDedupQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.cdcChunks(documents(s, dir), "doc_id", "text")
+      // two-level agg: (hash, doc) grain first, then count(*) IS the
+      // distinct doc count — no countDistinct Expand (the q02 pattern)
+      .groupBy("chunk_hash", "id")
+      .agg(count(lit(1)).as("c"), min(col("n_tokens")).as("nt"))
+      .groupBy("chunk_hash")
+      .agg(
+        sum(col("c")).as("n_chunks"),
+        count(lit(1)).as("n_docs"),
+        min(col("nt")).as("n_tokens"),
+        min(col("id")).as("keep_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_hash")
+
   /** Per-language quality deciles: ntile feature-bucketing of doc length
     * within each language — the discretization step before balanced
     * per-bucket sampling. Total order (n_chars, doc_id) makes the tiling
@@ -1310,7 +1329,8 @@ object SparkEntry {
     "q75_interval_overlap" -> (intervalOverlapQ _),
     "q76_curation_gate" -> (curationGateQ _),
     "q77_quality_deciles" -> (qualityDecilesQ _),
-    "q78_cdc_chunks" -> (cdcChunksQ _)
+    "q78_cdc_chunks" -> (cdcChunksQ _),
+    "q79_chunk_dedup" -> (chunkDedupQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1400,6 +1420,35 @@ object SparkEntry {
 
   /** Shared CTE body recomputing the portable 60-bit simhash table in SQL
     * (token md5Hash60 -> per-bit +/-1 balances -> bit assembly). */
+  /** Shared CTE replaying the CDC boundary/span pipeline (q78/q79): ends
+    * at `chunks(doc_id, t, sp, ep)`. */
+  private lazy val cdcChunksSqlCte: String = {
+    val wh = graft.functions.PortableHash.md5Hash60Sql(
+      "array_to_string(t[i - 3:i], ' ')")
+    s"""d AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS n FROM d),
+       |b AS (
+       |  SELECT doc_id, t, n,
+       |    CASE WHEN n >= 4 THEN
+       |      list_filter(generate_series(4, n), i -> ($wh % 64) = 0)
+       |    ELSE [] END AS bpos
+       |  FROM base),
+       |s AS (
+       |  SELECT doc_id, t, n,
+       |    list_prepend(1, list_transform(bpos, x -> x + 1)) AS ss,
+       |    list_append(bpos, n) AS es
+       |  FROM b),
+       |chunks AS (
+       |  SELECT doc_id, t, ss[ci] AS sp, es[ci] AS ep
+       |  FROM s, unnest(generate_series(1, len(ss))) AS u(ci)
+       |  WHERE ss[ci] <= es[ci])""".stripMargin
+  }
+
+  private lazy val cdcChunkHashSql: String =
+    graft.functions.PortableHash.md5Hash60Sql("array_to_string(t[sp:ep], ' ')")
+
   private lazy val simhashSqlCte: String = {
     val bits = 60
     val bals = (0 until bits)
@@ -1669,38 +1718,27 @@ object SparkEntry {
         |  CAST(NTILE(10) OVER (PARTITION BY lang
         |    ORDER BY length(text), doc_id) AS BIGINT) AS decile
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q78_cdc_chunks" -> {
-      val wh = graft.functions.PortableHash.md5Hash60Sql(
-        "array_to_string(t[i - 3:i], ' ')")
-      val ch = graft.functions.PortableHash.md5Hash60Sql(
-        "array_to_string(t[sp:ep], ' ')")
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-         |  FROM documents),
-         |base AS (SELECT doc_id, t, len(t) AS n FROM d),
-         |b AS (
-         |  SELECT doc_id, t, n,
-         |    CASE WHEN n >= 4 THEN
-         |      list_filter(generate_series(4, n), i -> ($wh % 64) = 0)
-         |    ELSE [] END AS bpos
-         |  FROM base),
-         |s AS (
-         |  SELECT doc_id, t, n,
-         |    list_prepend(1, list_transform(bpos, x -> x + 1)) AS ss,
-         |    list_append(bpos, n) AS es
-         |  FROM b),
-         |chunks AS (
-         |  SELECT doc_id, t, ss[ci] AS sp, es[ci] AS ep
-         |  FROM s, unnest(generate_series(1, len(ss))) AS u(ci)
-         |  WHERE ss[ci] <= es[ci])
+    "q78_cdc_chunks" ->
+      s"""WITH $cdcChunksSqlCte
          |SELECT doc_id,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sp) - 1 AS BIGINT)
          |    AS chunk_idx,
          |  CAST(sp AS BIGINT) AS start_pos,
          |  CAST(ep - sp + 1 AS BIGINT) AS n_tokens,
-         |  $ch AS chunk_hash
-         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
-    },
+         |  $cdcChunkHashSql AS chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q79_chunk_dedup" ->
+      s"""WITH $cdcChunksSqlCte,
+         |ch AS (
+         |  SELECT doc_id, CAST(ep - sp + 1 AS BIGINT) AS n_tokens,
+         |    $cdcChunkHashSql AS chunk_hash
+         |  FROM chunks)
+         |SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+         |FROM ch GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash""".stripMargin,
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

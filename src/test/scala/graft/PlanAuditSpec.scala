@@ -216,4 +216,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "overlap must bin to an equi-join:\n" + p.take(2000))
   }
+
+  test("q78 cdc chunking is shuffle-free: the only exchange is the final sort") {
+    val p = planString("q78_cdc_chunks")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange, found $exchanges:\n" +
+      p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Window "), p.take(2000))
+  }
 }

@@ -901,6 +901,22 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "chunk_idx")
 
+  /** Z-order layout audit: Morton keys over (l_suppkey, l_partkey), fixed
+    * z-ranges as stand-in files — per range, BOTH dimensions are bounded
+    * (the locality that makes file stats prune on either column). */
+  private def zorderLayoutQ(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_partkey"))
+      .withColumn("z", graft.operators.Layout.zValue2(
+        col("l_suppkey"), col("l_partkey"), bits = 16))
+      .withColumn("zbucket", shiftright(col("z"), 16))
+      .groupBy("zbucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"))
+      .orderBy("zbucket")
+
   /** Chunk-level exact dedup — the CDC payoff: duplicated content chunks
     * across documents (edit-robust, so shared passages dedupe even when
     * the surrounding documents differ). One hash-agg shuffle over q78's
@@ -1330,7 +1346,8 @@ object SparkEntry {
     "q76_curation_gate" -> (curationGateQ _),
     "q77_quality_deciles" -> (qualityDecilesQ _),
     "q78_cdc_chunks" -> (cdcChunksQ _),
-    "q79_chunk_dedup" -> (chunkDedupQ _)
+    "q79_chunk_dedup" -> (chunkDedupQ _),
+    "q80_zorder_layout" -> (zorderLayoutQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1739,6 +1756,18 @@ object SparkEntry {
          |  CAST(MIN(doc_id) AS BIGINT) AS keep_doc
          |FROM ch GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
          |ORDER BY chunk_hash""".stripMargin,
+    "q80_zorder_layout" -> {
+      val z = graft.operators.Layout.zValue2Sql("l_suppkey", "l_partkey", 16)
+      s"""WITH z AS (
+         |  SELECT l_suppkey, l_partkey, $z AS zv FROM lineitem)
+         |SELECT CAST(zv >> 16 AS BIGINT) AS zbucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+         |  CAST(MAX(l_suppkey) AS BIGINT) AS max_supp,
+         |  CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+         |  CAST(MAX(l_partkey) AS BIGINT) AS max_part
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+    },
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

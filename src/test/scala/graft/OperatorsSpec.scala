@@ -457,6 +457,27 @@ class OperatorsSpec extends SparkSpec {
       (3L, 6L, 0L, 0.0)))
   }
 
+  test("z-order: known interleavings, and aligned z-buckets bound both dims") {
+    import graft.operators.Layout
+    val known = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (3L, 5L, 39L))
+    val got = known.map { case (x, y, _) => (x, y) }.toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y"), 16).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == known.map(_._3))
+    // an aligned 2^16 z-range fixes every bit above position 15 — x and y
+    // are each confined to a 256-aligned window inside any bucket
+    val rnd = new scala.util.Random(41)
+    val pts = (1 to 5000).map(_ => (rnd.nextInt(1 << 16).toLong,
+      rnd.nextInt(1 << 16).toLong)).toDF("x", "y")
+    val spans = pts
+      .select(col("x"), col("y"),
+        shiftright(Layout.zValue2(col("x"), col("y"), 16), 16).as("b"))
+      .groupBy("b")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .agg(max("dx"), max("dy")).as[(Long, Long)].collect().head
+    assert(spans._1 <= 255 && spans._2 <= 255, spans.toString)
+  }
+
   test("cdc chunks: exact tiling, and an early edit leaves later chunks stable") {
     import graft.operators.Chunking
     val rnd = new scala.util.Random(33)

@@ -901,6 +901,14 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "chunk_idx")
 
+  /** Quantized Gram matrix (PCA/whitening prep): one [[graft.operators.Gram]]
+    * pass over the int8-quantized embedding corpus — integer-exact X^T X,
+    * constant 16 KiB aggregation buffers, only per-partition buffers
+    * shuffle. The explode-free treeAggregate pattern for matrix moments. */
+  private def gramQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Gram.quantizedGram(
+      embeddings(s, dir), "vec_id", "embedding", dim = 64)
+
   /** Z-order layout audit: Morton keys over (l_suppkey, l_partkey), fixed
     * z-ranges as stand-in files — per range, BOTH dimensions are bounded
     * (the locality that makes file stats prune on either column). */
@@ -1347,7 +1355,8 @@ object SparkEntry {
     "q77_quality_deciles" -> (qualityDecilesQ _),
     "q78_cdc_chunks" -> (cdcChunksQ _),
     "q79_chunk_dedup" -> (chunkDedupQ _),
-    "q80_zorder_layout" -> (zorderLayoutQ _)
+    "q80_zorder_layout" -> (zorderLayoutQ _),
+    "q81_gram_matrix" -> (gramQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1768,6 +1777,22 @@ object SparkEntry {
          |  CAST(MAX(l_partkey) AS BIGINT) AS max_part
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "q81_gram_matrix" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT CASE WHEN ma > 0 THEN list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / CAST(ma AS DOUBLE)) + 0.5)
+        |           AS BIGINT))
+        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+        |  FROM e)
+        |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  CAST(SUM(v[i + 1] * v[j + 1]) AS BIGINT) AS g
+        |FROM q, range(64) r1(i), range(64) r2(j)
+        |WHERE i <= j
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
     "q48_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -133,4 +133,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1) == ((2L, 2, 0, 2, "two mails <EMAIL> <EMAIL> and ips <IP> <IP>")))
     assert(got(2) == ((3L, 0, 0, 0, "nothing sensitive here 555-12 and 1.2.3 stay")))
   }
+
+  test("quantized gram matrix == explode-based brute force; single ObjectHashAggregate pass") {
+    val emb = Seq(
+      (1L, Array(1.0f, -2.0f, 3.0f)),
+      (2L, Array(0.5f, 0.25f, -1.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f)), // zero vector: scale 0, quantizes to zeros
+      (4L, Array(-4.0f, 4.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Gram.quantizedGram(emb, "vec_id", "embedding", dim = 3)
+      .as[(Int, Int, Long)].collect().toSeq
+
+    // brute force over the same quantized grid, via explode + groupBy
+    val q = graft.operators.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(posexplode(transform(col("qvec"), x => x.cast("long"))).as(Seq("i", "vi")),
+        col("qvec"))
+      .select(col("i"), col("vi"),
+        posexplode(transform(col("qvec"), x => x.cast("long"))).as(Seq("j", "vj")))
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j").agg(sum(col("vi") * col("vj")).as("g"))
+      .select(col("i").cast("int"), col("j").cast("int"), col("g"))
+      .as[(Int, Int, Long)].collect().toSeq.sorted
+    assert(got == q)
+    assert(got.length == 6) // dim*(dim+1)/2
+    // diagonal of the zero-included corpus is strictly positive (127^2 terms)
+    assert(got.filter(c => c._1 == c._2).forall(_._3 > 0))
+
+    // plan: ONE aggregate pass over the corpus, no explode before it
+    val plan = graft.operators.Gram.quantizedGram(emb, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    // plan strings print downstream-first: the aggregate's INPUT subtree is
+    // the text after the last ObjectHashAggregate node
+    assert(!plan.split("ObjectHashAggregate").last.contains("Generate"),
+      "no explode may run before the aggregate")
+  }
 }

@@ -1449,16 +1449,25 @@ object SparkEntry {
   /** Shared CTE replaying the CDC boundary/span pipeline (q78/q79): ends
     * at `chunks(doc_id, t, sp, ep)`. */
   private lazy val cdcChunksSqlCte: String = {
-    val wh = graft.functions.PortableHash.md5Hash60Sql(
-      "array_to_string(t[i - 3:i], ' ')")
+    val P = graft.functions.PortableHash.P31
+    val B = graft.operators.Chunking.RollBase
+    val tok = graft.functions.PortableHash.md5Hash60Sql("s")
+    // Horner fold over the 4-token window ending at i (same mod-each-step
+    // order as the Spark side's zip_with chain)
+    val wh = (1 until 4).foldLeft("h[i - 3]") { (acc, k) =>
+      s"((($acc) * $B + h[i - ${3 - k}]) % $P)"
+    }
     s"""d AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
        |  FROM documents),
-       |base AS (SELECT doc_id, t, len(t) AS n FROM d),
+       |base AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |    list_transform(t, s -> ($tok % $P)) AS h
+       |  FROM d),
        |b AS (
        |  SELECT doc_id, t, n,
        |    CASE WHEN n >= 4 THEN
-       |      list_filter(generate_series(4, n), i -> ($wh % 64) = 0)
+       |      list_filter(generate_series(4, n), i -> (($wh) % 64) = 0)
        |    ELSE [] END AS bpos
        |  FROM base),
        |s AS (

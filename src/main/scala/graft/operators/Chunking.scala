@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Rolling-hash base for CDC window hashes (prime; p31 · RollBase < 2^51,
+    * so Horner accumulation never overflows signed 64-bit). Part of the
+    * persisted chunk-boundary format — fixed for all time. */
+  val RollBase = 1000003L
+
   /** Split each document into token windows of `chunkSize` with `overlap`
     * tokens carried between consecutive chunks (stride = chunkSize -
     * overlap). Output: (idCol, chunk_idx, chunk_text, n_tokens); documents
@@ -64,8 +69,17 @@ object Chunking {
     * Scale shape: boundary detection, chunk assembly, and hashing are all
     * in-row higher-order functions over the token array — the ONLY plan
     * node added over the scan is the final explode (zero shuffles, the
-    * q49 posture); hashes are [[graft.functions.PortableHash.md5Hash60]]
-    * so the whole pass replays in the SQL oracle. */
+    * q49 posture). The boundary hash is a ROLLING polynomial (CDC's
+    * classic trick): each token is md5-hashed ONCE (`md5Hash60 mod p31`),
+    * then every w-token window hash is a Horner fold of those per-token
+    * longs (base [[RollBase]] mod p31) built from w-1 `zip_with` passes
+    * over shifted slices — integer-only per window, no per-position
+    * string assembly or md5. (The first formulation md5-hashed every
+    * window's joined text: one md5 + slice + join allocation per token
+    * position, ~10x this version's cost, dominating the whole bench.)
+    * Chunk hashes stay [[graft.functions.PortableHash.md5Hash60]] of the
+    * chunk text (one per ~divisor tokens); the whole pass replays in the
+    * SQL oracle. */
   def cdcChunks(
       docs: DataFrame,
       idCol: String,
@@ -78,11 +92,22 @@ object Chunking {
     val base = docs.select(col(idCol).as("id"),
       split(trim(lower(col(textCol))), "\\s+").as("t"))
       .withColumn("n", size(col("t")))
+      // one md5 per token, reduced mod p31 so Horner products stay < 2^51
+      .withColumn("th", transform(col("t"), tok =>
+        pmod(PH.md5Hash60(tok), lit(PH.P31))))
+    // window hashes: Horner fold over w shifted views of th; windows(k0),
+    // 0-based, covers tokens k0+1 .. k0+w
+    val m = col("n") - (w - 1)
+    val windows = (1 until w).foldLeft(slice(col("th"), lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(col("th"), lit(k + 1), m),
+        (a, b) => pmod(a * RollBase + b, lit(PH.P31)))
+    }
     val bounds = base.withColumn("bpos",
       when(col("n") >= w,
-        filter(sequence(lit(w), col("n")), i =>
-          pmod(PH.md5Hash60(array_join(slice(col("t"), i - w + 1, lit(w)), " ")),
-            lit(divisor.toLong)) === 0L))
+        filter(
+          transform(windows, (h, k0) =>
+            when(pmod(h, lit(divisor.toLong)) === 0L, k0 + w).otherwise(lit(-1))),
+          x => x =!= -1))
         .otherwise(array().cast("array<int>")))
     val spans = bounds
       .withColumn("ss", concat(array(lit(1)), transform(col("bpos"), b => b + 1)))

@@ -76,7 +76,8 @@ object Bench {
       "q54_sessionize", "q55_scd2_intervals", "q56_bm25_topk",
       "q59_contamination", "q60_incremental_dedup",
       "q67_semantic_dedup", "q68_dup_spans", "q74_dup_spans_inc",
-      "q76_curation_gate", "q78_cdc_chunks")
+      "q76_curation_gate", "q78_cdc_chunks", "q79_chunk_dedup",
+      "q81_gram_matrix")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

@@ -100,4 +100,42 @@ class ScaleToolsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucketed_b")
     }
   }
+
+  test("sketch rollup: merge path == direct path exactly; idempotent; 5% of exact") {
+    import graft.operators.SketchRollup
+    val rnd = new scala.util.Random(7)
+    val facts = (1 to 20000).map { _ =>
+      val day = 1 + rnd.nextInt(14)
+      (day, (day - 1) / 7 + 1, s"u${rnd.nextInt(3000)}")
+    }.toDF("day", "week", "user_id")
+
+    val daily = SketchRollup.sketchByKey(facts, Seq("day", "week"), "user_id")
+    val weekly = SketchRollup.rollup(daily, Seq("week"))
+      .as[(Int, Double, Long)].collect().sortBy(_._1).toSeq
+
+    // merge path == ONE sketch straight over the raw week (registers are
+    // order-free maxima -> bit-identical estimates, not just close)
+    val direct = facts.groupBy("week")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("approx_distinct"),
+        count(lit(1)).as("n_rows"))
+      .as[(Int, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(weekly == direct)
+
+    // idempotent under replay: a duplicated daily partition changes nothing
+    val dupDaily = daily.unionAll(daily.filter(col("day") === 3))
+    val replayed = SketchRollup.rollup(dupDaily.drop("n_rows")
+      .withColumn("n_rows", lit(0L)), Seq("week"))
+      .as[(Int, Double, Long)].collect().sortBy(_._1).map(r => (r._1, r._2)).toSeq
+    assert(replayed == weekly.map(r => (r._1, r._2)))
+
+    // accuracy envelope vs the exact rollup
+    val exact = facts.groupBy("week").agg(countDistinct(col("user_id")).as("d"))
+      .as[(Int, Long)].collect().toMap
+    for ((wk, est, _) <- weekly)
+      assert(math.abs(est - exact(wk)) / exact(wk).toDouble < 0.05,
+        s"week $wk: est $est vs exact ${exact(wk)}")
+
+    // exactly-additive row counts survive the merge
+    assert(weekly.map(_._3).sum == 20000L)
+  }
 }

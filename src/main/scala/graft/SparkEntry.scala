@@ -909,6 +909,13 @@ object SparkEntry {
     graft.operators.Gram.quantizedGram(
       embeddings(s, dir), "vec_id", "embedding", dim = 64)
 
+  /** Categorical profile of documents(lang, source): the string twin of
+    * q57 — same melted-grain posture (one shuffle, count-of-grain instead
+    * of countDistinct, WindowGroupLimit-bounded top-k). */
+  private def profileCatQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profileCategorical(
+      documents(s, dir), Seq("lang", "source"), topK = 5)
+
   /** Z-order layout audit: Morton keys over (l_suppkey, l_partkey), fixed
     * z-ranges as stand-in files — per range, BOTH dimensions are bounded
     * (the locality that makes file stats prune on either column). */
@@ -1356,7 +1363,8 @@ object SparkEntry {
     "q78_cdc_chunks" -> (cdcChunksQ _),
     "q79_chunk_dedup" -> (chunkDedupQ _),
     "q80_zorder_layout" -> (zorderLayoutQ _),
-    "q81_gram_matrix" -> (gramQ _)
+    "q81_gram_matrix" -> (gramQ _),
+    "q82_profile_cat" -> (profileCatQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1786,6 +1794,30 @@ object SparkEntry {
          |  CAST(MAX(l_partkey) AS BIGINT) AS max_part
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "q82_profile_cat" ->
+      """WITH s AS (
+        |  SELECT 'lang' AS col_name, lang AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'source' AS col_name, source AS value FROM documents),
+        |c AS (
+        |  SELECT col_name, value, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+        |summ AS (
+        |  SELECT col_name,
+        |    CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(cnt) FILTER (value IS NULL), 0) AS BIGINT) AS n_null,
+        |    CAST(COUNT(*) FILTER (value IS NOT NULL) AS BIGINT) AS n_distinct
+        |  FROM c GROUP BY 1),
+        |rk AS (
+        |  SELECT col_name, value, cnt,
+        |    row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value) AS r
+        |  FROM c WHERE value IS NOT NULL),
+        |top AS (
+        |  SELECT col_name,
+        |    string_agg(value || ':' || cnt, '|' ORDER BY r) AS top_values
+        |  FROM rk WHERE r <= 5 GROUP BY 1)
+        |SELECT summ.col_name, n, n_null, n_distinct, top_values
+        |FROM summ LEFT JOIN top ON summ.col_name = top.col_name
+        |ORDER BY summ.col_name""".stripMargin,
     "q81_gram_matrix" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

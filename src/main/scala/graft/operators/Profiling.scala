@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -342,5 +343,41 @@ object Profiling {
         col(s"__med_$c").as("median"))
     }
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Categorical-column profile: per column, row/null counts, exact
+    * distinct count, and the top-`topK` values with counts as a
+    * deterministic `value:count|...` string (ties broken by value).
+    *
+    * Same scale posture as the numeric profile: the columns melt to a
+    * `(col_name, value) -> cnt` grain in ONE map-side-combined shuffle
+    * (the only corpus-sized movement); `n_distinct` is a plain count of
+    * that grain — never a countDistinct Expand; the top-k rank window is
+    * per-column over the already-compressed grain and bounded by
+    * WindowGroupLimit, and the final assembly aggregates at most `topK`
+    * rows per column. */
+  def profileCategorical(
+      df: DataFrame,
+      cols: Seq[String],
+      topK: Int = 5): DataFrame = {
+    require(cols.nonEmpty && topK > 0, "need columns and topK > 0")
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val grouped = df
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, value)"))
+      .groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+    val summary = grouped.groupBy("col_name").agg(
+      sum(col("cnt")).as("n"),
+      coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L)).as("n_null"),
+      count(when(col("value").isNotNull, lit(1))).as("n_distinct"))
+    val w = Window.partitionBy(col("col_name"))
+      .orderBy(col("cnt").desc, col("value"))
+    val top = grouped.filter(col("value").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .groupBy("col_name")
+      .agg(array_join(array_sort(collect_list(
+        struct(col("rk"), concat_ws(":", col("value"), col("cnt")).as("s"))))
+        .getField("s"), "|").as("top_values"))
+    summary.join(top, Seq("col_name"), "left").orderBy("col_name")
   }
 }

@@ -140,4 +140,35 @@ class ProfilingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!ap.contains("Expand"), "approx mode must not plan Expand:\n" + ap.take(1500))
   }
+
+  test("categorical profile: nulls, count-desc/value tie-break, bounded top-k window") {
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "books"), ("de", "books"),
+      ("de", null), ("fr", null), (null, "web")
+    ).toDF("lang", "source")
+    val got = Profiling.profileCategorical(df, Seq("lang", "source"), topK = 2)
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    // lang: 7 rows, 1 null, 3 distinct; top2 = en:3 then de:2 (fr:1 cut)
+    // source: 7 rows, 2 null, 2 distinct; web:3 then books:2
+    assert(got == Seq(
+      ("lang", 7L, 1L, 3L, "en:3|de:2"),
+      ("source", 7L, 2L, 2L, "web:3|books:2")))
+    // tie on count falls back to value order
+    val tie = Profiling.profileCategorical(
+      Seq("b", "a", "a", "b").toDF("k"), Seq("k"), topK = 2)
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(tie == Seq(("k", 4L, 0L, 2L, "a:2|b:2")))
+
+    // all-null column keeps its summary row with a null top_values
+    val gn = Profiling.profileCategorical(
+      Seq((Option.empty[String], "x")).toDF("a", "b"), Seq("a"), topK = 2)
+      .as[(String, Long, Long, Long, Option[String])].collect().toSeq
+    assert(gn == Seq(("a", 1L, 1L, 0L, None)))
+
+    // scale posture: no Expand anywhere; the rank window is group-limited
+    val p = Profiling.profileCategorical(df, Seq("lang", "source"), 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), p.take(1500))
+    assert(p.contains("WindowGroupLimit"), "top-k window must push a group limit:\n" + p.take(1500))
+  }
 }

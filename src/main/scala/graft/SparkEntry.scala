@@ -909,6 +909,16 @@ object SparkEntry {
     graft.operators.Gram.quantizedGram(
       embeddings(s, dir), "vec_id", "embedding", dim = 64)
 
+  /** Join-size / skew pre-flight (q83): exact self-join cardinality of
+    * lineitem on l_partkey from the per-key count table — the probe a
+    * planner runs before committing a 100 TB pair join (the dedup
+    * bucket-size question as a query). Facts are read once each side;
+    * only count tables join. */
+  private def joinSizeQ(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(col("l_partkey"))
+    graft.operators.SkewJoin.joinSizeEstimate(li, li, "l_partkey", topK = 5)
+  }
+
   /** Categorical profile of documents(lang, source): the string twin of
     * q57 — same melted-grain posture (one shuffle, count-of-grain instead
     * of countDistinct, WindowGroupLimit-bounded top-k). */
@@ -1364,7 +1374,8 @@ object SparkEntry {
     "q79_chunk_dedup" -> (chunkDedupQ _),
     "q80_zorder_layout" -> (zorderLayoutQ _),
     "q81_gram_matrix" -> (gramQ _),
-    "q82_profile_cat" -> (profileCatQ _)
+    "q82_profile_cat" -> (profileCatQ _),
+    "q83_join_size" -> (joinSizeQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1794,6 +1805,22 @@ object SparkEntry {
          |  CAST(MAX(l_partkey) AS BIGINT) AS max_part
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "q83_join_size" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem
+        |  WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(a.k AS VARCHAR) AS k, a.n * b.n AS p
+        |  FROM c a JOIN c b ON a.k = b.k),
+        |rk AS (
+        |  SELECT k, p, row_number() OVER (ORDER BY p DESC, k) AS r FROM p),
+        |top AS (
+        |  SELECT string_agg(k || ':' || p, '|' ORDER BY r) AS top_keys
+        |  FROM rk WHERE r <= 5)
+        |SELECT CAST(SUM(p) AS BIGINT) AS total_pairs,
+        |  CAST(COUNT(*) AS BIGINT) AS matched_keys,
+        |  CAST(MAX(p) AS BIGINT) AS max_key_pairs, top_keys
+        |FROM p CROSS JOIN top GROUP BY top_keys""".stripMargin,
     "q82_profile_cat" ->
       """WITH s AS (
         |  SELECT 'lang' AS col_name, lang AS value FROM documents

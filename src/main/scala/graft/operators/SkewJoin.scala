@@ -65,4 +65,46 @@ object SkewJoin {
         .otherwise(array(lit(0)))))
     salted.join(exploded, keys :+ "__salt").drop("__salt")
   }
+
+  /** Pre-flight join-size / skew diagnosis — the planning probe run BEFORE
+    * committing a 100 TB shuffle join. Exact inner-join output size is
+    * `Σ_k n_left(k)·n_right(k)`; this computes it (plus the heaviest keys'
+    * shares) from the two per-key COUNT tables, never materializing the
+    * join:
+    *  - two map-side-combined count aggregates (each side read once);
+    *  - the count tables join on the key — at most |distinct keys| rows
+    *    move, not |rows|;
+    *  - top-`topK` keys by pair contribution via a bounded rank window.
+    *
+    * Reading the output: `max_key_pairs/total_pairs` near 1 means one key
+    * dominates the join — that's the [[saltedJoinHotKeys]] candidate list
+    * in `top_keys`; `total_pairs >> max(n_left, n_right)` flags a
+    * fan-out join whose output, not input, is the bottleneck.
+    *
+    * Output: one row — (total_pairs, matched_keys, max_key_pairs,
+    * top_keys as `key:pairs|...` ordered by pairs desc then key). */
+  def joinSizeEstimate(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lc = left.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__nl"))
+    val rc = right.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__nr"))
+    val pairs = lc.join(rc, key)
+      .select(col(key).cast("string").as("k"), (col("__nl") * col("__nr")).as("p"))
+    val w = Window.orderBy(col("p").desc, col("k"))
+    val top = pairs
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .agg(array_join(array_sort(collect_list(
+        struct(col("rk"), concat_ws(":", col("k"), col("p")).as("s"))))
+        .getField("s"), "|").as("top_keys"))
+    pairs.agg(
+      sum(col("p")).as("total_pairs"),
+      count(lit(1)).as("matched_keys"),
+      max(col("p")).as("max_key_pairs"))
+      .crossJoin(top)
+  }
 }

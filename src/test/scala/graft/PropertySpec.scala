@@ -212,4 +212,24 @@ class PropertySpec extends SparkSpec {
     val sp = graft.operators.Dedup.simhashPairs(sims, bits = 64, maxBucket = 10).count()
     assert(sp == 0, s"simhash flooded bucket must be dropped whole, got $sp")
   }
+
+  test("gram matrix is a valid Gram matrix: symmetric-PSD invariants on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val emb = (1L to 200L)
+      .map(i => (i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 4f)))
+      .toDF("vec_id", "embedding")
+    val g = graft.operators.Gram.quantizedGram(emb, "vec_id", "embedding", dim = 8)
+      .as[(Int, Int, Long)].collect()
+      .map { case (i, j, v) => (i, j) -> v }.toMap
+    // diagonal nonneg (sums of squares); Cauchy-Schwarz on every pair —
+    // both fail for any accumulation/indexing bug that still matches a
+    // hand-rolled sum on small data
+    for (i <- 0 until 8) assert(g((i, i)) >= 0L)
+    for (i <- 0 until 8; j <- i + 1 until 8) {
+      val gij = g((i, j))
+      assert(gij * gij <= g((i, i)) * g((j, j)),
+        s"Cauchy-Schwarz violated at ($i,$j)")
+    }
+  }
 }

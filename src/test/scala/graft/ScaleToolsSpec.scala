@@ -138,4 +138,21 @@ class ScaleToolsSpec extends SparkSpec {
     // exactly-additive row counts survive the merge
     assert(weekly.map(_._3).sum == 20000L)
   }
+
+  test("join-size estimate == materialized join count; hot key surfaces first") {
+    import graft.operators.SkewJoin
+    val left = (Seq.fill(50)(7) ++ Seq(1, 1, 2, 3, 3, 3, 9)).toDF("k")
+    val right = (Seq.fill(40)(7) ++ Seq(1, 3, 3, 4)).toDF("k")
+    val got = SkewJoin.joinSizeEstimate(left, right, "k", topK = 2)
+      .as[(Long, Long, Long, String)].collect().head
+    val actual = left.join(right, "k").count()
+    assert(got._1 == actual)                   // 2000 + 2 + 6 = exact join size
+    assert(got._2 == 3L)                       // keys 1, 3, 7 match (9 and 4 don't)
+    assert(got._3 == 2000L && got._4 == "7:2000|3:6")
+    // null keys never match (SQL join semantics)
+    val gn = SkewJoin.joinSizeEstimate(
+      Seq(Some(1), None).toDF("k"), Seq(Some(1), None).toDF("k"), "k")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(gn._1 == 1L && gn._2 == 1L)
+  }
 }

@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   *  - a new day folds into existing rollups without touching history;
   *  - merged-path estimates are IDENTICAL (not just close) to a direct
   *    sketch over the union of the raw inputs — HLL registers are
-  *    order-free maxima (pinned in the spec);
+  *    order-free maxima (pinned in the spec). One caveat, pinned in the
+  *    streaming spec: repeated state-level re-merging (e.g. streaming
+  *    micro-batch state) can promote sparse sketches to dense mode
+  *    earlier than a one-shot aggregation, shifting estimates within the
+  *    HLL envelope — row counts still merge exactly;
   *  - the fact table is read exactly once per partition, ever.
   *
   * Estimates are within the standard HLL envelope (~1.6% at the default

@@ -242,4 +242,43 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(streamed == batch && batch.size == 4, s"$streamed vs $batch")
   }
+
+  test("streaming daily HLL sketches merge to the same rollup as batch sketches") {
+    // the SketchRollup contract under incremental arrival: sketch each
+    // micro-batch's days as they stream in, then rollup(union) offline.
+    // Exact row counts must survive; estimates may shift a hair vs the
+    // batch-built daily path (streaming state re-merges promote sparse
+    // sketches to dense mode earlier) but stay inside the HLL envelope
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map(_ => (1 + rnd.nextInt(6), s"u${rnd.nextInt(500)}"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Int, String)]
+    val daily = input.toDF().toDF("day", "user_id")
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sketch"),
+        count(lit(1)).as("n_rows"))
+    val q = daily.writeStream.format("memory").queryName("sketch_out")
+      .outputMode("complete").start()
+    rows.grouped(700).foreach { batch =>
+      input.addData(batch: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamedRollup = graft.operators.SketchRollup.rollup(
+      spark.table("sketch_out").withColumn("week", expr("(day - 1) div 3")), Seq("week"))
+      .as[(Long, Double, Long)].collect().toSet
+    val batchRollup = graft.operators.SketchRollup.rollup(
+      graft.operators.SketchRollup.sketchByKey(
+        rows.toDF("day", "user_id").withColumn("week", expr("(day - 1) div 3")),
+        Seq("day", "week"), "user_id"), Seq("week"))
+      .as[(Long, Double, Long)].collect().toSet
+    assert(streamedRollup.size == 2 && batchRollup.size == 2)
+    val bm = batchRollup.map(r => r._1 -> r).toMap
+    for ((wk, est, n) <- streamedRollup) {
+      assert(n == bm(wk)._3, s"row counts must merge exactly at week $wk")
+      assert(math.abs(est - bm(wk)._2) / bm(wk)._2 < 0.02,
+        s"week $wk: streamed $est vs batch ${bm(wk)._2}")
+    }
+  }
 }

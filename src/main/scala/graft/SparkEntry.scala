@@ -474,6 +474,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Forward as-of (q84): time-to-next-error after each purchase — the
+    * incident-attribution twin of q52's backward join, exercising the
+    * operator's reverse-timeline scan. Same single-shuffle union-sort
+    * plan; DuckDB ASOF with `<=` is the oracle. */
+  private def asofForwardQ(s: SparkSession, dir: String): DataFrame = {
+    def us(c: Column): Column =
+      floor(c.cast("decimal(20,0)") / lit(1000)).cast("long")
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+    AsofJoin.asofForward(purchases, errors, Seq("user_id"), "ts", "ts",
+      Seq("err_id", "err_ts"))
+      .select(col("event_id"), col("user_id"), us(col("ts")).as("ts_us"),
+        col("err_id"), us(col("err_ts")).as("err_ts_us"),
+        (us(col("err_ts")) - us(col("ts"))).as("us_to_error"))
+      .orderBy("event_id")
+  }
+
   /** Binned range join: per-user error EPISODES (gaps-and-islands intervals,
     * the q07 kernel over error days) joined to the purchase events that fall
     * inside them — a composed interval-attribution pipeline. Day ordinates
@@ -1375,7 +1396,8 @@ object SparkEntry {
     "q80_zorder_layout" -> (zorderLayoutQ _),
     "q81_gram_matrix" -> (gramQ _),
     "q82_profile_cat" -> (profileCatQ _),
-    "q83_join_size" -> (joinSizeQ _)
+    "q83_join_size" -> (joinSizeQ _),
+    "q84_asof_forward" -> (asofForwardQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1902,6 +1924,19 @@ object SparkEntry {
         |  c.click_id, epoch_us(c.click_ts) AS click_ts_us, c.click_value
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q84_asof_forward" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |errors AS (
+        |  SELECT user_id, ts AS err_ts,
+        |    arg_max(event_id, event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  e.err_id, epoch_us(e.err_ts) AS err_ts_us,
+        |  epoch_us(e.err_ts) - epoch_us(p.ts) AS us_to_error
+        |FROM purchases p ASOF LEFT JOIN errors e
+        |  ON p.user_id = e.user_id AND p.ts <= e.err_ts
         |ORDER BY p.event_id""".stripMargin,
     "q53_range_join" ->
       """WITH edays AS (

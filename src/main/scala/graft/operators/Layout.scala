@@ -50,8 +50,13 @@ object Layout {
       yCol: String,
       bits: Int,
       numRanges: Int): DataFrame = {
-    val withZ = df.withColumn("__z", zValue2(col(xCol), col(yCol), bits))
-    withZ.repartitionByRange(numRanges, col("__z"))
+    // "__z" is internal; a caller column of that name would be silently
+    // replaced by withColumn and then dropped from the output — refuse
+    // (the AsofJoin/Scd2 reserved-name contract)
+    require(!df.columns.contains("__z"), "column name __z is reserved")
+    df.withColumn("__z", zValue2(col(xCol), col(yCol), bits))
+      .repartitionByRange(numRanges, col("__z"))
       .sortWithinPartitions(col("__z"))
+      .drop("__z")
   }
 }

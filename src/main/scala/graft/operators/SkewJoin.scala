@@ -102,9 +102,9 @@ object SkewJoin {
         struct(col("rk"), concat_ws(":", col("k"), col("p")).as("s"))))
         .getField("s"), "|").as("top_keys"))
     pairs.agg(
-      sum(col("p")).as("total_pairs"),
+      coalesce(sum(col("p")), lit(0L)).as("total_pairs"),
       count(lit(1)).as("matched_keys"),
-      max(col("p")).as("max_key_pairs"))
+      coalesce(max(col("p")), lit(0L)).as("max_key_pairs"))
       .crossJoin(top)
   }
 }

@@ -142,6 +142,7 @@ object Chunking {
       tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(!docs.columns.contains("__cum"), "column name __cum is reserved")
     val w = Window.partitionBy(packKeys.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

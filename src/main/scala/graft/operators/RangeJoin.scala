@@ -52,6 +52,8 @@ object RangeJoin {
       endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!(intervals.columns ++ points.columns).contains("__bin"),
+      "column name __bin is reserved")
     def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
     val iCols = intervals.columns.filterNot(keys.contains)
     val collisions = iCols.toSet.intersect(points.columns.toSet)
@@ -90,6 +92,8 @@ object RangeJoin {
       rightEnd: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!(left.columns ++ right.columns).contains("__bin"),
+      "column name __bin is reserved")
     def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
     val collisions = right.columns.filterNot(keys.contains).toSet
       .intersect(left.columns.filterNot(keys.contains).toSet)

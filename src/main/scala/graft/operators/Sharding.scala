@@ -31,6 +31,7 @@ object Sharding {
     * within the shard. The id column must be distinct per row for the
     * position to be a true permutation. */
   def assignShards(df: DataFrame, idCol: String, epoch: Int, numShards: Int): DataFrame = {
+    require(!df.columns.contains("__k"), "column name __k is reserved")
     val k = PH.md5Hash60(
       concat(lit(epoch.toString), lit(":"), col(idCol).cast("string")))
     df.withColumn("__k", k)

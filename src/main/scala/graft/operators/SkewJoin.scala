@@ -38,6 +38,8 @@ object SkewJoin {
       s"saltedJoin supports inner/left/left_semi/left_anti only: '$joinType' would " +
         "emit each unmatched small-side row saltBuckets times (small side is " +
         "replicated across salts)")
+    require(!(large.columns ++ small.columns).contains("__salt"),
+      "column name __salt is reserved")
     val keyCols = keys.map(col)
     // uniform deterministic salt from the full large-side row hash: rows of
     // the same hot key scatter across buckets
@@ -56,6 +58,8 @@ object SkewJoin {
       keys: Seq[String],
       hotKeys: Seq[Any],
       saltBuckets: Int = 16): DataFrame = {
+    require(!(large.columns ++ small.columns).contains("__salt"),
+      "column name __salt is reserved")
     val hot = col(keys.head).isin(hotKeys: _*)
     val salted = large.withColumn("__salt",
       when(hot, pmod(xxhash64(large.columns.map(col): _*), lit(saltBuckets.toLong))

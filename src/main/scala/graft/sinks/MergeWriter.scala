@@ -56,6 +56,8 @@ object MergeWriter {
       s"schema mismatch: ${batch.columns.mkString(",")} vs ${existing.columns.mkString(",")}")
 
     // intra-batch latest-wins (deterministic; never physical row order)
+    require(!batch.columns.exists(_.startsWith("__")),
+      "__-prefixed column names are reserved by MergeWriter")
     val b0 = if (spec.batchOrder.nonEmpty) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*).orderBy(spec.batchOrder: _*)

@@ -155,4 +155,20 @@ class ScaleToolsSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().head
     assert(gn._1 == 1L && gn._2 == 1L)
   }
+
+  test("reserved internal column names are refused, not silently replaced") {
+    val bad = Seq((1, 2)).toDF("k", "__salt")
+    val ok = Seq((1, 2)).toDF("k", "v")
+    intercept[IllegalArgumentException](SkewJoin.saltedJoin(bad, ok, Seq("k")))
+    intercept[IllegalArgumentException](SkewJoin.saltedJoinHotKeys(ok, bad, Seq("k"), Seq(1)))
+    val binned = Seq((1, 0L, 5L)).toDF("k", "s", "__bin")
+    intercept[IllegalArgumentException](graft.operators.RangeJoin.pointsInIntervals(
+      Seq((1, 2L)).toDF("k", "p"), binned, Seq("k"), "p", "s", "__bin", 10L))
+    intercept[IllegalArgumentException](graft.operators.Sharding.assignShards(
+      Seq((1, 2)).toDF("id", "__k"), "id", epoch = 1, numShards = 4))
+    intercept[IllegalArgumentException](graft.operators.Chunking.packSequences(
+      Seq((1, 2L, 3L)).toDF("d", "__cum", "n"), Seq("d"), "d", "n", budget = 10))
+    intercept[IllegalArgumentException](graft.operators.Layout.zOrdered(
+      Seq((1, 2, 3L)).toDF("x", "y", "__z"), "x", "y", bits = 4, numRanges = 2))
+  }
 }

@@ -180,4 +180,38 @@ class IngestSpec extends SparkSpec {
     assert(got.length == 1) // dup collapsed last-wins; unresolvable dropped
     assert(got(0) == (("https://www.boards.com/acme", "boards.com", "crawler")))
   }
+
+  test("jsonl corpus: schema parse, corrupt-line quarantine, blank lines skipped") {
+    import graft.sources.JsonlCorpus
+    import org.apache.spark.sql.types._
+    val p = Files.createTempFile("graft-jsonl", ".jsonl")
+    Files.writeString(p,
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |
+        |{"doc_id": 2, "text": "zwei", "lang": "de", "extra": "ignored"}
+        |not json at all
+        |{"doc_id": 3, "text": "three"
+        |{"doc_id": 4, "text": null, "lang": "fr"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val parsed = JsonlCorpus.parse(spark, p.toString, schema)
+    assert(parsed.count() == 5) // blank line skipped
+
+    val good = JsonlCorpus.documents(parsed)
+      .as[(Long, Option[String], Option[String])].collect().sortBy(_._1).toSeq
+    assert(good == Seq(
+      (1L, Some("hello world"), Some("en")),
+      (2L, Some("zwei"), Some("de")),   // unknown field ignored
+      (4L, None, Some("fr"))))          // explicit null is data, not corruption
+    assert(good.map(_._1) == Seq(1L, 2L, 4L))
+
+    val bad = JsonlCorpus.quarantine(parsed).as[String].collect().sorted.toSeq
+    assert(bad == Seq("not json at all", """{"doc_id": 3, "text": "three""""))
+
+    // reserved corrupt-column name refused
+    intercept[IllegalArgumentException](JsonlCorpus.parse(spark, p.toString,
+      StructType(Seq(StructField("_raw", StringType)))))
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session configuration in one place — the local test/bench profile the
+  * repo's mains use, and the documented cluster profile this library is
+  * designed to run under at 100 TB.
+  *
+  * The settings are part of the engine's contract (several queries depend
+  * on them for correctness, not just speed), so they live in code rather
+  * than scattered notes:
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true` — the events table is
+  *    parquet TIMESTAMP(NANOS); without this every read throws
+  *    PARQUET_TYPE_ILLEGAL (see `Tables.events`, which also sets it
+  *    defensively).
+  *  - `spark.sql.session.timeZone=UTC` — date bucketing of timestamps
+  *    must agree with the DuckDB oracle.
+  *  - ANSI mode stays ON (Spark 4 default): overflow throws instead of
+  *    wrapping, which is why all hash arithmetic in the library is
+  *    pmod/decimal-ranged by construction.
+  */
+object Sessions {
+
+  /** Local profile: `local[cores]`, shuffle partitions = cores (not the
+    * 200 default — at sf0.1 a 200-way shuffle is pure task overhead), AQE
+    * on, UI off. Used by Verify/Bench and the test harness. */
+  def local(cores: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Cluster profile for a real deployment (documented here, applied by
+    * the site's spark-submit/conf management): everything in [[local]]'s
+    * correctness set, plus the scale knobs this library's plan shapes
+    * assume —
+    *  - `spark.sql.adaptive.enabled=true` + `spark.sql.adaptive
+    *    .coalescePartitions.enabled=true`: runtime right-sizing of every
+    *    shuffle (the library never hand-tunes per-query partition counts);
+    *  - `spark.sql.adaptive.skewJoin.enabled=true`: runtime skew-split
+    *    backstop behind the explicit `SkewJoin` toolbox;
+    *  - `spark.sql.shuffle.partitions` ≈ 2-3x total executor cores as the
+    *    pre-AQE ceiling;
+    *  - `spark.sql.files.maxPartitionBytes` at its 128 MiB default: scan
+    *    tasks sized to row-group granularity (the z-order/bucketed layouts
+    *    assume file-stat pruning, not giant merged splits);
+    *  - `spark.sql.autoBroadcastJoinThreshold` left at default; the
+    *    library broadcasts dimensions EXPLICITLY (`broadcast(...)`) so
+    *    plan shape never depends on a size estimate being right;
+    *  - `spark.sql.extensions=graft.plans.GraftExtensions`: config-based
+    *    registration of the native expressions (cosine, md5h60,
+    *    nearest-centroid) — the supported multi-session path (see
+    *    `PortableHash.md5Hash60`'s single-session note).
+    */
+  val clusterConf: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
+}

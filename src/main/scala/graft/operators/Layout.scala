@@ -42,6 +42,64 @@ object Layout {
     }.mkString("(", " + ", ")")
   }
 
+  /** Small-files compaction planner — the other half of layout hygiene at
+    * 100 TB (a date-partitioned table ingested in many micro-batches
+    * accretes thousands of KB-scale files per partition; every query then
+    * pays a task per file and the NameNode/listing pays the metadata).
+    *
+    * Driver-side METADATA op: lists the table's leaf files (one RPC sweep,
+    * no data read), groups them by partition directory, and emits one row
+    * per partition with the current file count/bytes and the target file
+    * count `ceil(bytes / targetBytes)` — flagging only partitions whose
+    * file count exceeds the target (those are the rewrite candidates).
+    *
+    * The rewrite itself is [[compactTo]]: read the partition, coalesce to
+    * the planned count, write to a NEW location (never in place — an
+    * in-place overwrite that fails mid-write loses the partition).
+    */
+  def compactionReport(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import spark.implicits._
+    val raw = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify so relativize sees the same scheme/authority as the listing
+    val root = fs.makeQualified(raw)
+    val it = fs.listFiles(root, true)
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = root.toUri.relativize(f.getPath.getParent.toUri).getPath
+        val part = if (rel.isEmpty) "." else rel.stripSuffix("/")
+        val (n, b) = acc.getOrElse(part, (0L, 0L))
+        acc(part) = (n + 1, b + f.getLen)
+      }
+    }
+    acc.toSeq.map { case (part, (n, bytes)) =>
+      val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      (part, n, bytes, target, n > target)
+    }.toDF("partition", "n_files", "bytes", "target_files", "needs_compaction")
+      .orderBy("partition")
+  }
+
+  /** Rewrite one partition's data as `targetFiles` files at `destPath`
+    * (coalesce, not repartition: a narrow merge of existing splits, no
+    * shuffle). Callers swap the directory in atomically after validation. */
+  def compactTo(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      destPath: String,
+      targetFiles: Int): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    spark.read.parquet(srcPath)
+      .coalesce(targetFiles)
+      .write.mode("errorifexists").parquet(destPath)
+  }
+
   /** Range-partition `df` into `numRanges` z-ordered write partitions and
     * sort within each — the layout a z-ordered table write uses. */
   def zOrdered(

@@ -156,6 +156,32 @@ class ScaleToolsSpec extends SparkSpec {
     assert(gn._1 == 1L && gn._2 == 1L)
   }
 
+  test("compaction: report flags fragmented partitions; compactTo merges without shuffle") {
+    import graft.operators.Layout
+    val base = Files.createTempDirectory("graft-compact").toString
+    // partition d=1: 8 tiny files; partition d=2: 1 file
+    (1 to 1000).map(i => (i, 1)).toDF("v", "d").repartition(8)
+      .write.partitionBy("d").mode("append").parquet(s"$base/t")
+    (1 to 10).map(i => (i, 2)).toDF("v", "d").coalesce(1)
+      .write.partitionBy("d").mode("append").parquet(s"$base/t")
+
+    val rep = Layout.compactionReport(spark, s"$base/t", targetBytes = 1L << 26)
+      .as[(String, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(rep.map(r => (r._1, r._2)) == Seq(("d=1", 8L), ("d=2", 1L)))
+    assert(rep.forall(_._4 == 1L)) // tiny bytes -> one target file each
+    assert(rep.map(_._5) == Seq(true, false)) // only d=1 needs compaction
+
+    Layout.compactTo(spark, s"$base/t/d=1", s"$base/compacted/d=1", 1)
+    val after = Layout.compactionReport(spark, s"$base/compacted", 1L << 26)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(after.map(r => (r._1, r._2, r._5)) == Seq(("d=1", 1L, false)))
+    // content survives byte-for-byte
+    assert(spark.read.parquet(s"$base/compacted/d=1").count() == 1000)
+    // second write to the same dest refuses (never clobber a rewrite target)
+    intercept[Exception](
+      Layout.compactTo(spark, s"$base/t/d=1", s"$base/compacted/d=1", 1))
+  }
+
   test("reserved internal column names are refused, not silently replaced") {
     val bad = Seq((1, 2)).toDF("k", "__salt")
     val ok = Seq((1, 2)).toDF("k", "v")

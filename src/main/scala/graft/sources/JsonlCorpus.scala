@@ -32,12 +32,24 @@ object JsonlCorpus {
     * `schema` (type mismatches surface as the PERMISSIVE null-field
     * convention, same as Spark's JSON reader; only malformed JSON
     * quarantines). */
-  def parse(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  def parse(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    project(spark.read.text(path), schema)
+
+  /** Streaming twin: the same parse/quarantine projection over a
+    * `readStream.text` source — new JSONL drops parse incrementally, and
+    * [[documents]]/[[quarantine]] split the stream exactly as in batch
+    * (both are stateless projections, so any output mode works). */
+  def parseStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    project(spark.readStream.text(path), schema)
+
+  /** The shared projection: batch and streaming differ ONLY in the text
+    * source, so parse semantics cannot drift between the two paths. */
+  private[sources] def project(lines: DataFrame, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains("_raw"), "field name _raw is reserved")
     // the corrupt-record column rides inside the parse schema: non-null
     // exactly when the line was malformed
     val withCorrupt = StructType(schema.fields :+ StructField("_raw", StringType))
-    spark.read.text(path)
+    lines
       .filter(length(trim(col("value"))) > 0)
       .select(
         col("value").as("line"),

@@ -986,14 +986,17 @@ object SparkEntry {
     * within each language — the discretization step before balanced
     * per-bucket sampling. Total order (n_chars, doc_id) makes the tiling
     * deterministic; ntile's floor-distribution semantics agree across
-    * engines. */
+    * engines. NOT a per-language `ntile` window (that would put an entire
+    * language — English is ~half a pretraining corpus — into one window
+    * partition): [[graft.operators.Batching.groupedNtile]] derives the same
+    * tile from the distinct-length histogram rank, bit-identically. */
   private def qualityDecilesQ(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        length(col("text")).cast("long").as("n_chars"))
-      .withColumn("decile", ntile(10).over(
-        Window.partitionBy("lang")
-          .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+    graft.operators.Batching.groupedNtile(
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars")),
+      keyCols = Seq("lang"), valCol = "n_chars", idCol = "doc_id",
+      n = 10, outCol = "decile")
       .orderBy("doc_id")
 
   /** End-to-end curation gate: the keep/drop decision table a pretraining
@@ -1837,12 +1840,13 @@ object SparkEntry {
         |rk AS (
         |  SELECT k, p, row_number() OVER (ORDER BY p DESC, k) AS r FROM p),
         |top AS (
-        |  SELECT string_agg(k || ':' || p, '|' ORDER BY r) AS top_keys
+        |  SELECT COALESCE(string_agg(k || ':' || p, '|' ORDER BY r), '') AS top_keys
         |  FROM rk WHERE r <= 5)
-        |SELECT CAST(SUM(p) AS BIGINT) AS total_pairs,
-        |  CAST(COUNT(*) AS BIGINT) AS matched_keys,
-        |  CAST(MAX(p) AS BIGINT) AS max_key_pairs, top_keys
-        |FROM p CROSS JOIN top GROUP BY top_keys""".stripMargin,
+        |SELECT agg.total_pairs, agg.matched_keys, agg.max_key_pairs, top.top_keys
+        |FROM (SELECT COALESCE(CAST(SUM(p) AS BIGINT), 0) AS total_pairs,
+        |             CAST(COUNT(*) AS BIGINT) AS matched_keys,
+        |             COALESCE(CAST(MAX(p) AS BIGINT), 0) AS max_key_pairs
+        |      FROM p) agg CROSS JOIN top""".stripMargin,
     "q82_profile_cat" ->
       """WITH s AS (
         |  SELECT 'lang' AS col_name, lang AS value FROM documents

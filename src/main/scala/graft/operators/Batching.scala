@@ -32,6 +32,12 @@ object Batching {
       lenCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
+    // reserved-internal-column contract (the SkewJoin/RangeJoin/Sharding
+    // guard): a caller __len/__off would make the broadcast-join condition
+    // ambiguous; rank/batch are the output columns we add
+    val reserved = Set("__len", "__off", "rank", "batch")
+    require(!docs.columns.exists(reserved),
+      s"column names ${reserved.mkString(", ")} are reserved by lengthBatches")
     val counts = docs.groupBy(col(lenCol).cast("long").as("__len"))
       .agg(count(lit(1)).as("__n"))
     val offsets = counts.withColumn("__off",
@@ -49,5 +55,61 @@ object Batching {
     val a = col("rank") - 1
     ranked.withColumn("batch",
       ((a - pmod(a, lit(batchSize.toLong))) / batchSize).cast("long"))
+  }
+
+  /** `ntile(n) OVER (PARTITION BY keys ORDER BY valCol, idCol)` WITHOUT a
+    * per-key corpus window — the scale-safe twin of the builtin. A plain
+    * `ntile` puts an entire key's rows into ONE window partition; when the
+    * key is e.g. document language, the dominant key is half the corpus in
+    * a single task. Here the rank comes from the [[lengthBatches]]
+    * distinct-value-grain histogram (offsets over the tiny (keys, value)
+    * count table, intra-cohort row_number), and the tile from exact
+    * integer arithmetic reproducing ntile's floor-distribution semantics:
+    * the first `count mod n` tiles get `floor(count/n)+1` rows, the rest
+    * `floor(count/n)`. Bit-identical to the builtin, no skewed window. */
+  def groupedNtile(
+      docs: DataFrame,
+      keyCols: Seq[String],
+      valCol: String,
+      idCol: String,
+      n: Int,
+      outCol: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    val gKeys = keyCols.map(k => s"__g_$k")
+    val reserved = Set("__val", "__n", "__off", "__tot", "__rank", outCol) ++ gKeys
+    require(!docs.columns.exists(reserved),
+      s"column names ${reserved.mkString(", ")} are reserved by groupedNtile")
+    val keys = keyCols.map(col)
+    val counts = docs
+      .groupBy(keys :+ col(valCol).cast("long").as("__val"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val perKey = Window.partitionBy(keys: _*)
+    // rename the keys before joining back (the lengthBatches idiom) — a
+    // derived-DataFrame self-join on same-named columns is ambiguous
+    val offsets = counts
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(perKey.orderBy(col("__val"))) - col("__n"), lit(0L)))
+      .withColumn("__tot",
+        sum(col("__n")).over(perKey.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(keyCols.map(k => col(k).as(s"__g_$k")) ++
+        Seq(col("__val"), col("__off"), col("__tot")): _*)
+    val intra = Window.partitionBy(keys :+ col(valCol): _*).orderBy(col(idCol))
+    val ranked = docs.join(broadcast(offsets),
+      keyCols.map(k => col(k) <=> col(s"__g_$k")).reduce(_ && _) &&
+        col(valCol).cast("long") <=> col("__val"))
+      .drop(gKeys: _*)
+      .withColumn("__rank", col("__off") + row_number().over(intra))
+    // exact integer floor division via (a - a mod b) / b
+    def floorDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val q = floorDiv(col("__tot"), lit(n.toLong))
+    val rem = pmod(col("__tot"), lit(n.toLong))
+    val r = col("__rank")
+    val tile = when(r <= rem * (q + 1L), floorDiv(r - 1L, q + 1L) + 1L)
+      .otherwise(rem + floorDiv(r - 1L - rem * (q + 1L), q) + 1L)
+    ranked
+      .withColumn(outCol, tile)
+      .drop("__val", "__off", "__tot", "__rank")
   }
 }

@@ -23,13 +23,24 @@ object Layout {
 
   /** 2-D Morton value: bits of `x` at even positions, `y` at odd. Inputs
     * must be non-negative and < 2^bits (callers range-encode first);
-    * bits <= 31 keeps the result exact in a long. */
+    * bits <= 31 keeps the result exact in a long. The domain is ENFORCED:
+    * an out-of-range value raises at execution time rather than silently
+    * dropping high bits — silent truncation would alias distinct keys into
+    * the same z-bucket and quietly void any locality audit built on it. */
   def zValue2(x: Column, y: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    def checked(c: Column): Column = {
+      val v = c.cast("long")
+      when(v.isNull || v < 0 || v >= (1L << bits),
+        raise_error(concat(
+          lit(s"zValue2: input outside [0, 2^$bits): "), v.cast("string"))).cast("long"))
+        .otherwise(v)
+    }
+    val (xc, yc) = (checked(x), checked(y))
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftright(xc, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(yc, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_ + _)
   }

@@ -39,8 +39,14 @@ object SpanScreenStream {
     val newHashes = Dedup.spanWindowHashes(batch, idCol, textCol, windowTokens)
       .select(col("h")).distinct().persist()
     try {
+      // Resolve existence through Hadoop's FileSystem so the store is found
+      // on HDFS/S3 too, not just file:// — a java.io.File check is always
+      // false on a remote store, which would silently reset the screen to
+      // an empty store every batch.
+      val storeHPath = new org.apache.hadoop.fs.Path(storePath)
+      val storeFs = storeHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val store =
-        if (new java.io.File(storePath).exists) spark.read.parquet(storePath)
+        if (storeFs.exists(storeHPath)) spark.read.parquet(storePath)
         else newHashes.limit(0)
       Dedup.duplicatedSpansIncremental(batch, store, idCol, textCol, windowTokens)
         .write.mode("append").parquet(outPath)

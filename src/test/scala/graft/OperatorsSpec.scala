@@ -390,6 +390,40 @@ class OperatorsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("grouped ntile: histogram-rank tile == builtin ntile, every n and skew") {
+    import graft.operators.Batching
+    val rnd = new scala.util.Random(11)
+    // skewed key (en is ~70% of rows), heavy value ties, counts not
+    // divisible by n, one key with fewer rows than n
+    val docs = ((1L to 700L).map(i => (i, "en", 1L + rnd.nextInt(20).toLong)) ++
+      (701L to 990L).map(i => (i, "es", 1L + rnd.nextInt(20).toLong)) ++
+      (991L to 997L).map(i => (i, "de", 5L)))
+      .toDF("id", "lang", "len")
+    for (n <- Seq(1, 3, 10)) {
+      val got = Batching.groupedNtile(docs, Seq("lang"), "len", "id", n, "tile")
+        .select("id", "tile").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val naive = docs.withColumn("tile",
+        ntile(n).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("len"), col("id"))).cast("long"))
+        .select("id", "tile").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == naive, s"n=$n")
+    }
+    // multi-key partitioning parity
+    val two = docs.withColumn("src", (col("id") % 3).cast("string"))
+    val got2 = Batching.groupedNtile(two, Seq("lang", "src"), "len", "id", 4, "tile")
+      .select("id", "tile").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val naive2 = two.withColumn("tile",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "src").orderBy(col("len"), col("id"))).cast("long"))
+      .select("id", "tile").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == naive2)
+    // reserved-name contract
+    intercept[IllegalArgumentException] {
+      Batching.groupedNtile(docs.withColumn("__off", lit(1)),
+        Seq("lang"), "len", "id", 10, "tile")
+    }
+  }
+
   test("weighted sample: exact k, partition-invariant, heavy rows dominate") {
     import graft.operators.Sampling
     // 500 light rows (w=1) vs 500 heavy rows (w=100): heavy rows' priorities

@@ -211,6 +211,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q77 deciles: no per-language ntile window; offsets broadcast back") {
+    val p = planString("q77_quality_deciles")
+    // ntile would mean a whole language in one window partition (English is
+    // ~half a pretraining corpus); the tile must come from histogram rank
+    assert(!p.toLowerCase.contains("ntile"), "no ntile anywhere:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "histogram offsets must broadcast back:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    // every corpus-grain window (= ordered by doc_id) partitions by
+    // (lang, n_chars), never lang alone; windows over the tiny histogram
+    // table order by __val and are exempt. Window exec renders as
+    // "Window [fns], [partSpec], [orderSpec]".
+    val windowSpecs = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    val corpusGrain = windowSpecs.filter(_._2.contains("doc_id"))
+    assert(corpusGrain.nonEmpty, s"expected a doc_id-ordered rank window: $windowSpecs")
+    assert(corpusGrain.forall { case (part, _) =>
+      part.contains("lang") && part.contains("n_chars") },
+      s"corpus windows must co-partition by value: $windowSpecs")
+  }
+
   test("q75 interval overlap is an equi-join on bins: no cartesian/nested-loop") {
     val p = planString("q75_interval_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

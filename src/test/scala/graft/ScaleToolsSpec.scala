@@ -154,6 +154,13 @@ class ScaleToolsSpec extends SparkSpec {
       Seq(Some(1), None).toDF("k"), Seq(Some(1), None).toDF("k"), "k")
       .as[(Long, Long, Long, String)].collect().head
     assert(gn._1 == 1L && gn._2 == 1L)
+    // zero-match input still emits ONE row of coalesced zeros + empty
+    // top_keys (the q83 oracle contract — both sides must agree on this
+    // edge, not just the populated path)
+    val gz = SkewJoin.joinSizeEstimate(
+      Seq(1, 2).toDF("k"), Seq(3, 4).toDF("k"), "k")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(gz == Seq((0L, 0L, 0L, "")))
   }
 
   test("compaction: report flags fragmented partitions; compactTo merges without shuffle") {

@@ -96,7 +96,19 @@ object Bench {
           s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); single-shot timings; ratio ~10 = linear scaling""""
         }
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json}"""
+    println(json)
+    // Also persist to the repo root: the driver captures only the stdout
+    // tail, and a long per-query map has been truncated out of the round
+    // artifact before — the file is the durable record.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json"))
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -913,6 +913,14 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Maximal duplicated span ranges (q85): the cut list behind q68's
+    * screen — overlapping cross-document-duplicated 8-token windows merged
+    * into maximal token ranges per document (Lee et al. span cutting). */
+  private def dupSpanRangesQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpanRanges(documents(s, dir), "doc_id", "text", windowTokens = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "span_start")
+
   /** Content-defined chunking: rolling-hash boundaries (window 4, divisor
     * 64 → ~64-token expected chunks) — edit-robust chunk alignment for
     * chunk-level dedup. Entirely in-row; the only added plan node is the
@@ -1400,7 +1408,8 @@ object SparkEntry {
     "q81_gram_matrix" -> (gramQ _),
     "q82_profile_cat" -> (profileCatQ _),
     "q83_join_size" -> (joinSizeQ _),
-    "q84_asof_forward" -> (asofForwardQ _)
+    "q84_asof_forward" -> (asofForwardQ _),
+    "q85_dup_span_ranges" -> (dupSpanRangesQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1641,6 +1650,32 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_windows,
         |  CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup_frac
         |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same window-string grouping as q68; the island sum replays the
+    // fixed-width interval union (new span when the start gap exceeds 8)
+    "q85_dup_span_ranges" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS sp, array_to_string(t[i:i+7], ' ') AS s
+        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |duph AS (
+        |  SELECT s FROM (SELECT s, doc_id FROM win GROUP BY 1, 2)
+        |  GROUP BY s HAVING COUNT(*) >= 2),
+        |dup AS (SELECT doc_id, sp FROM win WHERE s IN (SELECT s FROM duph)),
+        |isl AS (
+        |  SELECT doc_id, sp,
+        |    SUM(CASE WHEN psp IS NULL OR sp - psp > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY sp) AS island
+        |  FROM (SELECT doc_id, sp,
+        |          LAG(sp) OVER (PARTITION BY doc_id ORDER BY sp) AS psp
+        |        FROM dup))
+        |SELECT doc_id, CAST(MIN(sp) AS BIGINT) AS span_start,
+        |  CAST(MAX(sp) + 7 AS BIGINT) AS span_end,
+        |  CAST(MAX(sp) + 7 - MIN(sp) + 1 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q69_keywords" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -642,6 +642,64 @@ object Dedup {
         col("dup_windows").cast("double") / col("n_windows"))
   }
 
+  /** Maximal duplicated span RANGES — the cut list the
+    * [[duplicatedSpans]] screen exists to feed (Lee et al. 2022 exact
+    * substring dedup removes the duplicated spans themselves, not whole
+    * documents). A window instance is duplicated when its content appears
+    * in at least one OTHER document (the screen's criterion); overlapping
+    * and touching duplicated windows merge into one maximal token range.
+    * Returns `(id, span_start, span_end, span_tokens)` — 1-based inclusive
+    * token positions, one row per maximal range, ordered within doc — the
+    * exact character of what a span-cutting pass deletes.
+    *
+    * Shape: the [[spanWindowHashes]] stream keeps its start position →
+    * duplicated-hash set from the same (hash, doc)-grain count as the
+    * screen → semi-join instances against it on the hash → merge per doc.
+    * Because all windows share one width, interval union degenerates to
+    * gaps-and-islands on start positions (new island when the gap between
+    * consecutive duplicated starts exceeds the window width — W7's move),
+    * so the merge is two window functions over per-DOC partitions (bounded
+    * by document length, never corpus-grain). Every corpus-sized exchange
+    * is on the span hash or the doc id; no pair expansion exists. */
+  def duplicatedSpanRanges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), split(trim(lower(col(textCol))), "\\s+").as("t"))
+      .filter(size(col("t")) >= windowTokens)
+    val inst = toks.select(col("id"),
+      posexplode(transform(
+        sequence(lit(0), size(col("t")) - windowTokens),
+        i => PH.md5Hash60(array_join(slice(col("t"), i + 1, lit(windowTokens)), " "))))
+        .as(Seq("p", "h")))
+      .select(col("id"), (col("p") + 1).cast("long").as("sp"), col("h"))
+    // hashes seen in >= 2 documents, from the same (h, id) grain the
+    // screen aggregates to (never the raw instance stream)
+    val wNd = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val dupH = inst.groupBy("h", "id").agg(count(lit(1)).as("c"))
+      .withColumn("nd", count(lit(1)).over(wNd))
+      .filter(col("nd") >= 2)
+      .select("h").distinct()
+    val dup = inst.join(dupH, Seq("h"), "left_semi")
+    // fixed-width interval union == gaps-and-islands on starts: coverage
+    // [sp, sp+w-1] of consecutive duplicated starts stays contiguous
+    // exactly while the start gap is <= w
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("sp")
+    val prev = lag(col("sp"), 1).over(wDoc)
+    dup
+      .withColumn("brk",
+        when(prev.isNull || col("sp") - prev > windowTokens, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wDoc))
+      .groupBy("id", "island")
+      .agg(min(col("sp")).as("span_start"),
+        (max(col("sp")) + (windowTokens - 1)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .drop("island")
+  }
+
   /** Incremental [[duplicatedSpans]] — the span-level member of the
     * incremental-dedup triple ([[incrementalExactNew]] exact,
     * [[minhashIncrementalPairs]] near-dup): a NEW batch's window instance

@@ -491,6 +491,53 @@ class OperatorsSpec extends SparkSpec {
       (3L, 6L, 0L, 0.0)))
   }
 
+  test("duplicated span ranges: overlapping windows merge maximal, gaps split") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      // doc 1 vs doc 2: shared run "a b c d" (two overlapping 3-windows,
+      // starts 1,2 -> ONE maximal range 1..4) and a separate shared
+      // trigram "x y z" later (start 7 > 2+3 -> its own range 7..9)
+      (1L, "a b c d q r x y z"),
+      (2L, "a b c d s t x y z"),
+      // doc 3 repeats its own trigram but shares nothing cross-doc -> no rows
+      (3L, "m n o m n o m n o")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanRanges(docs, "doc_id", "text", windowTokens = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 1L, 4L, 4L), (1L, 7L, 9L, 3L),
+      (2L, 1L, 4L, 4L), (2L, 7L, 9L, 3L)))
+
+    // brute-force differential on messy random text (small vocab forces
+    // heavy cross-doc window collisions and both merge and split cases)
+    val rnd = new scala.util.Random(19)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (1L to 60L).map { i =>
+      (i, Seq.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val w = 4
+    val gotBig = Dedup.duplicatedSpanRanges(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", w)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val wins = corpus.map { case (id, txt) =>
+      val t = txt.trim.toLowerCase.split("\\s+")
+      id -> t.sliding(w).zipWithIndex.map { case (g, i) => (i + 1, g.mkString(" ")) }.toSeq
+    }
+    val nDocs = wins.flatMap { case (id, ws) => ws.map(x => (x._2, id)) }
+      .distinct.groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = wins.flatMap { case (id, ws) =>
+      val dupStarts = ws.collect { case (p, s) if nDocs(s) >= 2 => p }
+      val islands = dupStarts.foldLeft(List.empty[(Int, Int)]) {
+        case (Nil, s) => List((s, s))
+        case ((a, b) :: rest, s) =>
+          if (s - b <= w) (a, s) :: rest else (s, s) :: (a, b) :: rest
+      }.reverse
+      islands.map { case (a, b) =>
+        (id, a.toLong, (b + w - 1).toLong, (b + w - a).toLong) }
+    }.sortBy(r => (r._1, r._2))
+    assert(gotBig == expected)
+  }
+
   test("z-order: known interleavings, and aligned z-buckets bound both dims") {
     import graft.operators.Layout
     val known = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (3L, 5L, 39L))

@@ -232,6 +232,16 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus windows must co-partition by value: $windowSpecs")
   }
 
+  test("q85 span ranges: no pair expansion, every window hash-partitioned") {
+    val p = planString("q85_dup_span_ranges")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span merge must never expand pairs:\n" + p.take(2000))
+    // all windows partition by the span hash or the doc id — an empty
+    // partition spec would mean a single-partition corpus window
+    assert(!"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
+      "no unpartitioned window:\n" + p.take(2000))
+  }
+
   test("q75 interval overlap is an equi-join on bins: no cartesian/nested-loop") {
     val p = planString("q75_interval_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

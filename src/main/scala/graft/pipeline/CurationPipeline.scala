@@ -1,0 +1,305 @@
+package graft.pipeline
+
+import graft.functions.{PortableHash => PH, SimilarityFunctions => SF, TextFunctions => TF, TextScrub}
+import graft.operators.{Dedup, Layout, Mixing, Profiling, Sharding}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The end-to-end incremental curation pipeline — the job the operator
+  * library exists to ship: each arriving corpus batch is scrubbed,
+  * deduplicated against everything ever seen (exact, MinHash near-dup,
+  * duplicated-span), quality-gated, and appended to the curated corpus;
+  * a separate epoch step deals the accumulated corpus into deterministic
+  * training shards. Every stage is one of the already-oracled operators
+  * (TextScrub q61, incremental exact q65, incremental MinHash q60,
+  * incremental span screen q74, curation gate q76, Mixing q63, Sharding
+  * q70) — this file adds ORCHESTRATION, not new math.
+  *
+  * Restartability contract (the GoldRefresh idea applied to corpus state):
+  * all state lives in parquet under `baseDir`, and every write a batch
+  * makes goes to a `batch=<id>/` subdirectory it OWNS and overwrites
+  * whole. A batch never reads its own partitions back (store reads filter
+  * `batch != current`), so a crashed run leaves nothing a re-run can
+  * observe — re-running a batch is idempotent and byte-deterministic. The
+  * one-row manifest is written LAST as the commit marker; a batch whose
+  * manifest exists is skipped entirely on re-run.
+  *
+  * ```
+  * baseDir/
+  *   stores/exact_fp/batch=<id>/       content fingerprints ever shipped
+  *   stores/minhash_bands/batch=<id>/  LSH band table of shipped docs
+  *   stores/span_hashes/batch=<id>/    distinct span-window hashes seen
+  *   curated/batch=<id>/               the shipped curated documents
+  *   manifests/batch=<id>/             per-stage counts; commit marker
+  *   epochs/epoch=<n>/shard=<k>/       training shards (epoch step)
+  * ```
+  *
+  * 100 TB posture: only the BATCH is ever fingerprinted/banded/hashed —
+  * stores are probed by co-located equi-joins and appended, never
+  * recomputed (bucket the store dirs by their join key at cluster scale).
+  * Per-stage counts come from one `count` action per stage over persisted
+  * intermediates. The epoch step's only corpus shuffle is the shard
+  * repartition that IS the output layout, and writing one task per shard
+  * makes the output compact by construction — `shardEpoch` returns the
+  * compaction report over the freshly written epoch as the audit.
+  */
+object CurationPipeline {
+
+  /** All knobs of a pipeline instance. Defaults match the oracled query
+    * constants (q42 repetition thresholds, q62 p25 length gate, q68
+    * 8-token span windows, q18-family LSH shape). `budgetTokens <= 0`
+    * disables the mixing stage; empty `weightsPpm` means uniform shares. */
+  final case class Config(
+      baseDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source",
+      langCol: String = "lang",
+      windowTokens: Int = 8,
+      maxDupFrac: Double = 0.5,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      minhashThreshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      topTokenFrac: Double = 0.1,
+      topBigramFrac: Double = 0.05,
+      budgetTokens: Long = 0L,
+      weightsPpm: Map[String, Long] = Map.empty,
+      numShards: Int = 8,
+      targetShardBytes: Long = 1L << 30)
+
+  /** One row per pipeline stage: how many documents entered and survived. */
+  final case class StageCount(stage: String, rowsIn: Long, rowsOut: Long)
+
+  /** Result of one batch run. `skipped` = the batch was already committed
+    * and nothing was recomputed. */
+  final case class BatchReport(
+      batchId: String, skipped: Boolean, stages: Seq[StageCount])
+
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(spark, path)
+    f.exists(p)
+  }
+
+  /** Read a store root written as `batch=<id>/` partitions, EXCLUDING the
+    * running batch's own (possibly partial, crashed-run) partition; empty
+    * frame with `schema`'s columns when the store does not exist yet. */
+  private def readStore(
+      spark: SparkSession,
+      root: String,
+      excludeBatch: String,
+      like: DataFrame): DataFrame =
+    if (!exists(spark, root)) like.limit(0)
+    else spark.read.parquet(root)
+      // cast: numeric-looking batch ids would otherwise be inferred as a
+      // numeric partition column and the comparison would coerce
+      .filter(col("batch").cast("string") =!= excludeBatch)
+      .drop("batch")
+
+  private def writeBatchDir(df: DataFrame, root: String, batchId: String): Unit =
+    df.write.mode("overwrite").parquet(s"$root/batch=$batchId")
+
+  /** The q76 keep/drop verdict as an operator over any frame: repetition
+    * rule (q42 thresholds) + stopword language-id agreement (q15 kernel)
+    * + per-language exact-p25 length gate (q62 kernel, thresholds from
+    * THIS batch). Adds `keep`. */
+  def qualityGate(docs: DataFrame, cfg: Config): DataFrame = {
+    val id = col(cfg.idCol)
+    // repetition (q42): n-grams travel as xxhash64, counts over hashes
+    val toks = docs.select(id.as("__qid"),
+      explode(split(trim(lower(col(cfg.textCol))), "\\s+")).as("tok"))
+      .select(col("__qid"), xxhash64(col("tok")).as("t"))
+    val uni = toks.groupBy("__qid", "t").agg(count(lit(1)).as("c"))
+      .groupBy("__qid").agg(
+        sum(col("c")).as("__nt"),
+        max(col("c")).as("__topt"))
+    val bi = docs.select(id.as("__qid"),
+      explode(SF.tokenShingleHashes(col(cfg.textCol), 2)).as("h"))
+      .groupBy("__qid", "h").agg(count(lit(1)).as("c"))
+      .groupBy("__qid").agg(
+        sum(col("c")).as("__nb"),
+        max(col("c")).as("__topb"))
+    val repetitive = uni.join(bi, Seq("__qid"), "left")
+      .select(col("__qid"),
+        (col("__topt").cast("double") / col("__nt") > cfg.topTokenFrac ||
+          col("__topb").cast("double") / col("__nb") > cfg.topBigramFrac)
+          .as("__repetitive"))
+    // language id agreement (q15): argmax stopword hits vs the label
+    val langs = Seq(
+      "en" -> Seq("the", "and", "of"),
+      "es" -> Seq("el", "la", "de"),
+      "de" -> Seq("der", "und", "die"))
+    val scored = langs.foldLeft(docs) { case (d, (l, ws)) =>
+      d.withColumn(s"__${l}_hits", TF.stopwordHits(col(cfg.textCol), ws))
+    }
+    val langOk = scored.select(id.as("__qid"),
+      (TF.argMaxLang(langs.map { case (l, _) => l -> col(s"__${l}_hits") })
+        === col(cfg.langCol)).as("__lang_ok"))
+    // per-language exact-p25 length gate (q62) over this batch
+    val lens = docs.select(id.as("__qid"), col(cfg.langCol),
+      length(col(cfg.textCol)).cast("long").as("__len"))
+    val p25 = Profiling.exactQuantilesByKey(lens, cfg.langCol, "__len", Seq(0.25))
+      .select(col(cfg.langCol), col("value").as("__p25"))
+    val lenOk = lens.join(broadcast(p25), cfg.langCol)
+      .select(col("__qid"), (col("__len") >= col("__p25")).as("__len_ok"))
+    docs
+      .join(repetitive, id === col("__qid"), "left").drop("__qid")
+      .join(langOk, id === col("__qid"), "left").drop("__qid")
+      .join(lenOk, id === col("__qid"), "left").drop("__qid")
+      .withColumn("keep",
+        !coalesce(col("__repetitive"), lit(false)) &&
+          coalesce(col("__lang_ok"), lit(false)) &&
+          coalesce(col("__len_ok"), lit(false)))
+      .drop("__repetitive", "__lang_ok", "__len_ok")
+  }
+
+  /** Run ONE batch through the whole pipeline, reading and appending the
+    * incremental stores under `cfg.baseDir`. Deterministic, idempotent,
+    * restartable (see object doc). */
+  def runBatch(
+      spark: SparkSession,
+      rawDocs: DataFrame,
+      batchId: String,
+      cfg: Config): BatchReport = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '='),
+      s"batchId must be a plain directory token: '$batchId'")
+    require(!rawDocs.columns.contains("batch"),
+      "column name batch is reserved (store partition column)")
+    val manifestDir = s"${cfg.baseDir}/manifests/batch=$batchId"
+    if (exists(spark, manifestDir)) {
+      val m = spark.read.parquet(manifestDir)
+        .orderBy("idx").select("stage", "rows_in", "rows_out")
+        .collect().map(r => StageCount(r.getString(0), r.getLong(1), r.getLong(2)))
+      return BatchReport(batchId, skipped = true, m.toSeq)
+    }
+    val id = col(cfg.idCol)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    def staged(name: String, in: Long, out: DataFrame): (DataFrame, Long) = {
+      val p = out.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = p.count()
+      counts += StageCount(name, in, n)
+      (p, n)
+    }
+
+    // 1. scrub: pure projection (q61 kernel); also the token count the
+    //    mixing stage needs — computed once on the scrubbed text
+    val nIn = rawDocs.count()
+    val (scrubbed, nScrub) = staged("scrub", nIn,
+      rawDocs.withColumn(cfg.textCol, TextScrub.scrub(col(cfg.textCol)))
+        .withColumn("n_tokens", TF.tokenCount(col(cfg.textCol))))
+
+    // 2. exact dedup vs store + within batch (q65): only first-ever
+    //    fingerprints ship, and within the batch only the min-id doc
+    val fpStore = readStore(spark, s"${cfg.baseDir}/stores/exact_fp", batchId,
+      scrubbed.select(TF.fingerprint(col(cfg.textCol)).as("fp")))
+    val newFps = Dedup.incrementalExactNew(scrubbed, fpStore, cfg.idCol, cfg.textCol)
+    val (exactKept, nExact) = staged("exact_dedup", nScrub,
+      scrubbed.join(
+        newFps.select(col("keep_id").as(cfg.idCol)), Seq(cfg.idCol), "left_semi"))
+
+    // 3. MinHash near-dup vs store + within batch (q60): a batch doc is
+    //    dropped when it pairs above threshold with a store doc (store
+    //    wins — shipped docs are never retracted) or with a smaller-id
+    //    batch doc
+    val bandRoot = s"${cfg.baseDir}/stores/minhash_bands"
+    val newBand = Dedup.minhashBandTable(exactKept, cfg.idCol, cfg.textCol,
+      cfg.shingleSize, cfg.numHashes, cfg.rowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandStore = readStore(spark, bandRoot, batchId, newBand)
+    val pairs = Dedup.minhashIncrementalPairs(
+      newBand, bandStore, cfg.numHashes, cfg.maxBucket)
+      .filter(col("est_jaccard") >= cfg.minhashThreshold)
+    val batchIds = exactKept.select(id.as("__bid"))
+    val marked = pairs
+      .join(batchIds, col("id_a") === col("__bid"), "left")
+      .withColumn("__a_new", col("__bid").isNotNull).drop("__bid")
+      .join(batchIds, col("id_b") === col("__bid"), "left")
+      .withColumn("__b_new", col("__bid").isNotNull).drop("__bid")
+    val drops = marked.select(
+      // both new -> drop the greater id; crossing -> drop the new side
+      when(col("__a_new") && col("__b_new"), col("id_b"))
+        .when(col("__a_new"), col("id_a"))
+        .otherwise(col("id_b")).as(cfg.idCol)).distinct()
+    val (nearKept, nNear) = staged("minhash_dedup", nExact,
+      exactKept.join(drops, Seq(cfg.idCol), "left_anti"))
+
+    // 4. duplicated-span screen vs store + within batch (q74): drop docs
+    //    whose duplicated-window fraction exceeds maxDupFrac
+    val spanRoot = s"${cfg.baseDir}/stores/span_hashes"
+    val spanStore = readStore(spark, spanRoot, batchId,
+      Dedup.spanWindowHashes(nearKept.limit(0), cfg.idCol, cfg.textCol,
+        cfg.windowTokens).select("h"))
+    val spanDrops = Dedup.duplicatedSpansIncremental(
+      nearKept, spanStore, cfg.idCol, cfg.textCol, cfg.windowTokens)
+      .filter(col("dup_frac") > cfg.maxDupFrac)
+      .select(col("id").as(cfg.idCol))
+    val (spanKept, nSpan) = staged("span_screen", nNear,
+      nearKept.join(spanDrops, Seq(cfg.idCol), "left_anti"))
+
+    // 5. quality gate (q76)
+    val (gated, nGate) = staged("quality_gate", nSpan,
+      qualityGate(spanKept, cfg).filter(col("keep")).drop("keep"))
+
+    // 6. domain mixing to the token budget (q63), if configured
+    val (mixed, nMix) =
+      if (cfg.budgetTokens <= 0L) (gated, nGate)
+      else staged("mixing", nGate, {
+        val m =
+          if (cfg.weightsPpm.nonEmpty)
+            Mixing.mixByTokenBudget(gated, cfg.idCol, cfg.sourceCol,
+              "n_tokens", cfg.budgetTokens, cfg.weightsPpm)
+          else Mixing.mixUniform(gated, cfg.idCol, cfg.sourceCol,
+            "n_tokens", cfg.budgetTokens)
+        m.drop("rate_ppm")
+      })
+
+    // 7. persist batch-owned partitions; manifest LAST as commit marker.
+    //    What each store absorbs: exact_fp takes every NEW fingerprint
+    //    (content dropped by a later gate must still dedupe future exact
+    //    repeats); the band store takes near-dup SURVIVORS only (a dropped
+    //    near-dup would just flood the buckets its keeper already covers);
+    //    the span store takes the minhash survivors' hashes (everything
+    //    the span stage evaluated), anti-joined to stay a set.
+    writeBatchDir(newFps.select("fp"), s"${cfg.baseDir}/stores/exact_fp", batchId)
+    writeBatchDir(
+      newBand.join(nearKept.select(id.as("id")), Seq("id"), "left_semi"),
+      bandRoot, batchId)
+    writeBatchDir(
+      Dedup.spanWindowHashes(nearKept, cfg.idCol, cfg.textCol, cfg.windowTokens)
+        .select("h").distinct()
+        .join(spanStore, Seq("h"), "left_anti"),
+      spanRoot, batchId)
+    writeBatchDir(mixed, s"${cfg.baseDir}/curated", batchId)
+    val manifest = counts.toSeq
+    import spark.implicits._
+    writeBatchDir(
+      manifest.zipWithIndex
+        .map { case (s, i) => (i, s.stage, s.rowsIn, s.rowsOut) }
+        .toDF("idx", "stage", "rows_in", "rows_out"),
+      s"${cfg.baseDir}/manifests", batchId)
+
+    Seq(scrubbed, exactKept, newBand, nearKept, spanKept, gated, mixed)
+      .foreach(_.unpersist(blocking = false))
+    BatchReport(batchId, skipped = false, manifest)
+  }
+
+  /** Deal the accumulated curated corpus into `cfg.numShards` deterministic
+    * training shards for `epoch` (q70 semantics: seedless md5 permutation,
+    * byte-identical across reruns and cluster sizes). One task writes each
+    * shard, so the layout is compact by construction — the returned
+    * compaction report over the fresh epoch directory is the audit (every
+    * shard should show `n_files <= target`). */
+  def shardEpoch(spark: SparkSession, cfg: Config, epoch: Int): DataFrame = {
+    val curated = spark.read.parquet(s"${cfg.baseDir}/curated").drop("batch")
+    val outDir = s"${cfg.baseDir}/epochs/epoch=$epoch"
+    Sharding.writeShards(curated, cfg.idCol, epoch, cfg.numShards, outDir)
+    Layout.compactionReport(spark, outDir, cfg.targetShardBytes)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipeline.CurationPipeline
+import graft.pipeline.CurationPipeline.Config
+import org.apache.spark.sql.functions._
+
+/** End-to-end integration of the incremental curation pipeline: every
+  * stage drops exactly the documents it was engineered to drop, the
+  * cross-BATCH drops prove each store is consulted (exact fingerprints,
+  * minhash bands, span hashes), re-runs are skipped via the manifest,
+  * a crashed run (data written, manifest missing) replays to identical
+  * state, and the whole pipeline + epoch sharding is deterministic
+  * across independent base directories. */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 24 mostly-doc-unique tokens with the en stopwords present; long
+  // enough for 4-token windows and clearly above the short doc's length
+  private def goodText(tag: String): String =
+    (Seq("the", "and", "of") ++ (1 to 21).map(i => s"w${tag}_$i")).mkString(" ")
+
+  private val d1 = goodText("a")
+  private val d2 = goodText("b")
+  // near-dup of d2: one extra trailing token -> 2-shingle jaccard 23/24,
+  // far above the 0.8 gate; NOT an exact duplicate
+  private val nearD2 = d2 + " w_b_21"
+  // span-overlap with d1 but LOW shingle jaccard (~0.5): 16 of d1's
+  // tokens then 6 fresh -> 13 of 19 4-token windows duplicated (0.68)
+  private val spanD1 =
+    (d1.split(" ").take(16) ++ (1 to 6).map(i => s"f_$i")).mkString(" ")
+  private val repetitive = Seq.fill(24)("r5").mkString(" ")
+
+  private val batch1 = Seq(
+    (1L, "srcA", "en", d1),
+    (2L, "srcB", "en", d2),
+    (3L, "srcA", "en", d1),         // exact dup of 1 within batch
+    (4L, "srcB", "en", nearD2),     // near-dup of 2 within batch
+    (5L, "srcA", "en", repetitive), // gate: repetition
+    (6L, "srcA", "de", goodText("c")), // gate: langid disagreement
+    (7L, "srcA", "en", "the w7 and of")) // gate: below p25 length
+
+  private val batch2 = Seq(
+    (8L, "srcA", "en", goodText("d") + " mail me at bob@example.com"),
+    (9L, "srcB", "en", d1),          // exact dup of SHIPPED doc 1 (store)
+    (10L, "srcB", "en", d2 + " w_b_22"), // near-dup of shipped 2 (band store)
+    (11L, "srcA", "en", spanD1),     // span-dup of shipped 1 (span store)
+    (12L, "srcA", "en", repetitive)) // exact dup of EVALUATED-but-dropped 5
+
+  private def df(rows: Seq[(Long, String, String, String)]) =
+    rows.toDF("doc_id", "source", "lang", "text")
+
+  private def cfg(base: String) = Config(
+    baseDir = base, windowTokens = 4, shingleSize = 2,
+    numHashes = 16, rowsPerBand = 4, minhashThreshold = 0.8,
+    maxDupFrac = 0.5, numShards = 4)
+
+  private def runBoth(base: String): Seq[CurationPipeline.BatchReport] = Seq(
+    CurationPipeline.runBatch(spark, df(batch1), "b1", cfg(base)),
+    CurationPipeline.runBatch(spark, df(batch2), "b2", cfg(base)))
+
+  private def curated(base: String): Seq[(Long, String)] =
+    spark.read.parquet(s"$base/curated")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+
+  test("stores drive cross-batch drops; per-stage counts are exact") {
+    val base = Files.createTempDirectory("graft-pipe").toString
+    val Seq(r1, r2) = runBoth(base)
+
+    assert(!r1.skipped && !r2.skipped)
+    assert(r1.stages.map(s => (s.stage, s.rowsIn, s.rowsOut)) == Seq(
+      ("scrub", 7L, 7L),
+      ("exact_dedup", 7L, 6L),   // 3 collapses into 1
+      ("minhash_dedup", 6L, 5L), // 4 near-dups 2 (within batch)
+      ("span_screen", 5L, 5L),   // nothing in the empty store matches
+      ("quality_gate", 5L, 2L))) // 5 repetitive, 6 wrong lang, 7 short
+    assert(r2.stages.map(s => (s.stage, s.rowsIn, s.rowsOut)) == Seq(
+      ("scrub", 5L, 5L),
+      ("exact_dedup", 5L, 3L),   // 9 == shipped 1; 12 == evaluated 5
+      ("minhash_dedup", 3L, 2L), // 10 near-dups shipped 2 via band store
+      ("span_screen", 2L, 1L),   // 11 dup-spans shipped 1 via span store
+      ("quality_gate", 1L, 1L)))
+
+    val got = curated(base)
+    assert(got.map(_._1) == Seq(1L, 2L, 8L))
+    // the scrub stage ran before anything was stored or shipped
+    val d8text = got.find(_._1 == 8L).get._2
+    assert(d8text.endsWith("mail me at <EMAIL>") && !d8text.contains("@"))
+  }
+
+  test("committed batches are skipped; a crashed batch replays to identical state") {
+    val base = Files.createTempDirectory("graft-pipe").toString
+    runBoth(base)
+    val before = curated(base)
+    val spanStore = spark.read.parquet(s"$base/stores/span_hashes")
+      .as[(Long, String)].collect().toSet
+
+    // re-run committed -> skipped, counts come from the manifest
+    val again = CurationPipeline.runBatch(spark, df(batch2), "b2", cfg(base))
+    assert(again.skipped)
+    assert(again.stages.map(_.stage) ==
+      Seq("scrub", "exact_dedup", "minhash_dedup", "span_screen", "quality_gate"))
+
+    // simulate a crash AFTER data writes, BEFORE the commit marker: delete
+    // only b2's manifest; the re-run must redo b2 against b1-only stores
+    // (its own partial partitions are excluded by the batch filter) and
+    // land in exactly the same state
+    val mfs = new org.apache.hadoop.fs.Path(s"$base/manifests/batch=b2")
+    mfs.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mfs, true)
+    val replay = CurationPipeline.runBatch(spark, df(batch2), "b2", cfg(base))
+    assert(!replay.skipped)
+    assert(curated(base) == before)
+    assert(spark.read.parquet(s"$base/stores/span_hashes")
+      .as[(Long, String)].collect().toSet == spanStore)
+  }
+
+  test("pipeline + epoch sharding is deterministic across base dirs") {
+    val baseA = Files.createTempDirectory("graft-pipeA").toString
+    val baseB = Files.createTempDirectory("graft-pipeB").toString
+    runBoth(baseA)
+    runBoth(baseB)
+    assert(curated(baseA) == curated(baseB))
+
+    def shards(base: String): (Seq[(String, Long, Long, Boolean)], Seq[(Long, Int, Long)]) = {
+      val rep = CurationPipeline.shardEpoch(spark, cfg(base), epoch = 1)
+        .select("partition", "n_files", "target_files", "needs_compaction")
+        .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      val rows = spark.read.parquet(s"$base/epochs/epoch=1")
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+        .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+      (rep, rows)
+    }
+    val (repA, rowsA) = shards(baseA)
+    val (repB, rowsB) = shards(baseB)
+    assert(rowsA == rowsB)
+    assert(rowsA.map(_._1) == Seq(1L, 2L, 8L)) // every curated doc exactly once
+    // one task wrote each shard: compact by construction, audit agrees
+    assert(repA == repB && repA.forall(r => r._2 == 1L && !r._4))
+  }
+}

@@ -23,7 +23,12 @@ object Sessions {
 
   /** Local profile: `local[cores]`, shuffle partitions = cores (not the
     * 200 default — at sf0.1 a 200-way shuffle is pure task overhead), AQE
-    * on, UI off. Used by Verify/Bench and the test harness. */
+    * on, UI off, and the graft native functions installed CONFIG-BASED
+    * (`spark.sql.extensions`) — the same posture as [[clusterConf]], so
+    * `newSession()` children resolve graft_md5h60/graft_cosine from their
+    * own registries and the PortableHash single-session caveat never
+    * applies under a profile session. Used by Verify/Bench and mirrored by
+    * the test harness. */
   def local(cores: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -32,6 +37,7 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

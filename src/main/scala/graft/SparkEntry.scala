@@ -921,6 +921,14 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "span_start")
 
+  /** LSH bucket-occupancy probe (q86): the pre-flight that tells you how
+    * q18's pair harvest will scale before running it — expansion work is
+    * `sum(occ*(occ-1)/2)` over band buckets at the distinct-signature
+    * grain. Same portable params as q18, so DuckDB replays the pipeline. */
+  private def minhashStatsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashBucketStats(documents(s, dir), "doc_id", "text",
+      shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+
   /** Content-defined chunking: rolling-hash boundaries (window 4, divisor
     * 64 → ~64-token expected chunks) — edit-robust chunk alignment for
     * chunk-level dedup. Entirely in-row; the only added plan node is the
@@ -1409,7 +1417,8 @@ object SparkEntry {
     "q82_profile_cat" -> (profileCatQ _),
     "q83_join_size" -> (joinSizeQ _),
     "q84_asof_forward" -> (asofForwardQ _),
-    "q85_dup_span_ranges" -> (dupSpanRangesQ _)
+    "q85_dup_span_ranges" -> (dupSpanRangesQ _),
+    "q86_minhash_stats" -> (minhashStatsQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1590,6 +1599,21 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q18_minhash_pairs" -> minhashOracleSql,
+    // distinct-signature grain: identical docs collapse BEFORE banding,
+    // exactly what the probe (and the harvest) count
+    "q86_minhash_stats" ->
+      s"""WITH $minhashPipelineCte,
+         |dsig AS (SELECT DISTINCT sig, bno, bk FROM banded),
+         |occ AS (
+         |  SELECT bno, bk, CAST(COUNT(*) AS BIGINT) AS occ
+         |  FROM dsig GROUP BY 1, 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(occ) AS BIGINT) AS n_sig_band_rows,
+         |  CAST(MAX(occ) AS BIGINT) AS max_occ,
+         |  CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_multi_buckets,
+         |  CAST(SUM(occ * (occ - 1) / 2) AS BIGINT) AS pair_work
+         |FROM occ""".stripMargin,
     "q19_simhash" ->
       s"""WITH $simhashSqlCte
          |SELECT id, simhash, simhash >> 45 AS bucket FROM sim ORDER BY id""".stripMargin,

@@ -43,13 +43,17 @@ object PortableHash {
     * allocations per shingle). Falls back to the built-in formulation if
     * no active session exists to register the function against.
     *
-    * Single-session assumption: `graft_md5h60` is registered against the
-    * session active when the Column is BUILT; analyzing that Column under a
-    * different SparkSession (`newSession()`, multi-session drivers) fails to
-    * resolve the temp function. Multi-session deployments should install
-    * [[graft.plans.GraftExtensions]] via
-    * `spark.sql.extensions=graft.plans.GraftExtensions` (config-based
-    * registration, applied to every session) — that is the supported path. */
+    * Session resolution: `ensureRegistered` registers a temp function
+    * against the session active when the Column is BUILT — on a vanilla
+    * session, analyzing that Column under a different SparkSession
+    * (`newSession()`, multi-session drivers) would fail to resolve it.
+    * Both `Sessions.local` and the documented cluster profile therefore
+    * install [[graft.plans.GraftExtensions]] config-based
+    * (`spark.sql.extensions=graft.plans.GraftExtensions`), which puts the
+    * functions in EVERY session's own registry — under a profile session
+    * the caveat never applies (multi-session resolution is pinned in
+    * PlansSpec); the imperative path remains only as the vanilla-session
+    * fallback. */
   def md5Hash60(c: Column): Column =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) =>

@@ -150,6 +150,38 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Band-bucket occupancy probe for the minhash pair harvest — the LSH
+    * twin of [[SkewJoin.joinSizeEstimate]]: the harvest's expansion work is
+    * `sum(occ * (occ-1) / 2)` over (band, key) buckets at the
+    * distinct-signature grain (exactly what [[minhashCandidatePairs]]
+    * expands), so this one-row probe says how pair cost will scale BEFORE
+    * committing the run. `pair_work` growing faster than corpus size means
+    * bucket occupancy (near-dup density / band collision rate), not
+    * per-row cost, is the driver — the knob is more bands (smaller
+    * collision rate per band) or a tighter `maxBucket`. */
+  def minhashBucketStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      portable: Boolean = false): DataFrame = {
+    val distinctSigs =
+      minhashSigs(docs, idCol, textCol, shingleSize, numHashes, portable)
+        .select("sig").distinct()
+    val occ = bandify(distinctSigs, numHashes, rowsPerBand, portable)
+      .groupBy("bno", "bk").agg(count(lit(1)).as("occ"))
+    occ.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("occ")).as("n_sig_band_rows"),
+      max(col("occ")).as("max_occ"),
+      sum(when(col("occ") >= 2, lit(1L)).otherwise(lit(0L))).as("n_multi_buckets"),
+      // occ*(occ-1) is even, so the halved double is integer-exact
+      sum((col("occ") * (col("occ") - lit(1L))) / lit(2.0)).cast("long")
+        .as("pair_work"))
+  }
+
   /** The persistable MinHash signature/band table `(id, sig, bno, bk)` — the
     * "signature store" of an incremental dedup pipeline: write it once per
     * corpus, append per batch, and candidate pairs for new data come from

@@ -491,6 +491,32 @@ class OperatorsSpec extends SparkSpec {
       (3L, 6L, 0L, 0.0)))
   }
 
+  test("minhash bucket stats: distinct-signature grain, pair_work tracks the harvest") {
+    import graft.operators.Dedup
+    def stats(rows: Seq[(Long, String)]) =
+      Dedup.minhashBucketStats(rows.toDF("doc_id", "text"), "doc_id", "text",
+        shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+        .as[(Long, Long, Long, Long, Long)].collect().head
+    val a = (Seq("the", "quick", "brown", "fox") ++ (1 to 8).map(i => s"a$i")).mkString(" ")
+    val uniques = (1 to 5).map(i => (100L + i, (1 to 12).map(j => s"u${i}_$j").mkString(" ")))
+    // 10 exact copies of A collapse to ONE signature: occupancy never sees
+    // the duplication flood (the q18 exact-dup-collapse move, as a probe)
+    val (nb, rows, maxOcc, multi, work) =
+      stats((1L to 10L).map(i => (i, a)) ++ uniques)
+    assert(rows == 6L * 4L && nb == rows && maxOcc == 1L && multi == 0L && work == 0L)
+    // a true near-dup of A adds one distinct signature; every band where
+    // the two signatures agree is one occ-2 bucket, each worth 1 expansion
+    val withNear = (1L to 10L).map(i => (i, a)) ++ uniques :+ (200L, a + " tail")
+    val (_, _, m2, multi2, work2) = stats(withNear)
+    assert(work2 == multi2 && m2 <= 2L)
+    val pairs = Dedup.minhashCandidatePairs(withNear.toDF("doc_id", "text"),
+      "doc_id", "text", shingleSize = 2, numHashes = 32, rowsPerBand = 8,
+      portable = true).collect()
+    // probe and harvest agree on whether any cross-signature pair exists
+    // (within-group exact-dup pairs don't go through buckets)
+    assert((work2 > 0) == pairs.exists(_.getDouble(2) < 1.0))
+  }
+
   test("duplicated span ranges: overlapping windows merge maximal, gaps split") {
     import graft.operators.Dedup
     val docs = Seq(

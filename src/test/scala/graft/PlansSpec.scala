@@ -11,6 +11,33 @@ class PlansSpec extends SparkSpec {
     (i, Array.tabulate(16)(j => math.sin(i * 31 + j).toFloat))
   }.toDF("vec_id", "embedding")
 
+  test("multi-session: columns built under one session resolve in a newSession") {
+    import org.apache.spark.sql.SparkSession
+    // the PortableHash caveat scenario: the Column is BUILT while the
+    // parent session is active (temp-function path registers against it),
+    // then analyzed under an isolated child session — resolution must come
+    // from the child's own registry, populated by the config-based
+    // GraftExtensions installation the profiles default to
+    val child = spark.newSession()
+    assert(child ne spark)
+    SparkSession.setActiveSession(spark)
+    val hashCol = graft.functions.PortableHash.md5Hash60(col("s"))
+    val cosCol = GraftExtensions.cosine(spark, col("a"), col("b"))
+    try {
+      val hashed = child.createDataFrame(Seq(Tuple1("abc"))).toDF("s")
+        .select(hashCol.as("h")).collect().head.getLong(0)
+      // DuckDB-equivalent md5 prefix value for "abc"
+      assert(hashed == java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(1, 16), 16))
+      val cos = child.createDataFrame(
+        Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)))).toDF("a", "b")
+        .select(cosCol.as("c")).collect().head.getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+    } finally SparkSession.setActiveSession(spark)
+  }
+
   test("native graft_cosine matches the HOF formulation within float tolerance") {
     // not bit-identical by design: zip_with multiplies in FLOAT, the native
     // expression promotes to double per element (strictly more precise)

@@ -122,8 +122,34 @@ object Bench {
           s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); min-of-2 timings; ratio ~10 = linear scaling""""
         }
       }
+    // Composed-job throughput: the end-to-end curation pipeline (scrub ->
+    // exact/minhash/span incremental dedup -> gate -> curated append, two
+    // batches + epoch sharding) over the documents table — the operator
+    // library exercised as ONE job, not 86 isolated queries.
+    val pipeJson = try {
+      import org.apache.spark.sql.functions.col
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
+      val docs = Tables.documents(spark, sfDir)
+      val cfgP = graft.pipeline.CurationPipeline.Config(baseDir = tmp)
+      val t0 = System.nanoTime()
+      val rs = Seq(
+        graft.pipeline.CurationPipeline.runBatch(
+          spark, docs.filter(col("doc_id") % 2 === 0), "b1", cfgP),
+        graft.pipeline.CurationPipeline.runBatch(
+          spark, docs.filter(col("doc_id") % 2 === 1), "b2", cfgP))
+      graft.pipeline.CurationPipeline.shardEpoch(spark, cfgP, epoch = 1).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      for (r <- rs)
+        System.err.println(s"[bench] pipeline ${r.batchId}: " +
+          r.stages.map(s => s"${s.stage} ${s.rowsIn}->${s.rowsOut}").mkString(", "))
+      val curated = rs.flatMap(_.stages.lastOption.map(_.rowsOut)).sum
+      System.err.println(f"[bench] pipeline end-to-end t=$t%.3f curated=$curated")
+      s""","pipeline":{"sec":$t,"docs_in":${rs.flatMap(_.stages.headOption.map(_.rowsIn)).sum},"curated":$curated,"note":"2 incremental batches + epoch sharding over documents"}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] pipeline failed: ${e.getMessage}"); ""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json$pipeJson}"""
     println(json)
     // Also persist to the repo root: the driver captures only the stdout
     // tail, and a long per-query map has been truncated out of the round

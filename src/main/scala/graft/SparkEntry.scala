@@ -921,6 +921,14 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "span_start")
 
+  /** Exact substring CUT (q87): q85's maximal ranges applied — duplicated
+    * spans deleted from every document, survivors rejoined (Lee et al.
+    * span cutting, the step the q68 screen and q85 ranges exist for). */
+  private def cutSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.cutDuplicatedSpans(documents(s, dir), "doc_id", "text", windowTokens = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** LSH bucket-occupancy probe (q86): the pre-flight that tells you how
     * q18's pair harvest will scale before running it — expansion work is
     * `sum(occ*(occ-1)/2)` over band buckets at the distinct-signature
@@ -1418,7 +1426,8 @@ object SparkEntry {
     "q83_join_size" -> (joinSizeQ _),
     "q84_asof_forward" -> (asofForwardQ _),
     "q85_dup_span_ranges" -> (dupSpanRangesQ _),
-    "q86_minhash_stats" -> (minhashStatsQ _)
+    "q86_minhash_stats" -> (minhashStatsQ _),
+    "q87_cut_spans" -> (cutSpansQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1700,6 +1709,44 @@ object SparkEntry {
         |  CAST(MAX(sp) + 7 - MIN(sp) + 1 AS BIGINT) AS span_tokens
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    // q85's range chain + the cut: original-case tokens anti-filtered by
+    // position against the ranges, rejoined with single spaces
+    "q87_cut_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+        |         string_split_regex(trim(text), '\s+') AS torig
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS sp, array_to_string(t[i:i+7], ' ') AS s
+        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |duph AS (
+        |  SELECT s FROM (SELECT s, doc_id FROM win GROUP BY 1, 2)
+        |  GROUP BY s HAVING COUNT(*) >= 2),
+        |dup AS (SELECT doc_id, sp FROM win WHERE s IN (SELECT s FROM duph)),
+        |isl AS (
+        |  SELECT doc_id, sp,
+        |    SUM(CASE WHEN psp IS NULL OR sp - psp > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY sp) AS island
+        |  FROM (SELECT doc_id, sp,
+        |          LAG(sp) OVER (PARTITION BY doc_id ORDER BY sp) AS psp
+        |        FROM dup)),
+        |rng AS (
+        |  SELECT doc_id, MIN(sp) AS a, MAX(sp) + 7 AS b
+        |  FROM isl GROUP BY doc_id, island),
+        |tokpos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, torig[i] AS tok
+        |  FROM d, unnest(generate_series(1, len(torig))) AS u(i)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM rng r
+        |                    WHERE r.doc_id = tp.doc_id AND tp.p BETWEEN r.a AND r.b))
+        |SELECT d2.doc_id, COALESCE(k.text, '') AS text,
+        |  CAST(d2.n - COALESCE(k.n, 0) AS BIGINT) AS n_cut
+        |FROM (SELECT doc_id, len(torig) AS n FROM d) d2
+        |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+        |             COUNT(*) AS n FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q69_keywords" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -732,6 +732,44 @@ object Dedup {
       .drop("island")
   }
 
+  /** Apply [[duplicatedSpanRanges]] — the actual CUT: every token inside a
+    * maximal duplicated range is removed and the survivors are rejoined
+    * with single spaces (Lee et al.'s exact substring dedup deletes the
+    * spans and keeps the rest of the document). Returns
+    * `(id, text, n_cut)` for EVERY input doc — text is the
+    * whitespace-normalized rebuild (unchanged docs too, so output form
+    * does not depend on whether a doc was cut), `n_cut` the tokens
+    * removed. Original token case is preserved: positions are computed on
+    * the lowercased tokenization (the hash side) but applied to the
+    * original tokens — the split boundaries are identical.
+    *
+    * Scale shape: the range list folds to a per-doc array (bounded by doc
+    * length), joins back on id, and the cut itself is in-row HOFs —
+    * transform/exists/filter — adding one id-grain exchange to the ranges
+    * plan and nothing corpus-quadratic. */
+  def cutDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    val ranges = duplicatedSpanRanges(docs, idCol, textCol, windowTokens)
+      .groupBy("id")
+      .agg(collect_list(
+        struct(col("span_start").as("a"), col("span_end").as("b"))).as("rs"))
+    docs.select(col(idCol).as("id"), col(textCol))
+      .join(ranges, Seq("id"), "left")
+      .withColumn("rs",
+        coalesce(col("rs"), array().cast("array<struct<a:bigint,b:bigint>>")))
+      .withColumn("toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("kept", filter(
+        transform(col("toks"), (t, i) => struct(t.as("t"), (i + 1).cast("long").as("p"))),
+        x => !exists(col("rs"), r =>
+          x.getField("p") >= r.getField("a") && x.getField("p") <= r.getField("b"))))
+      .select(col("id"),
+        array_join(transform(col("kept"), _.getField("t")), " ").as("text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"))
+  }
+
   /** Incremental [[duplicatedSpans]] — the span-level member of the
     * incremental-dedup triple ([[incrementalExactNew]] exact,
     * [[minhashIncrementalPairs]] near-dup): a NEW batch's window instance

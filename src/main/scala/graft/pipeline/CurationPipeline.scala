@@ -167,7 +167,18 @@ object CurationPipeline {
       spark: SparkSession,
       rawDocs: DataFrame,
       batchId: String,
-      cfg: Config): BatchReport = {
+      cfg: Config): BatchReport =
+    runBatch(spark, rawDocs, batchId, cfg, Nil)
+
+  /** [[runBatch]] with source-stage counts prepended to the manifest —
+    * used by the ingest faces (e.g. [[runJsonlBatch]]'s parse/quarantine
+    * split) so the committed manifest covers the whole journey. */
+  def runBatch(
+      spark: SparkSession,
+      rawDocs: DataFrame,
+      batchId: String,
+      cfg: Config,
+      preStages: Seq[StageCount]): BatchReport = {
     require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '='),
       s"batchId must be a plain directory token: '$batchId'")
     require(!rawDocs.columns.contains("batch"),
@@ -181,6 +192,7 @@ object CurationPipeline {
     }
     val id = col(cfg.idCol)
     val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    counts ++= preStages
     def staged(name: String, in: Long, out: DataFrame): (DataFrame, Long) = {
       val p = out.persist(StorageLevel.MEMORY_AND_DISK)
       val n = p.count()
@@ -288,6 +300,34 @@ object CurationPipeline {
     Seq(scrubbed, exactKept, newBand, nearKept, spanKept, gated, mixed)
       .foreach(_.unpersist(blocking = false))
     BatchReport(batchId, skipped = false, manifest)
+  }
+
+  /** The JSONL ingest face: parse `path` with the schema-enforced
+    * [[graft.sources.JsonlCorpus]] source, write the corrupt-line
+    * quarantine to a batch-owned partition, and run the good side through
+    * [[runBatch]]. The manifest's first stage records the parse split
+    * (lines in, documents out) so the committed record covers the corpus
+    * from raw lines to curated rows. */
+  def runJsonlBatch(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      batchId: String,
+      cfg: Config): BatchReport = {
+    val manifestDir = s"${cfg.baseDir}/manifests/batch=$batchId"
+    if (exists(spark, manifestDir))
+      return runBatch(spark, spark.emptyDataFrame, batchId, cfg) // skip path
+    val parsed = graft.sources.JsonlCorpus.parse(spark, path, schema)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nLines = parsed.count()
+      val docs = graft.sources.JsonlCorpus.documents(parsed)
+      val quarantine = graft.sources.JsonlCorpus.quarantine(parsed)
+      writeBatchDir(quarantine, s"${cfg.baseDir}/quarantine", batchId)
+      val nDocs = nLines - quarantine.count()
+      runBatch(spark, docs, batchId, cfg,
+        Seq(StageCount("jsonl_parse", nLines, nDocs)))
+    } finally parsed.unpersist(blocking = false)
   }
 
   /** Deal the accumulated curated corpus into `cfg.numShards` deterministic

@@ -116,6 +116,37 @@ class CurationPipelineSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == spanStore)
   }
 
+  test("jsonl ingest face: quarantine split recorded, curated output identical") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    def jline(r: (Long, String, String, String)) =
+      s"""{"doc_id":${r._1},"source":"${r._2}","lang":"${r._3}","text":"${r._4}"}"""
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/b1.jsonl"),
+      (batch1.map(jline) :+ "{broken").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/b2.jsonl"),
+      batch2.map(jline).mkString("\n").getBytes("UTF-8"))
+
+    val base = Files.createTempDirectory("graft-pipe-jsonl").toString
+    val r1 = CurationPipeline.runJsonlBatch(spark, s"$dir/b1.jsonl", schema, "b1", cfg(base))
+    val r2 = CurationPipeline.runJsonlBatch(spark, s"$dir/b2.jsonl", schema, "b2", cfg(base))
+    // parse split leads the manifest; the corrupt line went to quarantine
+    assert(r1.stages.head == CurationPipeline.StageCount("jsonl_parse", 8L, 7L))
+    assert(r2.stages.head == CurationPipeline.StageCount("jsonl_parse", 5L, 5L))
+    assert(spark.read.parquet(s"$base/quarantine").count() == 1L)
+    // same curated corpus as the DataFrame-input path
+    val direct = Files.createTempDirectory("graft-pipe-direct").toString
+    runBoth(direct)
+    assert(curated(base) == curated(direct))
+    // committed jsonl batches skip without re-reading the file
+    assert(CurationPipeline.runJsonlBatch(
+      spark, s"$dir/missing.jsonl", schema, "b2", cfg(base)).skipped)
+  }
+
   test("pipeline + epoch sharding is deterministic across base dirs") {
     val baseA = Files.createTempDirectory("graft-pipeA").toString
     val baseB = Files.createTempDirectory("graft-pipeB").toString

@@ -564,6 +564,43 @@ class OperatorsSpec extends SparkSpec {
     assert(gotBig == expected)
   }
 
+  test("cut spans: duplicated ranges removed, case kept, n_cut ties to ranges") {
+    import graft.operators.Dedup
+    // docs 1/2 share "A b c d" (tokens 1-4) and "x y z" (7-9); the cut
+    // leaves the middles; doc 3 is untouched but still rebuilt normalized
+    val docs = Seq(
+      (1L, "A b c d q r x y z"),
+      (2L, "a B c d s t x y z"),
+      (3L, "  m n  o p ")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cutDuplicatedSpans(docs, "doc_id", "text", windowTokens = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "q r", 7L), (2L, "s t", 7L), (3L, "m n o p", 0L)))
+
+    // invariant on messy random text: per doc, n_cut == the ranges'
+    // span_tokens total, and the rebuilt text is the uncovered positions
+    val rnd = new scala.util.Random(23)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val corpus = (1L to 40L).map { i =>
+      (i, Seq.fill(25)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val w = 4
+    val cut = Dedup.cutDuplicatedSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", w)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val ranges = Dedup.duplicatedSpanRanges(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", w)
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    for ((id, txt) <- corpus) {
+      val toks = txt.split("\\s+")
+      val rs = ranges.getOrElse(id, Array.empty)
+      val covered = rs.flatMap(r => r._2 to r._3).toSet
+      val expect = toks.zipWithIndex.collect {
+        case (t, i) if !covered.contains(i + 1L) => t }.mkString(" ")
+      assert(cut(id) == ((expect, rs.map(_._4).sum)), s"doc $id")
+    }
+  }
+
   test("z-order: known interleavings, and aligned z-buckets bound both dims") {
     import graft.operators.Layout
     val known = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (3L, 5L, 39L))

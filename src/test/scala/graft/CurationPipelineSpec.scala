@@ -147,6 +147,33 @@ class CurationPipelineSpec extends SparkSpec {
       spark, s"$dir/missing.jsonl", schema, "b2", cfg(base)).skipped)
   }
 
+  test("streaming curation == offline batches on the same prefix; replay is a skip") {
+    import graft.streaming.CurationStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-pipe-stream").toString
+    val offline = Files.createTempDirectory("graft-pipe-off").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = CurationStream.writer(
+      input.toDF().toDF("doc_id", "source", "lang", "text"),
+      cfg(base), s"$base/ckpt", trigger = Trigger.ProcessingTime(0)).start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the offline job with the stream's derived batch ids lands on the
+    // identical curated corpus and store state
+    CurationPipeline.runBatch(spark, df(batch1), "s0", cfg(offline))
+    CurationPipeline.runBatch(spark, df(batch2), "s1", cfg(offline))
+    assert(curated(base) == curated(offline))
+    assert(curated(base).map(_._1) == Seq(1L, 2L, 8L))
+    // a replayed micro-batch (failure between sink write and checkpoint
+    // advance) hits the manifest commit marker and skips
+    assert(CurationPipeline.runBatch(spark, df(batch2), "s1", cfg(base)).skipped)
+  }
+
   test("pipeline + epoch sharding is deterministic across base dirs") {
     val baseA = Files.createTempDirectory("graft-pipeA").toString
     val baseB = Files.createTempDirectory("graft-pipeB").toString

@@ -822,6 +822,25 @@ object Dedup {
     * `nlist` sized so corpus/nlist fits an executor (the paper's k ~
     * sqrt(n) regime), no stage is quadratic in the corpus.
     */
+  /** [[semanticDedupGroups]] with the cluster count DERIVED from the
+    * corpus: `nlist = ceil(sqrt(n))` — the SemDeDup k≈√n regime as code,
+    * not advice. With k fixed, in-cluster pairwise work grows as n²/k (a
+    * 10x corpus is 100x the pair stage); √n keeps expected cluster size
+    * AND cluster count at √n, so the quadratic stage scales ~n^1.5 total
+    * and each cluster stays executor-sized. Costs one corpus count at
+    * index-build time. */
+  def semanticDedupGroupsAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    val n = emb.count()
+    val nlist = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    semanticDedupGroups(emb, idCol, vecCol,
+      Similarity.headCentroids(emb, idCol, vecCol, nlist), threshold, maxBucket)
+  }
+
   def semanticDedupGroups(
       emb: DataFrame,
       idCol: String,

@@ -39,8 +39,13 @@ object DedupStream {
     val newBand = Dedup.minhashBandTable(batch, idCol, textCol,
       shingleSize, numHashes, rowsPerBand, portable).persist()
     try {
+      // Hadoop FileSystem resolution (not java.io.File): on HDFS/S3 a
+      // local-file check is always false and would silently reset the
+      // store to empty every batch (the SpanScreenStream fix, same bug)
+      val storeHPath = new org.apache.hadoop.fs.Path(storePath)
+      val storeFs = storeHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val store =
-        if (new java.io.File(storePath).exists) spark.read.parquet(storePath)
+        if (storeFs.exists(storeHPath)) spark.read.parquet(storePath)
         else newBand.limit(0)
       Dedup.minhashIncrementalPairs(newBand, store, numHashes, maxBucket)
         .write.mode("append").parquet(pairsPath)

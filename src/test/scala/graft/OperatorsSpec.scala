@@ -700,4 +700,17 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(got2 == Seq((20L, 20L, true), (21L, 21L, true)))
   }
+
+  test("semantic dedup auto: derived sqrt(n) centroids == explicit call") {
+    import graft.operators.{Dedup, Similarity}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val nlist = math.ceil(math.sqrt(n.toDouble)).toInt
+    val auto = Dedup.semanticDedupGroupsAuto(emb, "vec_id", "embedding", 0.42)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val explicit = Dedup.semanticDedupGroups(emb, "vec_id", "embedding",
+      Similarity.headCentroids(emb, "vec_id", "embedding", nlist), 0.42)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(auto == explicit && auto.size == n)
+  }
 }

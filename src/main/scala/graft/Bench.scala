@@ -69,7 +69,8 @@ object Bench {
       "q59_contamination", "q60_incremental_dedup",
       "q67_semantic_dedup", "q68_dup_spans", "q74_dup_spans_inc",
       "q76_curation_gate", "q78_cdc_chunks", "q79_chunk_dedup",
-      "q81_gram_matrix")
+      "q81_gram_matrix", "q85_dup_span_ranges", "q86_minhash_stats",
+      "q87_cut_spans")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

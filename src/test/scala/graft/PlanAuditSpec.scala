@@ -242,6 +242,14 @@ class PlanAuditSpec extends SparkSpec {
       "no unpartitioned window:\n" + p.take(2000))
   }
 
+  test("q87 span cut: ranges fold per doc, cut is in-row, no pair expansion") {
+    val p = planString("q87_cut_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the cut must never expand pairs:\n" + p.take(2000))
+    assert(!"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
+      "no unpartitioned window:\n" + p.take(2000))
+  }
+
   test("q75 interval overlap is an equi-join on bins: no cartesian/nested-loop") {
     val p = planString("q75_interval_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

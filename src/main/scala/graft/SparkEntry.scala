@@ -929,6 +929,16 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** BPE pair statistics (q88): the first iteration of the BPE trainer's
+    * merge loop — adjacent character pairs weighted by word frequency,
+    * top 20. The corpus is touched once (word-frequency hash-agg); the
+    * pair count runs at vocabulary grain ([[graft.operators.Bpe]]). */
+  private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.pairCounts(
+      graft.operators.Bpe.wordFrequencies(documents(s, dir), "text"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(20)
+
   /** LSH bucket-occupancy probe (q86): the pre-flight that tells you how
     * q18's pair harvest will scale before running it — expansion work is
     * `sum(occ*(occ-1)/2)` over band buckets at the distinct-signature
@@ -1427,7 +1437,8 @@ object SparkEntry {
     "q84_asof_forward" -> (asofForwardQ _),
     "q85_dup_span_ranges" -> (dupSpanRangesQ _),
     "q86_minhash_stats" -> (minhashStatsQ _),
-    "q87_cut_spans" -> (cutSpansQ _)
+    "q87_cut_spans" -> (cutSpansQ _),
+    "q88_bpe_pairs" -> (bpePairsQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1747,6 +1758,19 @@ object SparkEntry {
         |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
         |             COUNT(*) AS n FROM kept GROUP BY doc_id) k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q88: character indexing on VARCHAR replays Spark's split-on-"" at
+    // the word grain; LIMIT ties broken by (n desc, a, b) total order
+    "q88_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |p AS (
+        |  SELECT word[i] AS a, word[i+1] AS b, freq
+        |  FROM w, unnest(generate_series(1, length(word) - 1)) AS u(i))
+        |SELECT a, b, CAST(SUM(freq) AS BIGINT) AS n
+        |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
     "q69_keywords" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

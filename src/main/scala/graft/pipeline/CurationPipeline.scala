@@ -23,7 +23,10 @@ import org.apache.spark.storage.StorageLevel
   * `batch != current`), so a crashed run leaves nothing a re-run can
   * observe — re-running a batch is idempotent and byte-deterministic. The
   * one-row manifest is written LAST as the commit marker; a batch whose
-  * manifest exists is skipped entirely on re-run.
+  * manifest exists is skipped entirely on re-run. Batches are a SERIAL
+  * log: run them one at a time per base dir (a concurrent batch could
+  * observe another's half-written store partition — the store reads only
+  * exclude the reader's OWN batch).
   *
   * ```
   * baseDir/

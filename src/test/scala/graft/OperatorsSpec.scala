@@ -491,6 +491,62 @@ class OperatorsSpec extends SparkSpec {
       (3L, 6L, 0L, 0.0)))
   }
 
+  test("bpe training: merge sequence == brute-force reference; segment agrees") {
+    import graft.operators.Bpe
+    // the Sennrich corpus shape: frequent subwords (es/est/lo) emerge
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.grouped(4).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+
+    // independent reference implementation (plain Scala, no Spark)
+    def refMerge(s: List[String], a: String, b: String): List[String] = s match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: refMerge(rest, a, b)
+      case x :: rest => x :: refMerge(rest, a, b)
+      case Nil => Nil
+    }
+    def refTrain(freqs: Map[String, Long], n: Int): (List[(String, String)], Map[String, List[String]]) = {
+      var segs = freqs.keys.map(w => w -> w.split("").toList).toMap
+      var merges = List.empty[(String, String)]
+      var go = n > 0
+      while (go) {
+        val counts = segs.toSeq.flatMap { case (w, s) =>
+          s.zip(s.drop(1)).map(p => p -> freqs(w)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        best.filter(_._2 >= 2L) match {
+          case Some(((a, b), _)) =>
+            merges = merges :+ (a, b)
+            segs = segs.map { case (w, s) => w -> refMerge(s, a, b) }
+            go = merges.size < n
+          case None => go = false
+        }
+      }
+      (merges, segs)
+    }
+    val freqs = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val (refMerges, refSegs) = refTrain(freqs, 10)
+
+    val (gotMerges, table) = Bpe.train(docs, "text", numMerges = 10)
+    assert(gotMerges == refMerges)
+    assert(refMerges.nonEmpty && refMerges.size >= 5)
+    val gotSegs = table.select("word", "syms").as[(String, Seq[String])]
+      .collect().map { case (w, s) => w -> s.toList }.toMap
+    assert(gotSegs == refSegs)
+
+    // partition invariance: 7-way repartitioned corpus learns bit-identical merges
+    val (again, _) = Bpe.train(docs.repartition(7), "text", numMerges = 10)
+    assert(again == gotMerges)
+
+    // segment() replays the trainer's rewriting on unseen words
+    val seg = Seq("lowest", "newer").toDF("w")
+      .select(Bpe.segment(col("w"), gotMerges).as("s"))
+      .as[Seq[String]].collect().map(_.toList).toSeq
+    val refSeg = Seq("lowest", "newer").map(w =>
+      gotMerges.foldLeft(w.split("").toList) { case (s, (a, b)) => refMerge(s, a, b) })
+    assert(seg == refSeg)
+  }
+
   test("minhash bucket stats: distinct-signature grain, pair_work tracks the harvest") {
     import graft.operators.Dedup
     def stats(rows: Seq[(Long, String)]) =

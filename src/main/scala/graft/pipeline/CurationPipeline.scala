@@ -13,8 +13,9 @@ import org.apache.spark.storage.StorageLevel
   * a separate epoch step deals the accumulated corpus into deterministic
   * training shards. Every stage is one of the already-oracled operators
   * (TextScrub q61, incremental exact q65, incremental MinHash q60,
-  * incremental span screen q74, curation gate q76, Mixing q63, Sharding
-  * q70) — this file adds ORCHESTRATION, not new math.
+  * incremental span screen q74, optional residual span cut q87, curation
+  * gate q76, Mixing q63, Sharding q70) — this file adds ORCHESTRATION,
+  * not new math.
   *
   * Restartability contract (the GoldRefresh idea applied to corpus state):
   * all state lives in parquet under `baseDir`, and every write a batch
@@ -71,7 +72,8 @@ object CurationPipeline {
       budgetTokens: Long = 0L,
       weightsPpm: Map[String, Long] = Map.empty,
       numShards: Int = 8,
-      targetShardBytes: Long = 1L << 30)
+      targetShardBytes: Long = 1L << 30,
+      cutSpans: Boolean = false)
 
   /** One row per pipeline stage: how many documents entered and survived. */
   final case class StageCount(stage: String, rowsIn: Long, rowsOut: Long)
@@ -258,9 +260,27 @@ object CurationPipeline {
     val (spanKept, nSpan) = staged("span_screen", nNear,
       nearKept.join(spanDrops, Seq(cfg.idCol), "left_anti"))
 
+    // 4b. optional residual-span CUT (q87): egregious duplicates are
+    //     already dropped; survivors get their remaining duplicated spans
+    //     deleted in place (the full Lee et al. treatment — remove spans,
+    //     keep documents). Within-batch only: ranges come from cross-doc
+    //     duplication among the survivors (store-held spans were the drop
+    //     criterion above). Token counts refresh for the mixing budget.
+    val (cutDone, nCut) =
+      if (!cfg.cutSpans) (spanKept, nSpan)
+      else staged("span_cut", nSpan, {
+        val cut = Dedup.cutDuplicatedSpans(
+          spanKept, cfg.idCol, cfg.textCol, cfg.windowTokens)
+          .select(col("id").as(cfg.idCol), col("text").as("__cut_text"))
+        spanKept.join(cut, Seq(cfg.idCol), "left")
+          .withColumn(cfg.textCol, coalesce(col("__cut_text"), col(cfg.textCol)))
+          .drop("__cut_text")
+          .withColumn("n_tokens", TF.tokenCount(col(cfg.textCol)))
+      })
+
     // 5. quality gate (q76)
-    val (gated, nGate) = staged("quality_gate", nSpan,
-      qualityGate(spanKept, cfg).filter(col("keep")).drop("keep"))
+    val (gated, nGate) = staged("quality_gate", nCut,
+      qualityGate(cutDone, cfg).filter(col("keep")).drop("keep"))
 
     // 6. domain mixing to the token budget (q63), if configured
     val (mixed, nMix) =
@@ -300,7 +320,7 @@ object CurationPipeline {
         .toDF("idx", "stage", "rows_in", "rows_out"),
       s"${cfg.baseDir}/manifests", batchId)
 
-    Seq(scrubbed, exactKept, newBand, nearKept, spanKept, gated, mixed)
+    Seq(scrubbed, exactKept, newBand, nearKept, spanKept, cutDone, gated, mixed)
       .foreach(_.unpersist(blocking = false))
     BatchReport(batchId, skipped = false, manifest)
   }

@@ -174,6 +174,33 @@ class CurationPipelineSpec extends SparkSpec {
     assert(CurationPipeline.runBatch(spark, df(batch2), "s1", cfg(base)).skipped)
   }
 
+  test("optional span-cut stage deletes residual duplicated spans in place") {
+    // two surviving docs share one 4-token run (1 of 16 windows each —
+    // far under maxDupFrac, so the screen keeps both); with cutSpans on,
+    // the run is deleted from BOTH and everything else survives the gate
+    // long enough that 1/n_bigrams clears the 0.05 repetition threshold
+    // post-cut (the gate's tuned constants assume real-length documents)
+    val shared = Seq("zz1", "zz2", "zz3", "zz4")
+    val t1 = (Seq("the", "and", "of") ++ (1 to 9).map(i => s"p$i") ++
+      shared ++ (10 to 24).map(i => s"p$i")).mkString(" ")
+    val t2 = (Seq("the", "and", "of") ++ (1 to 6).map(i => s"q$i") ++
+      shared ++ (7 to 24).map(i => s"q$i")).mkString(" ")
+    val base = Files.createTempDirectory("graft-pipe-cut").toString
+    val r = CurationPipeline.runBatch(spark,
+      Seq((1L, "a", "en", t1), (2L, "a", "en", t2))
+        .toDF("doc_id", "source", "lang", "text"),
+      "b1", cfg(base).copy(cutSpans = true, minhashThreshold = 0.99))
+    assert(r.stages.map(_.stage) == Seq("scrub", "exact_dedup",
+      "minhash_dedup", "span_screen", "span_cut", "quality_gate"))
+    assert(r.stages.map(s => (s.stage, s.rowsOut)).forall(_._2 == 2L),
+      r.stages.toString)
+    val got = curated(base)
+    assert(got.map(_._1) == Seq(1L, 2L))
+    val expect1 = t1.split(" ").filterNot(shared.contains).mkString(" ")
+    val expect2 = t2.split(" ").filterNot(shared.contains).mkString(" ")
+    assert(got.map(_._2) == Seq(expect1, expect2))
+  }
+
   test("pipeline + epoch sharding is deterministic across base dirs") {
     val baseA = Files.createTempDirectory("graft-pipeA").toString
     val baseB = Files.createTempDirectory("graft-pipeB").toString

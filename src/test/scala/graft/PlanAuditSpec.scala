@@ -250,6 +250,16 @@ class PlanAuditSpec extends SparkSpec {
       "no unpartitioned window:\n" + p.take(2000))
   }
 
+  test("q88 bpe pairs: two hash aggs (corpus once, then vocab grain), bounded top-k") {
+    val p = planString("q88_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be a bounded top-k, not a global sort:\n" + p.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected the word agg + pair agg exchanges only, found $exchanges:\n" + p.take(2000))
+    assert(!p.contains("Join"), "no join anywhere:\n" + p.take(2000))
+  }
+
   test("q75 interval overlap is an equi-join on bins: no cartesian/nested-loop") {
     val p = planString("q75_interval_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

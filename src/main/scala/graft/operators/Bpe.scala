@@ -119,4 +119,33 @@ object Bpe {
     merges.foldLeft(split(word, ""): Column) {
       case (syms, (a, b)) => mergePair(syms, a, b)
     }
+
+  /** Encode a corpus into subword tokens with a trained table: words the
+    * trainer saw join their stored segmentation; UNSEEN words are first
+    * collapsed to the distinct-word grain and segmented there with
+    * [[segment]] (the merge chain runs once per new word, never per
+    * corpus occurrence). Output one row per subword:
+    * `(id, word_pos, sub_pos, subword)` — both positions 0-based, so
+    * (word_pos, sub_pos) orders the stream within a document.
+    *
+    * The segmentation table is vocabulary-sized; Spark broadcasts it when
+    * it fits, and the join key is the word either way — no corpus-grain
+    * shuffle beyond the word explode itself. */
+  def encodeCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      wordTable: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("word_pos", "word")))
+      .filter(length(col("word")) > 0)
+    val unseen = words.select("word").distinct()
+      .join(wordTable.select("word"), Seq("word"), "left_anti")
+      .withColumn("syms", segment(col("word"), merges))
+    val segs = wordTable.select("word", "syms").unionByName(unseen)
+    words.join(segs, Seq("word"))
+      .select(col("id"), col("word_pos"),
+        posexplode(col("syms")).as(Seq("sub_pos", "subword")))
+  }
 }

@@ -360,6 +360,8 @@ object CurationPipeline {
     * compaction report over the fresh epoch directory is the audit (every
     * shard should show `n_files <= target`). */
   def shardEpoch(spark: SparkSession, cfg: Config, epoch: Int): DataFrame = {
+    require(exists(spark, s"${cfg.baseDir}/curated"),
+      s"no curated corpus under ${cfg.baseDir} — run at least one batch first")
     val curated = spark.read.parquet(s"${cfg.baseDir}/curated").drop("batch")
     val outDir = s"${cfg.baseDir}/epochs/epoch=$epoch"
     Sharding.writeShards(curated, cfg.idCol, epoch, cfg.numShards, outDir)

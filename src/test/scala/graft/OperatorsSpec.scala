@@ -545,6 +545,21 @@ class OperatorsSpec extends SparkSpec {
     val refSeg = Seq("lowest", "newer").map(w =>
       gotMerges.foldLeft(w.split("").toList) { case (s, (a, b)) => refMerge(s, a, b) })
     assert(seg == refSeg)
+
+    // encodeCorpus: seen words come from the table, unseen through the
+    // merge chain, positions reassemble each document's subword stream
+    val enc = Bpe.encodeCorpus(
+      Seq((1L, "low lowest"), (2L, "newest newer")).toDF("doc_id", "text"),
+      "doc_id", "text", table, gotMerges)
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._2, r._3)).map(_._4).toList)
+      .toMap
+    val refWord = Map(
+      "low" -> refSegs("low"), "newest" -> refSegs("newest"),
+      "lowest" -> refSeg(0), "newer" -> refSeg(1))
+    assert(enc == Map(
+      1L -> (refWord("low") ++ refWord("lowest")),
+      2L -> (refWord("newest") ++ refWord("newer"))))
   }
 
   test("minhash bucket stats: distinct-signature grain, pair_work tracks the harvest") {

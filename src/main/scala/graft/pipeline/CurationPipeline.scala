@@ -14,8 +14,8 @@ import org.apache.spark.storage.StorageLevel
   * training shards. Every stage is one of the already-oracled operators
   * (TextScrub q61, incremental exact q65, incremental MinHash q60,
   * incremental span screen q74, optional residual span cut q87, curation
-  * gate q76, Mixing q63, Sharding q70) — this file adds ORCHESTRATION,
-  * not new math.
+  * gate q76, optional benchmark decontamination q59, Mixing q63,
+  * Sharding q70) — this file adds ORCHESTRATION, not new math.
   *
   * Restartability contract (the GoldRefresh idea applied to corpus state):
   * all state lives in parquet under `baseDir`, and every write a batch
@@ -73,7 +73,10 @@ object CurationPipeline {
       weightsPpm: Map[String, Long] = Map.empty,
       numShards: Int = 8,
       targetShardBytes: Long = 1L << 30,
-      cutSpans: Boolean = false)
+      cutSpans: Boolean = false,
+      decontaminationPath: Option[String] = None,
+      decontaminationN: Int = 3,
+      decontaminationOverlap: Double = 0.5)
 
   /** One row per pipeline stage: how many documents entered and survived. */
   final case class StageCount(stage: String, rowsIn: Long, rowsOut: Long)
@@ -282,15 +285,31 @@ object CurationPipeline {
     val (gated, nGate) = staged("quality_gate", nCut,
       qualityGate(cutDone, cfg).filter(col("keep")).drop("keep"))
 
+    // 5b. optional benchmark decontamination (q59): drop documents whose
+    //     distinct n-gram overlap with any eval-set item reaches the
+    //     threshold — the leakage check a corpus runs before shipping.
+    //     The eval set lives in parquet with (test_id, text) columns.
+    val (decon, nDecon) = cfg.decontaminationPath match {
+      case None => (gated, nGate)
+      case Some(p) => staged("decontamination", nGate, {
+        val hits = graft.operators.Decontamination.contaminationReport(
+          gated, cfg.idCol, cfg.textCol,
+          spark.read.parquet(p), "test_id", "text",
+          cfg.decontaminationN, cfg.decontaminationOverlap)
+          .select(col("doc_id").as(cfg.idCol)).distinct()
+        gated.join(hits, Seq(cfg.idCol), "left_anti")
+      })
+    }
+
     // 6. domain mixing to the token budget (q63), if configured
     val (mixed, nMix) =
-      if (cfg.budgetTokens <= 0L) (gated, nGate)
-      else staged("mixing", nGate, {
+      if (cfg.budgetTokens <= 0L) (decon, nDecon)
+      else staged("mixing", nDecon, {
         val m =
           if (cfg.weightsPpm.nonEmpty)
-            Mixing.mixByTokenBudget(gated, cfg.idCol, cfg.sourceCol,
+            Mixing.mixByTokenBudget(decon, cfg.idCol, cfg.sourceCol,
               "n_tokens", cfg.budgetTokens, cfg.weightsPpm)
-          else Mixing.mixUniform(gated, cfg.idCol, cfg.sourceCol,
+          else Mixing.mixUniform(decon, cfg.idCol, cfg.sourceCol,
             "n_tokens", cfg.budgetTokens)
         m.drop("rate_ppm")
       })
@@ -320,8 +339,8 @@ object CurationPipeline {
         .toDF("idx", "stage", "rows_in", "rows_out"),
       s"${cfg.baseDir}/manifests", batchId)
 
-    Seq(scrubbed, exactKept, newBand, nearKept, spanKept, cutDone, gated, mixed)
-      .foreach(_.unpersist(blocking = false))
+    Seq(scrubbed, exactKept, newBand, nearKept, spanKept, cutDone, gated,
+      decon, mixed).foreach(_.unpersist(blocking = false))
     BatchReport(batchId, skipped = false, manifest)
   }
 

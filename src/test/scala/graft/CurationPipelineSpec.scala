@@ -201,6 +201,20 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(expect1, expect2))
   }
 
+  test("optional decontamination stage drops eval-overlapping docs via the store") {
+    // the eval set contains doc 1's exact text -> 100% trigram overlap;
+    // doc 2 shares nothing above threshold and ships
+    val evalDir = Files.createTempDirectory("graft-eval").toString
+    Seq(("t1", d1)).toDF("test_id", "text")
+      .write.mode("overwrite").parquet(s"$evalDir/evalset")
+    val base = Files.createTempDirectory("graft-pipe-decon").toString
+    val r = CurationPipeline.runBatch(spark, df(batch1), "b1",
+      cfg(base).copy(decontaminationPath = Some(s"$evalDir/evalset")))
+    assert(r.stages.map(s => (s.stage, s.rowsIn, s.rowsOut)).takeRight(2) == Seq(
+      ("quality_gate", 5L, 2L), ("decontamination", 2L, 1L)))
+    assert(curated(base).map(_._1) == Seq(2L))
+  }
+
   test("pipeline + epoch sharding is deterministic across base dirs") {
     val baseA = Files.createTempDirectory("graft-pipeA").toString
     val baseB = Files.createTempDirectory("graft-pipeB").toString

@@ -939,6 +939,16 @@ object SparkEntry {
       .orderBy(col("n").desc, col("a"), col("b"))
       .limit(20)
 
+  /** Gopher rule battery (q89): the standard pretraining quality filter
+    * set (word-count/mean-word-length bounds, symbol ratio, alphabetic
+    * fraction, stop-word evidence) as exact-arithmetic projections. */
+  private def gopherRulesQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.gopherRules(documents(s, dir), "text")
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_frac", "stop_hits", "words_ok", "word_len_ok", "symbol_ok",
+        "alpha_ok", "stop_ok", "pass")
+      .orderBy("doc_id")
+
   /** LSH bucket-occupancy probe (q86): the pre-flight that tells you how
     * q18's pair harvest will scale before running it — expansion work is
     * `sum(occ*(occ-1)/2)` over band buckets at the distinct-signature
@@ -1438,7 +1448,8 @@ object SparkEntry {
     "q85_dup_span_ranges" -> (dupSpanRangesQ _),
     "q86_minhash_stats" -> (minhashStatsQ _),
     "q87_cut_spans" -> (cutSpansQ _),
-    "q88_bpe_pairs" -> (bpePairsQ _)
+    "q88_bpe_pairs" -> (bpePairsQ _),
+    "q89_gopher_rules" -> (gopherRulesQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1758,6 +1769,40 @@ object SparkEntry {
         |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
         |             COUNT(*) AS n FROM kept GROUP BY doc_id) k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q89: every ratio is exact-int / exact-int divided once; literal
+    // counts via the length/replace trick (replace-with-empty, so the
+    // divisor is len(sub)) — bit-identical across engines
+    "q89_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(length(array_to_string(tk, '')) AS DOUBLE) / len(tk) AS mean_word_len,
+        |    CAST(CAST((length(text) - length(replace(text, '#', ''))) / 1 AS BIGINT)
+        |       + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+        |       AS DOUBLE) / len(tk) AS symbol_ratio,
+        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |      / len(tk) AS alpha_frac,
+        |    CAST((SELECT SUM((length(p) - length(replace(p, ' ' || w || ' ', '')))
+        |                     // (length(w) + 2))
+        |          FROM (SELECT ' ' || array_to_string(tk, ' ') || ' ' AS p),
+        |               unnest(['the','be','to','of','and','that','have','with']) AS s(w))
+        |      AS BIGINT) AS stop_hits
+        |  FROM d)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+        |  n_words >= 50 AND n_words <= 100000 AS words_ok,
+        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS word_len_ok,
+        |  symbol_ratio <= 0.1 AS symbol_ok,
+        |  alpha_frac >= 0.8 AS alpha_ok,
+        |  stop_hits >= 2 AS stop_ok,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2
+        |    AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     // q88: character indexing on VARCHAR replays Spark's split-on-"" at
     // the word grain; LIMIT ties broken by (n desc, a, b) total order
     "q88_bpe_pairs" ->

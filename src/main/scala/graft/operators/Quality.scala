@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality rules (Rae et al. 2021, Appendix A —
+  * the standard pretraining filter battery): word-count bounds, mean
+  * word length bounds, symbol-to-word ratio, alphabetic-word fraction,
+  * and minimum stop-word evidence, composed into one `pass` verdict.
+  *
+  * Every metric is exact integer arithmetic divided once (the repo's
+  * float-parity policy): counts come from length-difference tricks and
+  * in-row list predicates, so any engine replays the ratios bit-for-bit
+  * — no regex extraction ambiguity, no float accumulation. All pure
+  * projections + one whitespace split per document; no shuffle at all
+  * until a caller aggregates. */
+object Quality {
+
+  /** Occurrences of literal `sub` in `c` via the length/replace trick
+    * (exactly the non-overlapping count both Spark and DuckDB replace
+    * semantics produce). */
+  private def litCount(c: Column, sub: String): Column =
+    ((length(c) - length(replace(c, lit(sub), lit("")))) / sub.length).cast("long")
+
+  /** Adds the metric and flag columns to `docs`:
+    * `(n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+    * words_ok, word_len_ok, symbol_ok, alpha_ok, stop_ok, pass)`. */
+  def gopherRules(
+      docs: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(lower(t)), "\\s+")
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val padded = concat(lit(" "), array_join(toks, " "), lit(" "))
+    val stopHits = stopwords
+      .map(w => litCount(padded, s" $w "))
+      .reduce(_ + _)
+    docs
+      .withColumn("n_words", size(toks).cast("long"))
+      // sum of word lengths == chars of the joined words minus the joiners
+      .withColumn("__charsum",
+        (length(array_join(toks, "")) ).cast("long"))
+      .withColumn("mean_word_len",
+        col("__charsum").cast("double") / col("n_words"))
+      .withColumn("symbol_ratio",
+        (litCount(t, "#") + litCount(t, "...")).cast("double") / col("n_words"))
+      .withColumn("alpha_frac",
+        size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / col("n_words"))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("words_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("word_len_ok",
+        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("symbol_ok", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("alpha_ok", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("stop_ok", col("stop_hits") >= minStopHits)
+      .withColumn("pass",
+        col("words_ok") && col("word_len_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("stop_ok"))
+      .drop("__charsum")
+  }
+}

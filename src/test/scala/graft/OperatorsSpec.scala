@@ -491,6 +491,34 @@ class OperatorsSpec extends SparkSpec {
       (3L, 6L, 0L, 0.0)))
   }
 
+  test("gopher rules: each rule trips on its engineered doc, good doc passes") {
+    import graft.operators.Quality
+    val stopRich = (1 to 12).flatMap(i =>
+      Seq("the", "cat", "and", s"dog$i", "of")).mkString(" ")       // 60 words
+    val docs = Seq(
+      (1L, stopRich),                                               // passes all
+      (2L, "the and of tiny"),                                      // words_ok fails
+      (3L, stopRich + " " + Seq.fill(12)("#").mkString(" ")),       // symbol_ok fails
+      (4L, (1 to 12).flatMap(i =>
+        Seq("the", "111", "and", "222", "of")).mkString(" ")),      // alpha_ok fails
+      (5L, (1 to 60).map(i => s"zz$i").mkString(" ")),              // stop_ok fails
+      (6L, (1 to 60).map(i => "q" * 15).mkString(" ")))             // word_len_ok fails
+      .toDF("doc_id", "text")
+    val got = Quality.gopherRules(docs, "text")
+      .select("doc_id", "words_ok", "word_len_ok", "symbol_ok", "alpha_ok",
+        "stop_ok", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._7)) ==
+      Seq((1L, true), (2L, false), (3L, false), (4L, false), (5L, false), (6L, false)))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(!byId(2L)._2 && byId(2L)._3)          // only the word count tripped
+    assert(byId(3L)._2 && !byId(3L)._4)          // only the symbol ratio tripped
+    assert(byId(4L)._2 && !byId(4L)._5)          // only the alpha fraction tripped
+    assert(byId(5L)._2 && !byId(5L)._6)          // only the stop-word rule tripped
+    assert(byId(6L)._2 && !byId(6L)._3)          // only the mean word length tripped
+  }
+
   test("bpe training: merge sequence == brute-force reference; segment agrees") {
     import graft.operators.Bpe
     // the Sennrich corpus shape: frequent subwords (es/est/lo) emerge

@@ -949,6 +949,62 @@ object SparkEntry {
         "alpha_ok", "stop_ok", "pass")
       .orderBy("doc_id")
 
+  /** Ordered funnel (q90): greedy-earliest signup → click → purchase per
+    * user — one Exchange on user_id total (chained conditional-min windows
+    * + a partitioning-reusing collapse; [[graft.operators.Funnel]]).
+    * The whole funnel runs on epoch-MICROS longs (exact decimal ns→µs
+    * floor, the `Tables.eventTs` idiom): DuckDB reads parquet
+    * TIMESTAMP(NANOS) at µs precision, so µs is the shared comparison
+    * domain. */
+  private def funnelQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnelSteps(
+      events(s, dir).withColumn("tus",
+        floor(col("ts").cast("decimal(20,0)") / lit(1000)).cast("long")),
+      "user_id", "tus", "event_type",
+      Seq("signup", "click", "purchase"))
+      .select(col("user_id"), col("t1").as("t1_us"), col("t2").as("t2_us"),
+        col("t3").as("t3_us"), col("steps_completed"))
+      .orderBy("user_id")
+
+  /** Retention triangle (q91): weekly cohorts on the integer epoch-day
+    * grid — two map-side-combined hash aggs + one co-partitioned join,
+    * distinct users via the two-level aggregate (no countDistinct
+    * Expand). */
+  private def retentionQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    graft.operators.Funnel.retentionCohorts(ev, "user_id",
+      graft.operators.Funnel.epochDayFromNanos(col("ts")))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Exact heavy hitters via two-pass Misra-Gries (q92): tokens above
+    * 1/30 of the corpus stream. k=29 < the 31-token domain, so the
+    * sketch's decrement path genuinely runs; the exact recount pass
+    * makes the answer deterministic and oracle-able
+    * ([[graft.operators.HeavyHitters]]). */
+  private def heavyHittersQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.exactHeavyHitters(
+      documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok")),
+      "tok", k = 29)
+      .withColumnRenamed("item", "tok")
+
+  /** Vocabulary-coverage gate (q93): CCNet-reduced LM filter — reference
+    * vocab = top-20 terms of the `lang='en'` slice ([[graft.operators
+    * .TextSearch.buildVocab]]), coverage = exact in-vocab/total token
+    * ratio per document, broadcast-joined (no corpus shuffle beyond the
+    * per-doc count collapse). */
+  private def vocabCoverageQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val vocab = graft.operators.TextSearch.buildVocab(
+      docs.filter(col("lang") === "en"), "text", minCount = 1L, maxVocab = 20)
+    graft.operators.TextSearch.vocabCoverage(docs, "doc_id", "text", vocab)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("in_vocab"),
+        col("coverage"), (col("coverage") >= lit(0.65)).as("pass"))
+      .orderBy("doc_id")
+  }
+
   /** LSH bucket-occupancy probe (q86): the pre-flight that tells you how
     * q18's pair harvest will scale before running it — expansion work is
     * `sum(occ*(occ-1)/2)` over band buckets at the distinct-signature
@@ -1449,7 +1505,11 @@ object SparkEntry {
     "q86_minhash_stats" -> (minhashStatsQ _),
     "q87_cut_spans" -> (cutSpansQ _),
     "q88_bpe_pairs" -> (bpePairsQ _),
-    "q89_gopher_rules" -> (gopherRulesQ _)
+    "q89_gopher_rules" -> (gopherRulesQ _),
+    "q90_funnel" -> (funnelQ _),
+    "q91_retention" -> (retentionQ _),
+    "q92_heavy_hitters" -> (heavyHittersQ _),
+    "q93_vocab_coverage" -> (vocabCoverageQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1630,6 +1690,81 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q18_minhash_pairs" -> minhashOracleSql,
+    // q90: greedy-earliest funnel — each step's min is strictly after the
+    // prior step's; both engines compare in the shared epoch-µs domain
+    // (DuckDB reads parquet TIMESTAMP(NANOS) at µs precision)
+    "q90_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(t) AS t1 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.t) AS t2
+        |  FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.t) AS t3
+        |  FROM ev e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS steps_completed
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // q91: all-integer day/week grid (epoch_ns // ns-per-day), distinct
+    // users per cell via the two-level aggregate
+    "q91_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY user_id),
+        |g AS (
+        |  SELECT f.d0 // 7 AS cohort_week, (e.d - f.d0) // 7 AS week_offset,
+        |    e.user_id, COUNT(*) AS n
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2, 3)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(week_offset AS BIGINT) AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM g GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // q92: the two-pass MG output is exactly the items above n/(k+1)
+    // (k=29), so the oracle is the plain exact threshold query
+    "q92_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok)
+        |SELECT c.tok, c.c, n.n_total FROM c, n
+        |WHERE c.c * 30 > n.n_total
+        |ORDER BY c.c DESC, c.tok""".stripMargin,
+    // q93: vocab = top-20 en-slice terms by (count desc, term); coverage
+    // is one exact-int / exact-int double division
+    "q93_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |v AS (
+        |  SELECT term FROM (
+        |    SELECT term, COUNT(*) AS n FROM tk WHERE lang = 'en'
+        |    GROUP BY term ORDER BY n DESC, term LIMIT 20)),
+        |c AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) FILTER (WHERE term IN (SELECT term FROM v))
+        |      AS BIGINT) AS in_vocab
+        |  FROM tk GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, c.n_tokens, c.in_vocab,
+        |  CAST(c.in_vocab AS DOUBLE) / c.n_tokens AS coverage,
+        |  CAST(c.in_vocab AS DOUBLE) / c.n_tokens >= 0.65 AS pass
+        |FROM documents d JOIN c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // distinct-signature grain: identical docs collapse BEFORE banding,
     // exactly what the probe (and the harvest) count
     "q86_minhash_stats" ->

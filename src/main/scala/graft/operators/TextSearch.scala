@@ -210,4 +210,37 @@ object TextSearch {
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** CCNet-style vocabulary-coverage score (Wenzek et al. 2020 use a
+    * reference-corpus LM; the unigram-coverage reduction keeps the exact
+    * arithmetic this repo's oracle policy wants): for each document, the
+    * fraction of its tokens found in a reference vocabulary (e.g.
+    * [[buildVocab]] over a trusted high-quality slice). Low coverage ≈
+    * out-of-domain / junk — the pretraining gate companion to
+    * `Quality.gopherRules`.
+    *
+    * Scale shape: the vocabulary is bounded (maxVocab) → broadcast hash
+    * join against the exploded token stream; ONE map-side-combined
+    * shuffle on the doc id carries only (count, hit-count) partials.
+    * `coverage` is a single exact-int / exact-int double division.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame): DataFrame = {
+    require(!docs.columns.exists(_.startsWith("__")),
+      "input __ columns are reserved by vocabCoverage")
+    val toks = docs.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+    toks
+      .join(broadcast(vocab.select(col("term"), lit(1L).as("__in"))),
+        Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0L))).as("in_vocab"))
+      .withColumn("coverage",
+        col("in_vocab").cast("double") / col("n_tokens"))
+  }
 }

@@ -260,6 +260,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "no join anywhere:\n" + p.take(2000))
   }
 
+  test("q90 funnel: ONE hash exchange on the user key for the whole step chain") {
+    val p = planString("q90_funnel")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"windows + collapse must reuse a single user_id partitioning, found $exchanges:\n" +
+        p.take(2500))
+    assert(!p.contains("Join"), "the step chain must not join:\n" + p.take(2000))
+  }
+
+  test("q92 heavy hitters: candidate recount joins via broadcast, never shuffle") {
+    val p = planString("q92_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate filter must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no shuffle join in the recount pass:\n" + p.take(2000))
+  }
+
+  test("q93 vocab coverage: bounded vocab broadcasts; top-k is TakeOrdered") {
+    val p = planString("q93_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab bound must be a top-k, not a global sort:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab must broadcast against the token stream:\n" + p.take(2000))
+  }
+
   test("q75 interval overlap is an equi-join on bins: no cartesian/nested-loop") {
     val p = planString("q75_interval_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

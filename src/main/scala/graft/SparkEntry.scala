@@ -1005,6 +1005,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Markov transition matrix (q94): per-user next-event bigrams with
+    * exact conditional probabilities — ordered in the engine-shared
+    * (epoch-µs, event_id) domain ([[graft.operators.Funnel]]). */
+  private def transitionsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.transitionCounts(
+      events(s, dir).withColumn("tus",
+        floor(col("ts").cast("decimal(20,0)") / lit(1000)).cast("long")),
+      "user_id", Seq(col("tus"), col("event_id")), "event_type")
+      .orderBy("prev_type", "event_type")
+
+  /** RFM segmentation (q95): recency/frequency/monetary quartiles via the
+    * scale-safe grouped ntile (exact NTILE parity, no corpus-grain
+    * window) — money through the exact-cents policy. */
+  private def rfmQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.rfm(
+      events(s, dir), "user_id",
+      graft.operators.Funnel.epochDayFromNanos(col("ts")), col("value"))
+      .orderBy("user_id")
+
   /** LSH bucket-occupancy probe (q86): the pre-flight that tells you how
     * q18's pair harvest will scale before running it — expansion work is
     * `sum(occ*(occ-1)/2)` over band buckets at the distinct-signature
@@ -1509,7 +1528,9 @@ object SparkEntry {
     "q90_funnel" -> (funnelQ _),
     "q91_retention" -> (retentionQ _),
     "q92_heavy_hitters" -> (heavyHittersQ _),
-    "q93_vocab_coverage" -> (vocabCoverageQ _)
+    "q93_vocab_coverage" -> (vocabCoverageQ _),
+    "q94_transitions" -> (transitionsQ _),
+    "q95_rfm" -> (rfmQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1744,6 +1765,46 @@ object SparkEntry {
         |SELECT c.tok, c.c, n.n_total FROM c, n
         |WHERE c.c * 30 > n.n_total
         |ORDER BY c.c DESC, c.tok""".stripMargin,
+    // q94: lag ordered by (µs, event_id) — the engine-shared total order;
+    // p is exact n / conditional-total division
+    "q94_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev AS prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
+    // q95: NTILE ties broken by user_id; monetary via the exact-cents
+    // decimal-sum policy (q01 idiom)
+    "q95_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(epoch_ns(ts) // 86400000000000) AS dmax,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS m_dec
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT MAX(dmax) AS gmax FROM u),
+        |t AS (
+        |  SELECT u.user_id,
+        |    CAST(g.gmax - u.dmax AS BIGINT) AS recency_days,
+        |    u.frequency, u.m_dec,
+        |    CAST(NTILE(4) OVER (ORDER BY g.gmax - u.dmax, u.user_id)
+        |      AS BIGINT) AS r_tile,
+        |    CAST(NTILE(4) OVER (ORDER BY u.frequency, u.user_id)
+        |      AS BIGINT) AS f_tile,
+        |    CAST(NTILE(4) OVER (ORDER BY u.m_dec, u.user_id)
+        |      AS BIGINT) AS m_tile
+        |  FROM u, g)
+        |SELECT user_id, recency_days, frequency,
+        |  CAST(m_dec AS DOUBLE) AS monetary, r_tile, f_tile, m_tile,
+        |  CAST(r_tile AS VARCHAR) || '-' || CAST(f_tile AS VARCHAR) || '-' ||
+        |    CAST(m_tile AS VARCHAR) AS segment
+        |FROM t ORDER BY user_id""".stripMargin,
     // q93: vocab = top-20 en-slice terms by (count desc, term); coverage
     // is one exact-int / exact-int double division
     "q93_vocab_coverage" ->

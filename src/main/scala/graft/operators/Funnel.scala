@@ -106,4 +106,76 @@ object Funnel {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"), sum(col("__n")).as("n_events"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * `(prev_type, event_type, n, p)` where `p` is the exact row-
+    * conditional probability `n / Σ n(prev_type, ·)` — the path-analysis
+    * companion to [[funnelSteps]].
+    *
+    * `orderCols` must totally order a user's events (e.g. `(ts,
+    * event_id)`) or `lag` is nondeterministic. Scale shape: one Exchange
+    * on the user key for the lag window, then one map-side-combined
+    * shuffle to the (prev, next) grain — a domain-bounded table
+    * (|event types|²), so the conditional-total window over it is
+    * bounded-input by construction. */
+  def transitionCounts(
+      events: DataFrame,
+      userCol: String,
+      orderCols: Seq[Column],
+      typeCol: String): DataFrame = {
+    require(!events.columns.contains("__prev"),
+      "input column __prev is reserved by transitionCounts")
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
+    events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev").as("prev_type"), col(typeCol).as("event_type"))
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+  }
+
+  /** RFM segmentation: per-user Recency (days since last event, against
+    * the global max day), Frequency (event count), Monetary (exact cents
+    * sum), each cut into `tiles` quantile bands with
+    * [[Batching.groupedNtile]] — exact `NTILE(tiles) OVER (ORDER BY
+    * metric, user)` semantics WITHOUT a single-partition corpus window
+    * (the q77 move: distinct-value histograms + distributed rank).
+    *
+    * `valueCol` must be a ≤ 2-decimal money double (the repo's
+    * exactMoneySum contract). Scale shape: one hash agg to user grain,
+    * a 1-row broadcast for the global max day, then three
+    * histogram-ranked ntile passes whose only unpartitioned windows run
+    * at distinct-metric-value grain. */
+  def rfm(
+      events: DataFrame,
+      userCol: String,
+      dayCol: Column,
+      valueCol: Column,
+      tiles: Int = 4): DataFrame = {
+    require(!events.columns.exists(_.startsWith("__")),
+      "input __ columns are reserved by rfm")
+    val per = events
+      .select(col(userCol), dayCol.as("__d"),
+        round(valueCol * 100).cast("long").as("__cents"))
+      .groupBy(col(userCol))
+      .agg(max(col("__d")).as("__dmax"), count(lit(1)).as("frequency"),
+        sum(col("__cents")).as("__m"))
+    val gmax = per.agg(max(col("__dmax")).as("__gmax"))
+    val base = per
+      .crossJoin(broadcast(gmax)) // 1-row stats attach
+      .select(col(userCol), (col("__gmax") - col("__dmax")).as("recency_days"),
+        col("frequency"), col("__m"))
+      .withColumn("__all", lit(1))
+    val tiled = Seq(
+      ("recency_days", "r_tile"), ("frequency", "f_tile"), ("__m", "m_tile"))
+      .foldLeft(base) { case (df, (metric, out)) =>
+        Batching.groupedNtile(df, Seq("__all"), metric, userCol, tiles, out)
+      }
+    tiled.select(col(userCol), col("recency_days"), col("frequency"),
+      (col("__m").cast("double") / 100.0).as("monetary"),
+      col("r_tile"), col("f_tile"), col("m_tile"),
+      concat_ws("-", col("r_tile"), col("f_tile"), col("m_tile")).as("segment"))
+  }
 }

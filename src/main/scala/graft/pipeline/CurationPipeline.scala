@@ -76,7 +76,9 @@ object CurationPipeline {
       cutSpans: Boolean = false,
       decontaminationPath: Option[String] = None,
       decontaminationN: Int = 3,
-      decontaminationOverlap: Double = 0.5)
+      decontaminationOverlap: Double = 0.5,
+      coverageVocabPath: Option[String] = None,
+      minCoverage: Double = 0.5)
 
   /** One row per pipeline stage: how many documents entered and survived. */
   final case class StageCount(stage: String, rowsIn: Long, rowsOut: Long)
@@ -301,15 +303,32 @@ object CurationPipeline {
       })
     }
 
+    // 5c. optional vocabulary-coverage gate (q93): drop documents whose
+    //     token coverage against a trusted reference vocabulary (parquet
+    //     with a `term` column, e.g. TextSearch.buildVocab over a clean
+    //     slice) falls below minCoverage — the CCNet-style LM filter.
+    val (covered, nCov) = cfg.coverageVocabPath match {
+      case None => (decon, nDecon)
+      case Some(p) => staged("coverage_gate", nDecon, {
+        val keep = graft.operators.TextSearch.vocabCoverage(
+          decon.select(col(cfg.idCol), col(cfg.textCol)),
+          cfg.idCol, cfg.textCol,
+          spark.read.parquet(p).select("term"))
+          .filter(col("coverage") >= cfg.minCoverage)
+          .select(col(cfg.idCol))
+        decon.join(keep, Seq(cfg.idCol), "left_semi")
+      })
+    }
+
     // 6. domain mixing to the token budget (q63), if configured
     val (mixed, nMix) =
-      if (cfg.budgetTokens <= 0L) (decon, nDecon)
-      else staged("mixing", nDecon, {
+      if (cfg.budgetTokens <= 0L) (covered, nCov)
+      else staged("mixing", nCov, {
         val m =
           if (cfg.weightsPpm.nonEmpty)
-            Mixing.mixByTokenBudget(decon, cfg.idCol, cfg.sourceCol,
+            Mixing.mixByTokenBudget(covered, cfg.idCol, cfg.sourceCol,
               "n_tokens", cfg.budgetTokens, cfg.weightsPpm)
-          else Mixing.mixUniform(decon, cfg.idCol, cfg.sourceCol,
+          else Mixing.mixUniform(covered, cfg.idCol, cfg.sourceCol,
             "n_tokens", cfg.budgetTokens)
         m.drop("rate_ppm")
       })
@@ -340,7 +359,7 @@ object CurationPipeline {
       s"${cfg.baseDir}/manifests", batchId)
 
     Seq(scrubbed, exactKept, newBand, nearKept, spanKept, cutDone, gated,
-      decon, mixed).foreach(_.unpersist(blocking = false))
+      decon, covered, mixed).foreach(_.unpersist(blocking = false))
     BatchReport(batchId, skipped = false, manifest)
   }
 

@@ -114,6 +114,53 @@ class BehavioralSpec extends SparkSpec {
       (1L, 4L, 2L, 0.5), (2L, 4L, 4L, 1.0), (3L, 3L, 0L, 0.0)))
   }
 
+  test("transition counts: lag pairs, exact conditional probabilities") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a"), (2L, 3L, "c"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.transitionCounts(ev, "user_id", Seq(col("ts")), "event_type")
+      .orderBy("prev_type", "event_type")
+      .as[(String, String, Long, Double)].collect()
+    // user1: a→b, b→a, a→b; user2: a→a, a→c
+    assert(out === Seq(
+      ("a", "a", 1L, 0.25), ("a", "b", 2L, 0.5), ("a", "c", 1L, 0.25),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("transition counts: first event per user contributes no pair") {
+    val ev = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("user_id", "ts", "event_type")
+    assert(Funnel.transitionCounts(ev, "user_id", Seq(col("ts")), "event_type")
+      .count() === 0L)
+  }
+
+  test("rfm: metrics exact, tiles reproduce ntile floor distribution") {
+    // 6 users, distinct metric orders; tiles=2 → lower half tile 1
+    val ev = (1L to 6L).flatMap { u =>
+      // user u: all events on day u (86400000000000 ns per day), u events,
+      // value u dollars each → monetary u²
+      (1L to u).map(_ => (u, u * 86400000000000L, u.toDouble))
+    }.toDF("user_id", "ts", "value")
+    val out = Funnel.rfm(ev, "user_id",
+      Funnel.epochDayFromNanos(col("ts")), col("value"), tiles = 2)
+      .orderBy("user_id")
+      .select("user_id", "recency_days", "frequency", "monetary",
+        "r_tile", "f_tile", "m_tile", "segment")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    // recency: user 6 has day 6 = global max → 0 days; user 1 → 5 days.
+    // frequency/monetary ascend with u → users 1-3 tile 1, 4-6 tile 2;
+    // recency descends with u → users 6,5,4 tile 1 (most recent)
+    assert(out === Seq(
+      (1L, 5L, 1L, 1.0, 2L, 1L, 1L, "2-1-1"),
+      (2L, 4L, 2L, 4.0, 2L, 1L, 1L, "2-1-1"),
+      (3L, 3L, 3L, 9.0, 2L, 1L, 1L, "2-1-1"),
+      (4L, 2L, 4L, 16.0, 1L, 2L, 2L, "1-2-2"),
+      (5L, 1L, 5L, 25.0, 1L, 2L, 2L, "1-2-2"),
+      (6L, 0L, 6L, 36.0, 1L, 2L, 2L, "1-2-2")))
+  }
+
   test("reserved-column guards fail fast") {
     val bad = Seq((1L, 2L, "a")).toDF("user_id", "__t1", "event_type")
     intercept[IllegalArgumentException] {

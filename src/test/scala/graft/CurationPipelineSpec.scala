@@ -215,6 +215,21 @@ class CurationPipelineSpec extends SparkSpec {
     assert(curated(base).map(_._1) == Seq(2L))
   }
 
+  test("optional vocab-coverage gate drops low-coverage docs") {
+    // vocab = doc 1's own tokens: doc 1 covers 1.0, doc 2's fresh w_b_*
+    // tokens (plus distinct stopwords) fall below 0.9 and drop
+    val vocabDir = Files.createTempDirectory("graft-vocab").toString
+    d1.split(" ").distinct.toSeq.toDF("term")
+      .write.mode("overwrite").parquet(s"$vocabDir/vocab")
+    val base = Files.createTempDirectory("graft-pipe-cov").toString
+    val r = CurationPipeline.runBatch(spark, df(batch1), "b1",
+      cfg(base).copy(coverageVocabPath = Some(s"$vocabDir/vocab"),
+        minCoverage = 0.9))
+    assert(r.stages.map(s => (s.stage, s.rowsIn, s.rowsOut)).takeRight(2) == Seq(
+      ("quality_gate", 5L, 2L), ("coverage_gate", 2L, 1L)))
+    assert(curated(base).map(_._1) == Seq(1L))
+  }
+
   test("pipeline + epoch sharding is deterministic across base dirs") {
     val baseA = Files.createTempDirectory("graft-pipeA").toString
     val baseB = Files.createTempDirectory("graft-pipeB").toString

@@ -1005,6 +1005,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Incremental funnel (q96): fold the funnel state over a time-split of
+    * the events (before/after 2024-01-15, the ordered-batch contract) —
+    * the result must equal q90's full recompute, so it shares q90's
+    * oracle SQL verbatim. */
+  private def funnelIncQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("tus",
+      floor(col("ts").cast("decimal(20,0)") / lit(1000)).cast("long"))
+    val steps = Seq("signup", "click", "purchase")
+    val cut = lit(1705276800000000L) // 2024-01-15T00:00:00Z epoch µs
+    val st0 = graft.operators.Funnel.funnelSteps(
+      ev.filter(col("tus") < cut), "user_id", "tus", "event_type", steps)
+    graft.operators.Funnel.updateFunnelState(
+      st0, ev.filter(col("tus") >= cut), "user_id", "tus", "event_type", steps)
+      .select(col("user_id"), col("t1").as("t1_us"), col("t2").as("t2_us"),
+        col("t3").as("t3_us"), col("steps_completed"))
+      .orderBy("user_id")
+  }
+
   /** Markov transition matrix (q94): per-user next-event bigrams with
     * exact conditional probabilities — ordered in the engine-shared
     * (epoch-µs, event_id) domain ([[graft.operators.Funnel]]). */
@@ -1530,7 +1548,8 @@ object SparkEntry {
     "q92_heavy_hitters" -> (heavyHittersQ _),
     "q93_vocab_coverage" -> (vocabCoverageQ _),
     "q94_transitions" -> (transitionsQ _),
-    "q95_rfm" -> (rfmQ _)
+    "q95_rfm" -> (rfmQ _),
+    "q96_funnel_inc" -> (funnelIncQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1573,6 +1592,33 @@ object SparkEntry {
        |  $bandSelects),
        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bno, bk) AS bsz FROM banded)""".stripMargin
   }
+
+  /** q90 + q96 shared oracle: the full-data greedy funnel (q96's
+    * incremental fold must be indistinguishable from it). */
+  private lazy val funnelOracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_type
+      |  FROM events),
+      |s1 AS (
+      |  SELECT user_id, MIN(t) AS t1 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.t) AS t2
+      |  FROM ev e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.t) AS t3
+      |  FROM ev e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM ev)
+      |SELECT u.user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+      |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+      |            WHEN t2 IS NOT NULL THEN 2
+      |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS steps_completed
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |  LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
 
   private lazy val minhashOracleSql: String = {
     val estJ = (0 until 32)
@@ -1713,31 +1759,12 @@ object SparkEntry {
     "q18_minhash_pairs" -> minhashOracleSql,
     // q90: greedy-earliest funnel — each step's min is strictly after the
     // prior step's; both engines compare in the shared epoch-µs domain
-    // (DuckDB reads parquet TIMESTAMP(NANOS) at µs precision)
-    "q90_funnel" ->
-      """WITH ev AS (
-        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_type
-        |  FROM events),
-        |s1 AS (
-        |  SELECT user_id, MIN(t) AS t1 FROM ev
-        |  WHERE event_type = 'signup' GROUP BY user_id),
-        |s2 AS (
-        |  SELECT e.user_id, MIN(e.t) AS t2
-        |  FROM ev e JOIN s1 USING (user_id)
-        |  WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY e.user_id),
-        |s3 AS (
-        |  SELECT e.user_id, MIN(e.t) AS t3
-        |  FROM ev e JOIN s2 USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY e.user_id),
-        |u AS (SELECT DISTINCT user_id FROM ev)
-        |SELECT u.user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
-        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
-        |            WHEN t2 IS NOT NULL THEN 2
-        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-        |    AS steps_completed
-        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-        |  LEFT JOIN s3 USING (user_id)
-        |ORDER BY user_id""".stripMargin,
+    // (DuckDB reads parquet TIMESTAMP(NANOS) at µs precision).
+    // q96 folds the same funnel incrementally over a time-split — the
+    // ordered-batch state update must reproduce the full recompute, so it
+    // shares the oracle verbatim.
+    "q90_funnel" -> funnelOracleSql,
+    "q96_funnel_inc" -> funnelOracleSql,
     // q91: all-integer day/week grid (epoch_ns // ns-per-day), distinct
     // users per cell via the two-level aggregate
     "q91_retention" ->

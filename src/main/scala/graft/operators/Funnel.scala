@@ -107,6 +107,55 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"), sum(col("__n")).as("n_events"))
   }
 
+  /** Batch-incremental funnel state update. Contract (the span-screen
+    * store's time-ordered posture): batches arrive in event-time order —
+    * every event in `batch` is later than every event already folded into
+    * `state`. Under that contract the greedy funnel IS maintainable from
+    * the per-user `(t1..tk)` vector alone: a settled step never changes
+    * (earlier events cannot arrive), and an unsettled step i settles on
+    * the batch's earliest step-i event after t(i-1) — where "after" is
+    * automatic when t(i-1) came from a previous batch.
+    *
+    * `state` must be [[funnelSteps]]-shaped (`userCol, t1..tk,
+    * steps_completed`); pass it `limit(0)`-empty to start. Returns the
+    * same shape. Users appearing only in `state` pass through unchanged;
+    * new users enter with a fresh funnel. Cost per batch: one Exchange on
+    * the user key for the windows + a co-partitioned outer join with the
+    * state — the batch is the only thing windowed.
+    */
+  def updateFunnelState(
+      state: DataFrame,
+      batch: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(
+      !batch.columns.exists(c => c.startsWith("__t") || c.startsWith("t") &&
+        c.drop(1).forall(_.isDigit) || c == "steps_completed"),
+      "batch columns __t*/t<i>/steps_completed are reserved by updateFunnelState")
+    val joined = batch
+      .join(state.drop("steps_completed"), Seq(userCol), "full")
+    val w = Window.partitionBy(col(userCol))
+    val withSteps = steps.zipWithIndex.foldLeft(joined) { case (df, (step, i)) =>
+      val fromBatch =
+        if (i == 0) min(when(col(typeCol) === step, col(tsCol))).over(w)
+        else min(when(col(typeCol) === step && col(tsCol) > col(s"__t$i"),
+          col(tsCol))).over(w)
+      // settled state wins; otherwise settle from this batch
+      df.withColumn(s"__t${i + 1}", coalesce(col(s"t${i + 1}"), fromBatch))
+    }
+    val aggs = (1 to steps.length).map(i => min(col(s"__t$i")).as(s"t$i"))
+    val completed = (1 to steps.length)
+      .map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    withSteps
+      .groupBy(col(userCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("steps_completed", completed.cast("long"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * `(prev_type, event_type, n, p)` where `p` is the exact row-
     * conditional probability `n / Σ n(prev_type, ·)` — the path-analysis

@@ -161,6 +161,46 @@ class BehavioralSpec extends SparkSpec {
       (6L, 0L, 6L, 36.0, 1L, 2L, 2L, "1-2-2")))
   }
 
+  test("incremental funnel: folding time-ordered batches == full recompute") {
+    val rnd = new scala.util.Random(11)
+    val types = Seq("a", "b", "c", "x")
+    // 40 users × ~50 events at distinct timestamps, random types
+    val all = (1L to 2000L).map { t =>
+      (rnd.nextInt(40).toLong, t, types(rnd.nextInt(types.length)))
+    }
+    val full = all.toDF("user_id", "ts", "event_type")
+    val expected = Funnel.funnelSteps(
+      full, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .orderBy("user_id").collect().map(_.toSeq)
+    // fold in 4 time-ordered slices (uneven cuts, some users absent per slice)
+    val cuts = Seq(0L, 137L, 800L, 1501L, 2001L)
+    val st = cuts.sliding(2).foldLeft(
+      Funnel.funnelSteps(full.limit(0), "user_id", "ts", "event_type",
+        Seq("a", "b", "c"))) { case (state, Seq(lo, hi)) =>
+      Funnel.updateFunnelState(state,
+        full.filter(col("ts") >= lo && col("ts") < hi),
+        "user_id", "ts", "event_type", Seq("a", "b", "c"))
+    }
+    assert(st.orderBy("user_id").collect().map(_.toSeq) === expected)
+  }
+
+  test("incremental funnel: state-only users pass through unchanged") {
+    val s0 = Funnel.funnelSteps(
+      Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 3L, "a"))
+        .toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", Seq("a", "b", "c"))
+    val s1 = Funnel.updateFunnelState(s0,
+      Seq((2L, 10L, "b"), (3L, 11L, "a")).toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4)))
+    assert(s1 === Seq(
+      (1L, Some(1L), Some(2L), None, 2L), // untouched by the batch
+      (2L, Some(3L), Some(10L), None, 2L), // step 2 settles from the batch
+      (3L, Some(11L), None, None, 1L))) // brand-new user
+  }
+
   test("reserved-column guards fail fast") {
     val bad = Seq((1L, 2L, "a")).toDF("user_id", "__t1", "event_type")
     intercept[IllegalArgumentException] {

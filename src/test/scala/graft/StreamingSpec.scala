@@ -312,4 +312,40 @@ class StreamingSpec extends SparkSpec {
         s"week $wk: streamed $est vs batch ${bm(wk)._2}")
     }
   }
+
+  test("streaming funnel folds micro-batches to the batch operator's answer") {
+    import graft.streaming.{FunnelEvent, FunnelStream}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val types = Seq("a", "b", "c", "x")
+    val all = (1L to 600L).map { t =>
+      FunnelEvent(rnd.nextInt(25).toLong, t, types(rnd.nextInt(types.length)))
+    }
+    // three time-ordered micro-batches (the delivery contract)
+    val slices = Seq(all.filter(_.ts <= 150), all.filter(e => e.ts > 150 && e.ts <= 420),
+      all.filter(_.ts > 420))
+    val input = MemoryStream[FunnelEvent]
+    val q = FunnelStream.track(input.toDS(), Seq("a", "b", "c"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    // latest emission per user = final state; compare to the batch funnel
+    val got = spark.table("funnel_out")
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("steps_completed").desc)))
+      .filter(col("__r") === 1)
+      .select(col("user_id"), col("steps_completed").cast("long"), col("times"))
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val expected = graft.operators.Funnel.funnelSteps(
+      all.toDF(), "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .collect().map { r =>
+        val ts = Seq(1, 2, 3).flatMap(i => Option(r.get(i)).map(_.asInstanceOf[Long]))
+        r.getLong(0) -> (r.getLong(4), ts)
+      }.toMap
+    // streamed rows exist only for users who advanced at least once
+    assert(got === expected.filter(_._2._1 > 0))
+  }
 }

@@ -1453,6 +1453,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prune semi join (q97): the fact scan is pruned by a dim-key
+    * bloom filter BEFORE the join exchange ([[graft.operators.BloomPrune]],
+    * the explicit form of AQE's runtime row-level filtering); the exact
+    * semi join removes the fpp residue, so the result is bit-identical to
+    * the plain `l_partkey IN (dim keys)` aggregate at ANY fpp — only the
+    * shuffled volume changes. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the ~6% that can match. */
+  private def bloomPruneQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BloomPrune.semiJoin(
+      lineitem(s, dir), col("l_partkey"),
+      part(s, dir).where(col("p_size") >= 48), col("p_partkey"),
+      expectedItems = 100000L, fpp = 0.01)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        Rollups.exactMoneySum(col("l_quantity"), 0).as("sum_qty"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1549,7 +1566,8 @@ object SparkEntry {
     "q93_vocab_coverage" -> (vocabCoverageQ _),
     "q94_transitions" -> (transitionsQ _),
     "q95_rfm" -> (rfmQ _),
-    "q96_funnel_inc" -> (funnelIncQ _)
+    "q96_funnel_inc" -> (funnelIncQ _),
+    "q97_bloom_prune" -> (bloomPruneQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3178,7 +3196,16 @@ object SparkEntry {
          |    / length(text) AS digit_ratio,
          |  len(string_split_regex(trim(text), '\\s+')) BETWEEN 20 AND 2000
          |    AND ${qHits(Seq("the", "a", "and", "of"))} >= 1 AS quality_ok
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the bloom prune is result-invisible (fpp residue removed by the
+    // exact semi join) — the oracle is the PLAIN semi-join aggregate
+    "q97_bloom_prune" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

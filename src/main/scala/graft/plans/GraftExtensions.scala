@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
   }
 }
 
@@ -49,6 +57,13 @@ object GraftExtensions {
     if (!registry.functionExists(FunctionIdentifier("graft_nearest_centroid"))) {
       registry.createOrReplaceTempFunction("graft_nearest_centroid",
         (children: Seq[Expression]) => NearestCentroid(children(0), children(1)),
+        "built-in")
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_bloom_might_contain"))) {
+      registry.createOrReplaceTempFunction("graft_bloom_might_contain",
+        (children: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            children(0), children(1)),
         "built-in")
     }
   }

@@ -1470,6 +1470,21 @@ object SparkEntry {
         Rollups.exactMoneySum(col("l_quantity"), 0).as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** Snapshot diff (q98): CDC compare of two derived snapshots of orders —
+    * "old" drops every 7th key (→ added in new) and doubles the price on
+    * every 5th (→ changed) — one full-outer join at the key grain, change
+    * classification + changed-column list as codegen expressions
+    * ([[graft.operators.TableDiff]]). */
+  private def tableDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val base = orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val old = base.where(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    graft.operators.TableDiff.diff(old, base, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1567,7 +1582,8 @@ object SparkEntry {
     "q94_transitions" -> (transitionsQ _),
     "q95_rfm" -> (rfmQ _),
     "q96_funnel_inc" -> (funnelIncQ _),
-    "q97_bloom_prune" -> (bloomPruneQ _)
+    "q97_bloom_prune" -> (bloomPruneQ _),
+    "q98_table_diff" -> (tableDiffQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3205,7 +3221,34 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    // full-outer replay of the snapshot derivation; IS DISTINCT FROM is
+    // the null-safe twin of Spark's <=>; concat_ws skips NULLs in both
+    // engines, so the changed-column list builds identically
+    "q98_table_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |nw AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_orderkey IS NOT NULL AS in_old, n.o_orderkey IS NOT NULL AS in_new,
+        |    o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS d_status,
+        |    o.o_totalprice IS DISTINCT FROM n.o_totalprice AS d_price
+        |  FROM old o FULL JOIN nw n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_old THEN 'added' WHEN NOT in_new THEN 'removed'
+        |       WHEN d_status OR d_price THEN 'changed'
+        |       ELSE 'unchanged' END AS change,
+        |  CASE WHEN in_old AND in_new THEN concat_ws(',',
+        |         CASE WHEN d_status THEN 'o_orderstatus' END,
+        |         CASE WHEN d_price THEN 'o_totalprice' END)
+        |       ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE NOT (in_old AND in_new AND NOT d_status AND NOT d_price)
+        |ORDER BY o_orderkey""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

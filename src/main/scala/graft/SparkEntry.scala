@@ -1485,6 +1485,22 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Calendar gap-fill + forward-fill (q99): a sparse daily gauge (max
+    * order price per priority among rare big orders — ~12% day density)
+    * regularized onto each key's full calendar span with the last
+    * observation carried forward ([[graft.operators.Resample]]): in-row
+    * `sequence` explode spine, one (key, date) left join, one per-key
+    * window. */
+  private def resampleQ(s: SparkSession, dir: String): DataFrame = {
+    val obs = orders(s, dir)
+      .where(col("o_totalprice") > 450000)
+      .groupBy(col("o_orderpriority").as("pri"),
+        col("o_orderdate").cast("date").as("d"))
+      .agg(max(col("o_totalprice")).as("mx"))
+    graft.operators.Resample.gapFillDaily(obs, Seq("pri"), "d", Seq("mx"))
+      .orderBy("pri", "d")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1583,7 +1599,8 @@ object SparkEntry {
     "q95_rfm" -> (rfmQ _),
     "q96_funnel_inc" -> (funnelIncQ _),
     "q97_bloom_prune" -> (bloomPruneQ _),
-    "q98_table_diff" -> (tableDiffQ _)
+    "q98_table_diff" -> (tableDiffQ _),
+    "q99_gap_fill" -> (resampleQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3248,7 +3265,28 @@ object SparkEntry {
         |       ELSE '' END AS changed_cols
         |FROM j
         |WHERE NOT (in_old AND in_new AND NOT d_status AND NOT d_price)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // spine replay via generate_series; LAST_VALUE IGNORE NULLS over a
+    // ROWS frame is the forward fill in both engines; max() is
+    // comparison-only (no float arithmetic), so doubles are bit-stable
+    "q99_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+        |    MAX(o_totalprice) AS mx
+        |  FROM orders WHERE o_totalprice > 450000 GROUP BY 1, 2),
+        |span AS (SELECT pri, MIN(d) AS d0, MAX(d) AS d1 FROM obs GROUP BY pri),
+        |spine AS (
+        |  SELECT pri, CAST(u.g AS DATE) AS d
+        |  FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(g)),
+        |j AS (
+        |  SELECT s.pri, s.d, o.mx, o.pri IS NOT NULL AS present
+        |  FROM spine s LEFT JOIN obs o ON s.pri = o.pri AND s.d = o.d)
+        |SELECT pri, d, mx,
+        |  LAST_VALUE(mx IGNORE NULLS) OVER (PARTITION BY pri ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx_filled,
+        |  NOT present AS is_gap
+        |FROM j
+        |ORDER BY pri, d""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

@@ -1501,6 +1501,15 @@ object SparkEntry {
       .orderBy("pri", "d")
   }
 
+  /** Tukey IQR outlier screen (q100): exact per-type quartiles of
+    * events.value through the bucket-refinement kernel, 1.5·IQR fences,
+    * one counting pass ([[graft.operators.Profiling.iqrOutliers]]) — the
+    * distribution-drift alarm a metrics pipeline runs per batch. */
+  private def iqrOutliersQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.iqrOutliers(
+      events(s, dir).select(col("event_type"), col("value")),
+      "event_type", "value")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1600,7 +1609,8 @@ object SparkEntry {
     "q96_funnel_inc" -> (funnelIncQ _),
     "q97_bloom_prune" -> (bloomPruneQ _),
     "q98_table_diff" -> (tableDiffQ _),
-    "q99_gap_fill" -> (resampleQ _)
+    "q99_gap_fill" -> (resampleQ _),
+    "q100_iqr_outliers" -> (iqrOutliersQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3286,7 +3296,29 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx_filled,
         |  NOT present AS is_gap
         |FROM j
-        |ORDER BY pri, d""".stripMargin
+        |ORDER BY pri, d""".stripMargin,
+    // quantile_cont is the R-7 interpolation the kernel reproduces
+    // bit-for-bit (q57/q62 precedent); fences reuse the same association
+    // order (q1 - k*(q3-q1)) so the IEEE doubles match exactly
+    "q100_iqr_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS n, b.q1, b.q3,
+        |  b.q1 - 1.5 * (b.q3 - b.q1) AS lo,
+        |  b.q3 + 1.5 * (b.q3 - b.q1) AS hi,
+        |  CAST(SUM(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+        |    OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |WHERE e.value IS NOT NULL
+        |GROUP BY b.event_type, b.q1, b.q3
+        |ORDER BY b.event_type""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

@@ -380,4 +380,42 @@ object Profiling {
         .getField("s"), "|").as("top_values"))
     summary.join(top, Seq("col_name"), "left").orderBy("col_name")
   }
+
+  /** Tukey IQR outlier screen at the key grain: exact per-key quartiles
+    * via the bucket-refinement selection kernel ([[exactQuantilesByKey]] —
+    * no value buffering), fences `q1 − k·IQR` / `q3 + k·IQR`, then ONE
+    * pass over the data counting fence violations. The bounds table is
+    * key-grain (broadcast-sized under the same low-key-cardinality
+    * contract as the kernel); the corpus is read once for the quantile
+    * grain and once for the count — no sort, no per-key value collection.
+    * Fence arithmetic is two IEEE ops on engine-identical quartiles, so
+    * the doubles replay bit-for-bit in any engine's `quantile_cont`. */
+  def iqrOutliers(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(!df.columns.contains("__iq_v"),
+      "input must not contain reserved internal column __iq_v")
+    val q = exactQuantilesByKey(df, keyCol, valueCol, Seq(0.25, 0.75))
+    val bounds = q.groupBy(keyCol)
+      .agg(
+        max(when(col("prob") === 0.25, col("value"))).as("q1"),
+        max(when(col("prob") === 0.75, col("value"))).as("q3"))
+      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    df.select(col(keyCol).cast("string").as(keyCol),
+        col(valueCol).cast("double").as("__iq_v"))
+      .where(col("__iq_v").isNotNull)
+      .join(broadcast(bounds), Seq(keyCol))
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        Rollups.countIf(col("__iq_v") < col("lo")).as("n_low"),
+        Rollups.countIf(col("__iq_v") > col("hi")).as("n_high"))
+      .withColumn("n_outliers", col("n_low") + col("n_high"))
+      .orderBy(keyCol)
+  }
 }

@@ -171,4 +171,32 @@ class ProfilingSpec extends SparkSpec {
     assert(!p.contains("Expand"), p.take(1500))
     assert(p.contains("WindowGroupLimit"), "top-k window must push a group limit:\n" + p.take(1500))
   }
+
+  test("iqrOutliers: exact quartile fences, null values excluded, zero-IQR degenerate") {
+    import spark.implicits._
+    // key "a": 0..100 plus spikes at ±1000 → IQR fences catch exactly the spikes
+    // key "b": all-equal values → IQR 0 → fences collapse to the value, no outliers
+    // key "c": carries nulls that must not count anywhere
+    val rows =
+      (0 to 100).map(i => ("a", Some(i.toDouble))) ++
+        Seq(("a", Some(-1000.0)), ("a", Some(1000.0)), ("a", Some(1001.0))) ++
+        (1 to 9).map(_ => ("b", Some(7.0))) ++
+        Seq(("c", None: Option[Double]), ("c", Some(1.0)), ("c", Some(2.0)))
+    val df = rows.toDF("k", "v")
+    val got = Profiling.iqrOutliers(df, "k", "v")
+      .select("k", "n", "n_low", "n_high", "n_outliers")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 104L, 1L, 2L, 3L), ("b", 9L, 0L, 0L, 0L), ("c", 2L, 0L, 0L, 0L)))
+    // fences derive from the exact R-7 quartiles of the 104-value set
+    val a = Profiling.iqrOutliers(df, "k", "v").where($"k" === "a")
+      .select("q1", "q3").as[(Double, Double)].head()
+    // order statistics of sorted values at pos p*(n-1): n=104
+    val sorted = ((0 to 100).map(_.toDouble) ++ Seq(-1000.0, 1000.0, 1001.0)).sorted
+    def r7(p: Double): Double = {
+      val pos = p * (sorted.size - 1); val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < sorted.size) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac else sorted(lo)
+    }
+    assert(a == ((r7(0.25), r7(0.75))))
+  }
 }

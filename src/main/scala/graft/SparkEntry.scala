@@ -1510,6 +1510,19 @@ object SparkEntry {
       events(s, dir).select(col("event_type"), col("value")),
       "event_type", "value")
 
+  /** Frequent co-purchase pairs (q101): A-priori pair mining over
+    * (order, brand) baskets ([[graft.operators.Itemsets]]) — items
+    * support-pruned BEFORE the pair self-join, the self-join reuses one
+    * basket-keyed exchange, pair width bounded by per-basket frequent
+    * items. */
+  private def frequentPairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Itemsets.frequentPairs(
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")),
+      "l_orderkey", "p_brand", minSupport = 350L)
+      .orderBy("item_a", "item_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1610,7 +1623,8 @@ object SparkEntry {
     "q97_bloom_prune" -> (bloomPruneQ _),
     "q98_table_diff" -> (tableDiffQ _),
     "q99_gap_fill" -> (resampleQ _),
-    "q100_iqr_outliers" -> (iqrOutliersQ _)
+    "q100_iqr_outliers" -> (iqrOutliersQ _),
+    "q101_frequent_pairs" -> (frequentPairsQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3318,7 +3332,23 @@ object SparkEntry {
         |FROM events e JOIN b ON e.event_type = b.event_type
         |WHERE e.value IS NOT NULL
         |GROUP BY b.event_type, b.q1, b.q3
-        |ORDER BY b.event_type""".stripMargin
+        |ORDER BY b.event_type""".stripMargin,
+    // downward closure makes the item pre-filter result-invisible at one
+    // shared threshold, so the oracle replays the same three stages
+    "q101_frequent_pairs" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |f AS (SELECT i FROM bi GROUP BY i HAVING COUNT(*) >= 350),
+        |bf AS (SELECT b, i FROM bi WHERE i IN (SELECT i FROM f)),
+        |p AS (
+        |  SELECT a.i AS item_a, b2.i AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS pair_count
+        |  FROM bf a JOIN bf b2 ON a.b = b2.b AND a.i < b2.i
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, pair_count FROM p
+        |WHERE pair_count >= 350
+        |ORDER BY item_a, item_b""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

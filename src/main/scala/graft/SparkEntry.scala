@@ -1523,6 +1523,26 @@ object SparkEntry {
       "l_orderkey", "p_brand", minSupport = 350L)
       .orderBy("item_a", "item_b")
 
+  /** Deterministic corpus split (q102): 80/10/10 train/val/test by integer
+    * ppm thresholds over the portable salted md5-60 of doc_id
+    * ([[graft.operators.Splits]]) — a per-row projection (zero shuffles)
+    * whose assignment can never move when the corpus grows. */
+  private def hashSplitQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.hashSplit(
+      documents(s, dir).select("doc_id", "lang"), "doc_id",
+      Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)))
+      .orderBy("doc_id")
+
+  /** Exact-sum Pearson + OLS slope (q103): quantity↔price co-movement per
+    * return flag ([[graft.operators.Rollups.pearsonByKey]]) — co-moment
+    * sums exact in the scaled-cents decimal domain, final r/slope a fixed
+    * IEEE sequence, so the doubles replay bit-for-bit in DuckDB (its
+    * native corr() would not: double accumulation order). */
+  private def pearsonQ(s: SparkSession, dir: String): DataFrame =
+    Rollups.pearsonByKey(lineitem(s, dir),
+      "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1624,7 +1644,9 @@ object SparkEntry {
     "q98_table_diff" -> (tableDiffQ _),
     "q99_gap_fill" -> (resampleQ _),
     "q100_iqr_outliers" -> (iqrOutliersQ _),
-    "q101_frequent_pairs" -> (frequentPairsQ _)
+    "q101_frequent_pairs" -> (frequentPairsQ _),
+    "q102_hash_split" -> (hashSplitQ _),
+    "q103_pearson" -> (pearsonQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3348,7 +3370,37 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT item_a, item_b, pair_count FROM p
         |WHERE pair_count >= 350
-        |ORDER BY item_a, item_b""".stripMargin
+        |ORDER BY item_a, item_b""".stripMargin,
+    "q102_hash_split" -> {
+      val b = graft.operators.Splits.bucketSql("doc_id")
+      s"""SELECT doc_id, lang, $b AS bucket,
+         |  CASE WHEN $b < 800000 THEN 'train'
+         |       WHEN $b < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // exact co-moment sums in the cents domain (BIGINT products, HUGEINT
+    // sums == Spark's decimal(38,0) sums), then the identical final IEEE
+    // sequence — bit-stable where native corr() would drift
+    "q103_pearson" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS x,
+        |    CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy
+        |  FROM c GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |    THEN (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+        |    END AS r,
+        |  CASE WHEN n*sxx - sx*sx > 0
+        |    THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope
+        |FROM s ORDER BY l_returnflag""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

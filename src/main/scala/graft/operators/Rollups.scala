@@ -83,4 +83,48 @@ object Rollups {
     } :+ count(lit(1)).as("total_cnt")
     tagged.groupBy(keyCols.map(col): _*).agg(pivots.head, pivots.tail: _*)
   }
+
+  /** Exact-sum Pearson correlation + OLS slope at the key grain.
+    *
+    * Spark's `corr` (and DuckDB's) accumulate co-moments in doubles, so
+    * partition order changes the last bits — unusable under a bit-equality
+    * oracle and non-reproducible across cluster layouts. This kernel makes
+    * the SUMS exact instead: both columns become scaled longs (`round(x ·
+    * 10^scale)` — exact for fixed-point sources, the repo's money policy),
+    * the five co-moment sums accumulate in decimal (order-independent,
+    * overflow-free), and only the FINAL Pearson/OLS arithmetic runs in
+    * doubles — a fixed sequence of IEEE ops on engine-identical inputs, so
+    * the result is bit-stable everywhere. One map-side-combined aggregate;
+    * Pearson r is invariant to the common scaling, and the OLS slope is
+    * scale-free when both columns share one scale.
+    *
+    * Degenerate keys (zero variance in either column) return null r/slope
+    * rather than NaN/±Inf. */
+  def pearsonByKey(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      scale: Int = 2): DataFrame = {
+    val f = math.pow(10, scale)
+    val sums = df
+      .select(col(keyCol),
+        round(col(xCol) * f).cast("long").as("__pc_x"),
+        round(col(yCol) * f).cast("long").as("__pc_y"))
+      .where(col("__pc_x").isNotNull && col("__pc_y").isNotNull)
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__pc_x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("__pc_y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("__pc_x") * col("__pc_x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((col("__pc_y") * col("__pc_y")).cast("decimal(38,0)")).cast("double").as("syy"),
+        sum((col("__pc_x") * col("__pc_y")).cast("decimal(38,0)")).cast("double").as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denX = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    sums.select(col(keyCol), col("n"),
+      when(denX > 0 && denY > 0, num / (sqrt(denX) * sqrt(denY))).as("r"),
+      when(denX > 0, num / denX).as("slope"))
+  }
 }

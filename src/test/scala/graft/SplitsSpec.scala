@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Rollups, Splits}
+import org.apache.spark.sql.functions._
+
+/** Hash-split assignment (stability is the whole point) and the exact-sum
+  * Pearson kernel. */
+class SplitsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("split proportions track ppm shares; assignment is deterministic") {
+    val ids = (1L to 2000L).toDF("id")
+    val s1 = Splits.hashSplit(ids, "id",
+      Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)))
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") / 2000.0 - 0.8) < 0.04, counts.toString)
+    assert(math.abs(counts("val") / 2000.0 - 0.1) < 0.04, counts.toString)
+    assert(math.abs(counts("test") / 2000.0 - 0.1) < 0.04, counts.toString)
+    val s2 = Splits.hashSplit(ids, "id",
+      Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)))
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
+  test("assignments never move when the corpus grows (subset property)") {
+    val full = (1L to 1000L).toDF("id")
+    val early = (1L to 400L).toDF("id")
+    val splits = Seq(("train", 900000L), ("test", 100000L))
+    val ofFull = Splits.hashSplit(full, "id", splits)
+      .where(col("id") <= 400)
+    val ofEarly = Splits.hashSplit(early, "id", splits)
+    assert(ofFull.exceptAll(ofEarly).isEmpty && ofEarly.exceptAll(ofFull).isEmpty)
+  }
+
+  test("salt isolates split families; invalid shares fail fast") {
+    val ids = (1L to 500L).toDF("id")
+    val a = Splits.hashSplit(ids, "id", Seq(("x", 500000L), ("y", 500000L)), salt = "s1")
+    val b = Splits.hashSplit(ids, "id", Seq(("x", 500000L), ("y", 500000L)), salt = "s2")
+    val differing = a.select("id", "split")
+      .join(b.select(col("id"), col("split").as("split2")), "id")
+      .where(col("split") =!= col("split2")).count()
+    assert(differing > 100, s"salts must decorrelate, only $differing moved")
+    intercept[IllegalArgumentException] {
+      Splits.hashSplit(ids, "id", Seq(("x", 1L), ("y", 2L)))
+    }
+  }
+
+  test("pearsonByKey: exact r/slope, null on zero variance, matches corr") {
+    val rows =
+      (1 to 50).map(i => ("lin", i.toDouble, 2.0 * i + 1.0)) ++        // r=1, slope=2
+        (1 to 50).map(i => ("anti", i.toDouble, -3.0 * i)) ++          // r=-1, slope=-3
+        (1 to 50).map(i => ("flat", 7.0, i.toDouble)) ++               // zero x-variance
+        (1 to 50).map(i => ("mix", i.toDouble, ((i * 37) % 50).toDouble))
+    val df = rows.toDF("k", "x", "y")
+    val got = Rollups.pearsonByKey(df, "k", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(math.abs(got("lin")._1.get - 1.0) < 1e-12)
+    assert(math.abs(got("lin")._2.get - 2.0) < 1e-12)
+    assert(math.abs(got("anti")._1.get + 1.0) < 1e-12)
+    assert(got("flat") == ((None, None)))
+    // agreement with Spark's native corr (double accumulation) to ~1e-10
+    val native = df.where($"k" === "mix").agg(corr($"x", $"y")).head().getDouble(0)
+    assert(math.abs(got("mix")._1.get - native) < 1e-10)
+  }
+}

@@ -46,14 +46,34 @@ object Dedup {
     * appended, never recomputed. Returns the batch's NEW fingerprints
     * `(fp, n_docs, keep_id)` (within-batch duplicates collapse to min id,
     * same as [[exactGroups]]). At scale the store is bucketed by fp, making
-    * the anti-join co-located. */
+    * the anti-join co-located.
+    *
+    * Store pruning (`pruneStore`, default on): the anti-join's right side
+    * is the WHOLE store — 100 TB of fingerprints shuffled to answer a
+    * question only about the batch's fps. A store row is relevant iff its
+    * fp occurs in the batch, so a [[BloomPrune]] filter built over the
+    * batch's fingerprints (bounded bytes at any batch size; one extra pass
+    * over the BATCH, never the store) runs inside the store scan and drops
+    * ~everything before the exchange. False positives merely pass extra
+    * rows to the exact anti join — the result is bit-identical either way
+    * (spec-pinned). */
   def incrementalExactNew(
       newDocs: DataFrame,
       storeFps: DataFrame,
       idCol: String,
-      textCol: String): DataFrame =
-    exactGroups(newDocs, idCol, textCol)
-      .join(storeFps.select(col("fp")), Seq("fp"), "left_anti")
+      textCol: String,
+      pruneStore: Boolean = true,
+      expectedBatchFps: Long = 1L << 20): DataFrame = {
+    val batch = exactGroups(newDocs, idCol, textCol)
+    val store = storeFps.select(col("fp"))
+    val pruned =
+      if (!pruneStore) store
+      else {
+        val bytes = BloomPrune.buildFilter(batch, col("fp"), expectedBatchFps)
+        store.where(BloomPrune.mightContain(store, bytes, col("fp")))
+      }
+    batch.join(pruned, Seq("fp"), "left_anti")
+  }
 
   /** Shared LSH bucket-harvest: group `(bandCols, member)` rows by band key,
     * collect members, drop singleton and over-`maxBucket` buckets, expand
@@ -784,13 +804,26 @@ object Dedup {
       storeHashes: DataFrame,
       idCol: String,
       textCol: String,
-      windowTokens: Int = 8): DataFrame = {
+      windowTokens: Int = 8,
+      pruneStore: Boolean = true,
+      expectedBatchHashes: Long = 1L << 22): DataFrame = {
     val perDoc = spanWindowHashes(newDocs, idCol, textCol, windowTokens)
       .groupBy("h", "id").agg(count(lit(1)).as("c"))
+    // a store hash matters only if the batch produced it: bloom-prune the
+    // store scan with the batch's window hashes (bounded bytes, one extra
+    // pass over the BATCH) before the join exchange — false positives just
+    // ride to the exact join and fail to match, result identical
+    val store0 = storeHashes.select(col("h"))
+    val store =
+      if (!pruneStore) store0
+      else {
+        val bytes = BloomPrune.buildFilter(perDoc, col("h"), expectedBatchHashes)
+        store0.where(BloomPrune.mightContain(store0, bytes, col("h")))
+      }
     val wNd = org.apache.spark.sql.expressions.Window.partitionBy("h")
     perDoc
       .withColumn("nd", count(lit(1)).over(wNd))
-      .join(storeHashes.select(col("h")).withColumn("__in_store", lit(true)),
+      .join(store.withColumn("__in_store", lit(true)),
         Seq("h"), "left")
       .groupBy("id")
       .agg(

@@ -98,10 +98,23 @@ class PipelineOpsSpec extends SparkSpec {
       (11L, "delta"), (12L, "delta"), // new content, within-batch dup
       (13L, "epsilon")
     ).toDF("doc_id", "text")
-    val got = Dedup.incrementalExactNew(batch,
-      Dedup.exactGroups(store, "doc_id", "text").select("fp"), "doc_id", "text")
+    val storeFps = Dedup.exactGroups(store, "doc_id", "text").select("fp")
+    val pruned = Dedup.incrementalExactNew(batch, storeFps, "doc_id", "text")
+    val got = pruned
       .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toSet
     assert(got == Set((2L, 11L), (1L, 13L))) // delta x2 keep 11; epsilon; alpha-beta dropped
+    // the bloom store-prune is result-invisible (false positives die in the
+    // exact anti join) and must sit in the store-side scan stage
+    val unpruned = Dedup.incrementalExactNew(batch, storeFps, "doc_id", "text",
+        pruneStore = false)
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+    assert(unpruned == got)
+    // plan pin on the parquet-backed q65 (over LocalRelations the filter is
+    // constant-folded into the scan at optimize time and leaves no node)
+    val p65 = SparkEntry.queries("q65_incremental_exact")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p65.contains("might_contain"),
+      "store scan must be bloom-pruned before the anti join:\n" + p65.take(2000))
   }
 
   test("bpe pretokenizer: splits letter/digit/punct runs; whitespace undercounts") {

@@ -1543,6 +1543,27 @@ object SparkEntry {
       "l_returnflag", "l_quantity", "l_extendedprice")
       .orderBy("l_returnflag")
 
+  /** Chi-square contingency cells (q104): lang × source independence
+    * decomposition over documents ([[graft.operators.Rollups.contingency]])
+    * — one corpus shuffle to cell counts, marginals as cell-table windows,
+    * expected/contribution as fixed per-cell IEEE ops (no float sums). */
+  private def contingencyQ(s: SparkSession, dir: String): DataFrame =
+    Rollups.contingency(documents(s, dir), "lang", "source")
+      .orderBy("lang", "source")
+
+  /** Blocked fuzzy resolve (q105): every truncated part name re-linked to
+    * the full catalog through prefix-2 blocking + normalized Levenshtein
+    * ([[graft.operators.FuzzyJoin]]) — the corpus-scale twin of q44's
+    * broadcast fuzzy resolve; candidates never exceed the block. */
+  private def blockedResolveQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.blockedResolve(
+      part(s, dir).select(
+        expr("substring(p_name, 1, length(p_name) - 1)").as("probe")),
+      "probe",
+      part(s, dir).select("p_name"), "p_name",
+      threshold = 0.5)
+      .orderBy("q")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1646,7 +1667,9 @@ object SparkEntry {
     "q100_iqr_outliers" -> (iqrOutliersQ _),
     "q101_frequent_pairs" -> (frequentPairsQ _),
     "q102_hash_split" -> (hashSplitQ _),
-    "q103_pearson" -> (pearsonQ _)
+    "q103_pearson" -> (pearsonQ _),
+    "q104_contingency" -> (contingencyQ _),
+    "q105_blocked_resolve" -> (blockedResolveQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3400,7 +3423,50 @@ object SparkEntry {
         |    END AS r,
         |  CASE WHEN n*sxx - sx*sx > 0
         |    THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope
-        |FROM s ORDER BY l_returnflag""".stripMargin
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    // integer marginals from the cell table; expected/contribution are the
+    // same fixed IEEE sequence per cell — no float aggregation to drift
+    "q104_contingency" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY lang, source),
+        |m AS (
+        |  SELECT lang, source, observed,
+        |    SUM(observed) OVER (PARTITION BY lang) AS row_total,
+        |    SUM(observed) OVER (PARTITION BY source) AS col_total,
+        |    SUM(observed) OVER () AS n
+        |  FROM cells)
+        |SELECT lang, source, observed,
+        |  CAST(row_total AS BIGINT) AS row_total,
+        |  CAST(col_total AS BIGINT) AS col_total,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(row_total * col_total AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+        |  (CAST(observed AS DOUBLE) - CAST(row_total * col_total AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(observed AS DOUBLE) - CAST(row_total * col_total AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(row_total * col_total AS DOUBLE) / CAST(n AS DOUBLE)) AS contribution
+        |FROM m ORDER BY lang, source""".stripMargin,
+    // q44's normalized-Levenshtein score, replayed through the same
+    // prefix-2 blocking both engines compute identically
+    "q105_blocked_resolve" ->
+      """WITH p AS (
+        |  SELECT DISTINCT substring(p_name, 1, length(p_name) - 1) AS q
+        |  FROM part WHERE p_name IS NOT NULL),
+        |c AS (SELECT DISTINCT p_name AS cand FROM part WHERE p_name IS NOT NULL),
+        |pb AS (SELECT q, substring(lower(q), 1, 2) AS bk FROM p),
+        |cb AS (SELECT cand, substring(lower(cand), 1, 2) AS bk FROM c),
+        |s AS (
+        |  SELECT pb.q, cb.cand,
+        |    CAST(1.0 AS DOUBLE)
+        |      - CAST(levenshtein(lower(pb.q), lower(cb.cand)) AS DOUBLE)
+        |        / CAST(greatest(length(pb.q), length(cb.cand)) AS DOUBLE) AS score
+        |  FROM pb JOIN cb USING (bk)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q ORDER BY score DESC, cand) AS rnk
+        |  FROM s)
+        |SELECT q, cand AS resolved, score FROM r
+        |WHERE rnk = 1 AND score >= 0.5
+        |ORDER BY q""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

@@ -56,20 +56,25 @@ object Dedup {
     * over the BATCH, never the store) runs inside the store scan and drops
     * ~everything before the exchange. False positives merely pass extra
     * rows to the exact anti join — the result is bit-identical either way
-    * (spec-pinned). */
+    * (spec-pinned). The filter is sized from the batch's ACTUAL
+    * fingerprint count unless a hint is given — the sketch bytes ride in
+    * every task binary, so an oversized default is a per-task memory tax,
+    * and an undersized one just raises fpp (still correct). */
   def incrementalExactNew(
       newDocs: DataFrame,
       storeFps: DataFrame,
       idCol: String,
       textCol: String,
       pruneStore: Boolean = true,
-      expectedBatchFps: Long = 1L << 20): DataFrame = {
+      expectedBatchFps: Long = -1L): DataFrame = {
     val batch = exactGroups(newDocs, idCol, textCol)
     val store = storeFps.select(col("fp"))
     val pruned =
       if (!pruneStore) store
       else {
-        val bytes = BloomPrune.buildFilter(batch, col("fp"), expectedBatchFps)
+        val items =
+          if (expectedBatchFps > 0) expectedBatchFps else math.max(batch.count(), 1L)
+        val bytes = BloomPrune.buildFilter(batch, col("fp"), items)
         store.where(BloomPrune.mightContain(store, bytes, col("fp")))
       }
     batch.join(pruned, Seq("fp"), "left_anti")
@@ -806,18 +811,22 @@ object Dedup {
       textCol: String,
       windowTokens: Int = 8,
       pruneStore: Boolean = true,
-      expectedBatchHashes: Long = 1L << 22): DataFrame = {
+      expectedBatchHashes: Long = -1L): DataFrame = {
     val perDoc = spanWindowHashes(newDocs, idCol, textCol, windowTokens)
       .groupBy("h", "id").agg(count(lit(1)).as("c"))
     // a store hash matters only if the batch produced it: bloom-prune the
     // store scan with the batch's window hashes (bounded bytes, one extra
     // pass over the BATCH) before the join exchange — false positives just
-    // ride to the exact join and fail to match, result identical
+    // ride to the exact join and fail to match, result identical. Sized
+    // from the batch unless hinted (oversizing taxes every task binary)
     val store0 = storeHashes.select(col("h"))
     val store =
       if (!pruneStore) store0
       else {
-        val bytes = BloomPrune.buildFilter(perDoc, col("h"), expectedBatchHashes)
+        val items =
+          if (expectedBatchHashes > 0) expectedBatchHashes
+          else math.max(perDoc.count(), 1L)
+        val bytes = BloomPrune.buildFilter(perDoc, col("h"), items)
         store0.where(BloomPrune.mightContain(store0, bytes, col("h")))
       }
     val wNd = org.apache.spark.sql.expressions.Window.partitionBy("h")

@@ -84,6 +84,43 @@ object Rollups {
     tagged.groupBy(keyCols.map(col): _*).agg(pivots.head, pivots.tail: _*)
   }
 
+  /** Contingency table with chi-square decomposition — the categorical
+    * independence screen (is `source` independent of `lang`? did the new
+    * crawl shift the topic mix?) at corpus scale.
+    *
+    * ONE corpus-sized shuffle builds the (a, b) cell counts; everything
+    * after runs on the CELL table, whose size is |A|·|B| (a low-cardinality
+    * contract like the profiling kernels — enums, not ids), so the
+    * marginal-total windows (two partitioned, one unpartitioned) are
+    * bounded by the cell count, never the corpus. Integer marginals stay
+    * exact; `expected` and `contribution` are a fixed two/three-op IEEE
+    * sequence per CELL (no float summation anywhere), so every emitted
+    * double replays bit-for-bit in any engine. The chi-square statistic is
+    * the sum of `contribution` — left to the caller/report layer because a
+    * float TOTAL is summation-order-dependent; the cell grain is the
+    * portable contract. */
+  def contingency(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(aCol, bCol).agg(count(lit(1)).as("observed"))
+    // cell-table-grain windows: bounded by |A|x|B|
+    val rowT = sum(col("observed")).over(Window.partitionBy(aCol))
+    val colT = sum(col("observed")).over(Window.partitionBy(bCol))
+    val allT = sum(col("observed")).over(Window.partitionBy())
+    val e = (col("row_total") * col("col_total")).cast("double") /
+      col("n").cast("double")
+    cells
+      .withColumn("row_total", rowT)
+      .withColumn("col_total", colT)
+      .withColumn("n", allT)
+      .withColumn("expected", e)
+      .withColumn("contribution", {
+        val d = col("observed").cast("double") - col("expected")
+        d * d / col("expected")
+      })
+  }
+
   /** Exact-sum Pearson correlation + OLS slope at the key grain.
     *
     * Spark's `corr` (and DuckDB's) accumulate co-moments in doubles, so

@@ -71,7 +71,8 @@ object Bench {
       "q76_curation_gate", "q78_cdc_chunks", "q79_chunk_dedup",
       "q81_gram_matrix", "q85_dup_span_ranges", "q86_minhash_stats",
       "q87_cut_spans", "q90_funnel", "q91_retention", "q92_heavy_hitters",
-      "q93_vocab_coverage")
+      "q93_vocab_coverage", "q97_bloom_prune", "q101_frequent_pairs",
+      "q105_blocked_resolve")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

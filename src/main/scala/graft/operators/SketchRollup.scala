@@ -54,4 +54,33 @@ object SketchRollup {
       .agg(
         hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"),
         sum(col("n_rows")).as("n_rows"))
+
+  /** Quantile twin ([[graft.functions.KllSketch]]): one mergeable KLL
+    * sketch + exact row count per fine-grain group — run once per new
+    * partition; every later percentile question reads only the sketch
+    * table. `qsketch` is the compact byte image (~KB at k=200). */
+  def quantileSketchByKey(
+      facts: DataFrame,
+      grainCols: Seq[String],
+      valueCol: String,
+      k: Int = 200): DataFrame =
+    facts.groupBy(grainCols.map(col): _*)
+      .agg(
+        udaf(graft.functions.KllSketch.KllBuildAgg(k))
+          .apply(col(valueCol).cast("double")).as("qsketch"),
+        count(col(valueCol)).as("n_rows"))
+
+  /** Merge quantile sketches to a coarser grain and evaluate `probs`:
+    * `approx_q` is the quantile array (one per prob, KLL rank-error
+    * envelope), `n_rows` exactly additive. Facts never re-read. */
+  def quantileRollup(
+      sketches: DataFrame,
+      coarseCols: Seq[String],
+      probs: Seq[Double],
+      k: Int = 200): DataFrame =
+    sketches.groupBy(coarseCols.map(col): _*)
+      .agg(
+        udaf(graft.functions.KllSketch.KllQuantilesAgg(k, probs))
+          .apply(col("qsketch")).as("approx_q"),
+        sum(col("n_rows")).as("n_rows"))
 }

@@ -139,6 +139,40 @@ class ScaleToolsSpec extends SparkSpec {
     assert(weekly.map(_._3).sum == 20000L)
   }
 
+  test("kll quantile rollup: merged estimates land in the rank-error envelope") {
+    import graft.operators.SketchRollup
+    val rnd = new scala.util.Random(11)
+    // skewed values so p50/p95 differ materially; 14 daily partitions
+    val facts = (1 to 40000).map { _ =>
+      val day = 1 + rnd.nextInt(14)
+      (day, (day - 1) / 7 + 1, math.pow(rnd.nextDouble(), 3) * 1000.0)
+    }.toDF("day", "week", "v")
+
+    val daily = SketchRollup.quantileSketchByKey(facts, Seq("day", "week"), "v")
+    val probs = Seq(0.5, 0.95)
+    val weekly = SketchRollup.quantileRollup(daily, Seq("week"), probs)
+      .as[(Int, Seq[Double], Long)].collect().sortBy(_._1)
+
+    // envelope check against the EXACT empirical CDF: the estimate's true
+    // rank must sit within ~2x the k=200 rank error (1.65%) of the target
+    val byWeek = facts.as[(Int, Int, Double)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    for ((wk, qs, n) <- weekly; (p, est) <- probs.zip(qs)) {
+      val vals = byWeek(wk)
+      val rank = vals.count(_ <= est).toDouble / vals.length
+      assert(math.abs(rank - p) < 0.033, s"week $wk p$p: est $est has rank $rank")
+      assert(n == vals.length.toLong)
+    }
+
+    // null-safe: an all-null group rolls up to null, not a crash
+    val withNull = Seq((99, 99, null.asInstanceOf[java.lang.Double]))
+      .toDF("day", "week", "v")
+    val nullRoll = SketchRollup.quantileRollup(
+      SketchRollup.quantileSketchByKey(withNull, Seq("day", "week"), "v"),
+      Seq("week"), probs)
+    assert(nullRoll.where(col("approx_q").isNull).count() == 1)
+  }
+
   test("join-size estimate == materialized join count; hot key surfaces first") {
     import graft.operators.SkewJoin
     val left = (Seq.fill(50)(7) ++ Seq(1, 1, 2, 3, 3, 3, 9)).toDF("k")

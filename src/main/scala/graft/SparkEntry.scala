@@ -1564,6 +1564,18 @@ object SparkEntry {
       threshold = 0.5)
       .orderBy("q")
 
+  /** Robust MAD outlier screen (q106): exact per-priority median of order
+    * totals, exact median of absolute deviations (both through the
+    * bucket-refinement kernel — no value buffering), Hampel fences
+    * `med ± 3·MAD`, one counting pass
+    * ([[graft.operators.Profiling.madOutliers]]) — the fat-tail-resistant
+    * companion to q100's IQR fences. */
+  private def madOutliersQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.madOutliers(
+      orders(s, dir).select(col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("v")),
+      "pri", "v")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1669,7 +1681,8 @@ object SparkEntry {
     "q102_hash_split" -> (hashSplitQ _),
     "q103_pearson" -> (pearsonQ _),
     "q104_contingency" -> (contingencyQ _),
-    "q105_blocked_resolve" -> (blockedResolveQ _)
+    "q105_blocked_resolve" -> (blockedResolveQ _),
+    "q106_mad_outliers" -> (madOutliersQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3466,7 +3479,29 @@ object SparkEntry {
         |  FROM s)
         |SELECT q, cand AS resolved, score FROM r
         |WHERE rnk = 1 AND score >= 0.5
-        |ORDER BY q""".stripMargin
+        |ORDER BY q""".stripMargin,
+    // quantile_cont twice (median, then median of |v − med|); fence
+    // arithmetic keeps the kernel's association order (med ± 3·mad) so
+    // the IEEE doubles replay exactly (q100 precedent)
+    "q106_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS pri, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |d AS (
+        |  SELECT m.pri, o.o_totalprice AS v, m.med,
+        |    ABS(o.o_totalprice - m.med) AS ad
+        |  FROM orders o JOIN m ON o.o_orderpriority = m.pri
+        |  WHERE o.o_totalprice IS NOT NULL),
+        |md AS (SELECT pri, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY pri)
+        |SELECT d.pri, CAST(COUNT(*) AS BIGINT) AS n, d.med, md.mad,
+        |  d.med - 3.0 * md.mad AS lo, d.med + 3.0 * md.mad AS hi,
+        |  CAST(SUM(CASE WHEN d.v < d.med - 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN d.v > d.med + 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(CASE WHEN d.v < d.med - 3.0 * md.mad
+        |    OR d.v > d.med + 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md ON d.pri = md.pri
+        |GROUP BY d.pri, d.med, md.mad
+        |ORDER BY d.pri""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

@@ -418,4 +418,46 @@ object Profiling {
       .withColumn("n_outliers", col("n_low") + col("n_high"))
       .orderBy(keyCol)
   }
+
+  /** Robust (MAD) outlier screen at the key grain: exact per-key median
+    * via the bucket-refinement kernel, exact median of |value − median|
+    * (a second kernel pass over the derived deviation column — still no
+    * value buffering), fences `med ± k·MAD` (Hampel's k = 3 default),
+    * then ONE counting pass. Resistant to the fat tails that drag the
+    * IQR fences ([[iqrOutliers]]) outward. Fence arithmetic is single
+    * IEEE ops on engine-identical medians, so any engine's R-7
+    * `quantile_cont` replays the doubles bit-for-bit. Same
+    * low-key-cardinality contract as [[exactMedianByKey]]; the corpus is
+    * read three times (median grain, deviation grain, count), never
+    * sorted, never collected. */
+  def madOutliers(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(!df.columns.exists(Set("__mo_v", "__mo_ad", "median", "mad")),
+      "input must not contain reserved columns __mo_v/__mo_ad/median/mad")
+    val med = exactMedianByKey(df, keyCol, valueCol)
+    val dev = df.select(col(keyCol).cast("string").as(keyCol),
+        col(valueCol).cast("double").as("__mo_v"))
+      .where(col("__mo_v").isNotNull)
+      .join(broadcast(med), Seq(keyCol))
+      .withColumn("__mo_ad", abs(col("__mo_v") - col("median")))
+    val mad = exactMedianByKey(dev, keyCol, "__mo_ad")
+      .withColumnRenamed("median", "mad")
+    val bounds = med.join(mad, Seq(keyCol))
+      .withColumn("lo", col("median") - lit(k) * col("mad"))
+      .withColumn("hi", col("median") + lit(k) * col("mad"))
+    dev.select(col(keyCol), col("__mo_v"))
+      .join(broadcast(bounds), Seq(keyCol))
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("median")).as("med"), max(col("mad")).as("mad"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        Rollups.countIf(col("__mo_v") < col("lo")).as("n_low"),
+        Rollups.countIf(col("__mo_v") > col("hi")).as("n_high"))
+      .withColumn("n_outliers", col("n_low") + col("n_high"))
+      .orderBy(keyCol)
+  }
 }

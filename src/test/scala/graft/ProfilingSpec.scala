@@ -199,4 +199,31 @@ class ProfilingSpec extends SparkSpec {
     }
     assert(a == ((r7(0.25), r7(0.75))))
   }
+
+  test("madOutliers: exact median/MAD fences, nulls excluded, zero-MAD degenerate") {
+    import spark.implicits._
+    // key "a": 0..100 plus symmetric ±1000 spikes → med 50, MAD 26,
+    //   fences [-28, 128] catch exactly the two spikes (IQR would too,
+    //   but MAD's breakdown point is the reason this operator exists)
+    // key "b": all-equal values → MAD 0 → fences collapse, no outliers
+    // key "c": interpolated median (even n) + nulls that must not count
+    val rows =
+      (0 to 100).map(i => ("a", Some(i.toDouble))) ++
+        Seq(("a", Some(-1000.0)), ("a", Some(1000.0))) ++
+        (1 to 9).map(_ => ("b", Some(7.0))) ++
+        Seq(("c", None: Option[Double]), ("c", Some(1.0)), ("c", Some(5.0)))
+    val df = rows.toDF("k", "v")
+    val got = Profiling.madOutliers(df, "k", "v")
+      .select("k", "n", "med", "mad", "lo", "hi", "n_low", "n_high", "n_outliers")
+      .as[(String, Long, Double, Double, Double, Double, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 103L, 50.0, 26.0, -28.0, 128.0, 1L, 1L, 2L),
+      ("b", 9L, 7.0, 0.0, 7.0, 7.0, 0L, 0L, 0L),
+      ("c", 2L, 3.0, 2.0, -3.0, 9.0, 0L, 0L, 0L)))
+    // reserved-column contract
+    intercept[IllegalArgumentException] {
+      Profiling.madOutliers(df.withColumn("mad", lit(1)), "k", "v")
+    }
+  }
 }

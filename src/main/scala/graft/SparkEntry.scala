@@ -1576,6 +1576,24 @@ object SparkEntry {
         col("o_totalprice").as("v")),
       "pri", "v")
 
+  /** Sorted-neighborhood linkage (q107): two SNM passes over part names
+    * (forward + reversed lowercased sort keys, prefix-2 blocks, w = 5),
+    * union-distinct candidates, normalized-Levenshtein scoring at 0.6
+    * ([[graft.operators.SortedNeighborhood]]) — the sliding-window
+    * companion to q105's equality blocking; windows partition by block,
+    * never the whole corpus. */
+  private def sortedNeighborhoodQ(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir).select(col("p_partkey"), col("p_name"))
+    val passes = Seq(
+      (lower(col("p_name")), substring(lower(col("p_name")), 1, 2)),
+      (reverse(lower(col("p_name"))), substring(reverse(lower(col("p_name"))), 1, 2)))
+    val cand = graft.operators.SortedNeighborhood
+      .candidatesMultiPass(p, "p_partkey", passes, w = 5)
+    graft.operators.SortedNeighborhood
+      .scoredPairs(cand, p, "p_partkey", "p_name", threshold = 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1682,7 +1700,8 @@ object SparkEntry {
     "q103_pearson" -> (pearsonQ _),
     "q104_contingency" -> (contingencyQ _),
     "q105_blocked_resolve" -> (blockedResolveQ _),
-    "q106_mad_outliers" -> (madOutliersQ _)
+    "q106_mad_outliers" -> (madOutliersQ _),
+    "q107_sorted_neighborhood" -> (sortedNeighborhoodQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3501,7 +3520,40 @@ object SparkEntry {
         |    OR d.v > d.med + 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN md ON d.pri = md.pri
         |GROUP BY d.pri, d.med, md.mad
-        |ORDER BY d.pri""".stripMargin
+        |ORDER BY d.pri""".stripMargin,
+    // lead(id, k) over (partition by block order by sk, id) ≡ self-join
+    // on rank distance 1..w−1; q105's score expression on the union of
+    // the two passes
+    "q107_sorted_neighborhood" ->
+      """WITH s1 AS (
+        |  SELECT p_partkey AS id, lower(p_name) AS sk,
+        |    substring(lower(p_name), 1, 2) AS blk
+        |  FROM part WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL),
+        |r1 AS (SELECT id, blk,
+        |  row_number() OVER (PARTITION BY blk ORDER BY sk, id) AS rn FROM s1),
+        |s2 AS (
+        |  SELECT p_partkey AS id, reverse(lower(p_name)) AS sk,
+        |    substring(reverse(lower(p_name)), 1, 2) AS blk
+        |  FROM part WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL),
+        |r2 AS (SELECT id, blk,
+        |  row_number() OVER (PARTITION BY blk ORDER BY sk, id) AS rn FROM s2),
+        |c AS (
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+        |    FROM r1 a JOIN r1 b
+        |      ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 4
+        |    UNION ALL
+        |    SELECT least(a.id, b.id), greatest(a.id, b.id)
+        |    FROM r2 a JOIN r2 b
+        |      ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 4)),
+        |sc AS (
+        |  SELECT c.id_a, c.id_b,
+        |    1.0 - CAST(levenshtein(lower(x.p_name), lower(y.p_name)) AS DOUBLE)
+        |        / CAST(greatest(length(x.p_name), length(y.p_name)) AS DOUBLE) AS score
+        |  FROM c JOIN part x ON c.id_a = x.p_partkey
+        |         JOIN part y ON c.id_b = y.p_partkey)
+        |SELECT id_a, id_b, score FROM sc WHERE score >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{FuzzyJoin, Rollups}
+import graft.operators.{FuzzyJoin, Rollups, SortedNeighborhood}
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy resolve semantics + the chi-square contingency cells. */
@@ -38,6 +38,39 @@ class FuzzyJoinSpec extends SparkSpec {
     val got = FuzzyJoin.blockedResolve(probes, "p", catalog, "c",
       threshold = 0.1, maxBlock = 10)
     assert(got.count() == 0, "the aa-block (50 > 10) must contribute nothing")
+  }
+
+  test("sortedNeighborhood: window pairs per block, normalized orientation") {
+    import org.apache.spark.sql.functions.{col, lower, substring}
+    // sort order (by name) deliberately opposes id order so least/greatest
+    // normalization is exercised; block = first char keeps b's apart
+    val df = Seq((4L, "aa"), (3L, "ab"), (2L, "ac"), (1L, "ad"),
+      (5L, "ba"), (6L, "bb")).toDF("id", "nm")
+    val got = SortedNeighborhood.candidates(
+      df, "id", lower(col("nm")), substring(lower(col("nm")), 1, 1), w = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 4L), (2L, 4L), (2L, 3L), (1L, 3L), (1L, 2L), (5L, 6L)))
+    // identical passes union-distinct to the single-pass set
+    val two = SortedNeighborhood.candidatesMultiPass(df, "id",
+      Seq((lower(col("nm")), substring(lower(col("nm")), 1, 1)),
+        (lower(col("nm")), substring(lower(col("nm")), 1, 1))), w = 3)
+    assert(two.count() == got.size)
+    // contracts: degenerate window and reserved columns fail fast
+    intercept[IllegalArgumentException] {
+      SortedNeighborhood.candidates(df, "id", col("nm"), col("nm"), w = 1)
+    }
+    intercept[IllegalArgumentException] {
+      SortedNeighborhood.candidates(df.withColumn("__sn_sk", col("nm")),
+        "id", col("nm"), col("nm"), w = 2)
+    }
+  }
+
+  test("sortedNeighborhood: scoredPairs keeps only threshold-passing pairs") {
+    val ents = Seq((1L, "abcd"), (2L, "abcx"), (3L, "zzzz")).toDF("id", "nm")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = SortedNeighborhood.scoredPairs(pairs, ents, "id", "nm", 0.6)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0.75)), "lev 1 over max-len 4 = 0.75; zzzz filtered")
   }
 
   test("contingency: exact marginals; uniform table has zero contributions") {

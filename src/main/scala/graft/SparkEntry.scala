@@ -1594,6 +1594,29 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Zone-map pruning audit (q108): the same shipdate range predicate
+    * costed under two layouts ([[graft.operators.Layout.pruningReport]])
+    * — zones as orderkey buckets (the natural insert order: envelopes
+    * span the whole date range, nothing prunes) vs zones as shipdate
+    * months (date-clustered: only the predicate's months scan). The
+    * planning-time I/O delta IS the value of clustered/Z-ordered writes;
+    * rows_matched is identical by construction. */
+  private def zoneMapQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val li = lineitem(s, dir).select(col("l_orderkey").as("k"),
+      col("l_shipdate").cast("date").as("d"))
+    val lo = lit("1997-01-01").cast("date")
+    val hi = lit("1997-03-31").cast("date")
+    val natural = Layout.pruningReport(li,
+      ((col("k") - pmod(col("k"), lit(1000L))) / lit(1000L)).cast("long"),
+      col("d"), lo, hi)
+      .select(lit("natural").as("layout"), col("*"))
+    val clustered = Layout.pruningReport(li, trunc(col("d"), "month"),
+      col("d"), lo, hi)
+      .select(lit("by_month").as("layout"), col("*"))
+    natural.unionByName(clustered).orderBy("layout")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1701,7 +1724,8 @@ object SparkEntry {
     "q104_contingency" -> (contingencyQ _),
     "q105_blocked_resolve" -> (blockedResolveQ _),
     "q106_mad_outliers" -> (madOutliersQ _),
-    "q107_sorted_neighborhood" -> (sortedNeighborhoodQ _)
+    "q107_sorted_neighborhood" -> (sortedNeighborhoodQ _),
+    "q108_zone_map" -> (zoneMapQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3553,7 +3577,44 @@ object SparkEntry {
         |  FROM c JOIN part x ON c.id_a = x.p_partkey
         |         JOIN part y ON c.id_b = y.p_partkey)
         |SELECT id_a, id_b, score FROM sc WHERE score >= 0.6
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // a zone scans iff its [min, max] envelope overlaps the predicate
+    // interval — all-integer accounting, so the replay is exact
+    "q108_zone_map" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS k, CAST(l_shipdate AS DATE) AS d
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL),
+        |z1 AS (
+        |  SELECT CAST((k - k % 1000) / 1000 AS BIGINT) AS z, COUNT(*) AS n,
+        |    MIN(d) AS mn, MAX(d) AS mx,
+        |    SUM(CASE WHEN d BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+        |      THEN 1 ELSE 0 END) AS m
+        |  FROM li GROUP BY 1),
+        |z2 AS (
+        |  SELECT date_trunc('month', d) AS z, COUNT(*) AS n,
+        |    MIN(d) AS mn, MAX(d) AS mx,
+        |    SUM(CASE WHEN d BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+        |      THEN 1 ELSE 0 END) AS m
+        |  FROM li GROUP BY 1),
+        |s1 AS (
+        |  SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS zones_total,
+        |    CAST(COALESCE(SUM(CASE WHEN mx >= DATE '1997-01-01'
+        |      AND mn <= DATE '1997-03-31' THEN 1 ELSE 0 END), 0) AS BIGINT) AS zones_scanned,
+        |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS rows_total,
+        |    CAST(COALESCE(SUM(CASE WHEN mx >= DATE '1997-01-01'
+        |      AND mn <= DATE '1997-03-31' THEN n END), 0) AS BIGINT) AS rows_scanned,
+        |    CAST(COALESCE(SUM(m), 0) AS BIGINT) AS rows_matched
+        |  FROM z1),
+        |s2 AS (
+        |  SELECT 'by_month' AS layout, CAST(COUNT(*) AS BIGINT) AS zones_total,
+        |    CAST(COALESCE(SUM(CASE WHEN mx >= DATE '1997-01-01'
+        |      AND mn <= DATE '1997-03-31' THEN 1 ELSE 0 END), 0) AS BIGINT) AS zones_scanned,
+        |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS rows_total,
+        |    CAST(COALESCE(SUM(CASE WHEN mx >= DATE '1997-01-01'
+        |      AND mn <= DATE '1997-03-31' THEN n END), 0) AS BIGINT) AS rows_scanned,
+        |    CAST(COALESCE(SUM(m), 0) AS BIGINT) AS rows_matched
+        |  FROM z2)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY layout""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

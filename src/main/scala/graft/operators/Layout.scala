@@ -128,4 +128,45 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Zone-map pruning report: what a `[lo, hi]` range predicate on
+    * `statCol` would cost under a given physical layout, where `zone`
+    * names the file/row-group a row would land in (a bucket of the
+    * clustering key — the engine-side twin of a parquet footer's min/max
+    * stats). A zone must be SCANNED iff its value envelope overlaps the
+    * predicate interval (`max >= lo AND min <= hi` — the planning-time
+    * test, which cannot consult the rows); `rows_matched` counts rows the
+    * predicate actually selects, so `rows_scanned − rows_matched` is the
+    * waste the layout forces. One shuffle to the zone grain, then a tiny
+    * final aggregate; nothing is collected.
+    *
+    * This is the AUDIT for [[zOrdered]]/clustered writes: run it under
+    * the natural layout and the clustered layout and compare
+    * `zones_scanned` — the difference is the I/O the clustering buys
+    * back at planning time. Output (one row): `zones_total,
+    * zones_scanned, rows_total, rows_scanned, rows_matched`. */
+  def pruningReport(
+      df: DataFrame,
+      zone: Column,
+      statCol: Column,
+      lo: Column,
+      hi: Column): DataFrame = {
+    require(!df.columns.exists(c => c.startsWith("__zm_")),
+      "input must not contain reserved internal columns __zm_*")
+    val z = df.select(zone.as("__zm_z"), statCol.as("__zm_v"))
+      .where(col("__zm_z").isNotNull && col("__zm_v").isNotNull)
+      .groupBy("__zm_z")
+      .agg(
+        count(lit(1)).as("__zm_n"),
+        min(col("__zm_v")).as("__zm_mn"),
+        max(col("__zm_v")).as("__zm_mx"),
+        Rollups.countIf(col("__zm_v").between(lo, hi)).as("__zm_m"))
+    val scanned = col("__zm_mx") >= lo && col("__zm_mn") <= hi
+    z.agg(
+      count(lit(1)).as("zones_total"),
+      coalesce(Rollups.countIf(scanned), lit(0L)).as("zones_scanned"),
+      coalesce(sum(col("__zm_n")), lit(0L)).as("rows_total"),
+      coalesce(sum(when(scanned, col("__zm_n"))), lit(0L)).as("rows_scanned"),
+      coalesce(sum(col("__zm_m")), lit(0L)).as("rows_matched"))
+  }
 }

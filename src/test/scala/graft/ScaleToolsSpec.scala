@@ -238,4 +238,31 @@ class ScaleToolsSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.operators.Layout.zOrdered(
       Seq((1, 2, 3L)).toDF("x", "y", "__z"), "x", "y", bits = 4, numRanges = 2))
   }
+
+  test("zone-map pruning: envelope overlap decides the scan set; clustered layout prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // values 0..99 in insert order; zone = id bucket of 10 → each zone's
+    // envelope is tight, so a [30, 49] predicate scans exactly 2 zones
+    val clustered = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val gotC = graft.operators.Layout.pruningReport(clustered,
+      ((col("id") - pmod(col("id"), lit(10L))) / lit(10L)).cast("long"),
+      col("v"), lit(30L), lit(49L))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(gotC == ((10L, 2L, 100L, 20L, 20L)))
+    // same rows, adversarial layout: zone = id % 10 striping → every zone's
+    // envelope spans [zone, 90+zone], all 10 must scan for the same answer
+    val striped = graft.operators.Layout.pruningReport(clustered, pmod(col("id"), lit(10L)),
+      col("v"), lit(30L), lit(49L))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(striped == ((10L, 10L, 100L, 100L, 20L)))
+    // degenerate: no-overlap predicate scans nothing; nulls drop out
+    val gotE = graft.operators.Layout.pruningReport(
+      Seq((Some(1L), Some(5L)), (None, Some(9L)), (Some(2L), None)).toDF("id", "v"),
+      col("id"), col("v"), lit(100L), lit(200L))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(gotE == ((1L, 0L, 1L, 0L, 0L)))
+    intercept[IllegalArgumentException](graft.operators.Layout.pruningReport(
+      Seq((1L, 2L)).toDF("__zm_z", "v"), col("__zm_z"), col("v"), lit(0L), lit(1L)))
+  }
 }

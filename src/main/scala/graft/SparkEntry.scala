@@ -1617,6 +1617,27 @@ object SparkEntry {
     natural.unionByName(clustered).orderBy("layout")
   }
 
+  /** Data-contract report (q109): the expectation suite over orders +
+    * the lineitem→orders referential check
+    * ([[graft.operators.Expectations]]) — a deliberate mix of passing and
+    * failing checks (o_custkey repeats, P-status rows, out-of-range
+    * totals, low-priority regex misses) so the report is exercised, not
+    * vacuous. Row-local checks share ONE aggregate pass. */
+  private def expectationsQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    val o = orders(s, dir)
+    val ordersReport = report(o, Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      Unique(Seq("o_custkey")),
+      InRange("o_totalprice", lit(0.0), lit(450000.0)),
+      InSet("o_orderstatus", Seq("F", "O")),
+      Matches("o_orderpriority", "^[1-3]-")))
+    val fkReport = report(lineitem(s, dir),
+      Seq(ForeignKey("l_orderkey", o, "o_orderkey")))
+    ordersReport.unionByName(fkReport).orderBy("check_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1725,7 +1746,8 @@ object SparkEntry {
     "q105_blocked_resolve" -> (blockedResolveQ _),
     "q106_mad_outliers" -> (madOutliersQ _),
     "q107_sorted_neighborhood" -> (sortedNeighborhoodQ _),
-    "q108_zone_map" -> (zoneMapQ _)
+    "q108_zone_map" -> (zoneMapQ _),
+    "q109_expectations" -> (expectationsQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3614,7 +3636,50 @@ object SparkEntry {
         |      AND mn <= DATE '1997-03-31' THEN n END), 0) AS BIGINT) AS rows_scanned,
         |    CAST(COALESCE(SUM(m), 0) AS BIGINT) AS rows_matched
         |  FROM z2)
-        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY layout""".stripMargin
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY layout""".stripMargin,
+    // all-integer counters; pass = zero violations; anchored regex keeps
+    // rlike and regexp_matches agreeing
+    "q109_expectations" ->
+      """WITH rl AS (
+        |  SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS nn_c,
+        |    CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nn_v,
+        |    CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS ir_c,
+        |    CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+        |      AND NOT (o_totalprice BETWEEN 0.0 AND 450000.0) THEN 1 ELSE 0 END), 0) AS BIGINT) AS ir_v,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS is_c,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END), 0) AS BIGINT) AS is_v,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS re_c,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority IS NOT NULL
+        |      AND NOT regexp_matches(o_orderpriority, '^[1-3]-') THEN 1 ELSE 0 END), 0) AS BIGINT) AS re_v
+        |  FROM orders),
+        |uk AS (
+        |  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS c,
+        |    CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS v
+        |  FROM (SELECT COUNT(*) AS n FROM orders
+        |        WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)),
+        |uc AS (
+        |  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS c,
+        |    CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS v
+        |  FROM (SELECT COUNT(*) AS n FROM orders
+        |        WHERE o_custkey IS NOT NULL GROUP BY o_custkey)),
+        |fk AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL)
+        |SELECT check_name, n_checked, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'not_null:o_custkey' AS check_name, nn_c AS n_checked, nn_v AS n_violations FROM rl
+        |  UNION ALL SELECT 'in_range:o_totalprice', ir_c, ir_v FROM rl
+        |  UNION ALL SELECT 'in_set:o_orderstatus', is_c, is_v FROM rl
+        |  UNION ALL SELECT 'regex:o_orderpriority', re_c, re_v FROM rl
+        |  UNION ALL SELECT 'unique:o_orderkey', c, v FROM uk
+        |  UNION ALL SELECT 'unique:o_custkey', c, v FROM uc
+        |  UNION ALL SELECT 'fk:l_orderkey', c, v FROM fk)
+        |ORDER BY check_name""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

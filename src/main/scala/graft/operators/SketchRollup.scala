@@ -83,4 +83,38 @@ object SketchRollup {
         udaf(graft.functions.KllSketch.KllQuantilesAgg(k, probs))
           .apply(col("qsketch")).as("approx_q"),
         sum(col("n_rows")).as("n_rows"))
+
+  /** Frequency twin ([[graft.functions.CmsSketch]]): one mergeable
+    * count-min sketch + exact row count per fine-grain group. Unlike the
+    * HLL member this is NOT replay-idempotent (counters add) — fold each
+    * partition exactly once. */
+  def freqSketchByKey(
+      facts: DataFrame,
+      grainCols: Seq[String],
+      keyCol: String,
+      depth: Int = 5,
+      width: Int = 4096,
+      seed: Int = 42): DataFrame =
+    facts.groupBy(grainCols.map(col): _*)
+      .agg(
+        udaf(graft.functions.CmsSketch.CmsBuildAgg(depth, width, seed))
+          .apply(col(keyCol).cast("string")).as("fsketch"),
+        count(col(keyCol)).as("n_rows"))
+
+  /** Merge frequency sketches to a coarser grain and estimate each probe
+    * item's count (`approx_counts` aligned with `items`; never an
+    * undercount, overcount within eps·N). All sketches must share
+    * (depth, width, seed). Facts never re-read. */
+  def freqRollup(
+      sketches: DataFrame,
+      coarseCols: Seq[String],
+      items: Seq[String],
+      depth: Int = 5,
+      width: Int = 4096,
+      seed: Int = 42): DataFrame =
+    sketches.groupBy(coarseCols.map(col): _*)
+      .agg(
+        udaf(graft.functions.CmsSketch.CmsEstimateAgg(depth, width, seed, items))
+          .apply(col("fsketch")).as("approx_counts"),
+        sum(col("n_rows")).as("n_rows"))
 }

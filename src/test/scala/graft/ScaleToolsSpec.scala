@@ -173,6 +173,51 @@ class ScaleToolsSpec extends SparkSpec {
     assert(nullRoll.where(col("approx_q").isNull).count() == 1)
   }
 
+  test("cms frequency rollup: merged == direct exactly; never undercounts; replay double-counts") {
+    import graft.operators.SketchRollup
+    val rnd = new scala.util.Random(13)
+    // zipf-ish key draw over 14 daily partitions
+    val facts = (1 to 20000).map { _ =>
+      val day = 1 + rnd.nextInt(14)
+      (day, (day - 1) / 7 + 1, s"k${(math.pow(rnd.nextDouble(), 2) * 500).toInt}")
+    }.toDF("day", "week", "k")
+    val probes = Seq("k0", "k1", "k42", "k400", "nope")
+
+    val daily = SketchRollup.freqSketchByKey(facts, Seq("day", "week"), "k")
+    val weekly = SketchRollup.freqRollup(daily, Seq("week"), probes)
+      .as[(Int, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+
+    // merged path == one sketch straight over the raw week: CMS cells are
+    // additive sums, so partitioning commutes BIT-identically
+    val direct = SketchRollup.freqRollup(
+      SketchRollup.freqSketchByKey(facts, Seq("week"), "k"), Seq("week"), probes)
+      .as[(Int, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(weekly == direct)
+
+    // one-sided error: estimate >= exact, overcount within ~eps*N
+    val exact = facts.as[(Int, Int, String)].collect()
+      .groupBy(_._2).view.mapValues(_.groupBy(_._3).view.mapValues(_.length.toLong).toMap).toMap
+    for ((wk, ests, n) <- weekly; (item, est) <- probes.zip(ests)) {
+      val truth = exact(wk).getOrElse(item, 0L)
+      assert(est >= truth, s"week $wk $item: CMS must never undercount ($est < $truth)")
+      assert(est - truth <= (0.01 * n).toLong + 1,
+        s"week $wk $item: overcount ${est - truth} exceeds envelope")
+    }
+    assert(weekly.map(_._3).sum == 20000L)
+
+    // NOT idempotent (unlike HLL registers): replaying a partition adds
+    // its counters again — the exactly-once contract, pinned out loud
+    val dup = daily.unionAll(daily.where(col("day") === 3))
+    val replayed = SketchRollup.freqRollup(dup, Seq("week"), Seq("k0"))
+      .as[(Int, Seq[Long], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val clean = weekly.map(r => r._1 -> r._2.head).toMap
+    val day3week = 1
+    assert(replayed(day3week)._1.head >= clean(day3week),
+      "replayed partition must not shrink the estimate")
+    assert(replayed.keys.toSet == clean.keySet)
+  }
+
   test("join-size estimate == materialized join count; hot key surfaces first") {
     import graft.operators.SkewJoin
     val left = (Seq.fill(50)(7) ++ Seq(1, 1, 2, 3, 3, 3, 9)).toDF("k")

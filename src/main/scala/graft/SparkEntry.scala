@@ -1638,6 +1638,20 @@ object SparkEntry {
     ordersReport.unionByName(fkReport).orderBy("check_name")
   }
 
+  /** Token-weighted length quantiles (q110): per-language p50/p90 of doc
+    * char length where each doc counts by its TOKEN count
+    * ([[graft.operators.Profiling.weightedQuantilesByKey]]) — the
+    * distributed cumulative-weight selection (no driver finalize, state
+    * bounded by per-key distinct lengths); integer weights make the
+    * lower-quantile definition engine-exact. */
+  private def weightedQuantilesQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.weightedQuantilesByKey(
+      documents(s, dir).select(col("lang"),
+        TF.charCount(col("text")).as("len"),
+        TF.tokenCount(col("text")).as("w")),
+      "lang", "len", "w", Seq(0.5, 0.9))
+      .orderBy("lang", "prob")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1747,7 +1761,8 @@ object SparkEntry {
     "q106_mad_outliers" -> (madOutliersQ _),
     "q107_sorted_neighborhood" -> (sortedNeighborhoodQ _),
     "q108_zone_map" -> (zoneMapQ _),
-    "q109_expectations" -> (expectationsQ _)
+    "q109_expectations" -> (expectationsQ _),
+    "q110_weighted_quantiles" -> (weightedQuantilesQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3679,7 +3694,28 @@ object SparkEntry {
         |  UNION ALL SELECT 'unique:o_orderkey', c, v FROM uk
         |  UNION ALL SELECT 'unique:o_custkey', c, v FROM uc
         |  UNION ALL SELECT 'fk:l_orderkey', c, v FROM fk)
-        |ORDER BY check_name""".stripMargin
+        |ORDER BY check_name""".stripMargin,
+    // lower weighted quantile: smallest v with cumweight >= ceil(p*W) —
+    // integer weights, q13's token expression, no interpolation anywhere
+    "q110_weighted_quantiles" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(length(text) AS DOUBLE) AS v,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+        |g AS (SELECT lang, v, SUM(w) AS w FROM d WHERE w > 0 GROUP BY lang, v),
+        |c AS (SELECT lang, v, w,
+        |  SUM(w) OVER (PARTITION BY lang ORDER BY v) AS cum FROM g),
+        |t AS (SELECT lang, SUM(w) AS tw FROM g GROUP BY lang),
+        |pr AS (SELECT * FROM (VALUES (0.5), (0.9)) AS p(prob)),
+        |tt AS (SELECT t.lang, pr.prob,
+        |  CAST(CEIL(pr.prob * t.tw) AS BIGINT) AS tgt, t.tw
+        |  FROM t CROSS JOIN pr)
+        |SELECT c.lang, tt.prob, MIN(c.v) AS value,
+        |  CAST(MAX(tt.tw) AS BIGINT) AS total_weight
+        |FROM c JOIN tt ON c.lang = tt.lang AND c.cum >= tt.tgt
+        |GROUP BY c.lang, tt.prob
+        |ORDER BY c.lang, tt.prob""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

@@ -151,6 +151,48 @@ object Profiling {
     } finally grouped.unpersist(blocking = false)
   }
 
+  /** Exact WEIGHTED per-key quantiles, fully distributed: the lower
+    * weighted quantile — the smallest value whose cumulative weight
+    * reaches `ceil(p·W)` — computed on the distinct-value grain with a
+    * per-key cumulative window. Integer weight arithmetic end-to-end, so
+    * any engine replays it exactly (no interpolation, no float sums).
+    *
+    * This IS the "millions of groups" path the driver-finalized kernel
+    * ([[exactMedianByKey]]) scaladoc points to: no driver selection loop,
+    * state bounded by per-key DISTINCT values, nothing collected. The
+    * pretraining use is token-weighted distributions (a 100-token doc
+    * should count 100×, not 1×, when sizing context budgets).
+    * Output: `(keyCol, prob, value, total_weight)`. */
+  def weightedQuantilesByKey(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      weightCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      "probs must be in (0, 1]")
+    require(!df.columns.exists(c => c.startsWith("__wq_")),
+      "input must not contain reserved internal columns __wq_*")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(keyCol).as("__wq_k"), col(valueCol).cast("double").as("__wq_v"))
+      .agg(sum(col(weightCol).cast("long")).as("__wq_w"))
+    val win = Window.partitionBy("__wq_k").orderBy("__wq_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("__wq_cum", sum(col("__wq_w")).over(win))
+    val targets = g.groupBy("__wq_k").agg(sum(col("__wq_w")).as("__wq_tw"))
+      .crossJoin(broadcast(probs.toDF("prob")))
+      .withColumn("__wq_t", ceil(col("prob") * col("__wq_tw")).cast("long"))
+    cum.join(targets, Seq("__wq_k"))
+      .where(col("__wq_cum") >= col("__wq_t"))
+      .groupBy(col("__wq_k"), col("prob"))
+      .agg(min(col("__wq_v")).as("value"), max(col("__wq_tw")).as("total_weight"))
+      .select(col("__wq_k").as(keyCol), col("prob"), col("value"), col("total_weight"))
+  }
+
   /** The melted distinct-value grain `(col_name, value) -> cnt` — exposed
     * for plan audits (this is the ONLY corpus-sized shuffle in the exact
     * profile). */

@@ -200,6 +200,35 @@ class ProfilingSpec extends SparkSpec {
     assert(a == ((r7(0.25), r7(0.75))))
   }
 
+  test("weightedQuantilesByKey: cumulative-weight selection, exact integers") {
+    import spark.implicits._
+    // key "a": values 1..4 with weights 1,1,6,2 (W=10):
+    //   p50 -> target 5 -> first cum >= 5 is v=3 (cum 8); p90 -> target 9 -> v=4
+    // key "b": uniform weights degenerate to the unweighted lower median
+    // nulls/zero weights must not count anywhere
+    val df = Seq(
+      ("a", Some(1.0), Some(1L)), ("a", Some(2.0), Some(1L)),
+      ("a", Some(3.0), Some(6L)), ("a", Some(4.0), Some(2L)),
+      ("a", Some(9.0), Some(0L)), ("a", None, Some(5L)), ("a", Some(5.0), None),
+      ("b", Some(10.0), Some(2L)), ("b", Some(20.0), Some(2L))
+    ).toDF("k", "v", "w")
+    val got = Profiling.weightedQuantilesByKey(df, "k", "v", "w", Seq(0.5, 0.9))
+      .orderBy("k", "prob")
+      .as[(String, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 0.5, 3.0, 10L), ("a", 0.9, 4.0, 10L),
+      ("b", 0.5, 10.0, 4L), ("b", 0.9, 20.0, 4L)))
+    // duplicated values pre-aggregate: two (a, 3.0) rows of weight 3 each
+    // behave exactly like one row of weight 6
+    val dup = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 3L),
+      ("a", 3.0, 3L), ("a", 4.0, 2L)).toDF("k", "v", "w")
+    val got2 = Profiling.weightedQuantilesByKey(dup, "k", "v", "w", Seq(0.5))
+      .as[(String, Double, Double, Long)].head()
+    assert(got2 == (("a", 0.5, 3.0, 10L)))
+    intercept[IllegalArgumentException](
+      Profiling.weightedQuantilesByKey(df, "k", "v", "w", Seq(0.0)))
+  }
+
   test("madOutliers: exact median/MAD fences, nulls excluded, zero-MAD degenerate") {
     import spark.implicits._
     // key "a": 0..100 plus symmetric ±1000 spikes → med 50, MAD 26,

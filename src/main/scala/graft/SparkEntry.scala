@@ -1652,6 +1652,26 @@ object SparkEntry {
       "lang", "len", "w", Seq(0.5, 0.9))
       .orderBy("lang", "prob")
 
+  /** Supplier activity coverage (q111): each shipment opens a 7-day
+    * activity window; overlapping windows coalesce via the cummax sweep
+    * ([[graft.operators.Windows.intervalUnion]]) and per-supplier
+    * coverage is the DEDUP'd day count — the interval twin of q07's
+    * gaps-and-islands, pure integer day arithmetic. */
+  private def intervalUnionQ(s: SparkSession, dir: String): DataFrame = {
+    val iv = lineitem(s, dir)
+      .where(col("l_suppkey").isNotNull && col("l_shipdate").isNotNull)
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("s"))
+      .withColumn("e", col("s") + lit(6L))
+    graft.operators.Windows.intervalUnion(iv, Seq("l_suppkey"), "s", "e")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_ranges"),
+        sum(col("n_intervals")).as("n_merged"),
+        sum(col("u_end") - col("u_start") + lit(1L)).as("covered_days"))
+      .orderBy("l_suppkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1762,7 +1782,8 @@ object SparkEntry {
     "q107_sorted_neighborhood" -> (sortedNeighborhoodQ _),
     "q108_zone_map" -> (zoneMapQ _),
     "q109_expectations" -> (expectationsQ _),
-    "q110_weighted_quantiles" -> (weightedQuantilesQ _)
+    "q110_weighted_quantiles" -> (weightedQuantilesQ _),
+    "q111_interval_union" -> (intervalUnionQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3715,7 +3736,31 @@ object SparkEntry {
         |  CAST(MAX(tt.tw) AS BIGINT) AS total_weight
         |FROM c JOIN tt ON c.lang = tt.lang AND c.cum >= tt.tgt
         |GROUP BY c.lang, tt.prob
-        |ORDER BY c.lang, tt.prob""".stripMargin
+        |ORDER BY c.lang, tt.prob""".stripMargin,
+    // cummax sweep: a window opens a merged range iff its start passes
+    // the running max of prior ends; ties on (s, e) are order-immune
+    "q111_interval_union" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS k,
+        |    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s,
+        |    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) + 6 AS e
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL),
+        |o AS (
+        |  SELECT k, s, e, MAX(e) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT k, s, e, SUM(CASE WHEN pmax IS NULL OR s > pmax
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |  FROM o),
+        |u AS (
+        |  SELECT k, gid, MIN(s) AS us, MAX(e) AS ue, COUNT(*) AS n
+        |  FROM g GROUP BY k, gid)
+        |SELECT k AS l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_ranges,
+        |  CAST(SUM(n) AS BIGINT) AS n_merged,
+        |  CAST(SUM(ue - us + 1) AS BIGINT) AS covered_days
+        |FROM u GROUP BY k ORDER BY l_suppkey""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

@@ -61,6 +61,47 @@ object Windows {
       .drop("episode")
   }
 
+  /** Interval union (coalesce) per key: overlapping or touching
+    * `[start, end]` intervals merge into maximal covered ranges — the
+    * interval twin of [[episodes]] (which unions consecutive DAYS). The
+    * classic sweep as windows: an interval opens a new merged range iff
+    * its start lies strictly past the running max of all prior ends
+    * (`cummax` over the start-sorted stream), range ids are the running
+    * sum of those opens, one aggregate per merged range. Two window
+    * passes + one aggregate over a single key-grain exchange; arithmetic
+    * is pure comparisons on the native type (longs/dates), so any engine
+    * replays it exactly.
+    *
+    * Output: `(keys…, u_start, u_end, n_intervals)` — coverage per merged
+    * range; `SUM(u_end − u_start)` downstream is the key's total covered
+    * length (dedup'd time-on-air, sensor uptime, span coverage). */
+  def intervalUnion(
+      df: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String): DataFrame = {
+    require(!df.columns.exists(Set("__iu_open", "__iu_gid", "__iu_pmax")),
+      "input must not contain reserved internal columns __iu_*")
+    val byKey = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    df.where(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .withColumn("__iu_open",
+        when(prevMax.isNull.or(col(startCol) > prevMax), 1L).otherwise(0L))
+      .withColumn("__iu_gid",
+        sum(col("__iu_open"))
+          .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__iu_open")
+      .groupBy((keys :+ "__iu_gid").map(col): _*)
+      .agg(
+        min(col(startCol)).as("u_start"),
+        max(col(endCol)).as("u_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__iu_gid")
+  }
+
   /** Pagination (reference P9/O2: `limit/offset` with a separate total
     * count) as a BOUNDED top-k: `orderBy(...).limit(offset + pageSize)`
     * plans as TakeOrderedAndProject — a per-partition bounded heap + one

@@ -44,6 +44,27 @@ class OperatorsSpec extends SparkSpec {
       ("v", Date.valueOf("2024-02-01"), Date.valueOf("2024-02-01"), 1L)))
   }
 
+  test("Windows.intervalUnion coalesces overlapping and touching ranges") {
+    val df = Seq(
+      // k "a": [1,5] + [3,7] overlap; [7,9] touches (7 == prior end) and
+      // merges; [11,12] stands alone; contained [4,4] absorbs silently
+      ("a", 1L, 5L), ("a", 3L, 7L), ("a", 7L, 9L), ("a", 4L, 4L), ("a", 11L, 12L),
+      // k "b": duplicate intervals merge into one range of n_intervals 2
+      ("b", 0L, 2L), ("b", 0L, 2L),
+      // invalid (start > end) and null rows drop out
+      ("c", 9L, 1L), ("c", 5L, 5L)
+    ).toDF("k", "s", "e")
+    val got = Windows.intervalUnion(df, Seq("k"), "s", "e")
+      .orderBy("k", "u_start")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 9L, 4L), ("a", 11L, 12L, 1L),
+      ("b", 0L, 2L, 2L),
+      ("c", 5L, 5L, 1L)))
+    intercept[IllegalArgumentException](Windows.intervalUnion(
+      df.withColumn("__iu_gid", lit(1)), Seq("k"), "s", "e"))
+  }
+
   test("Windows.trailing is a ROWS frame of last n observations") {
     val df = Seq(("u", 1, 10), ("u", 2, 20), ("u", 5, 30), ("u", 9, 40))
       .toDF("k", "d", "v")

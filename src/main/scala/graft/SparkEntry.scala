@@ -1672,6 +1672,29 @@ object SparkEntry {
       .orderBy("l_suppkey")
   }
 
+  /** Incremental sessionization (q112): events split at a time cut,
+    * each half sessionized alone, fragments fused through the gap-sweep
+    * ([[graft.operators.Sessionize]]) — under the ordered-batch contract
+    * the fold telescopes to q54's one-shot session table, so this query
+    * shares q54's oracle SQL verbatim (the same proof shape as q96). */
+  private def sessionizeIncQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sessionize
+    val ev = events(s, dir).withColumn("tus",
+      floor(col("ts").cast("decimal(20,0)") / lit(1000)).cast("long"))
+    val gapUs = 21600000000L // 6 hours
+    val cut = lit(1705276800000000L) // 2024-01-15T00:00:00Z epoch µs
+    val isPurchase = col("event_type") === "purchase"
+    val half1 = Sessionize.sessionize(
+      ev.filter(col("tus") < cut), "user_id", "tus", gapUs, isPurchase)
+    val half2 = Sessionize.sessionize(
+      ev.filter(col("tus") >= cut), "user_id", "tus", gapUs, isPurchase)
+    Sessionize.updateSessionState(half1, half2, "user_id", gapUs)
+      .withColumn("session_idx", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("session_start_us")))
+        .cast("long"))
+      .orderBy("user_id", "session_idx")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1783,7 +1806,8 @@ object SparkEntry {
     "q108_zone_map" -> (zoneMapQ _),
     "q109_expectations" -> (expectationsQ _),
     "q110_weighted_quantiles" -> (weightedQuantilesQ _),
-    "q111_interval_union" -> (intervalUnionQ _)
+    "q111_interval_union" -> (intervalUnionQ _),
+    "q112_sessionize_inc" -> (sessionizeIncQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1829,6 +1853,33 @@ object SparkEntry {
 
   /** q90 + q96 shared oracle: the full-data greedy funnel (q96's
     * incremental fold must be indistinguishable from it). */
+  /** q54/q112 shared oracle: one-shot sessionization (the incremental
+    * fold must hash-match it exactly). */
+  private lazy val sessionOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_type,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pd
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ts, event_type,
+      |    SUM(CASE WHEN pd IS NULL
+      |             OR date_diff('microsecond', pd, ts) >= 21600000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id,
+      |    epoch_us(MIN(ts)) AS session_start_us,
+      |    epoch_us(MAX(ts)) AS session_end_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+      |      AS n_purchases
+      |  FROM g GROUP BY user_id, sid)
+      |SELECT user_id, session_start_us, session_end_us, n_events, n_purchases,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY session_start_us)
+      |    AS BIGINT) AS session_idx
+      |FROM s ORDER BY user_id, session_idx""".stripMargin
+
   private lazy val funnelOracleSql: String =
     """WITH ev AS (
       |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_type
@@ -2600,30 +2651,10 @@ object SparkEntry {
         |FROM purchases p JOIN eps e
         |  ON p.user_id = e.user_id AND p.p_day BETWEEN e.ep_start AND e.ep_end
         |ORDER BY p.user_id, p.event_id, e.ep_start""".stripMargin,
-    "q54_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_type,
-        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pd
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, ts, event_type,
-        |    SUM(CASE WHEN pd IS NULL
-        |             OR date_diff('microsecond', pd, ts) >= 21600000000
-        |             THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM e),
-        |s AS (
-        |  SELECT user_id,
-        |    epoch_us(MIN(ts)) AS session_start_us,
-        |    epoch_us(MAX(ts)) AS session_end_us,
-        |    CAST(COUNT(*) AS BIGINT) AS n_events,
-        |    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
-        |      AS n_purchases
-        |  FROM g GROUP BY user_id, sid)
-        |SELECT user_id, session_start_us, session_end_us, n_events, n_purchases,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY session_start_us)
-        |    AS BIGINT) AS session_idx
-        |FROM s ORDER BY user_id, session_idx""".stripMargin,
+    "q54_sessionize" -> sessionOracleSql,
+    // same sessions by construction: the ordered-batch fold telescopes
+    // to the one-shot table (q96/q90 proof shape)
+    "q112_sessionize_inc" -> sessionOracleSql,
     "q55_scd2_intervals" ->
       """WITH c AS (
         |  SELECT user_id, epoch_us(ts) AS t, MAX(event_type) AS status

@@ -1695,6 +1695,34 @@ object SparkEntry {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Prefix-filtered exact set-similarity self-join (q113): every document
+    * pair with 3-gram shingle Jaccard >= 0.5, found via the PPJoin-style
+    * rare-token-first prefix filter ([[graft.operators.SetSimilarity]])
+    * instead of an all-pairs token join — the EXACT companion to q18's
+    * probabilistic MinHash-LSH. The oracle is the brute-force pair join,
+    * so the gate proves the prefix filter loses nothing. */
+  private def setSimilarityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimilarity.selfJoin(
+      documents(s, dir), "doc_id", "text", threshold = 0.5, shingleSize = 3)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** EWMA control chart (q114): per-user fixed-point EWMA + EW mean
+    * absolute deviation over the event stream, spikes where the one-step
+    * residual exceeds `3·dev` ([[graft.operators.ControlChart]]) — the
+    * genuinely recursive kernel a window can't express, shipped as ONE
+    * shuffle + sortWithinPartitions + O(1)-state streaming fold. Integer
+    * micro-scale arithmetic keeps it bit-exact against DuckDB's
+    * recursive-CTE replay of the same recurrence. */
+  private def ewmaChartQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ControlChart.ewmaChart(
+      events(s, dir).select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * lit(1e6)).cast("long").as("v")),
+      Seq("user_id"), Seq("ts", "event_id"), "v")
+      .select(col("user_id"), col("rn"), col("event_id"), col("v"),
+        col("ewma"), col("dev"), col("resid"), col("is_spike"))
+      .orderBy("user_id", "rn")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1807,7 +1835,9 @@ object SparkEntry {
     "q109_expectations" -> (expectationsQ _),
     "q110_weighted_quantiles" -> (weightedQuantilesQ _),
     "q111_interval_union" -> (intervalUnionQ _),
-    "q112_sessionize_inc" -> (sessionizeIncQ _)
+    "q112_sessionize_inc" -> (sessionizeIncQ _),
+    "q113_set_similarity" -> (setSimilarityQ _),
+    "q114_ewma_chart" -> (ewmaChartQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3791,7 +3821,54 @@ object SparkEntry {
         |SELECT k AS l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_ranges,
         |  CAST(SUM(n) AS BIGINT) AS n_merged,
         |  CAST(SUM(ue - us + 1) AS BIGINT) AS covered_days
-        |FROM u GROUP BY k ORDER BY l_suppkey""".stripMargin
+        |FROM u GROUP BY k ORDER BY l_suppkey""".stripMargin,
+    // brute-force all-pairs oracle: the gate proves the Spark side's
+    // prefix filter is COMPLETE (finds every qualifying pair), since the
+    // two sides share only the Jaccard definition, not the algorithm
+    "q113_set_similarity" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+        |           ELSE w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] END AS s
+        |    FROM d, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)) t),
+        |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS m
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(m AS DOUBLE) / (ca.n + cb.n - m) AS jaccard
+        |FROM inter
+        |JOIN counts ca ON ca.doc_id = id_a
+        |JOIN counts cb ON cb.doc_id = id_b
+        |WHERE CAST(m AS DOUBLE) / (ca.n + cb.n - m) >= CAST(0.5 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // recursive-CTE replay of the integer EWMA recurrence; DuckDB's `//`
+    // truncates toward zero exactly like Java long division (all terms
+    // here are non-negative anyway — events.value > 0)
+    "q114_ewma_chart" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, CAST(floor(value * 1e6) AS BIGINT) AS v,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, rn, event_id, v, v AS ewma, CAST(0 AS BIGINT) AS dev,
+        |    CAST(NULL AS BIGINT) AS resid, false AS is_spike
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.rn, ev.event_id, ev.v,
+        |    (1 * ev.v + 3 * rec.ewma) // 4,
+        |    (1 * abs(ev.v - rec.ewma) + 3 * rec.dev) // 4,
+        |    ev.v - rec.ewma,
+        |    rec.dev > 0 AND abs(ev.v - rec.ewma) > 3 * rec.dev
+        |  FROM ev JOIN rec ON ev.user_id = rec.user_id AND ev.rn = rec.rn + 1)
+        |SELECT user_id, rn, event_id, v, ewma, dev, resid, is_spike
+        |FROM rec ORDER BY user_id, rn""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

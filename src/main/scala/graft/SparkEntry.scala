@@ -1723,6 +1723,26 @@ object SparkEntry {
         col("ewma"), col("dev"), col("resid"), col("is_spike"))
       .orderBy("user_id", "rn")
 
+  /** Co-purchase triangle census (q115): parts that co-occur in >= 2
+    * orders form an undirected graph; per-part triangle counts and local
+    * clustering coefficients via degree-ordered orientation
+    * ([[graft.operators.Triangles]]). The oracle brute-forces the
+    * three-way join on the same edge list, so the gate proves the
+    * orientation enumerates every triangle exactly once. */
+  private def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+    val op = lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = op.toDF("o", "pa").join(op.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .select("pa", "pb")
+    graft.operators.Triangles.nodeTriangles(edges, "pa", "pb")
+      .select(col("node").as("part"), col("degree"), col("triangles"),
+        col("clustering"))
+      .orderBy("part")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -1837,7 +1857,8 @@ object SparkEntry {
     "q111_interval_union" -> (intervalUnionQ _),
     "q112_sessionize_inc" -> (sessionizeIncQ _),
     "q113_set_similarity" -> (setSimilarityQ _),
-    "q114_ewma_chart" -> (ewmaChartQ _)
+    "q114_ewma_chart" -> (ewmaChartQ _),
+    "q115_triangles" -> (trianglesQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3868,7 +3889,32 @@ object SparkEntry {
         |    rec.dev > 0 AND abs(ev.v - rec.ewma) > 3 * rec.dev
         |  FROM ev JOIN rec ON ev.user_id = rec.user_id AND ev.rn = rec.rn + 1)
         |SELECT user_id, rn, event_id, v, ewma, dev, resid, is_spike
-        |FROM rec ORDER BY user_id, rn""".stripMargin
+        |FROM rec ORDER BY user_id, rn""".stripMargin,
+    // brute-force triangle enumeration (a<b<c three-way join) vs the
+    // Spark side's degree-ordered orientation — different algorithms,
+    // same census
+    "q115_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b
+        |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT ab.pa AS a, ab.pb AS b, bc.pb AS c
+        |  FROM pairs ab JOIN pairs bc ON ab.pb = bc.pa
+        |  JOIN pairs ac ON ac.pa = ab.pa AND ac.pb = bc.pb),
+        |nodes AS (SELECT pa AS p FROM pairs UNION ALL SELECT pb FROM pairs),
+        |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM nodes GROUP BY 1),
+        |tn AS (SELECT p, CAST(count(*) AS BIGINT) AS t FROM (
+        |  SELECT a AS p FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT deg.p AS part, deg.d AS degree,
+        |  coalesce(tn.t, 0) AS triangles,
+        |  CASE WHEN deg.d >= 2
+        |    THEN CAST(2 * coalesce(tn.t, 0) AS DOUBLE)
+        |      / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS clustering
+        |FROM deg LEFT JOIN tn ON tn.p = deg.p
+        |ORDER BY part""".stripMargin
   )
 
   /** standalone-stopword hit total for the quality-score oracle (same

@@ -35,26 +35,44 @@ object Bench {
     // was charging queries up to 3x their isolated steady-state time, and
     // min-of-2 still let one bad sample through (q36 r2 "regression" was
     // pure variance).
-    val results = ordered.map { case (name, fn) =>
-      System.gc()
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // A failing query must surface IN the artifact as null + an errors row,
+    // never as its time-to-throw (round 6 recorded 24 broken queries as
+    // plausible ~0.05-0.17s "successes" — a regression invisible to the
+    // artifact reader).
+    val results: Seq[(String, Either[String, Double])] = ordered.map {
+      case (name, fn) =>
+        System.gc()
+        val samples = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Left(String.valueOf(e.getMessage).take(300))
+          }
         }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // variance note (stderr — stdout carries only the driver's JSON
-      // line): spread = (max-min)/min over the 3 samples; anything large
-      // means the min is load-dependent, not plan-dependent
-      System.err.println(
-        f"[bench] $name%-28s min=${times.min}%.3f spread=${(times.max - times.min) / times.min}%.2f")
-      name -> times.min
+        val times = samples.collect { case Right(t) => t }
+        if (times.isEmpty) name -> Left(samples.head.left.getOrElse("failed"))
+        else {
+          // variance note (stderr — stdout carries only the driver's JSON
+          // line): spread = (max-min)/min over the 3 samples; anything large
+          // means the min is load-dependent, not plan-dependent
+          System.err.println(
+            f"[bench] $name%-28s min=${times.min}%.3f spread=${(times.max - times.min) / times.min}%.2f")
+          name -> Right(times.min)
+        }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(_)) => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(m)) =>
+      "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    }
+    val errJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
+    val okTimes = results.toMap
+    val total = results.collect { case (_, Right(v)) => v }.sum
 
     // Scale-proof section: if the 10x replica built by graft.ScaleGen is on
     // disk, run the heavy operator family against it once (single-shot —
@@ -72,7 +90,9 @@ object Bench {
       "q81_gram_matrix", "q85_dup_span_ranges", "q86_minhash_stats",
       "q87_cut_spans", "q90_funnel", "q91_retention", "q92_heavy_hitters",
       "q93_vocab_coverage", "q97_bloom_prune", "q101_frequent_pairs",
-      "q105_blocked_resolve")
+      "q105_blocked_resolve", "q106_mad_outliers", "q107_sorted_neighborhood",
+      "q110_weighted_quantiles", "q111_interval_union", "q112_sessionize_inc",
+      "q113_set_similarity", "q114_ewma_chart", "q115_triangles")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {
@@ -95,7 +115,7 @@ object Bench {
           if (times.isEmpty) None
           else {
             val t = times.min
-            val ratio = results.toMap.get(name)
+            val ratio = okTimes.get(name).flatMap(_.toOption)
               .map(base => math.round(t / base * 100.0) / 100.0)
             System.err.println(f"[bench] sf1 $name%-24s t=$t%.3f ratio=${ratio.getOrElse(-1.0)}%.2f")
             Some((name, t, ratio))
@@ -152,7 +172,7 @@ object Bench {
       System.err.println(s"[bench] pipeline failed: ${e.getMessage}"); ""
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json$pipeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"$sf1Json$pipeJson}"""
     println(json)
     // Also persist to the repo root: the driver captures only the stdout
     // tail, and a long per-query map has been truncated out of the round

@@ -9,12 +9,13 @@ import org.apache.spark.sql.SparkSession
   * The settings are part of the engine's contract (several queries depend
   * on them for correctness, not just speed), so they live in code rather
   * than scattered notes:
-  *  - `spark.sql.legacy.parquet.nanosAsLong=true` — the events table is
-  *    parquet TIMESTAMP(NANOS); without this every read throws
-  *    PARQUET_TYPE_ILLEGAL (see `Tables.events`, which also sets it
-  *    defensively).
   *  - `spark.sql.session.timeZone=UTC` — date bucketing of timestamps
-  *    must agree with the DuckDB oracle.
+  *    must agree with the DuckDB oracle, AND `Tables.events` relies on it
+  *    when normalizing a TIMESTAMP_NTZ `ts` column to epoch nanos (the
+  *    NTZ→LTZ cast reads wall time in the session zone). The old
+  *    `nanosAsLong` escape hatch is gone: Spark 4.1.2 no longer honors it
+  *    for TIMESTAMP(NANOS) parquet, and current testdata is timestamp[us]
+  *    anyway — dtype dispatch in `Tables.events` covers both.
   *  - ANSI mode stays ON (Spark 4 default): overflow throws instead of
   *    wrapping, which is why all hash arithmetic in the library is
   *    pmod/decimal-ranged by construction.
@@ -34,7 +35,6 @@ object Sessions {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -69,7 +69,6 @@ object Sessions {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.extensions" -> "graft.plans.GraftExtensions")
 }

@@ -24,13 +24,30 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; `nanosAsLong` (set here defensively and in every session
-    * builder) reads it as Long nanos-since-epoch. Keep the raw Long for
-    * ordering (full ns precision); convert with [[eventTs]]/[[eventDay]]. */
+  /** `events.ts` normalized to the engine's canonical Long nanos-since-epoch,
+    * whatever physical type the parquet carries. Two generations of driver
+    * testdata exist: TIMESTAMP(NANOS) (older sandboxes read it as Long via
+    * `nanosAsLong`; Spark 4.1.2 no longer honors that config and such files
+    * surface as TIMESTAMP_NTZ truncated to µs) and plain timestamp[us]
+    * (reads as TIMESTAMP_NTZ directly). DuckDB's oracle reads the same file
+    * at µs precision, so epoch-µs is the shared comparison domain either
+    * way; every downstream consumer (eventTs/eventDay, the funnel/session/
+    * as-of family's `/1000` µs folds) assumes Long ns, so timestamp reads
+    * are converted here — `unix_micros * 1000` is exact and overflow-free
+    * (µs epochs ≤ ~1.7e15 → ns ≤ ~1.7e18 < Long.Max) under ANSI.
+    * The NTZ→LTZ cast interprets wall time in the session zone; the engine
+    * contract pins `spark.sql.session.timeZone=UTC` ([[Sessions]]). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported type $other")
+    }
   }
 
   /** Exact nanos→TimestampType (micros): decimal division (scale 6 covers the

@@ -929,6 +929,18 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Suffix-array-exact duplicated span ranges (q116): q85's cut list
+    * recomputed with ZERO hashing — w-gram identities from depth-truncated
+    * Manber-Myers prefix doubling ([[graft.operators.SuffixArray]]).
+    * Shares q85's brute-force oracle because Lee et al.'s position-cut
+    * semantics provably coincides with the duplicated-w-window union;
+    * a green row is differential evidence for BOTH implementations. */
+  private def saDupRangesQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixArray.exactDupSpanRanges(
+      documents(s, dir), "doc_id", "text", windowTokens = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "span_start")
+
   /** BPE pair statistics (q88): the first iteration of the BPE trainer's
     * merge loop — adjacent character pairs weighted by word frequency,
     * top 20. The corpus is touched once (word-frequency hash-agg); the
@@ -1858,7 +1870,8 @@ object SparkEntry {
     "q112_sessionize_inc" -> (sessionizeIncQ _),
     "q113_set_similarity" -> (setSimilarityQ _),
     "q114_ewma_chart" -> (ewmaChartQ _),
-    "q115_triangles" -> (trianglesQ _)
+    "q115_triangles" -> (trianglesQ _),
+    "q116_sa_dup_ranges" -> (saDupRangesQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2091,6 +2104,34 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** One oracle, two engines-side algorithms (q85 md5-60 window screen,
+    * q116 hash-free prefix doubling): the DuckDB brute-force duplicated
+    * 8-token-window formulation both must match exactly. */
+  private val dupSpanRangesOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS sp, array_to_string(t[i:i+7], ' ') AS s
+      |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      |  WHERE len(t) >= 8),
+      |duph AS (
+      |  SELECT s FROM (SELECT s, doc_id FROM win GROUP BY 1, 2)
+      |  GROUP BY s HAVING COUNT(*) >= 2),
+      |dup AS (SELECT doc_id, sp FROM win WHERE s IN (SELECT s FROM duph)),
+      |isl AS (
+      |  SELECT doc_id, sp,
+      |    SUM(CASE WHEN psp IS NULL OR sp - psp > 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY sp) AS island
+      |  FROM (SELECT doc_id, sp,
+      |          LAG(sp) OVER (PARTITION BY doc_id ORDER BY sp) AS psp
+      |        FROM dup))
+      |SELECT doc_id, CAST(MIN(sp) AS BIGINT) AS span_start,
+      |  CAST(MAX(sp) + 7 AS BIGINT) AS span_end,
+      |  CAST(MAX(sp) + 7 - MIN(sp) + 1 AS BIGINT) AS span_tokens
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q18_minhash_pairs" -> minhashOracleSql,
     // q90: greedy-earliest funnel — each step's min is strictly after the
@@ -2266,30 +2307,10 @@ object SparkEntry {
         |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same window-string grouping as q68; the island sum replays the
     // fixed-width interval union (new span when the start gap exceeds 8)
-    "q85_dup_span_ranges" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
-        |win AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS sp, array_to_string(t[i:i+7], ' ') AS s
-        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
-        |  WHERE len(t) >= 8),
-        |duph AS (
-        |  SELECT s FROM (SELECT s, doc_id FROM win GROUP BY 1, 2)
-        |  GROUP BY s HAVING COUNT(*) >= 2),
-        |dup AS (SELECT doc_id, sp FROM win WHERE s IN (SELECT s FROM duph)),
-        |isl AS (
-        |  SELECT doc_id, sp,
-        |    SUM(CASE WHEN psp IS NULL OR sp - psp > 8 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY sp) AS island
-        |  FROM (SELECT doc_id, sp,
-        |          LAG(sp) OVER (PARTITION BY doc_id ORDER BY sp) AS psp
-        |        FROM dup))
-        |SELECT doc_id, CAST(MIN(sp) AS BIGINT) AS span_start,
-        |  CAST(MAX(sp) + 7 AS BIGINT) AS span_end,
-        |  CAST(MAX(sp) + 7 - MIN(sp) + 1 AS BIGINT) AS span_tokens
-        |FROM isl GROUP BY doc_id, island
-        |ORDER BY doc_id, span_start""".stripMargin,
+    // shared by q85 (hash-screen algorithm) and q116 (prefix-doubling
+    // algorithm): both must equal the brute-force window formulation
+    "q85_dup_span_ranges" -> dupSpanRangesOracle,
+    "q116_sa_dup_ranges" -> dupSpanRangesOracle,
     // q85's range chain + the cut: original-case tokens anti-filtered by
     // position against the ranges, rejoined with single spaces
     "q87_cut_spans" ->

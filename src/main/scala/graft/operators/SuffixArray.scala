@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact substring-duplication detection via depth-truncated Manber–Myers
+  * prefix doubling — the suffix-array formulation of Lee et al. 2022's
+  * exact substring dedup (arXiv:2107.06499), distributed.
+  *
+  * [[Dedup.duplicatedSpanRanges]] detects duplicated `w`-token windows by
+  * comparing 60-bit content hashes: exact modulo md5-60 collisions. This
+  * operator computes the SAME cut list with NO hashing anywhere: window
+  * identities are dense ranks built by prefix doubling (Manber & Myers
+  * 1990), i.e. the first ceil(log2 w) rounds of distributed suffix-array
+  * construction (the Flick & Aluru SC'15 scheme), truncated at depth `w`
+  * because Lee et al.'s position-cut semantics only ever needs length-`w`
+  * gram identities:
+  *
+  *   a position is cut iff it lies inside SOME duplicated substring of
+  *   length >= w, and every such substring is tiled by duplicated
+  *   w-grams, so {cut positions} == union of duplicated w-gram windows —
+  *   the maximal cut ranges of the suffix-array formulation and of the
+  *   w-window screen are IDENTICAL sets. (That equivalence is why q116
+  *   shares q85's brute-force DuckDB oracle: two disjoint algorithms,
+  *   one answer.)
+  *
+  * Scale shape — every step is corpus-distributed, nothing is
+  * single-partition:
+  *   1. rank_0 = dense id per distinct TOKEN: distinct -> total sort ->
+  *      `zipWithIndex` (two passes, range-partitioned; NOT a global
+  *      row_number window) -> broadcast-or-shuffle join back;
+  *   2. each of the ceil(log2 w) doubling rounds joins rank_k at `p` with
+  *      rank_k at `p + 2^k` (an `(id, p)`-keyed self-join — the shift is
+  *      applied to the right side before the join, so both sides share
+  *      the join key's partitioning) and densifies the pair the same way;
+  *   3. a non-power-of-two `w` takes the standard sparse-table overlap:
+  *      the w-gram id is (rank_q[p], rank_q[p + w - q]) for
+  *      q = 2^floor(log2 w) — equality of the two overlapping q-grams
+  *      decides equality of the w-gram;
+  *   4. duplicated = w-gram id present in >= 2 DOCUMENTS, from the
+  *      (gram, doc) distinct grain (two-level agg, no countDistinct
+  *      Expand), matching the hash screen's `nd >= 2` semantics;
+  *   5. the gaps-and-islands merge runs per-DOC (bounded by document
+  *      length), identical to [[Dedup.duplicatedSpanRanges]].
+  *
+  * Full (untruncated) suffix ranks are the same loop run to
+  * 2^k >= doc length; the truncation is what makes the operator one
+  * log-factor-of-w pass over the corpus instead of log-of-corpus.
+  *
+  * Returns `(id, span_start, span_end, span_tokens)` — 1-based inclusive
+  * token positions of each maximal duplicated range, byte-identical to
+  * [[Dedup.duplicatedSpanRanges]] wherever md5-60 is collision-free.
+  */
+object SuffixArray {
+
+  /** Dense ids for the distinct values of `keyCols`: distinct -> total
+    * order -> RDD `zipWithIndex` -> join back. zipWithIndex is the
+    * distributed dense-rank: it costs one extra job to count per-partition
+    * sizes, never a single-partition window. Deterministic because the
+    * sort is over the full distinct key. */
+  private def densify(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val keys = df.select(keyCols.map(col): _*).distinct()
+      .orderBy(keyCols.map(col): _*)
+    val schema = keys.schema.add("__rank", LongType)
+    val withId = spark.createDataFrame(
+      keys.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
+      schema)
+    df.join(withId, keyCols)
+      .select(col("id"), col("p"), col("__rank"))
+  }
+
+  def exactDupSpanRanges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val w = windowTokens
+
+    val toks = docs
+      .select(col(idCol).as("id"), split(trim(lower(col(textCol))), "\\s+").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+
+    // rank_0: 1-gram (token) identities
+    var ranks = densify(toks.withColumnRenamed("tok", "__k1"), Seq("__k1"))
+    var span = 1L
+    while (span * 2 <= w) {
+      val right = ranks.select(col("id"), (col("p") - span).as("p"),
+        col("__rank").as("__r2"))
+      ranks = densify(
+        ranks.join(right, Seq("id", "p"))
+          .select(col("id"), col("p"), col("__rank").as("__k1"), col("__r2").as("__k2")),
+        Seq("__k1", "__k2"))
+      span *= 2
+    }
+    // sparse-table overlap for non-power-of-two w (no-op join when w == span)
+    val gram =
+      if (span == w) ranks
+      else {
+        val right = ranks.select(col("id"), (col("p") - (w - span)).as("p"),
+          col("__rank").as("__r2"))
+        ranks.join(right, Seq("id", "p"))
+          .select(col("id"), col("p"),
+            struct(col("__rank"), col("__r2")).as("__rank"))
+      }
+
+    // duplicated = gram id in >= 2 docs, from the (gram, doc) grain
+    val dupIds = gram.select(col("__rank"), col("id")).distinct()
+      .groupBy("__rank").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("__rank")
+    val dup = gram.join(dupIds, Seq("__rank"), "left_semi")
+
+    val wDoc = Window.partitionBy("id").orderBy("p")
+    val prev = lag(col("p"), 1).over(wDoc)
+    dup
+      .withColumn("brk",
+        when(prev.isNull || col("p") - prev > w, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wDoc))
+      .groupBy("id", "island")
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (w - 1)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .drop("island")
+  }
+}

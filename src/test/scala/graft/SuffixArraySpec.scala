@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Dedup, SuffixArray}
+import org.apache.spark.sql.functions._
+
+/** Prefix-doubling exact dup spans vs the md5-60 window screen: two
+  * disjoint algorithms, identical cut lists. */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // 1 & 2 share a 10-token run (positions 3-12 in 1, 1-10 in 2)
+    (1L, "aa bb one two three four five six seven eight nine ten zz"),
+    (2L, "one two three four five six seven eight nine ten qq rr ss"),
+    // 3 repeats an 8-token run WITHIN itself only -> not cross-doc dup
+    (3L, "p1 p2 p3 p4 p5 p6 p7 p8 mid p1 p2 p3 p4 p5 p6 p7 p8 end"),
+    // 4 & 5: two separate shared runs with a gap -> two islands each
+    (4L, "s1 s2 s3 s4 s5 s6 s7 s8 gapA gapB t1 t2 t3 t4 t5 t6 t7 t8"),
+    (5L, "s1 s2 s3 s4 s5 s6 s7 s8 gapC gapD t1 t2 t3 t4 t5 t6 t7 t8"),
+    (6L, "too short for a window"),
+    (7L, "entirely novel content with no duplicated runs at all here okay")
+  ).toDF("doc_id", "text")
+
+  private def ranges(w: Int) =
+    SuffixArray.exactDupSpanRanges(docs, "doc_id", "text", w)
+      .select(col("id"), col("span_start"), col("span_end"), col("span_tokens"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  private def hashRanges(w: Int) =
+    Dedup.duplicatedSpanRanges(docs, "doc_id", "text", w)
+      .select(col("id"), col("span_start"), col("span_end"), col("span_tokens"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("matches the hash-screen ranges, power-of-two and not") {
+    for (w <- Seq(2, 3, 5, 8))
+      assert(ranges(w) == hashRanges(w), s"windowTokens $w")
+  }
+
+  test("exact expected ranges at w=8") {
+    assert(ranges(8) == Set(
+      (1L, 3L, 12L, 10L), (2L, 1L, 10L, 10L),
+      (4L, 1L, 8L, 8L), (4L, 11L, 18L, 8L),
+      (5L, 1L, 8L, 8L), (5L, 11L, 18L, 8L)))
+  }
+
+  test("within-doc-only repeats are not cross-document duplicates") {
+    assert(!ranges(8).exists(_._1 == 3L))
+  }
+
+  test("matches the hash screen on the sf0.001 documents table") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sa = SuffixArray.exactDupSpanRanges(real, "doc_id", "text", 8)
+      .select("id", "span_start", "span_end").as[(Long, Long, Long)]
+      .collect().toSet
+    val h = Dedup.duplicatedSpanRanges(real, "doc_id", "text", 8)
+      .select("id", "span_start", "span_end").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(sa == h)
+    assert(sa.nonEmpty) // the synthetic corpus does contain duplicated runs
+  }
+}

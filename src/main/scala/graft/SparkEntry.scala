@@ -941,6 +941,14 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "span_start")
 
+  /** Bigram collocation mining (q117): top-50 adjacent pairs by lift with
+    * corpus support >= 3 — log-free PMI ranking (monotone transform), so
+    * the score stays IEEE-exact against the oracle
+    * ([[graft.operators.TextSearch.collocationsByLift]]). */
+  private def collocationsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.collocationsByLift(
+      documents(s, dir), "text", minCount = 3L, k = 50)
+
   /** BPE pair statistics (q88): the first iteration of the BPE trainer's
     * merge loop — adjacent character pairs weighted by word frequency,
     * top 20. The corpus is touched once (word-frequency hash-agg); the
@@ -1871,7 +1879,8 @@ object SparkEntry {
     "q113_set_similarity" -> (setSimilarityQ _),
     "q114_ewma_chart" -> (ewmaChartQ _),
     "q115_triangles" -> (trianglesQ _),
-    "q116_sa_dup_ranges" -> (saDupRangesQ _)
+    "q116_sa_dup_ranges" -> (saDupRangesQ _),
+    "q117_collocations" -> (collocationsQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2311,6 +2320,30 @@ object SparkEntry {
     // algorithm): both must equal the brute-force window formulation
     "q85_dup_span_ranges" -> dupSpanRangesOracle,
     "q116_sa_dup_ranges" -> dupSpanRangesOracle,
+    // lift arithmetic mirrors the Spark column order exactly:
+    // ((c_xy * N) * N) / ((M * c_x) * c_y), all IEEE-correctly-rounded
+    "q117_collocations" ->
+      """WITH d AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM d),
+        |bg AS (
+        |  SELECT t[i] AS x, t[i+1] AS y
+        |  FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+        |bc AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY x, y
+        |       HAVING COUNT(*) >= 3),
+        |n AS (SELECT COUNT(*) AS nn FROM uni),
+        |m AS (SELECT COUNT(*) AS mm FROM bg)
+        |SELECT bc.x, bc.y, bc.c_xy,
+        |  CAST(bc.c_xy AS DOUBLE) * n.nn * n.nn /
+        |    (CAST(m.mm AS DOUBLE) * ux.c * uy.c) AS lift
+        |FROM bc
+        |JOIN uc ux ON ux.tok = bc.x
+        |JOIN uc uy ON uy.tok = bc.y
+        |CROSS JOIN n CROSS JOIN m
+        |ORDER BY lift DESC, bc.x, bc.y LIMIT 50""".stripMargin,
     // q85's range chain + the cut: original-case tokens anti-filtered by
     // position against the ranges, rejoined with single spaces
     "q87_cut_spans" ->

@@ -243,4 +243,63 @@ object TextSearch {
       .withColumn("coverage",
         col("in_vocab").cast("double") / col("n_tokens"))
   }
+
+  /** Bigram collocation mining by LIFT — phrase discovery for vocabulary /
+    * tokenizer construction (the association measure behind PMI-based
+    * phrase mining, e.g. Mikolov et al. 2013's word2vec phrase pass, kept
+    * log-free: lift = p(x,y) / (p(x)·p(y)), and PMI = ln(lift) is
+    * monotone in it, so the ranking is identical while every arithmetic
+    * step stays a correctly-rounded IEEE multiply/divide — bit-exact
+    * across engines, where ln() is not).
+    *
+    *   lift(x,y) = (c_xy / M) / ((c_x / N) · (c_y / N))
+    *             = (c_xy · N · N) / (M · c_x · c_y)
+    *
+    * with c_xy the corpus count of the adjacent pair, c_* unigram counts,
+    * M total bigrams, N total tokens.
+    *
+    * Scale shape: adjacent pairs form IN-ROW (`zip_with` of the token
+    * array with its own tail — no self-join, no window); the only
+    * corpus-grain shuffles are the two map-side-combined count aggregates
+    * (bigram-vocabulary and unigram-vocabulary grain). `minCount` prunes
+    * the bigram table BEFORE the unigram joins, which then run at
+    * filtered-vocabulary grain (broadcast-able; left to AQE). N and M ride
+    * 1-row crossJoins (the A8 lazy-scalar idiom). Top-k is
+    * TakeOrderedAndProject on (lift desc, x, y) — never a full sort.
+    *
+    * Returns `(x, y, c_xy, lift)`, the top `k` pairs. */
+  def collocationsByLift(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 3L,
+      k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"need minCount/k >= 1")
+    val tk = split(trim(lower(col(textCol))), "\\s+")
+    val arrs = docs.select(tk.as("t"))
+    val bigrams = arrs
+      .filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+    val unis = arrs.select(explode(col("t")).as("tok"))
+
+    val bc = bigrams.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uc = unis.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = unis.agg(count(lit(1)).as("__n"))
+    val m = bigrams.agg(count(lit(1)).as("__m"))
+
+    bc
+      .join(uc.select(col("tok").as("x"), col("c").as("__cx")), "x")
+      .join(uc.select(col("tok").as("y"), col("c").as("__cy")), "y")
+      .crossJoin(n).crossJoin(m)
+      .withColumn("lift",
+        col("c_xy").cast("double") * col("__n") * col("__n") /
+          (col("__m").cast("double") * col("__cx") * col("__cy")))
+      .select(col("x"), col("y"), col("c_xy"), col("lift"))
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(k)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{SimilarityFunctions => S}
+import graft.plans.GraftExtensions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,40 +22,54 @@ import org.apache.spark.sql.functions._
   *   collide rarely, so the candidate join touches a small fraction of
   *   the token stream while staying complete.
   *
+  * THE TOKEN UNIVERSE IS HASHED: every published PPJoin implementation
+  * dictionary-encodes tokens to integers before joining; distributed, a
+  * global dictionary is an extra corpus sort, so the encoding here is
+  * 32-bit murmur3 of the shingle. That is sound end-to-end because
+  * (a) hashing that is INJECTIVE ON EACH DOC's shingle set can only merge
+  * tokens ACROSS two sets, so `|h(A)∩h(B)| >= |A∩B|` and
+  * `|h(A)∪h(B)| <= |A∪B|` — hashed Jaccard >= true Jaccard and the
+  * candidate set in hash space is a superset of the true pair set;
+  * (b) per-doc injectivity is WITNESSED EXACTLY (|distinct hashes| ==
+  * |distinct shingles|), and the vanishingly-rare colliding doc falls
+  * back to brute-force pairing against every size-compatible doc (exact,
+  * and bounded by the number of such docs — in practice zero);
+  * (c) final verification recomputes Jaccard on the true shingle STRINGS,
+  * so hash conflation can only cost screen work, never a wrong answer.
+  *
   * Scale shape (the whole point vs a brute-force token self-join):
-  *   1. distinct `(id, shingle)` grain — one map-side-combined shuffle;
-  *   2. df per shingle — one map-side-combined shuffle on the shingle;
+  *   1. one shingle pass builds the per-doc sorted int-hash array
+  *      (localCheckpointed: ~8B/shingle, reused by the token stream, the
+  *      screen and the fallback — the corpus text is shingled ONCE);
+  *   2. df per token — one map-side-combined shuffle on an INT key;
   *   3. the per-doc rank window partitions by the DOC id (bounded by a
   *      single document's shingle count, never corpus-wide);
   *   4. the candidate join is ASYMMETRIC (WWW'08 §4): the size-smaller
   *      side of each pair contributes only its INDEXING prefix
   *      (`n - ceil(2t/(1+t)·n) + 1` tokens) while the larger side probes
   *      with its full prefix (`n - ceil(t·n) + 1`) — at t=0.5 that is
-  *      ~n/3 × ~n/2 work per hot shingle instead of (n/2)²; the length
-  *      filter `na >= ceil(t·nb)` runs inside the join and a hot shingle
+  *      ~n/3 × ~n/2 work per hot token instead of (n/2)²; the length
+  *      filter `na >= ceil(t·nb)` runs inside the join and a hot token
   *      is an AQE skew-split, not a correctness hazard;
-  *   5. the POSITIONAL filter (WWW'08 §3.2): every matched prefix token
-  *      at ranks (ra, rb) proves `overlap <= least(ra,rb) - 1 + 1 +
-  *      least(na-ra, nb-rb)` (common tokens before it are capped by the
-  *      smaller prefix position, after it by the smaller remaining
-  *      suffix); a pair survives only if the MIN of that bound over its
-  *      matched tokens reaches the equivalent-overlap requirement
-  *      `alpha = ceil(t/(1+t)·(na+nb))` — this replaces the old
-  *      `distinct()` with an equally-shuffled but far stronger
-  *      groupBy+min gate;
-  *   6. a HASHED screen resolves the surviving candidates against per-doc
-  *      xxhash64-shingle arrays first (long-array intersection, ~10x
-  *      cheaper per row than string arrays — published PPJoin
-  *      implementations verify on integer token ids for the same reason).
-  *      The screen is provably lossless: when the hash is injective on
-  *      each doc's shingle set — checked EXACTLY per doc by comparing
-  *      |distinct hashes| to |distinct shingles| — hashing can only merge
-  *      tokens ACROSS the two sets, so `|h(A)∩h(B)| >= |A∩B|` and
-  *      `|h(A)∪h(B)| <= |A∪B|`, i.e. hashed Jaccard >= true Jaccard and
-  *      no true pair is screened out; the vanishingly-rare doc that does
-  *      collide in-set routes its pairs straight to exact verification;
+  *   5. the POSITIONAL filter (WWW'08 §3.2): a matched prefix token at
+  *      ranks (ra, rb) proves `overlap <= least(ra,rb) +
+  *      least(na-ra, nb-rb)`; rows whose bound misses the
+  *      equivalent-overlap requirement `alpha = ceil(t/(1+t)·(na+nb))`
+  *      drop in-line. The filter is deliberately row-level (a pair lives
+  *      if ANY of its matched tokens passes — sound, since a true pair's
+  *      genuine matches all pass) and candidate pairs stay
+  *      UN-deduplicated until after the screen: a pair-grain groupBy here
+  *      is a full candidate-stream Exchange that measured out at ~4% row
+  *      reduction;
+  *   6. the screen joins the per-doc sorted hash arrays onto the
+  *      candidate stream (SHUFFLE_HASH-hinted — sorting tens of millions
+  *      of array-carrying rows for a sort-merge join is pure waste) and
+  *      bounds Jaccard with the codegen'd two-pointer
+  *      [[graft.plans.SortedIntersectCount]]: `|∩|·(1+t) >= t·(na+nb)`
+  *      decides `J_hash >= t` with |∪| as arithmetic, no union array,
+  *      no per-row hash set;
   *   7. exact verification joins the screen's survivors (within a whisker
-  *      of the true result set) back to per-doc sorted shingle arrays and
+  *      of the true result set) back to per-doc shingle STRING arrays and
   *      computes exact Jaccard in-row — integer ratio, engine-exact.
   *
   * All ceil() bounds are relaxed by 1e-9 before rounding: double
@@ -77,13 +92,22 @@ object SetSimilarity {
       s"threshold must be in (0, 1], got $threshold")
     require(!docs.columns.exists(Set("__t", "__df", "__r", "__n")),
       "docs must not contain reserved internal columns __t/__df/__r/__n")
+    val spark = docs.sparkSession
     val eps = 1e-9
 
-    val toks = docs.select(col(idCol).as("id"),
-      explode(array_distinct(S.tokenShingles(col(textCol), shingleSize)))
-        .as("__t"))
+    // One shingle pass for the whole operator (scaladoc step 1).
+    val hsets = docs.select(col(idCol).as("id"),
+      array_distinct(S.tokenShingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col("id"), size(col("__sh")).as("__nsh"),
+        array_sort(array_distinct(transform(col("__sh"), t => hash(t))))
+          .as("__h"))
+      .select(col("id"), col("__h"),
+        (size(col("__h")) === col("__nsh")).as("__inj"))
+      .localCheckpoint()
 
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("__n"))
+    val good = hsets.where(col("__inj"))
+    val toks = good.select(col("id"), size(col("__h")).as("__n"),
+      explode(col("__h")).as("__t"))
     val dfs = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
 
     // Global rare-first order (df asc, token asc); the rank window is
@@ -92,11 +116,10 @@ object SetSimilarity {
       .join(dfs, "__t")
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("__df"), col("__t"))))
-      .join(sizes, "id")
 
     // Probing prefix (the full prefix-filter lemma): first
     // n - ceil(t*n) + 1 tokens. The indexing prefix is its subset:
-    // first n - ceil(2t/(1+t)*n) + 1 tokens (2t/(1+t) >= t on (0,1]).
+    // first n - ceil(2t/(1+t)*n) + 1 tokens (2t/(1+t) >= t on (0, 1]).
     val probe = ranked
       .where(col("__r") <=
         col("__n") - ceil(lit(threshold) * col("__n") - lit(eps)) + 1)
@@ -118,35 +141,37 @@ object SetSimilarity {
       .where(col("na") < col("nb") ||
         (col("na") === col("nb") && col("ia") < col("ib")))
       .where(col("na") >= ceil(lit(threshold) * col("nb") - lit(eps)))
-      .withColumn("__ub",
-        least(col("ra"), col("rb")) +
-          least(col("na") - col("ra"), col("nb") - col("rb")))
-      .groupBy("ia", "ib", "na", "nb")
-      .agg(min(col("__ub")).as("__mub"))
-      .where(col("__mub") >= alpha)
+      .where(least(col("ra"), col("rb")) +
+        least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"))
 
-    // Hashed screen (scaladoc step 6). `__inj` is the exact per-doc
-    // injectivity witness; a non-injective doc (a 64-bit in-set collision)
-    // makes its pairs bypass the screen rather than risk a false negative.
-    val hsets = docs.select(col(idCol).as("id"),
-      array_distinct(S.tokenShingles(col(textCol), shingleSize)).as("__sh"))
-      .select(col("id"), size(col("__sh")).as("__nsh"),
-        array_distinct(transform(col("__sh"), t => xxhash64(t))).as("__h"))
-      .select(col("id"), col("__h"),
-        (size(col("__h")) === col("__nsh")).as("__inj"))
+    // Hashed screen (scaladoc step 6): all candidate ids are injective
+    // docs by construction, so J_hash >= J_true holds unconditionally.
     val screened = cand
-      .join(hsets.select(col("id").as("id_a"), col("__h").as("__ha"),
-        col("__inj").as("__ja")), "id_a")
-      .join(hsets.select(col("id").as("id_b"), col("__h").as("__hb"),
-        col("__inj").as("__jb")), "id_b")
-      .where(!col("__ja") || !col("__jb") ||
-        size(array_intersect(col("__ha"), col("__hb"))) >=
-          lit(threshold) * size(array_union(col("__ha"), col("__hb"))) - lit(eps))
+      .join(hsets.select(col("id").as("id_a"), col("__h").as("__ha"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(hsets.select(col("id").as("id_b"), col("__h").as("__hb"))
+        .hint("SHUFFLE_HASH"), "id_b")
+      .where(GraftExtensions.sortedIntersect(spark, col("__ha"), col("__hb"))
+        .cast("double") * (1.0 + threshold) >=
+        lit(threshold) * (size(col("__ha")) + size(col("__hb"))) - lit(eps))
       .select("id_a", "id_b")
+      .distinct()
 
-    Dedup.verifyJaccard(docs, screened, idCol, textCol, shingleSize)
+    // Exact fallback for non-injective docs (scaladoc contract (b)):
+    // brute-force pair each against every doc. Provably rare — the
+    // injectivity witness fails only on an in-set 32-bit collision
+    // (~n²/2³³ per doc) — so the crossJoin side is ~0 rows.
+    val bad = hsets.where(!col("__inj")).select(col("id").as("__bid"))
+    val fallback = bad
+      .crossJoin(hsets.select(col("id").as("__oid")))
+      .where(col("__bid") =!= col("__oid"))
+      .select(least(col("__bid"), col("__oid")).as("id_a"),
+        greatest(col("__bid"), col("__oid")).as("id_b"))
+
+    Dedup.verifyJaccard(docs, screened.unionByName(fallback).distinct(),
+      idCol, textCol, shingleSize)
       .where(col("jaccard") >= threshold)
   }
 }

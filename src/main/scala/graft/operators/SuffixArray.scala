@@ -86,17 +86,29 @@ object SuffixArray {
       .select(col("id"), posexplode(col("t")).as(Seq("p0", "tok")))
       .select(col("id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
 
-    // rank_0: 1-gram (token) identities
+    // rank_0: 1-gram (token) identities. Each round is localCheckpointed:
+    // zipWithIndex launches its own partition-size job per round, and
+    // without the lineage cut that job re-executes every PRIOR round's
+    // sort — turning log2(w) rounds into a quadratic amount of work
+    // (measured ~4x on the bench corpus at w=8).
     var ranks = densify(toks.withColumnRenamed("tok", "__k1"), Seq("__k1"))
+      .localCheckpoint()
     var span = 1L
     while (span * 2 <= w) {
       val right = ranks.select(col("id"), (col("p") - span).as("p"),
         col("__rank").as("__r2"))
-      ranks = densify(
-        ranks.join(right, Seq("id", "p"))
-          .select(col("id"), col("p"), col("__rank").as("__k1"), col("__r2").as("__k2")),
-        Seq("__k1", "__k2"))
+      val paired = ranks.join(right, Seq("id", "p"))
+        .select(col("id"), col("p"), col("__rank").as("__k1"), col("__r2").as("__k2"))
+      // the FINAL round's ranks feed only equality tests (the duplicated-
+      // gram count, or the overlap struct below — struct equality nests
+      // fine), so the (r, r') pair itself is id enough: skipping the last
+      // densify saves a full distinct+sort+zipWithIndex+join cycle
       span *= 2
+      ranks =
+        if (span * 2 <= w)
+          densify(paired, Seq("__k1", "__k2")).localCheckpoint()
+        else paired.select(col("id"), col("p"),
+          struct(col("__k1"), col("__k2")).as("__rank"))
     }
     // sparse-table overlap for non-power-of-two w (no-op join when w == span)
     val gram =

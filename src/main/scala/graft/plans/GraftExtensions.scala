@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
@@ -59,6 +63,11 @@ object GraftExtensions {
         (children: Seq[Expression]) => NearestCentroid(children(0), children(1)),
         "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_sorted_intersect"))) {
+      registry.createOrReplaceTempFunction("graft_sorted_intersect",
+        (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)),
+        "built-in")
+    }
     if (!registry.functionExists(FunctionIdentifier("graft_bloom_might_contain"))) {
       registry.createOrReplaceTempFunction("graft_bloom_might_contain",
         (children: Seq[Expression]) =>
@@ -72,6 +81,13 @@ object GraftExtensions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_cosine", a, b)
+  }
+
+  /** Column-API handle for the native sorted-array intersection count:
+    * both arrays must be sorted ascending and duplicate-free. */
+  def sortedIntersect(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_sorted_intersect", a, b)
   }
 
   /** Column-API handle for the native nearest-centroid argmax: `matrix`

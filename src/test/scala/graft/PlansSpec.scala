@@ -75,6 +75,37 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"))
   }
 
+  test("native graft_sorted_intersect == size(array_intersect) on sorted arrays") {
+    val df = Seq(
+      (Array(1, 3, 5, 7), Array(2, 3, 5, 9)),
+      (Array(1, 2, 3), Array(4, 5, 6)),
+      (Array.empty[Int], Array(1, 2)),
+      (Array(-5, 0, 4), Array(-5, 0, 4))
+    ).toDF("a", "b")
+    val both = df.select(
+      GraftExtensions.sortedIntersect(spark, col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+    assert(both.as[(Int, Int)].collect().forall { case (n, b) => n == b })
+    val withNull = Seq((Some(Array(1)), Option.empty[Array[Int]])).toDF("a", "b")
+      .select(GraftExtensions.sortedIntersect(spark, col("a"), col("b")))
+    assert(withNull.collect()(0).isNullAt(0))
+  }
+
+  test("sorted-intersect screen stays inside WholeStageCodegen") {
+    // parquet-backed plain array<int> attributes (local relations collapse
+    // to LocalTableScan; HOF-built arrays would themselves be
+    // CodegenFallback and mask the property under test — q113's screen
+    // runs the expression over join-attached plain attributes)
+    val dir = java.nio.file.Files.createTempDirectory("graft-si").toString
+    Seq((Array(1, 3, 5), Array(3, 5, 7)), (Array(2, 4), Array(4, 8)))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val plan = back
+      .select(GraftExtensions.sortedIntersect(spark, col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"))
+  }
+
   test("native md5h60 == conv(substring(md5)) formulation, and stays codegen'd") {
     val rnd = new scala.util.Random(7)
     val samples = Seq("", "a", "hello world", "héllo ünïcode ✓",

@@ -949,6 +949,16 @@ object SparkEntry {
     graft.operators.TextSearch.collocationsByLift(
       documents(s, dir), "text", minCount = 3L, k = 50)
 
+  /** Group-aware split audit (q118): leakage-safe train/val/test keyed on
+    * the `source` group (every doc of a source co-assigns) with the
+    * achieved-vs-target row-share drift report
+    * ([[graft.operators.Splits.groupSplitAudit]]). */
+  private def groupSplitQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.groupSplitAudit(
+      documents(s, dir), "source",
+      Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)))
+      .orderBy("split")
+
   /** BPE pair statistics (q88): the first iteration of the BPE trainer's
     * merge loop — adjacent character pairs weighted by word frequency,
     * top 20. The corpus is touched once (word-frequency hash-agg); the
@@ -1880,7 +1890,8 @@ object SparkEntry {
     "q114_ewma_chart" -> (ewmaChartQ _),
     "q115_triangles" -> (trianglesQ _),
     "q116_sa_dup_ranges" -> (saDupRangesQ _),
-    "q117_collocations" -> (collocationsQ _)
+    "q117_collocations" -> (collocationsQ _),
+    "q118_group_split" -> (groupSplitQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2320,6 +2331,27 @@ object SparkEntry {
     // algorithm): both must equal the brute-force window formulation
     "q85_dup_span_ranges" -> dupSpanRangesOracle,
     "q116_sa_dup_ranges" -> dupSpanRangesOracle,
+    "q118_group_split" -> {
+      val b = graft.operators.Splits.bucketSql("source")
+      s"""WITH a AS (
+         |  SELECT source,
+         |    CASE WHEN $b < 800000 THEN 'train'
+         |         WHEN $b < 900000 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |s AS (SELECT source, split, COUNT(*) AS rws FROM a GROUP BY 1, 2),
+         |g AS (SELECT split, COUNT(*) AS n_groups,
+         |      CAST(SUM(rws) AS BIGINT) AS n_rows
+         |      FROM s GROUP BY split),
+         |t AS (SELECT SUM(n_rows) AS total FROM g)
+         |SELECT g.split, g.n_groups, g.n_rows,
+         |  CAST(CASE g.split WHEN 'train' THEN 800000
+         |       WHEN 'val' THEN 100000 ELSE 100000 END AS BIGINT)
+         |    AS rows_ppm_target,
+         |  CAST(FLOOR(g.n_rows * 1000000 / t.total) AS BIGINT)
+         |    AS rows_ppm_achieved
+         |FROM g CROSS JOIN t ORDER BY g.split""".stripMargin
+    },
     // lift arithmetic mirrors the Spark column order exactly:
     // ((c_xy * N) * N) / ((M * c_x) * c_y), all IEEE-correctly-rounded
     "q117_collocations" ->

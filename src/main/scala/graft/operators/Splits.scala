@@ -53,4 +53,48 @@ object Splits {
     * so sign-following and positive modulo agree. */
   def bucketSql(idExpr: String, salt: String = "split"): String =
     s"(${PortableHash.md5Hash60Sql(s"'$salt:' || CAST($idExpr AS VARCHAR)")} % ${Ppm})"
+
+  /** Group-aware (leakage-safe) split + audit: assignment hashes the GROUP
+    * key (`groupCol`) instead of the row id, so every row of a group —
+    * every page of a domain, every doc of an author — lands in the SAME
+    * split. That is the standard defense against train/test leakage
+    * through correlated near-duplicates (a domain's boilerplate in train
+    * AND test evaluates memorization, not generalization), and it is also
+    * why achieved row shares DRIFT from the requested ppm: groups are
+    * chunky, and one hot group drags its whole row mass into one split.
+    *
+    * This returns the AUDIT at the split grain, because the drift is the
+    * thing a pipeline must alarm on (the assignment itself is
+    * [[hashSplit]] with `idCol = groupCol`):
+    * `(split, n_groups, n_rows, rows_ppm_target, rows_ppm_achieved)` —
+    * integer ppm both sides, engine-exact.
+    *
+    * Scale shape: assignment stays a per-row projection (zero shuffles);
+    * the audit aggregates rows to the GROUP grain (one map-side-combined
+    * shuffle) and groups to the split grain (tiny). The total row count
+    * rides a 1-row crossJoin (A8 lazy-scalar idiom), never a collect. */
+  def groupSplitAudit(
+      df: DataFrame,
+      groupCol: String,
+      splits: Seq[(String, Long)],
+      salt: String = "split"): DataFrame = {
+    val assigned = hashSplit(df, groupCol, splits, salt)
+    val groups = assigned.groupBy(col("split"), col(groupCol))
+      .agg(count(lit(1)).as("__rows"))
+    val total = groups.agg(sum(col("__rows")).as("__total"))
+    val targets = splits.foldLeft(lit(null).cast("long")) {
+      case (acc, (name, ppm)) =>
+        coalesce(acc, when(col("split") === name, lit(ppm)))
+    }
+    groups
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_groups"), sum(col("__rows")).as("n_rows"))
+      .crossJoin(total)
+      .select(col("split"), col("n_groups"), col("n_rows"),
+        targets.as("rows_ppm_target"),
+        // explicit floor: a bare double->long CAST truncates in Spark but
+        // ROUNDS in DuckDB; floor agrees everywhere
+        floor(col("n_rows") * lit(Ppm) / col("__total")).cast("long")
+          .as("rows_ppm_achieved"))
+  }
 }

@@ -298,4 +298,38 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
     assert(!p.contains("Join") && !p.contains("Window "), p.take(2000))
   }
+
+  test("q113 screen: codegen'd sorted-intersect over shuffle-hash joins, no cartesian") {
+    val p = planString("q113_set_similarity")
+    assert(p.contains("graft_sorted_intersect"),
+      "the screen must use the native two-pointer expression:\n" + p.take(2500))
+    assert(p.contains("ShuffledHashJoin"),
+      "array-carrying screen joins must be hash, not sort-merge:\n" + p.take(2500))
+    // the only nested-loop is the provably-empty collision-fallback side
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q116 prefix doubling: every Window partitions by the doc id, never corpus-wide") {
+    val p = planString("q116_sa_dup_ranges")
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty, "expected the islands window:\n" + p.take(2000))
+    for (w <- windows)
+      assert(w.contains("id"), s"corpus-wide window partition: [$w]\n" + p.take(2000))
+  }
+
+  test("q117 collocations: top-k is TakeOrderedAndProject, counts broadcast back") {
+    val p = planString("q117_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "lift top-k must not globally sort the bigram table:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q118 group split: assignment never shuffles before the audit aggregate") {
+    val p = planString("q118_group_split")
+    // exchanges: group-grain agg, split-grain agg (+AQE coalesces); the
+    // assignment itself must contribute none — it is a pure projection
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Window "), "no window in a pure hash assignment")
+  }
 }

@@ -232,4 +232,61 @@ class PropertySpec extends SparkSpec {
         s"Cauchy-Schwarz violated at ($i,$j)")
     }
   }
+
+  // Random corpora over a SMALL token alphabet: maximal overlap pressure,
+  // the adversarial regime for prefix filtering (hot tokens everywhere)
+  // and for window/suffix dedup (repeated runs everywhere).
+  private def corpusGen(seedBase: Int): Gen[Seq[(Long, String)]] =
+    for {
+      seed <- Gen.choose(0, 10000)
+      nDocs <- Gen.choose(6, 16)
+    } yield {
+      val rnd = new scala.util.Random(seedBase + seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      var prev: Seq[String] = Nil
+      (1L to nDocs).map { i =>
+        val len = 4 + rnd.nextInt(18)
+        val fresh = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+        // ~half the docs single-token-mutate their predecessor: planted
+        // near-dups at varied Jaccard, plus occasional exact dups
+        val toks =
+          if (prev.nonEmpty && rnd.nextBoolean())
+            prev.updated(rnd.nextInt(prev.size), vocab(rnd.nextInt(vocab.size)))
+          else fresh
+        prev = toks
+        (i, toks.mkString(" "))
+      }
+    }
+
+  test("set-similarity self-join == brute force on random dense corpora") {
+    import graft.operators.{Dedup, SetSimilarity}
+    import org.apache.spark.sql.functions.col
+    forAll2(corpusGen(7100), Gen.oneOf(0.3, 0.5, 0.7, 0.9, 1.0), n = 8) {
+      (corpus, t) =>
+        val docs = corpus.toDF("doc_id", "text")
+        val ids = corpus.map(_._1)
+        val allPairs = ids.combinations(2).map(p => (p(0), p(1))).toSeq
+          .toDF("id_a", "id_b")
+        val want = Dedup.verifyJaccard(docs, allPairs, "doc_id", "text", 3)
+          .where(col("jaccard") >= t)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val got = SetSimilarity.selfJoin(docs, "doc_id", "text", t, 3)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(got == want, s"threshold $t corpus ${corpus.take(3)}...")
+    }
+  }
+
+  test("prefix-doubling dup ranges == hash-screen ranges on random dense corpora") {
+    import graft.operators.{Dedup, SuffixArray}
+    forAll2(corpusGen(9300), Gen.oneOf(2, 3, 4, 5, 8), n = 8) { (corpus, w) =>
+      val docs = corpus.toDF("doc_id", "text")
+      val sa = SuffixArray.exactDupSpanRanges(docs, "doc_id", "text", w)
+        .select("id", "span_start", "span_end")
+        .as[(Long, Long, Long)].collect().toSet
+      val hs = Dedup.duplicatedSpanRanges(docs, "doc_id", "text", w)
+        .select("id", "span_start", "span_end")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sa == hs, s"windowTokens $w")
+    }
+  }
 }

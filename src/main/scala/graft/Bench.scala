@@ -97,12 +97,13 @@ object Bench {
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {
-        // min-of-2 (was single-shot): one bad sample at the 10x scale
-        // inflates the ratio ~5x and reads as a phantom superlinearity —
-        // r5's q18 "13.4x" was exactly that (occupancy probe below showed
-        // flat pair_work; re-measured ratio ~2.4)
+        // min-of-3 (was min-of-2, was single-shot): one bad sample at the
+        // 10x scale inflates the ratio ~5x and reads as a phantom
+        // superlinearity — r5's q18 "13.4x" was exactly that, and r7's
+        // q113 cold-cache min-of-2 read 4.97x where the warm steady state
+        // is ~3.2x. Same methodology as the sf0.1 suite now.
         val r1 = heavy.filter(h => only.forall(_.contains(h))).flatMap { name =>
-          val times = (1 to 2).flatMap { _ =>
+          val times = (1 to 3).flatMap { _ =>
             System.gc()
             val t0 = System.nanoTime()
             try {

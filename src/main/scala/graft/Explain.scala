@@ -9,7 +9,9 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q02_region_revenue", "q05_trailing7", "q10_screen_top_spenders", "q25_semi_join_scope")) {
+    for (q <- Seq("q02_region_revenue", "q05_trailing7", "q10_screen_top_spenders",
+        "q25_semi_join_scope", "q113_set_similarity", "q116_sa_dup_ranges",
+        "q117_collocations")) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString.take(2600))
     }

@@ -949,6 +949,25 @@ object SparkEntry {
     graft.operators.TextSearch.collocationsByLift(
       documents(s, dir), "text", minCount = 3L, k = 50)
 
+  /** Hybrid retrieval via reciprocal-rank fusion (q119): BM25 keyword
+    * top-10 fused with brute-force cosine top-10 for queries 1-3 (query j
+    * probes with embedding vec_id=j; doc space is the shared id domain) —
+    * rank-only fusion, so the oracle replays both retrievers' rank chains
+    * and the fixed-order two-term RRF sum bit-exactly
+    * ([[graft.operators.TextSearch.rrfFuse]]). */
+  private def hybridRrfQ(s: SparkSession, dir: String): DataFrame = {
+    val qids = bm25Queries.map(_._1)
+    val bm = graft.operators.TextSearch.bm25TopK(
+      documents(s, dir), "doc_id", "text", bm25Queries, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = embeddings(s, dir)
+    val cos = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id").isin(qids: _*)), "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.TextSearch.rrfFuse(bm, cos, k0 = 60, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Group-aware split audit (q118): leakage-safe train/val/test keyed on
     * the `source` group (every doc of a source co-assigns) with the
     * achieved-vs-target row-share drift report
@@ -1891,7 +1910,8 @@ object SparkEntry {
     "q115_triangles" -> (trianglesQ _),
     "q116_sa_dup_ranges" -> (saDupRangesQ _),
     "q117_collocations" -> (collocationsQ _),
-    "q118_group_split" -> (groupSplitQ _)
+    "q118_group_split" -> (groupSplitQ _),
+    "q119_hybrid_rrf" -> (hybridRrfQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2331,6 +2351,68 @@ object SparkEntry {
     // algorithm): both must equal the brute-force window formulation
     "q85_dup_span_ranges" -> dupSpanRangesOracle,
     "q116_sa_dup_ranges" -> dupSpanRangesOracle,
+    // q56's BM25 rank chain + q16's cosine rank chain (queries 1-3, k=10
+    // both), fused with the fixed-order two-term RRF sum — rank-only, so
+    // the float-vs-double cosine difference never reaches the compare
+    "q119_hybrid_rrf" -> {
+      val vals = bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      val inList = bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      val qidList = bm25Queries.map(_._1).mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $vals),
+         |base AS (
+         |  SELECT id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term
+         |  FROM (SELECT doc_id AS id,
+         |          string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |        FROM documents)),
+         |tfq AS (
+         |  SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS tf, ANY_VALUE(dl) AS dl
+         |  FROM base WHERE term IN ($inList) GROUP BY 1, 2),
+         |dfc AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    AVG(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE))
+         |      AS avgdl
+         |  FROM documents),
+         |scored AS (
+         |  SELECT q.query_id, tfq.id,
+         |    CAST(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * tfq.tf * 2.2
+         |      / (tfq.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfq.dl / s.avgdl))
+         |      AS DECIMAL(38,12)) AS sc
+         |  FROM tfq JOIN q ON q.term = tfq.term
+         |  JOIN dfc d ON d.term = tfq.term, stats s),
+         |agg AS (SELECT query_id, id, SUM(sc) AS score FROM scored GROUP BY 1, 2),
+         |bm AS (
+         |  SELECT query_id, doc_id, r FROM (
+         |    SELECT query_id, id AS doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS r
+         |    FROM agg) t WHERE r <= 10),
+         |qe AS (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE vec_id IN ($qidList)),
+         |cpairs AS (
+         |  SELECT qe.query_id, c.vec_id AS doc_id,
+         |         list_cosine_similarity(qe.qv, c.embedding) AS cos
+         |  FROM qe JOIN embeddings c ON c.vec_id <> qe.query_id),
+         |cs AS (
+         |  SELECT query_id, doc_id, r FROM (
+         |    SELECT query_id, doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r
+         |    FROM cpairs) t WHERE r <= 10),
+         |f AS (
+         |  SELECT COALESCE(bm.query_id, cs.query_id) AS query_id,
+         |         COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
+         |         COALESCE(1.0 / (60 + bm.r), 0.0) + COALESCE(1.0 / (60 + cs.r), 0.0)
+         |           AS rrf_score
+         |  FROM bm FULL OUTER JOIN cs
+         |    ON bm.query_id = cs.query_id AND bm.doc_id = cs.doc_id)
+         |SELECT query_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, rrf_score
+         |FROM f
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "q118_group_split" -> {
       val b = graft.operators.Splits.bucketSql("source")
       s"""WITH a AS (

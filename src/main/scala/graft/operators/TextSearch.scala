@@ -244,6 +244,38 @@ object TextSearch {
         col("in_vocab").cast("double") / col("n_tokens"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR'09) — the
+    * standard hybrid-retrieval combiner: given two per-query rank lists
+    * (e.g. BM25 keyword top-k and embedding-cosine top-k),
+    * `score(d) = Σ_lists 1/(k0 + rank_list(d))`, re-ranked. Rank-only
+    * fusion is what makes it robust (no score calibration between
+    * retrievers) AND engine-exact (1/(k0+r) is one correctly-rounded IEEE
+    * division; the two-term sum has a fixed operand order).
+    *
+    * Inputs are `(query_id, doc_id, rank)` frames — top-k lists, so
+    * query-grain-bounded (≤ k rows per query per retriever, NOT corpus
+    * grain). The full-outer join and the re-rank window both run at that
+    * bounded grain; at 100 TB the heavy work lives in the upstream
+    * retrievers, never here.
+    *
+    * Returns `(query_id, rank, doc_id, rrf_score)`, top `k` per query by
+    * (score desc, doc_id). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60, k: Int = 10): DataFrame = {
+    val fa = a.select(col("query_id"), col("doc_id"),
+      (lit(1.0) / (lit(k0) + col("rank"))).as("__sa"))
+    val fb = b.select(col("query_id"), col("doc_id"),
+      (lit(1.0) / (lit(k0) + col("rank"))).as("__sb"))
+    fa.join(fb, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("__sa"), lit(0.0)) + coalesce(col("__sb"), lit(0.0)))
+          .as("rrf_score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf_score")
+  }
+
   /** Bigram collocation mining by LIFT — phrase discovery for vocabulary /
     * tokenizer construction (the association measure behind PMI-based
     * phrase mining, e.g. Mikolov et al. 2013's word2vec phrase pass, kept

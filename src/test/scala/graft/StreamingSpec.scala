@@ -348,4 +348,41 @@ class StreamingSpec extends SparkSpec {
     // streamed rows exist only for users who advanced at least once
     assert(got === expected.filter(_._2._1 > 0))
   }
+
+  test("session stream: micro-batch fold == one-shot batch sessionize") {
+    import graft.streaming.{SessionEvent, SessionStream}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(61)
+    // sparse per-user timelines so real gaps occur WITHIN and ACROSS batches
+    val all = (1L to 500L).flatMap { t =>
+      if (rnd.nextBoolean()) None
+      else Some(SessionEvent(rnd.nextInt(8).toLong, t * 97, rnd.nextInt(4) == 0))
+    }
+    val gap = 900L
+    val slices = Seq(all.filter(_.ts <= 16000),
+      all.filter(e => e.ts > 16000 && e.ts <= 33000), all.filter(_.ts > 33000))
+    val input = MemoryStream[SessionEvent]
+    val q = SessionStream.track(input.toDS(), gap)
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("update").start()
+    slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    // per (user, session_start): the closed row is final; otherwise the
+    // latest open emission (max n_events) is the session's current state
+    val got = spark.table("session_out")
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("session_start_us"))
+          .orderBy(col("closed").desc, col("n_events").desc)))
+      .filter(col("__r") === 1)
+      .select("user_id", "session_start_us", "session_end_us", "n_events",
+        "n_purchases")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = graft.operators.Sessionize.sessionize(
+      all.toDF(), "user_id", "ts", gap, col("is_purchase"))
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), col("n_purchases"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
 }

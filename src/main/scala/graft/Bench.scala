@@ -139,12 +139,38 @@ object Bench {
                 s"multi_buckets=${st.getLong(3)} pair_work=${st.getLong(4)}")
           }
         }
+        // q113 scaling diagnostic: prefix-join candidate work scales with
+        // the token-frequency mass sum(df^2), and ScaleGen's replica keeps
+        // the shingle VOCABULARY nearly fixed while multiplying rows — so
+        // density (and candidate pairs) grows ~quadratically where a real
+        // corpus grows its vocabulary ~linearly. Reporting both scales
+        // makes a superlinear time ratio attributable from the notes alone.
+        if (r1.exists(_._1 == "q113_set_similarity")) {
+          import graft.functions.{SimilarityFunctions => SF}
+          for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
+            val st = Tables.documents(spark, d)
+              .select(org.apache.spark.sql.functions.explode(
+                org.apache.spark.sql.functions.array_distinct(
+                  SF.tokenShingles(org.apache.spark.sql.functions.col("text"), 3)))
+                .as("t"))
+              .groupBy("t").count()
+              .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("n_shingles"),
+                org.apache.spark.sql.functions.sum(
+                  org.apache.spark.sql.functions.col("count") *
+                    org.apache.spark.sql.functions.col("count")).as("df_sq"))
+              .collect().head
+            System.err.println(
+              s"[bench] q113 density $tag: n_shingles=${st.getLong(0)} " +
+                s"sum_df_sq=${st.getLong(1)}")
+          }
+        }
         if (r1.isEmpty) ""
         else {
           val ts = r1.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
           val rs = r1.flatMap { case (k, _, r) => r.map("\"" + k + "\":" + _) }
             .mkString("{", ",", "}")
-          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); min-of-2 timings; ratio ~10 = linear scaling""""
+          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); min-of-3 timings; ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size""""
         }
       }
     // Composed-job throughput: the end-to-end curation pipeline (scrub ->

@@ -93,7 +93,7 @@ object Bench {
       "q105_blocked_resolve", "q106_mad_outliers", "q107_sorted_neighborhood",
       "q110_weighted_quantiles", "q111_interval_union", "q112_sessionize_inc",
       "q113_set_similarity", "q114_ewma_chart", "q115_triangles",
-      "q116_sa_dup_ranges", "q117_collocations")
+      "q116_sa_dup_ranges", "q117_collocations", "q120_pagerank")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

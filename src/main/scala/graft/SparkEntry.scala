@@ -968,6 +968,25 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Integer-exact PageRank (q120): 10 damped iterations over the
+    * symmetrized part co-order graph (q115's edge rule), all arithmetic
+    * in long `div` so the DuckDB oracle unrolls the identical fixed-point
+    * recurrence ([[graft.operators.PageRank]]); top-100 by score. */
+  private def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val op = lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = op.toDF("o", "pa").join(op.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+    val ed = pairs.select(col("pa").as("s_"), col("pb").as("d_"))
+      .unionByName(pairs.select(col("pb").as("s_"), col("pa").as("d_")))
+    graft.operators.PageRank.integerPageRank(ed, "s_", "d_", iterations = 10)
+      .select(col("node").as("part"), col("score"))
+      .orderBy(col("score").desc, col("part"))
+      .limit(100)
+  }
+
   /** Group-aware split audit (q118): leakage-safe train/val/test keyed on
     * the `source` group (every doc of a source co-assigns) with the
     * achieved-vs-target row-share drift report
@@ -1911,7 +1930,8 @@ object SparkEntry {
     "q116_sa_dup_ranges" -> (saDupRangesQ _),
     "q117_collocations" -> (collocationsQ _),
     "q118_group_split" -> (groupSplitQ _),
-    "q119_hybrid_rrf" -> (hybridRrfQ _)
+    "q119_hybrid_rrf" -> (hybridRrfQ _),
+    "q120_pagerank" -> (pageRankQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2351,6 +2371,34 @@ object SparkEntry {
     // algorithm): both must equal the brute-force window formulation
     "q85_dup_span_ranges" -> dupSpanRangesOracle,
     "q116_sa_dup_ranges" -> dupSpanRangesOracle,
+    // the same fixed-point recurrence as the Scala loop, unrolled: all
+    // arithmetic is BIGINT floor division, so 10 iterations replay exactly
+    "q120_pagerank" -> {
+      val iters = (1 to 10).map { k =>
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        s"""s$k AS (SELECT d.node, d.outdeg,
+           |  (15000000000000 // (100 * nn.n)) + (85 * COALESCE(c.s, 0)) // 100
+           |    AS score
+           |  FROM deg d CROSS JOIN nn
+           |  LEFT JOIN (SELECT e.dst, CAST(SUM(s.score // s.outdeg) AS BIGINT) AS s
+           |             FROM ed e JOIN $prev s ON s.node = e.src GROUP BY e.dst) c
+           |  ON c.dst = d.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |pairs AS (
+         |  SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b
+         |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ed AS (SELECT pa AS src, pb AS dst FROM pairs
+         |       UNION ALL SELECT pb, pa FROM pairs),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+         |        FROM ed GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |s0 AS (SELECT node, outdeg, 1000000000000 // nn.n AS score
+         |       FROM deg CROSS JOIN nn),
+         |$iters
+         |SELECT node AS part, score FROM s10
+         |ORDER BY score DESC, part LIMIT 100""".stripMargin
+    },
     // q56's BM25 rank chain + q16's cosine rank chain (queries 1-3, k=10
     // both), fused with the fixed-order two-term RRF sum — rank-only, so
     // the float-vs-double cosine difference never reaches the compare

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer-exact PageRank (Page, Brin, Motwani & Winograd 1999) — the
+  * canonical iterative distributed-graph workload, arithmetic restricted
+  * to LONG integer division so every engine replays it bit-for-bit:
+  *
+  *   score_0(v)   = SCALE div n
+  *   contrib(u→v) = score_i(u) div outdeg(u)
+  *   score_i+1(v) = (15·SCALE) div (100·n)
+  *                  + (85 · Σ_in contrib) div 100       (d = 0.85)
+  *
+  * Floating-point PageRank sums in-neighbor contributions in partition
+  * order — non-associative, so two runs (or two engines) disagree in the
+  * last ulps and ranks can flip. Fixed-point longs make every step exact
+  * and order-free: the same reason the repo's money/score sums go through
+  * decimals, applied to an iterative algorithm (the DuckDB oracle unrolls
+  * the same 10 iterations with `//` floor division).
+  *
+  * Truncation loses at most 1 unit per div per node per iteration — at
+  * SCALE = 1e12 that is a 1e-12-relative drift, far below any ranking
+  * gap; the invariant total mass is ≤ SCALE with the deficit going to the
+  * (1-d) teleport term, the standard "dangling mass dropped"
+  * simplification. The input edge list is treated as DIRECTED; every node
+  * must have at least one out-edge (a symmetrized undirected graph
+  * satisfies this by construction — q120's co-order graph does), which is
+  * what makes `outdeg` total and the mass argument hold.
+  *
+  * Scale shape: per iteration, one join of the (node, outdeg, score)
+  * table against the edge list on `src` (scores are the small side — at
+  * web scale this is the classic broadcast-or-co-partitioned join), one
+  * map-side-combined sum on `dst`, one left join back to the node table.
+  * The lineage is cut (localCheckpoint) every `checkpointEvery`
+  * iterations — every iteration pays a materialization job that dwarfs
+  * the per-iteration compute on all but the largest graphs, while no cut
+  * at all hands Catalyst one 30-join mega-plan; every third is the
+  * iterative-graph middle ground (the q116/connected-components
+  * precedent, interval form). Node count is ONE bounded driver scalar
+  * (a count action, the SemDeDup-nlist precedent).
+  *
+  * Returns `(node, score)` for all nodes, unsorted: callers rank/limit.
+  */
+object PageRank {
+
+  def integerPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 10,
+      scale: Long = 1000000000000L,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    require(scale >= 1000000L, "scale too small for meaningful fixed-point")
+    // materialize the edge list once — its upstream lineage (often a
+    // self-join building the graph) would otherwise re-execute on every
+    // iteration; same posture as GraphX caching the edge RDD
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("node"), col("outdeg"))
+      .localCheckpoint()
+    val n = deg.count()
+    require(n > 0, "empty graph")
+    val base = (15L * scale) / (100L * n)
+    var scores = deg.withColumn("score", lit(scale / n))
+    for (i <- 1 to iterations) {
+      val contribs = scores
+        .join(ed, col("node") === col("src"))
+        .select(col("dst"), expr("score div outdeg").as("q"))
+        .groupBy("dst").agg(sum(col("q")).as("s"))
+      scores = deg
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"), col("outdeg"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("score"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        scores = scores.localCheckpoint()
+    }
+    scores.select("node", "score")
+  }
+}

@@ -325,6 +325,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q119 RRF fusion: windows partition by query, no cartesian") {
+    val p = planString("q119_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty)
+    for (w <- windows)
+      assert(w.contains("query_id"),
+        s"rank window must stay query-grain: [$w]\n" + p.take(2000))
+  }
+
+  test("q120 PageRank: no cartesian, no window — joins and hash aggregates only") {
+    val p = planString("q120_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window "), "iterations must not introduce windows")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must not globally sort the node table:\n" + p.take(2000))
+  }
+
   test("q118 group split: assignment never shuffles before the audit aggregate") {
     val p = planString("q118_group_split")
     // exchanges: group-grain agg, split-grain agg (+AQE coalesces); the

@@ -968,6 +968,14 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Skip-gram co-occurrence mining (q121): q117's windowed
+    * generalization — unordered token pairs within 3 positions, corpus
+    * support >= 5, ranked by the same IEEE-exact lift
+    * ([[graft.operators.TextSearch.skipgramByLift]]). */
+  private def skipgramQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.skipgramByLift(
+      documents(s, dir), "text", window = 3, minCount = 5L, k = 50)
+
   /** Integer-exact PageRank (q120): 10 damped iterations over the
     * symmetrized part co-order graph (q115's edge rule), all arithmetic
     * in long `div` so the DuckDB oracle unrolls the identical fixed-point
@@ -1931,7 +1939,8 @@ object SparkEntry {
     "q117_collocations" -> (collocationsQ _),
     "q118_group_split" -> (groupSplitQ _),
     "q119_hybrid_rrf" -> (hybridRrfQ _),
-    "q120_pagerank" -> (pageRankQ _)
+    "q120_pagerank" -> (pageRankQ _),
+    "q121_skipgram" -> (skipgramQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2371,6 +2380,30 @@ object SparkEntry {
     // algorithm): both must equal the brute-force window formulation
     "q85_dup_span_ranges" -> dupSpanRangesOracle,
     "q116_sa_dup_ranges" -> dupSpanRangesOracle,
+    // q117's lift arithmetic over the windowed unordered pair stream
+    "q121_skipgram" ->
+      """WITH d AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM d),
+        |pg AS (
+        |  SELECT least(t[i], t[i+j]) AS x, greatest(t[i], t[i+j]) AS y
+        |  FROM d, unnest(generate_series(1, len(t))) AS u(i),
+        |       unnest(generate_series(1, 3)) AS v(j)
+        |  WHERE len(t) >= 2 AND i + j <= len(t)),
+        |uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+        |bc AS (SELECT x, y, COUNT(*) AS c_xy FROM pg GROUP BY x, y
+        |       HAVING COUNT(*) >= 5),
+        |n AS (SELECT COUNT(*) AS nn FROM uni),
+        |m AS (SELECT COUNT(*) AS mm FROM pg)
+        |SELECT bc.x, bc.y, bc.c_xy,
+        |  CAST(bc.c_xy AS DOUBLE) * n.nn * n.nn /
+        |    (CAST(m.mm AS DOUBLE) * ux.c * uy.c) AS lift
+        |FROM bc
+        |JOIN uc ux ON ux.tok = bc.x
+        |JOIN uc uy ON uy.tok = bc.y
+        |CROSS JOIN n CROSS JOIN m
+        |ORDER BY lift DESC, bc.x, bc.y LIMIT 50""".stripMargin,
     // the same fixed-point recurrence as the Scala loop, unrolled: all
     // arithmetic is BIGINT floor division, so 10 iterations replay exactly
     "q120_pagerank" -> {

@@ -306,8 +306,7 @@ object TextSearch {
       minCount: Long = 3L,
       k: Int = 50): DataFrame = {
     require(minCount >= 1 && k >= 1, s"need minCount/k >= 1")
-    val tk = split(trim(lower(col(textCol))), "\\s+")
-    val arrs = docs.select(tk.as("t"))
+    val arrs = docs.select(lowerTokens(textCol).as("t"))
     val bigrams = arrs
       .filter(size(col("t")) >= 2)
       .select(explode(zip_with(
@@ -315,14 +314,54 @@ object TextSearch {
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => struct(a.as("x"), b.as("y")))).as("bg"))
       .select(col("bg.x").as("x"), col("bg.y").as("y"))
-    val unis = arrs.select(explode(col("t")).as("tok"))
+    liftRank(bigrams, arrs.select(explode(col("t")).as("tok")), minCount, k)
+  }
 
-    val bc = bigrams.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+  /** Skip-gram co-occurrence by LIFT (q117's windowed generalization —
+    * the word2vec/GloVe co-occurrence statistic): every unordered token
+    * pair within `window` positions of each other, ranked by the same
+    * log-free PMI. Pair formation is IN-ROW (an indexed transform probes
+    * up to `window` positions ahead via `element_at`; pairs normalize to
+    * (least, greatest) so orientation never splits a count) — per-row
+    * fan-out is `window`-bounded, and the corpus-grain shuffles stay the
+    * two count aggregates, exactly the q117 shape. */
+  def skipgramByLift(
+      docs: DataFrame,
+      textCol: String,
+      window: Int = 3,
+      minCount: Long = 3L,
+      k: Int = 50): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(minCount >= 1 && k >= 1, s"need minCount/k >= 1")
+    val arrs = docs.select(lowerTokens(textCol).as("t"))
+    val pairs = arrs
+      .filter(size(col("t")) >= 2)
+      .select(explode(flatten(transform(col("t"), (x, i) =>
+        transform(
+          filter(
+            transform(sequence(lit(1), lit(window)),
+              // try_element_at: past-the-end probes null out (ANSI
+              // element_at throws), then filter drops them
+              j => try_element_at(col("t"), (i + j + 1).cast("int"))),
+            y => y.isNotNull),
+          y => struct(least(x, y).as("x"), greatest(x, y).as("y"))))))
+        .as("pg"))
+      .select(col("pg.x").as("x"), col("pg.y").as("y"))
+    liftRank(pairs, arrs.select(explode(col("t")).as("tok")), minCount, k)
+  }
+
+  private def lowerTokens(textCol: String) =
+    split(trim(lower(col(textCol))), "\\s+")
+
+  /** Shared lift ranking over a pair stream: counts, the
+    * `c_xy·N·N / (M·c_x·c_y)` IEEE-exact score, deterministic top-k. */
+  private def liftRank(
+      pairs: DataFrame, unis: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val bc = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
     val uc = unis.groupBy("tok").agg(count(lit(1)).as("c"))
     val n = unis.agg(count(lit(1)).as("__n"))
-    val m = bigrams.agg(count(lit(1)).as("__m"))
-
+    val m = pairs.agg(count(lit(1)).as("__m"))
     bc
       .join(uc.select(col("tok").as("x"), col("c").as("__cx")), "x")
       .join(uc.select(col("tok").as("y"), col("c").as("__cy")), "y")

@@ -43,4 +43,32 @@ class CollocationsSpec extends SparkSpec {
       .select("x", "y").as[(String, String)].collect().toSeq
     assert(got.size == got.toSet.size)
   }
+
+  test("skip-gram pairs cover the window, orientation-normalized, exact counts") {
+    val d = Seq("b a c a").toDF("text")
+    // window 2, positions: (b,a) (b,c) (a,c) (a,a) (c,a) -> normalized:
+    // (a,b)x1 (b,c)x1 (a,c)x2 (a,a)x1; N=4 tokens, M=5 pairs
+    val got = TextSearch.skipgramByLift(d, "text", window = 2, minCount = 1L, k = 10)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.keySet == Set(("a", "b"), ("b", "c"), ("a", "c"), ("a", "a")))
+    assert(got(("a", "c"))._1 == 2L)
+    // c_a=2, c_c=1: lift(a,c) = 2*16/(5*2*1)
+    assert(got(("a", "c"))._2 == 2.0 * 4 * 4 / (5.0 * 2 * 1))
+    // self-pair (a,a): c_xy=1, lift = 1*16/(5*2*2)
+    assert(got(("a", "a"))._2 == 1.0 * 4 * 4 / (5.0 * 2 * 2))
+  }
+
+  test("window 1 skip-gram == adjacent collocations up to orientation") {
+    val d = Seq("x y z x y", "p q p q").toDF("text")
+    val sg = TextSearch.skipgramByLift(d, "text", window = 1, minCount = 1L, k = 100)
+      .select("x", "y", "c_xy").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ad = TextSearch.collocationsByLift(d, "text", minCount = 1L, k = 100)
+      .select("x", "y", "c_xy").as[(String, String, Long)].collect()
+    val folded = ad.groupBy { case (a, b, _) =>
+      if (a <= b) (a, b) else (b, a)
+    }.map { case (k2, vs) => k2 -> vs.map(_._3).sum }
+    assert(sg == folded)
+  }
 }

@@ -968,6 +968,18 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-truncation recall ablation (q122): overlap between the
+    * full-64-dim exact top-5 and the top-5 at prefix dims 8/16/32 for the
+    * q16 probe set — the Matryoshka dimension-cheapening measurement
+    * ([[Similarity.truncationRecall]]). Rank-membership oracle, like
+    * q16/q17. */
+  private def truncationRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    Similarity.truncationRecall(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", dims = Seq(8, 16, 32), k = 5)
+      .orderBy("query_id", "dim")
+  }
+
   /** Skip-gram co-occurrence mining (q121): q117's windowed
     * generalization — unordered token pairs within 3 positions, corpus
     * support >= 5, ranked by the same IEEE-exact lift
@@ -1940,7 +1952,8 @@ object SparkEntry {
     "q118_group_split" -> (groupSplitQ _),
     "q119_hybrid_rrf" -> (hybridRrfQ _),
     "q120_pagerank" -> (pageRankQ _),
-    "q121_skipgram" -> (skipgramQ _)
+    "q121_skipgram" -> (skipgramQ _),
+    "q122_trunc_recall" -> (truncationRecallQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2380,6 +2393,37 @@ object SparkEntry {
     // algorithm): both must equal the brute-force window formulation
     "q85_dup_span_ranges" -> dupSpanRangesOracle,
     "q116_sa_dup_ranges" -> dupSpanRangesOracle,
+    // per-dim rank chains on prefix-sliced lists (q16's membership-margin
+    // argument), full-list left join so zero-overlap probes still report
+    "q122_trunc_recall" -> {
+      val dimBlocks = Seq(8, 16, 32).map { d =>
+        s"""SELECT f.query_id, $d AS dim,
+           |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_overlap,
+           |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / 5 AS recall
+           |FROM fullk f LEFT JOIN (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.qid
+           |        ORDER BY list_cosine_similarity(q.qv[1:$d], c.embedding[1:$d])
+           |          DESC, c.vec_id) AS r
+           |    FROM q JOIN embeddings c ON c.vec_id <> q.qid) z WHERE r <= 5
+           |) t ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+           |GROUP BY f.query_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |fullk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+         |          c.vec_id) AS r
+         |    FROM q JOIN embeddings c ON c.vec_id <> q.qid) z WHERE r <= 5)
+         |$dimBlocks
+         |ORDER BY query_id, dim""".stripMargin
+    },
     // q117's lift arithmetic over the windowed unordered pair stream
     "q121_skipgram" ->
       """WITH d AS (

@@ -42,6 +42,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Truncated-dimension recall ablation (the Matryoshka-representation
+    * evaluation, Kusupati et al. 2022): for each probe, how much of the
+    * FULL-dimension exact top-k survives when vectors are truncated to
+    * their first `d` components — the measurement that decides how far an
+    * embedding column can be cheapened (storage, ANN cost scale linearly
+    * in d) before retrieval quality pays.
+    *
+    * Per dim: one brute-force pass over prefix-sliced vectors (the slice
+    * is a projection that narrows every row BEFORE the scan's shuffle-free
+    * broadcast-probe join), then an inner join of the two query-grain
+    * top-k lists counts survivors. `recall = n_overlap / k` is one IEEE
+    * division of small ints — engine-exact; membership itself is exact
+    * because both rank chains tie-break on (cos desc, neighbor id).
+    *
+    * Returns `(query_id, dim, n_overlap, recall)` — one row per
+    * (probe, truncation dim). */
+  def truncationRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Seq[Int],
+      k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be positive")
+    val full = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    dims.map { d =>
+      val tc = corpus.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val tq = queries.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val trunc = bruteForceTopK(tc, tq, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+      // left join: a probe whose truncated list shares NOTHING with the
+      // full list must still report n_overlap = 0, not vanish
+      full.join(trunc.withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+        .select(col("query_id"), lit(d).as("dim"), col("n_overlap"),
+          (col("n_overlap").cast("double") / k).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Index-build step: the first `nlist` corpus vectors in id order as
     * stand-in centroids. ONE tiny driver action (limit-pushed scan of nlist
     * rows) at index-build time — never per query. Prefer

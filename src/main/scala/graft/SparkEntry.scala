@@ -980,6 +980,104 @@ object SparkEntry {
       .orderBy("query_id", "dim")
   }
 
+  /** Bigram LM familiarity scoring (q123): the log-free CCNet-style
+    * reference-LM quality filter — a bigram count model trained on the
+    * even-doc_id slice (deterministic stand-in for a curated corpus),
+    * every doc scored by bigram coverage and mean reference-count
+    * ([[graft.operators.TextSearch.bigramFamiliarity]]). */
+  private def lmFamiliarityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.bigramFamiliarity(
+      documents(s, dir), "doc_id", "text",
+      refFilter = col("doc_id") % 2 === 0, minRefCount = 2L)
+      .orderBy("doc_id")
+
+  /** DSIR importance resampling (q124): hashed-unigram bucket
+    * distributions with `lang = 'en'` as the target slice; top-100 docs
+    * by fixed-point importance ([[graft.operators.Dsir.importanceTopK]]).
+    * The bucket table is O(256) regardless of corpus size. */
+  private def dsirWeightsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.importanceTopK(
+      documents(s, dir), "doc_id", "text",
+      targetFilter = col("lang") === "en", buckets = 256, k = 100)
+
+  /** Trailing-7-day distinct active users (q125): the contribution-
+    * explode exact rolling-distinct — W1's frame semantics where the
+    * aggregate (COUNT DISTINCT) can't ride a window frame
+    * ([[graft.operators.SlidingDistinct.trailingDistinct]]). */
+  private def slidingDistinctQ(s: SparkSession, dir: String): DataFrame = {
+    def dayNum(c: Column): Column = datediff(c, lit("1970-01-01")).cast("long")
+    graft.operators.SlidingDistinct.trailingDistinct(
+      events(s, dir).select(dayNum(eventDay(col("ts"))).as("d"), col("user_id")),
+      "d", "user_id", windowDays = 7)
+      .orderBy("day")
+  }
+
+  /** k-anonymity audit (q126): equivalence classes over the customer
+    * quasi-identifier projection (nation, market segment, account-balance
+    * century bucket), flagging classes below k=5
+    * ([[graft.operators.Anonymity.kAnonymityAudit]]). The floor(x/100)
+    * bucket is exact IEEE double arithmetic in both engines. */
+  private def kAnonymityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anonymity.kAnonymityAudit(
+      customer(s, dir),
+      quasiCols = Seq(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 100).cast("long")),
+      quasiNames = Seq("nation", "segment", "bal_bucket"),
+      k = 5)
+      .orderBy("nation", "segment", "bal_bucket")
+
+  /** Set-containment self-join (q127): the asymmetric near-dup Jaccard
+    * misses — smaller shingle set >= 90% inside a larger one, sets of at
+    * least 10 shingles ([[graft.operators.SetSimilarity.containmentJoin]]).
+    * The brute-force DuckDB oracle proves the adapted prefix filter
+    * COMPLETE, q113's differential argument. */
+  private def containmentJoinQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimilarity.containmentJoin(
+      documents(s, dir), "doc_id", "text",
+      threshold = 0.9, minSetSize = 10, shingleSize = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Banded-LSH recall ablation (q128): q18's candidate pipeline at
+    * rows-per-band 4/8/16 (bands 8/4/2) measured against the EXACT
+    * 2-shingle Jaccard >= 0.7 truth set from q113's prefix-filter join —
+    * the S-curve tuning measurement (more rows per band = sharper
+    * threshold, lower recall below it). Truth and candidates are each
+    * independently oracle-proven (q113 / q18); this query pins their
+    * composition. */
+  private def lshRecallQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val truth = graft.Caching.track(
+      graft.operators.SetSimilarity.selfJoin(
+        docs, "doc_id", "text", threshold = 0.7, shingleSize = 2)
+        .select(col("id_a"), col("id_b")))
+    val configs = Seq(4, 8, 16)
+    val cands = configs.map { rpb =>
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 32, rowsPerBand = rpb, portable = true)
+        .select(col("id_a"), col("id_b"))
+        .withColumn("rows_per_band", lit(rpb.toLong))
+    }.reduce(_ unionByName _)
+    val nCand = cands.groupBy("rows_per_band")
+      .agg(count(lit(1)).as("n_candidates"))
+    val nCaught = cands.join(truth, Seq("id_a", "id_b"))
+      .groupBy("rows_per_band").agg(count(lit(1)).as("n_caught"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    configs.map(_.toLong).toDF("rows_per_band")
+      .join(nCand, Seq("rows_per_band"), "left")
+      .join(nCaught, Seq("rows_per_band"), "left")
+      .crossJoin(nTrue)
+      .select(
+        col("rows_per_band"),
+        (lit(32L) / col("rows_per_band")).cast("long").as("bands"),
+        col("n_true"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        (coalesce(col("n_caught"), lit(0L)).cast("double") / col("n_true"))
+          .as("recall"))
+      .orderBy("rows_per_band")
+  }
+
   /** Skip-gram co-occurrence mining (q121): q117's windowed
     * generalization — unordered token pairs within 3 positions, corpus
     * support >= 5, ranked by the same IEEE-exact lift
@@ -1953,7 +2051,13 @@ object SparkEntry {
     "q119_hybrid_rrf" -> (hybridRrfQ _),
     "q120_pagerank" -> (pageRankQ _),
     "q121_skipgram" -> (skipgramQ _),
-    "q122_trunc_recall" -> (truncationRecallQ _)
+    "q122_trunc_recall" -> (truncationRecallQ _),
+    "q123_lm_familiarity" -> (lmFamiliarityQ _),
+    "q124_dsir_weights" -> (dsirWeightsQ _),
+    "q125_sliding_distinct" -> (slidingDistinctQ _),
+    "q126_k_anonymity" -> (kAnonymityQ _),
+    "q127_containment" -> (containmentJoinQ _),
+    "q128_lsh_recall" -> (lshRecallQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -1995,6 +2099,69 @@ object SparkEntry {
        |banded AS (
        |  $bandSelects),
        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bno, bk) AS bsz FROM banded)""".stripMargin
+  }
+
+  /** q128 oracle: the q18 signature pipeline generalized over
+    * rows-per-band (4/8/16 → 8/4/2 bands over the same 32 permutations),
+    * composed with q113's brute-force truth at 2-gram Jaccard >= 0.7 —
+    * the oracle shares the hash family with the Spark side (that IS the
+    * replay guarantee) but derives truth and recall independently. */
+  private lazy val lshRecallOracleSql: String = {
+    val n = 32
+    val mins = (0 until n)
+      .map(i => s"min(${PortableHash.affine31Sql(i, "h")}) AS m$i")
+      .mkString(",\n    ")
+    def bandCtes(rpb: Int): String = {
+      val bands = n / rpb
+      val bandSelects = (0 until bands).map { b =>
+        val csv = (b * rpb until (b + 1) * rpb).map(r => s"m$r").mkString(", ")
+        s"SELECT id, $b AS bno, concat_ws(',', $csv) AS bk FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""banded$rpb AS (
+         |  $bandSelects),
+         |sized$rpb AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY bno, bk) AS bsz
+         |  FROM banded$rpb),
+         |cand$rpb AS (
+         |  SELECT DISTINCT a.id AS ia, b.id AS ib
+         |  FROM sized$rpb a JOIN sized$rpb b
+         |    ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+         |  WHERE a.bsz BETWEEN 2 AND 1000)""".stripMargin
+    }
+    val per = Seq(4, 8, 16).map(bandCtes).mkString(",\n")
+    val stats = Seq(4, 8, 16).map { rpb =>
+      s"""SELECT $rpb AS rpb, ${n / rpb} AS nbands,
+         |  (SELECT COUNT(*) FROM truth) AS n_true,
+         |  (SELECT COUNT(*) FROM cand$rpb) AS n_candidates,
+         |  (SELECT COUNT(*) FROM cand$rpb c
+         |   JOIN truth t ON t.ia = c.ia AND t.ib = c.ib) AS n_caught"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT id, array_to_string(tk[u.i + 1 : u.i + 2], ' ') AS s
+       |  FROM toks, unnest(range(greatest(len(tk) - 1, 1))) AS u(i)),
+       |h AS (SELECT id, ${PortableHash.md5Hash60Sql("s")} AS h FROM sh),
+       |sig AS (SELECT id, $mins FROM h GROUP BY id),
+       |shd AS (SELECT DISTINCT id, s FROM sh),
+       |counts AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS ia, b.id AS ib, CAST(count(*) AS BIGINT) AS m
+       |  FROM shd a JOIN shd b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT ia, ib FROM inter
+       |  JOIN counts ca ON ca.id = ia JOIN counts cb ON cb.id = ib
+       |  WHERE CAST(m AS DOUBLE) / (ca.n + cb.n - m) >= CAST(0.7 AS DOUBLE)),
+       |$per
+       |SELECT CAST(rpb AS BIGINT) AS rows_per_band,
+       |  CAST(nbands AS BIGINT) AS bands,
+       |  CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_caught AS BIGINT) AS n_caught,
+       |  CAST(n_caught AS DOUBLE) / n_true AS recall
+       |FROM ($stats) ORDER BY rows_per_band""".stripMargin
   }
 
   /** q90 + q96 shared oracle: the full-data greedy funnel (q96's
@@ -2424,6 +2591,109 @@ object SparkEntry {
          |$dimBlocks
          |ORDER BY query_id, dim""".stripMargin
     },
+    // bigram-grain left join against the even-slice count model; both
+    // scores are exact-long / exact-long single divisions
+    "q123_lm_familiarity" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS x, t[i+1] AS y
+        |  FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |ref AS (
+        |  SELECT x, y, COUNT(*) AS rc FROM bg WHERE doc_id % 2 = 0
+        |  GROUP BY x, y HAVING COUNT(*) >= 2),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN ref.rc IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_matched,
+        |    CAST(SUM(COALESCE(ref.rc, 0)) AS BIGINT) AS ref_mass
+        |  FROM bg LEFT JOIN ref ON ref.x = bg.x AND ref.y = bg.y
+        |  GROUP BY bg.doc_id)
+        |SELECT doc_id, n_bigrams, n_matched, ref_mass,
+        |  CAST(n_matched AS DOUBLE) / n_bigrams AS coverage,
+        |  CAST(ref_mass AS DOUBLE) / n_bigrams AS familiarity
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // portable md5 bucket hash + fixed-point `//` ratio replays the Spark
+    // `div` arithmetic bit-for-bit; rank ties broken by doc_id both sides
+    "q124_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |    (('0x' || substring(md5(CAST(tok AS VARCHAR)), 2, 15))::BIGINT)
+        |      % 256 AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |        FROM documents)),
+        |dist AS (
+        |  SELECT b, COUNT(*) AS cr,
+        |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        |  FROM toks GROUP BY b),
+        |ds AS (SELECT b, (ct * 1000000) // cr AS s FROM dist),
+        |sc AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(ds.s) AS BIGINT) AS w_sum
+        |  FROM toks t JOIN ds ON ds.b = t.b GROUP BY t.doc_id)
+        |SELECT
+        |  CAST(row_number() OVER (
+        |    ORDER BY CAST(w_sum AS DOUBLE) / n_tokens DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, n_tokens, w_sum,
+        |  CAST(w_sum AS DOUBLE) / n_tokens AS importance
+        |FROM sc ORDER BY rank LIMIT 100""".stripMargin,
+    "q128_lsh_recall" -> lshRecallOracleSql,
+    // q113's brute-force differential, containment flavor: the oracle
+    // shares only the C(A,B) = |A∩B|/|A| definition with the Spark side
+    "q127_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+        |           ELSE w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] END AS s
+        |    FROM d, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)) t),
+        |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS m
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  CAST(m AS DOUBLE) / ca.n AS containment
+        |FROM inter
+        |JOIN counts ca ON ca.doc_id = ia
+        |JOIN counts cb ON cb.doc_id = ib
+        |WHERE (ca.n < cb.n OR (ca.n = cb.n AND ia < ib))
+        |  AND ca.n >= 10
+        |  AND CAST(m AS DOUBLE) / ca.n >= CAST(0.9 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // class-grain audit: one aggregate on the quasi projection; floor of
+    // an exact double division buckets identically in both engines
+    "q126_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  c_mktsegment AS segment,
+        |  CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  (COUNT(*) < 5) AS at_risk,
+        |  CAST(1.0 AS DOUBLE) / COUNT(*) AS risk
+        |FROM customer
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // contribution-explode rolling distinct: each distinct (day, user)
+    // pair is visible from 7 window-end days, clipped to observed range
+    "q125_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS d, user_id
+        |  FROM events),
+        |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM e),
+        |w AS (
+        |  SELECT DISTINCT d + i AS wd, user_id
+        |  FROM e, unnest(generate_series(0, 6)) AS u(i))
+        |SELECT CAST(w.wd AS BIGINT) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM w, b WHERE w.wd BETWEEN b.lo AND b.hi
+        |GROUP BY w.wd ORDER BY day""".stripMargin,
     // q117's lift arithmetic over the windowed unordered pair stream
     "q121_skipgram" ->
       """WITH d AS (

@@ -174,4 +174,128 @@ object SetSimilarity {
       idCol, textCol, shingleSize)
       .where(col("jaccard") >= threshold)
   }
+
+  /** Exact set-CONTAINMENT self-join: pairs where the smaller set is
+    * mostly inside the larger — `C(A,B) = |A∩B| / |A| >= t` with
+    * `|A| <= |B|`. This is the asymmetric near-dup a Jaccard join
+    * structurally misses: a 50-shingle quote embedded verbatim in a
+    * 500-shingle article has containment 1.0 but Jaccard ~0.1, and
+    * training-data dedup wants exactly that subsumption case (the
+    * quote-chain/syndication pattern; same motivation as the reference's
+    * URL-prefix dedupe in `articles_ingest.py` — subsumed variants of one
+    * canonical item).
+    *
+    * Prefix filtering adapts (Melnik/Garcia-Molina-style containment
+    * variants of the ICDE'06 lemma): the contained side A must hit within
+    * its first `na - ceil(t·na) + 1` rare-first tokens (miss them all and
+    * overlap <= na - that < ceil(t·na)); the containing side B has no
+    * Jaccard-style length bound — ANY large set can contain A — so its
+    * probe prefix is bounded by the operator-level floor `minSetSize <=
+    * na`: overlap >= ceil(t·minSetSize) always, hence B hits within its
+    * first `nb - ceil(t·minSetSize) + 1` tokens. That floor is the knob
+    * that keeps the probe side sub-linear (without it the containing side
+    * must stream every token, the classic containment-join cost); it is
+    * an explicit semantic parameter — sets smaller than `minSetSize`
+    * never report as contained — not a silent cap.
+    *
+    * The shared positional bound `least(ra,rb) + least(na-ra, nb-rb)`
+    * prunes against `alpha = ceil(t·na)`; the hashed sorted-intersect
+    * screen and the per-doc injectivity witness + brute-force fallback
+    * carry over unchanged from [[selfJoin]] (hashed overlap >= true
+    * overlap, so both stages only over-admit; final verification is exact
+    * integer arithmetic on the true shingle strings).
+    *
+    * Returns `(id_a, id_b, containment)` — id_a the contained (smaller)
+    * set, ties oriented by id — for pairs at or above `threshold`.
+    */
+  def containmentJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      minSetSize: Int = 10,
+      shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(minSetSize >= 1, "minSetSize must be >= 1")
+    require(!docs.columns.exists(Set("__t", "__df", "__r", "__n")),
+      "docs must not contain reserved internal columns __t/__df/__r/__n")
+    val spark = docs.sparkSession
+    val eps = 1e-9
+
+    val hsets = docs.select(col(idCol).as("id"),
+      array_distinct(S.tokenShingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col("id"), size(col("__sh")).as("__nsh"),
+        array_sort(array_distinct(transform(col("__sh"), t => hash(t))))
+          .as("__h"))
+      .select(col("id"), col("__h"),
+        (size(col("__h")) === col("__nsh")).as("__inj"))
+      .localCheckpoint()
+
+    val good = hsets.where(col("__inj"))
+    val toks = good.select(col("id"), size(col("__h")).as("__n"),
+      explode(col("__h")).as("__t"))
+    val dfs = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val ranked = toks
+      .join(dfs, "__t")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("__df"), col("__t"))))
+
+    // contained-side prefix: rarest na - ceil(t*na) + 1 tokens, only
+    // sets large enough to qualify as contained
+    val a = ranked
+      .where(col("__n") >= minSetSize)
+      .where(col("__r") <=
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(eps)) + 1)
+      .select(col("__t"), col("id").as("ia"),
+        col("__n").as("na"), col("__r").as("ra"))
+    // containing-side prefix: overlap >= ceil(t*minSetSize) univerally,
+    // so the first nb - ceil(t*minSetSize) + 1 tokens must witness it
+    val probeSlack = math.ceil(threshold * minSetSize - eps).toLong
+    val b = ranked
+      .where(col("__r") <= col("__n") - lit(probeSlack) + 1)
+      .select(col("__t"), col("id").as("ib"),
+        col("__n").as("nb"), col("__r").as("rb"))
+
+    val alpha = ceil(lit(threshold) * col("na") - lit(eps))
+    val cand = a.join(b, Seq("__t"))
+      .where(col("na") < col("nb") ||
+        (col("na") === col("nb") && col("ia") < col("ib")))
+      .where(least(col("ra"), col("rb")) +
+        least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+
+    val screened = cand
+      .join(hsets.select(col("id").as("id_a"), col("__h").as("__ha"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(hsets.select(col("id").as("id_b"), col("__h").as("__hb"))
+        .hint("SHUFFLE_HASH"), "id_b")
+      .where(GraftExtensions.sortedIntersect(spark, col("__ha"), col("__hb"))
+        .cast("double") >= lit(threshold) * size(col("__ha")) - lit(eps))
+      .select("id_a", "id_b")
+      .distinct()
+
+    // non-injective fallback: both orientations, exact verify orients
+    val bad = hsets.where(!col("__inj")).select(col("id").as("__bid"))
+    val fallback = bad
+      .crossJoin(hsets.select(col("id").as("__oid")))
+      .where(col("__bid") =!= col("__oid"))
+      .select(col("__bid").as("id_a"), col("__oid").as("id_b"))
+
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(S.tokenShingles(col(textCol), shingleSize)).as("sh"))
+    screened.unionByName(fallback).distinct()
+      .join(sets.select(col("id").as("id_a"), col("sh").as("__sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("__sb")), "id_b")
+      .withColumn("__na", size(col("__sa")))
+      .withColumn("__nb", size(col("__sb")))
+      .where(col("__na") < col("__nb") ||
+        (col("__na") === col("__nb") && col("id_a") < col("id_b")))
+      .where(col("__na") >= minSetSize)
+      .withColumn("containment",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          col("__na"))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

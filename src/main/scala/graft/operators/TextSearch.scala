@@ -350,6 +350,68 @@ object TextSearch {
     liftRank(pairs, arrs.select(explode(col("t")).as("tok")), minCount, k)
   }
 
+  /** Bigram LM familiarity scoring — the log-free reduction of the
+    * CCNet reference-LM quality filter (Wenzek et al. 2020 score documents
+    * by KenLM perplexity under a trusted-corpus model; dashboard_app's
+    * quality gates are regex/ratio rules — `text_quality.py` family). A
+    * bigram "language model" is trained as plain counts over a reference
+    * slice (`refFilter`), kept only above `minRefCount`; every document is
+    * then scored by how familiar its own bigrams are to that model:
+    *
+    *  - `coverage`    = matched bigrams / total bigrams — the hard OOV gate;
+    *  - `familiarity` = Σ ref-count(matched bigram) / total bigrams — the
+    *    perplexity proxy (high = the doc walks well-trodden paths in the
+    *    reference corpus; a monotone log-free stand-in for mean log-prob,
+    *    chosen so the score is exact-int / exact-int — one IEEE division,
+    *    bit-identical in any engine, per the repo oracle policy).
+    *
+    * Plan shape (100 TB posture): the model table lives at the distinct
+    * (x, y) bigram grain — vocabulary-bounded, NOT corpus-bounded — and is
+    * explicitly `broadcast` to the corpus-grain bigram stream (for a
+    * reference model beyond broadcast size, drop the hint and it degrades
+    * to one shuffle join on the bigram key); the per-doc aggregate is ONE
+    * map-side-combined shuffle on doc id carrying (count, matched, mass)
+    * partials. Long-sums are exact; the two divisions are final-step.
+    *
+    * Docs with fewer than 2 tokens have no bigrams and are absent from the
+    * output (score undefined, matching the oracle's bigram-grain join). */
+  def bigramFamiliarity(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      refFilter: Column,
+      minRefCount: Long = 2L): DataFrame = {
+    require(minRefCount >= 1, "minRefCount must be >= 1")
+    val bg = docs
+      .select(col(idCol).as("doc_id"), lowerTokens(textCol).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("bg"))
+      .select(col("doc_id"), col("bg.x").as("x"), col("bg.y").as("y"))
+    val ref = docs.filter(refFilter)
+      .select(col(idCol).as("doc_id"), lowerTokens(textCol).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("bg"))
+      .groupBy(col("bg.x").as("x"), col("bg.y").as("y"))
+      .agg(count(lit(1)).as("__rc"))
+      .filter(col("__rc") >= minRefCount)
+    bg.join(broadcast(ref), Seq("x", "y"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__rc").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(coalesce(col("__rc"), lit(0L))).as("ref_mass"))
+      .withColumn("coverage",
+        col("n_matched").cast("double") / col("n_bigrams"))
+      .withColumn("familiarity",
+        col("ref_mass").cast("double") / col("n_bigrams"))
+  }
+
   private def lowerTokens(textCol: String) =
     split(trim(lower(col(textCol))), "\\s+")
 

@@ -93,7 +93,9 @@ object Bench {
       "q105_blocked_resolve", "q106_mad_outliers", "q107_sorted_neighborhood",
       "q110_weighted_quantiles", "q111_interval_union", "q112_sessionize_inc",
       "q113_set_similarity", "q114_ewma_chart", "q115_triangles",
-      "q116_sa_dup_ranges", "q117_collocations", "q120_pagerank")
+      "q116_sa_dup_ranges", "q117_collocations", "q120_pagerank",
+      "q123_lm_familiarity", "q124_dsir_weights", "q125_sliding_distinct",
+      "q127_containment", "q128_lsh_recall")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

@@ -1037,27 +1037,35 @@ object SparkEntry {
       threshold = 0.9, minSetSize = 10, shingleSize = 3)
       .orderBy("id_a", "id_b")
 
-  /** Banded-LSH recall ablation (q128): q18's candidate pipeline at
+  /** Banded-LSH recall ablation (q128): the q18 candidate pipeline at
     * rows-per-band 4/8/16 (bands 8/4/2) measured against the EXACT
-    * 2-shingle Jaccard >= 0.7 truth set from q113's prefix-filter join —
+    * 3-shingle Jaccard >= 0.7 truth set from q113's prefix-filter join —
     * the S-curve tuning measurement (more rows per band = sharper
-    * threshold, lower recall below it). Truth and candidates are each
-    * independently oracle-proven (q113 / q18); this query pins their
-    * composition. */
+    * threshold, lower recall below it). 3-gram shingles keep both sides
+    * honest at scale: the 2-gram universe is vocabulary²-bounded and
+    * floods the truth join's prefix filter. The corpus is signed ONCE
+    * ([[Dedup.minhashCandidatePairsFromSigs]]) and banded three ways.
+    * Truth and candidates are each independently oracle-proven
+    * (q113 / q18); this query pins their composition. */
   private def lshRecallQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir)
     val truth = graft.Caching.track(
       graft.operators.SetSimilarity.selfJoin(
-        docs, "doc_id", "text", threshold = 0.7, shingleSize = 2)
+        docs, "doc_id", "text", threshold = 0.7, shingleSize = 3)
         .select(col("id_a"), col("id_b")))
+    val sigs = graft.Caching.track(
+      Dedup.minhashSigs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, portable = true))
     val configs = Seq(4, 8, 16)
-    val cands = configs.map { rpb =>
-      Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        shingleSize = 2, numHashes = 32, rowsPerBand = rpb, portable = true)
+    // persist the union: both aggregates below consume it, and without the
+    // cache each would re-run all three banding pipelines
+    val cands = graft.Caching.track(configs.map { rpb =>
+      Dedup.minhashCandidatePairsFromSigs(sigs,
+        numHashes = 32, rowsPerBand = rpb, portable = true)
         .select(col("id_a"), col("id_b"))
         .withColumn("rows_per_band", lit(rpb.toLong))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _))
     val nCand = cands.groupBy("rows_per_band")
       .agg(count(lit(1)).as("n_candidates"))
     val nCaught = cands.join(truth, Seq("id_a", "id_b"))
@@ -2103,7 +2111,7 @@ object SparkEntry {
 
   /** q128 oracle: the q18 signature pipeline generalized over
     * rows-per-band (4/8/16 → 8/4/2 bands over the same 32 permutations),
-    * composed with q113's brute-force truth at 2-gram Jaccard >= 0.7 —
+    * composed with q113's brute-force truth at 3-gram Jaccard >= 0.7 —
     * the oracle shares the hash family with the Spark side (that IS the
     * replay guarantee) but derives truth and recall independently. */
   private lazy val lshRecallOracleSql: String = {
@@ -2141,8 +2149,8 @@ object SparkEntry {
        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS tk
        |  FROM documents),
        |sh AS (
-       |  SELECT id, array_to_string(tk[u.i + 1 : u.i + 2], ' ') AS s
-       |  FROM toks, unnest(range(greatest(len(tk) - 1, 1))) AS u(i)),
+       |  SELECT id, array_to_string(tk[u.i + 1 : u.i + 3], ' ') AS s
+       |  FROM toks, unnest(range(greatest(len(tk) - 2, 1))) AS u(i)),
        |h AS (SELECT id, ${PortableHash.md5Hash60Sql("s")} AS h FROM sh),
        |sig AS (SELECT id, $mins FROM h GROUP BY id),
        |shd AS (SELECT DISTINCT id, s FROM sh),

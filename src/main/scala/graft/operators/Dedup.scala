@@ -133,6 +133,20 @@ object Dedup {
       numHashes: Int = 32,
       rowsPerBand: Int = 4,
       maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame =
+    minhashCandidatePairsFromSigs(
+      minhashSigs(docs, idCol, textCol, shingleSize, numHashes, portable),
+      numHashes, rowsPerBand, maxBucket, portable)
+
+  /** [[minhashCandidatePairs]] starting from a precomputed `(id, sig)`
+    * table — the entry point for callers that band the SAME signatures
+    * several ways (the q128 rows-per-band ablation): the md5+min-agg
+    * signature pass is the expensive corpus scan, banding is cheap. */
+  def minhashCandidatePairsFromSigs(
+      sigs: DataFrame,
+      numHashes: Int,
+      rowsPerBand: Int,
+      maxBucket: Int = 1000,
       portable: Boolean = false): DataFrame = {
     // Exact-dup collapse (same move as simhashPairs): identical documents
     // carry identical SIGNATURES and collide in every band, expanding
@@ -141,7 +155,6 @@ object Dedup {
     // definition, cross pairs inherit the representative agreement.
     // maxBucket bounds distinct signatures per bucket AND ids per group
     // (an over-cap duplication flood is dropped whole, as before).
-    val sigs = minhashSigs(docs, idCol, textCol, shingleSize, numHashes, portable)
     val wcap = org.apache.spark.sql.expressions.Window
       .partitionBy("sig").orderBy(monotonically_increasing_id())
     val groups = graft.Caching.track(

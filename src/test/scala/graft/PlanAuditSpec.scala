@@ -351,4 +351,62 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
     assert(!p.contains("Window "), "no window in a pure hash assignment")
   }
+
+  test("q123 LM familiarity: the bigram model joins via broadcast, no window") {
+    val p = planString("q123_lm_familiarity")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary-grain model table must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window "),
+      "scoring is one doc-id aggregate — no sort-merge join, no window:\n" +
+        p.take(2000))
+  }
+
+  test("q124 DSIR: O(buckets) table broadcasts; top-k never globally sorts") {
+    val p = planString("q124_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucket distribution must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "corpus top-k must be a bounded heap, the rank window only sees k rows:\n" +
+        p.take(2000))
+  }
+
+  test("q125 sliding distinct: aggregates only — no window, no shuffle join") {
+    val p = planString("q125_sliding_distinct")
+    assert(!p.contains("Window "),
+      "rolling distinct must not be a window (COUNT DISTINCT can't frame):\n" +
+        p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the only join is the 1-row bounds clip (nested-loop broadcast):\n" +
+        p.take(2000))
+  }
+
+  test("q126 k-anonymity: one aggregate — no join, no window, no sort but the output order") {
+    val p = planString("q126_k_anonymity")
+    assert(!p.contains("Join"), "class sizing is a bare aggregate:\n" + p.take(2000))
+    assert(!p.contains("Window "), p.take(2000))
+  }
+
+  test("q127 containment: hash screen joins, rank window per-doc, no cartesian") {
+    val p = planString("q127_containment")
+    assert(p.contains("graft_sorted_intersect"),
+      "the screen must use the native two-pointer expression:\n" + p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("id")),
+      s"rank windows must partition by the doc id: $windows\n" + p.take(2000))
+  }
+
+  test("q128 LSH recall: one signature scan feeds all three band configs") {
+    val p = planString("q128_lsh_recall")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the md5 signature aggregate appears once as a live subtree; the other
+    // two configs must reuse it through the tracked InMemoryRelation
+    val liveSigAggs = p.split("\n").count(l =>
+      l.contains("partial_min") && l.contains("graft_md5h60"))
+    assert(liveSigAggs <= 1,
+      s"signature pass must not replay per band config ($liveSigAggs live):\n" +
+        p.take(2500))
+  }
 }

@@ -1086,6 +1086,23 @@ object SparkEntry {
       .orderBy("rows_per_band")
   }
 
+  /** Incremental trailing-distinct (q129): q125's series maintained
+    * against a day-split batch (store < 2024-01-15 <= batch, q112's cut)
+    * — the recompute region reads only pairs within W days of the batch
+    * boundary ([[graft.operators.SlidingDistinct.trailingDistinctUpdate]]);
+    * the oracle is the ONE-SHOT series, the q112 indistinguishability
+    * argument. */
+  private def slidingDistinctIncQ(s: SparkSession, dir: String): DataFrame = {
+    def dayNum(c: Column): Column = datediff(c, lit("1970-01-01")).cast("long")
+    val ev = events(s, dir)
+      .select(dayNum(eventDay(col("ts"))).as("d"), col("user_id"))
+    val cutDay = 19737L // 2024-01-15, q112's incremental split
+    graft.operators.SlidingDistinct.trailingDistinctUpdate(
+      ev.filter(col("d") < cutDay), ev.filter(col("d") >= cutDay),
+      "d", "user_id", windowDays = 7)
+      .orderBy("day")
+  }
+
   /** Skip-gram co-occurrence mining (q121): q117's windowed
     * generalization — unordered token pairs within 3 positions, corpus
     * support >= 5, ranked by the same IEEE-exact lift
@@ -2065,7 +2082,8 @@ object SparkEntry {
     "q125_sliding_distinct" -> (slidingDistinctQ _),
     "q126_k_anonymity" -> (kAnonymityQ _),
     "q127_containment" -> (containmentJoinQ _),
-    "q128_lsh_recall" -> (lshRecallQ _)
+    "q128_lsh_recall" -> (lshRecallQ _),
+    "q129_sliding_distinct_inc" -> (slidingDistinctIncQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2171,6 +2189,21 @@ object SparkEntry {
        |  CAST(n_caught AS DOUBLE) / n_true AS recall
        |FROM ($stats) ORDER BY rows_per_band""".stripMargin
   }
+
+  /** q125 + q129 shared oracle: the one-shot trailing-7-day distinct
+    * series (the incremental update must be indistinguishable from it). */
+  private lazy val slidingDistinctOracleSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS d, user_id
+      |  FROM events),
+      |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM e),
+      |w AS (
+      |  SELECT DISTINCT d + i AS wd, user_id
+      |  FROM e, unnest(generate_series(0, 6)) AS u(i))
+      |SELECT CAST(w.wd AS BIGINT) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active
+      |FROM w, b WHERE w.wd BETWEEN b.lo AND b.hi
+      |GROUP BY w.wd ORDER BY day""".stripMargin
 
   /** q90 + q96 shared oracle: the full-data greedy funnel (q96's
     * incremental fold must be indistinguishable from it). */
@@ -2690,18 +2723,10 @@ object SparkEntry {
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // contribution-explode rolling distinct: each distinct (day, user)
     // pair is visible from 7 window-end days, clipped to observed range
-    "q125_sliding_distinct" ->
-      """WITH e AS (
-        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS d, user_id
-        |  FROM events),
-        |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM e),
-        |w AS (
-        |  SELECT DISTINCT d + i AS wd, user_id
-        |  FROM e, unnest(generate_series(0, 6)) AS u(i))
-        |SELECT CAST(w.wd AS BIGINT) AS day,
-        |  CAST(COUNT(*) AS BIGINT) AS n_active
-        |FROM w, b WHERE w.wd BETWEEN b.lo AND b.hi
-        |GROUP BY w.wd ORDER BY day""".stripMargin,
+    "q125_sliding_distinct" -> slidingDistinctOracleSql,
+    // q125's one-shot series IS q129's oracle — the incremental update
+    // must be indistinguishable from it (the q112 argument)
+    "q129_sliding_distinct_inc" -> slidingDistinctOracleSql,
     // q117's lift arithmetic over the windowed unordered pair stream
     "q121_skipgram" ->
       """WITH d AS (

@@ -37,6 +37,72 @@ import org.apache.spark.sql.functions._
   */
 object SlidingDistinct {
 
+  /** Incremental update of the trailing-distinct series when a new batch
+    * of (day, key) observations lands. Exact rolling distinct is NOT
+    * mergeable at the count grain (`|A ∪ B| != |A| + |B|`), so the
+    * carried state is the (day, key) pair set itself — and the whole
+    * point of the incremental shape is which SLICE of that state the
+    * update reads:
+    *
+    *  - days before the batch's first day are untouched (a new pair at
+    *    day d reaches only window-days [d, d+W-1]) — their counts come
+    *    from the store side alone;
+    *  - days from the batch's first day on are recomputed from pairs in
+    *    `(firstNewDay - W, hi]` ONLY — with the store partitioned by day
+    *    (the natural layout for an event archive) that is a
+    *    partition-pruned read of W days plus the batch, O(W + |batch|),
+    *    never a history scan.
+    *
+    * Late-arriving data degrades gracefully: a batch day earlier than all
+    * store days simply widens the recompute region to everything.
+    *
+    * Output is the FULL updated `(day, n_active)` series over the union's
+    * observed range — definitionally equal to
+    * `trailingDistinct(store ∪ batch)`, which is what the q129 oracle
+    * pins. */
+  def trailingDistinctUpdate(
+      storePairs: DataFrame,
+      batchPairs: DataFrame,
+      dayCol: String,
+      keyCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      "windowDays must be in [1, 366] — the explode fan-out is windowDays x")
+    def norm(df: DataFrame) = df
+      .select(col(dayCol).cast("long").as("__d"), col(keyCol).as("__k"))
+      .distinct()
+    val sp = norm(storePairs)
+    val np = norm(batchPairs)
+    val nlo = np.agg(min(col("__d")).as("__nlo"))
+    val bounds = sp.unionByName(np)
+      .agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+    def series(pairs: DataFrame) = pairs
+      .select(
+        explode(sequence(col("__d"), col("__d") + lit(windowDays - 1).cast("long")))
+          .as("day"),
+        col("__k"))
+      .distinct()
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"))
+    // empty batch -> no recompute region at all (nlo null would otherwise
+    // null out both filters and drop the series)
+    val cut = coalesce(col("__nlo"), col("__hi") + 1)
+    // untouched prefix: store-only counts, window-days before the batch
+    val untouched = series(sp)
+      .crossJoin(nlo).crossJoin(bounds)
+      .filter(col("day") >= col("__lo") && col("day") < cut)
+      .select("day", "n_active")
+    // recompute region: only pairs that can reach a window-day >= nlo
+    val touched = series(
+      sp.unionByName(np).crossJoin(nlo)
+        .filter(col("__d") > col("__nlo") - windowDays)
+        .select("__d", "__k"))
+      .crossJoin(nlo).crossJoin(bounds)
+      .filter(col("day") >= cut && col("day") <= col("__hi"))
+      .select("day", "n_active")
+    untouched.unionByName(touched)
+  }
+
   def trailingDistinct(
       df: DataFrame,
       dayCol: String,

@@ -103,6 +103,21 @@ class GovernanceOpsSpec extends SparkSpec {
       ("c", 3, 1L, true, 1.0)))
   }
 
+  test("trailingDistinctUpdate == one-shot at every split point, incl. empty sides") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((10L + rnd.nextInt(20), rnd.nextInt(8).toLong))
+    val df = pairs.toDF("d", "u")
+    val oneShot = SlidingDistinct.trailingDistinct(df, "d", "u", windowDays = 5)
+      .orderBy("day").as[(Long, Long)].collect().toSeq
+    for (cut <- Seq(10L, 13L, 20L, 27L, 30L, 40L)) {
+      val got = SlidingDistinct.trailingDistinctUpdate(
+        df.filter(col("d") < cut), df.filter(col("d") >= cut),
+        "d", "u", windowDays = 5)
+        .orderBy("day").as[(Long, Long)].collect().toSeq
+      assert(got == oneShot, s"split at $cut diverged")
+    }
+  }
+
   test("containmentJoin: subsumed doc found; Jaccard-low pair still reported") {
     import graft.operators.SetSimilarity
     val small = (1 to 12).map(i => s"w$i").mkString(" ")       // 10 shingles

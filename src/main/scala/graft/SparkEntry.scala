@@ -1103,6 +1103,20 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** PQ-ADC recall ablation (q130): 8×16 product-quantization codes (4
+    * bytes/vector vs 256) scanned via the asymmetric distance table,
+    * measured against the exact cosine top-5 for the q16 probe set;
+    * codebook = the deterministic vec_id < 16 corpus slice
+    * ([[Similarity.pqAdcRecall]]). Fixed-order IEEE arithmetic end to
+    * end, so the oracle replays codes, ADC and ranks bit-for-bit. */
+  private def pqRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    Similarity.pqAdcRecall(
+      emb, emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding", m = 8, dim = 64, codebookSize = 16, k = 5)
+      .orderBy("query_id")
+  }
+
   /** Skip-gram co-occurrence mining (q121): q117's windowed
     * generalization — unordered token pairs within 3 positions, corpus
     * support >= 5, ranked by the same IEEE-exact lift
@@ -2083,7 +2097,8 @@ object SparkEntry {
     "q126_k_anonymity" -> (kAnonymityQ _),
     "q127_containment" -> (containmentJoinQ _),
     "q128_lsh_recall" -> (lshRecallQ _),
-    "q129_sliding_distinct_inc" -> (slidingDistinctIncQ _)
+    "q129_sliding_distinct_inc" -> (slidingDistinctIncQ _),
+    "q130_pq_recall" -> (pqRecallQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2188,6 +2203,83 @@ object SparkEntry {
        |  CAST(n_caught AS BIGINT) AS n_caught,
        |  CAST(n_caught AS DOUBLE) / n_true AS recall
        |FROM ($stats) ORDER BY rows_per_band""".stripMargin
+  }
+
+  /** q130 oracle: full PQ replay — per-subspace squared distances as the
+    * same left-associated 8-term chains, code assignment by (dist, cid)
+    * row_number, ADC as the same left-associated lookup sum, recall vs
+    * the exact cosine top-5 (q122's fullk pattern). */
+  private lazy val pqRecallOracleSql: String = {
+    val m = 8; val sub = 8; val kk = 16; val k = 5
+    def dist(v: String, c: String, mi: Int): String =
+      (0 until sub).map { j =>
+        val i = mi * sub + j + 1
+        s"(CAST($v[$i] AS DOUBLE) - CAST($c[$i] AS DOUBLE)) * " +
+          s"(CAST($v[$i] AS DOUBLE) - CAST($c[$i] AS DOUBLE))"
+      }.mkString(" + ")
+    val cdCols = (0 until m).map(mi => s"${dist("e.embedding", "c.cvec", mi)} AS d$mi").mkString(",\n    ")
+    val codeCtes = (0 until m).map { mi =>
+      s"""codes_$mi AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d$mi, cid) AS rn FROM cd)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until m)
+      .map(mi => s"JOIN codes_$mi c$mi USING (vec_id)").mkString("\n  ")
+    val codeSel = (0 until m).map(mi => s"c$mi.cid AS c$mi").mkString(", ")
+    val dtCols = (0 until m).map(mi => s"${dist("q.embedding", "c.cvec", mi)} AS dq$mi").mkString(",\n    ")
+    // pivot dt to one row per query (cid-ordered lookup arrays) BEFORE the
+    // ADC join — a naive 8-way chained join on (cid, qid) hands the
+    // planner a 16^7-per-query reorder trap
+    val dtqCols = (0 until m)
+      .map(mi => s"array_agg(dq$mi ORDER BY cid) AS a$mi").mkString(",\n    ")
+    val adSum = (0 until m).map(mi => s"t.a$mi[x.c$mi + 1]").mkString(" + ")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id < $kk),
+       |cd AS (
+       |  SELECT e.vec_id, c.cid,
+       |    $cdCols
+       |  FROM embeddings e CROSS JOIN cents c),
+       |$codeCtes,
+       |codes AS (
+       |  SELECT vec_id, $codeSel FROM codes_0 c0
+       |  $codeJoin),
+       |dt AS (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |    $dtCols
+       |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10),
+       |dtq AS (
+       |  SELECT qid,
+       |    $dtqCols
+       |  FROM dt GROUP BY qid),
+       |ad AS (
+       |  SELECT t.qid AS query_id, x.vec_id AS neighbor_id,
+       |    $adSum AS adist
+       |  FROM codes x CROSS JOIN dtq t
+       |  WHERE x.vec_id <> t.qid),
+       |pqtop AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+       |    FROM ad) WHERE rn <= $k),
+       |fullk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+       |          DESC, c.vec_id) AS r
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10) z WHERE r <= $k)
+       |SELECT f.query_id,
+       |  CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_overlap,
+       |  CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / $k AS recall
+       |FROM fullk f LEFT JOIN pqtop p
+       |  ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+       |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
   }
 
   /** q125 + q129 shared oracle: the one-shot trailing-7-day distinct
@@ -2684,6 +2776,7 @@ object SparkEntry {
         |  CAST(w_sum AS DOUBLE) / n_tokens AS importance
         |FROM sc ORDER BY rank LIMIT 100""".stripMargin,
     "q128_lsh_recall" -> lshRecallOracleSql,
+    "q130_pq_recall" -> pqRecallOracleSql,
     // q113's brute-force differential, containment flavor: the oracle
     // shares only the C(A,B) = |A∩B|/|A| definition with the Spark side
     "q127_containment" ->

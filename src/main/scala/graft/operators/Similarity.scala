@@ -242,4 +242,104 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Product-quantization ADC recall ablation (Jégou, Douze & Schmid,
+    * TPAMI 2011 — the memory-cheapening half of IVF-PQ, the industry-
+    * standard billion-scale ANN layout): each vector is encoded as `m`
+    * sub-space codebook ids (here m=8 × 4-bit codes = 4 bytes per vector
+    * vs 256 bytes of floats), and a query scans codes with the
+    * Asymmetric Distance Computation — one `m × codebookSize` lookup
+    * table of query-to-centroid sub-distances, approx distance =
+    * `Σ_m dtab[m][code_m]`. This operator measures what that 64×
+    * compression costs: overlap of the ADC top-k with the exact cosine
+    * top-k per probe.
+    *
+    * Codebooks here are caller-supplied vectors with ids `0 ..
+    * codebookSize-1` (the q130 query passes a deterministic corpus slice;
+    * production would pass [[trainCentroidsKMeans]] output per subspace).
+    * EVERY arithmetic step is a fixed-order chain of IEEE ops on doubles
+    * — sub-distances are left-associated 8-term sums, code assignment is
+    * `min(struct(dist, cid))` (ties to the smaller centroid id), ADC is a
+    * left-associated m-term sum of array lookups — so the DuckDB oracle
+    * replays distances, codes, ranks and recall bit-for-bit; no
+    * transcendentals, no aggregation-order dependence.
+    *
+    * Scale shape: the codebook broadcasts (m·K·dim floats — tiny by
+    * construction; that boundedness is PQ's premise); encoding is one
+    * corpus × K broadcast cross-join folded by a map-side-combined
+    * min-struct aggregate — ONE shuffle on the vector id, the standard
+    * distributed PQ-encode pass; the per-query table is query-grain; the
+    * ADC scan is the code table against broadcast query tables (compose
+    * with [[ivfTopK]]'s bucket routing to scan a cell subset instead of
+    * the full code table); top-k is a per-query rank window.
+    *
+    * Returns `(query_id, n_overlap, recall)` against the exact top-`k`.
+    */
+  def pqAdcRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      dim: Int = 64,
+      codebookSize: Int = 16,
+      k: Int = 5): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(codebookSize >= 2, "need at least 2 codewords")
+    val sub = dim / m
+    def subDist(v: String, c: String, mi: Int): Column =
+      (0 until sub).map { j =>
+        val a = element_at(col(v), mi * sub + j + 1).cast("double")
+        val b = element_at(col(c), mi * sub + j + 1).cast("double")
+        (a - b) * (a - b)
+      }.reduce(_ + _)
+
+    val cents = broadcast(centroids.select(
+      col(idCol).cast("int").as("__cid"), col(vecCol).as("__cvec")))
+
+    val codeAggs = (0 until m).map { mi =>
+      min(struct(subDist("__v", "__cvec", mi).as("d"), col("__cid").as("c")))
+        .getField("c").as(s"__c$mi")
+    }
+    val codes = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .crossJoin(cents)
+      .groupBy("neighbor_id")
+      .agg(codeAggs.head, codeAggs.tail: _*)
+
+    val dtabAggs = (0 until m).flatMap { mi =>
+      (0 until codebookSize).map { c =>
+        min(when(col("__cid") === c, subDist("__q", "__cvec", mi)))
+          .as(s"__d_${mi}_$c")
+      }
+    }
+    val dtab = queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+      .crossJoin(cents)
+      .groupBy("query_id")
+      .agg(dtabAggs.head, dtabAggs.tail: _*)
+      .select(col("query_id"),
+        array((0 until m).flatMap(mi => (0 until codebookSize)
+          .map(c => col(s"__d_${mi}_$c"))): _*).as("__dtab"))
+
+    val adist = (0 until m).map { mi =>
+      element_at(col("__dtab"),
+        (col(s"__c$mi") + lit(mi * codebookSize) + 1).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val pqTop = codes.crossJoin(broadcast(dtab))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(pqTop.withColumn("__hit", lit(1L)),
+      Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / k).as("recall"))
+  }
 }

@@ -18,6 +18,38 @@ class TruncationRecallSpec extends SparkSpec {
     assert(got.length == 5 && got.forall(_ == 1.0))
   }
 
+  test("PQ-ADC: lossless codebook on unit vectors recovers the exact top-k") {
+    // corpus == codebook: every vector quantizes to itself with all-zero
+    // sub-distances, so ADC distance IS the exact squared L2 — and on
+    // unit-norm vectors ||a-b||^2 = 2 - 2cos, so the L2-ascending PQ rank
+    // equals the cosine-descending exact rank (ties break by id on both
+    // sides) -> recall must be exactly 1.0 for every probe
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 16).map { i =>
+      val raw = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / n).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqAdcRecall(
+      df, df.filter(col("vec_id") < 10), df,
+      "vec_id", "embedding", m = 8, dim = 64, codebookSize = 16, k = 3)
+      .orderBy("query_id")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 10)
+    assert(got.forall { case (_, n, r) => n == 3L && r == 1.0 },
+      got.mkString(", "))
+  }
+
+  test("PQ-ADC on the real table: every probe reports, overlap bounded by k") {
+    val got = Similarity.pqAdcRecall(
+      emb, probes, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+      m = 8, dim = 64, codebookSize = 16, k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 5)
+    assert(got.forall { case (_, n, r) => n >= 0 && n <= 5 && r == n / 5.0 })
+  }
+
   test("every (probe, dim) reports, overlap bounded by k") {
     val got = Similarity.truncationRecall(emb, probes, "vec_id", "embedding",
       dims = Seq(4, 16), k = 5)

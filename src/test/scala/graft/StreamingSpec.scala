@@ -385,4 +385,37 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("streaming trailing distinct: update-mode counts converge to the batch series") {
+    import graft.streaming.SlidingDistinctStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (day, user)
+    val counts = SlidingDistinctStream.dailyActive(
+      input.toDF().toDF("d", "u"), "d", "u", windowDays = 3)
+    val q = counts.writeStream.format("memory").queryName("sd_out")
+      .outputMode("update").start()
+    val b1 = Seq((10L, 1L), (10L, 2L), (11L, 1L))
+    val b2 = Seq((12L, 3L), (13L, 1L), (10L, 2L)) // cross-batch duplicate pair
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a day whenever its count grows: latest = max
+    val got = spark.table("sd_out").groupBy("day")
+      .agg(max("n_active").as("n")).as[(Long, Long)].collect().toMap
+    val batch = graft.operators.SlidingDistinct.trailingDistinct(
+      (b1 ++ b2).toDF("d", "u"), "d", "u", windowDays = 3)
+      .as[(Long, Long)].collect().toMap
+    // the stream has no [lo, hi] clip; on the batch domain it must agree,
+    // and its extra days can only be the tail overhang beyond hi
+    assert(batch.forall { case (d, n) => got.get(d).contains(n) },
+      s"got=$got batch=$batch")
+    assert(got.keySet.filterNot(batch.contains).forall(_ > batch.keySet.max))
+
+    // batch-mode parity: the SAME streaming plan over a batch frame
+    // (watermark no-op, dedup = distinct) reproduces the unclipped series
+    val viaBatch = SlidingDistinctStream.dailyActive(
+      (b1 ++ b2).toDF("d", "u"), "d", "u", windowDays = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(viaBatch == got)
+  }
 }

@@ -1117,6 +1117,14 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Mutual-kNN graph (q131): reciprocal cosine top-5 edges over the
+    * whole embedding table — the robust similarity-graph edge rule
+    * ([[Similarity.mutualTopK]]); the mutuality join runs on the
+    * k-bounded top-k table. */
+  private def mutualKnnQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.mutualTopK(embeddings(s, dir), "vec_id", "embedding", k = 5)
+      .orderBy("id_a", "id_b")
+
   /** Skip-gram co-occurrence mining (q121): q117's windowed
     * generalization — unordered token pairs within 3 positions, corpus
     * support >= 5, ranked by the same IEEE-exact lift
@@ -2098,7 +2106,8 @@ object SparkEntry {
     "q127_containment" -> (containmentJoinQ _),
     "q128_lsh_recall" -> (lshRecallQ _),
     "q129_sliding_distinct_inc" -> (slidingDistinctIncQ _),
-    "q130_pq_recall" -> (pqRecallQ _)
+    "q130_pq_recall" -> (pqRecallQ _),
+    "q131_mutual_knn" -> (mutualKnnQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2777,6 +2786,22 @@ object SparkEntry {
         |FROM sc ORDER BY rank LIMIT 100""".stripMargin,
     "q128_lsh_recall" -> lshRecallOracleSql,
     "q130_pq_recall" -> pqRecallOracleSql,
+    // both rank chains replayed, mutuality as a self-join of the bounded
+    // top-k table on the reversed pair
+    "q131_mutual_knn" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(a.embedding, c.embedding) AS cos
+        |  FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id),
+        |topk AS (
+        |  SELECT qid, nid, rank FROM (
+        |    SELECT qid, nid, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |    FROM pairs) WHERE rank <= 5)
+        |SELECT f.qid AS id_a, f.nid AS id_b,
+        |  CAST(f.rank AS BIGINT) AS rank_ab, CAST(r.rank AS BIGINT) AS rank_ba
+        |FROM topk f JOIN topk r ON r.qid = f.nid AND r.nid = f.qid
+        |WHERE f.qid < f.nid ORDER BY id_a, id_b""".stripMargin,
     // q113's brute-force differential, containment flavor: the oracle
     // shares only the C(A,B) = |A∩B|/|A| definition with the Spark side
     "q127_containment" ->

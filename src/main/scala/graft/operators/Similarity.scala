@@ -243,6 +243,39 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Mutual-kNN graph: edges `(a, b)` where b is in a's cosine top-k AND
+    * a is in b's — the reciprocal-neighbor filter that turns a kNN list
+    * into a robust similarity graph (one-directional neighbors are the
+    * classic hub/noise artifact in high dimensions; mutuality is the
+    * standard edge rule for dedup/cluster graphs over embeddings —
+    * SemDeDup-style grouping, kNN-graph clustering, RAG corpus linking).
+    *
+    * This is the EXACT formulation: one all-queries [[bruteForceTopK]]
+    * (the corpus broadcast-joins itself; per-query rank windows), then
+    * the k-bounded top-k table self-joins on the reversed pair — at most
+    * n·k rows enter that join, so the mutuality step is trivially
+    * scale-safe; the quadratic part is the exact kNN itself, which at
+    * 100 TB would be replaced by an [[ivfTopK]] / [[pqAdcRecall]]-coded
+    * candidate stage feeding the same mutuality join (the edge rule is
+    * candidate-source-agnostic).
+    *
+    * Returns `(id_a, id_b, rank_ab, rank_ba)`, id_a < id_b. */
+  def mutualTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val top = bruteForceTopK(emb, emb, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    val fwd = top.select(col("query_id").as("id_a"),
+      col("neighbor_id").as("id_b"), col("rank").as("rank_ab"))
+    val rev = top.select(col("neighbor_id").as("id_a"),
+      col("query_id").as("id_b"), col("rank").as("rank_ba"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("rank_ab"), col("rank_ba"))
+  }
+
   /** Product-quantization ADC recall ablation (Jégou, Douze & Schmid,
     * TPAMI 2011 — the memory-cheapening half of IVF-PQ, the industry-
     * standard billion-scale ANN layout): each vector is encoded as `m`

@@ -50,6 +50,37 @@ class TruncationRecallSpec extends SparkSpec {
     assert(got.forall { case (_, n, r) => n >= 0 && n <= 5 && r == n / 5.0 })
   }
 
+  test("mutualTopK: one-directional neighbors are filtered out (hub case)") {
+    // two tight pairs + an outlier: at k=1 each pair is mutually nearest
+    // (2 edges); the outlier's nearest is a pair member whose own nearest
+    // is its partner -> no edge for the outlier
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat) ++ Seq.fill(62)(0f)
+    val df = Seq(
+      (0L, v(1.0, 0.00)), (1L, v(1.0, 0.01)),
+      (2L, v(0.0, 1.00)), (3L, v(0.01, 1.0)),
+      (4L, v(0.7, 0.75))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mutualTopK(df, "vec_id", "embedding", k = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("mutualTopK edges are exactly the reciprocal subset of the kNN lists") {
+    val edges = Similarity.mutualTopK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    val top = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, n, r) => (q, n) -> r }.toMap
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b, rab, rba) =>
+      assert(a < b && top.get((a, b)).contains(rab) && top.get((b, a)).contains(rba))
+    }
+    // completeness: every reciprocal pair in the lists appears as an edge
+    val expected = top.keySet.filter { case (q, n) => q < n && top.contains((n, q)) }
+    assert(edges.map(e => (e._1, e._2)).toSet == expected)
+  }
+
   test("every (probe, dim) reports, overlap bounded by k") {
     val got = Similarity.truncationRecall(emb, probes, "vec_id", "embedding",
       dims = Seq(4, 16), k = 5)

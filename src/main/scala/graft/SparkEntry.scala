@@ -1125,6 +1125,21 @@ object SparkEntry {
     Similarity.mutualTopK(embeddings(s, dir), "vec_id", "embedding", k = 5)
       .orderBy("id_a", "id_b")
 
+  /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
+    * codes — the full billion-scale ANN layout; a query ADC-scans only
+    * the codes in its 4 probed cells of 16, and the recall quantifies
+    * both approximations together ([[Similarity.ivfPqRecall]]). */
+  private def ivfPqRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    Similarity.ivfPqRecall(
+      emb, emb.filter(col("vec_id") < 10),
+      ivfCentroids = Similarity.headCentroids(emb, "vec_id", "embedding", 16),
+      pqCentroids = emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding",
+      m = 8, dim = 64, codebookSize = 16, nprobe = 4, k = 5)
+      .orderBy("query_id")
+  }
+
   /** Skip-gram co-occurrence mining (q121): q117's windowed
     * generalization — unordered token pairs within 3 positions, corpus
     * support >= 5, ranked by the same IEEE-exact lift
@@ -2107,7 +2122,8 @@ object SparkEntry {
     "q128_lsh_recall" -> (lshRecallQ _),
     "q129_sliding_distinct_inc" -> (slidingDistinctIncQ _),
     "q130_pq_recall" -> (pqRecallQ _),
-    "q131_mutual_knn" -> (mutualKnnQ _)
+    "q131_mutual_knn" -> (mutualKnnQ _),
+    "q132_ivf_pq_recall" -> (ivfPqRecallQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2214,11 +2230,15 @@ object SparkEntry {
        |FROM ($stats) ORDER BY rows_per_band""".stripMargin
   }
 
-  /** q130 oracle: full PQ replay — per-subspace squared distances as the
-    * same left-associated 8-term chains, code assignment by (dist, cid)
-    * row_number, ADC as the same left-associated lookup sum, recall vs
-    * the exact cosine top-5 (q122's fullk pattern). */
-  private lazy val pqRecallOracleSql: String = {
+  /** q130/q132 oracles: full PQ replay — per-subspace squared distances
+    * as the same left-associated 8-term chains, code assignment by
+    * (dist, cid) row_number, ADC as the same left-associated lookup sum,
+    * recall vs the exact cosine top-5 (q122's fullk pattern). With
+    * `ivf = true` the ADC scan is additionally routed through q17's cell
+    * assignment/probing CTEs (cosine argmax, nprobe = 4 of 16). */
+  private lazy val pqRecallOracleSql: String = pqOracle(ivf = false)
+  private lazy val ivfPqRecallOracleSql: String = pqOracle(ivf = true)
+  private def pqOracle(ivf: Boolean): String = {
     val m = 8; val sub = 8; val kk = 16; val k = 5
     def dist(v: String, c: String, mi: Int): String =
       (0 until sub).map { j =>
@@ -2244,7 +2264,35 @@ object SparkEntry {
     val dtqCols = (0 until m)
       .map(mi => s"array_agg(dq$mi ORDER BY cid) AS a$mi").mkString(",\n    ")
     val adSum = (0 until m).map(mi => s"t.a$mi[x.c$mi + 1]").mkString(" + ")
-    s"""WITH cents AS (
+    val ivfCtes = if (!ivf) "" else
+      s"""icents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+         |    embedding AS cent
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |bucketed AS (
+         |  SELECT nid, cent_id AS bucket FROM (
+         |    SELECT e.vec_id AS nid, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cent)
+         |          DESC, c.cent_id) AS r
+         |    FROM embeddings e, icents c) WHERE r = 1),
+         |iprobes AS (
+         |  SELECT qid, bucket FROM (
+         |    SELECT e.vec_id AS qid, c.cent_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cent)
+         |          DESC, c.cent_id) AS r
+         |    FROM embeddings e, icents c WHERE e.vec_id < 10) t
+         |  WHERE r <= 4),
+         |""".stripMargin
+    val adFrom = if (!ivf)
+      "FROM codes x CROSS JOIN dtq t"
+    else
+      """FROM codes x
+        |  JOIN bucketed bk ON bk.nid = x.vec_id
+        |  JOIN iprobes p ON p.bucket = bk.bucket
+        |  JOIN dtq t ON t.qid = p.qid""".stripMargin
+    s"""WITH ${ivfCtes}cents AS (
        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
        |  WHERE vec_id < $kk),
        |cd AS (
@@ -2266,7 +2314,7 @@ object SparkEntry {
        |ad AS (
        |  SELECT t.qid AS query_id, x.vec_id AS neighbor_id,
        |    $adSum AS adist
-       |  FROM codes x CROSS JOIN dtq t
+       |  $adFrom
        |  WHERE x.vec_id <> t.qid),
        |pqtop AS (
        |  SELECT query_id, neighbor_id FROM (
@@ -2788,6 +2836,7 @@ object SparkEntry {
     "q130_pq_recall" -> pqRecallOracleSql,
     // both rank chains replayed, mutuality as a self-join of the bounded
     // top-k table on the reversed pair
+    "q132_ivf_pq_recall" -> ivfPqRecallOracleSql,
     "q131_mutual_knn" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS qid, c.vec_id AS nid,

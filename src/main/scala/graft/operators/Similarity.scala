@@ -320,59 +320,137 @@ object Similarity {
       k: Int = 5): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     require(codebookSize >= 2, "need at least 2 codewords")
-    val sub = dim / m
-    def subDist(v: String, c: String, mi: Int): Column =
-      (0 until sub).map { j =>
-        val a = element_at(col(v), mi * sub + j + 1).cast("double")
-        val b = element_at(col(c), mi * sub + j + 1).cast("double")
-        (a - b) * (a - b)
-      }.reduce(_ + _)
-
     val cents = broadcast(centroids.select(
       col(idCol).cast("int").as("__cid"), col(vecCol).as("__cvec")))
+    val codes = pqCodes(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+      cents, m, dim, Seq("neighbor_id"))
+    val dtab = pqDtab(queries, cents, idCol, vecCol, m, dim, codebookSize)
+    val pqTop = pqScan(codes, dtab, m, codebookSize, k)
+    pqRecallVs(bruteForceTopK(corpus, queries, idCol, vecCol, k), pqTop, k)
+  }
 
+  /** IVF-PQ search + recall (q132) — the composed billion-scale ANN
+    * layout: [[ivfTopK]]'s cell routing bounds WHICH codes a query scans,
+    * [[pqAdcRecall]]'s codes bound WHAT each comparison costs. The corpus
+    * is assigned to its nearest IVF centroid AND PQ-encoded in the same
+    * pass (one shuffle on the vector id carries both); a query probes its
+    * `nprobe` nearest cells and ADC-scans only the codes in them — the
+    * fraction of the corpus touched is ~nprobe/nlist, the IVF pruning
+    * argument, and each touched code costs m array lookups, the PQ
+    * argument. Recall is measured against the exact cosine top-k, so the
+    * result quantifies BOTH approximations together.
+    *
+    * Same engine-exactness contract as [[pqAdcRecall]] (fixed-order IEEE
+    * chains end to end); cell assignment/probing reuse the q17 native
+    * centroid expressions (cosine metric, ties to the lower cell id).
+    *
+    * Returns `(query_id, n_overlap, recall)`. */
+  def ivfPqRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      ivfCentroids: Seq[(Int, Seq[Float])],
+      pqCentroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      dim: Int = 64,
+      codebookSize: Int = 16,
+      nprobe: Int = 4,
+      k: Int = 5): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(codebookSize >= 2, "need at least 2 codewords")
+    require(nprobe >= 1 && nprobe <= ivfCentroids.size, "nprobe in [1, nlist]")
+    val spark = corpus.sparkSession
+    val cents = broadcast(pqCentroids.select(
+      col(idCol).cast("int").as("__cid"), col(vecCol).as("__cvec")))
+    // one corpus pass: IVF cell + PQ codes together
+    val codes = pqCodes(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"),
+        nearestCentroid(spark, col(vecCol), ivfCentroids).as("__cell")),
+      cents, m, dim, Seq("neighbor_id", "__cell"))
+    val probes = queries.select(col(idCol).as("query_id"),
+      explode(probeBuckets(spark, col(vecCol), ivfCentroids, nprobe))
+        .as("__cell"))
+    val dtab = pqDtab(queries, cents, idCol, vecCol, m, dim, codebookSize)
+      .join(probes, "query_id") // query-grain x nprobe, still broadcastable
+    val pqTop = pqScan(codes, dtab, m, codebookSize, k, joinKeys = Seq("__cell"))
+    pqRecallVs(bruteForceTopK(corpus, queries, idCol, vecCol, k), pqTop, k)
+  }
+
+  /** Left-associated per-subspace squared L2 — the fixed-order IEEE chain
+    * every PQ step shares (the oracle emits the identical chain). */
+  private def pqSubDist(v: String, c: String, mi: Int, sub: Int): Column =
+    (0 until sub).map { j =>
+      val a = element_at(col(v), mi * sub + j + 1).cast("double")
+      val b = element_at(col(c), mi * sub + j + 1).cast("double")
+      (a - b) * (a - b)
+    }.reduce(_ + _)
+
+  /** PQ encode: min-struct argmin per subspace (ties to the smaller
+    * codeword id), grouped on `keyCols` — ONE shuffle on the vector id. */
+  private def pqCodes(
+      corpus: DataFrame, cents: DataFrame, m: Int, dim: Int,
+      keyCols: Seq[String]): DataFrame = {
+    val sub = dim / m
     val codeAggs = (0 until m).map { mi =>
-      min(struct(subDist("__v", "__cvec", mi).as("d"), col("__cid").as("c")))
+      min(struct(pqSubDist("__v", "__cvec", mi, sub).as("d"), col("__cid").as("c")))
         .getField("c").as(s"__c$mi")
     }
-    val codes = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
-      .crossJoin(cents)
-      .groupBy("neighbor_id")
+    corpus.crossJoin(cents)
+      .groupBy(keyCols.map(col): _*)
       .agg(codeAggs.head, codeAggs.tail: _*)
+  }
 
+  /** Per-query ADC lookup table as ONE m·K array (index `m·K + cid`). */
+  private def pqDtab(
+      queries: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, codebookSize: Int): DataFrame = {
+    val sub = dim / m
     val dtabAggs = (0 until m).flatMap { mi =>
       (0 until codebookSize).map { c =>
-        min(when(col("__cid") === c, subDist("__q", "__cvec", mi)))
+        min(when(col("__cid") === c, pqSubDist("__q", "__cvec", mi, sub)))
           .as(s"__d_${mi}_$c")
       }
     }
-    val dtab = queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"))
       .crossJoin(cents)
       .groupBy("query_id")
       .agg(dtabAggs.head, dtabAggs.tail: _*)
       .select(col("query_id"),
         array((0 until m).flatMap(mi => (0 until codebookSize)
           .map(c => col(s"__d_${mi}_$c"))): _*).as("__dtab"))
+  }
 
+  /** ADC scan: codes x broadcast query tables (optionally cell-routed via
+    * `joinKeys`), left-associated lookup sum, per-query top-k rank. */
+  private def pqScan(
+      codes: DataFrame, dtab: DataFrame, m: Int, codebookSize: Int, k: Int,
+      joinKeys: Seq[String] = Nil): DataFrame = {
     val adist = (0 until m).map { mi =>
       element_at(col("__dtab"),
         (col(s"__c$mi") + lit(mi * codebookSize) + 1).cast("int"))
     }.reduce(_ + _)
+    val joined =
+      if (joinKeys.isEmpty) codes.crossJoin(broadcast(dtab))
+      else codes.join(broadcast(dtab), joinKeys)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
-    val pqTop = codes.crossJoin(broadcast(dtab))
+    joined
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id")
+  }
 
-    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbor_id"))
-    exact.join(pqTop.withColumn("__hit", lit(1L)),
-      Seq("query_id", "neighbor_id"), "left")
+  /** Overlap of an approximate top-k with the exact list, per query. */
+  private def pqRecallVs(
+      exactTop: DataFrame, approxTop: DataFrame, k: Int): DataFrame =
+    exactTop.select(col("query_id"), col("neighbor_id"))
+      .join(approxTop.withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
       .select(col("query_id"), col("n_overlap"),
         (col("n_overlap").cast("double") / k).as("recall"))
-  }
 }

@@ -50,6 +50,29 @@ class TruncationRecallSpec extends SparkSpec {
     assert(got.forall { case (_, n, r) => n >= 0 && n <= 5 && r == n / 5.0 })
   }
 
+  test("IVF-PQ with nprobe = nlist degenerates to the full ADC scan") {
+    val probes5 = emb.filter(col("vec_id") < 5)
+    val cents = Similarity.headCentroids(emb, "vec_id", "embedding", 16)
+    val full = Similarity.pqAdcRecall(
+      emb, probes5, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+      m = 8, dim = 64, codebookSize = 16, k = 5)
+      .orderBy("query_id").as[(Long, Long, Double)].collect().toSeq
+    val ivfAll = Similarity.ivfPqRecall(
+      emb, probes5, cents, emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding",
+      m = 8, dim = 64, codebookSize = 16, nprobe = 16, k = 5)
+      .orderBy("query_id").as[(Long, Long, Double)].collect().toSeq
+    assert(ivfAll == full, s"nprobe=nlist must scan everything: $ivfAll vs $full")
+    // and a 4-cell probe reports for every query with overlap bounded by k
+    val ivf4 = Similarity.ivfPqRecall(
+      emb, probes5, cents, emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding",
+      m = 8, dim = 64, codebookSize = 16, nprobe = 4, k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(ivf4.length == 5)
+    assert(ivf4.forall { case (_, n, r) => n >= 0 && n <= 5 && r == n / 5.0 })
+  }
+
   test("mutualTopK: one-directional neighbors are filtered out (hub case)") {
     // two tight pairs + an outlier: at k=1 each pair is mutually nearest
     // (2 edges); the outlier's nearest is a pair member whose own nearest

@@ -96,7 +96,7 @@ object Bench {
       "q116_sa_dup_ranges", "q117_collocations", "q120_pagerank",
       "q123_lm_familiarity", "q124_dsir_weights", "q125_sliding_distinct",
       "q127_containment", "q128_lsh_recall", "q129_sliding_distinct_inc",
-      "q130_pq_recall", "q131_mutual_knn", "q132_ivf_pq_recall")
+      "q130_pq_recall", "q131_mutual_knn", "q132_ivf_pq_recall", "q133_knn_clusters")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

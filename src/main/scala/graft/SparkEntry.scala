@@ -1140,6 +1140,27 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** kNN-graph clustering (q133): q131's mutual-kNN edges fused by q47's
+    * min-label connected components — embedding-space document grouping
+    * (the SemDeDup-adjacent cluster assignment, but from reciprocal
+    * neighbor structure instead of centroid cells); every vector reports
+    * with its component min-id and keeper flag, singletons self-labeled.
+    * The edge graph is persisted — CC's rounds would otherwise re-run the
+    * kNN ([[Dedup.connectedComponents]], q47's posture). */
+  private def knnClustersQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val edges = graft.Caching.track(
+      Similarity.mutualTopK(emb, "vec_id", "embedding", k = 5)
+        .select("id_a", "id_b"))
+    val comp = Dedup.connectedComponents(edges)
+    emb.select(col("vec_id").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"),
+        (coalesce(col("component"), col("id")) === col("id")).as("is_keeper"))
+      .orderBy("id")
+  }
+
   /** Skip-gram co-occurrence mining (q121): q117's windowed
     * generalization — unordered token pairs within 3 positions, corpus
     * support >= 5, ranked by the same IEEE-exact lift
@@ -2123,7 +2144,8 @@ object SparkEntry {
     "q129_sliding_distinct_inc" -> (slidingDistinctIncQ _),
     "q130_pq_recall" -> (pqRecallQ _),
     "q131_mutual_knn" -> (mutualKnnQ _),
-    "q132_ivf_pq_recall" -> (ivfPqRecallQ _)
+    "q132_ivf_pq_recall" -> (ivfPqRecallQ _),
+    "q133_knn_clusters" -> (knnClustersQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2837,6 +2859,32 @@ object SparkEntry {
     // both rank chains replayed, mutuality as a self-join of the bounded
     // top-k table on the reversed pair
     "q132_ivf_pq_recall" -> ivfPqRecallOracleSql,
+    // q131's mutual edges + q47/q67's recursive min-label reachability
+    "q133_knn_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(a.embedding, c.embedding) AS cos
+        |  FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id),
+        |topk AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |    FROM pairs) WHERE rank <= 5),
+        |mp AS (
+        |  SELECT f.qid AS a, f.nid AS b
+        |  FROM topk f JOIN topk r ON r.qid = f.nid AND r.nid = f.qid
+        |  WHERE f.qid < f.nid),
+        |edges AS (SELECT a, b FROM mp UNION SELECT b, a FROM mp),
+        |walk(id, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e2.b, w.lbl FROM walk w JOIN edges e2 ON e2.a = w.id),
+        |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+        |SELECT e.vec_id AS id,
+        |  coalesce(comp.component, e.vec_id) AS component,
+        |  coalesce(comp.component, e.vec_id) = e.vec_id AS is_keeper
+        |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
+        |ORDER BY id""".stripMargin,
     "q131_mutual_knn" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS qid, c.vec_id AS nid,

@@ -1161,6 +1161,50 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Per-source lexical-diversity profile (q134): tokens, types, hapax
+    * legomena, TTR and hapax share per document source — the Heaps-law
+    * boilerplate signature ([[graft.operators.Quality.lexicalProfile]]);
+    * two chained map-side-combined aggregates, no joins. */
+  private def lexicalProfileQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.lexicalProfile(documents(s, dir), "source", "text")
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
+  /** Session attribution (q135): first-touch / last-touch credit for
+    * every purchase under q54's 6-hour gap sessions, ordering tightened
+    * to (ts, event_id) ([[graft.operators.Funnel.sessionAttribution]]);
+    * pure windows over one user-key partition. */
+  private def attributionQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("tus",
+      floor(col("ts").cast("decimal(20,0)") / lit(1000)).cast("long"))
+    graft.operators.Funnel.sessionAttribution(
+      ev, "user_id", "event_id", "tus", "event_type",
+      gapUs = 21600000000L, convCond = col("event_type") === "purchase")
+      .orderBy("user_id", "conv_ts_us", "conv_event_id")
+  }
+
+  /** Cross-source duplication matrix (q136): q18's near-dup candidate
+    * pairs labeled with each side's source and rolled to the
+    * (source, source) grain — the corpus-governance view that says which
+    * feeds copy from each other (cross-source mass) vs self-duplicate
+    * (diagonal); feeds the q118 group-split leakage argument. The matrix
+    * is source²-bounded; the pair labeling is two doc-id joins. */
+  private def dupMatrixQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+      .select("id_a", "id_b")
+      .join(src.toDF("id_a", "src_a"), "id_a")
+      .join(src.toDF("id_b", "src_b"), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Skip-gram co-occurrence mining (q121): q117's windowed
     * generalization — unordered token pairs within 3 positions, corpus
     * support >= 5, ranked by the same IEEE-exact lift
@@ -2145,7 +2189,10 @@ object SparkEntry {
     "q130_pq_recall" -> (pqRecallQ _),
     "q131_mutual_knn" -> (mutualKnnQ _),
     "q132_ivf_pq_recall" -> (ivfPqRecallQ _),
-    "q133_knn_clusters" -> (knnClustersQ _)
+    "q133_knn_clusters" -> (knnClustersQ _),
+    "q134_lexical_profile" -> (lexicalProfileQ _),
+    "q135_attribution" -> (attributionQ _),
+    "q136_dup_matrix" -> (dupMatrixQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2595,6 +2642,27 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q18_minhash_pairs" -> minhashOracleSql,
+    // q18's candidate pair set labeled by source on both sides, rolled to
+    // the source-pair grain (canonical least/greatest orientation)
+    "q136_dup_matrix" -> {
+      s"""WITH $minhashPipelineCte,
+         |prs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM sized a JOIN sized b
+         |    ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+         |  WHERE a.bsz BETWEEN 2 AND 1000),
+         |lab AS (SELECT doc_id, source FROM documents),
+         |m AS (
+         |  SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b
+         |  FROM prs
+         |  JOIN lab sa ON sa.doc_id = prs.id_a
+         |  JOIN lab sb ON sb.doc_id = prs.id_b)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  (source_a <> source_b) AS cross_source
+         |FROM m GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin
+    },
     // q90: greedy-earliest funnel — each step's min is strictly after the
     // prior step's; both engines compare in the shared epoch-µs domain
     // (DuckDB reads parquet TIMESTAMP(NANOS) at µs precision).
@@ -2859,6 +2927,49 @@ object SparkEntry {
     // both rank chains replayed, mutuality as a self-join of the bounded
     // top-k table on the reversed pair
     "q132_ivf_pq_recall" -> ivfPqRecallOracleSql,
+    // q54's lag-gap sessions with (ts, id) ordering; first_value/lag
+    // attribution inside the session partition
+    "q135_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |g AS (
+        |  SELECT *, SUM(CASE WHEN pd IS NULL OR tus - pd >= 21600000000
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (SELECT *, LAG(tus) OVER (
+        |          PARTITION BY user_id ORDER BY tus, event_id) AS pd
+        |        FROM e)),
+        |a AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |    first_value(event_type) OVER (
+        |      PARTITION BY user_id, sid ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS first_touch,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id, sid ORDER BY tus, event_id) AS last_touch,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, sid ORDER BY tus, event_id) - 1
+        |      AS n_prior
+        |  FROM g)
+        |SELECT user_id, event_id AS conv_event_id, tus AS conv_ts_us,
+        |  first_touch, last_touch, CAST(n_prior AS BIGINT) AS n_prior_events
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY user_id, conv_ts_us, conv_event_id""".stripMargin,
+    // (group, token)-grain then group-grain — exact longs, two divisions
+    "q134_lexical_profile" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(COUNT(*) AS DOUBLE) / SUM(c) AS ttr,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    AS hapax_frac
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
     // q131's mutual edges + q47/q67's recursive min-label reachability
     "q133_knn_clusters" ->
       """WITH RECURSIVE pairs AS (

@@ -227,4 +227,58 @@ object Funnel {
       col("r_tile"), col("f_tile"), col("m_tile"),
       concat_ws("-", col("r_tile"), col("f_tile"), col("m_tile")).as("segment"))
   }
+
+  /** Session-scoped conversion attribution — the journey question the
+    * funnel/session family exists to answer: for every conversion event,
+    * WHICH interaction gets the credit. First-touch (the session's
+    * opening event type) and last-touch (the event immediately preceding
+    * the conversion in its session) are the two canonical single-touch
+    * models; `n_prior_events` is the path length the multi-touch models
+    * would weight over.
+    *
+    * Sessions are gap-defined exactly like [[Sessionize.sessionize]]
+    * (lag >= gapUs opens), with the ordering key tightened to
+    * `(ts, event id)` so same-microsecond events attribute
+    * deterministically. Everything is windows over ONE hash partition by
+    * user — no joins, no self-reads of the event table; conversions that
+    * open their session report a null last-touch (nothing to credit) and
+    * first-touch = their own type.
+    *
+    * Returns one row per conversion:
+    * `(user, conv_event_id, conv_ts_us, first_touch, last_touch,
+    * n_prior_events)`. */
+  def sessionAttribution(
+      events: DataFrame,
+      userCol: String,
+      idCol: String,
+      tsUsCol: String,
+      typeCol: String,
+      gapUs: Long,
+      convCond: Column): DataFrame = {
+    require(gapUs > 0, "gap must be positive")
+    require(!events.columns.exists(_.startsWith("__at_")),
+      "input must not contain reserved internal columns __at_*")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsUsCol), col(idCol))
+    val withSid = events
+      .where(col(userCol).isNotNull && col(tsUsCol).isNotNull)
+      .withColumn("__at_pd", lag(col(tsUsCol), 1).over(w))
+      .withColumn("__at_open",
+        when(col("__at_pd").isNull ||
+          col(tsUsCol) - col("__at_pd") >= gapUs, 1L).otherwise(0L))
+      .withColumn("__at_sid",
+        sum(col("__at_open"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col(userCol), col("__at_sid"))
+      .orderBy(col(tsUsCol), col(idCol))
+    withSid
+      .withColumn("first_touch", first(col(typeCol)).over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("last_touch", lag(col(typeCol), 1).over(ws))
+      .withColumn("n_prior_events",
+        (row_number().over(ws) - 1).cast("long"))
+      .where(convCond)
+      .select(col(userCol), col(idCol).as("conv_event_id"),
+        col(tsUsCol).as("conv_ts_us"), col("first_touch"),
+        col("last_touch"), col("n_prior_events"))
+  }
 }

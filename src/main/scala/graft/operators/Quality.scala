@@ -66,4 +66,35 @@ object Quality {
           col("alpha_ok") && col("stop_ok"))
       .drop("__charsum")
   }
+
+  /** Per-group lexical-diversity profile — the corpus linguistics pass a
+    * pretraining mixture report runs per source/domain: token volume,
+    * vocabulary size (types), hapax legomena (frequency-1 types),
+    * type-token ratio and hapax fraction. A collapsing TTR or hapax
+    * share is the classic signature of templated/boilerplate mass inside
+    * a source (Heaps-law flattening) — the distributional companion to
+    * the row-local [[gopherRules]] gates.
+    *
+    * Scale shape: ONE map-side-combined aggregate to the (group, token)
+    * grain — the stream shrinks to per-source vocabularies there — then
+    * one aggregate to the group grain; no joins, no windows, no distinct
+    * at the raw-token grain. Ratios are exact-long / exact-long single
+    * IEEE divisions. */
+  def lexicalProfile(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(groupCol).as("grp"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+      .groupBy("grp", "__tok")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("grp")
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .withColumn("hapax_frac",
+        col("n_hapax").cast("double") / col("n_types"))
 }

@@ -1205,6 +1205,78 @@ object SparkEntry {
       .orderBy("source_a", "source_b")
   }
 
+  /** Temperature-scaled domain mix (q137): q63's budgeted rebalancing
+    * with τ=0.5 source shares — weight ∝ isqrt(source tokens), the
+    * multilingual anti-starvation mix, all arithmetic integer (isqrt
+    * replayed by the oracle via corrected floor(sqrt))
+    * ([[graft.operators.Mixing.mixTemperatureSqrt]]). */
+  private def temperatureMixQ(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val budget = d.agg(sum(col("n_tokens"))).collect()(0).getLong(0) / 2L
+    graft.operators.Mixing.mixTemperatureSqrt(
+        d, "doc_id", "source", "n_tokens", budget)
+      .groupBy("source", "weight_ppm", "rate_ppm")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  /** Semantic decontamination (q138): q59's companion for paraphrased
+    * eval leakage — corpus vectors within quantized-cosine 0.3 of any
+    * test vector (vec_id < 15 as the held-out set; the synthetic
+    * embeddings are near-orthogonal, so 0.3 plays the role 0.9+ does on
+    * trained embeddings), the θ² = 9/100 predicate entirely in exact
+    * integer int8 dot products
+    * ([[graft.operators.Decontamination.semanticContamination]]). */
+  private def semanticDeconQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    graft.operators.Decontamination.semanticContamination(
+        e.filter(col("vec_id") >= 15), e.filter(col("vec_id") < 15),
+        "vec_id", "embedding", thrNum = 9L, thrDen = 100L)
+      .orderBy("vec_id")
+  }
+
+  /** Label propagation (q139): q131's mutual-kNN edges carrying seed
+    * labels (vec_id % 4 == 0 keeps its `label`) to unlabeled vectors in
+    * two synchronous majority rounds, ties to the smaller label —
+    * semi-supervised corpus labeling ([[graft.operators.LabelProp]]).
+    * The edge graph is persisted: both rounds reuse it
+    * ([[graft.Caching]], q133's posture). */
+  private def labelPropQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val edges = graft.Caching.track(
+      Similarity.mutualTopK(e, "vec_id", "embedding", k = 5)
+        .select("id_a", "id_b"))
+    val nodes = e.select(col("vec_id"),
+      when(pmod(col("vec_id"), lit(4L)) === 0L, col("label").cast("long"))
+        .as("seed"))
+    graft.operators.LabelProp.propagate(
+        nodes, edges, "vec_id", "seed", "id_a", "id_b", rounds = 2)
+      .orderBy("vec_id")
+  }
+
+  /** Total-variation drift by source (q140): each source's doc-length
+    * histogram vs the pooled corpus over exact global deciles, distance
+    * in integer ppm — the PSI-style governance screen without PSI's
+    * engine-specific `ln` ([[graft.operators.Drift.tvDriftBySource]]). */
+  private def tvDriftQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.tvDriftBySource(
+      documents(s, dir).select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars")),
+      "doc_id", "source", "n_chars", nBins = 10)
+      .orderBy("source")
+
+  /** N-gram novelty per epoch (q141): fraction of each epoch's distinct
+    * 3-grams first seen in that epoch (epoch = doc_id mod 8 stands in for
+    * the crawl snapshot) — the freshness audit that catches recycled
+    * crawls ([[graft.operators.Drift.ngramNovelty]]). */
+  private def ngramNoveltyQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.ngramNovelty(
+      documents(s, dir).select(
+        pmod(col("doc_id"), lit(8L)).as("epoch_src"), col("text")),
+      "epoch_src", "text", n = 3)
+      .orderBy("epoch")
+
   /** Skip-gram co-occurrence mining (q121): q117's windowed
     * generalization — unordered token pairs within 3 positions, corpus
     * support >= 5, ranked by the same IEEE-exact lift
@@ -2192,7 +2264,12 @@ object SparkEntry {
     "q133_knn_clusters" -> (knnClustersQ _),
     "q134_lexical_profile" -> (lexicalProfileQ _),
     "q135_attribution" -> (attributionQ _),
-    "q136_dup_matrix" -> (dupMatrixQ _)
+    "q136_dup_matrix" -> (dupMatrixQ _),
+    "q137_temperature_mix" -> (temperatureMixQ _),
+    "q138_semantic_decon" -> (semanticDeconQ _),
+    "q139_label_prop" -> (labelPropQ _),
+    "q140_tv_drift" -> (tvDriftQ _),
+    "q141_ngram_novelty" -> (ngramNoveltyQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2663,6 +2740,162 @@ object SparkEntry {
          |FROM m GROUP BY source_a, source_b
          |ORDER BY source_a, source_b""".stripMargin
     },
+    // τ=0.5 temperature mix: isqrt replayed as corrected floor(sqrt);
+    // every division a floor, same order as Mixing.ratesPpm
+    "q137_temperature_mix" -> {
+      val md5 = graft.functions.PortableHash.md5Hash60Sql("doc_id")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS t
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(SUM(t) AS BIGINT) AS st FROM d GROUP BY 1),
+         |s0 AS (SELECT source, st,
+         |        CAST(floor(sqrt(CAST(st AS DOUBLE))) AS BIGINT) AS s
+         |       FROM tot),
+         |sq AS (SELECT source, st,
+         |        CASE WHEN (s + 1) * (s + 1) <= st THEN s + 1
+         |             WHEN s * s > st THEN s - 1 ELSE s END AS w
+         |       FROM s0),
+         |g AS (SELECT CAST(SUM(st) // 2 AS BIGINT) AS budget,
+         |        CAST(greatest(SUM(w), 1) AS BIGINT) AS wsum FROM sq),
+         |r AS (SELECT source, st,
+         |        CAST(w * 1000000 // g.wsum AS BIGINT) AS weight_ppm
+         |      FROM sq, g),
+         |r2 AS (SELECT source, weight_ppm,
+         |        CAST(LEAST(1000000, ((g.budget * weight_ppm // 1000000) * 1000000)
+         |          // greatest(st, 1)) AS BIGINT) AS rate_ppm
+         |       FROM r, g),
+         |kept AS (
+         |  SELECT d.source, r2.weight_ppm, r2.rate_ppm, d.t
+         |  FROM d JOIN r2 USING (source)
+         |  WHERE ($md5 % 1000000) < r2.rate_ppm)
+         |SELECT source, weight_ppm, rate_ppm,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(t) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY 1, 2, 3 ORDER BY source""".stripMargin
+    },
+    // int8-quantized exact-integer cosine threshold (θ² = 9/100): the
+    // whole predicate is BIGINT, so the flag set replays bit-for-bit
+    "q138_semantic_decon" -> {
+      def dotSql(a: String, b: String) =
+        (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id,
+         |    CASE WHEN ma > 0 THEN list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / CAST(ma AS DOUBLE)) + 0.5)
+         |           AS BIGINT))
+         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+         |  FROM e),
+         |n2 AS (SELECT vec_id, v, ${dotSql("v", "v")} AS nn FROM q),
+         |p AS (
+         |  SELECT c.vec_id AS cid, t.vec_id AS tid,
+         |    ${dotSql("c.v", "t.v")} AS d, c.nn AS na, t.nn AS nb
+         |  FROM n2 c JOIN n2 t ON c.vec_id >= 15 AND t.vec_id < 15)
+         |SELECT cid AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_test_matches,
+         |  CAST(MIN(tid) AS BIGINT) AS first_test_id
+         |FROM p WHERE d > 0 AND d * d * 100 >= 9 * na * nb
+         |GROUP BY 1 ORDER BY vec_id""".stripMargin
+    },
+    // two unrolled synchronous majority rounds over the q131 mutual-kNN
+    // edges; winner = max count, ties to the smaller label; seeds clamped
+    "q139_label_prop" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(a.embedding, c.embedding) AS cos
+        |  FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id),
+        |topk AS (
+        |  SELECT qid, nid, rank FROM (
+        |    SELECT qid, nid, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |    FROM pairs) WHERE rank <= 5),
+        |mut AS (
+        |  SELECT f.qid AS id_a, f.nid AS id_b
+        |  FROM topk f JOIN topk r ON r.qid = f.nid AND r.nid = f.qid
+        |  WHERE f.qid < f.nid),
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM mut
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mut),
+        |n0 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 4 = 0 THEN CAST(label AS BIGINT) END AS lab
+        |  FROM embeddings),
+        |v1 AS (
+        |  SELECT dst, lab FROM (
+        |    SELECT u.dst, s.lab,
+        |      row_number() OVER (PARTITION BY u.dst
+        |        ORDER BY COUNT(*) DESC, s.lab ASC) AS rn
+        |    FROM und u JOIN n0 s ON s.vec_id = u.src AND s.lab IS NOT NULL
+        |    GROUP BY u.dst, s.lab) WHERE rn = 1),
+        |l1 AS (
+        |  SELECT n.vec_id, COALESCE(n.lab, v.lab) AS lab,
+        |    CASE WHEN n.lab IS NOT NULL THEN 0
+        |         WHEN v.lab IS NOT NULL THEN 1 END AS rnd
+        |  FROM n0 n LEFT JOIN v1 v ON v.dst = n.vec_id),
+        |v2 AS (
+        |  SELECT dst, lab FROM (
+        |    SELECT u.dst, s.lab,
+        |      row_number() OVER (PARTITION BY u.dst
+        |        ORDER BY COUNT(*) DESC, s.lab ASC) AS rn
+        |    FROM und u JOIN l1 s ON s.vec_id = u.src AND s.lab IS NOT NULL
+        |    GROUP BY u.dst, s.lab) WHERE rn = 1),
+        |l2 AS (
+        |  SELECT n.vec_id, COALESCE(n.lab, v.lab) AS lab,
+        |    COALESCE(n.rnd, CASE WHEN v.lab IS NOT NULL THEN 2 END) AS rnd
+        |  FROM l1 n LEFT JOIN v2 v ON v.dst = n.vec_id)
+        |SELECT vec_id, lab AS label, CAST(rnd AS BIGINT) AS round_assigned
+        |FROM l2 ORDER BY vec_id""".stripMargin,
+    // global-decile TV distance in integer ppm; NTILE tie-break (value,
+    // doc_id) is groupedNtile's exact contract (the q77 parity)
+    "q140_tv_drift" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS v
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    CAST(NTILE(10) OVER (ORDER BY v, doc_id) AS BIGINT) AS bin
+        |  FROM d),
+        |cells AS (
+        |  SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, bb.bin
+        |  FROM (SELECT DISTINCT source FROM cells) s,
+        |       (SELECT DISTINCT bin FROM cells) bb),
+        |dense AS (
+        |  SELECT g.source, g.bin, COALESCE(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN cells c
+        |    ON c.source = g.source AND c.bin = g.bin),
+        |st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS stn FROM dense GROUP BY 1),
+        |bt AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS btn FROM dense GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM dense)
+        |SELECT d.source, CAST(MAX(st.stn) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ABS((d.n * 1000000 // st.stn)
+        |    - (bt.btn * 1000000 // tt.tot))) // 2 AS BIGINT) AS tv_ppm
+        |FROM dense d
+        |JOIN st ON st.source = d.source
+        |JOIN bt ON bt.bin = d.bin, tt
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // first-appearance epoch per distinct 3-gram; novelty in floor ppm
+    "q141_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id % 8 AS epoch,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT epoch, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+        |  FROM d, unnest(generate_series(1, len(w) - 2)) AS u(i)
+        |  WHERE len(w) >= 3),
+        |f AS (SELECT gram, MIN(epoch) AS fe FROM g GROUP BY 1)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CASE WHEN epoch = fe THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST((SUM(CASE WHEN epoch = fe THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS novelty_ppm
+        |FROM g JOIN f USING (gram) GROUP BY 1 ORDER BY epoch""".stripMargin,
     // q90: greedy-earliest funnel — each step's min is strictly after the
     // prior step's; both engines compare in the shared epoch-µs domain
     // (DuckDB reads parquet TIMESTAMP(NANOS) at µs precision).

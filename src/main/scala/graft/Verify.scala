@@ -6,9 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // optional 3rd arg: only dump queries whose name contains the substring
-    // (local iteration aid; the driver always runs the full set)
-    val nameFilter = args.lift(2)
+    // optional 3rd+ args: only dump queries whose name contains ANY of the
+    // substrings (local iteration aid; the driver always runs the full set)
+    val nameFilters = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
@@ -19,7 +19,8 @@ object Verify {
     // so the artifact's accounting always covers the full declared registry
     // (round 6 shipped 91 silent greens for a 91/115 suite).
     val errors = SparkEntry.queries
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) =>
+        nameFilters.isEmpty || nameFilters.exists(name.contains) }
       .toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         try {

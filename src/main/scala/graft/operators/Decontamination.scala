@@ -59,4 +59,61 @@ object Decontamination {
       .filter(col("overlap_frac") >= minOverlapFrac)
       .select("doc_id", "test_id", "matched", "test_total", "overlap_frac")
   }
+
+  /** Semantic (embedding-space) contamination screen — the companion to the
+    * n-gram check above for paraphrased eval leakage: flag corpus vectors
+    * whose cosine to ANY test-set vector reaches `thrNum/thrDen` (θ² as an
+    * exact rational, e.g. 529/625 = 0.92²).
+    *
+    * The whole predicate runs in EXACT integer arithmetic on int8-quantized
+    * vectors ([[Similarity.quantizeInt8]] — cosine is scale-invariant, so
+    * quantized cosine IS the screen's definition, not an approximation of
+    * it): with integer dot products d = ⟨qa,qb⟩, na = ⟨qa,qa⟩, nb = ⟨qb,qb⟩,
+    *   cos ≥ θ  ⇔  d > 0 ∧ d²·thrDen ≥ thrNum·na·nb
+    * — longs throughout (int8 dims ≤ 64 keep d ≤ 127²·64 ≈ 1.0e6, d²·625
+    * ≈ 6.7e14 < 2⁶³), no sqrt, no doubles, so any engine replays the flag
+    * set bit-for-bit. Threshold choice vs float cosine: θ must be given in
+    * the quantized domain (the ~0.3% int8 rounding shifts borderline pairs
+    * — that is part of the operator's definition, exactly as MinHash
+    * banding is the definition of the q18 screen).
+    *
+    * Scale shape: the test set is small by construction → broadcast; the
+    * corpus side is a projection (quantize) + broadcast nested-loop filter;
+    * only FLAGGED pairs reach the one corpus-id shuffle. No corpus
+    * self-join; the corpus is never exchanged.
+    *
+    * Returns (idCol, n_test_matches, first_test_id) per flagged corpus
+    * vector — first_test_id = min matching test id (deterministic without
+    * cross-pair score comparison, which integer dots do not totally order).
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      testSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      thrNum: Long,
+      thrDen: Long): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0, "threshold must be a nonneg rational")
+    def q(df: DataFrame, out: String) =
+      Similarity.quantizeInt8(df, idCol, vecCol)
+        .select(col(idCol).as(out),
+          transform(col("qvec"), x => x.cast("long")).as(s"__q_$out"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    def norm2(a: Column): Column = dot(a, a)
+
+    val t = broadcast(q(testSet, "test_id")
+      .withColumn("__nb", norm2(col("__q_test_id"))))
+    val c = q(corpus, "corpus_id")
+      .withColumn("__na", norm2(col("__q_corpus_id")))
+
+    val d = dot(col("__q_corpus_id"), col("__q_test_id"))
+    c.join(t,
+        d > 0L && d * d * lit(thrDen) >= lit(thrNum) * col("__na") * col("__nb"))
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_test_matches"),
+        min(col("test_id")).as("first_test_id"))
+      .select(col("corpus_id").as(idCol), col("n_test_matches"),
+        col("first_test_id"))
+  }
 }

@@ -58,6 +58,54 @@ object Mixing {
       .filter(pmod(PH.md5Hash60(col(idCol)), lit(Ppm)) < col("rate_ppm"))
   }
 
+  /** Exact integer floor-sqrt (BigInteger.sqrt, Java 9+): the τ=0.5
+    * "square-root temperature" exponent of multilingual/multi-source
+    * sampling (Conneau & Lample's p_i ∝ n_i^τ with the common τ=1/2)
+    * kept in integer arithmetic so any engine replays it — an oracle
+    * reproduces isqrt from floor(sqrt(double)) plus a one-step Newton
+    * correction in each direction. */
+  def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    java.math.BigInteger.valueOf(n).sqrt().longValueExact()
+  }
+
+  /** τ=0.5 temperature weights in ppm: w_s = isqrt(tokens_s),
+    * share_ppm(s) = w_s * 1e6 // Σw — up-weights small sources relative
+    * to proportional sampling while never inverting the size order; the
+    * standard anti-starvation mix for heterogeneous pretraining corpora. */
+  def sqrtTemperatureWeightsPpm(totals: Map[String, Long]): Map[String, Long] = {
+    val w = totals.map { case (s, n) => s -> isqrt(math.max(n, 0L)) }
+    val wsum = math.max(w.values.sum, 1L)
+    w.map { case (s, ws) => s -> (BigInt(ws) * Ppm / wsum).toLong }
+  }
+
+  /** Temperature-scaled mix (τ=0.5): per-source budget share ∝
+    * sqrt(source tokens), then the same integer ppm keep-rate + md5
+    * sampler as [[mixByTokenBudget]]. Scale shape unchanged: one
+    * map-side-combined source-totals aggregate (the collect is
+    * |sources|-sized), then a pure pushdown filter — no document-row
+    * shuffle. */
+  def mixTemperatureSqrt(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokenCol: String,
+      budgetTokens: Long): DataFrame = {
+    val totals = docs.groupBy(col(sourceCol)).agg(sum(col(tokenCol)).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = sqrtTemperatureWeightsPpm(totals)
+    val rates = ratesPpm(totals, budgetTokens, weights)
+    val weightCol = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val threshold = rates.foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    docs.withColumn("weight_ppm", weightCol)
+      .withColumn("rate_ppm", threshold)
+      .filter(pmod(PH.md5Hash60(col(idCol)), lit(Ppm)) < col("rate_ppm"))
+  }
+
   /** Uniform-share mix: every source targets `budgetTokens / nSources`
     * tokens (weights = 1e6 / nSources ppm each, floor division — replay
     * this exact arithmetic in oracles). */

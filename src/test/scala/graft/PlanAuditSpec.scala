@@ -409,4 +409,43 @@ class PlanAuditSpec extends SparkSpec {
       s"signature pass must not replay per band config ($liveSigAggs live):\n" +
         p.take(2500))
   }
+
+  test("q137 temperature mix: keep-rates fold to literals — no join, no window") {
+    val p = planString("q137_temperature_mix")
+    assert(!p.contains("Join"),
+      "per-source rates are a literal CASE chain, never a join:\n" + p.take(2000))
+    assert(!p.contains("Window "), p.take(2000))
+  }
+
+  test("q138 semantic decon: test set broadcasts as a nested-loop, no cartesian") {
+    val p = planString("q138_semantic_decon")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the θ² predicate is non-equi — the bounded test side must broadcast:\n" +
+        p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
+  test("q139 label prop: kNN windows partition by the query id, no cartesian") {
+    val p = planString("q139_label_prop")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.forall(_.contains("id")),
+      s"every window must be per-vector, never corpus-global: $windows")
+  }
+
+  test("q140 TV drift: ntile offsets broadcast; no cartesian on the doc grain") {
+    val p = planString("q140_tv_drift")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the distinct-value offsets table must broadcast back:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q141 ngram novelty: aggregates and one gram-key join — no window") {
+    val p = planString("q141_ngram_novelty")
+    assert(!p.contains("Window "),
+      "first-epoch attribution is an aggregate, not a window:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

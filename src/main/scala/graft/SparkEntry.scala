@@ -1277,6 +1277,74 @@ object SparkEntry {
       "epoch_src", "text", n = 3)
       .orderBy("epoch")
 
+  /** Dedup ROI (q142): what q47's dedup decision is WORTH — per source,
+    * the token mass sitting on non-keeper docs (component ≠ doc id under
+    * min-label CC over the q18 LSH pair graph) and the floor-ppm savings
+    * a keep-one-per-component pass would realize. The governance number
+    * that justifies (or kills) a dedup stage before anyone runs it. */
+  private def dedupRoiQ(s: SparkSession, dir: String): DataFrame = {
+    def floorDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val docs = documents(s, dir)
+    val comp = Dedup.connectedComponents(graft.Caching.track(
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)))
+    docs.select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("__t"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("__comp", coalesce(col("component"), col("doc_id")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        sum(when(col("__comp") =!= col("doc_id"), col("__t")).otherwise(0L))
+          .as("dup_tokens"))
+      .withColumn("savings_ppm",
+        floorDiv(col("dup_tokens") * 1000000L, greatest(col("n_tokens"), lit(1L))))
+      .orderBy("source")
+  }
+
+  /** Packing-efficiency audit (q143): padding overhead of a no-packing
+    * loader at context lengths 128/512/2048 vs the fully-packed ideal —
+    * the capacity-planning pass run before q50's greedy packing
+    * ([[graft.operators.Batching.packingEfficiency]]). */
+  private def packingEfficiencyQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Batching.packingEfficiency(
+      documents(s, dir).select(
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok")),
+      "n_tok", Seq(128L, 512L, 2048L))
+      .orderBy("ctx")
+
+  /** Shuffle-key skew audit (q144): the pre-flight for hashing events on
+    * user_id — heaviest-key share, top-10 mass, mean rows/key, all exact
+    * integer ppm ([[graft.operators.Profiling.keySkewAudit]]). */
+  private def skewAuditQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.keySkewAudit(events(s, dir), "user_id")
+
+  /** Simpson token concentration (q145): per-source probability two
+    * sampled tokens are the same type — boilerplate detection without
+    * entropy's `ln`; decimal(38,0) ppm so the statistic survives
+    * 100 TB-group token counts
+    * ([[graft.operators.Quality.simpsonConcentration]]). */
+  private def simpsonQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.simpsonConcentration(
+      documents(s, dir), "source", "text")
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
+  /** Rank-biased overlap (q146): rank-aware agreement of the int8
+    * quantized top-5 (q48) with the exact cosine top-5 (q16) per probe —
+    * p=1/2 truncated RBO in exact scaled integers
+    * ([[graft.operators.Similarity.rboTruncated]]). */
+  private def rboQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val exact = Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    val qt = Similarity.quantizeInt8(e, "vec_id", "embedding")
+    val quant = Similarity.bruteForceTopKQuantized(
+      qt, qt.filter(col("vec_id") < 10), "vec_id", 5)
+    Similarity.rboTruncated(exact, quant, depth = 5).orderBy("query_id")
+  }
+
   /** Skip-gram co-occurrence mining (q121): q117's windowed
     * generalization — unordered token pairs within 3 positions, corpus
     * support >= 5, ranked by the same IEEE-exact lift
@@ -2269,7 +2337,12 @@ object SparkEntry {
     "q138_semantic_decon" -> (semanticDeconQ _),
     "q139_label_prop" -> (labelPropQ _),
     "q140_tv_drift" -> (tvDriftQ _),
-    "q141_ngram_novelty" -> (ngramNoveltyQ _)
+    "q141_ngram_novelty" -> (ngramNoveltyQ _),
+    "q142_dedup_roi" -> (dedupRoiQ _),
+    "q143_packing_efficiency" -> (packingEfficiencyQ _),
+    "q144_skew_audit" -> (skewAuditQ _),
+    "q145_simpson" -> (simpsonQ _),
+    "q146_rbo" -> (rboQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2879,6 +2952,134 @@ object SparkEntry {
         |JOIN st ON st.source = d.source
         |JOIN bt ON bt.bin = d.bin, tt
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // q47's recursive reachability components rolled up to token mass per
+    // source; keeper rule = component == doc id (min label)
+    "q142_dedup_roi" ->
+      s"""WITH RECURSIVE $minhashPipelineCte,
+         |mpairs AS (
+         |  SELECT DISTINCT a.id AS ia, b.id AS ib
+         |  FROM sized a JOIN sized b
+         |    ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+         |  WHERE a.bsz BETWEEN 2 AND 1000),
+         |edges AS (SELECT ia AS a, ib AS b FROM mpairs UNION SELECT ib, ia FROM mpairs),
+         |walk(id, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id),
+         |comp AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id),
+         |tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS t
+         |  FROM documents),
+         |lab AS (
+         |  SELECT tok.source, tok.t,
+         |    (COALESCE(comp.component, tok.doc_id) <> tok.doc_id) AS dup
+         |  FROM tok LEFT JOIN comp ON comp.id = tok.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN dup THEN t ELSE 0 END) AS BIGINT) AS dup_tokens,
+         |  CAST(SUM(CASE WHEN dup THEN t ELSE 0 END) * 1000000
+         |    // greatest(SUM(t), 1) AS BIGINT) AS savings_ppm
+         |FROM lab GROUP BY 1 ORDER BY source""".stripMargin,
+    // ceil divisions in pure integer arithmetic, floor ppm overhead
+    "q143_packing_efficiency" ->
+      """WITH tok AS (
+        |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t
+        |  FROM documents),
+        |x AS (SELECT t, CAST(ctx AS BIGINT) AS ctx
+        |      FROM tok, (VALUES (128), (512), (2048)) AS c(ctx))
+        |SELECT ctx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+        |  CAST(SUM((t + ctx - 1) // ctx) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(((t + ctx - 1) // ctx) * ctx) AS BIGINT) AS padded_tokens,
+        |  CAST(((SUM(((t + ctx - 1) // ctx) * ctx) - SUM(t)) * 1000000)
+        |    // greatest(SUM(((t + ctx - 1) // ctx) * ctx), 1) AS BIGINT)
+        |    AS overhead_ppm,
+        |  CAST((SUM(t) + ctx - 1) // ctx AS BIGINT) AS ideal_seqs
+        |FROM x GROUP BY ctx ORDER BY ctx""".stripMargin,
+    // bounded top-10 tie-broken by key; 1-row folds, floor ppm shares
+    "q144_skew_audit" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t10 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM
+        |  (SELECT cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)),
+        |a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(cnt) AS BIGINT) AS mx
+        |  FROM c)
+        |SELECT n AS n_rows, k AS n_keys, mx AS max_cnt,
+        |  CAST((mx * 1000000) // n AS BIGINT) AS max_share_ppm,
+        |  CAST((t * 1000000) // n AS BIGINT) AS top10_mass_ppm,
+        |  CAST(n // k AS BIGINT) AS mean_cnt
+        |FROM a, t10""".stripMargin,
+    // (group, token) grain then group grain; HUGEINT ppm mirrors the
+    // Spark side's decimal(38,0) — both exact integer floor divisions
+    "q145_simpson" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(c * (c - 1)) AS BIGINT) AS repeat_pairs,
+        |  CAST((CAST(SUM(c * (c - 1)) AS HUGEINT) * 1000000)
+        |    // greatest(CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1), 1) AS BIGINT)
+        |    AS simpson_ppm
+        |FROM tc GROUP BY 1 ORDER BY source""".stripMargin,
+    // both rank chains replayed (q16 exact + q48 quantized), overlaps per
+    // prefix depth, RBO in exact scaled integers (S = 960, max = 930)
+    "q146_rbo" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(q.embedding, c.embedding) AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ta AS (SELECT qid, nid, rank FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |  FROM pairs) WHERE rank <= 5),
+        |e2 AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma > 0 THEN list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / CAST(ma AS DOUBLE)) + 0.5)
+        |           AS DOUBLE))
+        |    ELSE list_transform(embedding, x -> CAST(0.0 AS DOUBLE)) END AS v
+        |  FROM e2),
+        |qp AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |      AS cos
+        |  FROM qv a JOIN qv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |tb AS (SELECT qid, nid, rank FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |  FROM qp) WHERE rank <= 5),
+        |j AS (SELECT ta.qid, ta.rank AS ra, tb.rank AS rb
+        |      FROM ta JOIN tb ON ta.qid = tb.qid AND ta.nid = tb.nid),
+        |ag AS (SELECT qid,
+        |  CAST(SUM(CASE WHEN ra <= 1 AND rb <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS ov1,
+        |  CAST(SUM(CASE WHEN ra <= 2 AND rb <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ov2,
+        |  CAST(SUM(CASE WHEN ra <= 3 AND rb <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS ov3,
+        |  CAST(SUM(CASE WHEN ra <= 4 AND rb <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS ov4,
+        |  CAST(SUM(CASE WHEN ra <= 5 AND rb <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS ov5
+        |  FROM j GROUP BY 1)
+        |SELECT qs.qid AS query_id,
+        |  COALESCE(ov1, 0) AS ov1, COALESCE(ov2, 0) AS ov2,
+        |  COALESCE(ov3, 0) AS ov3, COALESCE(ov4, 0) AS ov4,
+        |  COALESCE(ov5, 0) AS ov5,
+        |  480 * COALESCE(ov1, 0) + 120 * COALESCE(ov2, 0)
+        |    + 40 * COALESCE(ov3, 0) + 15 * COALESCE(ov4, 0)
+        |    + 6 * COALESCE(ov5, 0) AS rbo_scaled,
+        |  CAST(930 AS BIGINT) AS rbo_max
+        |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10) qs
+        |LEFT JOIN ag ON ag.qid = qs.qid ORDER BY query_id""".stripMargin,
     // first-appearance epoch per distinct 3-gram; novelty in floor ppm
     "q141_ngram_novelty" ->
       """WITH d AS (

@@ -112,4 +112,42 @@ object Batching {
       .withColumn(outCol, tile)
       .drop("__val", "__off", "__tot", "__rank")
   }
+
+  /** Packing-efficiency audit: for each candidate context length, what a
+    * no-packing loader wastes — each document padded up to a multiple of
+    * `ctx` — vs the ideal (fully packed) sequence count. The
+    * capacity-planning companion to [[lengthBatches]]: run BEFORE choosing
+    * a context length / packing strategy, not after.
+    *
+    * All integer: n_seqs = Σ ceil(t/ctx), padded = n_seqs·ctx,
+    * overhead_ppm = (padded − tokens)·1e6 // padded (floor),
+    * ideal_seqs = ceil(Σt / ctx).
+    *
+    * Scale shape: a projection explode of |ctxs| rows per doc over the
+    * 1-column token-count projection (|ctxs| is a small constant), then
+    * one map-side-combined aggregate to the |ctxs|-row grain. No joins,
+    * no windows, no corpus shuffle. */
+  def packingEfficiency(
+      docs: DataFrame,
+      tokenCol: String,
+      ctxLengths: Seq[Long]): DataFrame = {
+    require(ctxLengths.nonEmpty && ctxLengths.forall(_ > 0), "need positive ctxs")
+    def floorDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val t = col(tokenCol).cast("long")
+    val seqs = floorDiv(t + col("ctx") - 1L, col("ctx"))
+    docs.select(t.as(tokenCol))
+      .select(col(tokenCol),
+        explode(array(ctxLengths.map(lit): _*)).as("ctx"))
+      .groupBy("ctx")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("n_tokens"),
+        sum(seqs).as("n_seqs"),
+        sum(seqs * col("ctx")).as("padded_tokens"))
+      .withColumn("overhead_ppm",
+        floorDiv((col("padded_tokens") - col("n_tokens")) * 1000000L,
+          greatest(col("padded_tokens"), lit(1L))))
+      .withColumn("ideal_seqs",
+        floorDiv(col("n_tokens") + col("ctx") - 1L, col("ctx")))
+  }
 }

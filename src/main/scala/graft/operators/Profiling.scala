@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -501,5 +501,34 @@ object Profiling {
         Rollups.countIf(col("__mo_v") > col("hi")).as("n_high"))
       .withColumn("n_outliers", col("n_low") + col("n_high"))
       .orderBy(keyCol)
+  }
+
+  /** Shuffle-key skew audit — the pre-flight a join/agg planner runs
+    * before hashing a 100 TB fact on `keyCol`: row count, distinct keys,
+    * the heaviest key's absolute count and ppm share, the top-10 keys'
+    * combined mass, and the mean rows/key (floor). A max_share_ppm near
+    * 1e6/partitions says the biggest key alone fills a partition — salt
+    * or AQE-skew-split before shuffling (the q86 bucket-occupancy probe,
+    * generalized to any key).
+    *
+    * Scale shape: one map-side-combined aggregate to the key grain, a
+    * bounded top-10 (TakeOrdered — ties broken by key for engine parity),
+    * then 1-row folds; nothing bigger than the key table is ever moved,
+    * and the output is a single row. */
+  def keySkewAudit(df: DataFrame, keyCol: String): DataFrame = {
+    def floorDiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
+    val top10 = counts
+      .orderBy(col("__cnt").desc, col(keyCol).asc).limit(10)
+      .agg(sum(col("__cnt")).as("__t10"))
+    counts
+      .agg(sum(col("__cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__cnt")).as("max_cnt"))
+      .crossJoin(broadcast(top10))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        floorDiv(col("max_cnt") * 1000000L, col("n_rows")).as("max_share_ppm"),
+        floorDiv(col("__t10") * 1000000L, col("n_rows")).as("top10_mass_ppm"),
+        floorDiv(col("n_rows"), col("n_keys")).as("mean_cnt"))
   }
 }

@@ -97,4 +97,41 @@ object Quality {
       .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
       .withColumn("hapax_frac",
         col("n_hapax").cast("double") / col("n_types"))
+
+  /** Simpson token-concentration index per group — the probability two
+    * tokens drawn without replacement from the group are the SAME type:
+    * Σ c(c−1) / (N(N−1)), the diversity twin of [[lexicalProfile]]'s TTR
+    * (entropy without the engine-specific `ln`). High concentration =
+    * template/boilerplate-heavy source; near-uniform text sits close to
+    * 1/n_types.
+    *
+    * Reported as exact integers (n_tokens, n_types, repeat_pairs) plus a
+    * floor-ppm ratio. The ppm arithmetic runs in decimal(38,0): at corpus
+    * scale N(N−1)·1e6 overflows a long (N ≥ ~3e6 tokens per group), and
+    * this operator's whole point is surviving the 100 TB group. DuckDB
+    * replays it in HUGEINT.
+    *
+    * Scale shape: identical to lexicalProfile — (group, token) grain then
+    * group grain, both map-side-combined; no joins, no windows. */
+  def simpsonConcentration(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def floorDiv(a: Column, b: Column): Column = (a - pmod(a, b)) / b
+    docs
+      .select(col(groupCol).as("grp"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+      .groupBy("grp", "__tok")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("grp")
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c") * (col("__c") - 1L)).as("repeat_pairs"))
+      .withColumn("simpson_ppm",
+        floorDiv(dec(col("repeat_pairs")) * lit(1000000),
+          greatest(dec(col("n_tokens")) * dec(col("n_tokens") - 1L), dec(lit(1))))
+          .cast("long"))
+  }
 }

@@ -453,4 +453,48 @@ object Similarity {
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
       .select(col("query_id"), col("n_overlap"),
         (col("n_overlap").cast("double") / k).as("recall"))
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010)
+    * between two per-query rankings — the rank-AWARE companion to the
+    * recall ablations (q122/q128/q130): recall says how many exact
+    * neighbors survive, RBO says whether they survive IN ORDER, weighting
+    * agreement at rank 1 heaviest.
+    *
+    * With persistence p = 1/2, RBO@d = Σ_{k≤d} |A_k ∩ B_k| / (2^k·k)
+    * (A_k = top-k prefix). All arithmetic is EXACT integers: overlaps are
+    * counts, and the weights scale by S = lcm(2^k·k) so
+    * `rbo_scaled = Σ ov_k · S/(2^k k)` with perfect agreement =
+    * `rbo_max = Σ k · S/(2^k k)` (< S: truncation keeps the tail mass
+    * unassigned, as the paper's lower bound does). No floats anywhere, so
+    * any engine replays it bit-for-bit.
+    *
+    * Inputs are (query_id, neighbor_id, rank) tables (the shape every
+    * top-k kernel here emits); both are query-grain-bounded (≤ d rows per
+    * query), so the join and aggregate are tiny regardless of corpus
+    * size. Queries with zero overlap keep a row (left join from the
+    * query list). */
+  def rboTruncated(rankA: DataFrame, rankB: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 20, "depth must be in [1, 20]")
+    def lcm(a: Long, b: Long): Long = a / BigInt(a).gcd(BigInt(b)).toLong * b
+    val dens = (1 to depth).map(k => (1L << k) * k)
+    val s = dens.foldLeft(1L)(lcm)
+    val ws = dens.map(s / _)
+    val rboMax = (1 to depth).map(k => k * ws(k - 1)).sum
+    def pre(df: DataFrame, r: String) =
+      df.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as(r))
+    val j = pre(rankA, "__ra").join(pre(rankB, "__rb"),
+      Seq("query_id", "neighbor_id"))
+    val ovAggs = (1 to depth).map(k =>
+      sum(when(col("__ra") <= k && col("__rb") <= k, 1L).otherwise(0L))
+        .as(s"ov$k"))
+    val agg = j.groupBy("query_id").agg(ovAggs.head, ovAggs.tail: _*)
+    val ovCols = (1 to depth).map(k => coalesce(col(s"ov$k"), lit(0L)).as(s"ov$k"))
+    rankA.select("query_id").distinct()
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id") +: ovCols: _*)
+      .withColumn("rbo_scaled",
+        (1 to depth).map(k => col(s"ov$k") * lit(ws(k - 1))).reduce(_ + _))
+      .withColumn("rbo_max", lit(rboMax))
+  }
 }

@@ -448,4 +448,32 @@ class PlanAuditSpec extends SparkSpec {
       "first-epoch attribution is an aggregate, not a window:\n" + p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q143 packing efficiency: pure aggregate — no join, no window, no sort but output") {
+    val p = planString("q143_packing_efficiency")
+    assert(!p.contains("Join"), "capacity audit is scan+explode+agg:\n" + p.take(2000))
+    assert(!p.contains("Window "), p.take(2000))
+  }
+
+  test("q144 skew audit: key-grain aggregate + bounded top-10, no global sort") {
+    val p = planString("q144_skew_audit")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 keys must be a bounded heap:\n" + p.take(2000))
+    assert(!p.contains("Window "), p.take(2000))
+  }
+
+  test("q145 simpson: two chained aggregates — no join, no window") {
+    val p = planString("q145_simpson")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window "), p.take(2000))
+  }
+
+  test("q146 rbo: rank windows per query; prefix overlaps are aggregates") {
+    val p = planString("q146_rbo")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("query_id")),
+      s"rank windows must partition by query: $windows")
+  }
 }

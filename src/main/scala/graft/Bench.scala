@@ -96,7 +96,10 @@ object Bench {
       "q116_sa_dup_ranges", "q117_collocations", "q120_pagerank",
       "q123_lm_familiarity", "q124_dsir_weights", "q125_sliding_distinct",
       "q127_containment", "q128_lsh_recall", "q129_sliding_distinct_inc",
-      "q130_pq_recall", "q131_mutual_knn", "q132_ivf_pq_recall", "q133_knn_clusters")
+      "q130_pq_recall", "q131_mutual_knn", "q132_ivf_pq_recall", "q133_knn_clusters",
+      "q134_lexical_profile", "q135_attribution", "q136_dup_matrix",
+      "q138_semantic_decon", "q139_label_prop", "q140_tv_drift",
+      "q141_ngram_novelty", "q142_dedup_roi", "q145_simpson")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

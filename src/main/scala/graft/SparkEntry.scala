@@ -1331,6 +1331,51 @@ object SparkEntry {
       .withColumnRenamed("grp", "source")
       .orderBy("source")
 
+  /** Shard-growth stability (q147): fraction of doc ids that migrate when
+    * shards grow 8 → 9 under mod-hashing (~8/9 move) vs rendezvous
+    * hashing (~1/9 move) — the consistent-hashing ROI measured on the
+    * corpus itself ([[graft.operators.Sharding.shardStability]]). */
+  private def shardStabilityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sharding.shardStability(
+      documents(s, dir).select("doc_id"), "doc_id", k = 8, k2 = 9)
+      .orderBy("strategy")
+
+  /** Persistent heavy hitters (q148): users in the exact daily top-20 on
+    * at least 3 days — the stability screen separating structurally hot
+    * shuffle keys from one-off bursts
+    * ([[graft.operators.HeavyHitters.persistentHitters]]); day is the
+    * integer epoch-day of the canonical ns timestamp (q91's grid). */
+  private def persistentHittersQ(s: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400000000000L
+    val day = ((col("ts") - pmod(col("ts"), lit(nsPerDay))) / lit(nsPerDay))
+      .cast("long")
+    graft.operators.HeavyHitters.persistentHitters(
+      events(s, dir).select(day.as("day"), col("user_id")),
+      "day", "user_id", k = 20, minEpochs = 3)
+      .orderBy("key")
+  }
+
+  /** Source vocabulary Jaccard (q149): exact pairwise word-set overlap
+    * between sources — the vocabulary-level companion to q136's
+    * document-level dup matrix
+    * ([[graft.operators.Drift.sourceVocabJaccard]]). */
+  private def sourceJaccardQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.sourceVocabJaccard(
+      documents(s, dir), "source", "text")
+      .orderBy("source_a", "source_b")
+
+  /** Doc-length Gini (q150): inequality of token mass over documents per
+    * source — closed-form exact Gini on the distinct-value grain in
+    * decimal(38,0) ([[graft.operators.Profiling.giniByKey]]); near-0 =
+    * uniform lengths (template suspicion), near-1e6 = a few giants carry
+    * the source. */
+  private def lengthGiniQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.giniByKey(
+      documents(s, dir).select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok")),
+      "source", "n_tok")
+      .orderBy("source")
+
   /** Rank-biased overlap (q146): rank-aware agreement of the int8
     * quantized top-5 (q48) with the exact cosine top-5 (q16) per probe —
     * p=1/2 truncated RBO in exact scaled integers
@@ -2342,7 +2387,11 @@ object SparkEntry {
     "q143_packing_efficiency" -> (packingEfficiencyQ _),
     "q144_skew_audit" -> (skewAuditQ _),
     "q145_simpson" -> (simpsonQ _),
-    "q146_rbo" -> (rboQ _)
+    "q146_rbo" -> (rboQ _),
+    "q147_shard_stability" -> (shardStabilityQ _),
+    "q148_persistent_hitters" -> (persistentHittersQ _),
+    "q149_source_jaccard" -> (sourceJaccardQ _),
+    "q150_length_gini" -> (lengthGiniQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3080,6 +3129,100 @@ object SparkEntry {
         |  CAST(930 AS BIGINT) AS rbo_max
         |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10) qs
         |LEFT JOIN ag ON ag.qid = qs.qid ORDER BY query_id""".stripMargin,
+    // mod vs rendezvous migration under 8 -> 9; rendezvous argmax replayed
+    // as a rank-1 window (hash DESC, shard ASC — the max-struct tie-break)
+    "q147_shard_stability" -> {
+      val md5id = graft.functions.PortableHash.md5Hash60Sql("doc_id")
+      val md5cat = graft.functions.PortableHash.md5Hash60Sql(
+        "CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.s AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |h AS (SELECT doc_id, $md5id AS hh FROM d),
+         |rv8 AS (SELECT doc_id, s FROM (
+         |  SELECT d.doc_id, u.s,
+         |    row_number() OVER (PARTITION BY d.doc_id
+         |      ORDER BY $md5cat DESC, u.s ASC) AS rn
+         |  FROM d, unnest(generate_series(0, 7)) AS u(s)) WHERE rn = 1),
+         |rv9 AS (SELECT doc_id, s FROM (
+         |  SELECT d.doc_id, u.s,
+         |    row_number() OVER (PARTITION BY d.doc_id
+         |      ORDER BY $md5cat DESC, u.s ASC) AS rn
+         |  FROM d, unnest(generate_series(0, 8)) AS u(s)) WHERE rn = 1),
+         |m AS (
+         |  SELECT h.doc_id,
+         |    (h.hh % 8 <> h.hh % 9) AS mod_moved,
+         |    (a8.s <> a9.s) AS rv_moved
+         |  FROM h JOIN rv8 a8 USING (doc_id) JOIN rv9 a9 USING (doc_id)),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         |  CAST(SUM(CASE WHEN rv_moved THEN 1 ELSE 0 END) AS BIGINT) AS m2
+         |  FROM m)
+         |SELECT 'mod' AS strategy, n AS n_docs, m1 AS n_moved,
+         |  CAST((m1 * 1000000) // greatest(n, 1) AS BIGINT) AS moved_ppm FROM a
+         |UNION ALL
+         |SELECT 'rendezvous', n, m2,
+         |  CAST((m2 * 1000000) // greatest(n, 1) AS BIGINT) FROM a
+         |ORDER BY strategy""".stripMargin
+    },
+    // daily exact top-20 (count desc, key asc), survivors on >= 3 days
+    "q148_persistent_hitters" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) * 1000 AS tns, user_id FROM events),
+        |c AS (SELECT tns // 86400000000000 AS day, user_id,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT day, user_id, cnt,
+        |        row_number() OVER (PARTITION BY day
+        |          ORDER BY cnt DESC, user_id ASC) AS rk
+        |      FROM c)
+        |SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_epochs_top,
+        |  CAST(MIN(rk) AS BIGINT) AS best_rank,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        |FROM r WHERE rk <= 20 GROUP BY 1 HAVING COUNT(*) >= 3
+        |ORDER BY key""".stripMargin,
+    // (source, token) distinct grain self-joined on token; union by
+    // inclusion-exclusion, floor ppm
+    "q149_source_jaccard" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |st AS (SELECT DISTINCT source, tok FROM toks),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1),
+        |i AS (SELECT a.source AS sa, b.source AS sb,
+        |        CAST(COUNT(*) AS BIGINT) AS ni
+        |      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b, ni AS n_inter,
+        |  (za.n + zb.n - ni) AS n_union,
+        |  CAST((ni * 1000000) // (za.n + zb.n - ni) AS BIGINT) AS jaccard_ppm
+        |FROM i JOIN sz za ON za.source = i.sa JOIN sz zb ON zb.source = i.sb
+        |ORDER BY source_a, source_b""".stripMargin,
+    // closed-form Gini on the distinct-value grain (run of c equal values
+    // v after cumulative a contributes v*(c*a + c(c+1)/2) to sum i*x_i);
+    // HUGEINT mirrors the Spark side's decimal(38,0)
+    "q150_length_gini" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+        |  FROM documents),
+        |g AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM d GROUP BY 1, 2),
+        |r AS (SELECT source, v, c,
+        |        CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 0)
+        |          AS BIGINT) AS a
+        |      FROM g),
+        |s1 AS (SELECT source,
+        |        CAST(SUM(c) AS BIGINT) AS n,
+        |        CAST(SUM(v * c) AS BIGINT) AS total,
+        |        SUM(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * a
+        |          + (CAST(c AS HUGEINT) * (c + 1)) // 2)) AS S1
+        |      FROM r GROUP BY 1)
+        |SELECT source, n, total,
+        |  CAST(CASE WHEN n * total > 0 THEN
+        |    ((2 * S1 - CAST(n + 1 AS HUGEINT) * total) * 1000000)
+        |      // (CAST(n AS HUGEINT) * total) END AS BIGINT) AS gini_ppm
+        |FROM s1 ORDER BY source""".stripMargin,
     // first-appearance epoch per distinct 3-gram; novelty in floor ppm
     "q141_ngram_novelty" ->
       """WITH d AS (

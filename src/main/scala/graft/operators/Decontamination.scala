@@ -107,9 +107,14 @@ object Decontamination {
     val c = q(corpus, "corpus_id")
       .withColumn("__na", norm2(col("__q_corpus_id")))
 
-    val d = dot(col("__q_corpus_id"), col("__q_test_id"))
-    c.join(t,
-        d > 0L && d * d * lit(thrDen) >= lit(thrNum) * col("__na") * col("__nb"))
+    // materialize the dot ONCE per pair before the predicate — the HOF
+    // fold is interpreted (no whole-stage codegen), so referencing `d`
+    // three times inside the join condition would triple the array work
+    c.crossJoin(t)
+      .withColumn("__d", dot(col("__q_corpus_id"), col("__q_test_id")))
+      .filter(col("__d") > 0L &&
+        col("__d") * col("__d") * lit(thrDen) >=
+          lit(thrNum) * col("__na") * col("__nb"))
       .groupBy(col("corpus_id"))
       .agg(count(lit(1)).as("n_test_matches"),
         min(col("test_id")).as("first_test_id"))

@@ -106,4 +106,45 @@ object Drift {
           pmod(col("n_new") * lit(1000000L), col("n_distinct"))) /
           col("n_distinct")).cast("long"))
   }
+
+  /** Exact pairwise vocabulary Jaccard between sources — the corpus-level
+    * similarity matrix (which feeds copy from each other at the VOCABULARY
+    * level, complementing q136's document-level near-dup mass): for every
+    * source pair, |Va ∩ Vb| and |Va ∪ Vb| over distinct lowercased word
+    * sets, Jaccard in floor ppm.
+    *
+    * Scale shape: the corpus collapses to the (source, token) DISTINCT
+    * grain first (one map-side-combined shuffle — the only corpus-sized
+    * exchange); the pair harvest self-joins THAT grain on token, where a
+    * token fans out to at most |sources| rows, so pair work is bounded by
+    * |vocab|·C(|sources|,2) — vocabulary-scale, never corpus-scale.
+    * Source sizes broadcast back for the union arithmetic.
+    *
+    * Returns (source_a, source_b, n_inter, n_union, jaccard_ppm),
+    * source_a < source_b, pairs with empty intersections omitted. */
+  def sourceVocabJaccard(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String): DataFrame = {
+    def floorDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val st = docs
+      .select(col(sourceCol).as("__src"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+      .groupBy("__src", "__tok").agg(count(lit(1)).as("__c"))
+      .select("__src", "__tok")
+    val sizes = st.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val inter = st.toDF("__sa", "__tok")
+      .join(st.toDF("__sb", "__tok2"),
+        col("__tok") === col("__tok2") && col("__sa") < col("__sb"))
+      .groupBy(col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.toDF("__sa", "__na")), "__sa")
+      .join(broadcast(sizes.toDF("__sb", "__nb")), "__sb")
+      .withColumn("n_union", col("__na") + col("__nb") - col("n_inter"))
+      .select(col("__sa").as("source_a"), col("__sb").as("source_b"),
+        col("n_inter"), col("n_union"),
+        floorDiv(col("n_inter") * 1000000L, col("n_union")).as("jaccard_ppm"))
+  }
 }

@@ -92,4 +92,35 @@ object HeavyHitters {
       .select(col("item"), col("c"), col("n_total"))
       .orderBy(col("c").desc, col("item"))
   }
+
+  /** Persistent heavy hitters across epochs — keys that stay hot, not just
+    * spike once: for each epoch, the exact top-`k` keys by count (rank
+    * tie-broken by key for engine parity); report every key that makes
+    * the top-k in at least `minEpochs` epochs. The stability screen that
+    * separates structurally heavy keys (salt/isolate them permanently)
+    * from one-off bursts (let AQE absorb them).
+    *
+    * Scale shape: one map-side-combined shuffle to the (epoch, key)
+    * grain; the per-epoch rank is a WindowGroupLimit-bounded top-k over
+    * the epoch partitioning; the survivor rollup runs on ≤ |epochs|·k
+    * rows. Returns (key, n_epochs_top, best_rank, max_cnt). */
+  def persistentHitters(
+      df: DataFrame,
+      epochCol: String,
+      keyCol: String,
+      k: Int,
+      minEpochs: Int): DataFrame = {
+    require(k >= 1 && minEpochs >= 1, "need positive k and minEpochs")
+    val counts = df.groupBy(col(epochCol).as("__ep"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__ep").orderBy(col("__cnt").desc, col("key").asc)
+    counts.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_epochs_top"),
+        min(col("__rank").cast("long")).as("best_rank"),
+        max(col("__cnt")).as("max_cnt"))
+      .filter(col("n_epochs_top") >= minEpochs)
+  }
 }

@@ -503,6 +503,45 @@ object Profiling {
       .orderBy(keyCol)
   }
 
+  /** Exact Gini coefficient of a nonnegative integer measure per group —
+    * the inequality audit for corpus governance (how unevenly are tokens
+    * spread over documents / docs over sources?): G = (2·Σ i·x_(i) −
+    * (n+1)·Σx) / (n·Σx) over ascending-sorted values, computed CLOSED-FORM
+    * on the distinct-value grain: a run of `c` equal values `v` starting
+    * after cumulative count `a` contributes `v·(c·a + c(c+1)/2)` to
+    * Σ i·x_(i). All arithmetic in decimal(38,0) (Σ i·x_i reaches ~n²·v —
+    * past long at corpus scale), floor-ppm output, HUGEINT-replayable.
+    *
+    * Scale shape: one map-side-combined shuffle to the (key, value)
+    * grain; the cumulative window runs per key ON THAT GRAIN (bounded by
+    * per-key distinct values, never the corpus); two tiny per-key folds.
+    * Returns (keyCol, n, total, gini_ppm); gini_ppm null when n·Σx = 0. */
+  def giniByKey(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def floorDiv(a: Column, b: Column): Column = (a - pmod(a, b)) / b
+    val grain = df
+      .groupBy(col(keyCol), col(valCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+    val ranked = grain
+      .withColumn("__a", coalesce(
+        sum(col("__c")).over(w) - col("__c"), lit(0L)))
+      .withColumn("__s1",
+        dec(col("__v")) * (dec(col("__c")) * dec(col("__a")) +
+          floorDiv(dec(col("__c")) * dec(col("__c") + 1L), dec(lit(2)))))
+    ranked.groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__v") * col("__c")).as("total"),
+        sum(col("__s1")).as("__S1"))
+      .withColumn("gini_ppm",
+        when(dec(col("n")) * dec(col("total")) > 0,
+          floorDiv(
+            (dec(lit(2)) * col("__S1") -
+              dec(col("n") + 1L) * dec(col("total"))) * lit(1000000),
+            dec(col("n")) * dec(col("total"))).cast("long")))
+      .select(col(keyCol), col("n"), col("total"), col("gini_ppm"))
+  }
+
   /** Shuffle-key skew audit — the pre-flight a join/agg planner runs
     * before hashing a 100 TB fact on `keyCol`: row count, distinct keys,
     * the heaviest key's absolute count and ppm share, the top-10 keys'

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{PortableHash => PH}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,4 +54,55 @@ object Sharding {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent-hashing answer to "what happens when we add a shard":
+    * each id goes to `argmax_s md5h60(id + ":" + s)`, so growing k → k+1
+    * moves only ~1/(k+1) of the keys, where mod-hashing reshuffles
+    * ~k/(k+1) of them (Thaler & Ravishankar 1998). A pure projection —
+    * the argmax is a fold over k literal hash columns (k is the shard
+    * count, a small constant), ties to the smaller shard id via the
+    * max-struct trick. */
+  def rendezvousShard(idCol: Column, numShards: Int): Column = {
+    require(numShards >= 1, "need at least one shard")
+    if (numShards == 1) lit(0L)
+    else {
+      val ranked = (0 until numShards).map { s =>
+        struct(
+          PH.md5Hash60(
+            concat(idCol.cast("string"), lit(":"), lit(s).cast("string"))).as("h"),
+          lit(-s).cast("long").as("negs"))
+      }
+      -greatest(ranked: _*)("negs")
+    }
+  }
+
+  /** Shard-growth stability audit: fraction of ids that change shard when
+    * the shard count grows `k -> k2`, under mod-hashing vs rendezvous
+    * hashing — the migration-cost number that picks the sharding function
+    * for a corpus that will grow. One projection + one |strategies|-row
+    * aggregate; no joins, no shuffle of id rows. */
+  def shardStability(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      k2: Int): DataFrame = {
+    def floorDiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val id = col(idCol)
+    val h = PH.md5Hash60(id)
+    val assigned = df.select(
+      (pmod(h, lit(k.toLong)) =!= pmod(h, lit(k2.toLong))).as("__mod_moved"),
+      (rendezvousShard(id, k) =!= rendezvousShard(id, k2)).as("__rv_moved"))
+    val agg = assigned.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("__mod_moved"), 1L).otherwise(0L)).as("__mod"),
+      sum(when(col("__rv_moved"), 1L).otherwise(0L)).as("__rv"))
+    val modRow = agg.select(lit("mod").as("strategy"), col("n_docs"),
+      col("__mod").as("n_moved"))
+    val rvRow = agg.select(lit("rendezvous").as("strategy"), col("n_docs"),
+      col("__rv").as("n_moved"))
+    modRow.unionByName(rvRow)
+      .withColumn("moved_ppm",
+        floorDiv(col("n_moved") * 1000000L, greatest(col("n_docs"), lit(1L))))
+  }
 }

@@ -476,4 +476,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.contains("query_id")),
       s"rank windows must partition by query: $windows")
   }
+
+  test("q147 shard stability: assignment is a projection — no join, no window") {
+    val p = planString("q147_shard_stability")
+    assert(!p.contains("Join"),
+      "both assignments fold to literal hash argmaxes:\n" + p.take(2000))
+    assert(!p.contains("Window "), p.take(2000))
+  }
+
+  test("q148 persistent hitters: per-day rank is WindowGroupLimit-bounded") {
+    val p = planString("q148_persistent_hitters")
+    assert(p.contains("WindowGroupLimit"),
+      "the daily top-20 must prune below the rank window:\n" + p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q149 source jaccard: sizes broadcast back; pair work on the vocab grain") {
+    val p = planString("q149_source_jaccard")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |sources|-row size table must broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window "), p.take(2000))
+  }
+
+  test("q150 gini: cumulative window runs per source on the distinct grain") {
+    val p = planString("q150_length_gini")
+    assert(!p.contains("Join"), "closed-form Gini needs no join:\n" + p.take(2000))
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")),
+      s"cumulative sums must partition by source: $windows")
+  }
 }

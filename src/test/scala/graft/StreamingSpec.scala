@@ -418,4 +418,34 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(viaBatch == got)
   }
+
+  test("streaming ngram novelty: epoch-ordered drops match the batch operator") {
+    import graft.streaming.NoveltyStream
+    val base = Files.createTempDirectory("graft-novstream").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(pmod(col("doc_id"), lit(4L)).as("epoch_src"), col("text"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = NoveltyStream.writer(
+      input.toDF().toDF("epoch_src", "text"),
+      s"$base/store", s"$base/metrics", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val rows = docs.as[(Long, String)].collect()
+    // epochs arrive in order — 0 and 1 together (multi-epoch batch
+    // exercises the min-epoch attribution), then 2, then 3
+    for (batch <- Seq(Seq(0L, 1L), Seq(2L), Seq(3L))) {
+      input.addData(rows.filter(r => batch.contains(r._1)).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$base/metrics")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batchRows = graft.operators.Drift.ngramNovelty(docs, "epoch_src", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batchRows && batchRows.size == 4,
+      s"streamed=$streamed batch=$batchRows")
+  }
 }

@@ -1376,6 +1376,50 @@ object SparkEntry {
       "source", "n_tok")
       .orderBy("source")
 
+  /** Winnowing fingerprint density (q151): Schleimer et al. robust
+    * winnowing at k=4, w=4 over the corpus, rolled to per-source gram /
+    * fingerprint mass — the empirical check of the 2/(w+1) sampling rate
+    * ([[graft.operators.Winnowing.densityByGroup]]). */
+  private def winnowDensityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnowing.densityByGroup(
+      documents(s, dir), "doc_id", "source", "text", k = 4, w = 4)
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
+  /** Winnow dup candidates (q152): doc pairs sharing ≥ 2 winnow
+    * fingerprints, with containment against the smaller fingerprint set —
+    * the MOSS screen ([[graft.operators.Winnowing.dupCandidates]]). */
+  private def winnowPairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnowing.dupCandidates(
+      documents(s, dir), "doc_id", "text", k = 4, w = 4, minShared = 2)
+      .orderBy("doc_a", "doc_b")
+
+  /** Quality-gate agreement (q153): Cohen's kappa per source between the
+    * row-local Gopher gate (q89) and the corpus-relative curation gate
+    * (q76) — how far the cheap gate can proxy the expensive one once
+    * base-rate agreement is discounted
+    * ([[graft.operators.Agreement.cohenKappa]]). */
+  private def gateKappaQ(s: SparkSession, dir: String): DataFrame = {
+    val gop = graft.operators.Quality.gopherRules(documents(s, dir), "text")
+      .select(col("doc_id"), col("pass").as("gopher_pass"))
+    val cur = curationVerdicts(s, dir).select(col("doc_id"), col("keep"))
+    val j = documents(s, dir).select(col("doc_id"), col("source"))
+      .join(gop, "doc_id").join(cur, "doc_id")
+    graft.operators.Agreement.cohenKappa(j, "source", "gopher_pass", "keep")
+      .orderBy("source")
+  }
+
+  /** Length-AUC gate audit (q154): exact tie-corrected ROC-AUC of raw
+    * document length predicting the q76 curation verdict, per source —
+    * an AUC near 1e6 says the composed gate is mostly a length proxy
+    * there ([[graft.operators.Profiling.rankSumAuc]]). */
+  private def lengthAucQ(s: SparkSession, dir: String): DataFrame = {
+    val j = documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      .join(curationVerdicts(s, dir).select(col("doc_id"), col("keep")), "doc_id")
+    graft.operators.Profiling.rankSumAuc(j, "source", "n_chars", "keep")
+      .orderBy("source")
+  }
+
   /** Rank-biased overlap (q146): rank-aware agreement of the int8
     * quantized top-5 (q48) with the exact cosine top-5 (q16) per probe —
     * p=1/2 truncated RBO in exact scaled integers
@@ -1638,7 +1682,10 @@ object SparkEntry {
     * pipeline derives per document — composes the q42 repetition rule, the
     * q15 language-id agreement check, and the q62 per-language exact-p25
     * length gate into one verdict. */
-  private def curationGateQ(s: SparkSession, dir: String): DataFrame = {
+  /** The unordered verdict table backing q76 (and the agreement/AUC
+    * diagnostics q153/q154, which must not inherit its presentation
+    * sort). */
+  private def curationVerdicts(s: SparkSession, dir: String): DataFrame = {
     val rep = repetitionStats(s, dir).select(col("doc_id"), col("repetitive"))
     val lng = langId(s, dir)
       .select(col("doc_id"),
@@ -1652,8 +1699,10 @@ object SparkEntry {
     rep.join(lng, "doc_id").join(len, "doc_id")
       .withColumn("keep",
         !col("repetitive") && col("lang_match") && col("length_ok"))
-      .orderBy("doc_id")
   }
+
+  private def curationGateQ(s: SparkSession, dir: String): DataFrame =
+    curationVerdicts(s, dir).orderBy("doc_id")
 
   /** Interval-overlap join (binned, each pair exactly once): click
     * influence windows [ts, ts+5min] × purchase attribution windows
@@ -2391,7 +2440,11 @@ object SparkEntry {
     "q147_shard_stability" -> (shardStabilityQ _),
     "q148_persistent_hitters" -> (persistentHittersQ _),
     "q149_source_jaccard" -> (sourceJaccardQ _),
-    "q150_length_gini" -> (lengthGiniQ _)
+    "q150_length_gini" -> (lengthGiniQ _),
+    "q151_winnow_density" -> (winnowDensityQ _),
+    "q152_winnow_pairs" -> (winnowPairsQ _),
+    "q153_gate_kappa" -> (gateKappaQ _),
+    "q154_length_auc" -> (lengthAucQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -2408,6 +2461,99 @@ object SparkEntry {
        |       ELSE 'en' END AS predicted_lang
        |FROM (SELECT doc_id, lang, $en AS en_hits, $es AS es_hits, $de AS de_hits
        |      FROM documents)""".stripMargin
+  }
+
+  /** Full q89 Gopher-rules SELECT minus presentation sort (feeds q89 and
+    * the q153 agreement oracle). */
+  private lazy val gopherRulesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n_words,
+      |    CAST(length(array_to_string(tk, '')) AS DOUBLE) / len(tk) AS mean_word_len,
+      |    CAST(CAST((length(text) - length(replace(text, '#', ''))) / 1 AS BIGINT)
+      |       + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+      |       AS DOUBLE) / len(tk) AS symbol_ratio,
+      |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      |      / len(tk) AS alpha_frac,
+      |    CAST((SELECT SUM((length(p) - length(replace(p, ' ' || w || ' ', '')))
+      |                     // (length(w) + 2))
+      |          FROM (SELECT ' ' || array_to_string(tk, ' ') || ' ' AS p),
+      |               unnest(['the','be','to','of','and','that','have','with']) AS s(w))
+      |      AS BIGINT) AS stop_hits
+      |  FROM d)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+      |  n_words >= 50 AND n_words <= 100000 AS words_ok,
+      |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS word_len_ok,
+      |  symbol_ratio <= 0.1 AS symbol_ok,
+      |  alpha_frac >= 0.8 AS alpha_ok,
+      |  stop_hits >= 2 AS stop_ok,
+      |  (n_words >= 50 AND n_words <= 100000)
+      |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+      |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2
+      |    AS pass
+      |FROM m""".stripMargin
+
+  /** Full q76 curation-gate SELECT minus presentation sort (feeds q76 and
+    * the q153/q154 gate-diagnostic oracles). */
+  private lazy val curationGateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+       |uni AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_token_count
+       |        FROM tc GROUP BY 1),
+       |d2 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |       FROM documents),
+       |bg0 AS (
+       |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+       |  FROM d2, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)
+       |  WHERE len(w) >= 2
+       |  UNION ALL
+       |  SELECT doc_id, array_to_string(w, ' ') FROM d2 WHERE len(w) < 2),
+       |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY 1, 2),
+       |bi AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count
+       |       FROM bc GROUP BY 1),
+       |rep AS (
+       |  SELECT doc_id,
+       |    (CAST(top_token_count AS DOUBLE) / n_tokens > CAST(0.1 AS DOUBLE)
+       |     OR CAST(top_bigram_count AS DOUBLE) / n_bigrams > CAST(0.05 AS DOUBLE))
+       |      AS repetitive
+       |  FROM uni JOIN bi USING (doc_id)),
+       |lid AS (SELECT doc_id, predicted_lang = lang AS lang_match
+       |        FROM ($langIdSql)),
+       |dd AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+       |       FROM documents),
+       |th AS (SELECT lang, quantile_cont(n_chars, 0.25) AS p25 FROM dd GROUP BY lang),
+       |len AS (SELECT doc_id, n_chars >= p25 AS length_ok
+       |        FROM dd JOIN th USING (lang))
+       |SELECT doc_id, repetitive, lang_match, length_ok,
+       |  (NOT repetitive AND lang_match AND length_ok) AS keep
+       |FROM rep JOIN lid USING (doc_id) JOIN len USING (doc_id)""".stripMargin
+
+  /** Shared winnowing CTE chain (k=4, w=4): per-doc token lists `d`, gram
+    * hashes `g`, the rightmost-min window encoding `w`, and the selected
+    * fingerprint set `sel(doc_id, mc)` with `mc = hash·10⁹ + (10⁹−1−pos)`
+    * — HUGEINT-exact replay of `operators/Winnowing` (feeds q151/q152). */
+  private lazy val winnowSelCte: String = {
+    val gramHash = PortableHash.md5Hash60Sql("array_to_string(t[i:i+3], ' ')")
+    s"""d AS (SELECT doc_id, source,
+       |        string_split_regex(trim(lower(text)), '\\s+') AS t
+       |      FROM documents),
+       |g AS (SELECT doc_id, i AS p, $gramHash AS h
+       |      FROM d, unnest(generate_series(1, len(t) - 3)) AS u(i)
+       |      WHERE len(t) >= 4),
+       |w AS (SELECT doc_id, p,
+       |        min(CAST(h AS HUGEINT) * 1000000000 + (999999999 - p))
+       |          OVER (PARTITION BY doc_id ORDER BY p
+       |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mc,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY p) AS j,
+       |        count(*) OVER (PARTITION BY doc_id) AS gc
+       |      FROM g),
+       |sel AS (SELECT DISTINCT doc_id, mc FROM w WHERE j <= greatest(gc - 3, 1))""".stripMargin
   }
 
   /** Shared CTE body replaying the portable minhash pipeline in DuckDB SQL —
@@ -3223,6 +3369,98 @@ object SparkEntry {
         |    ((2 * S1 - CAST(n + 1 AS HUGEINT) * total) * 1000000)
         |      // (CAST(n AS HUGEINT) * total) END AS BIGINT) AS gini_ppm
         |FROM s1 ORDER BY source""".stripMargin,
+    // rightmost-min winnowing selection via the hash*1e9 + (1e9-1-pos)
+    // encoding; per-source gram mass from the doc lists, floor-ppm density
+    "q151_winnow_density" ->
+      s"""WITH $winnowSelCte,
+         |fp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM sel GROUP BY 1),
+         |gm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(greatest(len(t) - 3, 0)) AS BIGINT) AS n_grams
+         |       FROM d GROUP BY 1),
+         |fs AS (SELECT d.source, CAST(SUM(fp.nf) AS BIGINT) AS nf
+         |       FROM d JOIN fp USING (doc_id) GROUP BY 1)
+         |SELECT gm.source, n_docs, n_grams,
+         |  CAST(COALESCE(fs.nf, 0) AS BIGINT) AS n_fp,
+         |  CASE WHEN n_grams > 0 THEN
+         |    CAST((COALESCE(fs.nf, 0) * 1000000) // n_grams AS BIGINT)
+         |  END AS density_ppm
+         |FROM gm LEFT JOIN fs ON fs.source = gm.source
+         |ORDER BY gm.source""".stripMargin,
+    // distinct (doc, hash) grain; hash recovered as mc // 1e9; the df <=
+    // 1000 gate replays the operator's maxBucket flood cap
+    "q152_winnow_pairs" ->
+      s"""WITH $winnowSelCte,
+         |fps AS (SELECT DISTINCT doc_id,
+         |          CAST(mc // 1000000000 AS BIGINT) AS h FROM sel),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM fps GROUP BY 1),
+         |cap AS (SELECT doc_id, h FROM (
+         |          SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM fps)
+         |        WHERE df <= 1000),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared
+         |       FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT doc_a, doc_b, n_shared,
+         |  CAST((n_shared * 1000000) // least(za.n, zb.n) AS BIGINT)
+         |    AS containment_ppm
+         |FROM pr JOIN sz za ON za.doc_id = pr.doc_a
+         |        JOIN sz zb ON zb.doc_id = pr.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // 2x2 confusion per source; kappa numerator can be NEGATIVE, so the
+    // floor division is emulated via the pmod identity (DuckDB //
+    // truncates toward zero); pe and n*n in HUGEINT
+    "q153_gate_kappa" ->
+      s"""WITH gop AS (SELECT doc_id, pass FROM ($gopherRulesSql)),
+         |cur AS (SELECT doc_id, keep FROM ($curationGateSql)),
+         |j AS (SELECT dd.source, g.pass AS a, c.keep AS b
+         |      FROM documents dd JOIN gop g USING (doc_id)
+         |           JOIN cur c USING (doc_id)),
+         |cf AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS nao,
+         |         CAST(SUM(CASE WHEN b AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nbo,
+         |         CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS nn
+         |       FROM j GROUP BY 1),
+         |k AS (SELECT source, n, nb, nao, nbo, nn,
+         |        (CAST(nb + nao AS HUGEINT) * (nb + nbo)
+         |          + CAST(nbo + nn AS HUGEINT) * (nao + nn)) AS pe,
+         |        (CAST(n AS HUGEINT) * (nb + nn)) AS agree_n
+         |      FROM cf)
+         |SELECT source, n, nb AS n_both, nao AS n_a_only, nbo AS n_b_only,
+         |  nn AS n_neither,
+         |  CAST(((nb + nn) * 1000000) // n AS BIGINT) AS po_ppm,
+         |  CASE WHEN CAST(n AS HUGEINT) * n - pe <> 0 THEN CAST(
+         |    ((agree_n - pe) * 1000000
+         |      - ((((agree_n - pe) * 1000000) % (CAST(n AS HUGEINT) * n - pe)
+         |          + (CAST(n AS HUGEINT) * n - pe))
+         |         % (CAST(n AS HUGEINT) * n - pe)))
+         |      // (CAST(n AS HUGEINT) * n - pe) AS BIGINT)
+         |  END AS kappa_ppm
+         |FROM k ORDER BY source""".stripMargin,
+    // midrank rank-sum on the (source, n_chars) distinct grain; u2 =
+    // 2*U1 >= 0 so plain // is already floor
+    "q154_length_auc" ->
+      s"""WITH cur AS (SELECT doc_id, keep FROM ($curationGateSql)),
+         |dj AS (SELECT dd.source, dd.n_chars AS v, c.keep
+         |       FROM documents dd JOIN cur c USING (doc_id)),
+         |g AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c,
+         |        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         |      FROM dj GROUP BY 1, 2),
+         |r AS (SELECT source, v, c, c1,
+         |        CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 0)
+         |          AS BIGINT) AS a
+         |      FROM g),
+         |s AS (SELECT source, CAST(SUM(c1) AS BIGINT) AS n_pos,
+         |        CAST(SUM(c - c1) AS BIGINT) AS n_neg,
+         |        SUM(CAST(c1 AS HUGEINT) * (2 * a + c + 1)) AS r2
+         |      FROM r GROUP BY 1)
+         |SELECT source, n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    CAST(((r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000)
+         |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+         |  END AS auc_ppm
+         |FROM s ORDER BY source""".stripMargin,
     // first-appearance epoch per distinct 3-gram; novelty in floor ppm
     "q141_ngram_novelty" ->
       """WITH d AS (
@@ -3830,37 +4068,7 @@ object SparkEntry {
     // q89: every ratio is exact-int / exact-int divided once; literal
     // counts via the length/replace trick (replace-with-empty, so the
     // divisor is len(sub)) — bit-identical across engines
-    "q89_gopher_rules" ->
-      """WITH d AS (
-        |  SELECT doc_id, text,
-        |    string_split_regex(trim(lower(text)), '\s+') AS tk
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(tk) AS BIGINT) AS n_words,
-        |    CAST(length(array_to_string(tk, '')) AS DOUBLE) / len(tk) AS mean_word_len,
-        |    CAST(CAST((length(text) - length(replace(text, '#', ''))) / 1 AS BIGINT)
-        |       + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
-        |       AS DOUBLE) / len(tk) AS symbol_ratio,
-        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-        |      / len(tk) AS alpha_frac,
-        |    CAST((SELECT SUM((length(p) - length(replace(p, ' ' || w || ' ', '')))
-        |                     // (length(w) + 2))
-        |          FROM (SELECT ' ' || array_to_string(tk, ' ') || ' ' AS p),
-        |               unnest(['the','be','to','of','and','that','have','with']) AS s(w))
-        |      AS BIGINT) AS stop_hits
-        |  FROM d)
-        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
-        |  n_words >= 50 AND n_words <= 100000 AS words_ok,
-        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS word_len_ok,
-        |  symbol_ratio <= 0.1 AS symbol_ok,
-        |  alpha_frac >= 0.8 AS alpha_ok,
-        |  stop_hits >= 2 AS stop_ok,
-        |  (n_words >= 50 AND n_words <= 100000)
-        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2
-        |    AS pass
-        |FROM m ORDER BY doc_id""".stripMargin,
+    "q89_gopher_rules" -> s"$gopherRulesSql\nORDER BY doc_id",
     // q88: character indexing on VARCHAR replays Spark's split-on-"" at
     // the word grain; LIMIT ties broken by (n desc, a, b) total order
     "q88_bpe_pairs" ->
@@ -3990,41 +4198,7 @@ object SparkEntry {
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     // composes the q42 repetition rule, q15 langid agreement, and the q62
     // per-lang exact p25 length gate into one per-doc verdict
-    "q76_curation_gate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-         |  FROM documents),
-         |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
-         |uni AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_token_count
-         |        FROM tc GROUP BY 1),
-         |d2 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-         |       FROM documents),
-         |bg0 AS (
-         |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
-         |  FROM d2, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)
-         |  WHERE len(w) >= 2
-         |  UNION ALL
-         |  SELECT doc_id, array_to_string(w, ' ') FROM d2 WHERE len(w) < 2),
-         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY 1, 2),
-         |bi AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count
-         |       FROM bc GROUP BY 1),
-         |rep AS (
-         |  SELECT doc_id,
-         |    (CAST(top_token_count AS DOUBLE) / n_tokens > CAST(0.1 AS DOUBLE)
-         |     OR CAST(top_bigram_count AS DOUBLE) / n_bigrams > CAST(0.05 AS DOUBLE))
-         |      AS repetitive
-         |  FROM uni JOIN bi USING (doc_id)),
-         |lid AS (SELECT doc_id, predicted_lang = lang AS lang_match
-         |        FROM ($langIdSql)),
-         |dd AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
-         |       FROM documents),
-         |th AS (SELECT lang, quantile_cont(n_chars, 0.25) AS p25 FROM dd GROUP BY lang),
-         |len AS (SELECT doc_id, n_chars >= p25 AS length_ok
-         |        FROM dd JOIN th USING (lang))
-         |SELECT doc_id, repetitive, lang_match, length_ok,
-         |  (NOT repetitive AND lang_match AND length_ok) AS keep
-         |FROM rep JOIN lid USING (doc_id) JOIN len USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "q76_curation_gate" -> s"$curationGateSql\nORDER BY doc_id",
     "q77_quality_deciles" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(NTILE(10) OVER (PARTITION BY lang

@@ -506,4 +506,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.contains("source")),
       s"cumulative sums must partition by source: $windows")
   }
+
+  test("q151 winnow density: selection windows are all per-document") {
+    val p = planString("q151_winnow_density")
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("id")),
+      s"winnow selection must partition by doc: $windows")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q152 winnow pairs: fingerprint-bucket join only — no cartesian") {
+    val p = planString("q152_winnow_pairs")
+    assert(!p.contains("CartesianProduct"),
+      "pairs must form on the fingerprint-hash key:\n" + p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q153 kappa: confusion rollup is windowless") {
+    val p = planString("q153_gate_kappa")
+    assert(!p.contains("Window "),
+      "kappa is one aggregate + projection:\n" + p.take(2000))
+  }
+
+  test("q154 auc: rank-sum windows run per source on the distinct grain") {
+    val p = planString("q154_length_auc")
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")),
+      s"cumulative counts must partition by source: $windows")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

@@ -1420,6 +1420,40 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** KS drift (q155): exact two-sample Kolmogorov-Smirnov distance of
+    * each source's token-length distribution vs the pooled corpus — the
+    * bin-free companion to q140's decile TV
+    * ([[graft.operators.Drift.ksAgainstPool]]). */
+  private def ksDriftQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.ksAgainstPool(
+      documents(s, dir).select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok")),
+      "source", "n_tok")
+      .orderBy("source")
+
+  /** Spearman rank correlation (q156): quantity↔price monotone
+    * co-movement per return flag — q103's Pearson re-run on midranks,
+    * the outlier-robust association number
+    * ([[graft.operators.Rollups.spearmanByKey]]). */
+  private def spearmanQ(s: SparkSession, dir: String): DataFrame =
+    Rollups.spearmanByKey(
+      lineitem(s, dir).select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qx"),
+        round(col("l_extendedprice") * 100).cast("long").as("qy")),
+      "l_returnflag", "qx", "qy")
+      .orderBy("l_returnflag")
+
+  /** Benford audit (q157): leading-digit law deviation of order totals
+    * per priority — the synthetic/fabricated-numerics screen, exact
+    * integer ppm against fixed floor-ppm Benford expectations
+    * ([[graft.operators.Profiling.benfordAudit]]). */
+  private def benfordQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.benfordAudit(
+      orders(s, dir).select(col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("v")),
+      "pri", "v")
+      .orderBy("pri", "digit")
+
   /** Rank-biased overlap (q146): rank-aware agreement of the int8
     * quantized top-5 (q48) with the exact cosine top-5 (q16) per probe —
     * p=1/2 truncated RBO in exact scaled integers
@@ -2444,7 +2478,10 @@ object SparkEntry {
     "q151_winnow_density" -> (winnowDensityQ _),
     "q152_winnow_pairs" -> (winnowPairsQ _),
     "q153_gate_kappa" -> (gateKappaQ _),
-    "q154_length_auc" -> (lengthAucQ _)
+    "q154_length_auc" -> (lengthAucQ _),
+    "q155_ks_drift" -> (ksDriftQ _),
+    "q156_spearman" -> (spearmanQ _),
+    "q157_benford" -> (benfordQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3461,6 +3498,96 @@ object SparkEntry {
          |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
          |  END AS auc_ppm
          |FROM s ORDER BY source""".stripMargin,
+    // dense (pooled-value x source) grid; sup of the cross-multiplied CDF
+    // gap, numerator in HUGEINT; floor-ppm on the max
+    "q155_ks_drift" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+        |  FROM documents),
+        |kv AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM d GROUP BY 1, 2),
+        |p AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cp FROM kv GROUP BY 1),
+        |ks AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM kv GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np FROM p),
+        |grid AS (SELECT k.source, p.v, p.cp, COALESCE(kv.c, 0) AS cs, k.ns
+        |         FROM p CROSS JOIN ks k
+        |         LEFT JOIN kv ON kv.source = k.source AND kv.v = p.v),
+        |cums AS (SELECT source, ns,
+        |           SUM(cs) OVER (PARTITION BY source ORDER BY v
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums,
+        |           SUM(cp) OVER (PARTITION BY source ORDER BY v
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump
+        |         FROM grid),
+        |mx AS (SELECT source, CAST(MIN(ns) AS BIGINT) AS n,
+        |         MAX(abs(CAST(cums AS HUGEINT) * (SELECT np FROM tot)
+        |           - CAST(cump AS HUGEINT) * ns)) AS mn
+        |       FROM cums GROUP BY 1)
+        |SELECT source, n,
+        |  CAST((mn * 1000000)
+        |    // (CAST(n AS HUGEINT) * (SELECT np FROM tot)) AS BIGINT) AS ks_ppm
+        |FROM mx ORDER BY source""".stripMargin,
+    // doubled midranks from the (key, value) grain joined back to rows;
+    // HUGEINT co-moment sums cast to double, then q103's fixed IEEE tail
+    "q156_spearman" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS k,
+        |    CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS x,
+        |    CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |gx AS (SELECT k, x, CAST(COUNT(*) AS BIGINT) AS c FROM c GROUP BY 1, 2),
+        |rx AS (SELECT k, x,
+        |         2 * CAST(COALESCE(SUM(c) OVER (PARTITION BY k ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 0)
+        |           AS BIGINT) + c + 1 AS r
+        |       FROM gx),
+        |gy AS (SELECT k, y, CAST(COUNT(*) AS BIGINT) AS c FROM c GROUP BY 1, 2),
+        |ry AS (SELECT k, y,
+        |         2 * CAST(COALESCE(SUM(c) OVER (PARTITION BY k ORDER BY y
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 0)
+        |           AS BIGINT) + c + 1 AS r
+        |       FROM gy),
+        |j AS (SELECT c.k, rx.r AS a, ry.r AS b
+        |      FROM c JOIN rx ON rx.k = c.k AND rx.x = c.x
+        |             JOIN ry ON ry.k = c.k AND ry.y = c.y),
+        |s AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CAST(a AS HUGEINT)) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(b AS HUGEINT)) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(a AS HUGEINT) * a) AS DOUBLE) AS sxx,
+        |        CAST(SUM(CAST(b AS HUGEINT) * b) AS DOUBLE) AS syy,
+        |        CAST(SUM(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sxy
+        |      FROM j GROUP BY 1)
+        |SELECT k AS l_returnflag, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    (n * sxy - sx * sy)
+        |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |  END AS rho
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    // fixed floor-ppm Benford literals; dense 9-digit grid per key so
+    // absent digits report share 0
+    "q157_benford" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS fv
+        |  FROM orders WHERE floor(o_totalprice) >= 1),
+        |d AS (SELECT pri,
+        |        CAST(substring(CAST(fv AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |      FROM v),
+        |c AS (SELECT pri, digit, CAST(COUNT(*) AS BIGINT) AS n_d
+        |      FROM d GROUP BY 1, 2),
+        |tot AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |bf AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+        |         (4, 96910), (5, 79181), (6, 66946), (7, 57991),
+        |         (8, 51152), (9, 45757)) AS t(digit, benford_ppm))
+        |SELECT tot.pri, CAST(bf.digit AS BIGINT) AS digit,
+        |  CAST(COALESCE(c.n_d, 0) AS BIGINT) AS n_d,
+        |  CAST((COALESCE(c.n_d, 0) * 1000000) // tot.n AS BIGINT) AS share_ppm,
+        |  CAST(bf.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(abs((COALESCE(c.n_d, 0) * 1000000) // tot.n - bf.benford_ppm)
+        |    AS BIGINT) AS dev_ppm
+        |FROM tot CROSS JOIN bf
+        |LEFT JOIN c ON c.pri = tot.pri AND c.digit = bf.digit
+        |ORDER BY tot.pri, bf.digit""".stripMargin,
     // first-appearance epoch per distinct 3-gram; novelty in floor ppm
     "q141_ngram_novelty" ->
       """WITH d AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift audits for corpus governance: is one source's (or
@@ -146,5 +147,59 @@ object Drift {
       .select(col("__sa").as("source_a"), col("__sb").as("source_b"),
         col("n_inter"), col("n_union"),
         floorDiv(col("n_inter") * 1000000L, col("n_union")).as("jaccard_ppm"))
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov distance of each key's value
+    * distribution against the pooled corpus — the bin-free companion to
+    * [[tvDriftBySource]] (TV quantizes into deciles; KS takes the sup of
+    * the CDF gap at every distinct value, so a drift concentrated between
+    * decile boundaries can't hide). Exact integers end-to-end by
+    * cross-multiplication:
+    *
+    *   D = max_v |F_s(v) − F_pool(v)|
+    *     = max_v |cum_s(v)·n_pool − cum_pool(v)·n_s| / (n_s·n_pool),
+    *
+    * the numerator in decimal(38,0) (cum·n reaches ~n² — past long at
+    * ~3e9 rows), floor-ppm on the maximum. The sup over all real v is
+    * attained at a pooled jump point, so scanning the pooled distinct
+    * values is exact, not an approximation.
+    *
+    * Scale shape: one map-side-combined shuffle to the (key, value)
+    * grain; the dense (value × key) evaluation grid is VALUE-grain ×
+    * |keys| (the |keys|-row side broadcasts onto the value table — never
+    * corpus-grain); per-key cumulative windows run on that grid, with the
+    * pooled cumulative computed inside the SAME key-partitioned window
+    * (each grid row carries the pooled per-value count), so no
+    * single-partition global window exists anywhere. Totals attach via
+    * one broadcast 1-row crossJoin (the q144/A8 pattern).
+    *
+    * Returns (keyCol, n, ks_ppm), n the key's row count. */
+  def ksAgainstPool(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def floorDiv(a: Column, b: Column): Column = (a - pmod(a, b)) / b
+    val kv = df
+      .groupBy(col(keyCol).as("__k"), col(valCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val pooled = kv.groupBy("__v").agg(sum(col("__c")).as("__cp"))
+    val keys = kv.groupBy("__k").agg(sum(col("__c")).as("__ns"))
+    val nPool = pooled.agg(sum(col("__cp")).as("__np"))
+    val grid = pooled
+      .crossJoin(broadcast(keys))
+      .join(kv, Seq("__k", "__v"), "left")
+      .withColumn("__cs", coalesce(col("__c"), lit(0L)))
+    val w = Window.partitionBy("__k").orderBy("__v")
+    grid
+      .withColumn("__cums", sum(col("__cs")).over(w))
+      .withColumn("__cump", sum(col("__cp")).over(w))
+      .crossJoin(broadcast(nPool))
+      .withColumn("__num",
+        abs(dec(col("__cums")) * dec(col("__np")) -
+          dec(col("__cump")) * dec(col("__ns"))))
+      .groupBy(col("__k"))
+      .agg(min(col("__ns")).as("n"), min(col("__np")).as("__np2"),
+        max(col("__num")).as("__maxnum"))
+      .select(col("__k").as(keyCol), col("n"),
+        floorDiv(col("__maxnum") * lit(1000000),
+          dec(col("n")) * dec(col("__np2"))).cast("long").as("ks_ppm"))
   }
 }

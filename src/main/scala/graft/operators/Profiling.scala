@@ -619,4 +619,53 @@ object Profiling {
             dec(lit(2L)) * dec(col("n_pos")) * dec(col("n_neg"))).cast("long")))
       .select(col(keyCol), col("n_pos"), col("n_neg"), col("auc_ppm"))
   }
+
+  /** Benford leading-digit audit per key — the financial-data quality
+    * screen (Nigrini's fraud/corruption test, equally a synthetic-data
+    * detector: generated numeric columns rarely reproduce the log-uniform
+    * leading-digit law): observed first-digit shares of a positive
+    * measure vs Benford's P(d) = log₁₀(1 + 1/d), deviation per digit in
+    * ppm. The expected shares are FIXED integer literals (floor-ppm of
+    * the law), so the whole audit is exact integer arithmetic — no logs
+    * at runtime, any engine replays it bit-for-bit.
+    *
+    * The leading digit is taken portably as the first character of the
+    * decimal rendering of floor(v) (rows with floor(v) < 1 are excluded —
+    * Benford is a magnitude law; zero/negative values have no leading
+    * digit). Every (key, digit) cell is reported, zeros included, via a
+    * 9-row broadcast digit dimension — an absent digit is itself the
+    * strongest Benford violation and must not vanish from the artifact.
+    *
+    * Scale shape: one map-side-combined shuffle to the (key, digit)
+    * grain (≤ 9 rows per key), a |keys|-row total rollup joined back on
+    * the key, and the 9-row dimension broadcast. Nothing bigger than the
+    * key table moves after the first aggregate.
+    *
+    * Returns (keyCol, digit, n_d, share_ppm, benford_ppm, dev_ppm). */
+  def benfordAudit(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    def floorDiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    // floor-ppm of log10(1 + 1/d), d = 1..9
+    val benfordPpm = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = benfordPpm.zipWithIndex
+      .map { case (p, i) => ((i + 1).toLong, p) }
+      .toDF("digit", "benford_ppm")
+    val digits = df
+      .select(col(keyCol).as("__k"), floor(col(valCol)).cast("long").as("__fv"))
+      .filter(col("__fv") >= 1L)
+      .select(col("__k"),
+        substring(col("__fv").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("__k", "digit").agg(count(lit(1)).as("n_d"))
+    val totals = digits.groupBy("__k").agg(sum(col("n_d")).as("__n"))
+    totals
+      .crossJoin(broadcast(dim))
+      .join(digits, Seq("__k", "digit"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+      .withColumn("share_ppm", floorDiv(col("n_d") * lit(1000000L), col("__n")))
+      .select(col("__k").as(keyCol), col("digit"), col("n_d"),
+        col("share_ppm"), col("benford_ppm"),
+        abs(col("share_ppm") - col("benford_ppm")).as("dev_ppm"))
+  }
 }

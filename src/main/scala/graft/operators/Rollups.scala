@@ -164,4 +164,60 @@ object Rollups {
       when(denX > 0 && denY > 0, num / (sqrt(denX) * sqrt(denY))).as("r"),
       when(denX > 0, num / denX).as("slope"))
   }
+
+  /** Spearman rank correlation per key — Pearson on midranks (ties →
+    * average rank): the monotone-association companion to [[pearsonByKey]]
+    * (outlier-robust: a single corrupt extreme value saturates Pearson but
+    * moves each rank by at most one). Doubled midranks keep the ranks
+    * integral (a run of c tied values with `a` strictly below has
+    * 2·midrank = 2a + c + 1); co-moment sums run in decimal(38,0)
+    * (rank products reach ~4n² per row, n³-scale sums — far past long at
+    * corpus scale), and the final ρ is the same fixed IEEE sequence as
+    * Pearson's, so DuckDB replays it bit-for-bit from HUGEINT sums.
+    *
+    * Scale shape: midranks come from the (key, value) DISTINCT grain
+    * (one map-side-combined shuffle per variable + a per-key cumulative
+    * window ON THAT GRAIN — never a corpus-grain sort) and join back to
+    * rows on (key, value); the co-moment rollup is one aggregate. The
+    * alternative row-grain rank window would sort each key's entire
+    * partition — a one-partition death sentence when one key is half the
+    * corpus.
+    *
+    * Returns (keyCol, n, rho). */
+  def spearmanByKey(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df
+      .select(col(keyCol).as("__k"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    def ranks(vc: String, out: String): DataFrame = {
+      val grain = base.groupBy(col("__k"), col(vc)).agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__k").orderBy(col(vc))
+      grain
+        .withColumn("__a", coalesce(sum(col("__c")).over(w) - col("__c"), lit(0L)))
+        .select(col("__k"), col(vc),
+          (lit(2L) * col("__a") + col("__c") + 1L).as(out))
+    }
+    val ranked = base
+      .join(ranks("__x", "__rx"), Seq("__k", "__x"))
+      .join(ranks("__y", "__ry"), Seq("__k", "__y"))
+    val sums = ranked.groupBy(col("__k"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("__rx"))).cast("double").as("sx"),
+        sum(dec(col("__ry"))).cast("double").as("sy"),
+        sum(dec(col("__rx")) * dec(col("__rx"))).cast("double").as("sxx"),
+        sum(dec(col("__ry")) * dec(col("__ry"))).cast("double").as("syy"),
+        sum(dec(col("__rx")) * dec(col("__ry"))).cast("double").as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denX = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    sums.select(col("__k").as(keyCol), col("n"),
+      when(denX > 0 && denY > 0, num / (sqrt(denX) * sqrt(denY))).as("rho"))
+  }
 }

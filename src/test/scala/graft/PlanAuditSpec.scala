@@ -537,4 +537,28 @@ class PlanAuditSpec extends SparkSpec {
       s"cumulative counts must partition by source: $windows")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q155 ks: every cumulative window is key-partitioned (no global sort)") {
+    val p = planString("q155_ks_drift")
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("__k")),
+      s"pooled cum must ride the key-partitioned window: $windows")
+  }
+
+  test("q156 spearman: midranks come from key-partitioned grain windows") {
+    val p = planString("q156_spearman")
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("__k")),
+      s"rank windows must partition by key: $windows")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q157 benford: windowless; the digit dimension broadcasts") {
+    val p = planString("q157_benford")
+    assert(!p.contains("Window "), p.take(2000))
+    assert(p.contains("Broadcast"),
+      "9-row digit dim must broadcast:\n" + p.take(2000))
+  }
 }

@@ -1454,6 +1454,40 @@ object SparkEntry {
       "pri", "v")
       .orderBy("pri", "digit")
 
+  /** Peak concurrent sessions per day (q158): q54's 6-hour-gap session
+    * intervals swept with the two-level prefix sum
+    * ([[graft.operators.Sweep.maxConcurrency]]) — the capacity-planning
+    * number, exact at every boundary instant. */
+  private def maxConcurrencyQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), eventTs(col("ts")).as("t"))
+    val sess = ev
+      .groupBy(col("user_id"), session_window(col("t"), "6 hours").as("w"))
+      .agg(unix_micros(min(col("t"))).as("s_us"),
+        unix_micros(max(col("t"))).as("e_us"))
+    graft.operators.Sweep.maxConcurrency(sess, "s_us", "e_us",
+        bucketWidth = 86400000000L)
+      .withColumnRenamed("bucket", "day")
+      .orderBy("day")
+  }
+
+  /** Salted skew-join equivalence (q159): lineitem × part revenue per
+    * brand through [[graft.operators.SaltedJoin.saltedEquiJoin]] (8
+    * deterministic salts, forced shuffle join) — row-identical to the
+    * plain join the oracle runs, while the heaviest part key's rows
+    * spread over 8 tasks instead of one. */
+  private def saltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(s, dir).select(col("l_partkey").as("pk"),
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val small = part(s, dir).select(col("p_partkey").as("pk"), col("p_brand"))
+    graft.operators.SaltedJoin.saltedEquiJoin(
+        big, small, "pk", saltBy = Seq("l_orderkey", "l_linenumber"), nSalts = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+      .orderBy("p_brand")
+  }
+
   /** Rank-biased overlap (q146): rank-aware agreement of the int8
     * quantized top-5 (q48) with the exact cosine top-5 (q16) per probe —
     * p=1/2 truncated RBO in exact scaled integers
@@ -2481,7 +2515,9 @@ object SparkEntry {
     "q154_length_auc" -> (lengthAucQ _),
     "q155_ks_drift" -> (ksDriftQ _),
     "q156_spearman" -> (spearmanQ _),
-    "q157_benford" -> (benfordQ _)
+    "q157_benford" -> (benfordQ _),
+    "q158_max_concurrency" -> (maxConcurrencyQ _),
+    "q159_salted_join" -> (saltedJoinQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3588,6 +3624,28 @@ object SparkEntry {
         |FROM tot CROSS JOIN bf
         |LEFT JOIN c ON c.pri = tot.pri AND c.digit = bf.digit
         |ORDER BY tot.pri, bf.digit""".stripMargin,
+    // closed [s,e] intervals -> +1 at s, -1 at e+1; the oracle affords the
+    // global ordered cumulative the engine decomposes into two levels
+    "q158_max_concurrency" ->
+      s"""WITH sess AS (
+         |  SELECT session_start_us AS s, session_end_us AS e
+         |  FROM ($sessionOracleSql)),
+         |d AS (SELECT s AS t, 1 AS net FROM sess
+         |      UNION ALL SELECT e + 1, -1 FROM sess),
+         |tg AS (SELECT t, CAST(SUM(net) AS BIGINT) AS net FROM d GROUP BY 1),
+         |c AS (SELECT t, net,
+         |        SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM tg)
+         |SELECT t // 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS n_changes,
+         |  CAST(MAX(cum) AS BIGINT) AS max_concurrency
+         |FROM c GROUP BY 1 ORDER BY day""".stripMargin,
+    // the salted join's contract IS the plain join: same rows, same agg
+    "q159_salted_join" ->
+      """SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
     // first-appearance epoch per distinct 3-gram; novelty in floor ppm
     "q141_ngram_novelty" ->
       """WITH d AS (

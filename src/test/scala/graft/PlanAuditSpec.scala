@@ -561,4 +561,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Broadcast"),
       "9-row digit dim must broadcast:\n" + p.take(2000))
   }
+
+  test("q158 sweep: within-bucket cums are bucket-partitioned; carries broadcast") {
+    val p = planString("q158_max_concurrency")
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.exists(_.contains("__b")),
+      s"the boundary-grain cum must partition by bucket: $windows")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |buckets|-row carry table must broadcast:\n" + p.take(2000))
+  }
+
+  test("q159 salted join: shuffle join on (key, salt) — never broadcast") {
+    val p = planString("q159_salted_join")
+    assert(!p.contains("BroadcastHashJoin"),
+      "a broadcast join would make the salt dead weight:\n" + p.take(2000))
+    assert(p.contains("__salt"),
+      "join keys must include the salt:\n" + p.take(2000))
+  }
 }

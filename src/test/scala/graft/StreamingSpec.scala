@@ -448,4 +448,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchRows && batchRows.size == 4,
       s"streamed=$streamed batch=$batchRows")
   }
+
+  test("streaming hitters: out-of-order whole-epoch drops match the batch rollup") {
+    import graft.streaming.HittersStream
+    val base = Files.createTempDirectory("graft-hitstream").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(pmod(col("event_id"), lit(5L)).as("epoch"), col("user_id"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = HittersStream.writer(
+      input.toDF().toDF("epoch", "user_id"),
+      s"$base/store", s"$base/ckpt", "epoch", "user_id", k = 10,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val rows = ev.as[(Long, Long)].collect()
+    // whole epochs, deliberately OUT of order, one multi-epoch batch —
+    // per-epoch top-k depends only on the epoch's own counts
+    for (batch <- Seq(Seq(3L), Seq(0L, 4L), Seq(2L), Seq(1L))) {
+      input.addData(rows.filter(r => batch.contains(r._1)).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = HittersStream.survivors(spark, s"$base/store", minEpochs = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batchRows = graft.operators.HeavyHitters.persistentHitters(
+        ev, "epoch", "user_id", k = 10, minEpochs = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batchRows && batchRows.nonEmpty,
+      s"streamed=$streamed batch=$batchRows")
+  }
 }

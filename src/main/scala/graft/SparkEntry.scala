@@ -1471,6 +1471,65 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** Hilbert-vs-Morton locality audit (q160): both curves index the same
+    * distinct (suppkey, partkey) cell grid at 16 bits/dim; the score is
+    * the total Manhattan distance between INDEX-CONSECUTIVE cells (the
+    * walk a range scan takes through key space), summed within index
+    * buckets so the comparison windows stay bucket-partitioned —
+    * cross-bucket steps (1 per bucket) are uncounted on both sides
+    * ([[graft.operators.Layout.withHilbert2]] vs
+    * [[graft.operators.Layout.zValue2]]). Morton pays its quadrant jumps
+    * here; Hilbert's consecutive indices are grid-adjacent by
+    * construction, so its walk is near-minimal. A bbox-area score would
+    * NOT discriminate — at dyadic bucket sizes both curves tile the same
+    * rectangles; the jump metric is the one that sees Morton's seams. */
+  private def hilbertLocalityQ(s: SparkSession, dir: String): DataFrame = {
+    val cells = lineitem(s, dir)
+      .select(col("l_suppkey").as("cx"), col("l_partkey").as("cy")).distinct()
+    val z = cells
+      .withColumn("idx", graft.operators.Layout.zValue2(col("cx"), col("cy"), bits = 16))
+      .withColumn("strategy", lit("zorder"))
+    val h = graft.operators.Layout.withHilbert2(cells, "cx", "cy", bits = 16, "idx")
+      .withColumn("strategy", lit("hilbert"))
+    val w = Window.partitionBy(col("strategy"), col("bucket")).orderBy(col("idx"))
+    z.unionByName(h)
+      .withColumn("bucket", shiftright(col("idx"), 14))
+      .withColumn("__px", lag(col("cx"), 1).over(w))
+      .withColumn("__py", lag(col("cy"), 1).over(w))
+      .withColumn("__jump",
+        when(col("__px").isNull, lit(0L))
+          .otherwise(abs(col("cx") - col("__px")) + abs(col("cy") - col("__py"))))
+      .groupBy(col("strategy"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("__px").isNull, 0L).otherwise(1L)).as("n_steps"),
+        sum(col("__jump")).as("total_jump"))
+      .orderBy("strategy")
+  }
+
+  /** Gate calibration table (q161): keep-rate of the q76 curation verdict
+    * per global length decile per source — the reliability diagram behind
+    * q154's single-number AUC (which deciles carry the gate's decisions,
+    * and do sources disagree at fixed length?). Deciles via
+    * [[graft.operators.Batching.groupedNtile]] (distinct-grain, engine
+    * ntile semantics). */
+  private def gateCalibrationQ(s: SparkSession, dir: String): DataFrame = {
+    def floorDiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+      .withColumn("__k", lit(1))
+    val tiled = graft.operators.Batching.groupedNtile(
+      d, keyCols = Seq("__k"), valCol = "n_chars", idCol = "doc_id",
+      n = 10, outCol = "decile")
+    tiled
+      .join(curationVerdicts(s, dir).select(col("doc_id"), col("keep")), "doc_id")
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_ppm",
+        floorDiv(col("n_keep") * lit(1000000L), col("n_docs")))
+      .orderBy("source", "decile")
+  }
+
   /** Salted skew-join equivalence (q159): lineitem × part revenue per
     * brand through [[graft.operators.SaltedJoin.saltedEquiJoin]] (8
     * deterministic salts, forced shuffle join) — row-identical to the
@@ -2517,7 +2576,9 @@ object SparkEntry {
     "q156_spearman" -> (spearmanQ _),
     "q157_benford" -> (benfordQ _),
     "q158_max_concurrency" -> (maxConcurrencyQ _),
-    "q159_salted_join" -> (saltedJoinQ _)
+    "q159_salted_join" -> (saltedJoinQ _),
+    "q160_hilbert_locality" -> (hilbertLocalityQ _),
+    "q161_gate_calibration" -> (gateCalibrationQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3646,6 +3707,47 @@ object SparkEntry {
         |    AS revenue_cents
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    // generated 16-step rotation CTE chain mirrors withHilbert2 column
+    // for column; Morton from the shared zValue2Sql generator
+    "q160_hilbert_locality" -> {
+      val zsql = graft.operators.Layout.zValue2Sql("cx", "cy", 16)
+      val hctes = graft.operators.Layout.hilbert2SqlCtes("hin", 16, Seq("cx", "cy"))
+      s"""WITH cells AS (
+         |  SELECT DISTINCT l_suppkey AS cx, l_partkey AS cy FROM lineitem),
+         |hin AS (SELECT cx, cy, cx AS hx, cy AS hy FROM cells),
+         |$hctes,
+         |hz AS (SELECT 'hilbert' AS strategy, cx, cy, hd AS idx FROM hil16
+         |       UNION ALL
+         |       SELECT 'zorder', cx, cy, $zsql FROM cells),
+         |lg AS (SELECT strategy, cx, cy,
+         |         LAG(cx) OVER (PARTITION BY strategy, idx >> 14
+         |           ORDER BY idx) AS px,
+         |         LAG(cy) OVER (PARTITION BY strategy, idx >> 14
+         |           ORDER BY idx) AS py
+         |       FROM hz)
+         |SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(CASE WHEN px IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_steps,
+         |  CAST(SUM(CASE WHEN px IS NULL THEN 0
+         |            ELSE abs(cx - px) + abs(cy - py) END) AS BIGINT)
+         |    AS total_jump
+         |FROM lg GROUP BY 1 ORDER BY strategy""".stripMargin
+    },
+    // constant-key ntile == plain NTILE over (value, id); keep flags from
+    // the shared curation CTE
+    "q161_gate_calibration" ->
+      s"""WITH cur AS (SELECT doc_id, keep FROM ($curationGateSql)),
+         |t AS (SELECT doc_id, source,
+         |        CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+         |          AS decile
+         |      FROM documents),
+         |j AS (SELECT t.source, t.decile, cur.keep
+         |      FROM t JOIN cur USING (doc_id))
+         |SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST((SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+         |    AS BIGINT) AS keep_ppm
+         |FROM j GROUP BY 1, 2 ORDER BY source, decile""".stripMargin,
     // first-appearance epoch per distinct 3-gram; novelty in floor ppm
     "q141_ngram_novelty" ->
       """WITH d AS (

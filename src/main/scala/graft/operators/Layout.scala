@@ -45,6 +45,92 @@ object Layout {
     terms.reduce(_ + _)
   }
 
+  /** 2-D Hilbert index (Hilbert curve xy2d, the standard quadrant-rotation
+    * formulation): unlike Morton order, the Hilbert curve never jumps —
+    * consecutive indices are always grid-adjacent — so equal-width index
+    * buckets tile the plane into visibly tighter boxes (the q160 audit
+    * measures exactly this). The per-bit rotation mutates (x, y), which a
+    * pure expression tree would re-expand exponentially; instead each of
+    * the `bits` iterations is ONE projection (`withColumn` chain —
+    * whole-stage codegen fuses the chain into a single pass), mirrored
+    * column-for-column by [[hilbert2SqlCtes]] for the DuckDB oracle.
+    *
+    * Adds `outCol` to `df`; inputs must be in [0, 2^bits) (enforced by
+    * the same raise_error discipline as [[zValue2]]). */
+  def withHilbert2(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      outCol: String): DataFrame = {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    require(!df.columns.exists(c => c.startsWith("__h")),
+      "input must not contain reserved internal columns __h*")
+    def checked(c: Column): Column = {
+      val v = c.cast("long")
+      when(v.isNull || v < 0 || v >= (1L << bits),
+        raise_error(concat(
+          lit(s"withHilbert2: input outside [0, 2^$bits): "), v.cast("string")))
+          .cast("long"))
+        .otherwise(v)
+    }
+    var cur = df
+      .withColumn("__hx", checked(col(xCol)))
+      .withColumn("__hy", checked(col(yCol)))
+      .withColumn("__hd", lit(0L))
+    for (i <- bits - 1 to 0 by -1) {
+      val s = 1L << i
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      cur = cur
+        .withColumn("__hrx", rx)
+        .withColumn("__hry", ry)
+        .withColumn("__hd",
+          col("__hd") + lit(s * s) *
+            (lit(3L) * col("__hrx")).bitwiseXOR(col("__hry")))
+        .withColumn("__hxr",
+          when(col("__hry") === 0L && col("__hrx") === 1L,
+            lit(s - 1L) - col("__hx")).otherwise(col("__hx")))
+        .withColumn("__hyr",
+          when(col("__hry") === 0L && col("__hrx") === 1L,
+            lit(s - 1L) - col("__hy")).otherwise(col("__hy")))
+        .withColumn("__hx",
+          when(col("__hry") === 0L, col("__hyr")).otherwise(col("__hxr")))
+        .withColumn("__hy",
+          when(col("__hry") === 0L, col("__hxr")).otherwise(col("__hyr")))
+    }
+    cur.withColumn(outCol, col("__hd"))
+      .drop("__hx", "__hy", "__hd", "__hrx", "__hry", "__hxr", "__hyr")
+  }
+
+  /** DuckDB replay of [[withHilbert2]]: a chain of `bits` CTEs named
+    * `<prefix>0..<prefix>bits`, each one rotation step. The input CTE
+    * must expose columns `hx, hy` (plus any passthrough columns listed in
+    * `keep`); the final CTE `<prefix><bits>` carries `keep` + `hd`. */
+  def hilbert2SqlCtes(
+      inputCte: String,
+      bits: Int,
+      keep: Seq[String],
+      prefix: String = "hil"): String = {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    val keepCols = keep.mkString(", ")
+    val init =
+      s"${prefix}0 AS (SELECT $keepCols, hx, hy, CAST(0 AS BIGINT) AS hd FROM $inputCte)"
+    val steps = (bits - 1 to 0 by -1).zipWithIndex.map { case (i, step) =>
+      val s = 1L << i
+      val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      val xr = s"(CASE WHEN $ry = 0 AND $rx = 1 THEN ${s - 1} - hx ELSE hx END)"
+      val yr = s"(CASE WHEN $ry = 0 AND $rx = 1 THEN ${s - 1} - hy ELSE hy END)"
+      s"""${prefix}${step + 1} AS (SELECT $keepCols,
+         |  (CASE WHEN $ry = 0 THEN $yr ELSE $xr END) AS hx,
+         |  (CASE WHEN $ry = 0 THEN $xr ELSE $yr END) AS hy,
+         |  hd + ${s * s} * xor(3 * $rx, $ry) AS hd
+         |  FROM ${prefix}$step)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
   /** The same computation as a SQL fragment (for generated oracles). */
   def zValue2Sql(x: String, y: String, bits: Int): String = {
     require(bits > 0 && bits <= 31, "bits must be in [1, 31]")

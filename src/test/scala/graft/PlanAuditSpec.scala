@@ -579,4 +579,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__salt"),
       "join keys must include the salt:\n" + p.take(2000))
   }
+
+  test("q160 locality: jump windows are (strategy, bucket)-partitioned") {
+    val p = planString("q160_hilbert_locality")
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty &&
+      windows.forall(w => w.contains("strategy") && w.contains("bucket")),
+      s"jump lags must stay bucket-partitioned: $windows")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q161 calibration: no corpus-grain global sort (distinct-grain ntile)") {
+    val p = planString("q161_gate_calibration")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // groupedNtile plans its tile from the distinct-length histogram —
+    // the raw doc stream must not pass through a global Sort+Window ntile
+    assert(!p.contains("ntile"), "must not use a global ntile window:\n" + p.take(2000))
+  }
 }

@@ -99,7 +99,10 @@ object Bench {
       "q130_pq_recall", "q131_mutual_knn", "q132_ivf_pq_recall", "q133_knn_clusters",
       "q134_lexical_profile", "q135_attribution", "q136_dup_matrix",
       "q138_semantic_decon", "q139_label_prop", "q140_tv_drift",
-      "q141_ngram_novelty", "q142_dedup_roi", "q145_simpson")
+      "q141_ngram_novelty", "q142_dedup_roi", "q145_simpson",
+      "q149_source_jaccard", "q151_winnow_density", "q152_winnow_pairs",
+      "q155_ks_drift", "q156_spearman", "q158_max_concurrency",
+      "q160_hilbert_locality", "q162_lsh_precision", "q163_quality_keeper")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

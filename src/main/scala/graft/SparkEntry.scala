@@ -1530,6 +1530,73 @@ object SparkEntry {
       .orderBy("source", "decile")
   }
 
+  /** LSH precision — candidate-verify (q162): every q18 minhash candidate
+    * pair re-scored by EXACT distinct-2-shingle Jaccard (integer
+    * cross-multiplication, floor ppm) with a τ=0.5 verified flag — the
+    * precision companion to q128's recall ablation: recall says what the
+    * bands miss, this says what they drag in. Verification work is
+    * bounded by |candidates| × shingles/doc (the banding + maxBucket
+    * screen paid for that bound already); zero-overlap candidates (band
+    * collisions) survive via the left join. */
+  private def lshPrecisionQ(s: SparkSession, dir: String): DataFrame = {
+    def floorDiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val docs = documents(s, dir)
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+      .select("id_a", "id_b")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val sh = docs.select(col("doc_id"), toks.as("__t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(size(col("__t")) - 1, lit(1)))).as("__p"),
+        col("__t"))
+      .select(col("doc_id"),
+        array_join(slice(col("__t"), col("__p"), lit(2)), " ").as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.toDF("id_a", "__sha"), "id_a")
+      .join(sh.toDF("__ib", "__shb"),
+        col("id_b") === col("__ib") && col("__sha") === col("__shb"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.toDF("id_a", "__na"), "id_a")
+      .join(sizes.toDF("id_b", "__nb"), "id_b")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("__na") + col("__nb") - col("n_inter"))
+      .withColumn("jaccard_ppm",
+        floorDiv(col("n_inter") * lit(1000000L), col("n_union")))
+      .withColumn("verified", col("jaccard_ppm") >= 500000L)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        col("jaccard_ppm"), col("verified"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Quality-aware dedup keeper (q163): q47's connected components with
+    * the canonical document chosen by MAX token mass (ties → smaller id)
+    * instead of min-id — the arbitration a curation pipeline actually
+    * wants (keep the richest copy); one max-struct aggregate per
+    * component, token mass re-priced per cluster. */
+  private def qualityKeeperQ(s: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      graft.Caching.track(
+        Dedup.minhashCandidatePairs(documents(s, dir), "doc_id", "text",
+          shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)))
+    val toksz = documents(s, dir).select(col("doc_id").as("id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    comp.join(toksz, "id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("n_tok"), (-col("id")).as("nid"))).as("__best"),
+        sum(col("n_tok")).as("total_toks"))
+      .select(col("component"), col("n_docs"),
+        (-col("__best.nid")).as("keeper_doc"),
+        col("__best.n_tok").as("keeper_toks"),
+        col("total_toks"),
+        (col("total_toks") - col("__best.n_tok")).as("saved_toks"))
+      .orderBy("component")
+  }
+
   /** Salted skew-join equivalence (q159): lineitem × part revenue per
     * brand through [[graft.operators.SaltedJoin.saltedEquiJoin]] (8
     * deterministic salts, forced shuffle join) — row-identical to the
@@ -2578,7 +2645,9 @@ object SparkEntry {
     "q158_max_concurrency" -> (maxConcurrencyQ _),
     "q159_salted_join" -> (saltedJoinQ _),
     "q160_hilbert_locality" -> (hilbertLocalityQ _),
-    "q161_gate_calibration" -> (gateCalibrationQ _)
+    "q161_gate_calibration" -> (gateCalibrationQ _),
+    "q162_lsh_precision" -> (lshPrecisionQ _),
+    "q163_quality_keeper" -> (qualityKeeperQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3733,6 +3802,52 @@ object SparkEntry {
          |    AS total_jump
          |FROM lg GROUP BY 1 ORDER BY strategy""".stripMargin
     },
+    // the pipeline CTE's sh table IS the shingle grain; pairs from the
+    // q18/q136 band derivation; exact Jaccard by (id_b, shingle) join
+    "q162_lsh_precision" ->
+      s"""WITH $minhashPipelineCte,
+         |prs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM sized a JOIN sized b
+         |    ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+         |  WHERE a.bsz BETWEEN 2 AND 1000),
+         |shd AS (SELECT DISTINCT id, s FROM sh),
+         |sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM shd GROUP BY 1),
+         |i AS (SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+         |      FROM prs p JOIN shd a ON a.id = p.id_a
+         |                 JOIN shd b ON b.id = p.id_b AND b.s = a.s
+         |      GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_inter,
+         |  CAST(za.n + zb.n - COALESCE(i.ni, 0) AS BIGINT) AS n_union,
+         |  CAST((COALESCE(i.ni, 0) * 1000000)
+         |    // (za.n + zb.n - COALESCE(i.ni, 0)) AS BIGINT) AS jaccard_ppm,
+         |  ((COALESCE(i.ni, 0) * 1000000)
+         |    // (za.n + zb.n - COALESCE(i.ni, 0))) >= 500000 AS verified
+         |FROM prs p LEFT JOIN i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |JOIN sz za ON za.id = p.id_a JOIN sz zb ON zb.id = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+    // q47's recursive components + token mass; keeper = rank-1 by
+    // (n_tok desc, id asc) — the max-struct tie-break
+    "q163_quality_keeper" ->
+      s"""WITH comp AS ($dedupGroupsOracleSql),
+         |tk AS (SELECT doc_id AS id,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |           AS n_tok
+         |       FROM documents),
+         |j AS (SELECT c.component, c.id, t.n_tok
+         |      FROM comp c JOIN tk t USING (id)),
+         |r AS (SELECT component, id, n_tok,
+         |        row_number() OVER (PARTITION BY component
+         |          ORDER BY n_tok DESC, id ASC) AS rk
+         |      FROM j)
+         |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(MIN(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS keeper_doc,
+         |  CAST(MIN(CASE WHEN rk = 1 THEN n_tok END) AS BIGINT) AS keeper_toks,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_toks,
+         |  CAST(SUM(n_tok) - MIN(CASE WHEN rk = 1 THEN n_tok END) AS BIGINT)
+         |    AS saved_toks
+         |FROM r GROUP BY component ORDER BY component""".stripMargin,
     // constant-key ntile == plain NTILE over (value, id); keep flags from
     // the shared curation CTE
     "q161_gate_calibration" ->

@@ -1597,6 +1597,62 @@ object SparkEntry {
       .orderBy("component")
   }
 
+  /** Percentile normalization (q164): each document's length mapped to
+    * its midrank percentile WITHIN its source (floor ppm) — the
+    * cross-source-comparable score a fair gate thresholds on
+    * ([[graft.operators.Profiling.percentileNormalize]]). */
+  private def percentileNormalizeQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.percentileNormalize(
+      documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", "doc_id")
+      .orderBy("doc_id")
+
+  /** Zipf vocabulary segmentation (q165): head/middle/tail split of the
+    * corpus vocabulary at 50%/90% cumulative token mass, computed on the
+    * frequency-of-frequency grain
+    * ([[graft.operators.Quality.zipfSegments]]) — the vocab-cap sizing
+    * view (what a cutoff keeps vs drops). */
+  private def zipfSegmentsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.zipfSegments(documents(s, dir), "text")
+      .orderBy("segment")
+
+  /** Item-item cosine (q166): part-grain co-order similarity — the
+    * neighborhood recommender kernel as exact squared-cosine ppm
+    * ([[graft.operators.Itemsets.itemCosine]]); top-50 pairs by
+    * (cos², a, b) total order. */
+  private def itemCosineQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Itemsets.itemCosine(
+      lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minSupport = 3L)
+      .orderBy(col("cos2_ppm").desc, col("item_a"), col("item_b"))
+      .limit(50)
+
+  /** Repurchase survival curve (q167): per purchase-to-purchase gap, the
+    * share landing within 1/7/14/30 days — the retention-horizon number
+    * behind q91's day-grid retention; gaps from a (user, ts, event_id)
+    * total-ordered lag, one pass, unpivoted by `stack`. */
+  private def repurchaseCurveQ(s: SparkSession, dir: String): DataFrame = {
+    def us(c: Column): Column =
+      floor(c.cast("decimal(20,0)") / lit(1000)).cast("long")
+    val day = 86400000000L
+    val p = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), us(col("ts")).as("t"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val gaps = p.withColumn("__gap", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    def cWithin(k: Int) =
+      sum(when(col("__gap") <= k * day, 1L).otherwise(0L)).as(s"c$k")
+    val a = gaps.agg(count(lit(1)).as("n"),
+      cWithin(1), cWithin(7), cWithin(14), cWithin(30))
+    def floorDiv(x: Column, y: Column) = ((x - pmod(x, y)) / y).cast("long")
+    a.select(expr(
+        "stack(4, 1L, c1, 7L, c7, 14L, c14, 30L, c30) AS (k_days, n_within)"),
+        col("n"))
+      .select(col("k_days"), col("n").as("n_gaps"), col("n_within"),
+        floorDiv(col("n_within") * lit(1000000L), col("n")).as("within_ppm"))
+      .orderBy("k_days")
+  }
+
   /** Salted skew-join equivalence (q159): lineitem × part revenue per
     * brand through [[graft.operators.SaltedJoin.saltedEquiJoin]] (8
     * deterministic salts, forced shuffle join) — row-identical to the
@@ -2647,7 +2703,11 @@ object SparkEntry {
     "q160_hilbert_locality" -> (hilbertLocalityQ _),
     "q161_gate_calibration" -> (gateCalibrationQ _),
     "q162_lsh_precision" -> (lshPrecisionQ _),
-    "q163_quality_keeper" -> (qualityKeeperQ _)
+    "q163_quality_keeper" -> (qualityKeeperQ _),
+    "q164_percentile_normalize" -> (percentileNormalizeQ _),
+    "q165_zipf_segments" -> (zipfSegmentsQ _),
+    "q166_item_cosine" -> (itemCosineQ _),
+    "q167_repurchase_curve" -> (repurchaseCurveQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3848,6 +3908,100 @@ object SparkEntry {
          |  CAST(SUM(n_tok) - MIN(CASE WHEN rk = 1 THEN n_tok END) AS BIGINT)
          |    AS saved_toks
          |FROM r GROUP BY component ORDER BY component""".stripMargin,
+    // q101's basket shape at the part grain + degree join; cos^2 in
+    // HUGEINT, total-ordered top-50
+    "q166_item_cosine" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |f AS (SELECT i FROM bi GROUP BY i HAVING COUNT(*) >= 3),
+        |bf AS (SELECT b, i FROM bi WHERE i IN (SELECT i FROM f)),
+        |p AS (SELECT a.i AS item_a, b2.i AS item_b,
+        |        CAST(COUNT(*) AS BIGINT) AS pair_count
+        |      FROM bf a JOIN bf b2 ON a.b = b2.b AND a.i < b2.i
+        |      GROUP BY 1, 2),
+        |pp AS (SELECT * FROM p WHERE pair_count >= 3),
+        |d AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS d FROM bi GROUP BY 1)
+        |SELECT item_a, item_b, pair_count, da.d AS d_a, db.d AS d_b,
+        |  CAST((CAST(pair_count AS HUGEINT) * pair_count * 1000000)
+        |    // (CAST(da.d AS HUGEINT) * db.d) AS BIGINT) AS cos2_ppm
+        |FROM pp JOIN d da ON da.i = pp.item_a JOIN d db ON db.i = pp.item_b
+        |ORDER BY cos2_ppm DESC, item_a, item_b LIMIT 50""".stripMargin,
+    // total-ordered (t, event_id) lag; one aggregate unpivoted to the
+    // 4-horizon curve
+    "q167_repurchase_curve" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (SELECT t - LAG(t) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id) AS gap FROM p),
+        |g AS (SELECT gap FROM l WHERE gap IS NOT NULL),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN gap <= 86400000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c1,
+        |  CAST(SUM(CASE WHEN gap <= 604800000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c7,
+        |  CAST(SUM(CASE WHEN gap <= 1209600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c14,
+        |  CAST(SUM(CASE WHEN gap <= 2592000000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c30
+        |  FROM g)
+        |SELECT k_days, n AS n_gaps, c AS n_within,
+        |  CAST((c * 1000000) // n AS BIGINT) AS within_ppm
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS k_days, n, c1 AS c FROM a
+        |  UNION ALL SELECT 7, n, c7 FROM a
+        |  UNION ALL SELECT 14, n, c14 FROM a
+        |  UNION ALL SELECT 30, n, c30 FROM a)
+        |ORDER BY k_days""".stripMargin,
+    // midranks on the (source, value) grain joined back to docs
+    "q164_percentile_normalize" ->
+      """WITH g AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, v, c,
+        |        CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 0)
+        |          AS BIGINT) AS a,
+        |        CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM g),
+        |p AS (SELECT source, v,
+        |        CAST(((2 * a + c + 1) * 1000000) // (2 * n) AS BIGINT)
+        |          AS pct_ppm
+        |      FROM r)
+        |SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |  p.pct_ppm
+        |FROM documents d JOIN p ON p.source = d.source AND p.v = d.n_chars
+        |ORDER BY d.doc_id""".stripMargin,
+    // frequency-of-frequency grain; whole levels assigned by integer
+    // cross-multiplied 50%/90% preceding-mass thresholds
+    "q165_zipf_segments" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        |ff AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nt,
+        |         CAST(c * COUNT(*) AS BIGINT) AS mass
+        |       FROM tc GROUP BY 1),
+        |r AS (SELECT c, nt, mass,
+        |        CAST(COALESCE(SUM(mass) OVER (ORDER BY c DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS HUGEINT) AS prev,
+        |        CAST(SUM(mass) OVER () AS HUGEINT) AS m
+        |      FROM ff),
+        |s AS (SELECT c, nt, mass, m,
+        |        CASE WHEN 2 * prev < m THEN '1_head'
+        |             WHEN 10 * prev < 9 * m THEN '2_middle'
+        |             ELSE '3_tail' END AS segment
+        |      FROM r)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_levels,
+        |  CAST(SUM(nt) AS BIGINT) AS n_terms,
+        |  CAST(SUM(mass) AS BIGINT) AS mass,
+        |  CAST((CAST(SUM(mass) AS HUGEINT) * 1000000) // MAX(m) AS BIGINT)
+        |    AS mass_ppm,
+        |  CAST(MIN(c) AS BIGINT) AS min_freq,
+        |  CAST(MAX(c) AS BIGINT) AS max_freq
+        |FROM s GROUP BY 1 ORDER BY segment""".stripMargin,
     // constant-key ntile == plain NTILE over (value, id); keep flags from
     // the shared curation CTE
     "q161_gate_calibration" ->

@@ -66,4 +66,42 @@ object Itemsets {
       .agg(count(lit(1)).as("pair_count"))
       .where(col("pair_count") >= minSupport)
   }
+
+  /** Item-item cosine similarity over co-occurrence — the classic
+    * neighborhood recommender kernel (and the "what belongs together"
+    * audit for curriculum/mixture design): with binary basket-item
+    * incidence, cos(a,b) = n_ab / √(d_a·d_b). Reported as the exact
+    * SQUARED cosine in floor ppm — cos²·10⁶ = n_ab²·10⁶/(d_a·d_b) is pure
+    * integer arithmetic (decimal(38,0): n_ab² alone passes long at ~3e9
+    * co-occurrences), monotone in cosine, so rankings/thresholds carry
+    * over and any engine replays it bit-for-bit, no sqrt anywhere.
+    *
+    * Scale shape: pairs come from [[frequentPairs]] (support-pruned
+    * before pair formation, maxBasketItems flood cap); degrees are one
+    * aggregate on the distinct incidence grain, joined back onto the
+    * (already support-bounded) pair table. Returns
+    * (item_a, item_b, pair_count, d_a, d_b, cos2_ppm). */
+  def itemCosine(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long,
+      maxBasketItems: Int = Int.MaxValue): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def floorDiv(a: Column, b: Column): Column = (a - pmod(a, b)) / b
+    val pairs = frequentPairs(df, basketCol, itemCol, minSupport, maxBasketItems)
+    val degrees = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .where(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+      .groupBy(col("__i")).agg(count(lit(1)).as("__d"))
+    pairs
+      .join(degrees.toDF("item_a", "d_a"), "item_a")
+      .join(degrees.toDF("item_b", "d_b"), "item_b")
+      .withColumn("cos2_ppm",
+        floorDiv(dec(col("pair_count")) * dec(col("pair_count")) * lit(1000000),
+          dec(col("d_a")) * dec(col("d_b"))).cast("long"))
+      .select(col("item_a"), col("item_b"), col("pair_count"),
+        col("d_a"), col("d_b"), col("cos2_ppm"))
+  }
 }

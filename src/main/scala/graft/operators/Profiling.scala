@@ -620,6 +620,41 @@ object Profiling {
       .select(col(keyCol), col("n_pos"), col("n_neg"), col("auc_ppm"))
   }
 
+  /** Midrank percentile transform — maps each row's value to its
+    * percentile WITHIN its group (midrank/n, floor ppm): the score
+    * normalization that makes per-source thresholds comparable when
+    * sources have wildly different scale distributions (a 75th-percentile
+    * doc is "equally long for its source" everywhere — the fair-gate
+    * companion to q161's calibration table). Midrank of a run of c tied
+    * values with `a` strictly below is a + (c+1)/2; doubled to stay
+    * integral: pct_ppm = ⌊10⁶·(2a + c + 1) / (2n)⌋.
+    *
+    * Scale shape: the (group, value) DISTINCT grain carries both windows
+    * (cumulative + group total — the [[rankSumAuc]] discipline), then one
+    * join back to rows on (group, value); no corpus-grain sort.
+    *
+    * Returns df's (idCol, keyCol, valCol) plus `pct_ppm`. */
+  def percentileNormalize(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      idCol: String): DataFrame = {
+    def floorDiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val grain = df
+      .groupBy(col(keyCol), col(valCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+    val pct = grain
+      .withColumn("__a", coalesce(sum(col("__c")).over(w) - col("__c"), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(keyCol))))
+      .select(col(keyCol).as("__k2"), col("__v").as("__v2"),
+        floorDiv((lit(2L) * col("__a") + col("__c") + 1L) * lit(1000000L),
+          lit(2L) * col("__n")).as("pct_ppm"))
+    df.select(col(idCol), col(keyCol), col(valCol).cast("long").as("__val"))
+      .join(pct, col(keyCol) === col("__k2") && col("__val") === col("__v2"))
+      .select(col(idCol), col(keyCol), col("__val").as(valCol), col("pct_ppm"))
+  }
+
   /** Benford leading-digit audit per key — the financial-data quality
     * screen (Nigrini's fraud/corruption test, equally a synthetic-data
     * detector: generated numeric columns rarely reproduce the log-uniform

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gopher-style document quality rules (Rae et al. 2021, Appendix A —
@@ -133,5 +134,53 @@ object Quality {
         floorDiv(dec(col("repeat_pairs")) * lit(1000000),
           greatest(dec(col("n_tokens")) * dec(col("n_tokens") - 1L), dec(lit(1))))
           .cast("long"))
+  }
+
+  /** Zipf head/middle/tail vocabulary segmentation — which slice of the
+    * vocabulary carries the token mass: walking frequency levels from the
+    * most frequent down, `head` = levels whose PRECEDING cumulative mass
+    * is < 50% of all tokens, `middle` = < 90%, `tail` = the rest (a whole
+    * frequency level lands in one segment — terms tied in frequency are
+    * indistinguishable, so no within-level split). The tokenizer/vocab
+    * sizing view: head terms are stopword-like (candidate subword fodder),
+    * the tail is the hapax mass a vocab cap drops.
+    *
+    * Scale shape: corpus → term grain (one map-side-combined shuffle) →
+    * FREQUENCY-OF-FREQUENCY grain (c, n_terms) — bounded by the number of
+    * distinct frequency VALUES (≪ vocab; Zipf packs the tail into few
+    * levels). The cumulative window runs on that tiny grain (documented
+    * single-partition window, like the q158 bucket carry); thresholds are
+    * integer cross-multiplications (2·prev < M, 10·prev < 9·M), decimal
+    * (38,0) against corpus-scale token counts.
+    *
+    * Returns (segment, n_levels, n_terms, mass, mass_ppm, min_freq,
+    * max_freq), one row per non-empty segment. */
+  def zipfSegments(docs: DataFrame, textCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def floorDiv(a: Column, b: Column): Column = (a - pmod(a, b)) / b
+    val terms = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val ff = terms.groupBy(col("__c")).agg(count(lit(1)).as("__nt"))
+      .withColumn("__mass", col("__c") * col("__nt"))
+    val w = Window.orderBy(col("__c").desc)
+    ff
+      .withColumn("__prev",
+        coalesce(sum(dec(col("__mass")))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), dec(lit(0))))
+      .withColumn("__m", sum(dec(col("__mass"))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("segment",
+        when(dec(lit(2)) * col("__prev") < col("__m"), "1_head")
+          .when(dec(lit(10)) * col("__prev") < dec(lit(9)) * col("__m"), "2_middle")
+          .otherwise("3_tail"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_levels"),
+        sum(col("__nt")).as("n_terms"),
+        sum(col("__mass")).as("mass"),
+        floorDiv(sum(dec(col("__mass"))) * lit(1000000),
+          max(col("__m"))).cast("long").as("mass_ppm"),
+        min(col("__c")).as("min_freq"),
+        max(col("__c")).as("max_freq"))
   }
 }

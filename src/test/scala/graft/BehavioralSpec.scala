@@ -211,4 +211,27 @@ class BehavioralSpec extends SparkSpec {
       Funnel.retentionCohorts(bad2, "user_id", col("__d"))
     }
   }
+
+  test("q167 repurchase curve matches a JVM gap replay") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q167_repurchase_curve")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val purchases = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("ts").cast("decimal(20,0)") / 1000).cast("long").as("t"),
+        col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val gaps = purchases.groupBy(_._1).values.flatMap { rs =>
+      val s = rs.sortBy(r => (r._2, r._3))
+      s.sliding(2).collect { case Array(a, b) => b._2 - a._2 }
+    }.toSeq
+    val day = 86400000000L
+    val want = Seq(1, 7, 14, 30).map { k =>
+      val c = gaps.count(_ <= k * day).toLong
+      (k.toLong, gaps.size.toLong, c, c * 1000000L / gaps.size)
+    }
+    assert(got == want, s"got=$got want=$want")
+  }
 }

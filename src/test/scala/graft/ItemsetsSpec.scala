@@ -62,4 +62,17 @@ class ItemsetsSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
       "self-join sides must share the basket exchange:\n" + p.take(3000))
   }
+
+  test("itemCosine: exact squared-cosine ppm from pair counts and degrees") {
+    val bi = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (4L, "b"), (5L, "a"), (5L, "b"), (5L, "c")).toDF("b", "i")
+    val got = Itemsets.itemCosine(bi, "b", "i", minSupport = 1L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // d_a = 4, d_b = 4, d_c = 1; n_ab = 3 -> 9e6/16 = 562500
+    assert(got(("a", "b")) == (("a", "b", 3L, 4L, 4L, 562500L)))
+    // n_ac = 1 -> 1e6/(4*1) = 250000; identical items would hit 1e6
+    assert(got(("a", "c")) == (("a", "c", 1L, 4L, 1L, 250000L)))
+    assert(got(("b", "c")) == (("b", "c", 1L, 4L, 1L, 250000L)))
+  }
 }

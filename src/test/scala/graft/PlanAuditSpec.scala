@@ -597,4 +597,21 @@ class PlanAuditSpec extends SparkSpec {
     // the raw doc stream must not pass through a global Sort+Window ntile
     assert(!p.contains("ntile"), "must not use a global ntile window:\n" + p.take(2000))
   }
+
+  test("q164 percentile: midrank windows stay source-partitioned") {
+    val p = planString("q164_percentile_normalize")
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")),
+      s"midrank windows must partition by source: $windows")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q165 zipf: joinless; cumulative runs on the freq-of-freq grain") {
+    val p = planString("q165_zipf_segments")
+    assert(!p.contains("Join"),
+      "segmentation is aggregates + one tiny window:\n" + p.take(2000))
+    // two shuffles to grains (term, then freq-of-freq) before the window
+    assert(p.contains("Window"), p.take(2000))
+  }
 }

@@ -1653,6 +1653,19 @@ object SparkEntry {
       .orderBy("k_days")
   }
 
+  /** Two-sample KS (q168): token-length drift between the first and
+    * second corpus halves (doc_id % 8 split) — the frozen-baseline drift
+    * gate's kernel ([[graft.operators.Drift.ksTwoSample]]; streaming
+    * face: [[graft.streaming.DriftStream]]). */
+  private def ksTwoSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    graft.operators.Drift.ksTwoSample(
+      d.filter(pmod(col("doc_id"), lit(8L)) < 4).select("n_tok"),
+      d.filter(pmod(col("doc_id"), lit(8L)) >= 4).select("n_tok"),
+      "n_tok")
+  }
+
   /** Salted skew-join equivalence (q159): lineitem × part revenue per
     * brand through [[graft.operators.SaltedJoin.saltedEquiJoin]] (8
     * deterministic salts, forced shuffle join) — row-identical to the
@@ -2707,7 +2720,8 @@ object SparkEntry {
     "q164_percentile_normalize" -> (percentileNormalizeQ _),
     "q165_zipf_segments" -> (zipfSegmentsQ _),
     "q166_item_cosine" -> (itemCosineQ _),
-    "q167_repurchase_curve" -> (repurchaseCurveQ _)
+    "q167_repurchase_curve" -> (repurchaseCurveQ _),
+    "q168_ks_two_sample" -> (ksTwoSampleQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3953,6 +3967,30 @@ object SparkEntry {
         |  UNION ALL SELECT 14, n, c14 FROM a
         |  UNION ALL SELECT 30, n, c30 FROM a)
         |ORDER BY k_days""".stripMargin,
+    // full-join of the two value grains; same cross-multiplied sup as
+    // q155, single comparison
+    "q168_ks_two_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+        |  FROM documents),
+        |ga AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ca FROM d
+        |       WHERE doc_id % 8 < 4 GROUP BY 1),
+        |gb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cb FROM d
+        |       WHERE doc_id % 8 >= 4 GROUP BY 1),
+        |g AS (SELECT COALESCE(ga.v, gb.v) AS v, COALESCE(ca, 0) AS ca,
+        |        COALESCE(cb, 0) AS cb
+        |      FROM ga FULL JOIN gb ON ga.v = gb.v),
+        |c AS (SELECT v,
+        |        SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |        SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+        |        SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        |      FROM g)
+        |SELECT CAST(MIN(na) AS BIGINT) AS n_a, CAST(MIN(nb) AS BIGINT) AS n_b,
+        |  CAST((MAX(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na))
+        |    * 1000000) // (CAST(MIN(na) AS HUGEINT) * MIN(nb)) AS BIGINT)
+        |    AS ks_ppm
+        |FROM c""".stripMargin,
     // midranks on the (source, value) grain joined back to docs
     "q164_percentile_normalize" ->
       """WITH g AS (

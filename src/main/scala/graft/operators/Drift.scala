@@ -149,6 +149,54 @@ object Drift {
         floorDiv(col("n_inter") * 1000000L, col("n_union")).as("jaccard_ppm"))
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov distance between two value
+    * columns — the drift gate a monitoring pipeline runs between a new
+    * crawl drop and a frozen baseline (streaming face:
+    * [[graft.streaming.DriftStream]]). Same cross-multiplied integer sup
+    * as [[ksAgainstPool]], on the union value grain:
+    * D·ppm = ⌊10⁶ · max_v |cumA(v)·nB − cumB(v)·nA| / (nA·nB)⌋.
+    *
+    * Scale shape: each side collapses to its value grain (one map-side-
+    * combined shuffle each); the union grain carries one cumulative
+    * window — value-grain, not row-grain; for a single un-keyed
+    * comparison that window is single-partition on the distinct-value
+    * table (documented tiny grain, the q165 posture). Returns ONE row
+    * (n_a, n_b, ks_ppm). */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    def grain(df: DataFrame) = df
+      .groupBy(col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    ksTwoSampleGrains(grain(a), grain(b))
+  }
+
+  /** [[ksTwoSample]] on pre-aggregated value-grain counts `(v, c)` — the
+    * form a frozen baseline is STORED in (re-expanding counts back to
+    * rows would be an executor-memory bomb; the statistic only ever
+    * needed the grain). */
+  def ksTwoSampleGrains(ga: DataFrame, gb: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def floorDiv(x: Column, y: Column): Column = (x - pmod(x, y)) / y
+    val g = ga.select(col("v").as("__v"), col("c").as("__ca"))
+      .join(gb.select(col("v").as("__v"), col("c").as("__cb")), Seq("__v"), "full")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val w = Window.orderBy("__v")
+    g.withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__nb", sum(col("__cb")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__num",
+        abs(dec(col("__cuma")) * dec(col("__nb")) -
+          dec(col("__cumb")) * dec(col("__na"))))
+      .agg(min(col("__na")).as("n_a"), min(col("__nb")).as("n_b"),
+        max(col("__num")).as("__mx"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          floorDiv(col("__mx") * lit(1000000), dec(col("n_a")) * dec(col("n_b")))
+            .cast("long")).as("ks_ppm"))
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov distance of each key's value
     * distribution against the pooled corpus — the bin-free companion to
     * [[tvDriftBySource]] (TV quantizes into deciles; KS takes the sup of

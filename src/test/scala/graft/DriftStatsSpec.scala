@@ -29,6 +29,19 @@ class DriftStatsSpec extends SparkSpec {
     }
   }
 
+  test("ksTwoSample: hand case, symmetry, identical = 0, disjoint = 1e6") {
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(3L, 4L, 4L).toDF("v")
+    // sup at v=2: |2*3 - 0*3| = 6 -> 6e6/9 = 666666
+    val r = Drift.ksTwoSample(a, b, "v").as[(Long, Long, Long)].head()
+    assert(r == ((3L, 3L, 666666L)))
+    val r2 = Drift.ksTwoSample(b, a, "v").as[(Long, Long, Long)].head()
+    assert(r2._3 == r._3, "KS is symmetric")
+    assert(Drift.ksTwoSample(a, a, "v").as[(Long, Long, Long)].head()._3 == 0L)
+    val c = Seq(10L, 11L).toDF("v")
+    assert(Drift.ksTwoSample(a, c, "v").as[(Long, Long, Long)].head()._3 == 1000000L)
+  }
+
   test("ksAgainstPool: identical per-key distributions score 0") {
     val df = (Seq.fill(3)(("a", 1L)) ++ Seq.fill(2)(("a", 5L)) ++
       Seq.fill(3)(("b", 1L)) ++ Seq.fill(2)(("b", 5L))).toDF("k", "v")

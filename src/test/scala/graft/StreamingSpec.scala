@@ -479,4 +479,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchRows && batchRows.nonEmpty,
       s"streamed=$streamed batch=$batchRows")
   }
+
+  test("streaming drift monitor: per-drop KS vs frozen baseline matches batch") {
+    import graft.streaming.DriftStream
+    val base = Files.createTempDirectory("graft-driftstream").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(pmod(col("doc_id"), lit(4L)).as("epoch"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    // frozen baseline: epoch 0's distribution (pre-seeded)
+    val baselineDf = docs.filter(col("epoch") === 0L).select("n_tok")
+    DriftStream.writeBaseline(baselineDf, "n_tok", s"$base/baseline")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = DriftStream.writer(
+      input.toDF().toDF("epoch", "n_tok"),
+      s"$base/baseline", s"$base/metrics", s"$base/ckpt", "epoch", "n_tok",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val rows = docs.as[(Long, Long)].collect()
+    // one multi-epoch batch then a single drop — against a FROZEN
+    // baseline the batching cannot matter
+    for (batch <- Seq(Seq(1L, 3L), Seq(2L))) {
+      input.addData(rows.filter(r => batch.contains(r._1)).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$base/metrics")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (1L to 3L).map { ep =>
+      val r = graft.operators.Drift.ksTwoSample(
+        docs.filter(col("epoch") === ep).select("n_tok"), baselineDf, "n_tok")
+        .as[(Long, Long, Long)].head()
+      (ep, r._1, r._3)
+    }.toSet
+    assert(streamed == want && want.forall(_._2 > 0), s"$streamed vs $want")
+  }
 }

@@ -1538,12 +1538,12 @@ object SparkEntry {
     * bounded by |candidates| × shingles/doc (the banding + maxBucket
     * screen paid for that bound already); zero-overlap candidates (band
     * collisions) survive via the left join. */
-  private def lshPrecisionQ(s: SparkSession, dir: String): DataFrame = {
+  /** Exact distinct-2-shingle Jaccard for a given (id_a, id_b) pair table
+    * (shared by q162/q169): (id_a, id_b, n_inter, n_union, jaccard_ppm).
+    * Work is |pairs| × shingles/doc; zero-overlap pairs survive via the
+    * left join. */
+  private def exactPairJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
     def floorDiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
-    val docs = documents(s, dir)
-    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
-      .select("id_a", "id_b")
     val toks = split(trim(lower(col("text"))), "\\s+")
     val sh = docs.select(col("doc_id"), toks.as("__t"))
       .select(col("doc_id"),
@@ -1566,10 +1566,51 @@ object SparkEntry {
       .withColumn("n_union", col("__na") + col("__nb") - col("n_inter"))
       .withColumn("jaccard_ppm",
         floorDiv(col("n_inter") * lit(1000000L), col("n_union")))
-      .withColumn("verified", col("jaccard_ppm") >= 500000L)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
-        col("jaccard_ppm"), col("verified"))
+        col("jaccard_ppm"))
+  }
+
+  private def lshPrecisionQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+      .select("id_a", "id_b")
+    exactPairJaccard(docs, pairs)
+      .withColumn("verified", col("jaccard_ppm") >= 500000L)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Minhash-estimate calibration (q169): candidate pairs binned by the
+    * number of agreeing signature components (the engine's Jaccard
+    * ESTIMATE, est/32) against the floor-mean of the exact shingle
+    * Jaccard in each bin — the trust table for every minhash-based
+    * decision upstream (is 24/32 really ≈ 0.75?). */
+  private def minhashCalibrationQ(s: SparkSession, dir: String): DataFrame = {
+    def floorDiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val docs = documents(s, dir)
+    val sigs = Dedup.minhashSigs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, portable = true)
+    val pairs = Dedup.minhashCandidatePairsFromSigs(
+        sigs, numHashes = 32, rowsPerBand = 8, maxBucket = 1000, portable = true)
+      .select("id_a", "id_b")
+    val est = pairs
+      .join(sigs.toDF("id_a", "__sa"), "id_a")
+      .join(sigs.toDF("id_b", "__sb"), "id_b")
+      .withColumn("est_matches",
+        aggregate(
+          zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v))
+      .select("id_a", "id_b", "est_matches")
+    est.join(exactPairJaccard(docs, pairs), Seq("id_a", "id_b"))
+      .groupBy(col("est_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jaccard_ppm")).as("__sum_true"))
+      .select(col("est_matches"),
+        floorDiv(col("est_matches") * lit(1000000L), lit(32L)).as("est_ppm"),
+        col("n_pairs"),
+        floorDiv(col("__sum_true"), col("n_pairs")).as("avg_true_ppm"))
+      .orderBy("est_matches")
   }
 
   /** Quality-aware dedup keeper (q163): q47's connected components with
@@ -1664,6 +1705,20 @@ object SparkEntry {
       d.filter(pmod(col("doc_id"), lit(8L)) < 4).select("n_tok"),
       d.filter(pmod(col("doc_id"), lit(8L)) >= 4).select("n_tok"),
       "n_tok")
+  }
+
+  /** Event lateness audit (q170): per 4096-arrival bucket, how far behind
+    * the running max event-time records arrive (>5 min counted late) —
+    * the watermark-sizing number for every streaming job in the engine
+    * ([[graft.operators.Sweep.latenessAudit]]; arrival proxy =
+    * ingestion-monotone event_id). */
+  private def latenessAuditQ(s: SparkSession, dir: String): DataFrame = {
+    def us(c: Column): Column =
+      floor(c.cast("decimal(20,0)") / lit(1000)).cast("long")
+    graft.operators.Sweep.latenessAudit(
+      events(s, dir).select(col("event_id"), us(col("ts")).as("t_us")),
+      "event_id", "t_us", bucketWidth = 4096L, lateThreshold = 300000000L)
+      .orderBy("bucket")
   }
 
   /** Salted skew-join equivalence (q159): lineitem × part revenue per
@@ -2721,7 +2776,9 @@ object SparkEntry {
     "q165_zipf_segments" -> (zipfSegmentsQ _),
     "q166_item_cosine" -> (itemCosineQ _),
     "q167_repurchase_curve" -> (repurchaseCurveQ _),
-    "q168_ks_two_sample" -> (ksTwoSampleQ _)
+    "q168_ks_two_sample" -> (ksTwoSampleQ _),
+    "q169_minhash_calibration" -> (minhashCalibrationQ _),
+    "q170_lateness_audit" -> (latenessAuditQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3991,6 +4048,50 @@ object SparkEntry {
         |    * 1000000) // (CAST(MIN(na) AS HUGEINT) * MIN(nb)) AS BIGINT)
         |    AS ks_ppm
         |FROM c""".stripMargin,
+    // sig CTE carries m0..m31; agreement = generated 32-term CASE sum;
+    // exact side reuses q162's shingle-join shape; floor-mean per bin
+    "q169_minhash_calibration" -> {
+      val agree = (0 until 32)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashPipelineCte,
+         |prs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM sized a JOIN sized b
+         |    ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+         |  WHERE a.bsz BETWEEN 2 AND 1000),
+         |m AS (SELECT p.id_a, p.id_b, CAST($agree AS BIGINT) AS est_matches
+         |      FROM prs p JOIN sig a ON a.id = p.id_a
+         |                 JOIN sig b ON b.id = p.id_b),
+         |shd AS (SELECT DISTINCT id, s FROM sh),
+         |sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM shd GROUP BY 1),
+         |i AS (SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+         |      FROM prs p JOIN shd a ON a.id = p.id_a
+         |                 JOIN shd b ON b.id = p.id_b AND b.s = a.s
+         |      GROUP BY 1, 2),
+         |jp AS (SELECT m.est_matches,
+         |         (COALESCE(i.ni, 0) * 1000000)
+         |           // (za.n + zb.n - COALESCE(i.ni, 0)) AS jppm
+         |       FROM m LEFT JOIN i ON i.id_a = m.id_a AND i.id_b = m.id_b
+         |       JOIN sz za ON za.id = m.id_a JOIN sz zb ON zb.id = m.id_b)
+         |SELECT est_matches,
+         |  CAST((est_matches * 1000000) // 32 AS BIGINT) AS est_ppm,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(jppm) // COUNT(*) AS BIGINT) AS avg_true_ppm
+         |FROM jp GROUP BY 1 ORDER BY est_matches""".stripMargin
+    },
+    // global running-max lateness; the oracle affords the one-partition
+    // window the engine decomposes into two levels
+    "q170_lateness_audit" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |r AS (SELECT event_id, t,
+        |        MAX(t) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS rm
+        |      FROM e)
+        |SELECT event_id // 4096 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN rm - t > 300000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(MAX(rm - t) AS BIGINT) AS max_lateness
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
     // midranks on the (source, value) grain joined back to docs
     "q164_percentile_normalize" ->
       """WITH g AS (

@@ -64,4 +64,50 @@ object Sweep {
       .agg(count(lit(1)).as("n_changes"), max(col("__cum")).as("max_concurrency"))
       .withColumnRenamed("__b", "bucket")
   }
+
+  /** Out-of-orderness (lateness) audit — how far behind the running
+    * maximum event-time does each arriving record sit? THE number that
+    * sizes a streaming watermark: a watermark tighter than the observed
+    * lateness tail silently drops those records. Arrival order is the
+    * caller's `orderCol` (e.g. an ingestion-monotone id); lateness of a
+    * record = (max event-time over all records arriving at or before it)
+    * − its own event-time.
+    *
+    * Same two-level decomposition as [[maxConcurrency]], with MAX as the
+    * (equally associative) carry: per-bucket maxima roll to a
+    * |buckets|-grain cumulative-max window, broadcast back as the carry
+    * into each bucket's interior running max — no global sort.
+    *
+    * Returns per arrival-order bucket: (bucket, n_events, n_late,
+    * max_lateness) with `n_late` counting lateness > `lateThreshold`
+    * (time units = whatever `tsCol` carries). */
+  def latenessAudit(
+      intervalsOrdered: DataFrame,
+      orderCol: String,
+      tsCol: String,
+      bucketWidth: Long,
+      lateThreshold: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def floorDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val base = intervalsOrdered
+      .select(col(orderCol).cast("long").as("__o"), col(tsCol).cast("long").as("__t"))
+      .withColumn("__b", floorDiv(col("__o"), lit(bucketWidth)))
+    val wb = Window.orderBy("__b")
+    val carries = base.groupBy(col("__b")).agg(max(col("__t")).as("__bmax"))
+      .withColumn("__carry",
+        max(col("__bmax")).over(wb.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__b"), col("__carry"))
+    val wi = Window.partitionBy("__b").orderBy("__o")
+    base.join(broadcast(carries), "__b")
+      .withColumn("__runmax",
+        greatest(
+          coalesce(col("__carry"), lit(Long.MinValue)),
+          max(col("__t")).over(wi.rowsBetween(Window.unboundedPreceding, 0))))
+      .withColumn("__late", col("__runmax") - col("__t"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late") > lateThreshold, 1L).otherwise(0L)).as("n_late"),
+        max(col("__late")).as("max_lateness"))
+      .withColumnRenamed("__b", "bucket")
+  }
 }

@@ -30,6 +30,25 @@ class LshPrecisionSpec extends SparkSpec {
     }
   }
 
+  test("q169 calibration bins partition q162's candidate set exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val cal = SparkEntry.queries("q169_minhash_calibration")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val pairs = SparkEntry.queries("q162_lsh_precision")(spark, dir).count()
+    assert(cal.nonEmpty && cal.map(_._3).sum == pairs,
+      "every candidate pair must land in exactly one estimate bin")
+    for ((est, estPpm, n, avgTrue) <- cal) {
+      assert(est >= 0L && est <= 32L && n > 0L)
+      assert(estPpm == est * 1000000L / 32L)
+      assert(avgTrue >= 0L && avgTrue <= 1000000L)
+    }
+    // signature agreement is a Jaccard estimator: bin means should rise
+    // with the estimate (weak monotonicity over the observed bins)
+    val sorted = cal.sortBy(_._1)
+    assert(sorted.last._4 >= sorted.head._4,
+      s"top bin should not score below the bottom bin: $sorted")
+  }
+
   test("q163 keeper is the max-token (then min-id) member of each component") {
     val dir = "/root/testdata/sf0.001"
     val comp = Dedup.connectedComponents(

@@ -64,6 +64,37 @@ class SweepSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("latenessAudit: hand case with cross-bucket carry") {
+    // arrival order 0..5, bucket width 3; event times: 10, 50, 20, 30, 60, 55
+    val df = Seq((0L, 10L), (1L, 50L), (2L, 20L), (3L, 30L), (4L, 60L), (5L, 55L))
+      .toDF("o", "t")
+    val got = Sweep.latenessAudit(df, "o", "t", bucketWidth = 3L, lateThreshold = 10L)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    // bucket 0: runmax 10,50,50 -> lateness 0,0,30 (1 late); max 30
+    // bucket 1: carry 50 -> runmax 50,60,60 -> lateness 20,0,5 (1 late); max 20
+    assert(got == Seq((0L, 3L, 1L, 30L), (1L, 3L, 1L, 20L)))
+  }
+
+  test("latenessAudit matches the global running-max replay on events") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+    val got = Sweep.latenessAudit(ev, "event_id", "t", 512L, 300000000L)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    val rows = ev.as[(Long, Long)].collect().sortBy(_._1)
+    var rm = Long.MinValue
+    val agg = scala.collection.mutable.LinkedHashMap[Long, (Long, Long, Long)]()
+    for ((id, t) <- rows) {
+      rm = math.max(rm, t)
+      val late = rm - t
+      val b = Math.floorDiv(id, 512L)
+      val (n, nl, mx) = agg.getOrElse(b, (0L, 0L, Long.MinValue))
+      agg(b) = (n + 1, nl + (if (late > 300000000L) 1L else 0L), math.max(mx, late))
+    }
+    val want = agg.toSeq.map { case (b, (n, nl, mx)) => (b, n, nl, mx) }.sortBy(_._1)
+    assert(got == want)
+  }
+
   test("saltedEquiJoin: row-identical to the plain join, salts spread keys") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_partkey").as("pk"), col("l_orderkey"), col("l_linenumber"))

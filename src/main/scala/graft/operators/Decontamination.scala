@@ -98,8 +98,16 @@ object Decontamination {
       Similarity.quantizeInt8(df, idCol, vecCol)
         .select(col(idCol).as(out),
           transform(col("qvec"), x => x.cast("long")).as(s"__q_$out"))
+    // native codegen dot (graft_dot_long): the HOF formulation
+    // (aggregate(zip_with)) is a CodegenFallback and dominated this
+    // screen's broadcast-nested-loop hot path; vanilla-session fallback
+    // mirrors PortableHash.md5Hash60's posture
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(sp) => graft.plans.GraftExtensions.dotLong(sp, a, b)
+        case None =>
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      }
     def norm2(a: Column): Column = dot(a, a)
 
     val t = broadcast(q(testSet, "test_id")

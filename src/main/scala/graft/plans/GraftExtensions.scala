@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "graft_dot_long"),
+      (children: Seq[Expression]) => DotLong(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
@@ -68,6 +72,11 @@ object GraftExtensions {
         (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)),
         "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_dot_long"))) {
+      registry.createOrReplaceTempFunction("graft_dot_long",
+        (children: Seq[Expression]) => DotLong(children(0), children(1)),
+        "built-in")
+    }
     if (!registry.functionExists(FunctionIdentifier("graft_bloom_might_contain"))) {
       registry.createOrReplaceTempFunction("graft_bloom_might_contain",
         (children: Seq[Expression]) =>
@@ -81,6 +90,13 @@ object GraftExtensions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_cosine", a, b)
+  }
+
+  /** Column-API handle for the native exact `array<long>` dot product
+    * (the int8-quantized domain; ANSI — overflow throws). */
+  def dotLong(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_dot_long", a, b)
   }
 
   /** Column-API handle for the native sorted-array intersection count:

@@ -75,6 +75,40 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"))
   }
 
+  test("native graft_dot_long == the HOF fold exactly; overflow throws") {
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, -5L, 6L)),   // 4 - 10 + 18 = 12
+      (Array(127L, -127L), Array(127L, 127L)),   // 127^2 - 127^2 = 0
+      (Array.empty[Long], Array.empty[Long])
+    ).toDF("a", "b")
+    val got = df.select(
+      GraftExtensions.dotLong(spark, col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("hof"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((12L, 12L), (0L, 0L), (0L, 0L)))
+    val withNull = Seq((Some(Array(1L)), Option.empty[Array[Long]])).toDF("a", "b")
+      .select(GraftExtensions.dotLong(spark, col("a"), col("b")))
+    assert(withNull.collect()(0).isNullAt(0))
+    // ANSI posture: a dot that exceeds Long range throws, never wraps
+    val big = Seq((Array(Long.MaxValue, Long.MaxValue), Array(2L, 2L))).toDF("a", "b")
+    intercept[Exception] {
+      big.select(GraftExtensions.dotLong(spark, col("a"), col("b"))).collect()
+    }
+  }
+
+  test("dot-long scan stays inside WholeStageCodegen") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(transform(col("embedding"),
+        x => (x * 100).cast("long")).as("q"))
+    val plan = emb.select(GraftExtensions.dotLong(spark, col("q"), col("q")))
+      .queryExecution.executedPlan.toString
+    // the quantize `transform` HOF above splits stages; the dot's own
+    // Project must still carry the WholeStageCodegen star
+    assert("\\*\\(\\d+\\) Project \\[graft_dot_long".r.findFirstIn(plan).isDefined,
+      "graft_dot_long must not strip whole-stage codegen:\n" + plan.take(1500))
+  }
+
   test("native graft_sorted_intersect == size(array_intersect) on sorted arrays") {
     val df = Seq(
       (Array(1, 3, 5, 7), Array(2, 3, 5, 9)),

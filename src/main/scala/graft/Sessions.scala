@@ -38,6 +38,13 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // typed-Aggregator aggregations (BoundedTopKPairs and friends) fall
+      // back to SORT-BASED aggregation after 128 distinct groups per task
+      // by default — which silently re-introduces the full candidate-table
+      // sort those aggregators exist to avoid. Buffers here are O(k), so
+      // a large in-memory group map is the right trade at every scale.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 22).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

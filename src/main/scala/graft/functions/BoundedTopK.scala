@@ -40,3 +40,52 @@ case class BoundedTopKStrings(k: Int, sep: String = " | ")
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   override def outputEncoder: Encoder[String] = Encoders.STRING
 }
+
+/** A (score, id) pair for [[BoundedTopKPairs]]. */
+case class ScoredId(score: Double, id: Long)
+
+/** Bounded top-k by (score desc, id asc) — the 100 TB replacement for the
+  * `row_number() OVER (PARTITION BY q ORDER BY score DESC, id) <= k`
+  * pattern when EVERY key is a query (the mutual-kNN grain, q131): the
+  * window formulation shuffles and sorts the full candidate table
+  * (O(n²) rows for an all-pairs scan); this buffer holds at most k pairs
+  * per group on the map side and in every merge, so the exchange carries
+  * only k rows per (group × map partition). Ids are unique per group, so
+  * the (score desc, id asc) order is total and the bounded buffer is
+  * EXACTLY the window's top-k — same rows, same ranks (buffer order =
+  * rank order; derive rank with posexplode). */
+case class BoundedTopKPairs(k: Int)
+    extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+  require(k > 0, "k must be positive")
+
+  private def lt(a: ScoredId, b: ScoredId): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: Seq[ScoredId] = Nil
+
+  override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+    if (a == null) b
+    else if (b.length >= k && !lt(a, b.last)) b
+    else {
+      val (pre, post) = b.span(x => lt(x, a))
+      ((pre :+ a) ++ post).take(k)
+    }
+
+  override def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ScoredId]
+    var (i, j) = (0, 0)
+    while (out.length < k && (i < x.length || j < y.length)) {
+      if (j >= y.length || (i < x.length && lt(x(i), y(j)))) {
+        out += x(i); i += 1
+      } else { out += y(j); j += 1 }
+    }
+    out.toSeq
+  }
+
+  override def finish(b: Seq[ScoredId]): Seq[ScoredId] = b
+
+  override def bufferEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  override def outputEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+}

@@ -265,8 +265,38 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val top = bruteForceTopK(emb, emb, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    // Every vector is a query here, so the window top-k would shuffle and
+    // sort the FULL n² candidate table; instead:
+    //  - cosine is symmetric and graft_cosine's IEEE sequence is too, so
+    //    each UNORDERED pair (a < b) is scored ONCE and an in-stage
+    //    explode emits both directions — half the joins, half the cosines,
+    //    zero recompute (the explode is a generator, not a second branch);
+    //  - the bounded aggregator keeps k pairs per query per map task —
+    //    identical rows/ranks to the window ((cos desc, id asc) is total;
+    //    see BoundedTopKPairs).
+    val q = broadcast(emb.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val half = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .join(q, col("query_id") < col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.GraftExtensions.cosine(
+          emb.sparkSession, col("qvec"), col("cvec")).as("cos"))
+    val scored = half
+      .select(explode(array(
+          struct(col("query_id").as("q"), col("neighbor_id").as("n")),
+          struct(col("neighbor_id").as("q"), col("query_id").as("n"))))
+          .as("__e"),
+        col("cos"))
+      .select(col("__e.q").as("query_id"), col("__e.n").as("neighbor_id"),
+        col("cos"))
+    val tk = udaf(graft.functions.BoundedTopKPairs(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+    val top = scored
+      .groupBy(col("query_id"))
+      .agg(tk(col("cos"), col("neighbor_id")).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col("query_id"), col("__s.id").as("neighbor_id"),
+        (col("__pos") + 1L).cast("long").as("rank"))
     val fwd = top.select(col("query_id").as("id_a"),
       col("neighbor_id").as("id_b"), col("rank").as("rank_ab"))
     val rev = top.select(col("neighbor_id").as("id_a"),

@@ -152,4 +152,24 @@ class FunctionsSpec extends SparkSpec {
     val exp = hs.map(h => (a * (h & 0x7FFFFFFFL) + b) % PortableHash.P31)
     assert(got.toSeq == exp)
   }
+
+  test("BoundedTopKPairs == the row_number window top-k, rows and ranks") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // deterministic scores with deliberate ties across many groups
+    val rows = for (g <- 1L to 40L; i <- 1L to 60L) yield
+      (g, i, ((g * 31 + i * 17) % 13).toDouble / 13.0)
+    val df = rows.toDF("g", "id", "score")
+    val tk = udaf(graft.functions.BoundedTopKPairs(5),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+    val viaAgg = df.groupBy("g").agg(tk(col("score"), col("id")).as("t"))
+      .select(col("g"), posexplode(col("t")).as(Seq("pos", "s")))
+      .select(col("g"), col("s.id").as("id"), (col("pos") + 1).as("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("g", "id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaAgg == viaWindow && viaWindow.size == 200)
+  }
 }

@@ -96,7 +96,7 @@ object Bench {
       "q116_sa_dup_ranges", "q117_collocations", "q120_pagerank",
       "q123_lm_familiarity", "q124_dsir_weights", "q125_sliding_distinct",
       "q127_containment", "q128_lsh_recall", "q129_sliding_distinct_inc",
-      "q130_pq_recall", "q131_mutual_knn", "q132_ivf_pq_recall", "q133_knn_clusters",
+      "q130_pq_recall", "q171_mutual_knn_ivf", "q132_ivf_pq_recall", "q133_knn_clusters",
       "q134_lexical_profile", "q135_attribution", "q136_dup_matrix",
       "q138_semantic_decon", "q139_label_prop", "q140_tv_drift",
       "q141_ngram_novelty", "q142_dedup_roi", "q145_simpson",
@@ -179,7 +179,7 @@ object Bench {
           val ts = r1.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
           val rs = r1.flatMap { case (k, _, r) => r.map("\"" + k + "\":" + _) }
             .mkString("{", ",", "}")
-          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); min-of-3 timings; ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size""""
+          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); min-of-3 timings; ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join)""""
         }
       }
     // Composed-job throughput: the end-to-end curation pipeline (scrub ->

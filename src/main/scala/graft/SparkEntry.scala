@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Dedup, Effective, Rollups, Similarity, StatePropagation, Windows}
+import graft.operators.{AsofJoin, Calibration, Coreset, Dedup, Effective, GoldenRecord, Rollups, Similarity, StatePropagation, Windows}
 import graft.functions.{PortableHash, SimilarityFunctions => SF, TextFunctions => TF}
 import graft.sources.PipeSeries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1124,6 +1124,88 @@ object SparkEntry {
   private def mutualKnnQ(s: SparkSession, dir: String): DataFrame =
     Similarity.mutualTopK(embeddings(s, dir), "vec_id", "embedding", k = 5)
       .orderBy("id_a", "id_b")
+
+  /** IVF mutual-kNN (q171): q131's reciprocal edge rule on IVF-bucketed
+    * candidates — the sub-quadratic scale path ([[Similarity.mutualTopKIvf]]).
+    * nlist auto-scales to ⌈√n⌉ so candidate volume is O(n^1.5·nprobe) and
+    * bucket-join parallelism grows with the corpus; the count that sizes it
+    * scans only the id column. */
+  private def mutualKnnIvfQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val nlist = math.ceil(math.sqrt(
+      emb.select(col("vec_id")).count().toDouble)).toInt
+    val cents = Similarity.headCentroids(emb, "vec_id", "embedding", nlist)
+    Similarity.mutualTopKIvf(emb, "vec_id", "embedding", k = 5,
+      centroids = cents, nprobe = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** k-center coreset (q172): Gonzalez greedy farthest-point selection
+    * (k=4) over the embedding table — diversity subset selection for
+    * curation; output is every vector's assignment to its nearest chosen
+    * exemplar ([[Coreset.kCenterAssign]]). */
+  private def kcenterQ(s: SparkSession, dir: String): DataFrame =
+    Coreset.kCenterAssign(embeddings(s, dir), "vec_id", "embedding", k = 4)
+      .orderBy("id")
+
+  /** Isotonic calibration (q173): cosine-to-anchor similarity calibrated
+    * into a monotone match-probability against label agreement — 32 bins
+    * over [-1,1], relational minimax fit ([[Calibration]]). The anchor is
+    * the min-vec_id row (deterministic); the anchor itself is excluded. */
+  private def isotonicCalQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val a = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()(0)
+    val (aid, avec, albl) = (a.getLong(0), a.getSeq[Float](1), a.getInt(2))
+    val scored = emb.where(col("vec_id") =!= aid)
+      .select(
+        graft.plans.GraftExtensions.cosine(s, col("embedding"),
+          array(avec.map(lit): _*)).as("score"),
+        (col("label") === albl).as("match"))
+    Calibration.isotonicCalibration(scored, "score", "match",
+      lo = -1.0, hi = 1.0, bins = 32)
+      .orderBy("bin")
+  }
+
+  /** Golden-record survivorship (q174): q47's minhash-LSH dup clusters
+    * (singletons self-labeled) collapsed to canonical rows — min-id
+    * canonical, mode-with-lexicographic-tie source/lang, max n_chars
+    * ([[GoldenRecord.goldenRecords]]). */
+  private def goldenRecordQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val comp = Dedup.connectedComponents(graft.Caching.track(
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)))
+    val labeled = docs
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+    GoldenRecord.goldenRecords(labeled, "cluster", "doc_id",
+      categorical = Seq("source", "lang"), numericMax = Seq("n_chars"))
+      .orderBy("cluster")
+  }
+
+  /** kNN label-purity audit (q175): each vector's IVF top-5 neighborhood
+    * scored for label agreement — the embedding-space label-noise screen
+    * (low purity = mislabel suspect / boundary point). Reuses q171's
+    * sub-quadratic candidate stage ([[Similarity.ivfTopKAll]]). */
+  private def knnLabelPurityQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val nlist = math.ceil(math.sqrt(
+      emb.select(col("vec_id")).count().toDouble)).toInt
+    val cents = Similarity.headCentroids(emb, "vec_id", "embedding", nlist)
+    val top = Similarity.ivfTopKAll(emb, "vec_id", "embedding", k = 5,
+      centroids = cents, nprobe = 4)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    top
+      .join(broadcast(lbl.toDF("query_id", "label")), Seq("query_id"))
+      .join(broadcast(lbl.toDF("neighbor_id", "nlabel")), Seq("neighbor_id"))
+      .groupBy(col("query_id").as("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L)).as("n_same"))
+      .withColumn("purity",
+        col("n_same").cast("double") / col("n_neighbors").cast("double"))
+      .orderBy("vec_id")
+  }
 
   /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
     * codes — the full billion-scale ANN layout; a query ADC-scans only
@@ -2778,7 +2860,12 @@ object SparkEntry {
     "q167_repurchase_curve" -> (repurchaseCurveQ _),
     "q168_ks_two_sample" -> (ksTwoSampleQ _),
     "q169_minhash_calibration" -> (minhashCalibrationQ _),
-    "q170_lateness_audit" -> (latenessAuditQ _)
+    "q170_lateness_audit" -> (latenessAuditQ _),
+    "q171_mutual_knn_ivf" -> (mutualKnnIvfQ _),
+    "q172_kcenter_coreset" -> (kcenterQ _),
+    "q173_isotonic_calibration" -> (isotonicCalQ _),
+    "q174_golden_record" -> (goldenRecordQ _),
+    "q175_knn_label_purity" -> (knnLabelPurityQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3979,6 +4066,36 @@ object SparkEntry {
          |  CAST(SUM(n_tok) - MIN(CASE WHEN rk = 1 THEN n_tok END) AS BIGINT)
          |    AS saved_toks
          |FROM r GROUP BY component ORDER BY component""".stripMargin,
+    // q47's recursive components (singletons self-labeled) + survivorship:
+    // mode via two-level count + (count desc, value asc) rank — the same
+    // deterministic tie GoldenRecord.modePerCluster pins
+    "q174_golden_record" ->
+      s"""WITH comp AS ($dedupGroupsOracleSql),
+         |lab AS (
+         |  SELECT d.doc_id, d.source, d.lang, d.n_chars,
+         |    coalesce(c.component, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |base AS (
+         |  SELECT cluster, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    CAST(MAX(n_chars) AS BIGINT) AS n_chars_max
+         |  FROM lab GROUP BY 1),
+         |sc AS (SELECT cluster, source, count(*) AS c FROM lab GROUP BY 1, 2),
+         |sm AS (SELECT cluster, source AS source_gold FROM (
+         |         SELECT cluster, source,
+         |           row_number() OVER (PARTITION BY cluster
+         |             ORDER BY c DESC, source ASC) AS r
+         |         FROM sc) t WHERE r = 1),
+         |lc AS (SELECT cluster, lang, count(*) AS c FROM lab GROUP BY 1, 2),
+         |lm AS (SELECT cluster, lang AS lang_gold FROM (
+         |         SELECT cluster, lang,
+         |           row_number() OVER (PARTITION BY cluster
+         |             ORDER BY c DESC, lang ASC) AS r
+         |         FROM lc) t WHERE r = 1)
+         |SELECT base.cluster, base.canonical_id, base.n_members,
+         |  base.n_chars_max, sm.source_gold, lm.lang_gold
+         |FROM base JOIN sm USING (cluster) JOIN lm USING (cluster)
+         |ORDER BY cluster""".stripMargin,
     // q101's basket shape at the part grain + degree join; cos^2 in
     // HUGEINT, total-ordered top-50
     "q166_item_cosine" ->
@@ -4520,6 +4637,143 @@ object SparkEntry {
         |  CAST(f.rank AS BIGINT) AS rank_ab, CAST(r.rank AS BIGINT) AS rank_ba
         |FROM topk f JOIN topk r ON r.qid = f.nid AND r.nid = f.qid
         |WHERE f.qid < f.nid ORDER BY id_a, id_b""".stripMargin,
+    // IVF twin of q131: one assignment CTE serves both the corpus bucketing
+    // (r = 1) and the probe lists (r <= nprobe) — the same (cos desc,
+    // cent_id) ordering graft's nearestCentroid/probeBuckets pin
+    "q171_mutual_knn_ivf" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cent
+        |  FROM embeddings ORDER BY vec_id
+        |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+        |asg AS (
+        |  SELECT e.vec_id AS id, e.embedding AS vec, c.cent_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
+        |  FROM embeddings e, cents c),
+        |bucketed AS (SELECT id AS nid, vec, cent_id AS bucket FROM asg WHERE r = 1),
+        |probes AS (SELECT id AS qid, vec AS qv, cent_id AS bucket FROM asg WHERE r <= 4),
+        |scored AS (
+        |  SELECT p.qid, b.nid, list_cosine_similarity(p.qv, b.vec) AS cos
+        |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket AND p.qid <> b.nid),
+        |topk AS (
+        |  SELECT qid, nid, rank FROM (
+        |    SELECT qid, nid, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |    FROM scored) WHERE rank <= 5)
+        |SELECT f.qid AS id_a, f.nid AS id_b,
+        |  CAST(f.rank AS BIGINT) AS rank_ab, CAST(r.rank AS BIGINT) AS rank_ba
+        |FROM topk f JOIN topk r ON r.qid = f.nid AND r.nid = f.qid
+        |WHERE f.qid < f.nid ORDER BY id_a, id_b""".stripMargin,
+    // q171's candidate chain minus mutuality, plus label joins: the
+    // label-agreement audit over the same IVF top-5 lists
+    "q175_knn_label_purity" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cent
+        |  FROM embeddings ORDER BY vec_id
+        |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+        |asg AS (
+        |  SELECT e.vec_id AS id, e.embedding AS vec, c.cent_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
+        |  FROM embeddings e, cents c),
+        |bucketed AS (SELECT id AS nid, vec, cent_id AS bucket FROM asg WHERE r = 1),
+        |probes AS (SELECT id AS qid, vec AS qv, cent_id AS bucket FROM asg WHERE r <= 4),
+        |scored AS (
+        |  SELECT p.qid, b.nid, list_cosine_similarity(p.qv, b.vec) AS cos
+        |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket AND p.qid <> b.nid),
+        |topk AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |    FROM scored) WHERE rank <= 5)
+        |SELECT t.qid AS vec_id, ql.label,
+        |  CAST(count(*) AS BIGINT) AS n_neighbors,
+        |  CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_same,
+        |  CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS purity
+        |FROM topk t
+        |JOIN embeddings ql ON ql.vec_id = t.qid
+        |JOIN embeddings nl ON nl.vec_id = t.nid
+        |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+    // Gonzalez k-center unrolled as chained CTEs: selection argmax in the
+    // DIST domain (least of 1-cos), assignment in the COS domain (q17's
+    // rule) — the exact domain split Coreset.kCenterAssign pins
+    "q172_kcenter_coreset" ->
+      """WITH emb2 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb2),
+        |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+        |         ORDER BY vec_id LIMIT 1),
+        |d1 AS (
+        |  SELECT p.vec_id, p.v, p.nrm,
+        |         1.0 - list_dot_product(p.v, s.cv) / (p.nrm * s.cn) AS md
+        |  FROM e p, seed s),
+        |c2 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d1
+        |       ORDER BY md DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT d.vec_id, d.v, d.nrm,
+        |         least(d.md,
+        |           1.0 - list_dot_product(d.v, c.cv) / (d.nrm * c.cn)) AS md
+        |       FROM d1 d, c2 c),
+        |c3 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d2
+        |       ORDER BY md DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT d.vec_id, d.v, d.nrm,
+        |         least(d.md,
+        |           1.0 - list_dot_product(d.v, c.cv) / (d.nrm * c.cn)) AS md
+        |       FROM d2 d, c3 c),
+        |c4 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d3
+        |       ORDER BY md DESC, vec_id LIMIT 1),
+        |cents AS (
+        |  SELECT 0 AS rnk, cid, cv, cn FROM seed
+        |  UNION ALL SELECT 1, cid, cv, cn FROM c2
+        |  UNION ALL SELECT 2, cid, cv, cn FROM c3
+        |  UNION ALL SELECT 3, cid, cv, cn FROM c4),
+        |asg AS (
+        |  SELECT p.vec_id AS id, c.cid, c.rnk,
+        |         1.0 - list_dot_product(p.v, c.cv) / (p.nrm * c.cn) AS dist,
+        |         row_number() OVER (PARTITION BY p.vec_id
+        |           ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cn) DESC,
+        |                    c.rnk) AS r
+        |  FROM e p, cents c)
+        |SELECT id, cid AS center_id, CAST(rnk AS INTEGER) AS center_rank, dist
+        |FROM asg WHERE r = 1 ORDER BY id""".stripMargin,
+    // relational minimax isotonic fit: interval means on exact BIGINT
+    // prefix sums; min/max over doubles are rounding-monotone, so the fit
+    // is bit-identical to Spark's
+    "q173_isotonic_calibration" ->
+      """WITH a AS (
+        |  SELECT vec_id AS aid, embedding AS avec, label AS albl
+        |  FROM embeddings ORDER BY vec_id LIMIT 1),
+        |s AS (
+        |  SELECT least(31, greatest(0, CAST(floor(
+        |           (list_cosine_similarity(e.embedding, a.avec) - (-1.0))
+        |             / 2.0 * 32) AS INTEGER))) AS bin,
+        |         (e.label = a.albl) AS y
+        |  FROM embeddings e, a WHERE e.vec_id <> a.aid),
+        |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |      FROM s GROUP BY 1),
+        |seq AS (SELECT *, CAST(row_number() OVER (ORDER BY bin) - 1 AS INTEGER) AS i
+        |        FROM b),
+        |pre AS (SELECT *,
+        |          CAST(sum(n) OVER (ORDER BY i) AS BIGINT) AS cn,
+        |          CAST(sum(pos) OVER (ORDER BY i) AS BIGINT) AS cp
+        |        FROM seq),
+        |iv AS (
+        |  SELECT s2.i AS j, e2.i AS k,
+        |         CAST(e2.cp - (s2.cp - s2.pos) AS DOUBLE)
+        |           / CAST(e2.cn - (s2.cn - s2.n) AS DOUBLE) AS avg
+        |  FROM pre s2 JOIN pre e2 ON s2.i <= e2.i),
+        |inn AS (
+        |  SELECT p.i, iv.j, min(iv.avg) AS mn
+        |  FROM pre p JOIN iv ON iv.j <= p.i AND iv.k >= p.i
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, max(mn) AS iso_rate FROM inn GROUP BY 1)
+        |SELECT CAST(pre.bin AS INTEGER) AS bin, pre.n, pre.pos,
+        |  CAST(pre.pos AS DOUBLE) / CAST(pre.n AS DOUBLE) AS raw_rate,
+        |  fit.iso_rate
+        |FROM pre JOIN fit USING (i) ORDER BY bin""".stripMargin,
     // q113's brute-force differential, containment flavor: the oracle
     // shares only the C(A,B) = |A∩B|/|A| definition with the Spark side
     "q127_containment" ->

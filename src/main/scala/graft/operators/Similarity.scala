@@ -306,6 +306,77 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("rank_ab"), col("rank_ba"))
   }
 
+  /** IVF-bucketed mutual-kNN — the 100 TB scale path [[mutualTopK]]'s
+    * scaladoc promises: the quadratic exact-kNN candidate stage is replaced
+    * by IVF coarse quantization (corpus bucketed once by nearest centroid,
+    * every vector probes its `nprobe` nearest buckets), and the SAME
+    * k-bounded top-k + reciprocal join runs on the bucketed candidates.
+    * Candidate volume drops from n² to ~n²·nprobe/nlist; with
+    * nlist ≈ √n that is O(n^1.5·nprobe) — sub-quadratic and
+    * shuffle-partitioned on the bucket id (≈√n keys, so parallelism GROWS
+    * with the corpus; AQE splits any skewed mega-bucket).
+    *
+    * Approximation surface is exactly IVF's: an edge is found iff each
+    * endpoint's bucket is within the other's probe set; ranks are positions
+    * within the probed candidates. Deterministic given the corpus —
+    * centroids come from [[headCentroids]]/[[trainCentroidsKMeans]], ties
+    * break (cos desc, id asc) everywhere — so an oracle replays it exactly.
+    *
+    * Returns `(id_a, id_b, rank_ab, rank_ba)`, id_a < id_b, like
+    * [[mutualTopK]]. */
+  def mutualTopKIvf(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[(Int, Seq[Float])],
+      nprobe: Int = 4): DataFrame = {
+    val top = ivfTopKAll(emb, idCol, vecCol, k, centroids, nprobe)
+    val fwd = top.select(col("query_id").as("id_a"),
+      col("neighbor_id").as("id_b"), col("rank").as("rank_ab"))
+    val rev = top.select(col("neighbor_id").as("id_a"),
+      col("query_id").as("id_b"), col("rank").as("rank_ba"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("rank_ab"), col("rank_ba"))
+  }
+
+  /** Every-vector-is-a-query IVF top-k — [[ivfTopKAll]] is [[ivfTopK]]'s
+    * corpus-scale sibling: the probe side is the whole corpus, so the
+    * probe join is a bucket-keyed SHUFFLE join (not a broadcast) and the
+    * per-query top-k is the k-bounded aggregator (not a rank window over
+    * all candidates). Candidate volume ~n²·nprobe/nlist; with nlist ≈ √n
+    * this is the sub-quadratic all-pairs-kNN building block
+    * ([[mutualTopKIvf]], label-purity audits, kNN-graph construction).
+    * Returns `(query_id, neighbor_id, rank)`, rank 1..k by
+    * (cos desc, id asc) within the probed candidates. */
+  def ivfTopKAll(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[(Int, Seq[Float])],
+      nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val bucketed = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      nearestCentroid(spark, col(vecCol), centroids).as("bucket"))
+    val probes = emb.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      explode(probeBuckets(spark, col(vecCol), centroids, nprobe)).as("bucket"))
+    val scored = bucketed.join(probes, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftExtensions.cosine(spark, col("qvec"), col("cvec")).as("cos"))
+    val tk = udaf(graft.functions.BoundedTopKPairs(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+    scored
+      .groupBy(col("query_id"))
+      .agg(tk(col("cos"), col("neighbor_id")).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col("query_id"), col("__s.id").as("neighbor_id"),
+        (col("__pos") + 1L).cast("long").as("rank"))
+  }
+
   /** Product-quantization ADC recall ablation (Jégou, Douze & Schmid,
     * TPAMI 2011 — the memory-cheapening half of IVF-PQ, the industry-
     * standard billion-scale ANN layout): each vector is encoded as `m`

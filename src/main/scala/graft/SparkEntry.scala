@@ -1130,14 +1130,18 @@ object SparkEntry {
     * nlist auto-scales to ⌈√n⌉ so candidate volume is O(n^1.5·nprobe) and
     * bucket-join parallelism grows with the corpus; the count that sizes it
     * scans only the id column. */
-  private def mutualKnnIvfQ(s: SparkSession, dir: String): DataFrame = {
+  private def mutualKnnIvfQ(s: SparkSession, dir: String): DataFrame =
+    ivfMutualEdges(s, dir).orderBy("id_a", "id_b")
+
+  /** Shared IVF mutual-kNN edge builder (q171, and the candidate source
+    * for q133/q139): nlist auto-scales to ⌈√n⌉, nprobe=4, k=5. */
+  private def ivfMutualEdges(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
     val nlist = math.ceil(math.sqrt(
       emb.select(col("vec_id")).count().toDouble)).toInt
     val cents = Similarity.headCentroids(emb, "vec_id", "embedding", nlist)
     Similarity.mutualTopKIvf(emb, "vec_id", "embedding", k = 5,
       centroids = cents, nprobe = 4)
-      .orderBy("id_a", "id_b")
   }
 
   /** k-center coreset (q172): Gonzalez greedy farthest-point selection
@@ -1222,19 +1226,27 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
-  /** kNN-graph clustering (q133): q131's mutual-kNN edges fused by q47's
+  /** kNN-graph clustering (q133): q171's IVF mutual-kNN edges fused by q47's
     * min-label connected components — embedding-space document grouping
     * (the SemDeDup-adjacent cluster assignment, but from reciprocal
     * neighbor structure instead of centroid cells); every vector reports
     * with its component min-id and keeper flag, singletons self-labeled.
-    * The edge graph is persisted — CC's rounds would otherwise re-run the
+    * The edge graph is localCheckpointed — CC would otherwise re-run the
     * kNN ([[Dedup.connectedComponents]], q47's posture). */
   private def knnClustersQ(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
-    val edges = graft.Caching.track(
-      Similarity.mutualTopK(emb, "vec_id", "embedding", k = 5)
-        .select("id_a", "id_b"))
-    val comp = Dedup.connectedComponents(edges)
+    // IVF candidate edges (q171's sub-quadratic stage): kNN-graph
+    // construction at scale is ANN-candidate-based by definition — the
+    // exact-kNN edge rule stays spec-pinned via mutualTopK and q131.
+    // localCheckpoint (not just persist): CC re-analyzes its edge plan
+    // every round, and the IVF plan carries the centroid literals —
+    // truncating lineage makes each round's plan O(1), not O(nlist)
+    // star formulation, not min-label: the reciprocal-k graph is chainy
+    // (diameter > 20 at sf0.1 — min-label hits maxIter and falls back to
+    // star anyway, paying both); star converges in O(log n) rounds on any
+    // shape ([[Dedup.connectedComponentsStar]])
+    val edges = ivfMutualEdges(s, dir).select("id_a", "id_b").localCheckpoint()
+    val comp = Dedup.connectedComponentsStar(edges)
     emb.select(col("vec_id").as("id"))
       .join(comp, Seq("id"), "left")
       .select(col("id"),
@@ -1318,17 +1330,15 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
-  /** Label propagation (q139): q131's mutual-kNN edges carrying seed
+  /** Label propagation (q139): q171's IVF mutual-kNN edges carrying seed
     * labels (vec_id % 4 == 0 keeps its `label`) to unlabeled vectors in
     * two synchronous majority rounds, ties to the smaller label —
     * semi-supervised corpus labeling ([[graft.operators.LabelProp]]).
-    * The edge graph is persisted: both rounds reuse it
-    * ([[graft.Caching]], q133's posture). */
+    * The edge graph is localCheckpointed: both rounds reuse it
+    * (q133's posture). */
   private def labelPropQ(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val edges = graft.Caching.track(
-      Similarity.mutualTopK(e, "vec_id", "embedding", k = 5)
-        .select("id_a", "id_b"))
+    val edges = ivfMutualEdges(s, dir).select("id_a", "id_b").localCheckpoint()
     val nodes = e.select(col("vec_id"),
       when(pmod(col("vec_id"), lit(4L)) === 0L, col("label").cast("long"))
         .as("seed"))
@@ -3287,6 +3297,40 @@ object SparkEntry {
        |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id)
        |SELECT id, min(lbl) AS component FROM walk GROUP BY id ORDER BY id""".stripMargin
 
+  /** Shared CTE body replaying the IVF all-queries top-5 chain
+    * (q171/q133/q139/q175): head centroids with nlist=⌈√n⌉, one
+    * assignment CTE serving corpus bucketing (r=1) and probe lists
+    * (r<=4), ends at `topk(qid, nid, rank)`. */
+  private lazy val ivfTopkSqlCte: String =
+    """cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cent
+      |  FROM embeddings ORDER BY vec_id
+      |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+      |asg AS (
+      |  SELECT e.vec_id AS id, e.embedding AS vec, c.cent_id,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
+      |  FROM embeddings e, cents c),
+      |bucketed AS (SELECT id AS nid, vec, cent_id AS bucket FROM asg WHERE r = 1),
+      |probes AS (SELECT id AS qid, vec AS qv, cent_id AS bucket FROM asg WHERE r <= 4),
+      |scored AS (
+      |  SELECT p.qid, b.nid, list_cosine_similarity(p.qv, b.vec) AS cos
+      |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket AND p.qid <> b.nid),
+      |topk AS (
+      |  SELECT qid, nid, rank FROM (
+      |    SELECT qid, nid, row_number() OVER (
+      |      PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      |    FROM scored) WHERE rank <= 5)""".stripMargin
+
+  /** [[ivfTopkSqlCte]] extended to the reciprocal edge set
+    * `mut(id_a, id_b, rank_ab, rank_ba)`, id_a < id_b. */
+  private lazy val ivfMutualSqlCte: String =
+    s"""$ivfTopkSqlCte,
+       |mut AS (
+       |  SELECT f.qid AS id_a, f.nid AS id_b, f.rank AS rank_ab, r.rank AS rank_ba
+       |  FROM topk f JOIN topk r ON r.qid = f.nid AND r.nid = f.qid
+       |  WHERE f.qid < f.nid)""".stripMargin
+
   /** Shared CTE body recomputing the portable 60-bit simhash table in SQL
     * (token md5Hash60 -> per-bit +/-1 balances -> bit assembly). */
   /** Shared CTE replaying the CDC boundary/span pipeline (q78/q79): ends
@@ -3492,19 +3536,7 @@ object SparkEntry {
     // two unrolled synchronous majority rounds over the q131 mutual-kNN
     // edges; winner = max count, ties to the smaller label; seeds clamped
     "q139_label_prop" ->
-      """WITH pairs AS (
-        |  SELECT a.vec_id AS qid, c.vec_id AS nid,
-        |    list_cosine_similarity(a.embedding, c.embedding) AS cos
-        |  FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id),
-        |topk AS (
-        |  SELECT qid, nid, rank FROM (
-        |    SELECT qid, nid, row_number() OVER (
-        |      PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-        |    FROM pairs) WHERE rank <= 5),
-        |mut AS (
-        |  SELECT f.qid AS id_a, f.nid AS id_b
-        |  FROM topk f JOIN topk r ON r.qid = f.nid AND r.nid = f.qid
-        |  WHERE f.qid < f.nid),
+      s"""WITH $ivfMutualSqlCte,
         |und AS (
         |  SELECT id_a AS src, id_b AS dst FROM mut
         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mut),
@@ -4597,22 +4629,11 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
         |    AS hapax_frac
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
-    // q131's mutual edges + q47/q67's recursive min-label reachability
+    // q171's IVF mutual edges + q47/q67's recursive min-label reachability
     "q133_knn_clusters" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.vec_id AS qid, c.vec_id AS nid,
-        |    list_cosine_similarity(a.embedding, c.embedding) AS cos
-        |  FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id),
-        |topk AS (
-        |  SELECT qid, nid FROM (
-        |    SELECT qid, nid, row_number() OVER (
-        |      PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-        |    FROM pairs) WHERE rank <= 5),
-        |mp AS (
-        |  SELECT f.qid AS a, f.nid AS b
-        |  FROM topk f JOIN topk r ON r.qid = f.nid AND r.nid = f.qid
-        |  WHERE f.qid < f.nid),
-        |edges AS (SELECT a, b FROM mp UNION SELECT b, a FROM mp),
+      s"""WITH RECURSIVE $ivfMutualSqlCte,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM mut
+        |          UNION SELECT id_b, id_a FROM mut),
         |walk(id, lbl) AS (
         |  SELECT a, a FROM edges
         |  UNION
@@ -4641,51 +4662,14 @@ object SparkEntry {
     // (r = 1) and the probe lists (r <= nprobe) — the same (cos desc,
     // cent_id) ordering graft's nearestCentroid/probeBuckets pin
     "q171_mutual_knn_ivf" ->
-      """WITH cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cent
-        |  FROM embeddings ORDER BY vec_id
-        |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-        |asg AS (
-        |  SELECT e.vec_id AS id, e.embedding AS vec, c.cent_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
-        |  FROM embeddings e, cents c),
-        |bucketed AS (SELECT id AS nid, vec, cent_id AS bucket FROM asg WHERE r = 1),
-        |probes AS (SELECT id AS qid, vec AS qv, cent_id AS bucket FROM asg WHERE r <= 4),
-        |scored AS (
-        |  SELECT p.qid, b.nid, list_cosine_similarity(p.qv, b.vec) AS cos
-        |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket AND p.qid <> b.nid),
-        |topk AS (
-        |  SELECT qid, nid, rank FROM (
-        |    SELECT qid, nid, row_number() OVER (
-        |      PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-        |    FROM scored) WHERE rank <= 5)
-        |SELECT f.qid AS id_a, f.nid AS id_b,
-        |  CAST(f.rank AS BIGINT) AS rank_ab, CAST(r.rank AS BIGINT) AS rank_ba
-        |FROM topk f JOIN topk r ON r.qid = f.nid AND r.nid = f.qid
-        |WHERE f.qid < f.nid ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $ivfMutualSqlCte
+         |SELECT id_a, id_b,
+         |  CAST(rank_ab AS BIGINT) AS rank_ab, CAST(rank_ba AS BIGINT) AS rank_ba
+         |FROM mut ORDER BY id_a, id_b""".stripMargin,
     // q171's candidate chain minus mutuality, plus label joins: the
     // label-agreement audit over the same IVF top-5 lists
     "q175_knn_label_purity" ->
-      """WITH cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cent
-        |  FROM embeddings ORDER BY vec_id
-        |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-        |asg AS (
-        |  SELECT e.vec_id AS id, e.embedding AS vec, c.cent_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
-        |  FROM embeddings e, cents c),
-        |bucketed AS (SELECT id AS nid, vec, cent_id AS bucket FROM asg WHERE r = 1),
-        |probes AS (SELECT id AS qid, vec AS qv, cent_id AS bucket FROM asg WHERE r <= 4),
-        |scored AS (
-        |  SELECT p.qid, b.nid, list_cosine_similarity(p.qv, b.vec) AS cos
-        |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket AND p.qid <> b.nid),
-        |topk AS (
-        |  SELECT qid, nid FROM (
-        |    SELECT qid, nid, row_number() OVER (
-        |      PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-        |    FROM scored) WHERE rank <= 5)
+      s"""WITH $ivfTopkSqlCte
         |SELECT t.qid AS vec_id, ql.label,
         |  CAST(count(*) AS BIGINT) AS n_neighbors,
         |  CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT)

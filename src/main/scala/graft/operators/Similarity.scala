@@ -146,9 +146,12 @@ object Similarity {
       centroids: Seq[(Int, Seq[Float])]): Column = {
     require(centroids.zipWithIndex.forall { case ((cid, _), i) => cid == i },
       "centroid ids must be 0..n-1 in order")
-    val matrix = array(centroids.map { case (_, cvec) =>
-      array(cvec.map(lit): _*)
-    }: _*)
+    // ONE Literal node for the whole matrix: the per-element
+    // array(array(lit...)) form carried nlist×dim expression nodes through
+    // every analysis pass, which dominates plan time once nlist ≈ √n
+    // (iterative consumers like connected components re-analyze the tree
+    // each round)
+    val matrix = typedLit(centroids.map(_._2))
     GraftExtensions.nearestCentroid(spark, vec, matrix)
   }
 
@@ -162,7 +165,7 @@ object Similarity {
       nprobe: Int): Column = {
     val scored = array(centroids.map { case (cid, cvec) =>
       struct(
-        (-GraftExtensions.cosine(spark, vec, array(cvec.map(lit): _*))).as("nc"),
+        (-GraftExtensions.cosine(spark, vec, typedLit(cvec))).as("nc"),
         lit(cid).as("i"))
     }: _*)
     transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))

@@ -1211,6 +1211,80 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Greedy max-coverage audit (q176): which 3 corpus slices (a source OR
+    * a language — overlapping sets, so the answer is NOT top-3 by raw
+    * count) cover the most dup-affected documents
+    * ([[graft.operators.SetCover.greedyMaxCoverage]] over q68's
+    * duplicated-span screen). The membership table is localCheckpointed:
+    * the greedy rounds re-scan it k×2 times. */
+  private def setCoverQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val affected = Dedup.duplicatedSpans(docs, "doc_id", "text", windowTokens = 8)
+      .filter(col("dup_windows") >= 1L).select(col("id").as("doc_id"))
+    val slices = docs.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(array(concat(lit("src:"), col("source")),
+          concat(lit("lang:"), col("lang")))).as("slice"))
+      .localCheckpoint()
+    graft.operators.SetCover.greedyMaxCoverage(slices, "slice", "doc_id", k = 3)
+      .orderBy("round")
+  }
+
+  /** Frequent event trigrams (q177): contiguous length-3 paths by
+    * distinct-user support with A-priori bigram pruning — q94's transition
+    * matrix extended to whole paths
+    * ([[graft.operators.SeqPatterns.frequentTrigrams]]). Same per-user
+    * (µs, event_id) total order as q94. */
+  private def seqTrigramsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SeqPatterns.frequentTrigrams(
+      events(s, dir).withColumn("tus",
+        floor(col("ts").cast("decimal(20,0)") / lit(1000)).cast("long")),
+      "user_id", Seq(col("tus"), col("event_id")), "event_type",
+      minSupport = 5L)
+      .orderBy("t1", "t2", "t3")
+
+  /** CUPED experiment readout (q178): post-period per-user spend adjusted
+    * by the pre-period covariate (θ pooled), groups simulated as
+    * user_id % 2 — the WSDM'13 variance-reduction readout
+    * ([[graft.operators.Experiment.cupedReadout]]). The pre/post pivot is
+    * the midpoint of the observed day range (computed from the data — a
+    * 2-long collect). */
+  private def cupedQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"),
+        graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val mm = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()(0)
+    val pivot = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("day") < pivot, col("cents")).otherwise(0L)).as("xc"),
+        sum(when(col("day") >= pivot, col("cents")).otherwise(0L)).as("yc"))
+      .select(pmod(col("user_id"), lit(2L)).as("grp"), col("xc"), col("yc"))
+    graft.operators.Experiment.cupedReadout(perUser, "grp", "xc", "yc")
+      .orderBy("grp")
+  }
+
+  /** l-diversity audit (q179): q126's quasi-identifier discipline with a
+    * SENSITIVE attribute — per (nation, balance-bucket) class, how many
+    * distinct segments appear (l < 2 = homogeneity attack: membership in
+    * the class reveals the sensitive value) and how dominant the top one
+    * is. Two map-side-combined aggregates, no windows. */
+  private def lDiversityQ(s: SparkSession, dir: String): DataFrame = {
+    val sc = customer(s, dir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") / 100).cast("long").as("bal_bucket"),
+        col("c_mktsegment").as("segment"))
+      .groupBy("nation", "bal_bucket", "segment")
+      .agg(count(lit(1)).as("c"))
+    sc.groupBy("nation", "bal_bucket")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        (max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as("top_share"))
+      .withColumn("at_risk", col("l_distinct") < 2L)
+      .orderBy("nation", "bal_bucket")
+  }
+
   /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
     * codes — the full billion-scale ANN layout; a query ADC-scans only
     * the codes in its 4 probed cells of 16, and the recall quantifies
@@ -2875,7 +2949,11 @@ object SparkEntry {
     "q172_kcenter_coreset" -> (kcenterQ _),
     "q173_isotonic_calibration" -> (isotonicCalQ _),
     "q174_golden_record" -> (goldenRecordQ _),
-    "q175_knn_label_purity" -> (knnLabelPurityQ _)
+    "q175_knn_label_purity" -> (knnLabelPurityQ _),
+    "q176_set_cover" -> (setCoverQ _),
+    "q177_seq_trigrams" -> (seqTrigramsQ _),
+    "q178_cuped" -> (cupedQ _),
+    "q179_l_diversity" -> (lDiversityQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -4680,6 +4758,118 @@ object SparkEntry {
         |JOIN embeddings ql ON ql.vec_id = t.qid
         |JOIN embeddings nl ON nl.vec_id = t.nid
         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+    // greedy max-coverage unrolled: q68's span screen -> affected docs ->
+    // overlapping src:/lang: slices -> 3 argmax rounds, each discounting
+    // the already-covered subset (the same ties and emptiness rule as
+    // SetCover.greedyMaxCoverage: a round with no uncovered rows vanishes)
+    "q176_set_cover" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |pd AS (SELECT DISTINCT s, doc_id FROM win),
+        |nd AS (SELECT s FROM pd GROUP BY s HAVING COUNT(*) >= 2),
+        |aff AS (SELECT DISTINCT doc_id FROM pd WHERE s IN (SELECT s FROM nd)),
+        |memb AS (
+        |  SELECT DISTINCT doc_id, slice FROM (
+        |    SELECT a.doc_id, 'src:' || dd.source AS slice
+        |    FROM aff a JOIN documents dd USING (doc_id)
+        |    UNION ALL
+        |    SELECT a.doc_id, 'lang:' || dd.lang
+        |    FROM aff a JOIN documents dd USING (doc_id)) t0),
+        |r1 AS (SELECT slice, COUNT(*) AS c FROM memb
+        |       GROUP BY 1 ORDER BY c DESC, slice LIMIT 1),
+        |cov1 AS (SELECT DISTINCT doc_id FROM memb
+        |         WHERE slice IN (SELECT slice FROM r1)),
+        |r2 AS (SELECT slice, COUNT(*) AS c FROM memb
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM cov1)
+        |       GROUP BY 1 ORDER BY c DESC, slice LIMIT 1),
+        |cov2 AS (SELECT DISTINCT doc_id FROM memb
+        |         WHERE slice IN (SELECT slice FROM r1 UNION SELECT slice FROM r2)),
+        |r3 AS (SELECT slice, COUNT(*) AS c FROM memb
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM cov2)
+        |       GROUP BY 1 ORDER BY c DESC, slice LIMIT 1),
+        |allr AS (
+        |  SELECT 1 AS round, slice AS picked_set, CAST(c AS BIGINT) AS newly_covered FROM r1
+        |  UNION ALL SELECT 2, slice, CAST(c AS BIGINT) FROM r2
+        |  UNION ALL SELECT 3, slice, CAST(c AS BIGINT) FROM r3)
+        |SELECT CAST(round AS INTEGER) AS round, picked_set, newly_covered,
+        |  CAST(SUM(newly_covered) OVER (ORDER BY round) AS BIGINT)
+        |    AS cumulative_covered
+        |FROM allr ORDER BY round""".stripMargin,
+    // q94's per-user (µs, event_id) total order; EXISTS-based A-priori
+    // prune mirrors the two semi-joins
+    "q177_seq_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+        |bg AS (SELECT t1 AS b1, t2 AS b2 FROM e WHERE t2 IS NOT NULL
+        |       GROUP BY 1, 2 HAVING COUNT(DISTINCT u) >= 5),
+        |tri AS (
+        |  SELECT * FROM e
+        |  WHERE t3 IS NOT NULL
+        |    AND EXISTS (SELECT 1 FROM bg WHERE b1 = e.t1 AND b2 = e.t2)
+        |    AND EXISTS (SELECT 1 FROM bg WHERE b1 = e.t2 AND b2 = e.t3))
+        |SELECT t1, t2, t3, CAST(COUNT(DISTINCT u) AS BIGINT) AS support,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM tri GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT u) >= 5
+        |ORDER BY t1, t2, t3""".stripMargin,
+    // CUPED: exact HUGEINT moments (Spark carries them in decimal(38,0) —
+    // both are exact integers), doubles only in the final scalar formulas
+    // with identical association
+    "q178_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS pivot FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN day < p.pivot THEN cents ELSE 0 END) AS xc,
+        |    SUM(CASE WHEN day >= p.pivot THEN cents ELSE 0 END) AS yc
+        |  FROM ev, p GROUP BY user_id),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(xc) AS HUGEINT) AS sx, CAST(SUM(yc) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(xc AS HUGEINT) * yc) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(xc AS HUGEINT) * xc) AS HUGEINT) AS sxx
+        |  FROM pu),
+        |th AS (SELECT
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx_all FROM g),
+        |pg AS (SELECT user_id % 2 AS grp, COUNT(*) AS n_users,
+        |    CAST(SUM(xc) AS HUGEINT) AS sxg, CAST(SUM(yc) AS HUGEINT) AS syg
+        |  FROM pu GROUP BY 1)
+        |SELECT CAST(grp AS BIGINT) AS grp, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(sxg AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0 AS mean_pre,
+        |  CAST(syg AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0 AS mean_post,
+        |  (CAST(syg AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    - theta * (CAST(sxg AS DOUBLE) / CAST(n_users AS DOUBLE) - mx_all))
+        |    / 100.0 AS mean_adjusted,
+        |  theta
+        |FROM pg, th ORDER BY grp""".stripMargin,
+    // q126's quasi discipline with segment as the SENSITIVE attribute
+    "q179_l_diversity" ->
+      """WITH q AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+        |    c_mktsegment AS segment
+        |  FROM customer),
+        |sc AS (SELECT nation, bal_bucket, segment, COUNT(*) AS c
+        |       FROM q GROUP BY 1, 2, 3)
+        |SELECT nation, bal_bucket,
+        |  CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share,
+        |  (COUNT(*) < 2) AS at_risk
+        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Gonzalez k-center unrolled as chained CTEs: selection argmax in the
     // DIST domain (least of 1-cos), assignment in the COS domain (q17's
     // rule) — the exact domain split Coreset.kCenterAssign pins

@@ -1285,6 +1285,73 @@ object SparkEntry {
       .orderBy("nation", "bal_bucket")
   }
 
+  /** Seasonal-robust anomalies (q180): daily event counts per type,
+    * deseasonalized against a per-(type, day-of-week) median baseline,
+    * MAD-gated on the residuals — the STL-flavored screen that doesn't
+    * flag every weekend ([[graft.operators.Seasonal]]; exact medians via
+    * the q106 kernel). */
+  private def seasonalAnomalyQ(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    graft.operators.Seasonal.weeklyRobustAnomalies(
+      daily, "event_type", "day", "n")
+      .select(col("series").as("event_type"), col("day"),
+        col("v").cast("long").as("n"), col("expected"), col("residual"),
+        col("med_resid"), col("mad"), col("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Common-neighbor link prediction (q181): q115's co-purchase graph
+    * scored for shared neighborhoods — high-CN NON-edges are transitively
+    * similar pairs the direct edge rule missed
+    * ([[graft.operators.Triangles.commonNeighborPairs]], super-node cap
+    * 128, min 2 shared). */
+  private def commonNeighborsQ(s: SparkSession, dir: String): DataFrame = {
+    val op = lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = op.toDF("o", "pa").join(op.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .select("pa", "pb")
+    graft.operators.Triangles.commonNeighborPairs(edges, "pa", "pb",
+      maxApexDegree = 128L, minCommon = 2L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** As-was vs as-is bitemporal audit (q182): purchases joined to the
+    * user's SCD2 activity-status dimension (q55's intervals over the
+    * non-purchase stream) BOTH at purchase time and currently — the
+    * late-correction report shape: how differently would history read
+    * under today's dimension values. */
+  private def asWasAsIsQ(s: SparkSession, dir: String): DataFrame = {
+    def us(c: Column): Column =
+      floor(c.cast("decimal(20,0)") / lit(1000)).cast("long")
+    val ev = events(s, dir)
+    val changes = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), us(col("ts")).as("t"), col("event_type").as("status"))
+    val dim = graft.operators.Scd2
+      .buildIntervals(changes, Seq("user_id"), "t", Seq("status"))
+      .select(col("user_id").as("du"), col("status"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), us(col("ts")).as("tf"))
+    val aswas = facts.join(dim,
+        col("user_id") === col("du") && col("valid_from") <= col("tf") &&
+          (col("valid_to").isNull || col("tf") < col("valid_to")), "left")
+      .select(col("user_id"), col("tf"), col("status").as("s_aswas"))
+    val asis = dim.filter(col("is_current"))
+      .select(col("du").as("user_id"), col("status").as("s_asis"))
+    aswas.join(asis, Seq("user_id"), "left")
+      .groupBy(coalesce(col("s_aswas"), lit("none")).as("status_aswas"),
+        coalesce(col("s_asis"), lit("none")).as("status_asis"))
+      .agg(count(lit(1)).as("n_facts"))
+      .withColumn("changed", col("status_aswas") =!= col("status_asis"))
+      .orderBy("status_aswas", "status_asis")
+  }
+
   /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
     * codes — the full billion-scale ANN layout; a query ADC-scans only
     * the codes in its 4 probed cells of 16, and the recall quantifies
@@ -2953,7 +3020,10 @@ object SparkEntry {
     "q176_set_cover" -> (setCoverQ _),
     "q177_seq_trigrams" -> (seqTrigramsQ _),
     "q178_cuped" -> (cupedQ _),
-    "q179_l_diversity" -> (lDiversityQ _)
+    "q179_l_diversity" -> (lDiversityQ _),
+    "q180_seasonal_anomaly" -> (seasonalAnomalyQ _),
+    "q181_common_neighbors" -> (commonNeighborsQ _),
+    "q182_aswas_asis" -> (asWasAsIsQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -4855,6 +4925,91 @@ object SparkEntry {
         |    / 100.0 AS mean_adjusted,
         |  theta
         |FROM pg, th ORDER BY grp""".stripMargin,
+    // three quantile_cont replays of the exact-median kernel (q106's
+    // proven parity) on the deseasonalized residual chain
+    "q180_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m1 AS (SELECT event_type, day % 7 AS dow,
+        |         quantile_cont(n, 0.5) AS expected
+        |       FROM daily GROUP BY 1, 2),
+        |r AS (SELECT d.event_type, d.day, d.n, m1.expected,
+        |        d.n - m1.expected AS residual
+        |      FROM daily d JOIN m1
+        |        ON m1.event_type = d.event_type AND m1.dow = d.day % 7),
+        |m2 AS (SELECT event_type, quantile_cont(residual, 0.5) AS med_resid
+        |       FROM r GROUP BY 1),
+        |r2 AS (SELECT r.*, m2.med_resid FROM r JOIN m2 USING (event_type)),
+        |m3 AS (SELECT event_type,
+        |         quantile_cont(ABS(residual - med_resid), 0.5) AS mad
+        |       FROM r2 GROUP BY 1)
+        |SELECT r2.event_type, r2.day, CAST(r2.n AS BIGINT) AS n, r2.expected,
+        |  r2.residual, r2.med_resid, m3.mad,
+        |  (ABS(r2.residual - r2.med_resid) > 3.0 * m3.mad) AS is_anomaly
+        |FROM r2 JOIN m3 USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
+    // q115's edge rule; apex-capped wedge join replayed verbatim (full
+    // degrees in the jaccard denominator, capped apexes in the numerator)
+    "q181_common_neighbors" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT u AS apex, v AS nb FROM e
+        |        UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT apex AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM adj GROUP BY 1),
+        |capped AS (
+        |  SELECT a.apex, a.nb FROM adj a JOIN deg d ON d.node = a.apex
+        |  WHERE d.degree <= 128),
+        |cn AS (
+        |  SELECT w1.nb AS a, w2.nb AS b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        |  FROM capped w1 JOIN capped w2 ON w1.apex = w2.apex AND w1.nb < w2.nb
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |ed AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b, true AS is_e
+        |       FROM e)
+        |SELECT cn.a AS id_a, cn.b AS id_b, cn.common_neighbors,
+        |  da.degree AS deg_a, db.degree AS deg_b,
+        |  CAST(cn.common_neighbors AS DOUBLE)
+        |    / CAST(da.degree + db.degree - cn.common_neighbors AS DOUBLE)
+        |    AS jaccard,
+        |  coalesce(ed.is_e, false) AS is_edge
+        |FROM cn
+        |JOIN deg da ON da.node = cn.a
+        |JOIN deg db ON db.node = cn.b
+        |LEFT JOIN ed ON ed.a = cn.a AND ed.b = cn.b
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q55's interval CTE over the non-purchase stream; purchases joined at
+    // their own time AND at "current" — the correction-report rollup
+    "q182_aswas_asis" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS t, MAX(event_type) AS status
+        |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, t, status,
+        |    LAG(status) OVER (PARTITION BY user_id ORDER BY t) AS ps
+        |  FROM c),
+        |ch AS (SELECT user_id, t, status FROM l WHERE ps IS NULL OR ps <> status),
+        |iv AS (
+        |  SELECT user_id, status, t AS vf,
+        |    LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS vt
+        |  FROM ch),
+        |f AS (SELECT user_id, epoch_us(ts) AS tf FROM events
+        |      WHERE event_type = 'purchase'),
+        |aswas AS (
+        |  SELECT f.user_id, f.tf, d.status AS s_aswas
+        |  FROM f LEFT JOIN iv d ON d.user_id = f.user_id
+        |    AND d.vf <= f.tf AND (d.vt IS NULL OR f.tf < d.vt)),
+        |asis AS (SELECT user_id, status AS s_asis FROM iv WHERE vt IS NULL),
+        |j AS (SELECT a.*, i.s_asis FROM aswas a LEFT JOIN asis i USING (user_id))
+        |SELECT coalesce(s_aswas, 'none') AS status_aswas,
+        |  coalesce(s_asis, 'none') AS status_asis,
+        |  CAST(COUNT(*) AS BIGINT) AS n_facts,
+        |  coalesce(s_aswas, 'none') <> coalesce(s_asis, 'none') AS changed
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q126's quasi discipline with segment as the SENSITIVE attribute
     "q179_l_diversity" ->
       """WITH q AS (

@@ -77,4 +77,63 @@ object Triangles {
             (col("degree") * (col("degree") - 1L)).cast("double"))
           .otherwise(lit(0.0d)).as("clustering"))
   }
+
+  /** Common-neighbor link prediction: score unordered node pairs by how
+    * many neighbors they share (the classic CN / neighborhood-Jaccard
+    * signal — Liben-Nowell & Kleinberg's baseline that harder methods are
+    * measured against; in a dedup graph, high-CN non-edges are the
+    * "transitively similar" pairs LSH missed).
+    *
+    * Counting common neighbors genuinely requires a wedge per (apex,
+    * pair); a degree-D hub apex contributes D²/2 wedges — that is the real
+    * work, not an artifact. The standard scale control is SUPER-NODE
+    * EXCLUSION: apexes above `maxApexDegree` don't generate wedges (a hub
+    * shared by everything carries no discriminative signal anyway — same
+    * rationale as the LSH `maxBucket` flood caps). `common_neighbors` and
+    * `jaccard` therefore count capped apexes only; `deg_a`/`deg_b` stay
+    * FULL degrees — the cap's effect is visible, not hidden.
+    *
+    * Output: `(id_a, id_b, common_neighbors, deg_a, deg_b, jaccard,
+    * is_edge)` for pairs with `common_neighbors >= minCommon`,
+    * `jaccard = cn / (deg_a + deg_b − cn)`, id_a < id_b. */
+  def commonNeighborPairs(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxApexDegree: Long = 128L,
+      minCommon: Long = 2L): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+
+    val adj = e.select(col("u").as("apex"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("apex"), col("u").as("nb")))
+    val deg = adj.groupBy(col("apex").as("node"))
+      .agg(count(lit(1)).as("degree"))
+
+    val capped = adj
+      .join(deg.withColumnRenamed("node", "apex"), "apex")
+      .where(col("degree") <= maxApexDegree)
+      .select(col("apex"), col("nb"))
+
+    val wedges = capped.toDF("apex", "a")
+      .join(capped.toDF("apex", "b"), "apex")
+      .where(col("a") < col("b"))
+    val cn = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .where(col("common_neighbors") >= minCommon)
+
+    val isEdge = e.select(
+      least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct().withColumn("__e", lit(true))
+    cn
+      .join(deg.toDF("a", "deg_a"), "a")
+      .join(deg.toDF("b", "deg_b"), "b")
+      .join(isEdge, Seq("a", "b"), "left")
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("common_neighbors"), col("deg_a"), col("deg_b"),
+        (col("common_neighbors").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common_neighbors")).cast("double"))
+          .as("jaccard"),
+        coalesce(col("__e"), lit(false)).as("is_edge"))
+  }
 }

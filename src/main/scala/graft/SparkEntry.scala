@@ -1352,6 +1352,72 @@ object SparkEntry {
       .orderBy("status_aswas", "status_asis")
   }
 
+  /** Incremental profile survivorship (q183): per-user golden profile
+    * (favorite event type = mode, max spend, last-seen day) maintained
+    * from a persisted count STATE plus a new batch — history is never
+    * rescanned; the (user, type, cnt) table is the sufficient statistic
+    * and a mode can flip when batch votes land
+    * ([[GoldenRecord.mergeModeState]]/[[GoldenRecord.modeFromState]]).
+    * The oracle recomputes from ALL events — parity proves
+    * incremental == full. */
+  private def profileStoreQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+      graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"),
+      col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val mm = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()(0)
+    val pivot = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
+    val old = ev.filter(col("day") < pivot)
+    val batch = ev.filter(col("day") >= pivot)
+    val typeState = old.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val baseState = old.groupBy("user_id").agg(
+      count(lit(1)).as("n1"), max(col("cents")).as("m1"), max(col("day")).as("l1"))
+    val merged = GoldenRecord.mergeModeState(typeState,
+      batch.select(col("user_id"), col("event_type")), "user_id", "event_type")
+    val fav = GoldenRecord.modeFromState(merged,
+      "user_id", "event_type", "cnt", "fav_type")
+    val baseNew = batch.groupBy("user_id").agg(
+      count(lit(1)).as("n2"), max(col("cents")).as("m2"), max(col("day")).as("l2"))
+    baseState.join(baseNew, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_events"),
+        greatest(coalesce(col("m1"), col("m2")), coalesce(col("m2"), col("m1")))
+          .as("max_cents"),
+        greatest(coalesce(col("l1"), col("l2")), coalesce(col("l2"), col("l1")))
+          .as("last_day"))
+      .join(fav, Seq("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** Coreset coverage drift (q184): the store's k-center exemplars
+    * ([[Coreset.selectCenters]] on historical vectors) probed by a new
+    * batch — per center: the store's coverage radius, how many new points
+    * landed there, and how many fell BEYOND the radius (the "new region
+    * of embedding space" alarm that says re-select before the coreset
+    * misrepresents the corpus). Assignment reuses [[Coreset.assign]];
+    * selection is never re-run on history. */
+  private def coresetDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val old = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+    val centers = Coreset.selectCenters(old, "vec_id", "embedding", k = 4)
+    val oldA = Coreset.assign(old, "vec_id", "embedding", centers)
+    val radius = oldA.groupBy("center_rank")
+      .agg(max(col("center_id")).as("center_id"), max(col("dist")).as("radius"))
+    val newA = Coreset.assign(batch, "vec_id", "embedding", centers)
+    val stats = newA
+      .join(radius.select(col("center_rank"), col("radius").as("__r")), Seq("center_rank"))
+      .groupBy("center_rank")
+      .agg(count(lit(1)).as("n_new"), max(col("dist")).as("max_dist_new"),
+        sum(when(col("dist") > col("__r"), 1L).otherwise(0L)).as("n_beyond"))
+    radius.join(stats, Seq("center_rank"), "left")
+      .select(col("center_rank"), col("center_id"), col("radius"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("max_dist_new"),
+        coalesce(col("n_beyond"), lit(0L)).as("n_beyond"))
+      .orderBy("center_rank")
+  }
+
   /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
     * codes — the full billion-scale ANN layout; a query ADC-scans only
     * the codes in its 4 probed cells of 16, and the recall quantifies
@@ -3023,7 +3089,9 @@ object SparkEntry {
     "q179_l_diversity" -> (lDiversityQ _),
     "q180_seasonal_anomaly" -> (seasonalAnomalyQ _),
     "q181_common_neighbors" -> (commonNeighborsQ _),
-    "q182_aswas_asis" -> (asWasAsIsQ _)
+    "q182_aswas_asis" -> (asWasAsIsQ _),
+    "q183_profile_store" -> (profileStoreQ _),
+    "q184_coreset_drift" -> (coresetDriftQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -3478,6 +3546,43 @@ object SparkEntry {
        |  SELECT f.qid AS id_a, f.nid AS id_b, f.rank AS rank_ab, r.rank AS rank_ba
        |  FROM topk f JOIN topk r ON r.qid = f.nid AND r.nid = f.qid
        |  WHERE f.qid < f.nid)""".stripMargin
+
+  /** Gonzalez k-center oracle CTE builder (q172/q184): the unrolled 4
+    * selection rounds over `embeddings` rows passing `whereSql` (empty =
+    * all), in the double-precision dot-product domain (bit-parity with the
+    * native cosine; DuckDB's list_cosine_similarity is float32 and only
+    * rank-safe). Ends at `e(vec_id, v, nrm)` (the filtered point set) and
+    * `cents(rnk, cid, cv, cn)`. */
+  private def kcenterSqlCte(whereSql: String): String =
+    s"""emb2 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings $whereSql),
+       |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb2),
+       |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+       |         ORDER BY vec_id LIMIT 1),
+       |d1 AS (
+       |  SELECT p.vec_id, p.v, p.nrm,
+       |         1.0 - list_dot_product(p.v, s.cv) / (p.nrm * s.cn) AS md
+       |  FROM e p, seed s),
+       |c2 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d1
+       |       ORDER BY md DESC, vec_id LIMIT 1),
+       |d2 AS (SELECT d.vec_id, d.v, d.nrm,
+       |         least(d.md,
+       |           1.0 - list_dot_product(d.v, c.cv) / (d.nrm * c.cn)) AS md
+       |       FROM d1 d, c2 c),
+       |c3 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d2
+       |       ORDER BY md DESC, vec_id LIMIT 1),
+       |d3 AS (SELECT d.vec_id, d.v, d.nrm,
+       |         least(d.md,
+       |           1.0 - list_dot_product(d.v, c.cv) / (d.nrm * c.cn)) AS md
+       |       FROM d2 d, c3 c),
+       |c4 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d3
+       |       ORDER BY md DESC, vec_id LIMIT 1),
+       |cents AS (
+       |  SELECT 0 AS rnk, cid, cv, cn FROM seed
+       |  UNION ALL SELECT 1, cid, cv, cn FROM c2
+       |  UNION ALL SELECT 2, cid, cv, cn FROM c3
+       |  UNION ALL SELECT 3, cid, cv, cn FROM c4)""".stripMargin
 
   /** Shared CTE body recomputing the portable 60-bit simhash table in SQL
     * (token md5Hash60 -> per-bit +/-1 balances -> bit assembly). */
@@ -5029,44 +5134,69 @@ object SparkEntry {
     // DIST domain (least of 1-cos), assignment in the COS domain (q17's
     // rule) — the exact domain split Coreset.kCenterAssign pins
     "q172_kcenter_coreset" ->
-      """WITH emb2 AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb2),
-        |seed AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
-        |         ORDER BY vec_id LIMIT 1),
-        |d1 AS (
-        |  SELECT p.vec_id, p.v, p.nrm,
-        |         1.0 - list_dot_product(p.v, s.cv) / (p.nrm * s.cn) AS md
-        |  FROM e p, seed s),
-        |c2 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d1
-        |       ORDER BY md DESC, vec_id LIMIT 1),
-        |d2 AS (SELECT d.vec_id, d.v, d.nrm,
-        |         least(d.md,
-        |           1.0 - list_dot_product(d.v, c.cv) / (d.nrm * c.cn)) AS md
-        |       FROM d1 d, c2 c),
-        |c3 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d2
-        |       ORDER BY md DESC, vec_id LIMIT 1),
-        |d3 AS (SELECT d.vec_id, d.v, d.nrm,
-        |         least(d.md,
-        |           1.0 - list_dot_product(d.v, c.cv) / (d.nrm * c.cn)) AS md
-        |       FROM d2 d, c3 c),
-        |c4 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d3
-        |       ORDER BY md DESC, vec_id LIMIT 1),
-        |cents AS (
-        |  SELECT 0 AS rnk, cid, cv, cn FROM seed
-        |  UNION ALL SELECT 1, cid, cv, cn FROM c2
-        |  UNION ALL SELECT 2, cid, cv, cn FROM c3
-        |  UNION ALL SELECT 3, cid, cv, cn FROM c4),
-        |asg AS (
-        |  SELECT p.vec_id AS id, c.cid, c.rnk,
-        |         1.0 - list_dot_product(p.v, c.cv) / (p.nrm * c.cn) AS dist,
-        |         row_number() OVER (PARTITION BY p.vec_id
-        |           ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cn) DESC,
-        |                    c.rnk) AS r
-        |  FROM e p, cents c)
-        |SELECT id, cid AS center_id, CAST(rnk AS INTEGER) AS center_rank, dist
-        |FROM asg WHERE r = 1 ORDER BY id""".stripMargin,
+      s"""WITH ${kcenterSqlCte("")},
+         |asg AS (
+         |  SELECT p.vec_id AS id, c.cid, c.rnk,
+         |         1.0 - list_dot_product(p.v, c.cv) / (p.nrm * c.cn) AS dist,
+         |         row_number() OVER (PARTITION BY p.vec_id
+         |           ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cn) DESC,
+         |                    c.rnk) AS r
+         |  FROM e p, cents c)
+         |SELECT id, cid AS center_id, CAST(rnk AS INTEGER) AS center_rank, dist
+         |FROM asg WHERE r = 1 ORDER BY id""".stripMargin,
+    // the store's centers (old rows only) + radius, probed by the batch:
+    // both assignments replay the same double-path cosine chain
+    "q184_coreset_drift" ->
+      s"""WITH ${kcenterSqlCte("WHERE vec_id % 10 <> 0")},
+         |asgo AS (
+         |  SELECT p.vec_id AS id, c.cid, c.rnk,
+         |         1.0 - list_dot_product(p.v, c.cv) / (p.nrm * c.cn) AS dist,
+         |         row_number() OVER (PARTITION BY p.vec_id
+         |           ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cn) DESC,
+         |                    c.rnk) AS r
+         |  FROM e p, cents c),
+         |olda AS (SELECT id, cid, rnk, dist FROM asgo WHERE r = 1),
+         |rad AS (SELECT rnk, MAX(cid) AS center_id, MAX(dist) AS radius
+         |        FROM olda GROUP BY 1),
+         |emb2b AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |eb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb2b),
+         |asgb AS (
+         |  SELECT p.vec_id AS id, c.rnk,
+         |         1.0 - list_dot_product(p.v, c.cv) / (p.nrm * c.cn) AS dist,
+         |         row_number() OVER (PARTITION BY p.vec_id
+         |           ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cn) DESC,
+         |                    c.rnk) AS r
+         |  FROM eb p, cents c),
+         |newa AS (SELECT id, rnk, dist FROM asgb WHERE r = 1),
+         |st AS (
+         |  SELECT n.rnk, CAST(COUNT(*) AS BIGINT) AS n_new,
+         |    MAX(n.dist) AS max_dist_new,
+         |    CAST(SUM(CASE WHEN n.dist > rad.radius THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_beyond
+         |  FROM newa n JOIN rad ON rad.rnk = n.rnk GROUP BY 1)
+         |SELECT CAST(rad.rnk AS INTEGER) AS center_rank, rad.center_id,
+         |  rad.radius, coalesce(st.n_new, 0) AS n_new, st.max_dist_new,
+         |  coalesce(st.n_beyond, 0) AS n_beyond
+         |FROM rad LEFT JOIN st ON st.rnk = rad.rnk ORDER BY center_rank""".stripMargin,
+    // full-recompute oracle: parity PROVES the incremental count-state
+    // merge equals a rescan of all history (disjoint count sums)
+    "q183_profile_store" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |tc AS (SELECT user_id, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |fav AS (SELECT user_id, event_type AS fav_type FROM (
+        |          SELECT user_id, event_type,
+        |            row_number() OVER (PARTITION BY user_id
+        |              ORDER BY c DESC, event_type ASC) AS r
+        |          FROM tc) t WHERE r = 1)
+        |SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MAX(e.cents) AS max_cents, MAX(e.day) AS last_day, f.fav_type
+        |FROM ev e JOIN fav f USING (user_id)
+        |GROUP BY 1, 5 ORDER BY user_id""".stripMargin,
     // relational minimax isotonic fit: interval means on exact BIGINT
     // prefix sums; min/max over doubles are rounding-monotone, so the fit
     // is bit-identical to Spark's

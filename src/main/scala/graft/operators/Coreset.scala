@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.plans.GraftExtensions
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Diversity-coreset selection over an embedding column — greedy k-center
@@ -41,21 +41,28 @@ object Coreset {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    assign(emb, idCol, vecCol, selectCenters(emb, idCol, vecCol, k))
+
+  private def distTo(spark: org.apache.spark.sql.SparkSession,
+      center: Seq[Float]): Column =
+    lit(1.0) - GraftExtensions.cosine(spark, col("vec"),
+      array(center.map(lit): _*))
+
+  /** The greedy selection alone: the ordered `(id, vector)` centers. */
+  def selectCenters(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): Vector[(Long, Seq[Float])] = {
     require(k >= 1, "k-center needs k >= 1")
     val spark = emb.sparkSession
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-
-    def distTo(center: Seq[Float]) =
-      lit(1.0) - GraftExtensions.cosine(spark, col("vec"),
-        array(center.map(lit): _*))
-
     val seed = base.orderBy(col("id")).limit(1).collect()(0)
     var centers: Vector[(Long, Seq[Float])] =
       Vector((seed.getLong(0), seed.getSeq[Float](1)))
-
     for (_ <- 1 until k) {
-      val minDist = centers.map(c => distTo(c._2)).reduce(least(_, _))
+      val minDist = centers.map(c => distTo(spark, c._2)).reduce(least(_, _))
       val next = base
         .select(col("id"), col("vec"), minDist.as("md"))
         .orderBy(col("md").desc, col("id").asc)
@@ -63,17 +70,29 @@ object Coreset {
         .collect()(0)
       centers = centers :+ ((next.getLong(0), next.getSeq[Float](1)))
     }
+    centers
+  }
 
-    // assignment: argmax cosine over the k centers == argmin dist, ties to
-    // the earlier-selected center — exactly the nearestCentroid tie rule
-    // when centroid ids are selection ranks
+  /** Assignment of ANY point set to previously-chosen centers — the reuse
+    * point for incremental coverage monitoring (assign a new batch to the
+    * store's centers without re-selecting). Argmax cosine, ties to the
+    * earlier-selected center — exactly the nearestCentroid tie rule when
+    * centroid ids are selection ranks. */
+  def assign(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Vector[(Long, Seq[Float])]): DataFrame = {
+    val spark = points.sparkSession
+    val base = points.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val ranked = centers.zipWithIndex.map { case ((_, v), i) => (i, v) }
     val idOf = map(centers.zipWithIndex.flatMap { case ((cid, _), i) =>
       Seq(lit(i), lit(cid)) }: _*)
     val withBucket = base.withColumn("center_rank",
       Similarity.nearestCentroid(spark, col("vec"), ranked))
-    val distToAssigned = ranked.init.foldRight(distTo(ranked.last._2)) {
-      case ((i, v), acc) => when(col("center_rank") === i, distTo(v)).otherwise(acc)
+    val distToAssigned = ranked.init.foldRight(distTo(spark, ranked.last._2)) {
+      case ((i, v), acc) =>
+        when(col("center_rank") === i, distTo(spark, v)).otherwise(acc)
     }
     withBucket
       .select(col("id"),

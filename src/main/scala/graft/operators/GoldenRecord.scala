@@ -61,4 +61,43 @@ object GoldenRecord {
         Seq("cluster"))
     }
   }
+
+  /** Incremental survivorship state: mode maintenance is the part of
+    * golden-record upkeep that genuinely needs state — a mode can FLIP
+    * when a new batch's votes arrive, so "keep the old winner" is wrong
+    * and a full rescan is the thing incrementality exists to avoid. The
+    * sufficient statistic is the `(key, value, cnt)` count table: merging
+    * a batch is one aggregate over (batch counts ∪ store), never a rescan
+    * of history. (Min/max/count base attributes merge trivially —
+    * greatest/least/sum of the stored scalars.)
+    *
+    * Returns the MERGED state, same grain, ready to persist as the next
+    * store. */
+  def mergeModeState(
+      store: DataFrame,
+      batch: DataFrame,
+      keyCol: String,
+      valCol: String,
+      cntCol: String = "cnt"): DataFrame = {
+    val bc = batch.groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).as(cntCol))
+    bc.unionByName(store.select(col(keyCol), col(valCol), col(cntCol)))
+      .groupBy(col(keyCol), col(valCol))
+      .agg(sum(col(cntCol)).as(cntCol))
+  }
+
+  /** Mode per key from a `(key, value, cnt)` count state — (cnt desc,
+    * value asc) tie-break, the [[modePerCluster]] rule. */
+  def modeFromState(
+      state: DataFrame,
+      keyCol: String,
+      valCol: String,
+      cntCol: String,
+      out: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(cntCol).desc, col(valCol).asc)
+    state.withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col(keyCol), col(valCol).as(out))
+  }
 }

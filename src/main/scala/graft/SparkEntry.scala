@@ -1418,6 +1418,80 @@ object SparkEntry {
       .orderBy("center_rank")
   }
 
+  /** The q185 quality-gate GBDT stand-in: a fixed 3-tree additive
+    * ensemble over (n_chars, n_tokens, avg_len). ONE spec generates both
+    * the Catalyst CASE chain and the oracle SQL
+    * ([[graft.operators.Scoring.TreeEnsemble]]). */
+  private val qualityEnsemble = graft.operators.Scoring.TreeEnsemble(Seq(
+    graft.operators.Scoring.Split("n_tokens", 40.0,
+      graft.operators.Scoring.Leaf(-0.6),
+      graft.operators.Scoring.Split("avg_len", 3.5,
+        graft.operators.Scoring.Leaf(0.2), graft.operators.Scoring.Leaf(0.7))),
+    graft.operators.Scoring.Split("n_chars", 150.0,
+      graft.operators.Scoring.Leaf(-0.3), graft.operators.Scoring.Leaf(0.4)),
+    graft.operators.Scoring.Split("avg_len", 8.0,
+      graft.operators.Scoring.Split("n_tokens", 120.0,
+        graft.operators.Scoring.Leaf(0.1), graft.operators.Scoring.Leaf(-0.2)),
+      graft.operators.Scoring.Leaf(-0.5))))
+
+  /** Tree-ensemble inference (q185): the quality-gate GBDT compiled to
+    * nested CASE columns — UDF-free model scoring inside whole-stage
+    * codegen at scan speed; margin kept raw (no sigmoid — thresholding a
+    * margin is equivalent and transcendental-free). */
+  private def treeScoringQ(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).select(col("doc_id"),
+      col("n_chars").cast("double").as("n_chars"),
+      size(split(trim(col("text")), "\\s+")).cast("double").as("n_tokens"))
+      .withColumn("avg_len", col("n_chars") / col("n_tokens"))
+    val feat: String => Column = {
+      case "n_chars" => col("n_chars")
+      case "n_tokens" => col("n_tokens")
+      case "avg_len" => col("avg_len")
+    }
+    base.select(col("doc_id"),
+      qualityEnsemble.column(feat).as("margin"))
+      .withColumn("accept", col("margin") > 0.0)
+      .orderBy("doc_id")
+  }
+
+  /** q186's literal weight table: deterministic splitmix-derived
+    * fixed-point units in [-1000, 1000] (1e-5 of a margin unit each) —
+    * both faces print/apply the SAME Scala values, so the derivation
+    * never needs cross-engine replay. */
+  private val hashedWeightUnits: Seq[Long] = (0 until 64).map { i =>
+    (graft.functions.PortableHash.splitmix((0xC0FFEEL << 32) | i.toLong)
+      % 2001L) - 1000L
+  }
+
+  /** Hashing-trick linear scorer (q186): token → md5-hash bucket →
+    * fixed-point weight units; the integer token-bag sum is order-free,
+    * margin = units/1e5 in one final division — Weinberger et al.'s
+    * fixed-dimension featurization with no vocabulary shuffle
+    * ([[graft.operators.Scoring.hashedLinearMargin]]). */
+  private def hashedLinearQ(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      graft.operators.Scoring.hashedLinearMargin(
+        col("text"), hashedWeightUnits, biasUnits = 5000L,
+        unitsPerOne = 100000.0).as("margin"))
+      .withColumn("flagged", col("margin") > 0.0)
+      .orderBy("doc_id")
+
+  /** Leave-one-out target encoding (q187): smoothed category→rate feature
+    * with the self-leak removed — row i's own label is excluded from its
+    * category's rate ([[graft.operators.Encoding.looTargetEncoding]]).
+    * Segment encoded against order urgency; singleton categories surface
+    * null rather than an invented prior. */
+  private def targetEncodingQ(s: SparkSession, dir: String): DataFrame = {
+    val j = orders(s, dir).join(customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+        (col("o_orderpriority") === "1-URGENT").as("urgent"))
+    graft.operators.Encoding.looTargetEncoding(
+      j, "segment", "urgent", alpha = 1.0, out = "enc")
+      .select(col("o_orderkey"), col("segment"), col("urgent"), col("enc"))
+      .orderBy("o_orderkey")
+  }
+
   /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
     * codes — the full billion-scale ANN layout; a query ADC-scans only
     * the codes in its 4 probed cells of 16, and the recall quantifies
@@ -3091,7 +3165,10 @@ object SparkEntry {
     "q181_common_neighbors" -> (commonNeighborsQ _),
     "q182_aswas_asis" -> (asWasAsIsQ _),
     "q183_profile_store" -> (profileStoreQ _),
-    "q184_coreset_drift" -> (coresetDriftQ _)
+    "q184_coreset_drift" -> (coresetDriftQ _),
+    "q185_tree_scoring" -> (treeScoringQ _),
+    "q186_hashed_linear" -> (hashedLinearQ _),
+    "q187_target_encoding" -> (targetEncodingQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5115,6 +5192,48 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_facts,
         |  coalesce(s_aswas, 'none') <> coalesce(s_asis, 'none') AS changed
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the ensemble spec prints itself as SQL — one source of truth for
+    // both engines; features mirrored expression-for-expression
+    "q185_tree_scoring" -> {
+      val featSql: String => String = {
+        case "n_chars" => "nc"
+        case "n_tokens" => "nt"
+        case "avg_len" => "al"
+      }
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS nc,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nt
+         |  FROM documents),
+         |f2 AS (SELECT doc_id, nc, nt, nc / nt AS al FROM f)
+         |SELECT doc_id, ${qualityEnsemble.sql(featSql)} AS margin,
+         |  (${qualityEnsemble.sql(featSql)} > 0.0) AS accept
+         |FROM f2 ORDER BY doc_id""".stripMargin
+    },
+    // integer-unit fold (associative — fold order can't matter), one
+    // final division mirrored on both sides
+    "q186_hashed_linear" ->
+      s"""SELECT doc_id,
+         |  ${graft.operators.Scoring.hashedLinearMarginSql(
+                "text", hashedWeightUnits, 5000L, 100000.0)} AS margin,
+         |  (${graft.operators.Scoring.hashedLinearMarginSql(
+                "text", hashedWeightUnits, 5000L, 100000.0)} > 0.0) AS flagged
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // LOO arithmetic mirrored term-for-term (exact integer counts, one
+    // double division); singletons null in both engines
+    "q187_target_encoding" ->
+      """WITH j AS (
+        |  SELECT o.o_orderkey, c.c_mktsegment AS segment,
+        |    (o.o_orderpriority = '1-URGENT') AS urgent
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |s AS (SELECT segment, COUNT(*) AS n,
+        |        SUM(CASE WHEN urgent THEN 1 ELSE 0 END) AS pos
+        |      FROM j GROUP BY 1)
+        |SELECT j.o_orderkey, j.segment, j.urgent,
+        |  CASE WHEN s.n > 1 THEN
+        |    (CAST(s.pos - (CASE WHEN j.urgent THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+        |      / (CAST(s.n - 1 AS DOUBLE) + 2.0)
+        |  END AS enc
+        |FROM j JOIN s USING (segment) ORDER BY o_orderkey""".stripMargin,
     // q126's quasi discipline with segment as the SENSITIVE attribute
     "q179_l_diversity" ->
       """WITH q AS (

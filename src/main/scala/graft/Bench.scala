@@ -102,7 +102,9 @@ object Bench {
       "q141_ngram_novelty", "q142_dedup_roi", "q145_simpson",
       "q149_source_jaccard", "q151_winnow_density", "q152_winnow_pairs",
       "q155_ks_drift", "q156_spearman", "q158_max_concurrency",
-      "q160_hilbert_locality", "q162_lsh_precision", "q163_quality_keeper")
+      "q160_hilbert_locality", "q162_lsh_precision", "q163_quality_keeper",
+      "q174_golden_record", "q176_set_cover", "q180_seasonal_anomaly",
+      "q183_profile_store", "q186_hashed_linear", "q187_target_encoding")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

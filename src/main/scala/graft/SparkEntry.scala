@@ -897,10 +897,13 @@ object SparkEntry {
     * operator and costs ~8 propagation rounds instead of ~2. */
   private def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
-    // 64 clusters: with the native argmax kernel assignment is ~free, so a
-    // higher nlist directly divides the quadratic in-cluster pair stage
-    // (measured at the 10x replica: 25 s at nlist=16 -> 3 s at 64)
-    val cents = Similarity.headCentroids(emb, "vec_id", "embedding", 64)
+    // nlist auto-scales to ceil(sqrt(n)) (q171's sizing): with the native
+    // argmax kernel assignment is ~free, and the quadratic in-cluster
+    // pair stage shrinks as 1/nlist — a FIXED nlist was the worst sf1
+    // ratio in the suite (4.7x at 10x data; sqrt-scaling restores ~linear)
+    val nlist = math.ceil(math.sqrt(
+      emb.select(col("vec_id")).count().toDouble)).toInt
+    val cents = Similarity.headCentroids(emb, "vec_id", "embedding", nlist)
     Dedup.semanticDedupGroups(emb, "vec_id", "embedding", cents, threshold = 0.42)
       .orderBy("id")
   }
@@ -1490,6 +1493,60 @@ object SparkEntry {
       j, "segment", "urgent", alpha = 1.0, out = "enc")
       .select(col("o_orderkey"), col("segment"), col("urgent"), col("enc"))
       .orderBy("o_orderkey")
+  }
+
+  /** RLE compressibility ablation (q188): run-length entries for
+    * l_returnflag under the natural (orderkey-bucket) layout vs a
+    * value-clustered layout — the encoding-choice audit a columnar
+    * writer runs per row group ([[graft.operators.Layout.rleRunsReport]];
+    * zones are the row-group analogue and the window unit, never a
+    * global sort). */
+  private def rleAuditQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val li = lineitem(s, dir).select(col("l_orderkey").as("k"),
+      col("l_linenumber").as("ln"), col("l_returnflag").as("v"))
+    // (k, ln) is NOT unique in the synthetic lineitem — the value itself
+    // is the final tiebreaker, which is run-count-safe (ambiguity only
+    // ever swaps equal-value rows, and equal neighbors are never a run
+    // boundary)
+    val natural = Layout.rleRunsReport(li,
+      ((col("k") - pmod(col("k"), lit(1000L))) / lit(1000L)).cast("long"),
+      Seq(col("k"), col("ln"), col("v")), col("v"))
+      .select(lit("natural").as("layout"), col("*"))
+    val clustered = Layout.rleRunsReport(li,
+      col("v"), Seq(col("k"), col("ln"), col("v")), col("v"))
+      .select(lit("by_value").as("layout"), col("*"))
+    natural.unionByName(clustered).orderBy("layout")
+  }
+
+  /** Portable-bloom FPR audit (q189): the relational bloom (k salted
+    * md5 positions, filter = the distinct position SET — cross-engine by
+    * construction) built on large parts, probed with keys known absent;
+    * observed false-positive rate, not the textbook formula
+    * ([[graft.operators.PortableBloom.fprReport]]). m=512 deliberately
+    * undersized so the audit measures a non-trivial rate. */
+  private def bloomFprQ(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir)
+    graft.operators.PortableBloom.fprReport(
+      p.where(col("p_size") >= 48), col("p_partkey"),
+      p.where(col("p_size") < 48), col("p_partkey"),
+      m = 512, k = 3)
+  }
+
+  /** Partition checksum reconciliation (q190): the cheap first pass of a
+    * 100 TB snapshot compare — per-day row counts + order-independent
+    * md5 content checksums, full-outer diffed; only mismatching
+    * partitions would proceed to q98's row-grain diff
+    * ([[graft.operators.Reconcile]]). Snapshot B simulates loss of every
+    * 101st event. */
+  private def reconcileQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"),
+      graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"))
+    val b = ev.where(pmod(col("event_id"), lit(101L)) =!= 0L)
+    graft.operators.Reconcile.reconcile(ev, b, col("day"),
+      concat_ws(":", col("event_id"), col("user_id"), col("event_type")))
+      .orderBy("part")
   }
 
   /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
@@ -3168,7 +3225,10 @@ object SparkEntry {
     "q184_coreset_drift" -> (coresetDriftQ _),
     "q185_tree_scoring" -> (treeScoringQ _),
     "q186_hashed_linear" -> (hashedLinearQ _),
-    "q187_target_encoding" -> (targetEncodingQ _)
+    "q187_target_encoding" -> (targetEncodingQ _),
+    "q188_rle_audit" -> (rleAuditQ _),
+    "q189_bloom_fpr" -> (bloomFprQ _),
+    "q190_checksum_reconcile" -> (reconcileQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -4782,7 +4842,8 @@ object SparkEntry {
     "q67_semantic_dedup" ->
       """WITH RECURSIVE cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cent
-        |  FROM embeddings ORDER BY vec_id LIMIT 64),
+        |  FROM embeddings ORDER BY vec_id
+        |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
         |asg AS (
         |  SELECT e.vec_id AS id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
         |         c.cent_id AS bucket,
@@ -5234,6 +5295,86 @@ object SparkEntry {
         |      / (CAST(s.n - 1 AS DOUBLE) + 2.0)
         |  END AS enc
         |FROM j JOIN s USING (segment) ORDER BY o_orderkey""".stripMargin,
+    // per-zone lag windows replayed verbatim; doubles only in the two
+    // final ratios
+    "q188_rle_audit" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS k, l_linenumber AS ln, l_returnflag AS v
+        |  FROM lineitem),
+        |n1 AS (SELECT CAST((k - k % 1000) / 1000 AS BIGINT) AS z, v, k, ln FROM li),
+        |m1 AS (SELECT z,
+        |         CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v
+        |           THEN 1 ELSE 0 END AS nw
+        |       FROM n1 WINDOW w AS (PARTITION BY z ORDER BY k, ln, v)),
+        |m2 AS (SELECT v AS z,
+        |         CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v
+        |           THEN 1 ELSE 0 END AS nw
+        |       FROM li WINDOW w AS (PARTITION BY v ORDER BY k, ln, v)),
+        |s1 AS (SELECT 'natural' AS layout, CAST(COUNT(DISTINCT z) AS BIGINT) AS zones,
+        |         CAST(COUNT(*) AS BIGINT) AS rows_, CAST(SUM(nw) AS BIGINT) AS runs,
+        |         CAST(COUNT(*) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) AS avg_run_len,
+        |         CAST(SUM(nw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rle_ratio
+        |       FROM m1),
+        |s2 AS (SELECT 'by_value' AS layout, CAST(COUNT(DISTINCT z) AS BIGINT) AS zones,
+        |         CAST(COUNT(*) AS BIGINT) AS rows_, CAST(SUM(nw) AS BIGINT) AS runs,
+        |         CAST(COUNT(*) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) AS avg_run_len,
+        |         CAST(SUM(nw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rle_ratio
+        |       FROM m2)
+        |SELECT layout, zones, rows_ AS "rows", runs, avg_run_len, rle_ratio
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) t
+        |ORDER BY layout""".stripMargin,
+    // relational bloom: salted md5 positions; the position set and every
+    // probe replay exactly (60-bit md5 values are non-negative, so % is
+    // pmod)
+    "q189_bloom_fpr" -> {
+      val h = graft.functions.PortableHash.md5Hash60Sql(
+        "CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR)")
+      s"""WITH dim AS (SELECT p_partkey AS key FROM part WHERE p_size >= 48),
+         |pr AS (SELECT p_partkey AS key FROM part WHERE p_size < 48),
+         |posset AS (
+         |  SELECT DISTINCT ($h) % 512 AS pos
+         |  FROM dim, generate_series(0, 2) AS g(j)),
+         |pp AS (
+         |  SELECT key, ($h) % 512 AS pos
+         |  FROM pr, generate_series(0, 2) AS g(j)),
+         |hit AS (
+         |  SELECT pp.key, COUNT(*) AS np,
+         |    SUM(CASE WHEN pp.pos IN (SELECT pos FROM posset)
+         |      THEN 1 ELSE 0 END) AS nh
+         |  FROM pp GROUP BY 1)
+         |SELECT CAST(512 AS INTEGER) AS m, CAST(3 AS INTEGER) AS k,
+         |  (SELECT CAST(COUNT(DISTINCT key) AS BIGINT) FROM dim) AS n_build,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM posset) AS n_bits_set,
+         |  CAST(COUNT(*) AS BIGINT) AS n_probe,
+         |  CAST(SUM(CASE WHEN np = nh THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_false_positive,
+         |  CAST(SUM(CASE WHEN np = nh THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS fpr
+         |FROM hit""".stripMargin
+    },
+    // order-independent HUGEINT checksum sums (Spark carries decimal(38,0));
+    // IS NOT DISTINCT FROM is the null-safe twin of Spark's <=>
+    "q190_checksum_reconcile" -> {
+      val h = graft.functions.PortableHash.md5Hash60Sql(
+        "concat_ws(':', event_id, user_id, event_type)")
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, event_type,
+         |    epoch_ns(ts) // 86400000000000 AS day
+         |  FROM events),
+         |b AS (SELECT * FROM ev WHERE event_id % 101 <> 0),
+         |da AS (SELECT day AS part, CAST(COUNT(*) AS BIGINT) AS n_a,
+         |         SUM(CAST(($h) AS HUGEINT)) AS ck_a
+         |       FROM ev GROUP BY 1),
+         |db AS (SELECT day AS part, CAST(COUNT(*) AS BIGINT) AS n_b,
+         |         SUM(CAST(($h) AS HUGEINT)) AS ck_b
+         |       FROM b GROUP BY 1)
+         |SELECT coalesce(da.part, db.part) AS part,
+         |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+         |  (coalesce(n_a, 0) = coalesce(n_b, 0)
+         |    AND ck_a IS NOT DISTINCT FROM ck_b) AS match_ok
+         |FROM da FULL OUTER JOIN db ON db.part = da.part
+         |ORDER BY part""".stripMargin
+    },
     // q126's quasi discipline with segment as the SENSITIVE attribute
     "q179_l_diversity" ->
       """WITH q AS (

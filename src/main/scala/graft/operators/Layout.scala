@@ -215,6 +215,43 @@ object Layout {
       .drop("__z")
   }
 
+  /** RLE compressibility audit: how many run-length entries a column
+    * costs under a given physical layout — the encoding-choice question a
+    * columnar writer answers per ROW GROUP (RLE/dictionary pay off only
+    * when the clustering puts equal values adjacent; sorting by an
+    * unrelated key destroys that). `zone` is the row-group analogue and
+    * the unit of parallelism: runs are counted WITHIN zones (windows
+    * partition by zone — bounded, never a global sort), exactly the scope
+    * a writer encodes.
+    *
+    * Output (one row): `zones, rows, runs, avg_run_len, rle_ratio` —
+    * `runs` = Σ per-zone value-change count (+1 per zone), `rle_ratio` =
+    * runs/rows (1.0 = incompressible under RLE, →0 = highly runnable). */
+  def rleRunsReport(
+      df: DataFrame,
+      zone: Column,
+      orderInZone: Seq[Column],
+      valueCol: Column): DataFrame = {
+    require(!df.columns.exists(c => c.startsWith("__rle_")),
+      "input must not contain reserved internal columns __rle_*")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rle_z")).orderBy(orderInZone: _*)
+    val marked = df
+      .select(zone.as("__rle_z"), valueCol.as("__rle_v"), col("*"))
+      .withColumn("__rle_new",
+        when(lag(col("__rle_v"), 1).over(w).isNull ||
+          lag(col("__rle_v"), 1).over(w) =!= col("__rle_v"), 1L)
+          .otherwise(0L))
+    marked.agg(
+      count_distinct(col("__rle_z")).as("zones"),
+      count(lit(1)).as("rows"),
+      sum(col("__rle_new")).as("runs"),
+      (count(lit(1)).cast("double") / sum(col("__rle_new")).cast("double"))
+        .as("avg_run_len"),
+      (sum(col("__rle_new")).cast("double") / count(lit(1)).cast("double"))
+        .as("rle_ratio"))
+  }
+
   /** Zone-map pruning report: what a `[lo, hi]` range predicate on
     * `statCol` would cost under a given physical layout, where `zone`
     * names the file/row-group a row would land in (a bucket of the

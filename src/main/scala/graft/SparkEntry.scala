@@ -1549,6 +1549,91 @@ object SparkEntry {
       .orderBy("part")
   }
 
+  /** Incremental view maintenance (q191): a committed daily-count store
+    * plus a late batch → delta rows for ONLY the affected (day, type)
+    * groups ([[graft.operators.ViewMaintenance.countDelta]]); the
+    * full-rebuild answer never materializes. Late batch simulated as
+    * every 17th event. */
+  private def viewMaintenanceQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"),
+      col("event_type"), col("event_id"))
+    val store = ev.filter(pmod(col("event_id"), lit(17L)) =!= 0L)
+      .groupBy("day", "event_type").agg(count(lit(1)).as("old_n"))
+    val late = ev.filter(pmod(col("event_id"), lit(17L)) === 0L)
+    graft.operators.ViewMaintenance.countDelta(
+      store, late, Seq("day", "event_type"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Self-join size (F2) estimation audit (q192): exact Σc² for the
+    * events-by-user self-join vs the optimizer-style estimate from a
+    * top-10 heavy-hitter list + uniform-tail model — the skew question
+    * every join-size estimator gets wrong first. All-integer moments;
+    * doubles only in the final ratio. */
+  private def joinEstimateQ(s: SparkSession, dir: String): DataFrame = {
+    val c = events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = c.withColumn("r", row_number().over(
+      Window.orderBy(col("c").desc, col("user_id").asc)))
+    val agg = ranked.agg(
+      sum((col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("f2"),
+      sum(when(col("r") <= 10,
+        (col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("head_f2"),
+      sum(when(col("r") > 10, col("c")).otherwise(lit(0L))).as("tail_n"),
+      Rollups.countIf(col("r") > 10).as("tail_d"))
+    agg.select(
+      col("f2").cast("double").as("true_f2"),
+      (col("head_f2").cast("double") +
+        when(col("tail_d") > 0L,
+          (col("tail_n").cast("decimal(38,0)") * col("tail_n").cast("decimal(38,0)"))
+            .cast("double") / col("tail_d").cast("double"))
+          .otherwise(lit(0.0))).as("est_f2"))
+      .withColumn("rel_err",
+        (col("est_f2") - col("true_f2")) / col("true_f2"))
+  }
+
+  /** CUBE rollup (q193): segment × priority revenue cube with
+    * grouping_id — the grouping-sets surface (marked absent in the
+    * reference, present in the engine for SQL completeness); money
+    * through the exact-cents policy. */
+  private def cubeRollupQ(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"), col("o_totalprice"))
+      .cube(col("segment"), col("priority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        Rollups.exactMoneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("gid", "segment", "priority")
+
+  /** k-anonymity generalization ladder (q194): coarsen the balance
+    * quasi-identifier (width 100 → 1000 → dropped) and report how many
+    * classes stay under k=5 and how many rows suppression would cost at
+    * each rung — the repair loop q126's audit feeds. */
+  private def generalizationLadderQ(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(
+      col("c_nationkey").cast("long").as("nation"), col("c_acctbal"))
+    def rung(name: String, cls: Column): DataFrame =
+      c.groupBy(cls.as("cls")).agg(count(lit(1)).as("n"))
+        .agg(lit(name).as("rung"),
+          count(lit(1)).as("n_classes"),
+          Rollups.countIf(col("n") < 5L).as("n_at_risk"),
+          coalesce(sum(when(col("n") < 5L, col("n"))), lit(0L))
+            .as("rows_suppressed"),
+          (coalesce(sum(when(col("n") < 5L, col("n"))), lit(0L)).cast("double") /
+            sum(col("n")).cast("double")).as("suppression_rate"))
+    rung("w100", concat_ws(":", col("nation"),
+        floor(col("c_acctbal") / 100).cast("long")))
+      .unionByName(rung("w1000", concat_ws(":", col("nation"),
+        floor(col("c_acctbal") / 1000).cast("long"))))
+      .unionByName(rung("nation_only", col("nation").cast("string")))
+      .orderBy("rung")
+  }
+
   /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
     * codes — the full billion-scale ANN layout; a query ADC-scans only
     * the codes in its 4 probed cells of 16, and the recall quantifies
@@ -3228,7 +3313,11 @@ object SparkEntry {
     "q187_target_encoding" -> (targetEncodingQ _),
     "q188_rle_audit" -> (rleAuditQ _),
     "q189_bloom_fpr" -> (bloomFprQ _),
-    "q190_checksum_reconcile" -> (reconcileQ _)
+    "q190_checksum_reconcile" -> (reconcileQ _),
+    "q191_view_maintenance" -> (viewMaintenanceQ _),
+    "q192_join_estimate" -> (joinEstimateQ _),
+    "q193_cube_rollup" -> (cubeRollupQ _),
+    "q194_generalization_ladder" -> (generalizationLadderQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5375,6 +5464,96 @@ object SparkEntry {
          |FROM da FULL OUTER JOIN db ON db.part = da.part
          |ORDER BY part""".stripMargin
     },
+    // delta-grain maintenance: the oracle recomputes both aggregates and
+    // keeps only batch-touched groups — equality proves delta == rebuild
+    "q191_view_maintenance" ->
+      """WITH ev AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type, event_id
+        |  FROM events),
+        |store AS (
+        |  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS old_n
+        |  FROM ev WHERE event_id % 17 <> 0 GROUP BY 1, 2),
+        |add AS (
+        |  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS add_n
+        |  FROM ev WHERE event_id % 17 = 0 GROUP BY 1, 2)
+        |SELECT a.day, a.event_type,
+        |  coalesce(s.old_n, 0) AS old_n,
+        |  coalesce(s.old_n, 0) + a.add_n AS new_n,
+        |  a.add_n AS delta_n
+        |FROM add a LEFT JOIN store s USING (day, event_type)
+        |ORDER BY day, event_type""".stripMargin,
+    // exact HUGEINT moments; head/tail split at the same (count desc,
+    // user) rank; doubles only in the estimate composition and ratio
+    "q192_join_estimate" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY c DESC, user_id) AS rnk FROM c),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2,
+        |    CAST(SUM(CASE WHEN rnk <= 10 THEN CAST(c AS HUGEINT) * c
+        |      ELSE 0 END) AS HUGEINT) AS head_f2,
+        |    CAST(SUM(CASE WHEN rnk > 10 THEN c ELSE 0 END) AS BIGINT) AS tail_n,
+        |    CAST(SUM(CASE WHEN rnk > 10 THEN 1 ELSE 0 END) AS BIGINT) AS tail_d
+        |  FROM r)
+        |SELECT CAST(f2 AS DOUBLE) AS true_f2,
+        |  (CAST(head_f2 AS DOUBLE) +
+        |    CASE WHEN tail_d > 0 THEN
+        |      CAST(CAST(tail_n AS HUGEINT) * tail_n AS DOUBLE)
+        |        / CAST(tail_d AS DOUBLE)
+        |    ELSE 0.0 END) AS est_f2,
+        |  ((CAST(head_f2 AS DOUBLE) +
+        |    CASE WHEN tail_d > 0 THEN
+        |      CAST(CAST(tail_n AS HUGEINT) * tail_n AS DOUBLE)
+        |        / CAST(tail_d AS DOUBLE)
+        |    ELSE 0.0 END) - CAST(f2 AS DOUBLE)) / CAST(f2 AS DOUBLE) AS rel_err
+        |FROM a""".stripMargin,
+    // DuckDB's grouping(a, b) bitmask matches Spark's grouping_id()
+    // (first cube column = MSB — probed, not assumed)
+    "q193_cube_rollup" ->
+      """SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+        |  CAST(grouping(c.c_mktsegment, o.o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+        |ORDER BY gid, segment, priority""".stripMargin,
+    // three rungs of the same class-size screen; only the class key
+    // coarsens
+    "q194_generalization_ladder" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_acctbal FROM customer),
+        |r1 AS (SELECT concat_ws(':', nation,
+        |         CAST(floor(c_acctbal / 100) AS BIGINT)) AS cls,
+        |         COUNT(*) AS n FROM c GROUP BY 1),
+        |r2 AS (SELECT concat_ws(':', nation,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT)) AS cls,
+        |         COUNT(*) AS n FROM c GROUP BY 1),
+        |r3 AS (SELECT CAST(nation AS VARCHAR) AS cls, COUNT(*) AS n
+        |       FROM c GROUP BY 1),
+        |s AS (
+        |  SELECT 'w100' AS rung, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+        |    CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+        |      AS rows_suppressed,
+        |    CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS DOUBLE)
+        |      / CAST(SUM(n) AS DOUBLE) AS suppression_rate
+        |  FROM r1
+        |  UNION ALL
+        |  SELECT 'w1000', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS DOUBLE)
+        |      / CAST(SUM(n) AS DOUBLE)
+        |  FROM r2
+        |  UNION ALL
+        |  SELECT 'nation_only', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS DOUBLE)
+        |      / CAST(SUM(n) AS DOUBLE)
+        |  FROM r3)
+        |SELECT * FROM s ORDER BY rung""".stripMargin,
     // q126's quasi discipline with segment as the SENSITIVE attribute
     "q179_l_diversity" ->
       """WITH q AS (

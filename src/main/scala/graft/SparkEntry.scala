@@ -1634,6 +1634,89 @@ object SparkEntry {
       .orderBy("rung")
   }
 
+  /** Rare-transition fluency screen (q195): corpus bigram model
+    * (p(b|a) = c(ab)/c(a·)) self-scored over every document — the
+    * log-free cousin of perplexity filtering (Wenzek et al.'s CCNet
+    * idea): a doc whose transitions are mostly rare under the corpus
+    * model is garbage/boilerplate/wrong-language; counting sub-threshold
+    * transitions needs no transcendentals, so it oracle-replays exactly
+    * where a log-likelihood would drift. */
+  private def rareTransitionsQ(s: SparkSession, dir: String): DataFrame = {
+    val inst = documents(s, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "a")))
+      .withColumn("b", lead(col("a"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .where(col("b").isNotNull)
+    val cab = inst.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = inst.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val model = cab.join(ca, Seq("a"))
+      .withColumn("p", col("c_ab").cast("double") / col("c_a").cast("double"))
+    inst.join(model.select(col("a"), col("b"), col("p")), Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Rollups.countIf(col("p") < 0.01).as("n_rare"))
+      .withColumn("rare_frac",
+        col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("suspicious", col("rare_frac") > 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** Growth accounting (q196): weekly actives decomposed into
+    * new/retained/resurrected with churn attributed to the first silent
+    * week ([[graft.operators.Growth.accounting]]) — the canonical
+    * user-base decomposition; identities
+    * (active = new+retained+resurrected) spec-pinned. */
+  private def growthAccountingQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Growth.accounting(
+      events(s, dir).select(col("user_id"),
+        (graft.operators.Funnel.epochDayFromNanos(col("ts")) / lit(7L))
+          .cast("long").as("week")),
+      "user_id", "week")
+      .orderBy("period")
+
+  /** DAU/WAU stickiness (q197): daily actives over trailing-7-day actives
+    * — the engagement ratio every growth dashboard carries; the WAU side
+    * reuses q125's contribution-explode exact rolling distinct
+    * ([[graft.operators.SlidingDistinct.trailingDistinct]]). */
+  private def stickinessQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = events(s, dir).select(
+      graft.operators.Funnel.epochDayFromNanos(col("ts")).as("d"),
+      col("user_id"))
+    val dau = pairs.distinct().groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = graft.operators.SlidingDistinct.trailingDistinct(
+      pairs, "d", "user_id", windowDays = 7)
+      .withColumnRenamed("n_active", "wau")
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("wau").cast("double"))
+      .orderBy("day")
+  }
+
+  /** Sample-ratio-mismatch check (q198): the experimentation guardrail —
+    * distinct users per simulated arm (user_id % 2) vs the expected 50/50
+    * split, chi-square GOF with the 1-dof 5% critical value. An SRM means
+    * the assignment itself is broken and every downstream readout (q178)
+    * is void. */
+  private def srmCheckQ(s: SparkSession, dir: String): DataFrame = {
+    val arms = events(s, dir).select(col("user_id")).distinct()
+      .groupBy(pmod(col("user_id"), lit(2L)).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    val agg = arms.agg(
+      sum(when(col("grp") === 0L, col("n")).otherwise(0L)).as("n_0"),
+      sum(when(col("grp") === 1L, col("n")).otherwise(0L)).as("n_1"))
+    agg.select(col("n_0"), col("n_1"),
+      ((col("n_0") + col("n_1")).cast("double") / lit(2.0)).as("expected"))
+      .withColumn("chi2",
+        (col("n_0").cast("double") - col("expected")) *
+          (col("n_0").cast("double") - col("expected")) / col("expected") +
+        (col("n_1").cast("double") - col("expected")) *
+          (col("n_1").cast("double") - col("expected")) / col("expected"))
+      .withColumn("srm_flag", col("chi2") > 3.841458820694124)
+  }
+
   /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
     * codes — the full billion-scale ANN layout; a query ADC-scans only
     * the codes in its 4 probed cells of 16, and the recall quantifies
@@ -3317,7 +3400,11 @@ object SparkEntry {
     "q191_view_maintenance" -> (viewMaintenanceQ _),
     "q192_join_estimate" -> (joinEstimateQ _),
     "q193_cube_rollup" -> (cubeRollupQ _),
-    "q194_generalization_ladder" -> (generalizationLadderQ _)
+    "q194_generalization_ladder" -> (generalizationLadderQ _),
+    "q195_rare_transitions" -> (rareTransitionsQ _),
+    "q196_growth_accounting" -> (growthAccountingQ _),
+    "q197_stickiness" -> (stickinessQ _),
+    "q198_srm_check" -> (srmCheckQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5554,6 +5641,99 @@ object SparkEntry {
         |      / CAST(SUM(n) AS DOUBLE)
         |  FROM r3)
         |SELECT * FROM s ORDER BY rung""".stripMargin,
+    // positional bigrams ≡ the Spark lead() pairs; threshold compare on
+    // one exact-count double division — no transcendentals anywhere
+    "q195_rare_transitions" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |inst AS (
+        |  SELECT doc_id, w[i] AS a, w[i + 1] AS b
+        |  FROM d, unnest(generate_series(1, len(w) - 1)) AS u(i)
+        |  WHERE len(w) >= 2),
+        |cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |        FROM inst GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a FROM inst GROUP BY 1),
+        |m AS (SELECT cab.a, cab.b,
+        |        CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE) AS p
+        |      FROM cab JOIN ca USING (a))
+        |SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN m.p < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(SUM(CASE WHEN m.p < 0.01 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS rare_frac,
+        |  (CAST(SUM(CASE WHEN m.p < 0.01 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) > 0.3) AS suspicious
+        |FROM inst i JOIN m ON m.a = i.a AND m.b = i.b
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // one per-user window pass; churn attributed to the first silent
+    // week, bounded by the observed range
+    "q196_growth_accounting" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS k,
+        |    (epoch_ns(ts) // 86400000000000) // 7 AS w
+        |  FROM events),
+        |mx AS (SELECT MAX(w) AS mw FROM act),
+        |lane AS (
+        |  SELECT k, w,
+        |    MIN(w) OVER (PARTITION BY k) AS first_w,
+        |    LAG(w) OVER (PARTITION BY k ORDER BY w) AS prev_w,
+        |    LEAD(w) OVER (PARTITION BY k ORDER BY w) AS next_w
+        |  FROM act),
+        |states AS (
+        |  SELECT w AS period, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CASE WHEN w = first_w THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN prev_w = w - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_retained,
+        |    CAST(SUM(CASE WHEN prev_w IS NOT NULL AND prev_w < w - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM lane GROUP BY 1),
+        |churn AS (
+        |  SELECT w + 1 AS period, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM lane, mx
+        |  WHERE (next_w IS NULL OR next_w > w + 1) AND w + 1 <= mw
+        |  GROUP BY 1)
+        |SELECT coalesce(s.period, c.period) AS period,
+        |  coalesce(n_active, 0) AS n_active, coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM states s FULL OUTER JOIN churn c ON c.period = s.period
+        |ORDER BY period""".stripMargin,
+    // q125's contribution-explode for the WAU side; the dau join bounds
+    // the series to observed days
+    "q197_stickiness" ->
+      """WITH p AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS d, user_id
+        |  FROM events),
+        |dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
+        |        FROM p GROUP BY 1),
+        |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM (
+        |          SELECT DISTINCT d + x AS day, user_id
+        |          FROM p, unnest(generate_series(0, 6)) AS g(x)) t
+        |        GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    // expected/chi2 computed once in CTEs; identical association both
+    // sides; 3.8415 = the 1-dof 5% critical value
+    "q198_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (SELECT user_id % 2 AS grp, COUNT(*) AS n FROM u GROUP BY 1),
+        |a AS (SELECT
+        |  CAST(SUM(CASE WHEN grp = 0 THEN n ELSE 0 END) AS BIGINT) AS n_0,
+        |  CAST(SUM(CASE WHEN grp = 1 THEN n ELSE 0 END) AS BIGINT) AS n_1
+        |  FROM arms),
+        |e AS (SELECT n_0, n_1,
+        |        CAST(n_0 + n_1 AS DOUBLE) / 2.0 AS expected FROM a),
+        |c AS (SELECT n_0, n_1, expected,
+        |        (CAST(n_0 AS DOUBLE) - expected) * (CAST(n_0 AS DOUBLE) - expected)
+        |          / expected
+        |        + (CAST(n_1 AS DOUBLE) - expected) * (CAST(n_1 AS DOUBLE) - expected)
+        |          / expected AS chi2
+        |      FROM e)
+        |SELECT n_0, n_1, expected, chi2,
+        |  (chi2 > 3.841458820694124) AS srm_flag
+        |FROM c""".stripMargin,
     // q126's quasi discipline with segment as the SENSITIVE attribute
     "q179_l_diversity" ->
       """WITH q AS (

@@ -1717,6 +1717,76 @@ object SparkEntry {
       .withColumn("srm_flag", col("chi2") > 3.841458820694124)
   }
 
+  /** Funnel A/B significance (q199): full-funnel conversion
+    * (signup→click→purchase, q90's greedy-earliest steps) compared
+    * across simulated arms with the exact-integer 2×2 chi-square
+    * `N(ad−bc)²/((a+b)(c+d)(a+c)(b+d))` — products carried in
+    * decimal(38,0)/HUGEINT, ONE double division at the end, so the
+    * statistic replays bit-for-bit (z² on proportions is the same test). */
+  private def funnelAbQ(s: SparkSession, dir: String): DataFrame = {
+    val steps = graft.operators.Funnel.funnelSteps(
+      events(s, dir).withColumn("tus",
+        floor(col("ts").cast("decimal(20,0)") / lit(1000)).cast("long")),
+      "user_id", "tus", "event_type",
+      Seq("signup", "click", "purchase"))
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        (col("steps_completed") >= 3 &&
+          col("t3") - col("t1") <= lit(86400000000L)).as("conv"))
+    val d38 = "decimal(38,0)"
+    val agg = steps.agg(
+      Rollups.countIf(col("arm") === 0L && col("conv")).as("a"),
+      Rollups.countIf(col("arm") === 0L && !col("conv")).as("b"),
+      Rollups.countIf(col("arm") === 1L && col("conv")).as("c"),
+      Rollups.countIf(col("arm") === 1L && !col("conv")).as("d"))
+    agg.select(
+      (col("a") + col("b")).as("n_0"), col("a").as("conv_0"),
+      (col("c") + col("d")).as("n_1"), col("c").as("conv_1"),
+      (col("a").cast("double") / (col("a") + col("b")).cast("double"))
+        .as("rate_0"),
+      (col("c").cast("double") / (col("c") + col("d")).cast("double"))
+        .as("rate_1"),
+      when(
+        (col("a") + col("b")) > 0L && (col("c") + col("d")) > 0L &&
+          (col("a") + col("c")) > 0L && (col("b") + col("d")) > 0L,
+        ((col("a") + col("b") + col("c") + col("d")).cast(d38) *
+          ((col("a").cast(d38) * col("d").cast(d38) -
+            col("b").cast(d38) * col("c").cast(d38)) *
+           (col("a").cast(d38) * col("d").cast(d38) -
+            col("b").cast(d38) * col("c").cast(d38)))).cast("double") /
+          ((col("a") + col("b")).cast(d38) * (col("c") + col("d")).cast(d38) *
+           (col("a") + col("c")).cast(d38) * (col("b") + col("d")).cast(d38))
+            .cast("double"))
+        .otherwise(lit(0.0)).as("chi2"))
+      .withColumn("significant", col("chi2") > 3.841458820694124)
+  }
+
+  /** Balanced-assignment makespan audit (q200): token-weighted shards
+    * placed on 8 workers by plain hash vs sorted round-robin (rank by
+    * weight desc, then modulo) — the scheduling question behind every
+    * epoch-shard plan (q70): how much makespan does size-aware placement
+    * buy. Shard grain is bounded (40 ids), the rank window runs on that
+    * grain only. */
+  private def makespanQ(s: SparkSession, dir: String): DataFrame = {
+    val shards = documents(s, dir)
+      .select(pmod(col("doc_id"), lit(40L)).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      .groupBy("shard").agg(sum(col("toks")).as("w"))
+    val k = 8
+    def report(name: String, worker: Column): DataFrame =
+      shards.withColumn("worker", worker)
+        .groupBy("worker").agg(sum(col("w")).as("load"))
+        .agg(lit(name).as("strategy"), lit(k).as("workers"),
+          max(col("load")).as("makespan"), sum(col("load")).as("total"))
+        .withColumn("imbalance",
+          col("makespan").cast("double") /
+            (col("total").cast("double") / lit(k.toDouble)))
+    val hash = report("hash", pmod(col("shard"), lit(k.toLong)))
+    val lpt = report("sorted_rr",
+      pmod(row_number().over(
+        Window.orderBy(col("w").desc, col("shard").asc)) - 1, lit(k)))
+    hash.unionByName(lpt).orderBy("strategy")
+  }
+
   /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
     * codes — the full billion-scale ANN layout; a query ADC-scans only
     * the codes in its 4 probed cells of 16, and the recall quantifies
@@ -3404,7 +3474,9 @@ object SparkEntry {
     "q195_rare_transitions" -> (rareTransitionsQ _),
     "q196_growth_accounting" -> (growthAccountingQ _),
     "q197_stickiness" -> (stickinessQ _),
-    "q198_srm_check" -> (srmCheckQ _)
+    "q198_srm_check" -> (srmCheckQ _),
+    "q199_funnel_ab" -> (funnelAbQ _),
+    "q200_makespan_balance" -> (makespanQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -4896,6 +4968,56 @@ object SparkEntry {
     // shares the oracle verbatim.
     "q90_funnel" -> funnelOracleSql,
     "q96_funnel_inc" -> funnelOracleSql,
+    // q90's funnel as a CTE; 2x2 chi-square on exact HUGEINT products,
+    // one double division (z^2 on proportions is the same statistic)
+    "q199_funnel_ab" ->
+      s"""WITH f AS ($funnelOracleSql),
+         |cc AS (SELECT user_id % 2 AS arm,
+         |         (steps_completed >= 3 AND t3_us - t1_us <= 86400000000) AS conv
+         |       FROM f),
+         |t AS (SELECT
+         |  CAST(SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |  CAST(SUM(CASE WHEN arm = 0 AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |  CAST(SUM(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |  CAST(SUM(CASE WHEN arm = 1 AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS d
+         |  FROM cc),
+         |r AS (SELECT a + b AS n_0, a AS conv_0, c + d AS n_1, c AS conv_1,
+         |  CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE) AS rate_0,
+         |  CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE) AS rate_1,
+         |  CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0 THEN
+         |    CAST(CAST(a + b + c + d AS HUGEINT) *
+         |      ((CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) *
+         |       (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)) AS DOUBLE)
+         |    / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+         |        AS DOUBLE)
+         |  ELSE 0.0 END AS chi2
+         |  FROM t)
+         |SELECT n_0, conv_0, n_1, conv_1, rate_0, rate_1, chi2,
+         |  (chi2 > 3.841458820694124) AS significant FROM r""".stripMargin,
+    // bounded shard grain; the rank window runs on 40 rows only
+    "q200_makespan_balance" ->
+      """WITH sh AS (
+        |  SELECT doc_id % 40 AS shard,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |h AS (SELECT shard % 8 AS worker, SUM(w) AS load FROM sh GROUP BY 1),
+        |s1 AS (SELECT 'hash' AS strategy, CAST(8 AS INTEGER) AS workers,
+        |  CAST(MAX(load) AS BIGINT) AS makespan,
+        |  CAST(SUM(load) AS BIGINT) AS total,
+        |  CAST(MAX(load) AS DOUBLE) / (CAST(SUM(load) AS DOUBLE) / 8.0)
+        |    AS imbalance
+        |  FROM h),
+        |r AS (SELECT w, shard,
+        |        (row_number() OVER (ORDER BY w DESC, shard) - 1) % 8 AS worker
+        |      FROM sh),
+        |l AS (SELECT worker, SUM(w) AS load FROM r GROUP BY 1),
+        |s2 AS (SELECT 'sorted_rr' AS strategy, CAST(8 AS INTEGER) AS workers,
+        |  CAST(MAX(load) AS BIGINT) AS makespan,
+        |  CAST(SUM(load) AS BIGINT) AS total,
+        |  CAST(MAX(load) AS DOUBLE) / (CAST(SUM(load) AS DOUBLE) / 8.0)
+        |    AS imbalance
+        |  FROM l)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY strategy""".stripMargin,
     // q91: all-integer day/week grid (epoch_ns // ns-per-day), distinct
     // users per cell via the two-level aggregate
     "q91_retention" ->

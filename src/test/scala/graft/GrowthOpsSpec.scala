@@ -58,6 +58,35 @@ class GrowthOpsSpec extends SparkSpec {
     }
   }
 
+  test("q199 funnel A/B: chi2 recomputes from the cells, guard sound") {
+    val got = SparkEntry.queries("q199_funnel_ab")(spark, "/root/testdata/sf0.001")
+      .select("n_0", "conv_0", "n_1", "conv_1", "chi2", "significant")
+      .as[(Long, Long, Long, Long, Double, Boolean)].head()
+    val (n0, a, n1, c, chi2, sig) = got
+    val (b, d) = (n0 - a, n1 - c)
+    if (a + c > 0 && b + d > 0 && n0 > 0 && n1 > 0) {
+      val n = (n0 + n1).toDouble
+      val num = n * math.pow(a.toDouble * d - b.toDouble * c, 2)
+      val den = n0.toDouble * n1 * (a + c) * (b + d)
+      assert(math.abs(chi2 - num / den) < 1e-9 * math.max(1.0, chi2))
+    } else assert(chi2 == 0.0)
+    assert(sig == (chi2 > 3.841458820694124))
+  }
+
+  test("q200 makespan: totals conserved, makespan bounded below") {
+    val got = SparkEntry.queries("q200_makespan_balance")(
+      spark, "/root/testdata/sf0.001")
+      .select("strategy", "workers", "makespan", "total", "imbalance")
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(got.map(_._1).sorted.toSeq == Seq("hash", "sorted_rr"))
+    val totals = got.map(_._4).distinct
+    assert(totals.length == 1, "both strategies place the same shard mass")
+    got.foreach { case (_, k, mk, tot, imb) =>
+      assert(mk.toDouble >= tot.toDouble / k, "makespan >= mean load")
+      assert(imb >= 1.0 - 1e-12)
+    }
+  }
+
   test("SRM: a forced imbalance flags, the chi2 is exact") {
     // 90/10 on 100 users: chi2 = (40^2/50)*2 = 64 -> flagged
     val df = ((1L to 90L).map(i => i * 2) ++ (1L to 10L).map(i => i * 2 + 1))

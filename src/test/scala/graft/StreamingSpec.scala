@@ -517,6 +517,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == want && want.forall(_._2 > 0), s"$streamed vs $want")
   }
 
+  test("streaming view maintenance: log store telescopes to the batch aggregate") {
+    import graft.streaming.MaintenanceStream
+    val base = Files.createTempDirectory("graft-maintstream").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"),
+        col("event_type"), col("event_id"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val q = MaintenanceStream.writer(
+      input.toDF().toDF("day", "event_type", "event_id"),
+      s"$base/store", s"$base/deltas", s"$base/ckpt",
+      keyCols = Seq("day", "event_type"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val rows = ev.as[(Long, String, Long)].collect()
+    for (m <- 0L to 2L) {
+      input.addData(rows.filter(_._3 % 3 == m).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // store sums == one-shot aggregate
+    val streamed = spark.read.parquet(s"$base/store")
+      .groupBy("day", "event_type").agg(sum(col("add_n")).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    val batchAgg = ev.groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batchAgg && batchAgg.nonEmpty)
+    // telescoping: per group, deltas ordered by batch_id chain
+    // old_n(next) == new_n(prev), and the last new_n is the final count
+    val deltas = spark.read.parquet(s"$base/deltas")
+      .select("day", "event_type", "old_n", "new_n", "batch_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .groupBy(d => (d._1, d._2))
+    deltas.foreach { case (k, ds) =>
+      val chain = ds.sortBy(_._5)
+      chain.sliding(2).foreach {
+        case Array(p, n) => assert(p._4 == n._3, s"chain broken at $k")
+        case _ =>
+      }
+      assert(chain.last._4 == batchAgg.find(b => (b._1, b._2) == k).get._3)
+    }
+  }
+
   test("streaming seasonal monitor: frozen-baseline flags match the batch join") {
     import graft.streaming.SeasonalStream
     val base = Files.createTempDirectory("graft-seasonalstream").toString

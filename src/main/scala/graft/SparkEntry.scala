@@ -1787,6 +1787,133 @@ object SparkEntry {
     hash.unionByName(lpt).orderBy("strategy")
   }
 
+  /** The q201 candidate layouts × probe workload: zone expression and
+    * range predicate per axis, shared by the Spark query and the
+    * generated oracle SQL (one spec, two faces — the q185 discipline). */
+  private val advisorLayouts = Seq(
+    ("by_month", "date_trunc('month', CAST(l_shipdate AS DATE))"),
+    ("by_orderkey", "CAST((l_orderkey - l_orderkey % 1000) / 1000 AS BIGINT)"),
+    ("by_price", "CAST(floor(l_extendedprice / 1000) AS BIGINT)"))
+  private val advisorProbes = Seq(
+    ("ship_q1_1997", "CAST(l_shipdate AS DATE)",
+      "DATE '1997-01-01'", "DATE '1997-03-31'"),
+    ("orderkey_band", "l_orderkey", "10000", "20000"),
+    ("price_band", "l_extendedprice", "20000.0", "30000.0"))
+
+  /** Physical-design advisor (q201): every candidate clustering × every
+    * workload predicate → fraction of rows a zone-map scan must read —
+    * the "which column should this table cluster by" matrix, built from 9
+    * runs of q108's pruning kernel ([[graft.operators.Layout]]). Each
+    * layout wins its own axis and pays on the others; the matrix IS the
+    * trade-off. */
+  private def indexAdvisorQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val li = lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"),
+      col("l_extendedprice"))
+    def zone(name: String): Column = name match {
+      case "by_month" => trunc(col("l_shipdate").cast("date"), "month")
+      case "by_orderkey" =>
+        ((col("l_orderkey") - pmod(col("l_orderkey"), lit(1000L))) / lit(1000L))
+          .cast("long")
+      case "by_price" => floor(col("l_extendedprice") / 1000).cast("long")
+    }
+    def probe(name: String): (Column, Column, Column) = name match {
+      case "ship_q1_1997" => (col("l_shipdate").cast("date"),
+        lit("1997-01-01").cast("date"), lit("1997-03-31").cast("date"))
+      case "orderkey_band" => (col("l_orderkey"), lit(10000L), lit(20000L))
+      case "price_band" => (col("l_extendedprice"), lit(20000.0), lit(30000.0))
+    }
+    advisorLayouts.flatMap { case (lname, _) =>
+      advisorProbes.map { case (pname, _, _, _) =>
+        val (c, lo, hi) = probe(pname)
+        Layout.pruningReport(li, zone(lname).cast("string"), c, lo, hi)
+          .select(lit(lname).as("layout"), lit(pname).as("probe"),
+            col("zones_total"), col("zones_scanned"),
+            col("rows_scanned"), col("rows_matched"),
+            (col("rows_scanned").cast("double") /
+              col("rows_total").cast("double")).as("frac_scanned"))
+      }
+    }.reduce(_ unionByName _).orderBy("layout", "probe")
+  }
+
+  /** Token capacity forecast (q202): exact-OLS trend over daily corpus
+    * token counts, extrapolated 7 days — capacity planning with the
+    * q103 exact-moments discipline (all second moments in decimal(38,0),
+    * doubles only in the slope/intercept/forecast chain, so every
+    * forecast value replays bit-for-bit). */
+  private def tokenForecastQ(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = events(s, dir)
+      .groupBy(graft.operators.Funnel.epochDayFromNanos(col("ts")).as("x"))
+      .agg(count(lit(1)).as("y"))
+    val m = daily.agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        .cast(d38)).as("sxy"),
+      sum((col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+        .cast(d38)).as("sxx"),
+      max(col("x")).as("x_max"))
+    val fit = m.select(
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("slope"),
+      col("sy"), col("sx"), col("n"), col("x_max"))
+      .select(col("slope"),
+        ((col("sy").cast("double") -
+          col("slope") * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept"),
+        col("x_max"))
+    fit.select(col("slope"), col("intercept"),
+        explode(sequence(col("x_max") + 1L, col("x_max") + 7L)).as("day"))
+      .select(col("day"),
+        (col("intercept") + col("slope") * col("day").cast("double"))
+          .as("forecast_events"),
+        col("slope"), col("intercept"))
+      .orderBy("day")
+  }
+
+  /** Cluster-quality silhouette audit (q203): per nearest-centroid
+    * cluster (q17's assignment rule), the MEDIAN intra-centroid distance,
+    * median distance to the best OTHER centroid, and median separation
+    * margin — medians because arbitrary-double sums don't replay but the
+    * exact selection kernel does ([[graft.operators.Profiling]]); all
+    * distances in the double-path dot-product domain. */
+  private def clusterSilhouetteQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiling
+    val emb = embeddings(s, dir)
+    val cents = Similarity.headCentroids(emb, "vec_id", "embedding", 16)
+    // (negated-cos, cid) structs sorted ascending: [0] = assigned centroid
+    // (ties to the smaller cid — the q17 rule), [1] = best OTHER centroid;
+    // 1.0 + nc is bit-identical to 1.0 - cos (negation is exact)
+    val scoredArr = array_sort(array(cents.map { case (cid, cvec) =>
+      struct(
+        (-graft.plans.GraftExtensions.cosine(s, col("embedding"),
+          typedLit(cvec))).as("nc"),
+        lit(cid).as("i"))
+    }: _*))
+    val pp = emb.select(col("vec_id"), scoredArr.as("__s"))
+      .select(col("vec_id"),
+        col("__s").getItem(0).getField("i").as("cluster"),
+        (lit(1.0) + col("__s").getItem(0).getField("nc")).as("intra"),
+        (lit(1.0) + col("__s").getItem(1).getField("nc")).as("other"))
+      .withColumn("margin", col("other") - col("intra"))
+      .withColumn("k", col("cluster").cast("string"))
+      .localCheckpoint()
+    val mi = Profiling.exactMedianByKey(pp, "k", "intra")
+      .withColumnRenamed("median", "med_intra")
+    val mo = Profiling.exactMedianByKey(pp, "k", "other")
+      .withColumnRenamed("median", "med_other")
+    val mm = Profiling.exactMedianByKey(pp, "k", "margin")
+      .withColumnRenamed("median", "med_margin")
+    pp.groupBy(col("cluster"), col("k")).agg(count(lit(1)).as("n"))
+      .join(mi, Seq("k")).join(mo, Seq("k")).join(mm, Seq("k"))
+      .select(col("cluster"), col("n"), col("med_intra"), col("med_other"),
+        col("med_margin"), (col("med_margin") > 0.0).as("healthy"))
+      .orderBy("cluster")
+  }
+
   /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
     * codes — the full billion-scale ANN layout; a query ADC-scans only
     * the codes in its 4 probed cells of 16, and the recall quantifies
@@ -3476,7 +3603,10 @@ object SparkEntry {
     "q197_stickiness" -> (stickinessQ _),
     "q198_srm_check" -> (srmCheckQ _),
     "q199_funnel_ab" -> (funnelAbQ _),
-    "q200_makespan_balance" -> (makespanQ _)
+    "q200_makespan_balance" -> (makespanQ _),
+    "q201_index_advisor" -> (indexAdvisorQ _),
+    "q202_token_forecast" -> (tokenForecastQ _),
+    "q203_cluster_silhouette" -> (clusterSilhouetteQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5856,6 +5986,88 @@ object SparkEntry {
         |SELECT n_0, n_1, expected, chi2,
         |  (chi2 > 3.841458820694124) AS srm_flag
         |FROM c""".stripMargin,
+    // 9 blocks generated from the SAME layout/probe spec the Spark side
+    // uses (q185's one-spec-two-faces discipline); each block is q108's
+    // zone-map arithmetic
+    "q201_index_advisor" -> {
+      val blocks = for {
+        (lname, zsql) <- advisorLayouts
+        (pname, statSql, loSql, hiSql) <- advisorProbes
+      } yield
+        s"""SELECT '$lname' AS layout, '$pname' AS probe,
+           |  CAST(COUNT(*) AS BIGINT) AS zones_total,
+           |  CAST(COALESCE(SUM(CASE WHEN mx >= $loSql AND mn <= $hiSql
+           |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS zones_scanned,
+           |  CAST(COALESCE(SUM(CASE WHEN mx >= $loSql AND mn <= $hiSql
+           |    THEN n END), 0) AS BIGINT) AS rows_scanned,
+           |  CAST(COALESCE(SUM(m), 0) AS BIGINT) AS rows_matched,
+           |  CAST(COALESCE(SUM(CASE WHEN mx >= $loSql AND mn <= $hiSql
+           |    THEN n END), 0) AS DOUBLE)
+           |    / CAST(COALESCE(SUM(n), 0) AS DOUBLE) AS frac_scanned
+           |FROM (
+           |  SELECT $zsql AS z, COUNT(*) AS n,
+           |    MIN($statSql) AS mn, MAX($statSql) AS mx,
+           |    SUM(CASE WHEN $statSql BETWEEN $loSql AND $hiSql
+           |      THEN 1 ELSE 0 END) AS m
+           |  FROM lineitem
+           |  WHERE $zsql IS NOT NULL AND $statSql IS NOT NULL
+           |  GROUP BY 1) zz""".stripMargin
+      blocks.mkString("", "\nUNION ALL\n", "\nORDER BY layout, probe")
+    },
+    // exact decimal/HUGEINT moments; the slope/intercept/forecast chain
+    // mirrored operation-for-operation
+    "q202_token_forecast" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |        MAX(x) AS x_max
+        |      FROM daily),
+        |fit AS (SELECT
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |    sy, sx, n, x_max FROM m),
+        |fit2 AS (SELECT slope,
+        |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS intercept,
+        |    x_max FROM fit)
+        |SELECT CAST(x_max + g.d AS BIGINT) AS day,
+        |  intercept + slope * CAST(x_max + g.d AS DOUBLE) AS forecast_events,
+        |  slope, intercept
+        |FROM fit2, generate_series(1, 7) AS g(d)
+        |ORDER BY day""".stripMargin,
+    // per-point best/second-best centroid in the double dot-product
+    // domain; medians via quantile_cont (the q106 kernel parity)
+    "q203_cluster_silhouette" ->
+      """WITH emb2 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb2),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |            v AS cv, nrm AS cn
+        |          FROM e ORDER BY vec_id LIMIT 16),
+        |asg AS (
+        |  SELECT p.vec_id AS id, c.cid,
+        |    1.0 - list_dot_product(p.v, c.cv) / (p.nrm * c.cn) AS dist,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cn) DESC,
+        |               c.cid) AS r
+        |  FROM e p, cents c),
+        |pp AS (
+        |  SELECT a1.id, CAST(a1.cid AS INTEGER) AS cluster,
+        |    a1.dist AS intra, a2.dist AS other, a2.dist - a1.dist AS margin
+        |  FROM asg a1 JOIN asg a2 ON a2.id = a1.id AND a2.r = 2
+        |  WHERE a1.r = 1)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_cont(intra, 0.5) AS med_intra,
+        |  quantile_cont(other, 0.5) AS med_other,
+        |  quantile_cont(margin, 0.5) AS med_margin,
+        |  (quantile_cont(margin, 0.5) > 0.0) AS healthy
+        |FROM pp GROUP BY 1 ORDER BY cluster""".stripMargin,
     // q126's quasi discipline with segment as the SENSITIVE attribute
     "q179_l_diversity" ->
       """WITH q AS (

@@ -1914,6 +1914,81 @@ object SparkEntry {
       .orderBy("cluster")
   }
 
+  /** Watermark planner (q204): the decision q170's lateness audit
+    * informs, made explicit — for candidate allowed-lateness values (1,
+    * 5, 30 min in µs), the records a streaming aggregation would
+    * silently drop ([[graft.operators.Sweep.watermarkPlanner]]; same
+    * two-level running-max kernel, no global sort). */
+  private def watermarkPlannerQ(s: SparkSession, dir: String): DataFrame = {
+    def us(c: Column): Column =
+      floor(c.cast("decimal(20,0)") / lit(1000)).cast("long")
+    graft.operators.Sweep.watermarkPlanner(
+      events(s, dir).select(col("event_id"), us(col("ts")).as("t_us")),
+      "event_id", "t_us", bucketWidth = 4096L,
+      candidates = Seq(60000000L, 300000000L, 1800000000L))
+      .orderBy("watermark")
+  }
+
+  /** Difference-in-differences readout (q205): pre/post × arm spend
+    * means with the DiD estimate `(m11−m10)−(m01−m00)` — the
+    * observational cousin of q178's CUPED (same exact-cents means, same
+    * pivot; a one-row 2×2 of bit-replayable doubles). */
+  private def didQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+      graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val mm = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()(0)
+    val pivot = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
+    val cells = ev
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        when(col("day") >= pivot, lit(1)).otherwise(lit(0)).as("period"),
+        col("cents"))
+      .groupBy("arm", "period")
+      .agg(sum(col("cents").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("mean",
+        col("s").cast("double") / col("n").cast("double") / lit(100.0))
+    def cell(a: Int, p: Int) =
+      max(when(col("arm") === a.toLong && col("period") === p, col("mean")))
+    cells.agg(
+      cell(0, 0).as("m00"), cell(0, 1).as("m01"),
+      cell(1, 0).as("m10"), cell(1, 1).as("m11"))
+      .withColumn("did",
+        (col("m11") - col("m10")) - (col("m01") - col("m00")))
+  }
+
+  /** Seasonal-strength index (q206): per series, 1 − MAD(deseasonalized
+    * residual)/MAD(raw) clipped at 0 — the MAD-robust, log-free
+    * replayable cousin of STL seasonal strength; 1 ≈ the weekly rhythm
+    * explains almost all robust variation, 0 ≈ none. Reuses q180's
+    * residual chain verbatim ([[graft.operators.Seasonal]]) plus one raw
+    * MAD pass. */
+  private def seasonalStrengthQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiling
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val seasonal = graft.operators.Seasonal.weeklyRobustAnomalies(
+      daily, "event_type", "day", "n")
+    val madResid = seasonal.select(col("series"), col("mad").as("mad_resid"))
+      .distinct()
+    val medRaw = Profiling.exactMedianByKey(
+      daily.withColumnRenamed("event_type", "series"), "series", "n")
+      .withColumnRenamed("median", "med_raw")
+    val absdev = daily.withColumnRenamed("event_type", "series")
+      .join(medRaw, Seq("series"))
+      .withColumn("absdev_raw", abs(col("n") - col("med_raw")))
+    val madRaw = Profiling.exactMedianByKey(absdev, "series", "absdev_raw")
+      .withColumnRenamed("median", "mad_raw")
+    madRaw.join(madResid, Seq("series"))
+      .select(col("series").as("event_type"), col("mad_raw"), col("mad_resid"),
+        when(col("mad_raw") > 0.0,
+          greatest(lit(0.0), lit(1.0) - col("mad_resid") / col("mad_raw")))
+          .as("strength"))
+      .orderBy("event_type")
+  }
+
   /** IVF-PQ recall (q132): q17's cell routing composed with q130's PQ
     * codes — the full billion-scale ANN layout; a query ADC-scans only
     * the codes in its 4 probed cells of 16, and the recall quantifies
@@ -3606,7 +3681,10 @@ object SparkEntry {
     "q200_makespan_balance" -> (makespanQ _),
     "q201_index_advisor" -> (indexAdvisorQ _),
     "q202_token_forecast" -> (tokenForecastQ _),
-    "q203_cluster_silhouette" -> (clusterSilhouetteQ _)
+    "q203_cluster_silhouette" -> (clusterSilhouetteQ _),
+    "q204_watermark_planner" -> (watermarkPlannerQ _),
+    "q205_did_readout" -> (didQ _),
+    "q206_seasonal_strength" -> (seasonalStrengthQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -6068,6 +6146,76 @@ object SparkEntry {
         |  quantile_cont(margin, 0.5) AS med_margin,
         |  (quantile_cont(margin, 0.5) > 0.0) AS healthy
         |FROM pp GROUP BY 1 ORDER BY cluster""".stripMargin,
+    // one global running max (fine at oracle scale), candidates unnested
+    "q204_watermark_planner" ->
+      """WITH b AS (SELECT event_id AS o, CAST(epoch_us(ts) AS BIGINT) AS t
+        |           FROM events),
+        |rm AS (SELECT o, t,
+        |         MAX(t) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING) AS runmax
+        |       FROM b),
+        |l AS (SELECT runmax - t AS late FROM rm),
+        |c AS (SELECT unnest([60000000, 300000000, 1800000000]) AS watermark)
+        |SELECT CAST(c.watermark AS BIGINT) AS watermark,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN l.late > c.watermark THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(SUM(CASE WHEN l.late > c.watermark THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS drop_frac
+        |FROM l, c GROUP BY 1 ORDER BY watermark""".stripMargin,
+    // exact-cents cell means, MAX-pivot (one row per cell), mirrored
+    // subtraction association
+    "q205_did_readout" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS pivot FROM ev),
+        |cells AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN day >= p.pivot THEN 1 ELSE 0 END AS period,
+        |    CAST(SUM(cents) AS HUGEINT) AS s, COUNT(*) AS n
+        |  FROM ev, p GROUP BY 1, 2),
+        |m AS (SELECT arm, period,
+        |        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean
+        |      FROM cells),
+        |piv AS (SELECT
+        |  MAX(CASE WHEN arm = 0 AND period = 0 THEN mean END) AS m00,
+        |  MAX(CASE WHEN arm = 0 AND period = 1 THEN mean END) AS m01,
+        |  MAX(CASE WHEN arm = 1 AND period = 0 THEN mean END) AS m10,
+        |  MAX(CASE WHEN arm = 1 AND period = 1 THEN mean END) AS m11
+        |  FROM m)
+        |SELECT m00, m01, m10, m11,
+        |  (m11 - m10) - (m01 - m00) AS did
+        |FROM piv""".stripMargin,
+    // q180's residual chain + one raw-MAD pass; strength clipped at 0
+    "q206_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m1 AS (SELECT event_type, day % 7 AS dow,
+        |         quantile_cont(n, 0.5) AS expected
+        |       FROM daily GROUP BY 1, 2),
+        |r AS (SELECT d.event_type, d.day, d.n,
+        |        d.n - m1.expected AS residual
+        |      FROM daily d JOIN m1
+        |        ON m1.event_type = d.event_type AND m1.dow = d.day % 7),
+        |m2 AS (SELECT event_type, quantile_cont(residual, 0.5) AS med_resid
+        |       FROM r GROUP BY 1),
+        |mres AS (SELECT r.event_type,
+        |           quantile_cont(ABS(r.residual - m2.med_resid), 0.5) AS mad_resid
+        |         FROM r JOIN m2 USING (event_type) GROUP BY 1),
+        |mr AS (SELECT event_type, quantile_cont(n, 0.5) AS med_raw
+        |       FROM daily GROUP BY 1),
+        |mraw AS (SELECT d.event_type,
+        |           quantile_cont(ABS(d.n - mr.med_raw), 0.5) AS mad_raw
+        |         FROM daily d JOIN mr USING (event_type) GROUP BY 1)
+        |SELECT mraw.event_type, mraw.mad_raw, mres.mad_resid,
+        |  CASE WHEN mraw.mad_raw > 0.0 THEN
+        |    greatest(0.0, 1.0 - mres.mad_resid / mraw.mad_raw)
+        |  END AS strength
+        |FROM mraw JOIN mres USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // q126's quasi discipline with segment as the SENSITIVE attribute
     "q179_l_diversity" ->
       """WITH q AS (

@@ -86,7 +86,24 @@ object Sweep {
       orderCol: String,
       tsCol: String,
       bucketWidth: Long,
-      lateThreshold: Long): DataFrame = {
+      lateThreshold: Long): DataFrame =
+    perEventLateness(intervalsOrdered, orderCol, tsCol, bucketWidth)
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late") > lateThreshold, 1L).otherwise(0L)).as("n_late"),
+        max(col("__late")).as("max_lateness"))
+      .withColumnRenamed("__b", "bucket")
+
+  /** The shared two-level running-max lateness kernel: per event,
+    * `(max event-time over arrivals at or before it) − its own event-time`
+    * — no global sort (bucket carries broadcast back, the
+    * [[maxConcurrency]] decomposition). Returns
+    * `(__o, __t, __b, __late)`. */
+  private def perEventLateness(
+      intervalsOrdered: DataFrame,
+      orderCol: String,
+      tsCol: String,
+      bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def floorDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
     val base = intervalsOrdered
@@ -104,10 +121,31 @@ object Sweep {
           coalesce(col("__carry"), lit(Long.MinValue)),
           max(col("__t")).over(wi.rowsBetween(Window.unboundedPreceding, 0))))
       .withColumn("__late", col("__runmax") - col("__t"))
-      .groupBy(col("__b"))
+  }
+
+  /** Watermark planner — the decision [[latenessAudit]] informs, made
+    * explicit: for each CANDIDATE allowed-lateness W, how many records a
+    * streaming aggregation with that watermark would silently drop
+    * (lateness > W at arrival). One lateness pass (the shared kernel), a
+    * candidates-×-events explode of a literal list, one aggregate. The
+    * drop counts are monotone non-increasing in W by construction — the
+    * planner output IS the watermark/completeness trade-off curve. */
+  def watermarkPlanner(
+      intervalsOrdered: DataFrame,
+      orderCol: String,
+      tsCol: String,
+      bucketWidth: Long,
+      candidates: Seq[Long]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate watermark")
+    val late = perEventLateness(intervalsOrdered, orderCol, tsCol, bucketWidth)
+    late
+      .select(col("__late"),
+        explode(array(candidates.map(lit): _*)).as("watermark"))
+      .groupBy(col("watermark"))
       .agg(count(lit(1)).as("n_events"),
-        sum(when(col("__late") > lateThreshold, 1L).otherwise(0L)).as("n_late"),
-        max(col("__late")).as("max_lateness"))
-      .withColumnRenamed("__b", "bucket")
+        sum(when(col("__late") > col("watermark"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .withColumn("drop_frac",
+        col("n_dropped").cast("double") / col("n_events").cast("double"))
   }
 }

@@ -40,6 +40,45 @@ class AdvisorOpsSpec extends SparkSpec {
     assert(got.map(_._1).sorted.toSeq == got.map(_._1).toSeq)
   }
 
+  test("watermarkPlanner: drops are monotone in W; known late event counted") {
+    import org.apache.spark.sql.functions._
+    // arrival order 0..4; event 3 arrives 100 units late (t=5 after
+    // runmax 105), event 4 on time
+    val df = Seq((0L, 100L), (1L, 105L), (2L, 103L), (3L, 5L), (4L, 110L))
+      .toDF("o", "t")
+    val got = graft.operators.Sweep.watermarkPlanner(df, "o", "t",
+      bucketWidth = 2L, candidates = Seq(1L, 50L, 1000L))
+      .orderBy("watermark")
+      .select("watermark", "n_events", "n_dropped")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 2L), (50L, 5L, 1L), (1000L, 5L, 0L)),
+      s"lateness: event 2 is 2 late, event 3 is 100 late: $got")
+  }
+
+  test("q204/q205/q206 invariants on real data") {
+    val wm = SparkEntry.queries("q204_watermark_planner")(
+      spark, "/root/testdata/sf0.001")
+      .orderBy("watermark").select("n_dropped").as[Long].collect()
+    assert(wm.length == 3)
+    wm.sliding(2).foreach {
+      case Array(hi, lo) => assert(lo <= hi, "a looser watermark drops less")
+      case _ =>
+    }
+    val did = SparkEntry.queries("q205_did_readout")(spark, "/root/testdata/sf0.001")
+      .select("m00", "m01", "m10", "m11", "did")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(did._5 == (did._4 - did._3) - (did._2 - did._1))
+    val ss = SparkEntry.queries("q206_seasonal_strength")(
+      spark, "/root/testdata/sf0.001")
+      .select("mad_raw", "mad_resid", "strength")
+      .as[(Double, Double, Option[Double])].collect()
+    assert(ss.nonEmpty)
+    ss.foreach { case (raw, resid, st) =>
+      assert(raw >= 0.0 && resid >= 0.0)
+      st.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    }
+  }
+
   test("q203 silhouette: pointwise other >= intra forces ordered medians") {
     val got = SparkEntry.queries("q203_cluster_silhouette")(
       spark, "/root/testdata/sf0.001")

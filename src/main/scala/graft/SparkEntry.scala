@@ -1842,6 +1842,20 @@ object SparkEntry {
     * doubles only in the slope/intercept/forecast chain, so every
     * forecast value replays bit-for-bit). */
   private def tokenForecastQ(s: SparkSession, dir: String): DataFrame = {
+    val (daily, fit) = dailyOlsFit(s, dir)
+    fit.select(col("slope"), col("intercept"),
+        explode(sequence(col("x_max") + 1L, col("x_max") + 7L)).as("day"))
+      .select(col("day"),
+        (col("intercept") + col("slope") * col("day").cast("double"))
+          .as("forecast_events"),
+        col("slope"), col("intercept"))
+      .orderBy("day")
+  }
+
+  /** Shared exact-OLS daily fit (q202/q207): returns the (x, y) daily
+    * frame and a 1-row (slope, intercept, x_max) fit — all second
+    * moments exact. */
+  private def dailyOlsFit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d38 = "decimal(38,0)"
     val daily = events(s, dir)
       .groupBy(graft.operators.Funnel.epochDayFromNanos(col("ts")).as("x"))
@@ -1865,12 +1879,37 @@ object SparkEntry {
           col("slope") * col("sx").cast("double")) /
           col("n").cast("double")).as("intercept"),
         col("x_max"))
-    fit.select(col("slope"), col("intercept"),
+    (daily, fit)
+  }
+
+  /** Forecast with empirical bands (q207): q202's trend line plus p10/p90
+    * residual quantiles from the historical fit errors — prediction
+    * intervals without any distributional assumption (and without
+    * transcendentals: residuals are deterministic doubles, the band edges
+    * come from the exact quantile kernel, and the bands are one addition
+    * each). */
+  private def forecastBandsQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiling
+    val (daily, fit) = dailyOlsFit(s, dir)
+    val resid = daily.crossJoin(broadcast(fit))
+      .select(lit("all").as("k"),
+        (col("y").cast("double") -
+          (col("intercept") + col("slope") * col("x").cast("double")))
+          .as("r"))
+    val qs = Profiling.exactQuantilesByKey(resid, "k", "r", Seq(0.1, 0.9))
+    val bands = qs.groupBy("k").agg(
+      max(when(col("prob") === 0.1, col("value"))).as("q10"),
+      max(when(col("prob") === 0.9, col("value"))).as("q90"))
+    fit.crossJoin(broadcast(bands))
+      .select(col("slope"), col("intercept"), col("q10"), col("q90"),
         explode(sequence(col("x_max") + 1L, col("x_max") + 7L)).as("day"))
       .select(col("day"),
         (col("intercept") + col("slope") * col("day").cast("double"))
           .as("forecast_events"),
-        col("slope"), col("intercept"))
+        ((col("intercept") + col("slope") * col("day").cast("double")) +
+          col("q10")).as("lo"),
+        ((col("intercept") + col("slope") * col("day").cast("double")) +
+          col("q90")).as("hi"))
       .orderBy("day")
   }
 
@@ -3684,7 +3723,8 @@ object SparkEntry {
     "q203_cluster_silhouette" -> (clusterSilhouetteQ _),
     "q204_watermark_planner" -> (watermarkPlannerQ _),
     "q205_did_readout" -> (didQ _),
-    "q206_seasonal_strength" -> (seasonalStrengthQ _)
+    "q206_seasonal_strength" -> (seasonalStrengthQ _),
+    "q207_forecast_bands" -> (forecastBandsQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -6187,6 +6227,38 @@ object SparkEntry {
         |SELECT m00, m01, m10, m11,
         |  (m11 - m10) - (m01 - m00) AS did
         |FROM piv""".stripMargin,
+    // q202's fit + R-7 residual quantiles (the exact-quantile kernel
+    // parity); band edges are one addition each
+    "q207_forecast_bands" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |        MAX(x) AS x_max
+        |      FROM daily),
+        |fit AS (SELECT
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |    sy, sx, n, x_max FROM m),
+        |fit2 AS (SELECT slope,
+        |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS intercept,
+        |    x_max FROM fit),
+        |res AS (SELECT CAST(y AS DOUBLE)
+        |          - (intercept + slope * CAST(x AS DOUBLE)) AS r
+        |        FROM daily, fit2),
+        |b AS (SELECT quantile_cont(r, 0.1) AS q10,
+        |        quantile_cont(r, 0.9) AS q90 FROM res)
+        |SELECT CAST(x_max + g.d AS BIGINT) AS day,
+        |  intercept + slope * CAST(x_max + g.d AS DOUBLE) AS forecast_events,
+        |  (intercept + slope * CAST(x_max + g.d AS DOUBLE)) + q10 AS lo,
+        |  (intercept + slope * CAST(x_max + g.d AS DOUBLE)) + q90 AS hi
+        |FROM fit2, b, generate_series(1, 7) AS g(d)
+        |ORDER BY day""".stripMargin,
     // q180's residual chain + one raw-MAD pass; strength clipped at 0
     "q206_seasonal_strength" ->
       """WITH daily AS (

@@ -79,6 +79,21 @@ class AdvisorOpsSpec extends SparkSpec {
     }
   }
 
+  test("q207 bands: lo <= point <= hi, bands parallel to the trend") {
+    val got = SparkEntry.queries("q207_forecast_bands")(
+      spark, "/root/testdata/sf0.001")
+      .select("day", "forecast_events", "lo", "hi")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got.length == 7)
+    got.foreach { case (_, f, lo, hi) =>
+      assert(lo <= f + 1e-9 && f <= hi + 1e-9,
+        "p10 residual <= 0 <= p90 residual around the fit")
+    }
+    // band width constant across horizon (empirical quantiles, no fan-out)
+    val widths = got.map(r => r._4 - r._3)
+    assert(widths.forall(w => math.abs(w - widths.head) < 1e-9))
+  }
+
   test("q203 silhouette: pointwise other >= intra forces ordered medians") {
     val got = SparkEntry.queries("q203_cluster_silhouette")(
       spark, "/root/testdata/sf0.001")

@@ -1462,8 +1462,9 @@ object SparkEntry {
     * both faces print/apply the SAME Scala values, so the derivation
     * never needs cross-engine replay. */
   private val hashedWeightUnits: Seq[Long] = (0 until 64).map { i =>
-    (graft.functions.PortableHash.splitmix((0xC0FFEEL << 32) | i.toLong)
-      % 2001L) - 1000L
+    java.lang.Math.floorMod(
+      graft.functions.PortableHash.splitmix((0xC0FFEEL << 32) | i.toLong),
+      2001L) - 1000L
   }
 
   /** Hashing-trick linear scorer (q186): token → md5-hash bucket →
@@ -6374,15 +6375,21 @@ object SparkEntry {
     // prefix sums; min/max over doubles are rounding-monotone, so the fit
     // is bit-identical to Spark's
     "q173_isotonic_calibration" ->
-      """WITH a AS (
-        |  SELECT vec_id AS aid, embedding AS avec, label AS albl
-        |  FROM embeddings ORDER BY vec_id LIMIT 1),
+      """WITH emb2 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    label
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, label
+        |      FROM emb2),
+        |a AS (
+        |  SELECT vec_id AS aid, v AS avec, nrm AS anrm, label AS albl
+        |  FROM e ORDER BY vec_id LIMIT 1),
         |s AS (
         |  SELECT least(31, greatest(0, CAST(floor(
-        |           (list_cosine_similarity(e.embedding, a.avec) - (-1.0))
+        |           (list_dot_product(e.v, a.avec) / (e.nrm * a.anrm) - (-1.0))
         |             / 2.0 * 32) AS INTEGER))) AS bin,
         |         (e.label = a.albl) AS y
-        |  FROM embeddings e, a WHERE e.vec_id <> a.aid),
+        |  FROM e, a WHERE e.vec_id <> a.aid),
         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
         |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
         |      FROM s GROUP BY 1),

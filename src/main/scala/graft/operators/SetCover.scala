@@ -32,7 +32,10 @@ object SetCover {
       k: Int): DataFrame = {
     require(k >= 1 && k <= 64, "k must be in [1, 64] (driver-held output)")
     val spark = memb.sparkSession
-    val m = memb.select(col(setCol).as("s"), col(idCol).as("i")).distinct()
+    // setCol accepts any type; the output schema is StringType, so cast
+    // up front (a long/int set id would otherwise CCE at pick(0).getString)
+    val m = memb.select(col(setCol).cast("string").as("s"), col(idCol).as("i"))
+      .distinct()
 
     var chosen = Vector.empty[String]
     var cumulative = 0L

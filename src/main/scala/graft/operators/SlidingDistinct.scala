@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact trailing-window distinct counts — the "7-day active users" class
@@ -11,21 +12,27 @@ import org.apache.spark.sql.functions._
   *
   * A window function cannot express "COUNT(DISTINCT) OVER a RANGE frame"
   * (Spark, like most engines, forbids it), and re-scanning W days per
-  * output day is W× the IO. The scale-correct shape used here is the
-  * contribution-explode: each distinct (day, key) pair contributes to the
-  * W window-end days it is visible from, so the whole computation is
+  * output day is W× the IO. The scale-correct shape used here is
+  * interval deltas: a key is visible on window-end day w iff it has an
+  * observation day d with w-W+1 ≤ d ≤ w, so each key's visibility set is
+  * the union of the per-observation intervals [d, d+W-1]. Consecutive
+  * observed days of one key whose gap is ≤ W produce overlapping /
+  * adjoining intervals, so:
   *
-  *   distinct (day, key)                — map-side-combined dedup, the
-  *                                        stream shrinks to the pair grain
-  *   × W bounded fan-out (sequence)     — in-row, no shuffle
-  *   distinct (window_day, key)         — the union-dedup
-  *   count per window_day               — map-side-combined
+  *   distinct (day, key)                  — map-side-combined dedup, the
+  *                                          stream shrinks to pair grain
+  *   per-key gaps-and-islands (gap > W)   — one lag window per key
+  *   island [d₀, d₁] → covered [d₀, d₁+W-1]
+  *   emit +1 at d₀, −1 at d₁+W            — |islands| ≤ |pairs| rows
+  *   running sum over the day spine       — day-grain, trivially small
   *
-  * Total work is W·|pairs| rows through two dedup shuffles — independent
-  * of raw event volume after the first dedup, and W is a small constant.
-  * Window-end days beyond the observed [min, max] day range are clipped
-  * via a 1-row bounds cross-join (the A8 lazy-scalar idiom — never a
-  * driver collect).
+  * No W× fan-out anywhere: total shuffled volume is |pairs| (the key
+  * window) plus |islands| delta rows plus the day-grain spine — strictly
+  * less work than the contribution-explode (W·|pairs| through a second
+  * distinct) this replaced, and independent of W entirely. A key's
+  * islands are disjoint by construction, so summing its ±1 deltas counts
+  * it exactly once per day it is visible — exactness without any
+  * per-(day, key) materialization.
   *
   * Days in range with NO key visible in their trailing window are absent
   * from the output (count 0); compose with [[Resample]]'s calendar spine
@@ -36,6 +43,46 @@ import org.apache.spark.sql.functions._
   * `windowDays`-day window ending at (and including) that day.
   */
 object SlidingDistinct {
+
+  /** Full visible-day series for a normalized `(__d, __k)` pair set:
+    * every day in [min __d, max __d + W − 1] with ≥1 visible key, with
+    * its exact distinct-key count. Interval-delta kernel — see the
+    * object doc for the derivation. */
+  private def deltaSeries(pairs: DataFrame, windowDays: Int): DataFrame = {
+    val byKey = Window.partitionBy("__k").orderBy("__d")
+    val islands = pairs
+      // new island when this observation's [d, d+W-1] cannot touch the
+      // previous one's: d - prev > W
+      .withColumn("__brk",
+        when(col("__d") - lag("__d", 1).over(byKey) > windowDays, 1L).otherwise(0L))
+      .withColumn("__isl",
+        sum("__brk").over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("__k", "__isl")
+      .agg(min("__d").as("__s"), max("__d").as("__e"))
+    val deltas = islands
+      .select(col("__s").as("day"), lit(1L).as("__delta"))
+      .unionByName(islands.select((col("__e") + lit(windowDays).cast("long")).as("day"),
+        lit(-1L).as("__delta")))
+      .groupBy("day")
+      .agg(sum("__delta").as("__delta"))
+    // 1-row lazy bounds (the A8 idiom) → in-row sequence explode; the
+    // spine is day-grain so its size is the observed day span + W.
+    val spine = pairs
+      .agg(min(col("__d")).as("__plo"),
+        (max(col("__d")) + lit(windowDays - 1).cast("long")).as("__phi"))
+      .select(explode(sequence(col("__plo"), col("__phi"))).as("day"))
+    // Bounded-domain global running sum: the frame is the day spine
+    // (span + W rows — thousands, not data-scale), so a single-partition
+    // window is the right plan; the constant partition key states that
+    // explicitly instead of tripping Spark's no-partition warning.
+    val byDay = Window.partitionBy(lit(0)).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(deltas, Seq("day"), "left")
+      .withColumn("n_active", sum(coalesce(col("__delta"), lit(0L))).over(byDay))
+      .filter(col("n_active") > 0)
+      .select("day", "n_active")
+  }
 
   /** Incremental update of the trailing-distinct series when a new batch
     * of (day, key) observations lands. Exact rolling distinct is NOT
@@ -67,7 +114,7 @@ object SlidingDistinct {
       keyCol: String,
       windowDays: Int): DataFrame = {
     require(windowDays >= 1 && windowDays <= 366,
-      "windowDays must be in [1, 366] — the explode fan-out is windowDays x")
+      "windowDays must be in [1, 366] — the covered-interval width is windowDays")
     def norm(df: DataFrame) = df
       .select(col(dayCol).cast("long").as("__d"), col(keyCol).as("__k"))
       .distinct()
@@ -76,27 +123,20 @@ object SlidingDistinct {
     val nlo = np.agg(min(col("__d")).as("__nlo"))
     val bounds = sp.unionByName(np)
       .agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
-    def series(pairs: DataFrame) = pairs
-      .select(
-        explode(sequence(col("__d"), col("__d") + lit(windowDays - 1).cast("long")))
-          .as("day"),
-        col("__k"))
-      .distinct()
-      .groupBy("day")
-      .agg(count(lit(1)).as("n_active"))
     // empty batch -> no recompute region at all (nlo null would otherwise
     // null out both filters and drop the series)
     val cut = coalesce(col("__nlo"), col("__hi") + 1)
     // untouched prefix: store-only counts, window-days before the batch
-    val untouched = series(sp)
+    val untouched = deltaSeries(sp, windowDays)
       .crossJoin(nlo).crossJoin(bounds)
       .filter(col("day") >= col("__lo") && col("day") < cut)
       .select("day", "n_active")
     // recompute region: only pairs that can reach a window-day >= nlo
-    val touched = series(
+    val touched = deltaSeries(
       sp.unionByName(np).crossJoin(nlo)
         .filter(col("__d") > col("__nlo") - windowDays)
-        .select("__d", "__k"))
+        .select("__d", "__k"),
+      windowDays)
       .crossJoin(nlo).crossJoin(bounds)
       .filter(col("day") >= cut && col("day") <= col("__hi"))
       .select("day", "n_active")
@@ -109,20 +149,14 @@ object SlidingDistinct {
       keyCol: String,
       windowDays: Int): DataFrame = {
     require(windowDays >= 1 && windowDays <= 366,
-      "windowDays must be in [1, 366] — the explode fan-out is windowDays x")
+      "windowDays must be in [1, 366] — the covered-interval width is windowDays")
     val pairs = df
       .select(col(dayCol).cast("long").as("__d"), col(keyCol).as("__k"))
       .distinct()
     val bounds = pairs.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
-    pairs
-      .select(
-        explode(sequence(col("__d"), col("__d") + lit(windowDays - 1).cast("long")))
-          .as("day"),
-        col("__k"))
-      .distinct()
+    deltaSeries(pairs, windowDays)
       .crossJoin(bounds)
       .filter(col("day").between(col("__lo"), col("__hi")))
-      .groupBy("day")
-      .agg(count(lit(1)).as("n_active"))
+      .select("day", "n_active")
   }
 }

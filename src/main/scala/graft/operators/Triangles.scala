@@ -95,15 +95,24 @@ object Triangles {
     *
     * Output: `(id_a, id_b, common_neighbors, deg_a, deg_b, jaccard,
     * is_edge)` for pairs with `common_neighbors >= minCommon`,
-    * `jaccard = cn / (deg_a + deg_b − cn)`, id_a < id_b. */
+    * `jaccard = cn / (deg_a + deg_b − cn)`, id_a < id_b.
+    *
+    * Input hygiene is enforced here, not assumed: edges are canonicalized
+    * (least, greatest), self-loops dropped, and duplicates collapsed —
+    * a row repeated or present in both orientations would otherwise
+    * silently inflate degrees, common-neighbor counts, and jaccard. */
   def commonNeighborPairs(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       maxApexDegree: Long = 128L,
       minCommon: Long = 2L): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v"))
+    val e = edges
+      .select(col(srcCol).cast("long").as("__su"), col(dstCol).cast("long").as("__sv"))
+      .where(col("__su") =!= col("__sv"))
+      .select(least(col("__su"), col("__sv")).as("u"),
+        greatest(col("__su"), col("__sv")).as("v"))
+      .distinct()
 
     val adj = e.select(col("u").as("apex"), col("v").as("nb"))
       .unionAll(e.select(col("v").as("apex"), col("u").as("nb")))
@@ -122,9 +131,8 @@ object Triangles {
       .agg(count(lit(1)).as("common_neighbors"))
       .where(col("common_neighbors") >= minCommon)
 
-    val isEdge = e.select(
-      least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
-      .distinct().withColumn("__e", lit(true))
+    val isEdge = e.select(col("u").as("a"), col("v").as("b"))
+      .withColumn("__e", lit(true))
     cn
       .join(deg.toDF("a", "deg_a"), "a")
       .join(deg.toDF("b", "deg_b"), "b")

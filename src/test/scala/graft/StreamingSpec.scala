@@ -539,14 +539,26 @@ class StreamingSpec extends SparkSpec {
     }
     q.stop()
 
-    // store sums == one-shot aggregate
-    val streamed = spark.read.parquet(s"$base/store")
-      .groupBy("day", "event_type").agg(sum(col("add_n")).as("n"))
+    // store sums == one-shot aggregate (read through the replay-deduping
+    // currentView, the documented store-read contract)
+    val storeLog = spark.read.parquet(s"$base/store")
+    val streamed = MaintenanceStream
+      .currentView(storeLog, Seq("day", "event_type"))
       .as[(Long, String, Long)].collect().toSet
     val batchAgg = ev.groupBy("day", "event_type")
       .agg(count(lit(1)).as("n"))
       .as[(Long, String, Long)].collect().toSet
     assert(streamed == batchAgg && batchAgg.nonEmpty)
+    // at-least-once replay idempotence: re-appending an already-applied
+    // batch's store rows verbatim must not change the read-side view
+    // (crash between store write and checkpoint commit => this exact state)
+    val replayBid = storeLog.agg(max(col("batch_id"))).as[Long].head()
+    val replayed = storeLog.unionByName(
+      storeLog.filter(col("batch_id") === replayBid))
+    val afterReplay = MaintenanceStream
+      .currentView(replayed, Seq("day", "event_type"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(afterReplay == batchAgg, "replayed batch double-counted")
     // telescoping: per group, deltas ordered by batch_id chain
     // old_n(next) == new_n(prev), and the last new_n is the final count
     val deltas = spark.read.parquet(s"$base/deltas")

@@ -863,15 +863,19 @@ object SparkEntry {
       .orderBy("q")
   }
 
-  /** Multimodal plumbing: synthesize media rows from documents, run the
-    * stubbed batched decode, sample video frames (rows-only check; the
-    * decode kernel is a documented stub — plumbing is real and tested). */
+  /** Multimodal decode (q32): synthesize media rows from documents — image
+    * rows as REAL PNG bytes of a deterministic pixel law — then run the
+    * batched JDK ImageIO decode. Image rows round-trip through an actual
+    * codec (decoded dims + exact gray-channel checksum); audio/video rows
+    * are opaque stand-ins on the documented fallback path
+    * ([[graft.multimodal.Multimodal]]). */
   private def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.synthesizeMedia(
       documents(s, dir), "doc_id", "text")
     graft.multimodal.Multimodal.decodeFeatures(media)
       .select(col("media_id"), col("media_type"), col("decode_ok"),
-        size(col("feature")).as("feature_dim"))
+        size(col("feature")).as("feature_dim"),
+        col("decoded_width"), col("decoded_height"), col("gray_sum"))
       .orderBy("media_id")
   }
 
@@ -7702,16 +7706,36 @@ object SparkEntry {
         |    AS repetitive
         |FROM uni JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q30_control_classify" -> controlOracleSql,
-    // decode is a documented stub (no codecs in-container): the oracle checks
-    // the CONTRACT columns — id/type mapping, decode success on non-empty
-    // payloads (sha2 hex -> 32 bytes), fixed feature dimensionality
+    // Image rows are a REAL PNG encode->ImageIO.read round-trip; the pixel
+    // law gray = (id*31 + x*7 + y*13) % 256 is integer-exact, so the oracle
+    // replays the decoded checksum without ever touching the codec. Audio/
+    // video rows are opaque stand-ins (no codec) -> decode_ok false.
     "q32_multimodal_decode" ->
-      """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  true AS decode_ok,
-        |  CAST(8 AS INTEGER) AS feature_dim
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 32 + 1 AS INTEGER) AS w,
+        |    CAST(doc_id % 24 + 1 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id,
+        |    CAST(sum((doc_id * 31 + xs.x * 7 + ys.y * 13) % 256) AS BIGINT)
+        |      AS gray_sum
+        |  FROM img,
+        |    unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS xs(x),
+        |    unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS ys(y)
+        |  GROUP BY 1)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+        |       WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  (d.doc_id % 3 = 0) AS decode_ok,
+        |  CAST(8 AS INTEGER) AS feature_dim,
+        |  img.w AS decoded_width,
+        |  img.h AS decoded_height,
+        |  px.gray_sum
+        |FROM documents d
+        |LEFT JOIN img ON d.doc_id = img.doc_id
+        |LEFT JOIN px ON d.doc_id = px.doc_id
+        |ORDER BY media_id""".stripMargin,
     "q36_random_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

@@ -9,17 +9,22 @@ import org.apache.spark.sql.types._
   * payloads travel as opaque `binary` columns next to typed metadata, and
   * decode / feature-extraction runs batched per partition.
   *
-  * The decode kernels themselves are STUBS — this container ships no image
-  * or audio codecs — implemented as deterministic fakes with the real
-  * Spark-side plumbing: schema contract, per-partition batching (the Scala
-  * analogue of `mapInPandas` arrow batches), partition sizing, and
-  * column pruning. Swapping `stubDecodeImage` for a JNI/codec call changes
-  * no plan shape.
+  * The image path is a REAL codec round-trip with no external dependency:
+  * `synthesizeMedia` encodes deterministic pixels to actual PNG bytes with
+  * the JDK's `ImageIO`, and `decodeFeatures` decodes them back with
+  * `ImageIO.read`, emitting the decoded dimensions, an exact gray-value
+  * checksum, and a pixel-histogram feature vector. Because the pixel
+  * content is a closed-form function of (media_id, x, y), the whole
+  * encode→decode→extract chain is independently replayable by a SQL
+  * oracle — a genuine end-to-end codec test. Audio/video payloads stay
+  * opaque stand-ins (this container ships no audio codecs): they take the
+  * documented deterministic-fake feature path with `decode_ok = false`.
   *
   * Scale posture: payload columns are huge relative to metadata — always
   * prune them out of queries that don't decode (parquet column pruning
   * makes the scan skip the bytes entirely), and repartition by size before
-  * decode so one partition's batch fits executor memory.
+  * decode so one partition's batch fits executor memory. Codec state is
+  * initialized per partition, never per row.
   */
 object Multimodal {
 
@@ -34,43 +39,119 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("source_url", StringType)))
 
-  /** Wrap a text/doc table into multimodal shape with synthetic payloads
-    * (deterministic bytes from the text — stands in for real image bytes). */
-  def synthesizeMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+  /** Deterministic pixel law shared by the encoder and any oracle:
+    * gray(id, x, y) — integer arithmetic only, so replay is exact. */
+  def pixelGray(id: Long, x: Int, y: Int): Int =
+    java.lang.Math.floorMod(id * 31L + x * 7L + y * 13L, 256L).toInt
+
+  /** Encode the deterministic gray image for `id` as real PNG bytes
+    * (JDK ImageIO; PNG is lossless, so the round-trip is exact). */
+  private[multimodal] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = pixelGray(id, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // Fixture synthesis is the one place a Scala UDF is acceptable: PNG
+  // encoding is imperative byte production, not a hot relational path.
+  private lazy val encodePngUdf =
+    udf((id: Long, w: Int, h: Int) => encodePng(id, w, h))
+
+  /** Wrap a text/doc table into multimodal shape. Image rows (id % 3 == 0)
+    * carry REAL PNG payloads of the deterministic pixel law at the
+    * metadata (width, height); audio/video rows carry opaque deterministic
+    * bytes (sha256 of the text) — no audio codec ships in-container. */
+  def synthesizeMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(
       col(idCol).cast("long").as("media_id"),
       (when(col(idCol) % 3 === 0, "image")
         .when(col(idCol) % 3 === 1, "audio").otherwise("video")).as("media_type"),
-      to_binary(sha2(col(textCol), 256), lit("hex")).as("payload"),
-      lit("application/octet-stream").as("mime"),
-      (col(idCol) % 1920 + 1).cast("int").as("width"),
-      (col(idCol) % 1080 + 1).cast("int").as("height"),
+      to_binary(sha2(col(textCol), 256), lit("hex")).as("opaque"),
+      (col(idCol) % 32 + 1).cast("int").as("width"),
+      (col(idCol) % 24 + 1).cast("int").as("height"),
       (col(idCol) * 40L).as("duration_ms"),
       concat(lit("https://media.example/"), col(idCol)).as("source_url"))
+    base.select(
+      col("media_id"),
+      col("media_type"),
+      when(col("media_type") === "image",
+        encodePngUdf(col("media_id"), col("width"), col("height")))
+        .otherwise(col("opaque")).as("payload"),
+      when(col("media_type") === "image", lit("image/png"))
+        .otherwise(lit("application/octet-stream")).as("mime"),
+      col("width"), col("height"), col("duration_ms"), col("source_url"))
+  }
 
-  /** STUB decode: a real implementation would run a codec over the payload
-    * bytes; the fake derives a deterministic fixed-length "embedding" from
-    * them. Runs batched per partition so codec/model state is initialized
-    * once per partition, not per row — the plumbing a real decoder needs. */
+  /** Batched per-partition decode + feature extraction.
+    *
+    * Real path: `ImageIO.read` over the payload bytes — emits
+    * `decode_ok = true`, the DECODED `decoded_width`/`decoded_height`,
+    * `gray_sum` (exact sum of the gray channel over all pixels), and a
+    * `dim`-bucket gray histogram as the feature vector.
+    *
+    * Fallback (payload the JDK has no reader for — the opaque audio/video
+    * stand-ins): a deterministic byte-derived fake feature with
+    * `decode_ok = false`, so downstream plumbing still flows for fixtures
+    * while the flag records that no codec ran. Null/empty payloads yield
+    * a null feature. */
   def decodeFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    require(dim >= 1 && dim <= 256, "dim must be in [1, 256] (gray buckets)")
     val inSchema = media.schema
     val outSchema = inSchema
       .add("feature", ArrayType(FloatType), nullable = true)
       .add("decode_ok", BooleanType, nullable = false)
+      .add("decoded_width", IntegerType, nullable = true)
+      .add("decoded_height", IntegerType, nullable = true)
+      .add("gray_sum", LongType, nullable = true)
     val payloadIdx = inSchema.fieldIndex("payload")
     implicit val enc = RowEncoder.encoderFor(outSchema)
     media.mapPartitions { rows =>
-      // per-partition init happens HERE (codec handle, model session, ...)
+      // per-partition init: keep ImageIO's scratch in memory (no temp-file
+      // cache churn per image); reader plugins are scanned once per JVM
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         if (payload == null || payload.isEmpty)
-          Row.fromSeq(r.toSeq :+ null :+ false)
+          Row.fromSeq(r.toSeq :+ null :+ false :+ null :+ null :+ null)
         else {
-          // ??? real codec goes here; deterministic fake feature instead:
-          val feat = Array.tabulate(dim) { i =>
-            (payload(i % payload.length) & 0xff).toFloat / 255.0f
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img != null) {
+            val w = img.getWidth
+            val h = img.getHeight
+            val hist = new Array[Float](dim)
+            var graySum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = img.getRGB(x, y) & 0xff
+                graySum += g
+                hist((g * dim) / 256) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            Row.fromSeq(r.toSeq :+ hist :+ true :+ w :+ h :+ graySum)
+          } else {
+            val feat = Array.tabulate(dim) { i =>
+              (payload(i % payload.length) & 0xff).toFloat / 255.0f
+            }
+            Row.fromSeq(r.toSeq :+ feat :+ false :+ null :+ null :+ null)
           }
-          Row.fromSeq(r.toSeq :+ feat :+ true)
         }
       }
     }

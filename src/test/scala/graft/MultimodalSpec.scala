@@ -23,7 +23,9 @@ class MultimodalSpec extends SparkSpec {
     val decoded = Multimodal.decodeFeatures(media, dim = 8)
     val rows = decoded.select("media_id", "feature", "decode_ok")
       .as[(Long, Seq[Float], Boolean)].collect().sortBy(_._1)
-    assert(rows.forall(_._3))
+    // real codec path only on image rows (id % 3 == 0); opaque stand-ins
+    // take the fallback with decode_ok = false
+    assert(rows.forall { case (id, _, ok) => ok == (id % 3 == 0) })
     assert(rows.forall(_._2.length == 8))
     // deterministic across runs
     val again = Multimodal.decodeFeatures(media, dim = 8)
@@ -36,6 +38,25 @@ class MultimodalSpec extends SparkSpec {
     val nullRow = Multimodal.decodeFeatures(withNull)
       .filter(col("media_id") === 0).select("decode_ok").as[Boolean].head()
     assert(!nullRow)
+  }
+
+  test("image rows round-trip through the real PNG codec exactly") {
+    val decoded = Multimodal.decodeFeatures(media, dim = 8)
+      .filter(col("media_type") === "image")
+      .select("media_id", "decoded_width", "decoded_height", "gray_sum", "feature")
+      .as[(Long, Int, Int, Long, Seq[Float])].collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { case (id, w, h, gs, feat) =>
+      // decoded dims == the metadata the encoder was given
+      assert(w == (id % 32 + 1).toInt && h == (id % 24 + 1).toInt)
+      // decoded pixels == the closed-form pixel law, checksum + histogram
+      val grays = for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixelGray(id, x, y)
+      assert(gs == grays.map(_.toLong).sum)
+      val hist = new Array[Float](8)
+      grays.foreach(g => hist(g * 8 / 256) += 1f)
+      assert(feat == hist.toSeq)
+    }
   }
 
   test("sampleFrames explodes one row per sampled frame") {

@@ -1918,6 +1918,17 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** Longest cross-document duplicated substring per doc (q208): q116's
+    * prefix-doubling loop run to FULL depth — suffix order + adjacent
+    * different-doc LCP walk answers "how long", which no fixed-w window
+    * screen can ([[graft.operators.SuffixArray.maxDupSubstring]]). The
+    * oracle brute-forces every (length, start) gram — disjoint algorithm,
+    * same answer. */
+  private def maxDupSubstringQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixArray.maxDupSubstring(documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Cluster-quality silhouette audit (q203): per nearest-centroid
     * cluster (q17's assignment rule), the MEDIAN intra-centroid distance,
     * median distance to the best OTHER centroid, and median separation
@@ -3729,7 +3740,8 @@ object SparkEntry {
     "q204_watermark_planner" -> (watermarkPlannerQ _),
     "q205_did_readout" -> (didQ _),
     "q206_seasonal_strength" -> (seasonalStrengthQ _),
-    "q207_forecast_bands" -> (forecastBandsQ _)
+    "q207_forecast_bands" -> (forecastBandsQ _),
+    "q208_max_dup_substring" -> (maxDupSubstringQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -6264,6 +6276,29 @@ object SparkEntry {
         |  (intercept + slope * CAST(x_max + g.d AS DOUBLE)) + q90 AS hi
         |FROM fit2, b, generate_series(1, 7) AS g(d)
         |ORDER BY day""".stripMargin,
+    // brute force every (length, start) token gram (docs are <= 100 tokens,
+    // so sum len^2/2 is small at oracle scale); the Spark side never
+    // enumerates grams - full-depth suffix ranks + adjacent cross-doc LCP
+    "q208_max_dup_substring" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, l.l AS len,
+        |    array_to_string(w[s.s : s.s + l.l - 1], ' ') AS gram
+        |  FROM d,
+        |    unnest(generate_series(1, len(w))) AS l(l),
+        |    unnest(generate_series(1, len(w) - l.l + 1)) AS s(s)),
+        |dup AS (
+        |  SELECT len, gram FROM g
+        |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2),
+        |best AS (
+        |  SELECT g.doc_id, CAST(max(g.len) AS BIGINT) AS m
+        |  FROM g JOIN dup USING (len, gram) GROUP BY 1)
+        |SELECT d2.doc_id,
+        |  CAST(coalesce(b.m, 0) AS BIGINT) AS max_dup_substring_tokens
+        |FROM documents d2 LEFT JOIN best b ON d2.doc_id = b.doc_id
+        |ORDER BY d2.doc_id""".stripMargin,
     // q180's residual chain + one raw-MAD pass; strength clipped at 0
     "q206_seasonal_strength" ->
       """WITH daily AS (

@@ -72,6 +72,119 @@ object SuffixArray {
       .select(col("id"), col("p"), col("__rank"))
   }
 
+  /** Longest cross-document duplicated substring per document, in tokens —
+    * the capability the fixed-`w` tiling of [[exactDupSpanRanges]] cannot
+    * express (a `w`-window screen answers "≥ w", not "how long").
+    *
+    * Same prefix-doubling loop run to FULL depth (2^K ≥ max doc length,
+    * with an end-of-string sentinel that ranks below every real token, so
+    * level-K ranks order the complete padded suffixes lexicographically),
+    * then two classical facts do the rest:
+    *
+    *  - the longest substring of doc d that also occurs in another doc is
+    *    realized by an ADJACENT different-doc pair in suffix order (all
+    *    suffixes sharing the optimal prefix form a contiguous rank block
+    *    that contains suffixes of ≥ 2 docs, so some adjacent pair inside
+    *    the block crosses a doc boundary, and one side of the first such
+    *    crossing seen from d's suffix belongs to d) — so a lag-1 pairing
+    *    (`sidx` equi-join, never a nearest-different-doc scan) suffices;
+    *  - LCP of a pair is recovered by the standard descending binary walk
+    *    over the RETAINED rank tables: at span 2^k, equal ranks at the
+    *    current offsets extend the match by 2^k. Padded equality near doc
+    *    ends can only over-extend when both remaining suffixes are
+    *    identical, so `least(lcp, rem_a, rem_b)` is exact.
+    *
+    * Scale shape: the doubling rounds are the q116 loop (per-round
+    * localCheckpoint, zipWithIndex densify — never a global window); the
+    * suffix order is one more range-partitioned sort + zipWithIndex; the
+    * walk is 2(K+1) co-partitioned equi-joins over the ≤n cross-doc
+    * adjacent pairs. Total O(n log n) with no single-partition stage.
+    *
+    * Returns `(id, max_dup_substring_tokens)` for EVERY input doc —
+    * 0 when no token substring of the doc occurs in any other doc. */
+  def maxDupSubstring(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(col(idCol).as("id"), split(trim(lower(col(textCol))), "\\s+").as("t"))
+      .select(col("id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+      .localCheckpoint()
+    val docLen = toks.groupBy("id").agg(max(col("p")).as("__len"))
+    // one driver SCALAR (the doubling depth) — the standard iterative-
+    // algorithm convergence read, not per-row driver data
+    val maxLen = toks.agg(max(col("p"))).head().getLong(0)
+
+    var ranks = densify(toks.withColumnRenamed("tok", "__k1"), Seq("__k1"))
+      .localCheckpoint()
+    var tables = List((1L, ranks)) // (span, rank table), spans ascending
+    var span = 1L
+    while (span < maxLen) {
+      val right = ranks.select(col("id"), (col("p") - span).as("p"),
+        col("__rank").as("__r2"))
+      // LEFT join: positions whose 2^k partner falls past doc end keep a
+      // -1 sentinel — end-of-string sorts below all real ranks, which is
+      // what makes the final order lexicographic over padded suffixes
+      val paired = ranks.join(right, Seq("id", "p"), "left")
+        .select(col("id"), col("p"), col("__rank").as("__k1"),
+          coalesce(col("__r2"), lit(-1L)).as("__k2"))
+      ranks = densify(paired, Seq("__k1", "__k2")).localCheckpoint()
+      span *= 2
+      tables = (span, ranks) :: tables
+    }
+
+    // suffix order: range-partitioned sort + zipWithIndex (no global window)
+    val saSchema = ranks.schema.add("__sidx", LongType)
+    val sa = spark.createDataFrame(
+      ranks.orderBy(col("__rank"), col("id"), col("p")).rdd
+        .zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
+      saSchema)
+    val pairs0 = sa
+      .select(col("__sidx"), col("id").as("id_a"), col("p").as("p_a"))
+      .join(sa.select((col("__sidx") - 1).as("__sidx"),
+        col("id").as("id_b"), col("p").as("p_b")), "__sidx")
+      .where(col("id_a") =!= col("id_b"))
+      .join(docLen.select(col("id").as("id_a"), col("__len").as("__la")), "id_a")
+      .join(docLen.select(col("id").as("id_b"), col("__len").as("__lb")), "id_b")
+      .select(col("id_a"), col("p_a"), col("id_b"), col("p_b"),
+        (col("__la") - col("p_a") + 1).as("rem_a"),
+        (col("__lb") - col("p_b") + 1).as("rem_b"),
+        lit(0L).as("lcp"))
+
+    // descending binary LCP walk over the retained tables
+    var pr = pairs0.localCheckpoint()
+    for ((sp, tab) <- tables) { // tables is spans-DESCENDING by construction
+      val ra = tab.select(col("id").as("id_a"), col("p").as("__qa"),
+        col("__rank").as("__ra"))
+      val rb = tab.select(col("id").as("id_b"), col("p").as("__qb"),
+        col("__rank").as("__rb"))
+      pr = pr
+        .withColumn("__qa", col("p_a") + col("lcp"))
+        .withColumn("__qb", col("p_b") + col("lcp"))
+        .join(ra, Seq("id_a", "__qa"), "left")
+        .join(rb, Seq("id_b", "__qb"), "left")
+        .withColumn("lcp",
+          when(col("__ra").isNotNull && col("__ra") === col("__rb"),
+            col("lcp") + sp).otherwise(col("lcp")))
+        .drop("__qa", "__qb", "__ra", "__rb")
+        .localCheckpoint()
+    }
+
+    val credit = pr
+      .withColumn("best", least(col("lcp"), col("rem_a"), col("rem_b")))
+      .select(col("id_a").as("id"), col("best"))
+      .unionAll(pr
+        .withColumn("best", least(col("lcp"), col("rem_a"), col("rem_b")))
+        .select(col("id_b").as("id"), col("best")))
+      .groupBy("id").agg(max(col("best")).as("__best"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(credit, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__best"), lit(0L)).as("max_dup_substring_tokens"))
+  }
+
   def exactDupSpanRanges(
       docs: DataFrame,
       idCol: String,

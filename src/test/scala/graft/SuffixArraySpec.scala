@@ -47,6 +47,35 @@ class SuffixArraySpec extends SparkSpec {
     assert(!ranges(8).exists(_._1 == 3L))
   }
 
+  test("maxDupSubstring: exact longest cross-doc duplicated run lengths") {
+    val got = SuffixArray.maxDupSubstring(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // 1&2 share a 10-run; 4&5 share two 8-runs (gaps differ, so never 9+);
+    // 3's repeat is within-doc only; 6/7 share no token with anyone
+    assert(got == Map(1L -> 10L, 2L -> 10L, 3L -> 0L,
+      4L -> 8L, 5L -> 8L, 6L -> 0L, 7L -> 0L))
+  }
+
+  test("maxDupSubstring matches the all-grams brute force on sf0.001 subset") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 40)
+    val got = SuffixArray.maxDupSubstring(real, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val toks = real.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect()
+      .map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val grams = scala.collection.mutable.Map
+      .empty[(Int, Seq[String]), scala.collection.mutable.Set[Long]]
+    for ((id, w) <- toks; l <- 1 to w.length; s <- 0 to w.length - l)
+      grams.getOrElseUpdate((l, w.slice(s, s + l)),
+        scala.collection.mutable.Set.empty[Long]) += id
+    val best = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (((l, _), ids) <- grams if ids.size >= 2; id <- ids)
+      best(id) = math.max(best(id), l.toLong)
+    val want = toks.map(_._1).map(id => id -> best(id)).toMap
+    assert(got == want && want.values.exists(_ > 0))
+  }
+
   test("matches the hash screen on the sf0.001 documents table") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val sa = SuffixArray.exactDupSpanRanges(real, "doc_id", "text", 8)

@@ -615,4 +615,64 @@ class StreamingSpec extends SparkSpec {
     // wherever the (series, dow) baseline existed
     assert(want.exists(_._4.isDefined), "at least one known-(series,dow) row")
   }
+
+  test("watermark planner predictions match an actual withWatermark run") {
+    import graft.operators.Sweep
+    // real event TIMES, deterministic md5-shuffled ARRIVAL order (by-id
+    // arrival at sf0.001 is perfectly time-sorted — zero lateness, nothing
+    // to plan); ms-floored so Spark's internal ms-granularity watermark is
+    // exact against the planner's microsecond arithmetic
+    val n = 90
+    val raw = Tables.events(spark, "/root/testdata/sf0.001")
+      .orderBy("event_id").limit(n)
+      .select("event_id", "ts").as[(Long, Long)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val arrival = raw
+      .map { case (id, tsNs) => (id, (tsNs / 1000000L) * 1000L) }
+      .sortBy { case (id, _) => md5hex(id.toString) }
+      .zipWithIndex.map { case ((_, tUs), i) => (i.toLong, tUs) }
+
+    // guard the boundary: planner drops on late > W strictly; Spark's
+    // filter sits within 1 ms of that — equivalent unless some lateness
+    // EQUALS a candidate exactly, so assert none does
+    val candidates = Seq(3600000000L, 43200000000L, 129600000000L) // 1h/12h/36h µs
+    val lates = arrival.map(_._2)
+      .scanLeft((Long.MinValue, 0L)) { case ((mx, _), t) =>
+        (math.max(mx, t), math.max(0L, mx - t)) }.drop(1).map(_._2)
+    assert(candidates.forall(w => !lates.contains(w)), "boundary tie in fixture")
+
+    val planned = Sweep.watermarkPlanner(
+      arrival.toSeq.toDF("arr", "t_us"), "arr", "t_us",
+      bucketWidth = 16L, candidates = candidates)
+      .select("watermark", "n_dropped").as[(Long, Long)].collect().toMap
+    assert(planned.values.toSet.size == 3 && planned.values.forall(_ > 0),
+      s"fixture should make the tiers distinct and non-trivial: $planned")
+
+    // drive a REAL streaming aggregation per tier: one row per micro-batch
+    // in arrival order, so the engine's watermark advances exactly like the
+    // planner's per-row running max
+    for ((wUs, idx) <- candidates.zipWithIndex) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Long)]
+      val qname = s"wm_pin_$idx"
+      val q = input.toDF().toDF("arr", "t_us")
+        .withColumn("ets", timestamp_micros(col("t_us")))
+        .withWatermark("ets", s"${wUs / 1000000L} seconds")
+        .groupBy("ets").count()
+        .writeStream.outputMode("update").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      arrival.foreach { row => input.addData(row); q.processAllAvailable() }
+      q.stop()
+      // kept = final count per event-time key (update mode re-emits keys;
+      // counts are monotone, so max is the final state)
+      val kept = spark.table(qname)
+        .groupBy("ets").agg(max(col("count")).as("c"))
+        .agg(sum(col("c"))).as[Long].head()
+      assert(n - kept == planned(wUs),
+        s"watermark ${wUs}us: planner ${planned(wUs)} vs observed ${n - kept}")
+    }
+  }
 }

@@ -80,31 +80,56 @@ object Bench {
     // scan is part of an honest 10x measurement) and report per-query times
     // plus the t(10x)/t(1x) ratio. ~10 = linear scaling; the ratio IS the
     // empirical scaling exponent the plan pins only argue for.
+    // Coverage rule: every query whose sf0.1 steady-state time exceeds
+    // ~0.5 s is in the list (plus a few named sub-0.5 s ops whose scaling
+    // is of independent interest). The one exclusion: q131_mutual_knn is
+    // O(n^2) BY DEFINITION (exact all-pairs); its sub-quadratic scale
+    // path is q171 (IVF candidates, same mutuality join), which is here.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/bench-data/sf1")
-    val heavy = Seq("q57_profile", "q46_crisis_patterns", "q43_simhash_pairs",
-      "q18_minhash_pairs", "q47_dedup_groups", "q52_asof_join", "q53_range_join",
+    val heavy = Seq(
+      "q02_region_revenue", "q05_trailing7", "q11_median_price",
+      "q18_minhash_pairs", "q19_simhash", "q24_pipe_series",
+      "q29_narrative_rollup", "q30_control_classify", "q33_embedding_neardup",
+      "q41_quality_score", "q42_repetition_stats", "q43_simhash_pairs",
+      "q45_sector_baseline_rows", "q46_crisis_patterns", "q47_dedup_groups",
+      "q48_quantized_knn", "q52_asof_join", "q53_range_join",
       "q54_sessionize", "q55_scd2_intervals", "q56_bm25_topk",
-      "q59_contamination", "q60_incremental_dedup",
-      "q67_semantic_dedup", "q68_dup_spans", "q74_dup_spans_inc",
-      "q76_curation_gate", "q78_cdc_chunks", "q79_chunk_dedup",
-      "q81_gram_matrix", "q85_dup_span_ranges", "q86_minhash_stats",
-      "q87_cut_spans", "q90_funnel", "q91_retention", "q92_heavy_hitters",
-      "q93_vocab_coverage", "q97_bloom_prune", "q101_frequent_pairs",
+      "q57_profile", "q59_contamination", "q60_incremental_dedup",
+      "q61_pii_scrub", "q62_quality_gate", "q65_incremental_exact",
+      "q67_semantic_dedup", "q68_dup_spans", "q69_keywords",
+      "q72_token_ids", "q74_dup_spans_inc", "q76_curation_gate",
+      "q78_cdc_chunks", "q79_chunk_dedup", "q81_gram_matrix",
+      "q84_asof_forward", "q85_dup_span_ranges", "q86_minhash_stats",
+      "q87_cut_spans", "q89_gopher_rules", "q90_funnel",
+      "q91_retention", "q92_heavy_hitters", "q93_vocab_coverage",
+      "q95_rfm", "q96_funnel_inc", "q97_bloom_prune",
+      "q100_iqr_outliers", "q101_frequent_pairs", "q103_pearson",
       "q105_blocked_resolve", "q106_mad_outliers", "q107_sorted_neighborhood",
-      "q110_weighted_quantiles", "q111_interval_union", "q112_sessionize_inc",
-      "q113_set_similarity", "q114_ewma_chart", "q115_triangles",
-      "q116_sa_dup_ranges", "q117_collocations", "q120_pagerank",
-      "q123_lm_familiarity", "q124_dsir_weights", "q125_sliding_distinct",
-      "q127_containment", "q128_lsh_recall", "q129_sliding_distinct_inc",
-      "q130_pq_recall", "q171_mutual_knn_ivf", "q132_ivf_pq_recall", "q133_knn_clusters",
-      "q134_lexical_profile", "q135_attribution", "q136_dup_matrix",
-      "q138_semantic_decon", "q139_label_prop", "q140_tv_drift",
-      "q141_ngram_novelty", "q142_dedup_roi", "q145_simpson",
+      "q109_expectations", "q110_weighted_quantiles", "q111_interval_union",
+      "q112_sessionize_inc", "q113_set_similarity", "q114_ewma_chart",
+      "q115_triangles", "q116_sa_dup_ranges", "q117_collocations",
+      "q119_hybrid_rrf", "q120_pagerank", "q121_skipgram",
+      "q122_trunc_recall", "q123_lm_familiarity", "q124_dsir_weights",
+      "q125_sliding_distinct", "q127_containment", "q128_lsh_recall",
+      "q129_sliding_distinct_inc", "q130_pq_recall", "q132_ivf_pq_recall",
+      "q133_knn_clusters", "q134_lexical_profile", "q135_attribution",
+      "q136_dup_matrix", "q137_temperature_mix", "q138_semantic_decon",
+      "q139_label_prop", "q140_tv_drift", "q141_ngram_novelty",
+      "q142_dedup_roi", "q145_simpson", "q146_rbo",
       "q149_source_jaccard", "q151_winnow_density", "q152_winnow_pairs",
-      "q155_ks_drift", "q156_spearman", "q158_max_concurrency",
-      "q160_hilbert_locality", "q162_lsh_precision", "q163_quality_keeper",
-      "q174_golden_record", "q176_set_cover", "q180_seasonal_anomaly",
-      "q183_profile_store", "q186_hashed_linear", "q187_target_encoding")
+      "q153_gate_kappa", "q154_length_auc", "q155_ks_drift",
+      "q156_spearman", "q158_max_concurrency", "q159_salted_join",
+      "q160_hilbert_locality", "q161_gate_calibration", "q162_lsh_precision",
+      "q163_quality_keeper", "q166_item_cosine", "q169_minhash_calibration",
+      "q170_lateness_audit", "q171_mutual_knn_ivf", "q174_golden_record",
+      "q175_knn_label_purity", "q176_set_cover", "q177_seq_trigrams",
+      "q180_seasonal_anomaly", "q181_common_neighbors", "q183_profile_store",
+      "q184_coreset_drift", "q186_hashed_linear", "q187_target_encoding",
+      "q188_rle_audit", "q191_view_maintenance", "q193_cube_rollup",
+      "q195_rare_transitions", "q196_growth_accounting", "q197_stickiness",
+      "q198_srm_check", "q199_funnel_ab", "q200_makespan_balance",
+      "q201_index_advisor", "q203_cluster_silhouette", "q204_watermark_planner",
+      "q206_seasonal_strength", "q207_forecast_bands", "q208_max_dup_substring")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {
@@ -184,6 +209,42 @@ object Bench {
           s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); min-of-3 timings; ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join)""""
         }
       }
+    // 100x probe: one point at sf10 turns the 10x sub-linearity argument
+    // into a trend for the historically worst-ratio operators. Single-shot
+    // (an sf10 run is minutes; variance amortizes over the length); ratio
+    // is vs the sf0.1 steady state, so ~100 = linear.
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/bench-data/sf10")
+    val probe = Seq("q18_minhash_pairs", "q67_semantic_dedup",
+      "q113_set_similarity", "q116_sa_dup_ranges", "q125_sliding_distinct",
+      "q139_label_prop")
+    val sf10Json =
+      if (!new java.io.File(s"$sf10Dir/lineitem.parquet").exists) ""
+      else {
+        val r = probe.filter(h => only.forall(_.contains(h))).flatMap { name =>
+          System.gc()
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, sf10Dir)
+              .write.format("noop").mode("overwrite").save()
+            val t = (System.nanoTime() - t0) / 1e9
+            val ratio = okTimes.get(name).flatMap(_.toOption)
+              .map(b => math.round(t / b * 100.0) / 100.0)
+            System.err.println(
+              f"[bench] sf10 $name%-24s t=$t%.3f ratio100x=${ratio.getOrElse(-1.0)}%.2f")
+            Some((name, t, ratio))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sf10 $name failed: ${e.getMessage}")
+            None
+          }
+        }
+        if (r.isEmpty) ""
+        else {
+          val ts = r.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
+          val rs = r.flatMap { case (k, _, x) => x.map("\"" + k + "\":" + _) }
+            .mkString("{", ",", "}")
+          s""","sf10":$ts,"sf10_over_sf01_ratio":$rs,"sf10_dir":"$sf10Dir","sf10_note":"100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; rotations composed with sign flips past the embedding dim); single-shot timings vs the sf0.1 steady state — ratio ~100 = linear scaling""""
+        }
+      }
     // Composed-job throughput: the end-to-end curation pipeline (scrub ->
     // exact/minhash/span incremental dedup -> gate -> curated append, two
     // batches + epoch sharding) over the documents table — the operator
@@ -211,7 +272,7 @@ object Bench {
       System.err.println(s"[bench] pipeline failed: ${e.getMessage}"); ""
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"$sf1Json$pipeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"$sf1Json$sf10Json$pipeJson}"""
     println(json)
     // Also persist to the repo root: the driver captures only the stdout
     // tail, and a long per-query map has been truncated out of the round

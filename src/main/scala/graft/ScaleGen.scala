@@ -75,8 +75,17 @@ object ScaleGen {
         .withColumn("text", t)
     }
     replicate("embeddings") { (df, i) =>
+      // rotation only yields dim-1 distinct non-trivial shifts; for copy
+      // counts past the dimension, compose with a norm-preserving global
+      // sign flip so no two copies are identical (both transforms preserve
+      // norms and pairwise-decorrelate cross-copy cosine)
+      val rot = i % 64
+      val rotated = if (rot == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), slice(embedding, 1, $rot))")
       val e = if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))")
+        else if ((i / 64) % 2 == 1) expr(s"transform(${if (rot == 0) "embedding"
+          else s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), slice(embedding, 1, $rot))"}, x -> -x)")
+        else rotated
       df.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
         .withColumn("embedding", e)
     }

@@ -1577,19 +1577,26 @@ object SparkEntry {
     * every join-size estimator gets wrong first. All-integer moments;
     * doubles only in the final ratio. */
   private def joinEstimateQ(s: SparkSession, dir: String): DataFrame = {
+    def sq(c: Column): Column =
+      (c.cast("decimal(19,0)") * c.cast("decimal(19,0)")).cast("decimal(38,0)")
     val c = events(s, dir).groupBy(col("user_id"))
       .agg(count(lit(1)).as("c"))
-    val ranked = c.withColumn("r", row_number().over(
-      Window.orderBy(col("c").desc, col("user_id").asc)))
-    val agg = ranked.agg(
-      sum((col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
-        .cast("decimal(38,0)")).as("f2"),
-      sum(when(col("r") <= 10,
-        (col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
-          .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
-        .as("head_f2"),
-      sum(when(col("r") > 10, col("c")).otherwise(lit(0L))).as("tail_n"),
-      Rollups.countIf(col("r") > 10).as("tail_d"))
+    // top-10 head via TakeOrderedAndProject (per-partition bounded heaps),
+    // never a global rank window over the full key grain; the tail moments
+    // are total minus head
+    val head = c.orderBy(col("c").desc, col("user_id").asc).limit(10)
+    val headAgg = head.agg(
+      coalesce(sum(sq(col("c"))), lit(0).cast("decimal(38,0)")).as("head_f2"),
+      coalesce(sum(col("c")), lit(0L)).as("__hn"),
+      count(lit(1)).as("__hd"))
+    val agg = c.agg(
+      sum(sq(col("c"))).as("f2"),
+      sum(col("c")).as("__n_all"),
+      count(lit(1)).as("__d_all"))
+      .crossJoin(broadcast(headAgg))
+      .select(col("f2"), col("head_f2"),
+        (col("__n_all") - col("__hn")).as("tail_n"),
+        (col("__d_all") - col("__hd")).as("tail_d"))
     agg.select(
       col("f2").cast("double").as("true_f2"),
       (col("head_f2").cast("double") +
@@ -1787,8 +1794,10 @@ object SparkEntry {
             (col("total").cast("double") / lit(k.toDouble)))
     val hash = report("hash", pmod(col("shard"), lit(k.toLong)))
     val lpt = report("sorted_rr",
+      // shard grain (q70's fixed shard count), not rows — bounded domain
       pmod(row_number().over(
-        Window.orderBy(col("w").desc, col("shard").asc)) - 1, lit(k)))
+        Window.partitionBy(lit(0))
+          .orderBy(col("w").desc, col("shard").asc)) - 1, lit(k)))
     hash.unionByName(lpt).orderBy("strategy")
   }
 

@@ -23,6 +23,10 @@ object Verify {
         nameFilters.isEmpty || nameFilters.exists(name.contains) }
       .toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
+        // marker line BEFORE the run: engine warnings that follow in the
+        // log attribute to this query (how the WindowExec-warning audit
+        // finds its offenders)
+        System.err.println(s"[verify] running $name")
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")

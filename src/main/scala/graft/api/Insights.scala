@@ -363,7 +363,7 @@ object Insights {
     * peers, and deltas vs the sector avg/median. The global-order window is
     * safe here: the peer set is one sector's entities. */
   def sectorBaselinePeer(rows: DataFrame, entityId: String): DataFrame = {
-    val w = Window.orderBy(
+    val w = Window.partitionBy(lit(0)).orderBy(
       col("window_value").desc, col("latest_value").desc_nulls_first, col("entity_name"))
     val ranked = rows.withColumn("rank", row_number().over(w))
     // the reference subtracts the ALREADY-4dp-rounded summary values

@@ -40,9 +40,12 @@ object Batching {
       s"column names ${reserved.mkString(", ")} are reserved by lengthBatches")
     val counts = docs.groupBy(col(lenCol).cast("long").as("__len"))
       .agg(count(lit(1)).as("__n"))
+    // length-GRAIN window (distinct length values, not docs) — bounded
+    // domain, single partition intentional
     val offsets = counts.withColumn("__off",
       coalesce(
-        sum(col("__n")).over(Window.orderBy(col("__len").desc)) - col("__n"),
+        sum(col("__n")).over(
+          Window.partitionBy(lit(0)).orderBy(col("__len").desc)) - col("__n"),
         lit(0L)))
     val intra = Window.partitionBy(col(lenCol)).orderBy(col(idCol))
     val ranked = docs

@@ -61,10 +61,12 @@ object Calibration {
 
     // dense 0-based sequence index over non-empty bins: the isotonic
     // ordering is by bin id; gaps don't matter, only order does
+    // bounded domain (<= bins rows) — single partition intentional
     val seq0 = binned.withColumn("i",
-      (row_number().over(Window.orderBy(col("bin"))) - 1).cast("int"))
+      (row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("bin"))) - 1).cast("int"))
     // prefix sums (cum up to and including i)
-    val wCum = Window.orderBy(col("i"))
+    val wCum = Window.partitionBy(lit(0)).orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pre = seq0
       .withColumn("cn", sum(col("n")).over(wCum))

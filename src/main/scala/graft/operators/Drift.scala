@@ -179,13 +179,35 @@ object Drift {
     val g = ga.select(col("v").as("__v"), col("c").as("__ca"))
       .join(gb.select(col("v").as("__v"), col("c").as("__cb")), Seq("__v"), "full")
       .na.fill(0L, Seq("__ca", "__cb"))
-    val w = Window.orderBy("__v")
-    g.withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
-      .withColumn("__na", sum(col("__ca")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("__nb", sum(col("__cb")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // Two-level bucket carry (the q158/q204 kernel): value-grain prefix
+    // sums WITHOUT a corpus-wide single-partition window. Buckets are
+    // 4096 uniform slices of the observed [lo, hi] value range — floor of
+    // an increasing affine map is monotone, so bucket order == value
+    // order and equal values share a bucket; the carry window runs on the
+    // <= 4096 bucket grain only (bounded domain, constant partition key).
+    val bounds = g.agg(
+      min(col("__v").cast("double")).as("__lo"),
+      max(col("__v").cast("double")).as("__hi"),
+      sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val g2 = g.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") <= col("__lo"), lit(0L))
+          .otherwise(least(lit(4095L),
+            floor((col("__v").cast("double") - col("__lo")) * 4096.0
+              / (col("__hi") - col("__lo"))).cast("long"))))
+    val wb = Window.partitionBy(lit(0)).orderBy("__b")
+    val carries = g2.groupBy(col("__b"))
+      .agg(sum(col("__ca")).as("__ba"), sum(col("__cb")).as("__bb"))
+      .withColumn("__cra", coalesce(sum(col("__ba"))
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__crb", coalesce(sum(col("__bb"))
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__cra"), col("__crb"))
+    val wi = Window.partitionBy("__b").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g2.join(broadcast(carries), "__b")
+      .withColumn("__cuma", col("__cra") + sum(col("__ca")).over(wi))
+      .withColumn("__cumb", col("__crb") + sum(col("__cb")).over(wi))
       .withColumn("__num",
         abs(dec(col("__cuma")) * dec(col("__nb")) -
           dec(col("__cumb")) * dec(col("__na"))))

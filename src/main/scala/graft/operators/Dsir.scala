@@ -82,7 +82,8 @@ object Dsir {
     // ranking the k survivors is a bounded single-partition window
     scored
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("importance").desc, col("doc_id"))).cast("long"))
+        Window.partitionBy(lit(0))
+          .orderBy(col("importance").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("n_tokens"), col("w_sum"),
         col("importance"))
   }

@@ -163,7 +163,7 @@ object Quality {
       .groupBy("__tok").agg(count(lit(1)).as("__c"))
     val ff = terms.groupBy(col("__c")).agg(count(lit(1)).as("__nt"))
       .withColumn("__mass", col("__c") * col("__nt"))
-    val w = Window.orderBy(col("__c").desc)
+    val w = Window.partitionBy(lit(0)).orderBy(col("__c").desc)
     ff
       .withColumn("__prev",
         coalesce(sum(dec(col("__mass")))

@@ -99,9 +99,12 @@ object SkewJoin {
       .groupBy(col(key)).agg(count(lit(1)).as("__nr"))
     val pairs = lc.join(rc, key)
       .select(col(key).cast("string").as("k"), (col("__nl") * col("__nr")).as("p"))
-    val w = Window.orderBy(col("p").desc, col("k"))
+    // top-k via TakeOrderedAndProject first; the numbering window then
+    // sees <= topK rows (bounded domain, single partition intentional)
+    val w = Window.partitionBy(lit(0)).orderBy(col("p").desc, col("k"))
     val top = pairs
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .orderBy(col("p").desc, col("k")).limit(topK)
+      .withColumn("rk", row_number().over(w))
       .agg(array_join(array_sort(collect_list(
         struct(col("rk"), concat_ws(":", col("k"), col("p")).as("s"))))
         .getField("s"), "|").as("top_keys"))

@@ -49,7 +49,9 @@ object Sweep {
         .select((col(endCol).cast("long") + 1L).as("__t"), lit(-1L).as("__d")))
     val tg = deltas.groupBy(col("__t")).agg(sum(col("__d")).as("__net"))
       .withColumn("__b", floorDiv(col("__t"), lit(bucketWidth)))
-    val wb = Window.orderBy("__b")
+    // bucket grain only (timespan / bucketWidth rows) — bounded domain,
+    // single partition intentional
+    val wb = Window.partitionBy(lit(0)).orderBy("__b")
     val carries = tg.groupBy(col("__b")).agg(sum(col("__net")).as("__btot"))
       .withColumn("__carry",
         coalesce(sum(col("__btot"))
@@ -109,7 +111,9 @@ object Sweep {
     val base = intervalsOrdered
       .select(col(orderCol).cast("long").as("__o"), col(tsCol).cast("long").as("__t"))
       .withColumn("__b", floorDiv(col("__o"), lit(bucketWidth)))
-    val wb = Window.orderBy("__b")
+    // bucket grain only (arrival span / bucketWidth rows) — bounded
+    // domain, single partition intentional
+    val wb = Window.partitionBy(lit(0)).orderBy("__b")
     val carries = base.groupBy(col("__b")).agg(max(col("__t")).as("__bmax"))
       .withColumn("__carry",
         max(col("__bmax")).over(wb.rowsBetween(Window.unboundedPreceding, -1)))

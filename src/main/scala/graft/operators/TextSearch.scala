@@ -142,8 +142,10 @@ object TextSearch {
       .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col("term"))
       .limit(maxVocab)
+    // bounded domain (<= maxVocab rows after the limit above): the
+    // constant partition key states the intentional single partition
     counts.withColumn("vocab_id", row_number().over(
-      Window.orderBy(col("n").desc, col("term"))).cast("long"))
+      Window.partitionBy(lit(0)).orderBy(col("n").desc, col("term"))).cast("long"))
   }
 
   /** Tokenizer APPLY step: encode each document against a `(term,

@@ -118,12 +118,11 @@ object Windows {
     // would be ours)
     val n = math.min(math.max(offset, 0L) + math.max(pageSize, 0L), Int.MaxValue.toLong).toInt
     val top = df.orderBy(order: _*).limit(n)
-    // the unpartitioned window triggers Spark's "No Partition Defined"
-    // warning — BENIGN here by construction: its input is the limit(n)
-    // above (<= offset+pageSize rows, ApiLimits-capped), never the table.
-    // Numbering must be global for page semantics, so a partitioned window
-    // cannot express it; do not "fix" the warning by partitioning.
-    val w = Window.orderBy(order: _*)
+    // the window's input is the limit(n) above (<= offset+pageSize rows,
+    // ApiLimits-capped), never the table. Numbering must be global for
+    // page semantics; the constant partition key keeps that global order
+    // while stating the bounded single partition is intentional.
+    val w = Window.partitionBy(lit(0)).orderBy(order: _*)
     top.withColumn(rnCol, row_number().over(w))
       .filter(col(rnCol) > offset)
   }

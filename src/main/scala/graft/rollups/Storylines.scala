@@ -241,8 +241,11 @@ object Storylines {
         Window.partitionBy(col("storyline_key"))
           .orderBy(col("score").desc, lower(col("headline")))))
       .filter(col("__kr") === 1).drop("__kr")
+      // one brand-day's fill candidates (reference readout grain) —
+      // bounded domain, single partition intentional
       .withColumn("__fr", row_number().over(
-        Window.orderBy(col("score").desc, lower(col("headline")))))
+        Window.partitionBy(lit(0))
+          .orderBy(col("score").desc, lower(col("headline")))))
       .withColumn("__ord", col("__fr") + 2)
       .drop("__fr")
     preferred.unionByName(fill)

@@ -45,6 +45,18 @@ object Sessions {
       // a large in-memory group map is the right trade at every scale.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 22).toString)
+      // A constant window partition key (Window.partitionBy(lit(0))) is
+      // this library's EXPLICIT annotation that a single-partition window
+      // over a provably bounded domain is intentional (calibration bins,
+      // bucket carries, top-k survivors, day spines...). Spark 4's
+      // EliminateWindowPartitions folds the literal away, turning every
+      // annotated site back into an anonymous "No Partition Defined"
+      // warning indistinguishable from a genuine scale mistake. Excluding
+      // the rule keeps the annotation (identical execution: one hash
+      // partition) and keeps the warning meaningful — it now fires ONLY
+      // on unannotated, potentially-unbounded windows.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -77,5 +89,9 @@ object Sessions {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
+    // keep lit(0) window partition keys — the library's bounded-domain
+    // single-partition annotation (see local()) — from being folded away
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,22 +79,60 @@ object Batching {
       outCol: String): DataFrame = {
     require(n > 0, "n must be positive")
     val gKeys = keyCols.map(k => s"__g_$k")
-    val reserved = Set("__val", "__n", "__off", "__tot", "__rank", outCol) ++ gKeys
+    val sKeys = keyCols.map(k => s"__s_$k")
+    val cKeys = keyCols.map(k => s"__c_$k")
+    val reserved = Set("__val", "__n", "__off", "__tot", "__rank", "__vlo",
+      "__vhi", "__b", "__bn", "__cb", "__carry", outCol) ++ gKeys ++ sKeys ++ cKeys
     require(!docs.columns.exists(reserved),
       s"column names ${reserved.mkString(", ")} are reserved by groupedNtile")
     val keys = keyCols.map(col)
+    def eq(pairs: Seq[(String, String)]): Column =
+      pairs.map { case (a, b) => col(a) <=> col(b) }.foldLeft(lit(true))(_ && _)
     val counts = docs
       .groupBy(keys :+ col(valCol).cast("long").as("__val"): _*)
       .agg(count(lit(1)).as("__n"))
-    val perKey = Window.partitionBy(keys: _*)
+    // Per-key totals + value bounds in one agg, then the two-level bucket
+    // carry (the q155/q158 kernel) for the value-grain cumulative: with an
+    // EMPTY key set and a high-cardinality value column, the old direct
+    // cumulative window was a genuinely unbounded global window. Buckets
+    // are 4096 uniform slices of each key's [vlo, vhi] (floor of an
+    // increasing affine map — monotone, equal values share a bucket); the
+    // carry window sees <= 4096 rows per key.
+    val gstats = counts.groupBy(keys: _*).agg(
+      min(col("__val")).as("__vlo"), max(col("__val")).as("__vhi"),
+      sum(col("__n")).as("__tot"))
+      .select(keyCols.map(k => col(k).as(s"__s_$k")) ++
+        Seq(col("__vlo"), col("__vhi"), col("__tot")): _*)
+    val withB = counts.join(broadcast(gstats), eq(keyCols.zip(sKeys)))
+      .withColumn("__b",
+        when(col("__vhi") <= col("__vlo"), lit(0L))
+          .otherwise(least(lit(4095L),
+            floor((col("__val").cast("double") - col("__vlo").cast("double"))
+              * 4096.0 /
+              (col("__vhi").cast("double") - col("__vlo").cast("double") + 1.0))
+              .cast("long"))))
+      .drop(sKeys: _*)
+    val wCarry =
+      if (keyCols.isEmpty)
+        // bounded domain (<= 4096 buckets) — single partition intentional
+        Window.partitionBy(lit(0)).orderBy(col("__cb"))
+      else Window.partitionBy(cKeys.map(col): _*).orderBy(col("__cb"))
+    val carries = withB
+      .groupBy(keys :+ col("__b"): _*).agg(sum(col("__n")).as("__bn"))
+      .select(keyCols.map(k => col(k).as(s"__c_$k")) ++
+        Seq(col("__b").as("__cb"), col("__bn")): _*)
+      .withColumn("__carry",
+        coalesce(sum(col("__bn")).over(
+          wCarry.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wIntra = Window.partitionBy(keys :+ col("__b"): _*).orderBy(col("__val"))
     // rename the keys before joining back (the lengthBatches idiom) — a
     // derived-DataFrame self-join on same-named columns is ambiguous
-    val offsets = counts
+    val offsets = withB
+      .join(broadcast(carries),
+        eq(keyCols.zip(cKeys)) && col("__b") <=> col("__cb"))
       .withColumn("__off",
-        coalesce(sum(col("__n")).over(perKey.orderBy(col("__val"))) - col("__n"), lit(0L)))
-      .withColumn("__tot",
-        sum(col("__n")).over(perKey.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
+        col("__carry") + coalesce(sum(col("__n")).over(
+          wIntra.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(keyCols.map(k => col(k).as(s"__g_$k")) ++
         Seq(col("__val"), col("__off"), col("__tot")): _*)
     val intra = Window.partitionBy(keys :+ col(valCol): _*).orderBy(col(idCol))

@@ -104,10 +104,11 @@ object Rollups {
     val cells = df
       .where(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(aCol, bCol).agg(count(lit(1)).as("observed"))
-    // cell-table-grain windows: bounded by |A|x|B|
+    // cell-table-grain windows: bounded by |A|x|B| (the grand-total window
+    // carries the lit(0) bounded-domain annotation)
     val rowT = sum(col("observed")).over(Window.partitionBy(aCol))
     val colT = sum(col("observed")).over(Window.partitionBy(bCol))
-    val allT = sum(col("observed")).over(Window.partitionBy())
+    val allT = sum(col("observed")).over(Window.partitionBy(lit(0)))
     val e = (col("row_total") * col("col_total")).cast("double") /
       col("n").cast("double")
     cells

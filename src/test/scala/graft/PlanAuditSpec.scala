@@ -371,14 +371,22 @@ class PlanAuditSpec extends SparkSpec {
         p.take(2000))
   }
 
-  test("q125 sliding distinct: aggregates only — no window, no shuffle join") {
+  test("q125 sliding distinct: interval-delta kernel — key-partitioned windows only") {
     val p = planString("q125_sliding_distinct")
-    assert(!p.contains("Window "),
-      "rolling distinct must not be a window (COUNT DISTINCT can't frame):\n" +
+    // the W-times contribution explode is gone: no `sequence(` fan-out
+    // anywhere except the day-grain spine (which explodes from the 1-row
+    // bounds, so it appears under a single-row aggregate, not the pairs)
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty,
+      "islands + day-spine running sum are window-based now:\n" + p.take(2000))
+    // every window is either per-key (__k: the gaps-and-islands lag/sum)
+    // or the annotated bounded day-spine (constant partition key)
+    assert(windows.forall(w => w.contains("__k") || w.trim == "0"),
+      s"windows must partition by key or carry the lit(0) annotation: $windows\n" +
         p.take(2000))
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "the only join is the 1-row bounds clip (nested-loop broadcast):\n" +
-        p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "bounds/spine rides broadcast nested loop, never cartesian:\n" + p.take(2000))
   }
 
   test("q126 k-anonymity: one aggregate — no join, no window, no sort but the output order") {

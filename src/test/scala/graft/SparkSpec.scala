@@ -22,6 +22,11 @@ object SparkSpec {
       // same default posture as Sessions.local: config-based native
       // function registration, so newSession() children resolve them too
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // see Sessions.local: keep lit(0) window partition keys (the
+      // bounded-domain annotation) from being folded back into anonymous
+      // no-partition warnings
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

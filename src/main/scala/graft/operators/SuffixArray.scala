@@ -119,7 +119,7 @@ object SuffixArray {
 
     var ranks = densify(toks.withColumnRenamed("tok", "__k1"), Seq("__k1"))
       .localCheckpoint()
-    var tables = List((1L, ranks)) // (span, rank table), spans ascending
+    var tables = List((1L, ranks)) // (span, rank table), spans DESCENDING head
     var span = 1L
     while (span < maxLen) {
       val right = ranks.select(col("id"), (col("p") - span).as("p"),
@@ -130,8 +130,16 @@ object SuffixArray {
       val paired = ranks.join(right, Seq("id", "p"), "left")
         .select(col("id"), col("p"), col("__rank").as("__k1"),
           coalesce(col("__r2"), lit(-1L)).as("__k2"))
-      ranks = densify(paired, Seq("__k1", "__k2")).localCheckpoint()
       span *= 2
+      // the FINAL round's ranks feed only ordering (struct compare is
+      // lexicographic field-wise — exactly the doubling order) and
+      // equality tests in the walk, so the (r, r') pair itself is id
+      // enough: skipping the last densify saves a full
+      // distinct+sort+zipWithIndex+join cycle (the q116 move)
+      ranks =
+        if (span < maxLen) densify(paired, Seq("__k1", "__k2")).localCheckpoint()
+        else paired.select(col("id"), col("p"),
+          struct(col("__k1"), col("__k2")).as("__rank")).localCheckpoint()
       tables = (span, ranks) :: tables
     }
 
@@ -153,8 +161,24 @@ object SuffixArray {
         (col("__lb") - col("p_b") + 1).as("rem_b"),
         lit(0L).as("lcp"))
 
-    // descending binary LCP walk over the retained tables
-    var pr = pairs0.localCheckpoint()
+    // Pre-filter: a pair contributes only if LCP >= 1, i.e. the first
+    // tokens agree (rank_0 equality). Dropped pairs have best = 0, which
+    // the per-doc left join already defaults to — and the filter shrinks
+    // the walk's input from all adjacent pairs to just the ones at a
+    // shared-prefix boundary before the 2(K+1) walk joins run.
+    val r0 = tables.last._2 // span-1 table (token ranks)
+    val pairs1 = pairs0
+      .join(r0.select(col("id").as("id_a"), col("p").as("p_a"),
+        col("__rank").as("__r0a")), Seq("id_a", "p_a"))
+      .join(r0.select(col("id").as("id_b"), col("p").as("p_b"),
+        col("__rank").as("__r0b")), Seq("id_b", "p_b"))
+      .where(col("__r0a") === col("__r0b"))
+      .drop("__r0a", "__r0b")
+    // Descending binary LCP walk over the retained tables. No per-round
+    // checkpoint: unlike the doubling loop (where zipWithIndex is an
+    // ACTION per round that would re-execute uncut lineage), the walk
+    // fires no action until the final aggregate — one DAG, one execution.
+    var pr = pairs1.localCheckpoint()
     for ((sp, tab) <- tables) { // tables is spans-DESCENDING by construction
       val ra = tab.select(col("id").as("id_a"), col("p").as("__qa"),
         col("__rank").as("__ra"))
@@ -169,7 +193,6 @@ object SuffixArray {
           when(col("__ra").isNotNull && col("__ra") === col("__rb"),
             col("lcp") + sp).otherwise(col("lcp")))
         .drop("__qa", "__qb", "__ra", "__rb")
-        .localCheckpoint()
     }
 
     val credit = pr

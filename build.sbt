@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // -Xmx is a CAP, not a reservation: the single-JVM local[32] profile on
+  // the 128 GiB bench box needs headroom for 100x-replica probes (the
+  // sf10 suffix-array run OOM'd a task at 8g); 48g leaves the OS and any
+  // concurrent tooling ample room.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -193,10 +193,14 @@ object Funnel {
     * (the q77 move: distinct-value histograms + distributed rank).
     *
     * `valueCol` must be a ≤ 2-decimal money double (the repo's
-    * exactMoneySum contract). Scale shape: one hash agg to user grain,
-    * a 1-row broadcast for the global max day, then three
-    * histogram-ranked ntile passes whose only unpartitioned windows run
-    * at distinct-metric-value grain. */
+    * exactMoneySum contract). Scale shape: one hash agg to user grain, a
+    * 1-row broadcast for the global max day, then ONE histogram-ranked
+    * ntile pass over the melted `(metric, value)` long table (metric name
+    * as the partition key) and a user-grain pivot back to wide — three
+    * nested groupedNtile passes each re-read their input several times,
+    * so stacking them re-executed the user-grain base plan
+    * multiplicatively (q95 spent ~6.5 s at sf0.1 on ~60 k users, all
+    * fixed replay cost); the melt runs the kernel once over 3n rows. */
   def rfm(
       events: DataFrame,
       userCol: String,
@@ -216,16 +220,27 @@ object Funnel {
       .crossJoin(broadcast(gmax)) // 1-row stats attach
       .select(col(userCol), (col("__gmax") - col("__dmax")).as("recency_days"),
         col("frequency"), col("__m"))
-      .withColumn("__all", lit(1))
-    val tiled = Seq(
-      ("recency_days", "r_tile"), ("frequency", "f_tile"), ("__m", "m_tile"))
-      .foldLeft(base) { case (df, (metric, out)) =>
-        Batching.groupedNtile(df, Seq("__all"), metric, userCol, tiles, out)
-      }
-    tiled.select(col(userCol), col("recency_days"), col("frequency"),
-      (col("__m").cast("double") / 100.0).as("monetary"),
-      col("r_tile"), col("f_tile"), col("m_tile"),
-      concat_ws("-", col("r_tile"), col("f_tile"), col("m_tile")).as("segment"))
+    // melt: one (metric, value) row per user per metric — all three
+    // metrics are already exact longs, so one homogeneous value column
+    val melted = base
+      .withColumn("__kv", explode(array(
+        struct(lit("r").as("k"), col("recency_days").as("v")),
+        struct(lit("f").as("k"), col("frequency").as("v")),
+        struct(lit("m").as("k"), col("__m").as("v")))))
+      .select(col(userCol), col("recency_days"), col("frequency"), col("__m"),
+        col("__kv").getField("k").as("__metric"),
+        col("__kv").getField("v").as("__mval"))
+    val tiled = Batching.groupedNtile(
+      melted, Seq("__metric"), "__mval", userCol, tiles, "__tile")
+    // exactly one row per (user, metric): first() is deterministic
+    tiled
+      .groupBy(col(userCol), col("recency_days"), col("frequency"), col("__m"))
+      .pivot("__metric", Seq("r", "f", "m"))
+      .agg(first(col("__tile")))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        (col("__m").cast("double") / 100.0).as("monetary"),
+        col("r").as("r_tile"), col("f").as("f_tile"), col("m").as("m_tile"),
+        concat_ws("-", col("r"), col("f"), col("m")).as("segment"))
   }
 
   /** Session-scoped conversion attribution — the journey question the

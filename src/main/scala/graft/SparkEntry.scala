@@ -1938,6 +1938,140 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Top principal direction (q209): q81's one-pass quantized Gram
+    * reduction (the only data-sized stage) + 8 rounds of integer-exact
+    * power iteration on the collected 64×64 matrix — the q120 fixed-point
+    * idiom applied to an eigenproblem ([[graft.operators.Pca]]). Output
+    * is the 64 loadings (fixed-point 2^20) and the dominant-eigenvalue
+    * estimate, all engine-portable integers. */
+  private def pcaPowerQ(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.operators.Gram.quantizedGram(embeddings(s, dir), "vec_id", "embedding", 64)
+    val (v, lambdaFp) = graft.operators.Pca.topComponent(g, 64)
+    import s.implicits._
+    v.zipWithIndex.toSeq.map { case (l, d) => (d, l, lambdaFp) }
+      .toDF("dim", "loading", "lambda_fp")
+      .orderBy("dim")
+  }
+
+  /** Top-PC projection profile (q210): every vector's exact integer
+    * projection onto q209's loading vector (a codegen'd long fold — the
+    * "apply" face of the trainer, the q172/q184 coreset split), profiled
+    * as a fixed-width histogram. Bucketing adds 2^40 (scores are bounded
+    * by dim·127·2^20 ≈ 2^33) before the 26-bit shift, so the floor
+    * division by 2^26 only ever sees non-negative operands — no
+    * negative-division ambiguity between engines. */
+  private def pcaScoresQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val g = graft.operators.Gram.quantizedGram(e, "vec_id", "embedding", 64)
+    val (v, _) = graft.operators.Pca.topComponent(g, 64)
+    val qt = Similarity.quantizeInt8(e, "vec_id", "embedding")
+    val offset = 1L << 40
+    qt.select(col("vec_id"),
+        graft.operators.Pca.projectionScore(col("qvec"), v).as("score"))
+      .groupBy((shiftright(col("score") + lit(offset), 26) - lit(offset >> 26))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy("bucket")
+  }
+
+  /** Poisson-bootstrap confidence intervals (q211): per event type, the
+    * exact mean plus the p2.5/p97.5 band of 32 deterministic Poisson(1)
+    * replicate means ([[graft.operators.Bootstrap]] — hash-drawn integer
+    * weights, decimal-exact weighted sums, the q207 quantile kernel for
+    * the band). The distributed-bootstrap shape: one ×32 fan-out folded
+    * by a map-side-combined sum, never a materialized resample. */
+  private def bootstrapCiQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bootstrap, Profiling}
+    val ev = events(s, dir).select(col("event_type"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val reps = Bootstrap.poissonReplicateMeans(ev, "event_id", "cents", "event_type", 32)
+    val ci = Profiling.exactQuantilesByKey(reps, "event_type", "mean", Seq(0.025, 0.975))
+      .groupBy("event_type").agg(
+        max(when(col("prob") === 0.025, col("value"))).as("lo_cents"),
+        max(when(col("prob") === 0.975, col("value"))).as("hi_cents"))
+    ev.groupBy("event_type")
+      .agg(sum(col("cents").cast("decimal(38,0)")).as("sc"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (col("sc").cast("double") / col("n").cast("double")).as("mean_cents"))
+      .join(ci, "event_type")
+      .orderBy("event_type")
+  }
+
+  /** Customer Pareto frontier (q212): the skyline of the customer base on
+    * (lifetime cents, last order day, order count) — no other customer is
+    * at least as good on all three axes and strictly better on one
+    * ([[graft.operators.Skyline]]: partition-local block-nested-loop
+    * skylines, then one merge pass over the polylog-sized candidate
+    * union). Dims are exact longs; the oracle is the NOT EXISTS
+    * dominance anti-join at the aggregated (customer) grain. */
+  private def skylineQ(s: SparkSession, dir: String): DataFrame = {
+    val cust = orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(round(col("o_totalprice") * 100).cast("decimal(38,0)"))
+          .cast("long").as("total_cents"),
+        max(datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")))
+          .as("last_day"),
+        count(lit(1)).as("n_orders"))
+    graft.operators.Skyline.skylineMax(cust, "o_custkey",
+        Seq("total_cents", "last_day", "n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  /** Token–language association screen (q213): the phi coefficient of
+    * every (top-20 token, language) 2×2 presence table — the
+    * feature/label-leakage audit a labeled corpus needs before training
+    * on it. Counts are exact longs off one distinct (doc, token)
+    * presence pass; phi's numerator/denominator are double products of
+    * exact counts with PINNED association (identical expression both
+    * engines), and the only non-arithmetic op is one IEEE sqrt —
+    * correctly rounded everywhere, so the compare is bit-exact. */
+  private def tokenPhiQ(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val pres = d.select(col("doc_id"), col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .select("doc_id", "token").distinct()
+    val top = pres.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(20)
+    val langs = d.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val total = d.agg(count(lit(1)).as("n"))
+    val a = pres.join(broadcast(top.select("token")), "token")
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy("token", "lang").agg(count(lit(1)).as("a"))
+    val cells = broadcast(top).crossJoin(broadcast(langs)).crossJoin(broadcast(total))
+      .join(a, Seq("token", "lang"), "left")
+      .select(col("token"), col("lang"),
+        coalesce(col("a"), lit(0L)).as("n_both"),
+        (col("df") - coalesce(col("a"), lit(0L))).as("n_token_only"),
+        (col("nl") - coalesce(col("a"), lit(0L))).as("n_lang_only"),
+        (col("n") - col("df") - col("nl") + coalesce(col("a"), lit(0L)))
+          .as("n_neither"))
+    def D(c: Column) = c.cast("double")
+    val denom =
+      (D(col("n_both") + col("n_token_only")) * D(col("n_lang_only") + col("n_neither"))) *
+      (D(col("n_both") + col("n_lang_only")) * D(col("n_token_only") + col("n_neither")))
+    cells.withColumn("phi",
+        when(denom > 0.0,
+          (D(col("n_both")) * D(col("n_neither")) -
+            D(col("n_token_only")) * D(col("n_lang_only"))) / sqrt(denom)))
+      .orderBy("token", "lang")
+  }
+
+  /** Bipartite HITS (q214): hub/authority mutual reinforcement on the
+    * order→part purchase graph, 8 rounds of the integer fixed-point
+    * recurrence ([[graft.operators.Hits]] — the q120 idiom with max-abs
+    * normalization); top-100 parts by authority. */
+  private def hitsQ(s: SparkSession, dir: String): DataFrame = {
+    val ed = lineitem(s, dir)
+      .select(col("l_orderkey").as("h"), col("l_partkey").as("a"))
+    val (_, auth) = graft.operators.Hits.integerHits(ed, "h", "a", iterations = 8)
+    auth.select(col("node").as("part"), col("score").as("authority_fp"))
+      .orderBy(col("authority_fp").desc, col("part"))
+      .limit(100)
+  }
+
   /** Cluster-quality silhouette audit (q203): per nearest-centroid
     * cluster (q17's assignment rule), the MEDIAN intra-centroid distance,
     * median distance to the best OTHER centroid, and median separation
@@ -3750,7 +3884,13 @@ object SparkEntry {
     "q205_did_readout" -> (didQ _),
     "q206_seasonal_strength" -> (seasonalStrengthQ _),
     "q207_forecast_bands" -> (forecastBandsQ _),
-    "q208_max_dup_substring" -> (maxDupSubstringQ _)
+    "q208_max_dup_substring" -> (maxDupSubstringQ _),
+    "q209_pca_power" -> (pcaPowerQ _),
+    "q210_pca_scores" -> (pcaScoresQ _),
+    "q211_bootstrap_ci" -> (bootstrapCiQ _),
+    "q212_skyline" -> (skylineQ _),
+    "q213_token_phi" -> (tokenPhiQ _),
+    "q214_hits" -> (hitsQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -4362,7 +4502,182 @@ object SparkEntry {
       |FROM isl GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Shared q209/q210 oracle chain: q81's per-vector int8 quantization,
+    * the FULL (i, j) Gram matrix in HUGEINT, and 8 unrolled rounds of the
+    * integer-exact power recurrence (v fixed-point at 2^20; the division
+    * only ever sees non-negative operands so DuckDB `//` replays the
+    * BigInt quotient exactly — the q120 unrolled-fixed-point idiom). */
+  private lazy val pcaChainSql: String = {
+    // MATERIALIZED is load-bearing: v_k references u_k twice (matvec +
+    // max), so default CTE inlining would double the expansion per
+    // iteration (the q214 fd-exhaustion lesson)
+    val steps = (1 to 8).map { k =>
+      s"""u$k AS MATERIALIZED (SELECT g.i AS dim, SUM(g.g * p.val) AS u
+         |  FROM g JOIN v${k - 1} p ON p.dim = g.j GROUP BY 1),
+         |m$k AS (SELECT GREATEST(MAX(ABS(u)), 1) AS ma FROM u$k),
+         |v$k AS MATERIALIZED (SELECT dim,
+         |    CASE WHEN u >= 0 THEN (u * 1048576) // ma
+         |         ELSE -(((-u) * 1048576) // ma) END AS val
+         |  FROM u$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |    CASE WHEN ma > 0 THEN list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / CAST(ma AS DOUBLE)) + 0.5)
+       |           AS BIGINT))
+       |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+       |  FROM e),
+       |g AS MATERIALIZED (
+       |  SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       |    CAST(SUM(v[i + 1] * v[j + 1]) AS HUGEINT) AS g
+       |  FROM q, range(64) r1(i), range(64) r2(j)
+       |  GROUP BY 1, 2),
+       |v0 AS MATERIALIZED (
+       |  SELECT CAST(i AS INTEGER) AS dim, CAST(1048576 AS HUGEINT) AS val
+       |  FROM range(64) r(i)),
+       |$steps""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q209_pca_power" ->
+      s"""WITH $pcaChainSql
+         |SELECT CAST(v8.dim AS INTEGER) AS dim, CAST(v8.val AS BIGINT) AS loading,
+         |  (SELECT CAST(ma // 1048576 AS BIGINT) FROM m8) AS lambda_fp
+         |FROM v8 ORDER BY dim""".stripMargin,
+    "q210_pca_scores" ->
+      s"""WITH $pcaChainSql,
+         |sc AS (SELECT q.vec_id,
+         |    CAST(SUM(q.v[v8.dim + 1] * v8.val) AS HUGEINT) AS score
+         |  FROM q, v8 GROUP BY 1)
+         |SELECT CAST(((score + 1099511627776) // 67108864) - 16384 AS BIGINT)
+         |    AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(score) AS BIGINT) AS min_score,
+         |  CAST(MAX(score) AS BIGINT) AS max_score
+         |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the same thresholds, hash, and exact-integer weighted sums; the band
+    // replays through quantile_cont (the q207 kernel-parity contract)
+    "q211_bootstrap_ci" -> {
+      val h = graft.functions.PortableHash.md5Hash60Sql(
+        "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+      val w = graft.operators.Bootstrap.poissonWeightSql("h")
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |hx AS (
+         |  SELECT event_type, cents, b, $h AS h
+         |  FROM ev, range(32) r(b)),
+         |wx AS (SELECT event_type, cents, b, $w AS w FROM hx),
+         |reps AS (
+         |  SELECT event_type, b,
+         |    CAST(SUM(CAST(cents AS HUGEINT) * w) AS DOUBLE)
+         |      / CAST(SUM(w) AS DOUBLE) AS mean
+         |  FROM wx GROUP BY 1, 2),
+         |ci AS (
+         |  SELECT event_type, quantile_cont(mean, 0.025) AS lo_cents,
+         |    quantile_cont(mean, 0.975) AS hi_cents
+         |  FROM reps GROUP BY 1),
+         |f AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS mean_cents
+         |  FROM ev GROUP BY 1)
+         |SELECT f.event_type, mean_cents, lo_cents, hi_cents
+         |FROM f JOIN ci USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
+    // strict-dominance NOT EXISTS at the aggregated customer grain — the
+    // quadratic formulation is fine at oracle scale; the Spark side never
+    // builds it
+    "q212_skyline" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS BIGINT)
+        |      AS total_cents,
+        |    CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |      AS last_day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, total_cents, last_day, n_orders
+        |FROM cust c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM cust d
+        |  WHERE d.total_cents >= c.total_cents AND d.last_day >= c.last_day
+        |    AND d.n_orders >= c.n_orders
+        |    AND (d.total_cents > c.total_cents OR d.last_day > c.last_day
+        |         OR d.n_orders > c.n_orders))
+        |ORDER BY o_custkey""".stripMargin,
+    // 2x2 presence counts as exact integers; phi with the identical
+    // double association and one IEEE sqrt
+    "q213_token_phi" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |pres AS (SELECT DISTINCT doc_id, u.token
+        |         FROM d, unnest(w) AS u(token)),
+        |tt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM pres
+        |       GROUP BY 1 ORDER BY df DESC, token LIMIT 20),
+        |lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM documents GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |aa AS (
+        |  SELECT p.token, dd.lang, CAST(COUNT(*) AS BIGINT) AS a
+        |  FROM pres p
+        |  JOIN documents dd USING (doc_id)
+        |  JOIN tt ON tt.token = p.token
+        |  GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT tt.token, lc.lang,
+        |    COALESCE(aa.a, 0) AS n_both,
+        |    tt.df - COALESCE(aa.a, 0) AS n_token_only,
+        |    lc.nl - COALESCE(aa.a, 0) AS n_lang_only,
+        |    nn.n - tt.df - lc.nl + COALESCE(aa.a, 0) AS n_neither
+        |  FROM tt CROSS JOIN lc CROSS JOIN nn
+        |  LEFT JOIN aa ON aa.token = tt.token AND aa.lang = lc.lang)
+        |SELECT token, lang, n_both, n_token_only, n_lang_only, n_neither,
+        |  CASE WHEN (CAST(n_both + n_token_only AS DOUBLE)
+        |               * CAST(n_lang_only + n_neither AS DOUBLE))
+        |            * (CAST(n_both + n_lang_only AS DOUBLE)
+        |               * CAST(n_token_only + n_neither AS DOUBLE)) > 0
+        |    THEN (CAST(n_both AS DOUBLE) * CAST(n_neither AS DOUBLE)
+        |          - CAST(n_token_only AS DOUBLE) * CAST(n_lang_only AS DOUBLE))
+        |         / sqrt((CAST(n_both + n_token_only AS DOUBLE)
+        |                  * CAST(n_lang_only + n_neither AS DOUBLE))
+        |                * (CAST(n_both + n_lang_only AS DOUBLE)
+        |                   * CAST(n_token_only + n_neither AS DOUBLE)))
+        |  END AS phi
+        |FROM cells ORDER BY token, lang""".stripMargin,
+    // q120's unrolled-fixed-point posture for the HITS recurrence: all
+    // operands non-negative, HUGEINT sums, `//` == div
+    "q214_hits" -> {
+      // MATERIALIZED is load-bearing: each level references its
+      // predecessor twice (raw + max), so DuckDB's default CTE inlining
+      // doubles the expansion per iteration — 2^8 scans of lineitem
+      // exhausts the fd limit before it exhausts patience
+      val iters = (1 to 8).map { k =>
+        s"""hr$k AS MATERIALIZED (SELECT e.h, SUM(p.s) AS raw FROM ed e
+           |  JOIN a${k - 1} p ON p.node = e.a GROUP BY 1),
+           |hm$k AS (SELECT GREATEST(MAX(raw), 1) AS m FROM hr$k),
+           |h$k AS MATERIALIZED (SELECT h AS node, (raw * 1048576) // m AS s
+           |  FROM hr$k, hm$k),
+           |ar$k AS MATERIALIZED (SELECT e.a, SUM(p.s) AS raw FROM ed e
+           |  JOIN h$k p ON p.node = e.h GROUP BY 1),
+           |am$k AS (SELECT GREATEST(MAX(raw), 1) AS m FROM ar$k),
+           |a$k AS MATERIALIZED (SELECT a AS node, (raw * 1048576) // m AS s
+           |  FROM ar$k, am$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS h, l_partkey AS a FROM lineitem),
+         |a0 AS MATERIALIZED (
+         |  SELECT DISTINCT a AS node, CAST(1048576 AS HUGEINT) AS s FROM ed),
+         |$iters
+         |SELECT node AS part, CAST(s AS BIGINT) AS authority_fp
+         |FROM a8 ORDER BY authority_fp DESC, part LIMIT 100""".stripMargin
+    },
     "q18_minhash_pairs" -> minhashOracleSql,
     // q18's candidate pair set labeled by source on both sides, rolled to
     // the source-pair grain (canonical least/greatest orientation)

@@ -2072,6 +2072,98 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** MMR diversified selection (q215): greedy maximal-marginal-relevance
+    * pick of 10 exemplars from the 50 vectors most relevant to the query
+    * vector (vec 0), balancing relevance against redundancy at λ = 7/10
+    * ([[graft.operators.Mmr]] — exact integer dot-product objective,
+    * bounded driver rounds; the corpus pass and pool top-k are the only
+    * data-sized stages). */
+  private def mmrQ(s: SparkSession, dir: String): DataFrame = {
+    val qt = Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
+    graft.operators.Mmr.mmrSelect(qt, "vec_id", queryId = 0L, k = 10,
+        poolSize = 50, lambdaNum = 7L, lambdaDen = 10L)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("round")
+  }
+
+  /** Personalized PageRank (q216): random walk with restart over q120's
+    * symmetrized part co-order graph, teleporting to the 5 smallest part
+    * ids as the seed set — seed-anchored proximity instead of global
+    * importance ([[graft.operators.PageRank.integerPersonalizedPageRank]],
+    * the identical integer fixed-point recurrence with seed-gated
+    * teleport); top-100 by score. */
+  private def pprQ(s: SparkSession, dir: String): DataFrame = {
+    val op = lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = op.toDF("o", "pa").join(op.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+    val ed = pairs.select(col("pa").as("s_"), col("pb").as("d_"))
+      .unionByName(pairs.select(col("pb").as("s_"), col("pa").as("d_")))
+    val seeds = ed.select(col("s_").as("node")).distinct()
+      .orderBy("node").limit(5)
+    graft.operators.PageRank.integerPersonalizedPageRank(
+        ed, "s_", "d_", seeds, iterations = 10)
+      .select(col("node").as("part"), col("score"))
+      .orderBy(col("score").desc, col("part"))
+      .limit(100)
+  }
+
+  /** Degree assortativity (q217): the Pearson correlation of endpoint
+    * degrees over the directed edges of q120's co-order graph (Newman
+    * 2002) — do popular parts co-occur with popular parts? Moments are
+    * exact decimal integers off one edge pass; the coefficient is the
+    * pinned-association double formula with two IEEE sqrts (the
+    * q103/q202 moment posture). */
+  private def assortativityQ(s: SparkSession, dir: String): DataFrame = {
+    val op = lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = op.toDF("o", "pa").join(op.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+    val ed = pairs.select(col("pa").as("s_"), col("pb").as("d_"))
+      .unionByName(pairs.select(col("pb").as("s_"), col("pa").as("d_")))
+    val deg = ed.groupBy("s_").agg(count(lit(1)).as("deg"))
+      .select(col("s_").as("node"), col("deg"))
+    val ex = ed
+      .join(deg.select(col("node").as("s_"), col("deg").as("dx")), "s_")
+      .join(deg.select(col("node").as("d_"), col("deg").as("dy")), "d_")
+    val d38 = "decimal(38,0)"
+    val m = ex.agg(
+      count(lit(1)).cast(d38).as("m"),
+      sum(col("dx").cast(d38)).as("sx"),
+      sum(col("dy").cast(d38)).as("sy"),
+      sum((col("dx") * col("dy")).cast(d38)).as("sxy"),
+      sum((col("dx") * col("dx")).cast(d38)).as("sxx"),
+      sum((col("dy") * col("dy")).cast(d38)).as("syy"))
+    m.crossJoin(broadcast(deg.agg(
+        count(lit(1)).as("n_nodes"), max(col("deg")).as("max_deg"))))
+      .select(
+        col("n_nodes"), col("m").cast("long").as("m_edges"), col("max_deg"),
+        ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+  }
+
+  /** Integer-exact Lloyd k-means (q218): 3 refinement rounds from the
+    * 8 smallest-id seeds over the int8 grid, every centroid coordinate a
+    * fixed-point integer so the trajectory replays bit-for-bit in any
+    * engine ([[graft.operators.KMeans]] — one codegen'd broadcast-literal
+    * assignment pass plus one 512-key map-side-combined sum per round);
+    * cluster cardinality and mean squared distance as the readout. */
+  private def kmeansQ(s: SparkSession, dir: String): DataFrame = {
+    val qt = Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
+    graft.operators.KMeans.integerLloyd(qt, "vec_id", k = 8, iterations = 3)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("dist2").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_dist2"))
+      .orderBy("cid")
+  }
+
   /** Cluster-quality silhouette audit (q203): per nearest-centroid
     * cluster (q17's assignment rule), the MEDIAN intra-centroid distance,
     * median distance to the best OTHER centroid, and median separation
@@ -3890,7 +3982,11 @@ object SparkEntry {
     "q211_bootstrap_ci" -> (bootstrapCiQ _),
     "q212_skyline" -> (skylineQ _),
     "q213_token_phi" -> (tokenPhiQ _),
-    "q214_hits" -> (hitsQ _)
+    "q214_hits" -> (hitsQ _),
+    "q215_mmr_select" -> (mmrQ _),
+    "q216_ppr" -> (pprQ _),
+    "q217_assortativity" -> (assortativityQ _),
+    "q218_kmeans_lloyd" -> (kmeansQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -4677,6 +4773,176 @@ object SparkEntry {
          |$iters
          |SELECT node AS part, CAST(s AS BIGINT) AS authority_fp
          |FROM a8 ORDER BY authority_fp DESC, part LIMIT 100""".stripMargin
+    },
+    // q209's quantization + exact integer dots; the greedy unrolls with
+    // MATERIALIZED sel sets (each round references the previous twice)
+    "q215_mmr_select" -> {
+      val rounds = (2 to 10).map { k =>
+        s"""m$k AS MATERIALIZED (
+           |  SELECT p.id, p.rel, MAX(ps.sim) AS ms
+           |  FROM pool p JOIN ps ON ps.ia = p.id
+           |    AND ps.ib IN (SELECT id FROM sel${k - 1})
+           |  WHERE p.id NOT IN (SELECT id FROM sel${k - 1})
+           |  GROUP BY 1, 2),
+           |pick$k AS MATERIALIZED (
+           |  SELECT $k AS round, id, rel, ms AS max_sim,
+           |    7 * rel - 3 * ms AS mmr_fp
+           |  FROM m$k ORDER BY mmr_fp DESC, id LIMIT 1),
+           |sel$k AS MATERIALIZED (
+           |  SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id,
+         |    CASE WHEN ma > 0 THEN list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / CAST(ma AS DOUBLE)) + 0.5)
+         |           AS BIGINT))
+         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+         |  FROM e),
+         |qq AS (SELECT v FROM q WHERE vec_id = 0),
+         |relx AS MATERIALIZED (
+         |  SELECT q.vec_id AS id, CAST(SUM(q.v[i + 1] * qq.v[i + 1]) AS BIGINT) AS rel
+         |  FROM q, qq, range(64) r(i)
+         |  WHERE q.vec_id <> 0 GROUP BY 1),
+         |pool AS MATERIALIZED (
+         |  SELECT id, rel FROM relx ORDER BY rel DESC, id LIMIT 50),
+         |ps AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    CAST(SUM(a.v[i + 1] * b.v[i + 1]) AS BIGINT) AS sim
+         |  FROM q a JOIN pool pa ON pa.id = a.vec_id
+         |  JOIN q b ON a.vec_id <> b.vec_id
+         |  JOIN pool pb ON pb.id = b.vec_id, range(64) r(i)
+         |  GROUP BY 1, 2),
+         |sel1 AS MATERIALIZED (
+         |  SELECT 1 AS round, id, rel, CAST(0 AS BIGINT) AS max_sim,
+         |    7 * rel AS mmr_fp
+         |  FROM pool ORDER BY mmr_fp DESC, id LIMIT 1),
+         |$rounds
+         |SELECT CAST(round AS INTEGER) AS round, id AS vec_id, rel, max_sim,
+         |  mmr_fp
+         |FROM sel10 ORDER BY round""".stripMargin
+    },
+    // q120's unrolled recurrence with seed-gated teleport mass
+    "q216_ppr" -> {
+      val iters = (1 to 10).map { k =>
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        s"""s$k AS (SELECT d.node, d.outdeg, d.is_seed,
+           |  (CASE WHEN d.is_seed THEN 15000000000000 // (100 * nn.ns)
+           |        ELSE 0 END)
+           |    + (85 * COALESCE(c.s, 0)) // 100 AS score
+           |  FROM deg2 d CROSS JOIN nn
+           |  LEFT JOIN (SELECT e.dst, CAST(SUM(s.score // s.outdeg) AS BIGINT) AS s
+           |             FROM ed e JOIN $prev s ON s.node = e.src GROUP BY e.dst) c
+           |  ON c.dst = d.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |pairs AS (
+         |  SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b
+         |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ed AS (SELECT pa AS src, pb AS dst FROM pairs
+         |       UNION ALL SELECT pb, pa FROM pairs),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+         |        FROM ed GROUP BY 1),
+         |seeds AS (SELECT node FROM deg ORDER BY node LIMIT 5),
+         |nn AS (SELECT count(*) AS ns FROM seeds),
+         |deg2 AS (SELECT d.node, d.outdeg, (s.node IS NOT NULL) AS is_seed
+         |         FROM deg d LEFT JOIN seeds s ON s.node = d.node),
+         |s0 AS (SELECT node, outdeg, is_seed,
+         |         CASE WHEN is_seed THEN 1000000000000 // nn.ns ELSE 0 END AS score
+         |       FROM deg2 CROSS JOIN nn),
+         |$iters
+         |SELECT node AS part, score FROM s10
+         |ORDER BY score DESC, part LIMIT 100""".stripMargin
+    },
+    // exact HUGEINT degree moments off one edge pass; Newman's r with the
+    // identical double association and two IEEE sqrts
+    "q217_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b
+        |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed AS (SELECT pa AS src, pb AS dst FROM pairs
+        |       UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM ed GROUP BY 1),
+        |ex AS (SELECT dx.deg AS dx, dy.deg AS dy
+        |       FROM ed e JOIN deg dx ON dx.node = e.src
+        |       JOIN deg dy ON dy.node = e.dst),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+        |        CAST(SUM(dx) AS HUGEINT) AS sx, CAST(SUM(dy) AS HUGEINT) AS sy,
+        |        CAST(SUM(dx * dy) AS HUGEINT) AS sxy,
+        |        CAST(SUM(dx * dx) AS HUGEINT) AS sxx,
+        |        CAST(SUM(dy * dy) AS HUGEINT) AS syy
+        |      FROM ex),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |         CAST(MAX(deg) AS BIGINT) AS max_deg FROM deg)
+        |SELECT n_nodes, CAST(m AS BIGINT) AS m_edges, max_deg,
+        |  CAST(m * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS assortativity
+        |FROM m, nd""".stripMargin,
+    // q209's quantization; 3 unrolled Lloyd rounds — centroids as
+    // (cid, dim, val) rows, assignment via (d, cid) row_number, update
+    // via sign-split truncating division; MATERIALIZED throughout (each
+    // round references its predecessor several times)
+    "q218_kmeans_lloyd" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""ad$t AS MATERIALIZED (
+           |  SELECT q.vec_id, c.cid,
+           |    SUM((q.v[c.dim + 1] * 1024 - c.val)
+           |        * (q.v[c.dim + 1] * 1024 - c.val)) AS d
+           |  FROM q CROSS JOIN c${t - 1} c GROUP BY 1, 2),
+           |as$t AS MATERIALIZED (
+           |  SELECT vec_id, cid, d FROM (
+           |    SELECT vec_id, cid, d,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |    FROM ad$t) z$t WHERE rn = 1),
+           |up$t AS MATERIALIZED (
+           |  SELECT a.cid, CAST(r.i AS INTEGER) AS dim, SUM(q.v[r.i + 1]) AS sx,
+           |    COUNT(*) AS n
+           |  FROM as$t a JOIN q ON q.vec_id = a.vec_id, range(64) r(i)
+           |  GROUP BY 1, 2),
+           |c$t AS MATERIALIZED (
+           |  SELECT c.cid, c.dim,
+           |    COALESCE(CASE WHEN u.sx >= 0 THEN (u.sx * 1024) // u.n
+           |                  ELSE -(((-u.sx) * 1024) // u.n) END, c.val) AS val
+           |  FROM c${t - 1} c LEFT JOIN up$t u
+           |  ON u.cid = c.cid AND u.dim = c.dim)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id,
+         |    CASE WHEN ma > 0 THEN list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / CAST(ma AS DOUBLE)) + 0.5)
+         |           AS BIGINT))
+         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+         |  FROM e),
+         |c0 AS MATERIALIZED (
+         |  SELECT s.vec_id AS cid, CAST(r.i AS INTEGER) AS dim,
+         |    q.v[r.i + 1] * 1024 AS val
+         |  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8) s
+         |  JOIN q ON q.vec_id = s.vec_id, range(64) r(i)),
+         |$rounds,
+         |ad4 AS MATERIALIZED (
+         |  SELECT q.vec_id, c.cid,
+         |    SUM((q.v[c.dim + 1] * 1024 - c.val)
+         |        * (q.v[c.dim + 1] * 1024 - c.val)) AS d
+         |  FROM q CROSS JOIN c3 c GROUP BY 1, 2),
+         |as4 AS MATERIALIZED (
+         |  SELECT vec_id, cid, d FROM (
+         |    SELECT vec_id, cid, d,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM ad4) z4 WHERE rn = 1)
+         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(CAST(d AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS avg_dist2
+         |FROM as4 GROUP BY 1 ORDER BY cid""".stripMargin
     },
     "q18_minhash_pairs" -> minhashOracleSql,
     // q18's candidate pair set labeled by source on both sides, rolled to

@@ -80,4 +80,61 @@ object PageRank {
     }
     scores.select("node", "score")
   }
+
+  /** Personalized PageRank (random walk with restart; Jeh & Widom 2003's
+    * "Scaling personalized web search" formulation) — identical
+    * fixed-point recurrence to [[integerPageRank]] except mass starts at,
+    * and teleports back to, the SEED set only:
+    *
+    *   score_0(v)   = [v ∈ S] · SCALE div |S|
+    *   score_i+1(v) = [v ∈ S] · (15·SCALE) div (100·|S|)
+    *                  + (85 · Σ_in contrib) div 100
+    *
+    * The training-data face: seed-anchored relevance/taint propagation —
+    * "how close is every node to THIS set" (contaminated docs, a topic's
+    * exemplars, a customer segment) rather than global importance. Same
+    * plan shape and scale posture as the global variant (one join + one
+    * map-side sum per iteration, lineage cut every `checkpointEvery`);
+    * the seed count is the one bounded driver scalar. Seeds not present
+    * in the graph are ignored (inner join against the node table). */
+  def integerPersonalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame, // one column: the seed node ids
+      iterations: Int = 10,
+      scale: Long = 1000000000000L,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    require(scale >= 1000000L, "scale too small for meaningful fixed-point")
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val sd = seeds.toDF("node").distinct()
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("node"), col("outdeg"))
+      .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), col("outdeg"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val ns = deg.filter(col("is_seed")).count()
+    require(ns > 0, "no seed is present in the graph")
+    val base = (15L * scale) / (100L * ns)
+    var scores = deg.withColumn("score",
+      when(col("is_seed"), lit(scale / ns)).otherwise(lit(0L)))
+    for (i <- 1 to iterations) {
+      val contribs = scores
+        .join(ed, col("node") === col("src"))
+        .select(col("dst"), expr("score div outdeg").as("q"))
+        .groupBy("dst").agg(sum(col("q")).as("s"))
+      scores = deg
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"), col("outdeg"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("score"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        scores = scores.localCheckpoint()
+    }
+    scores.select("node", "score")
+  }
 }

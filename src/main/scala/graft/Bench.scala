@@ -129,7 +129,11 @@ object Bench {
       "q195_rare_transitions", "q196_growth_accounting", "q197_stickiness",
       "q198_srm_check", "q199_funnel_ab", "q200_makespan_balance",
       "q201_index_advisor", "q203_cluster_silhouette", "q204_watermark_planner",
-      "q206_seasonal_strength", "q207_forecast_bands", "q208_max_dup_substring")
+      "q206_seasonal_strength", "q207_forecast_bands", "q208_max_dup_substring",
+      "q209_pca_power", "q210_pca_scores", "q211_bootstrap_ci",
+      "q212_skyline", "q213_token_phi", "q214_hits",
+      "q215_mmr_select", "q216_ppr", "q217_assortativity",
+      "q218_kmeans_lloyd")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

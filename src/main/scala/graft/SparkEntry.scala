@@ -4655,20 +4655,23 @@ object SparkEntry {
          |  CAST(MIN(score) AS BIGINT) AS min_score,
          |  CAST(MAX(score) AS BIGINT) AS max_score
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
-    // the same thresholds, hash, and exact-integer weighted sums; the band
-    // replays through quantile_cont (the q207 kernel-parity contract)
+    // the same base hash, affine permutations, thresholds, and
+    // exact-integer weighted sums; the band replays through quantile_cont
+    // (the q207 kernel-parity contract)
     "q211_bootstrap_ci" -> {
-      val h = graft.functions.PortableHash.md5Hash60Sql(
-        "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
-      val w = graft.operators.Bootstrap.poissonWeightSql("h")
+      val h0 = graft.functions.PortableHash.md5Hash60Sql("CAST(event_id AS VARCHAR)")
+      val w = graft.operators.Bootstrap.poissonWeightSql("v")
+      val coef = graft.operators.Bootstrap.affineCoeffValuesSql(32)
       s"""WITH ev AS (
-         |  SELECT event_type, event_id,
-         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         |    $h0 AS h0
          |  FROM events),
-         |hx AS (
-         |  SELECT event_type, cents, b, $h AS h
-         |  FROM ev, range(32) r(b)),
-         |wx AS (SELECT event_type, cents, b, $w AS w FROM hx),
+         |co(b, ca, cb) AS (VALUES $coef),
+         |vx AS (
+         |  SELECT event_type, cents, b,
+         |    ((ca * (h0 & 2147483647) + cb) % 2147483647) AS v
+         |  FROM ev, co),
+         |wx AS (SELECT event_type, cents, b, $w AS w FROM vx),
          |reps AS (
          |  SELECT event_type, b,
          |    CAST(SUM(CAST(cents AS HUGEINT) * w) AS DOUBLE)

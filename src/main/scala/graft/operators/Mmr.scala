@@ -48,26 +48,26 @@ object Mmr {
       "lambda must be a rational in [0, 1]")
     val spark = quant.sparkSession
     val qvecRow = quant.filter(col(idCol) === queryId)
-      .select(transform(col("qvec"), x => x.cast("int")).as("v"))
+      .select(transform(col("qvec"), x => x.cast("long")).as("v"))
       .collect()
     require(qvecRow.length == 1, s"query vector $queryId not found")
-    val qv = qvecRow(0).getSeq[Int](0).toArray
+    val qv = qvecRow(0).getSeq[Long](0).toArray
 
-    // one corpus pass: exact integer dot against the broadcast query,
-    // then TakeOrdered for the pool (never a global sort)
+    // one corpus pass: exact integer dot against the broadcast query
+    // (native codegen kernel, no per-element lambdas on the data-sized
+    // stage), then TakeOrdered for the pool (never a global sort)
     val rel = quant.filter(col(idCol) =!= queryId)
       .select(col(idCol).cast("long").as("id"),
-        transform(col("qvec"), x => x.cast("int")).as("v"))
+        transform(col("qvec"), x => x.cast("long")).as("v"))
       .withColumn("rel",
-        aggregate(zip_with(col("v"), typedLit(qv.toSeq), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x.cast("long")))
+        graft.plans.GraftExtensions.dotLong(spark, col("v"), typedLit(qv.toSeq)))
     val pool = rel.orderBy(col("rel").desc, col("id")).limit(poolSize)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
 
-    def dot(a: Array[Int], b: Array[Int]): Long = {
+    def dot(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L; var i = 0
-      while (i < a.length) { s += a(i).toLong * b(i); i += 1 }
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
 

@@ -79,10 +79,12 @@ object Pca {
   }
 
   /** Exact integer projection of an int8-quantized vector column onto a
-    * loading vector: Σ_d q[d]·w[d] as a codegen'd fold — longs throughout
-    * (|score| ≤ dim·127·S ≈ 2^33 at dim 64), no UDF, no doubles. */
+    * loading vector: Σ_d q[d]·w[d] through the native codegen dot kernel
+    * ([[graft.plans.GraftExtensions.dotLong]]) — longs throughout
+    * (|score| ≤ dim·127·S ≈ 2^33 at dim 64), no UDF, no doubles, no
+    * interpreted per-element lambdas on the corpus pass. */
   def projectionScore(qvec: Column, loadings: Array[Long]): Column =
-    aggregate(
-      zip_with(qvec, typedLit(loadings.toSeq), (x, w) => x.cast("long") * w),
-      lit(0L), (acc, x) => acc + x)
+    graft.plans.GraftExtensions.dotLong(
+      org.apache.spark.sql.SparkSession.active,
+      transform(qvec, x => x.cast("long")), typedLit(loadings.toSeq))
 }

@@ -62,17 +62,23 @@ class SpectralOpsSpec extends SparkSpec {
 
   test("bootstrap: weights are Poisson-shaped, bounded, and deterministic") {
     val ids = (1L to 2000L).toDF("id")
-    val w = ids.select(Bootstrap.poissonWeight(col("id"), lit(0)).as("w"))
+    val w = ids.select(element_at(Bootstrap.poissonWeights(col("id"), 2), 1).as("w"))
       .as[Int].collect()
     assert(w.forall(x => x >= 0 && x <= 6))
     val mean = w.sum.toDouble / w.length
     assert(mean > 0.9 && mean < 1.1, s"Poisson(1) mean drifted: $mean")
     assert(w.count(_ == 0).toDouble / w.length > 0.30) // P(0)=0.368
     val w2 = ids.repartition(13)
-      .select(col("id"), Bootstrap.poissonWeight(col("id"), lit(0)).as("w"))
+      .select(col("id"),
+        element_at(Bootstrap.poissonWeights(col("id"), 2), 1).as("w"))
       .orderBy("id").as[(Long, Int)].collect().map(_._2)
     assert(ids.orderBy("id").as[Long].collect().zip(w2).toMap ==
       (1L to 2000L).zip(w).toMap)
+    // replicates decorrelate: the two permutations of the same base hash
+    // must not produce identical weight vectors
+    val both = ids.select(Bootstrap.poissonWeights(col("id"), 2).as("ws"))
+      .as[Seq[Int]].collect()
+    assert(both.exists(s => s(0) != s(1)))
   }
 
   test("bootstrap: replicate means bracket the true mean and replay exactly") {

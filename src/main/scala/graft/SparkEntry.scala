@@ -2148,6 +2148,83 @@ object SparkEntry {
           .as("assortativity"))
   }
 
+  /** Single-linkage dendrogram profile (q219): Borůvka minimum spanning
+    * forest over the part co-order graph (distance = −co-count, total
+    * order (w, u, v)), then the cluster profile at every min-co-count
+    * threshold read off the ONE forest — cutting MSF edges above τ yields
+    * exactly the τ-threshold connected components, so the sweep costs a
+    * filter + tiny-forest CC per threshold instead of a full re-cluster
+    * ([[graft.operators.Mst]]). The oracle never builds the MSF: it runs
+    * recursive-CTE reachability per threshold on the BASE graph — a
+    * disjoint algorithm whose agreement IS the single-linkage property. */
+  private def singleLinkageQ(s: SparkSession, dir: String): DataFrame = {
+    val op = lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = op.toDF("o", "pa").join(op.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .localCheckpoint()
+    val msf = graft.operators.Mst.boruvkaMsf(
+      pairs.select(col("pa"), col("pb"), (-col("c")).as("w")), "pa", "pb", "w")
+      .localCheckpoint()
+    val nNodes = pairs
+      .select(explode(array(col("pa"), col("pb"))).as("id")).distinct().count()
+    val profiles = Seq(2L, 3L, 5L, 8L).map { m =>
+      val kept = msf.filter(col("w") <= lit(-m)).localCheckpoint()
+      val nKept = kept.count()
+      // star variant, not min-label: a forest's components are long thin
+      // paths (min-label needs O(diameter) rounds and only reaches star
+      // via the 20-round fallback; star is O(log n) on any shape)
+      val sizes = graft.operators.Dedup.connectedComponentsStar(kept, "u", "v")
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(max(col("sz")), lit(1L)).as("largest"),
+          coalesce(sum(col("sz")), lit(0L)).as("clustered"))
+        .select(lit(m).as("min_count"),
+          lit(nNodes - nKept).as("n_clusters"), // forest: every kept edge merges two
+          col("clustered").as("clustered_nodes"), col("largest").as("largest_cluster"))
+      sizes
+    }
+    profiles.reduce(_ unionByName _).orderBy("min_count")
+  }
+
+  /** Multi-source BFS layers (q220): hop distance from the 5 smallest
+    * part ids over the co-order graph, 6 unrolled min-relaxation rounds
+    * (the taint-radius / contamination-blast-radius probe; the q216
+    * teleport set reused as BFS sources). Distances are small exact ints
+    * with a 999999 not-reached sentinel — both engines replay the same
+    * relaxation. */
+  private def bfsLayersQ(s: SparkSession, dir: String): DataFrame = {
+    val inf = 999999L
+    val op = lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = op.toDF("o", "pa").join(op.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+    val ed = pairs.select(col("pa").as("s_"), col("pb").as("d_"))
+      .unionByName(pairs.select(col("pb").as("s_"), col("pa").as("d_")))
+      .localCheckpoint()
+    val nodes = ed.select(col("s_").as("node")).distinct()
+    val seeds = nodes.orderBy("node").limit(5)
+      .withColumn("__seed", lit(true))
+    var dist = nodes.join(seeds, Seq("node"), "left")
+      .select(col("node"),
+        when(coalesce(col("__seed"), lit(false)), lit(0L)).otherwise(lit(inf))
+          .as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to 6) {
+      val relax = ed.join(dist.select(col("node").as("s_"), col("d")), "s_")
+        .groupBy(col("d_").as("node")).agg(min(col("d") + lit(1L)).as("__nd"))
+      dist = dist.join(relax, Seq("node"), "left")
+        .select(col("node"),
+          least(col("d"), coalesce(col("__nd"), lit(inf))).as("d"))
+        .localCheckpoint()
+    }
+    dist.groupBy(col("d").as("hops")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("hops")
+  }
+
   /** Integer-exact Lloyd k-means (q218): 3 refinement rounds from the
     * 8 smallest-id seeds over the int8 grid, every centroid coordinate a
     * fixed-point integer so the trajectory replays bit-for-bit in any
@@ -3986,7 +4063,9 @@ object SparkEntry {
     "q215_mmr_select" -> (mmrQ _),
     "q216_ppr" -> (pprQ _),
     "q217_assortativity" -> (assortativityQ _),
-    "q218_kmeans_lloyd" -> (kmeansQ _)
+    "q218_kmeans_lloyd" -> (kmeansQ _),
+    "q219_single_linkage" -> (singleLinkageQ _),
+    "q220_bfs_layers" -> (bfsLayersQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -4946,6 +5025,69 @@ object SparkEntry {
          |  CAST(SUM(CAST(d AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
          |    AS avg_dist2
          |FROM as4 GROUP BY 1 ORDER BY cid""".stripMargin
+    },
+    // disjoint-algorithm differential: the Spark side thresholds ONE
+    // Borůvka forest; the oracle re-derives every threshold's components
+    // by recursive reachability on the base graph — agreement is the
+    // single-linkage property itself
+    "q219_single_linkage" -> {
+      val blocks = Seq(2, 3, 5, 8).map { m =>
+        s"""ed$m AS (SELECT pa, pb FROM pairs WHERE c >= $m),
+           |eb$m AS (SELECT pa AS a, pb AS b FROM ed$m
+           |         UNION SELECT pb, pa FROM ed$m),
+           |walk$m(id, lbl) AS (
+           |  SELECT a, a FROM eb$m
+           |  UNION
+           |  SELECT e.b, w.lbl FROM walk$m w JOIN eb$m e ON e.a = w.id),
+           |cp$m AS (SELECT id, MIN(lbl) AS comp FROM walk$m GROUP BY 1),
+           |cs$m AS (SELECT comp, COUNT(*) AS sz FROM cp$m GROUP BY 1),
+           |st$m AS (SELECT CAST($m AS BIGINT) AS min_count,
+           |  CAST((SELECT n FROM nn)
+           |    - (COALESCE((SELECT SUM(sz) FROM cs$m), 0)
+           |       - COALESCE((SELECT COUNT(*) FROM cs$m), 0)) AS BIGINT)
+           |    AS n_clusters,
+           |  CAST(COALESCE((SELECT SUM(sz) FROM cs$m), 0) AS BIGINT)
+           |    AS clustered_nodes,
+           |  CAST(COALESCE((SELECT MAX(sz) FROM cs$m), 1) AS BIGINT)
+           |    AS largest_cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.p AS pa, b.p AS pb, count(*) AS c FROM op a JOIN op b
+         |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+         |  (SELECT pa AS x FROM pairs UNION SELECT pb FROM pairs)),
+         |$blocks
+         |SELECT * FROM st2 UNION ALL SELECT * FROM st3
+         |UNION ALL SELECT * FROM st5 UNION ALL SELECT * FROM st8
+         |ORDER BY min_count""".stripMargin
+    },
+    // 6 unrolled min-relaxation rounds; MATERIALIZED because each round
+    // references its predecessor twice (carry + relax)
+    "q220_bfs_layers" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT n.node, LEAST(n.d, COALESCE(r.nd, 999999)) AS d
+           |  FROM d${k - 1} n LEFT JOIN
+           |    (SELECT e.dst AS node, MIN(p.d + 1) AS nd
+           |     FROM ed e JOIN d${k - 1} p ON p.node = e.src GROUP BY 1) r
+           |  ON r.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b
+         |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ed AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+         |      UNION ALL SELECT pb, pa FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM ed),
+         |seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 5),
+         |d0 AS MATERIALIZED (
+         |  SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 0 ELSE 999999 END AS d
+         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |$rounds
+         |SELECT CAST(d AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM d6 GROUP BY 1 ORDER BY hops""".stripMargin
     },
     "q18_minhash_pairs" -> minhashOracleSql,
     // q18's candidate pair set labeled by source on both sides, rolled to

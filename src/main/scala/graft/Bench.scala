@@ -133,7 +133,8 @@ object Bench {
       "q209_pca_power", "q210_pca_scores", "q211_bootstrap_ci",
       "q212_skyline", "q213_token_phi", "q214_hits",
       "q215_mmr_select", "q216_ppr", "q217_assortativity",
-      "q218_kmeans_lloyd", "q219_single_linkage", "q220_bfs_layers")
+      "q218_kmeans_lloyd", "q219_single_linkage", "q220_bfs_layers",
+      "q221_matching_att")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

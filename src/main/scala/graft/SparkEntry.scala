@@ -2225,6 +2225,63 @@ object SparkEntry {
       .orderBy("hops")
   }
 
+  /** Banded nearest-neighbor matching estimate (q221): each treated user
+    * (odd user_id, the q199/q205 arm convention) matches the control user
+    * with the nearest PRE-period spend inside the same 1024-cent band —
+    * exact blocking + nearest-within-block, the scale-correct caliper
+    * matching shape (a global nearest would sort the whole population on
+    * one axis). The match itself is TWO as-of joins on the score axis
+    * (backward + forward latest/earliest per band, [[graft.operators
+    * .AsofJoin]] — one shuffle each, no pair explosion), picking the
+    * nearer side (ties → backward; equal scores → the dedupe's
+    * max-user_id row). Readout: matched-pair ATT on post-period spend in
+    * exact cents. The oracle brute-forces the per-treated argmin with a
+    * correlated subquery — disjoint formulation, same matching. */
+  private def matchingAttQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"),
+        graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val mm = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()(0)
+    val pivot = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("day") < pivot, col("cents")).otherwise(0L)).as("pre"),
+        sum(when(col("day") >= pivot, col("cents")).otherwise(0L)).as("post"))
+      .withColumn("band", shiftright(col("pre"), 10))
+      .localCheckpoint()
+    val treated = perUser.filter(pmod(col("user_id"), lit(2L)) === 1L)
+    val controls = perUser.filter(pmod(col("user_id"), lit(2L)) === 0L)
+      .select(col("band"), col("pre").as("cpre"),
+        col("user_id").as("cuser"), col("post").as("cpost"))
+    def leg(forward: Boolean, suffix: String) = {
+      val f = if (forward) graft.operators.AsofJoin.asofForward _
+              else graft.operators.AsofJoin.asofBackward _
+      f(treated, controls, Seq("band"), "pre", "cpre",
+          Seq("cuser", "cpre", "cpost"))
+        .select(col("user_id"), col("pre"), col("post"),
+          col("cuser").as(s"cu$suffix"), col("cpre").as(s"cp$suffix"),
+          col("cpost").as(s"co$suffix"))
+    }
+    val both = leg(forward = false, "b").join(
+      leg(forward = true, "f").select(col("user_id"),
+        col("cuf"), col("cpf"), col("cof")), Seq("user_id"))
+    val gapB = abs(col("pre") - col("cpb"))
+    val gapF = abs(col("cpf") - col("pre"))
+    val useB = col("cub").isNotNull &&
+      (col("cuf").isNull || gapB <= gapF) // tie -> backward
+    val matched = both.select(col("user_id"), col("pre"), col("post"),
+      when(useB, col("cub")).otherwise(col("cuf")).as("cu"),
+      when(useB, col("cpb")).otherwise(col("cpf")).as("cp"),
+      when(useB, col("cob")).otherwise(col("cof")).as("co"))
+    matched.agg(
+        count(lit(1)).as("n_treated"),
+        count(col("cu")).as("n_matched"),
+        (sum(when(col("cu").isNotNull, col("post") - col("co")))
+          .cast("double") / count(col("cu")).cast("double")).as("att_cents"),
+        (sum(when(col("cu").isNotNull, col("pre") - col("cp")))
+          .cast("double") / count(col("cu")).cast("double")).as("mean_pre_gap"))
+  }
+
   /** Integer-exact Lloyd k-means (q218): 3 refinement rounds from the
     * 8 smallest-id seeds over the int8 grid, every centroid coordinate a
     * fixed-point integer so the trajectory replays bit-for-bit in any
@@ -4065,7 +4122,8 @@ object SparkEntry {
     "q217_assortativity" -> (assortativityQ _),
     "q218_kmeans_lloyd" -> (kmeansQ _),
     "q219_single_linkage" -> (singleLinkageQ _),
-    "q220_bfs_layers" -> (bfsLayersQ _)
+    "q220_bfs_layers" -> (bfsLayersQ _),
+    "q221_matching_att" -> (matchingAttQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5089,6 +5147,40 @@ object SparkEntry {
          |SELECT CAST(d AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
          |FROM d6 GROUP BY 1 ORDER BY hops""".stripMargin
     },
+    // per-treated argmin by correlated subquery — ABS-nearest within the
+    // 1024-cent band, ties backward then max user (the asof dedupe rule);
+    // disjoint formulation of the same match
+    "q221_matching_att" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS pivot FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN day < p.pivot THEN cents ELSE 0 END) AS pre,
+        |    SUM(CASE WHEN day >= p.pivot THEN cents ELSE 0 END) AS post
+        |  FROM ev, p GROUP BY 1),
+        |tr AS (SELECT * FROM pu WHERE user_id % 2 = 1),
+        |ct AS MATERIALIZED (SELECT * FROM pu WHERE user_id % 2 = 0),
+        |mt AS (
+        |  SELECT t.user_id, t.pre, t.post,
+        |    (SELECT c.user_id FROM ct c
+        |     WHERE c.pre // 1024 = t.pre // 1024
+        |     ORDER BY ABS(c.pre - t.pre),
+        |       CASE WHEN c.pre <= t.pre THEN 0 ELSE 1 END,
+        |       c.user_id DESC
+        |     LIMIT 1) AS cu
+        |  FROM tr t),
+        |j AS (SELECT m.user_id, m.pre, m.post, m.cu, c.pre AS cp, c.post AS co
+        |      FROM mt m LEFT JOIN ct c ON c.user_id = m.cu)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+        |  CAST(COUNT(cu) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN cu IS NOT NULL THEN post - co END) AS DOUBLE)
+        |    / CAST(COUNT(cu) AS DOUBLE) AS att_cents,
+        |  CAST(SUM(CASE WHEN cu IS NOT NULL THEN pre - cp END) AS DOUBLE)
+        |    / CAST(COUNT(cu) AS DOUBLE) AS mean_pre_gap
+        |FROM j""".stripMargin,
     "q18_minhash_pairs" -> minhashOracleSql,
     // q18's candidate pair set labeled by source on both sides, rolled to
     // the source-pair grain (canonical least/greatest orientation)

@@ -72,13 +72,12 @@ object Bootstrap {
   def poissonWeights(id: Column, b: Int): Column =
     poissonWeightsFromHash(PortableHash.md5Hash60(id.cast("string")), b)
 
-  /** B replicate means of an exact integer `valueCol` per `groupCol`:
-    * weight array per row, posexplode ×B (`replicate` 0..B-1), one
-    * map-side-combined sum at the (group, replicate) grain. Weighted sums
-    * stay integer (decimal(38,0) — engine-exact, order-free); the mean is
-    * a single double division of two exact integers at the end.
-    * Output: `(groupCol, replicate, mean)`. */
-  def poissonReplicateMeans(
+  /** The MERGEABLE partial-moment form: `(groupCol, replicate, sw, n)`
+    * with `sw = Σ w·value` (decimal-exact) and `n = Σ w`. Because the
+    * weights are pure functions of each row's id hash, these sums add
+    * associatively across any split of the data — the property the
+    * streaming face ([[graft.streaming.BootstrapStream]]) builds on. */
+  def poissonReplicateSums(
       df: DataFrame,
       idCol: String,
       valueCol: String,
@@ -103,9 +102,22 @@ object Bootstrap {
       .withColumn("__w", w)
       .groupBy(col(groupCol), col("replicate"))
       .agg(
-        sum(col("__v") * col("__w").cast("decimal(38,0)")).as("__sw"),
-        sum(col("__w").cast("long")).as("__n"))
-      .select(col(groupCol), col("replicate"),
-        (col("__sw").cast("double") / col("__n").cast("double")).as("mean"))
+        sum(col("__v") * col("__w").cast("decimal(38,0)")).as("sw"),
+        sum(col("__w").cast("long")).as("n"))
   }
+
+  /** B replicate means of an exact integer `valueCol` per `groupCol`:
+    * weight per (row, replicate), one map-side-combined sum at the
+    * (group, replicate) grain ([[poissonReplicateSums]]); the mean is a
+    * single double division of two exact integers at the end.
+    * Output: `(groupCol, replicate, mean)`. */
+  def poissonReplicateMeans(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      groupCol: String,
+      b: Int): DataFrame =
+    poissonReplicateSums(df, idCol, valueCol, groupCol, b)
+      .select(col(groupCol), col("replicate"),
+        (col("sw").cast("double") / col("n").cast("double")).as("mean"))
 }

@@ -675,4 +675,46 @@ class StreamingSpec extends SparkSpec {
         s"watermark ${wUs}us: planner ${planned(wUs)} vs observed ${n - kept}")
     }
   }
+
+  test("streaming bootstrap: mergeable moment store equals the one-shot replicate means") {
+    import graft.streaming.BootstrapStream
+    val base = Files.createTempDirectory("graft-bootstream").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val q = BootstrapStream.writer(
+      input.toDF().toDF("event_type", "event_id", "cents"),
+      s"$base/store", s"$base/ckpt",
+      idCol = "event_id", valueCol = "cents", groupCol = "event_type", b = 8,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val rows = ev.as[(String, Long, Long)].collect()
+    for (m <- 0L to 2L) {
+      input.addData(rows.filter(_._2 % 3 == m).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // partial moments merge to EXACTLY the one-shot replicate means: the
+    // weights are per-row deterministic and the sums are exact integers,
+    // so this is bit equality, not a tolerance check
+    val log = spark.read.parquet(s"$base/store")
+    val streamed = BootstrapStream.currentMeans(log, "event_type")
+      .as[(String, Int, Double)].collect().toSet
+    val oneShot = graft.operators.Bootstrap.poissonReplicateMeans(
+        ev, "event_id", "cents", "event_type", 8)
+      .as[(String, Int, Double)].collect().toSet
+    assert(streamed == oneShot && oneShot.nonEmpty)
+
+    // at-least-once replay idempotence: re-appending the last batch's
+    // store rows verbatim must not move any mean
+    val bid = log.agg(max(col("batch_id"))).as[Long].head()
+    val replayed = log.unionByName(log.filter(col("batch_id") === bid))
+    assert(BootstrapStream.currentMeans(replayed, "event_type")
+      .as[(String, Int, Double)].collect().toSet == oneShot,
+      "replayed batch moved the replicate means")
+  }
 }

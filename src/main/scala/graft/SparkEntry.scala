@@ -2282,6 +2282,83 @@ object SparkEntry {
           .cast("double") / count(col("cu")).cast("double")).as("mean_pre_gap"))
   }
 
+  /** Density-aware clustering profile (q222) — the HDBSCAN core idea
+    * (Campello, Moulavi & Sander 2013) on the repo's scale kernels:
+    * same-IVF-bucket candidate edges (q67's assignment rule) carry exact
+    * integer L2² distances (DotLong expansion d = x·x + y·y − 2x·y);
+    * each point's CORE distance is its 4th-nearest candidate distance
+    * (sentinel when under-connected); edges reweight to mutual
+    * reachability max(d, core_a, core_b) — which is exactly what makes
+    * single-linkage density-robust — and ONE Borůvka forest
+    * ([[graft.operators.Mst]]) yields the cluster profile at the
+    * p25/p50/p75 edge-weight thresholds (exact quantile kernel). The
+    * oracle replays buckets/distances/cores/weights in SQL and derives
+    * each threshold's components by recursive reachability — never
+    * building the forest (the q219 disjoint-algorithm differential). */
+  private def hdbscanProfileQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GraftExtensions.dotLong
+    val inf = 1000000000L
+    val emb = embeddings(s, dir)
+    val n = emb.count()
+    val nlist = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    val cents = Similarity.headCentroids(emb, "vec_id", "embedding", nlist)
+    val qt = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("vec_id").as("id"),
+        transform(col("qvec"), x => x.cast("long")).as("xv"))
+    val assigned = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .withColumn("bucket", Similarity.nearestCentroid(s, col("vec"), cents))
+      .select("id", "bucket").join(qt, "id")
+      .withColumn("sd", dotLong(s, col("xv"), col("xv")))
+      .localCheckpoint()
+    val pairs = assigned.select(col("bucket"), col("id").as("ia"),
+        col("xv").as("xa"), col("sd").as("sa"))
+      .join(assigned.select(col("bucket"), col("id").as("ib"),
+        col("xv").as("xb"), col("sd").as("sb")), "bucket")
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (col("sa") + col("sb") - lit(2L) * dotLong(s, col("xa"), col("xb")))
+          .as("d"))
+      .localCheckpoint()
+    // core_4: 4th-smallest candidate distance per endpoint (both
+    // orientations), sentinel for under-connected points
+    val w4 = Window.partitionBy("id").orderBy(col("d"), col("other"))
+    val cores = pairs.select(explode(array(
+        struct(col("ia").as("id"), col("ib").as("other"), col("d")),
+        struct(col("ib").as("id"), col("ia").as("other"), col("d")))).as("x"))
+      .select(col("x.*"))
+      .withColumn("__rn", row_number().over(w4))
+      .filter(col("__rn") === 4)
+      .select(col("id"), col("d").as("core"))
+    def coreOf(idCol: String, out: String) =
+      cores.select(col("id").as(idCol), col("core").as(out))
+    val weighted = pairs
+      .join(coreOf("ia", "ca"), Seq("ia"), "left")
+      .join(coreOf("ib", "cb"), Seq("ib"), "left")
+      .select(col("ia"), col("ib"),
+        greatest(col("d"), coalesce(col("ca"), lit(inf)),
+          coalesce(col("cb"), lit(inf))).as("w"))
+      .localCheckpoint()
+    val msf = graft.operators.Mst.boruvkaMsf(weighted, "ia", "ib", "w")
+      .localCheckpoint()
+    val taus = graft.operators.Profiling.exactQuantilesByKey(
+        weighted.withColumn("__k", lit("w")), "__k", "w", Seq(0.25, 0.5, 0.75))
+      .select(col("prob"), col("value")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    val profiles = taus.map { case (p, tau) =>
+      val kept = msf.filter(col("w").cast("double") <= lit(tau)).localCheckpoint()
+      val nKept = kept.count()
+      graft.operators.Dedup.connectedComponentsStar(kept, "u", "v")
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(max(col("sz")), lit(1L)).as("largest"),
+          coalesce(sum(col("sz")), lit(0L)).as("clustered"))
+        .select(lit(p).as("prob"), lit(tau).as("tau"),
+          lit(n - nKept).as("n_clusters"),
+          col("clustered").as("clustered_nodes"),
+          col("largest").as("largest_cluster"))
+    }
+    profiles.reduce(_ unionByName _).orderBy("prob")
+  }
+
   /** Integer-exact Lloyd k-means (q218): 3 refinement rounds from the
     * 8 smallest-id seeds over the int8 grid, every centroid coordinate a
     * fixed-point integer so the trajectory replays bit-for-bit in any
@@ -4123,7 +4200,8 @@ object SparkEntry {
     "q218_kmeans_lloyd" -> (kmeansQ _),
     "q219_single_linkage" -> (singleLinkageQ _),
     "q220_bfs_layers" -> (bfsLayersQ _),
-    "q221_matching_att" -> (matchingAttQ _)
+    "q221_matching_att" -> (matchingAttQ _),
+    "q222_hdbscan_profile" -> (hdbscanProfileQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5146,6 +5224,90 @@ object SparkEntry {
          |$rounds
          |SELECT CAST(d AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
          |FROM d6 GROUP BY 1 ORDER BY hops""".stripMargin
+    },
+    // q67's bucket-assignment replay + integer distances + core-4 +
+    // mutual-reachability weights, then per-threshold components by
+    // recursive reachability (the q219 no-forest differential)
+    "q222_hdbscan_profile" -> {
+      val blocks = Seq(("25", "0.25"), ("50", "0.5"), ("75", "0.75")).map {
+        case (t, p) =>
+          s"""eb$t AS (SELECT ia AS a, ib AS b FROM wt, tq
+             |         WHERE CAST(w AS DOUBLE) <= t$t
+             |         UNION SELECT ib, ia FROM wt, tq
+             |         WHERE CAST(w AS DOUBLE) <= t$t),
+             |walk$t(id, lbl) AS (
+             |  SELECT a, a FROM eb$t
+             |  UNION
+             |  SELECT e2.b, w2.lbl FROM walk$t w2 JOIN eb$t e2 ON e2.a = w2.id),
+             |cp$t AS (SELECT id, MIN(lbl) AS comp FROM walk$t GROUP BY 1),
+             |cs$t AS (SELECT comp, COUNT(*) AS sz FROM cp$t GROUP BY 1),
+             |st$t AS (SELECT CAST($p AS DOUBLE) AS prob,
+             |  (SELECT t$t FROM tq) AS tau,
+             |  CAST((SELECT n FROM nn)
+             |    - (COALESCE((SELECT SUM(sz) FROM cs$t), 0)
+             |       - COALESCE((SELECT COUNT(*) FROM cs$t), 0)) AS BIGINT)
+             |    AS n_clusters,
+             |  CAST(COALESCE((SELECT SUM(sz) FROM cs$t), 0) AS BIGINT)
+             |    AS clustered_nodes,
+             |  CAST(COALESCE((SELECT MAX(sz) FROM cs$t), 1) AS BIGINT)
+             |    AS largest_cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+         |    embedding AS cent
+         |  FROM embeddings ORDER BY vec_id
+         |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id,
+         |    CASE WHEN ma > 0 THEN list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / CAST(ma AS DOUBLE)) + 0.5)
+         |           AS BIGINT))
+         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+         |  FROM e),
+         |asg AS (
+         |  SELECT e2.vec_id AS id, c.cent_id AS bucket,
+         |    row_number() OVER (PARTITION BY e2.vec_id
+         |      ORDER BY list_cosine_similarity(e2.embedding, c.cent) DESC,
+         |        c.cent_id) AS r
+         |  FROM embeddings e2, cents c),
+         |qq AS MATERIALIZED (
+         |  SELECT a.id, a.bucket, q.v
+         |  FROM (SELECT id, bucket FROM asg WHERE r = 1) a
+         |  JOIN q ON q.vec_id = a.id),
+         |pr AS MATERIALIZED (
+         |  SELECT a.id AS ia, bb.id AS ib,
+         |    CAST(SUM((a.v[i + 1] - bb.v[i + 1]) * (a.v[i + 1] - bb.v[i + 1]))
+         |      AS BIGINT) AS d
+         |  FROM qq a JOIN qq bb ON a.bucket = bb.bucket AND a.id < bb.id,
+         |    range(64) r(i)
+         |  GROUP BY 1, 2),
+         |ori AS (SELECT ia AS id, ib AS other, d FROM pr
+         |        UNION ALL SELECT ib, ia, d FROM pr),
+         |core AS MATERIALIZED (
+         |  SELECT id, d AS core FROM (
+         |    SELECT id, other, d,
+         |      row_number() OVER (PARTITION BY id ORDER BY d, other) AS rn
+         |    FROM ori) z WHERE rn = 4),
+         |wt AS MATERIALIZED (
+         |  SELECT p.ia, p.ib,
+         |    GREATEST(p.d, COALESCE(ca.core, 1000000000),
+         |      COALESCE(cb.core, 1000000000)) AS w
+         |  FROM pr p LEFT JOIN core ca ON ca.id = p.ia
+         |  LEFT JOIN core cb ON cb.id = p.ib),
+         |tq AS (SELECT quantile_cont(CAST(w AS DOUBLE), 0.25) AS t25,
+         |         quantile_cont(CAST(w AS DOUBLE), 0.5) AS t50,
+         |         quantile_cont(CAST(w AS DOUBLE), 0.75) AS t75
+         |       FROM wt),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         |$blocks
+         |SELECT * FROM st25 UNION ALL SELECT * FROM st50
+         |UNION ALL SELECT * FROM st75
+         |ORDER BY prob""".stripMargin
     },
     // per-treated argmin by correlated subquery — ABS-nearest within the
     // 1024-cent band, ties backward then max user (the asof dedupe rule);

@@ -140,7 +140,7 @@ object Similarity {
     *
     * Assumes `centroids` ids are 0..n-1 in order (the contract of
     * [[headCentroids]]/[[trainCentroidsKMeans]]). */
-  private[operators] def nearestCentroid(
+  def nearestCentroid(
       spark: org.apache.spark.sql.SparkSession,
       vec: Column,
       centroids: Seq[(Int, Seq[Float])]): Column = {

@@ -134,7 +134,8 @@ object Bench {
       "q212_skyline", "q213_token_phi", "q214_hits",
       "q215_mmr_select", "q216_ppr", "q217_assortativity",
       "q218_kmeans_lloyd", "q219_single_linkage", "q220_bfs_layers",
-      "q221_matching_att", "q222_hdbscan_profile")
+      "q221_matching_att", "q222_hdbscan_profile", "q223_heaps_curve",
+      "q224_clustering_coeff")
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {

@@ -2359,6 +2359,68 @@ object SparkEntry {
     profiles.reduce(_ unionByName _).orderBy("prob")
   }
 
+  /** Heaps-law vocabulary growth curve (q223): distinct-token count of
+    * the corpus prefix at the p12.5/p25/p50/p100 doc_id quantile cuts —
+    * ONE pass computes every token's FIRST document (min doc_id) and
+    * every curve point is a count over that table, so the curve costs
+    * one aggregation regardless of how many checkpoints it reports (the
+    * naive per-checkpoint re-scan is k× the work). The vocabulary-growth
+    * exponent is the corpus-health signal the bench's replica caveat is
+    * about: a replicated corpus FLATTENS this curve where a real corpus
+    * keeps growing it. */
+  private def heapsCurveQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiling
+    val d = documents(s, dir)
+    val tok = d.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .localCheckpoint()
+    val firstDoc = tok.groupBy("token").agg(min(col("doc_id")).as("first_doc"))
+      .localCheckpoint()
+    val taus = Profiling.exactQuantilesByKey(
+        d.select(col("doc_id")).withColumn("__k", lit("d")), "__k", "doc_id",
+        Seq(0.125, 0.25, 0.5, 1.0))
+      .select(col("prob"), col("value")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    val curves = taus.map { case (p, tau) =>
+      val nd = d.filter(col("doc_id").cast("double") <= tau)
+        .agg(count(lit(1)).as("n_docs"))
+      val vocab = firstDoc.filter(col("first_doc").cast("double") <= tau)
+        .agg(count(lit(1)).as("vocab"))
+      val occ = tok.filter(col("doc_id").cast("double") <= tau)
+        .agg(count(lit(1)).as("occurrences"))
+      nd.crossJoin(vocab).crossJoin(occ)
+        .select(lit(p).as("prob"), col("n_docs"), col("vocab"),
+          col("occurrences"),
+          (col("vocab").cast("double") / col("occurrences").cast("double"))
+            .as("type_token_ratio"))
+    }
+    curves.reduce(_ unionByName _).orderBy("prob")
+  }
+
+  /** Per-node clustering-coefficient distribution (q224): Watts–Strogatz
+    * local clustering over the co-order graph, bucketed by the INTEGER
+    * formula `min((20·T) div (d·(d−1)), 9)` — the coefficient never
+    * exists as a float on the compare path, so no boundary ulp can flip
+    * a bucket (the q173 lesson, applied at design time). Rides q115's
+    * degree-oriented triangle kernel ([[graft.operators.Triangles]] —
+    * each triangle counted once at its lowest-ordered vertex). */
+  private def clusteringCoeffQ(s: SparkSession, dir: String): DataFrame = {
+    val op = lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = op.toDF("o", "pa").join(op.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+    val nt = graft.operators.Triangles.nodeTriangles(
+      pairs.select(col("pa"), col("pb")), "pa", "pb")
+    nt.filter(col("degree") >= 2)
+      .withColumn("bucket",
+        least(expr("(20 * triangles) div (degree * (degree - 1))"), lit(9L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("triangles")).as("sum_triangles"))
+      .orderBy("bucket")
+  }
+
   /** Integer-exact Lloyd k-means (q218): 3 refinement rounds from the
     * 8 smallest-id seeds over the int8 grid, every centroid coordinate a
     * fixed-point integer so the trajectory replays bit-for-bit in any
@@ -4201,7 +4263,9 @@ object SparkEntry {
     "q219_single_linkage" -> (singleLinkageQ _),
     "q220_bfs_layers" -> (bfsLayersQ _),
     "q221_matching_att" -> (matchingAttQ _),
-    "q222_hdbscan_profile" -> (hdbscanProfileQ _)
+    "q222_hdbscan_profile" -> (hdbscanProfileQ _),
+    "q223_heaps_curve" -> (heapsCurveQ _),
+    "q224_clustering_coeff" -> (clusteringCoeffQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5225,6 +5289,65 @@ object SparkEntry {
          |SELECT CAST(d AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
          |FROM d6 GROUP BY 1 ORDER BY hops""".stripMargin
     },
+    // one first-appearance table, every curve point a count over it;
+    // thresholds replay through quantile_cont (the q207 parity contract)
+    "q223_heaps_curve" -> {
+      val blocks = Seq(("125", "0.125"), ("25", "0.25"), ("5", "0.5"),
+        ("100", "1.0")).map { case (t, p) =>
+        s"""c$t AS (SELECT CAST($p AS DOUBLE) AS prob,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents, tq
+           |   WHERE CAST(doc_id AS DOUBLE) <= t$t) AS n_docs,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fd, tq
+           |   WHERE CAST(first_doc AS DOUBLE) <= t$t) AS vocab,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tok, tq
+           |   WHERE CAST(doc_id AS DOUBLE) <= t$t) AS occurrences)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, u.token
+         |  FROM (SELECT doc_id,
+         |          string_split_regex(trim(lower(text)), '\\s+') AS w
+         |        FROM documents) d, unnest(w) AS u(token)),
+         |fd AS MATERIALIZED (
+         |  SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+         |tq AS (SELECT
+         |    quantile_cont(CAST(doc_id AS DOUBLE), 0.125) AS t125,
+         |    quantile_cont(CAST(doc_id AS DOUBLE), 0.25) AS t25,
+         |    quantile_cont(CAST(doc_id AS DOUBLE), 0.5) AS t5,
+         |    quantile_cont(CAST(doc_id AS DOUBLE), 1.0) AS t100
+         |  FROM documents),
+         |$blocks
+         |SELECT prob, n_docs, vocab, occurrences,
+         |  CAST(vocab AS DOUBLE) / CAST(occurrences AS DOUBLE)
+         |    AS type_token_ratio
+         |FROM (SELECT * FROM c125 UNION ALL SELECT * FROM c25
+         |      UNION ALL SELECT * FROM c5 UNION ALL SELECT * FROM c100)
+         |ORDER BY prob""".stripMargin
+    },
+    // a<b<c triangle enumeration on the canonical edge set; the bucket is
+    // integer arithmetic end-to-end so no float boundary can flip it
+    "q224_clustering_coeff" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b
+        |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pairs),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        |  (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+        |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM
+        |  (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |nt AS (
+        |  SELECT d.node, d.degree, COALESCE(pn.t, 0) AS t
+        |  FROM deg d LEFT JOIN pn ON pn.node = d.node
+        |  WHERE d.degree >= 2)
+        |SELECT LEAST((20 * t) // (degree * (degree - 1)), 9) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(t) AS BIGINT) AS sum_triangles
+        |FROM nt GROUP BY 1 ORDER BY bucket""".stripMargin,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

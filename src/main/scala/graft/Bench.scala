@@ -21,9 +21,29 @@ object Bench {
     // SPARK_GRAFT_ONLY, so its run always covers the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Section-refresh mode: SPARK_GRAFT_BASE_JSON=<path to a prior full
+    // BENCH.json> skips the ~40-min sf0.1 suite pass and reuses its
+    // measured per-query times (provenance: that committed artifact), while
+    // the sf1/sf10/pipeline sections below re-measure fresh. Exists so a
+    // section-level methodology fix (like the dead-cache drop below) can
+    // regenerate the affected sections without paying for an unaffected
+    // suite re-run. The driver sets no SPARK_GRAFT_BASE_JSON, so its run is
+    // always end-to-end.
+    val baseJson: Option[Map[String, Option[Double]]] =
+      sys.env.get("SPARK_GRAFT_BASE_JSON").map { p =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(p)).get("queries")
+        val it = node.fields()
+        val m = scala.collection.mutable.Map[String, Option[Double]]()
+        while (it.hasNext) {
+          val e = it.next()
+          m(e.getKey) = if (e.getValue.isNull) None else Some(e.getValue.asDouble)
+        }
+        m.toMap
+      }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    ordered.foreach { case (name, fn) =>
+    if (baseJson.isEmpty) ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -39,7 +59,11 @@ object Bench {
     // never as its time-to-throw (round 6 recorded 24 broken queries as
     // plausible ~0.05-0.17s "successes" — a regression invisible to the
     // artifact reader).
-    val results: Seq[(String, Either[String, Double])] = ordered.map {
+    val results: Seq[(String, Either[String, Double])] = baseJson match {
+      case Some(base) => ordered.map { case (name, _) =>
+        name -> base.getOrElse(name, None).toRight("absent from base json")
+      }
+      case None => ordered.map {
       case (name, fn) =>
         System.gc()
         val samples = (1 to 3).map { _ =>
@@ -62,6 +86,7 @@ object Bench {
             f"[bench] $name%-28s min=${times.min}%.3f spread=${(times.max - times.min) / times.min}%.2f")
           name -> Right(times.min)
         }
+      }
     }
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
@@ -136,6 +161,21 @@ object Bench {
       "q218_kmeans_lloyd", "q219_single_linkage", "q220_bfs_layers",
       "q221_matching_att", "q222_hdbscan_profile", "q223_heaps_curve",
       "q224_clustering_coeff")
+    // Section hygiene: queries that .cache() pin their sf0.1 blocks in the
+    // block manager for the rest of the JVM — by the time the sf1 section
+    // runs, executor memory is part-occupied by dead sf0.1 cache (the
+    // caches key on the plan, so the sf1-dir reads can never reuse them)
+    // and the measurements absorb eviction/GC pressure that has nothing to
+    // do with the plans. Measured effect before this fix: q152 sf1
+    // min-of-3 read 21.6 s inside the full-suite JVM vs 3.9 s in a fresh
+    // one (q33 9.1 vs 2.8, q184 4.3 vs 1.1) — a 3-5x phantom
+    // superlinearity. Dropping dead cache between sections restores the
+    // fresh-JVM numbers without giving up the warm-JIT steady state.
+    def dropDeadCache(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    dropDeadCache()
     val sf1Json =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
       else {
@@ -212,13 +252,14 @@ object Bench {
           val ts = r1.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
           val rs = r1.flatMap { case (k, _, r) => r.map("\"" + k + "\":" + _) }
             .mkString("{", ",", "}")
-          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); min-of-3 timings; ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same fixed-dimension effect densifies q181's co-purchase graph (ScaleGen shifts orderkeys but keeps partkeys valid against the un-replicated part dim, so per-part degrees grow with copies). Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join)""""
+          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); min-of-3 timings after dropping the suite's dead sf0.1 cache blocks (plan-keyed caches cannot be reused across dirs; leaving them pinned inflated sf1 reads 3-5x); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same fixed-dimension effect densifies q181's co-purchase graph (ScaleGen shifts orderkeys but keeps partkeys valid against the un-replicated part dim, so per-part degrees grow with copies). Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join)""""
         }
       }
     // 100x probe: one point at sf10 turns the 10x sub-linearity argument
     // into a trend for the historically worst-ratio operators. Single-shot
     // (an sf10 run is minutes; variance amortizes over the length); ratio
     // is vs the sf0.1 steady state, so ~100 = linear.
+    dropDeadCache()
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/bench-data/sf10")
     // q113 is NOT probed at 100x: the replica multiplies rows over a
     // near-fixed shingle vocabulary, so PPJoin's candidate volume grows
@@ -262,6 +303,7 @@ object Bench {
     // batches + epoch sharding) over the documents table — the operator
     // library exercised as ONE job, not 86 isolated queries.
     val pipeJson = try {
+      dropDeadCache()
       import org.apache.spark.sql.functions.col
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
       val docs = Tables.documents(spark, sfDir)

@@ -43,12 +43,17 @@ object Bench {
       }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    if (baseJson.isEmpty) ordered.foreach { case (name, fn) =>
+    ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
+    // The warmup pass runs in BOTH modes: section-refresh measurements are
+    // only comparable to full-run ones if the JVM reaches the same JIT
+    // state first. Measured without it: q33's three sf1 samples all read
+    // ~17 s (C2 queue saturated by the first heavy queries' kernels) where
+    // the same query isolated in a warm JVM runs 3.3 s.
     // Timed pass: min of 3 back-to-back executions per query, with a GC
     // between queries so one query's garbage (broadcast blocks, shuffle
     // buffers) is not billed to the next — a single-shot suite measurement
@@ -252,7 +257,7 @@ object Bench {
           val ts = r1.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
           val rs = r1.flatMap { case (k, _, r) => r.map("\"" + k + "\":" + _) }
             .mkString("{", ",", "}")
-          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); min-of-3 timings after dropping the suite's dead sf0.1 cache blocks (plan-keyed caches cannot be reused across dirs; leaving them pinned inflated sf1 reads 3-5x); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same fixed-dimension effect densifies q181's co-purchase graph (ScaleGen shifts orderkeys but keeps partkeys valid against the un-replicated part dim, so per-part degrees grow with copies). Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join)""""
+          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); min-of-3 timings after dropping the suite's dead sf0.1 cache blocks (plan-keyed caches cannot be reused across dirs; leaving them pinned inflated sf1 reads 3-5x); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same fixed-dimension effect densifies the co-purchase graph family (q115/q181/q214/q216/q217/q219/q220/q224 all project lineitem onto part-part or order-part edges; ScaleGen shifts orderkeys but keeps partkeys valid against the un-replicated part dim, so per-part degrees - and triangle/common-neighbor work - grow with copies where a real 10x corpus would grow its part catalog too). Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join)""""
         }
       }
     // 100x probe: one point at sf10 turns the 10x sub-linearity argument
@@ -295,7 +300,7 @@ object Bench {
           val ts = r.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
           val rs = r.flatMap { case (k, _, x) => x.map("\"" + k + "\":" + _) }
             .mkString("{", ",", "}")
-          s""","sf10":$ts,"sf10_over_sf01_ratio":$rs,"sf10_dir":"$sf10Dir","sf10_note":"100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; rotations composed with sign flips past the embedding dim); single-shot timings vs the sf0.1 steady state — ratio ~100 = linear scaling""""
+          s""","sf10":$ts,"sf10_over_sf01_ratio":$rs,"sf10_dir":"$sf10Dir","sf10_note":"100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; rotations composed with sign flips past the embedding dim); single-shot timings vs the sf0.1 steady state - ratio ~100 = linear scaling""""
         }
       }
     // Composed-job throughput: the end-to-end curation pipeline (scrub ->

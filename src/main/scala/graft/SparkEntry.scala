@@ -2282,6 +2282,47 @@ object SparkEntry {
           .cast("double") / count(col("cu")).cast("double")).as("mean_pre_gap"))
   }
 
+  /** Coarsened-exact-matching stratified treatment effect (q225) — the
+    * stratification estimator (Iacus, King & Porro 2012) on q221's
+    * design: same pre/post split and hash treatment assignment, but
+    * instead of per-unit as-of matching, units are coarsened into
+    * fixed-width pre-spend bands (shiftright = floor division, matching
+    * DuckDB `//`) and every band retaining BOTH arms contributes its
+    * exact within-band treated/control means. All sums and counts are
+    * integer-exact (cents); the only floating-point ops are the two
+    * per-band divisions and one subtraction — deterministic IEEE from
+    * identical integers on both faces, so the oracle is bit-parity.
+    * Scale shape: one shuffle to user grain, one map-side-combined
+    * shuffle to the (bounded) band grain; no window, no matching join —
+    * this is the estimator a 100 TB events table can actually afford
+    * when q221's per-unit matching becomes the bottleneck. */
+  private def stratifiedAteQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"),
+        graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val mm = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()(0)
+    val pivot = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("day") < pivot, col("cents")).otherwise(0L)).as("pre"),
+        sum(when(col("day") >= pivot, col("cents")).otherwise(0L)).as("post"))
+      .withColumn("t", pmod(col("user_id"), lit(2L)))
+      .withColumn("band", shiftright(col("pre"), 14))
+    perUser.groupBy("band")
+      .agg(
+        sum(when(col("t") === 1L, 1L).otherwise(0L)).as("n_treated"),
+        sum(when(col("t") === 0L, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("t") === 1L, col("post")).otherwise(0L)).as("sum_treated"),
+        sum(when(col("t") === 0L, col("post")).otherwise(0L)).as("sum_control"))
+      .filter(col("n_treated") > 0 && col("n_control") > 0)
+      .select(col("band"), col("n_treated"), col("n_control"),
+        col("sum_treated"), col("sum_control"),
+        (col("sum_treated").cast("double") / col("n_treated").cast("double")
+          - col("sum_control").cast("double") / col("n_control").cast("double"))
+          .as("att_cents"))
+      .orderBy("band")
+  }
+
   /** Density-aware clustering profile (q222) — the HDBSCAN core idea
     * (Campello, Moulavi & Sander 2013) on the repo's scale kernels:
     * same-IVF-bucket candidate edges (q67's assignment rule) carry exact
@@ -4265,7 +4306,8 @@ object SparkEntry {
     "q221_matching_att" -> (matchingAttQ _),
     "q222_hdbscan_profile" -> (hdbscanProfileQ _),
     "q223_heaps_curve" -> (heapsCurveQ _),
-    "q224_clustering_coeff" -> (clusteringCoeffQ _)
+    "q224_clustering_coeff" -> (clusteringCoeffQ _),
+    "q225_stratified_ate" -> (stratifiedAteQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5348,6 +5390,33 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  CAST(SUM(t) AS BIGINT) AS sum_triangles
         |FROM nt GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q225_stratified_ate" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS pivot FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN day < p.pivot THEN cents ELSE 0 END) AS pre,
+        |    SUM(CASE WHEN day >= p.pivot THEN cents ELSE 0 END) AS post
+        |  FROM ev, p GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(pre // 16384 AS BIGINT) AS band,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_treated,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_control,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN post ELSE 0 END) AS sum_treated,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN post ELSE 0 END) AS sum_control
+        |  FROM pu GROUP BY 1)
+        |SELECT band, CAST(n_treated AS BIGINT) AS n_treated,
+        |  CAST(n_control AS BIGINT) AS n_control,
+        |  CAST(sum_treated AS BIGINT) AS sum_treated,
+        |  CAST(sum_control AS BIGINT) AS sum_control,
+        |  CAST(sum_treated AS DOUBLE) / CAST(n_treated AS DOUBLE)
+        |    - CAST(sum_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+        |    AS att_cents
+        |FROM g WHERE n_treated > 0 AND n_control > 0
+        |ORDER BY band""".stripMargin,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the stratified treatment-effect readout (q225) on real
+  * testdata; bit-parity with DuckDB is the driver oracle's job, these pin
+  * the estimator's semantics. */
+class CausalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q225: every retained band has both arms and an exact mean identity") {
+    val rows = SparkEntry.queries("q225_stratified_ate")(
+      spark, "/root/testdata/sf0.001")
+      .select("band", "n_treated", "n_control", "sum_treated",
+        "sum_control", "att_cents")
+      .as[(Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(rows.nonEmpty, "sf0.001 must produce at least one overlapping band")
+    rows.foreach { case (_, nt, nc, st, sc, att) =>
+      assert(nt > 0 && nc > 0, "CEM drops bands missing an arm")
+      // the only doubles are two divisions + one subtraction over exact
+      // integer sums - replay them and demand bit equality
+      assert(att == st.toDouble / nt.toDouble - sc.toDouble / nc.toDouble)
+    }
+    val bands = rows.map(_._1)
+    assert(bands == bands.sorted, "output ordered by band")
+  }
+
+  test("q225: retained units bounded by the distinct-user grain") {
+    // band = pre >> 14 is a function of pre, so a user lands in exactly
+    // one band; arms partition a band by user_id parity
+    val total = SparkEntry.queries("q225_stratified_ate")(
+      spark, "/root/testdata/sf0.001")
+      .agg(sum(col("n_treated") + col("n_control")))
+      .collect()(0).getLong(0)
+    val users = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id").distinct().count()
+    assert(total > 0 && total <= users)
+  }
+}

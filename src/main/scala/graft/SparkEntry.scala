@@ -2323,6 +2323,45 @@ object SparkEntry {
       .orderBy("band")
   }
 
+  /** Kaplan–Meier risk table with right censoring (q226) — time from a
+    * user's first event to first conversion ('purchase'), censored at
+    * the corpus horizon for users who never convert (the classic
+    * product-analytics survival design; Kaplan & Meier 1958). Emits the
+    * KM SUFFICIENT STATISTIC — per duration: n_risk / n_event /
+    * n_censor / hazard_ppm — entirely in exact integers (the survival
+    * product itself is a trivial client-side fold over these rows; a
+    * cross-engine bit-parity float product is not, so the table is the
+    * honest contract). n_risk is a reverse cumulative over the
+    * duration grid, whose domain is the corpus CALENDAR SPAN (day
+    * grain, bounded ~hundreds) — the single-partition window is the
+    * annotated bounded-domain pattern, not a corpus-sized sort. */
+  private def kmRiskTableQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+      graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"),
+      col("event_type"))
+    val maxDay = ev.agg(max(col("day"))).collect()(0).getLong(0)
+    val perUser = ev.groupBy("user_id").agg(
+      min(col("day")).as("t0"),
+      min(when(col("event_type") === "purchase", col("day"))).as("cv"))
+    val durations = perUser.select(
+      when(col("cv").isNotNull, col("cv") - col("t0"))
+        .otherwise(lit(maxDay) - col("t0")).as("d"),
+      when(col("cv").isNotNull, 1L).otherwise(0L).as("e"))
+    val grid = durations.groupBy("d").agg(
+      sum(col("e")).as("n_event"),
+      sum(lit(1L) - col("e")).as("n_censor"))
+    // duration grid ≤ corpus day span (bounded domain)
+    val w = Window.partitionBy(lit(0)).orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def floorDiv(x: Column, y: Column) = ((x - pmod(x, y)) / y).cast("long")
+    grid.withColumn("n_risk", sum(col("n_event") + col("n_censor")).over(w))
+      .select(col("d").as("duration_days"), col("n_risk"),
+        col("n_event"), col("n_censor"),
+        floorDiv(col("n_event") * lit(1000000L), col("n_risk"))
+          .as("hazard_ppm"))
+      .orderBy("duration_days")
+  }
+
   /** Density-aware clustering profile (q222) — the HDBSCAN core idea
     * (Campello, Moulavi & Sander 2013) on the repo's scale kernels:
     * same-IVF-bucket candidate edges (q67's assignment rule) carry exact
@@ -4307,7 +4346,8 @@ object SparkEntry {
     "q222_hdbscan_profile" -> (hdbscanProfileQ _),
     "q223_heaps_curve" -> (heapsCurveQ _),
     "q224_clustering_coeff" -> (clusteringCoeffQ _),
-    "q225_stratified_ate" -> (stratifiedAteQ _)
+    "q225_stratified_ate" -> (stratifiedAteQ _),
+    "q226_km_risk_table" -> (kmRiskTableQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5417,6 +5457,34 @@ object SparkEntry {
         |    AS att_cents
         |FROM g WHERE n_treated > 0 AND n_control > 0
         |ORDER BY band""".stripMargin,
+    "q226_km_risk_table" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type
+        |  FROM events),
+        |m AS (SELECT MAX(day) AS maxday FROM ev),
+        |pu AS (
+        |  SELECT user_id, MIN(day) AS t0,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS cv
+        |  FROM ev GROUP BY 1),
+        |du AS (
+        |  SELECT CASE WHEN cv IS NOT NULL THEN cv - t0
+        |              ELSE (SELECT maxday FROM m) - t0 END AS d,
+        |    CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END AS e
+        |  FROM pu),
+        |g AS (SELECT d, SUM(e) AS n_event, SUM(1 - e) AS n_censor
+        |      FROM du GROUP BY 1),
+        |r AS (
+        |  SELECT d, n_event, n_censor,
+        |    SUM(n_event + n_censor) OVER (
+        |      ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS n_risk
+        |  FROM g)
+        |SELECT CAST(d AS BIGINT) AS duration_days,
+        |  CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_event AS BIGINT) AS n_event,
+        |  CAST(n_censor AS BIGINT) AS n_censor,
+        |  CAST((n_event * 1000000) // n_risk AS BIGINT) AS hazard_ppm
+        |FROM r ORDER BY duration_days""".stripMargin,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

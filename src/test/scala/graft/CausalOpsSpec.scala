@@ -37,4 +37,27 @@ class CausalOpsSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(total > 0 && total <= users)
   }
+
+  test("q226: KM risk-table identities on real events") {
+    val rows = SparkEntry.queries("q226_km_risk_table")(
+      spark, "/root/testdata/sf0.001")
+      .select("duration_days", "n_risk", "n_event", "n_censor", "hazard_ppm")
+      .as[(Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id").distinct().count()
+    // every user leaves the risk set exactly once (event or censor)
+    assert(rows.map(r => r._3 + r._4).sum == users)
+    // n_risk at the earliest duration is the whole cohort, and the
+    // reverse-cumulative structure makes it strictly decreasing
+    assert(rows.head._2 == users)
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 == a._2 - a._3 - a._4, "risk set shrinks by exits")
+    case _ => ()
+    }
+    rows.foreach { case (_, nr, ne, _, h) =>
+      assert(h == ne * 1000000L / nr && h <= 1000000L)
+    }
+  }
 }

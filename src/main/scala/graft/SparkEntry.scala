@@ -2362,6 +2362,81 @@ object SparkEntry {
       .orderBy("duration_days")
   }
 
+  /** Split-conformal interval coverage audit (q227) — distribution-free
+    * uncertainty for an in-engine regressor (Vovk et al.; Lei et al.
+    * 2018 split-conformal recipe). Model: q202's exact-moment OLS
+    * (decimal(38,0) sums, the engine-validated double fit) predicting
+    * whitespace tokens from char length; doc_id%4 splits train(0,1) /
+    * calibration(2) / test(3). qhat is the k-th ORDER STATISTIC of
+    * calibration residuals, k = ceil(0.9(n+1)) computed as the exact
+    * integer (9(n+1)+9)//10 — never a float ceil. The selection runs
+    * scale-safe: distinct-residual grain → 4096 monotone range slices →
+    * bounded bucket-carry prefix sums (the KS kernel shape) → qhat =
+    * min residual with cumulative count ≥ k; no corpus-sized sort.
+    * Output is the coverage contract: test-half share inside ±qhat, in
+    * exact ppm. Every float (slope/intercept/residuals/qhat) replays
+    * identically in DuckDB from the same integer moments. */
+  private def conformalCoverageQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val d38 = "decimal(38,0)"
+    def floorDiv(x: Column, y: Column) = ((x - pmod(x, y)) / y).cast("long")
+    val d = documents(s, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("x"),
+      TF.tokenCount(col("text")).as("y"))
+    val m = d.filter(pmod(col("doc_id"), lit(4L)) < 2L).agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        .cast(d38)).as("sxy"),
+      sum((col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+        .cast(d38)).as("sxx"))
+    val fit = m.select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        col("sy"), col("sx"), col("n"))
+      .select(col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"),
+        col("n").cast("long").as("n_train"))
+    def resid(part: Long): DataFrame =
+      d.filter(pmod(col("doc_id"), lit(4L)) === part).crossJoin(broadcast(fit))
+        .withColumn("r", abs(col("y").cast("double")
+          - (col("intercept") + col("slope") * col("x").cast("double"))))
+    val cal = resid(2L)
+    val mm = cal.agg(min(col("r")).as("mn"), max(col("r")).as("mx"),
+      count(lit(1)).as("n_cal"))
+    val grain = cal.groupBy("r").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(mm))
+      .withColumn("bucket", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(floor((col("r") - col("mn"))
+          / (col("mx") - col("mn")) * lit(4096.0)).cast("long"), lit(4095L))))
+    // carry over ≤4096 buckets (bounded domain); within-bucket running
+    // sum is partitioned by bucket over the distinct-residual grain
+    val wCarry = Window.partitionBy(lit(0)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = grain.groupBy("bucket").agg(sum(col("c")).as("bc"))
+      .withColumn("carry", coalesce(sum(col("bc")).over(wCarry), lit(0L)))
+    val wIn = Window.partitionBy("bucket").orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val kExpr = floorDiv(lit(9L) * (col("n_cal") + lit(1L)) + lit(9L), lit(10L))
+    val qhat = grain.join(carry.select("bucket", "carry"), "bucket")
+      .withColumn("cum", col("carry") + sum(col("c")).over(wIn))
+      .filter(col("cum") >= kExpr)
+      .agg(min(col("r")).as("qhat"))
+    val kRow = mm.select(col("n_cal"), kExpr.as("k"))
+    resid(3L).crossJoin(broadcast(qhat)).crossJoin(broadcast(kRow))
+      .groupBy("n_train", "n_cal", "k", "qhat", "slope", "intercept")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("n_train"), col("n_cal"), col("k"), col("qhat"),
+        col("n_test"), col("n_covered"),
+        floorDiv(col("n_covered") * lit(1000000L), col("n_test"))
+          .as("coverage_ppm"),
+        col("slope"), col("intercept"))
+  }
+
   /** Density-aware clustering profile (q222) — the HDBSCAN core idea
     * (Campello, Moulavi & Sander 2013) on the repo's scale kernels:
     * same-IVF-bucket candidate edges (q67's assignment rule) carry exact
@@ -4347,7 +4422,8 @@ object SparkEntry {
     "q223_heaps_curve" -> (heapsCurveQ _),
     "q224_clustering_coeff" -> (clusteringCoeffQ _),
     "q225_stratified_ate" -> (stratifiedAteQ _),
-    "q226_km_risk_table" -> (kmRiskTableQ _)
+    "q226_km_risk_table" -> (kmRiskTableQ _),
+    "q227_conformal_coverage" -> (conformalCoverageQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5485,6 +5561,48 @@ object SparkEntry {
         |  CAST(n_censor AS BIGINT) AS n_censor,
         |  CAST((n_event * 1000000) // n_risk AS BIGINT) AS hazard_ppm
         |FROM r ORDER BY duration_days""".stripMargin,
+    "q227_conformal_coverage" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS x,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM d WHERE doc_id % 4 < 2),
+        |fit AS (SELECT
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |    sy, sx, n FROM m),
+        |fit2 AS (SELECT slope,
+        |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS intercept,
+        |    CAST(n AS BIGINT) AS n_train FROM fit),
+        |cal AS (
+        |  SELECT ABS(CAST(y AS DOUBLE)
+        |    - (intercept + slope * CAST(x AS DOUBLE))) AS r
+        |  FROM d, fit2 WHERE doc_id % 4 = 2),
+        |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |         CAST((9 * (COUNT(*) + 1) + 9) // 10 AS BIGINT) AS k
+        |       FROM cal),
+        |q AS (SELECT r AS qhat FROM cal ORDER BY r
+        |      LIMIT 1 OFFSET (SELECT k - 1 FROM kk)),
+        |te AS (
+        |  SELECT ABS(CAST(y AS DOUBLE)
+        |    - (intercept + slope * CAST(x AS DOUBLE))) AS r
+        |  FROM d, fit2 WHERE doc_id % 4 = 3)
+        |SELECT f.n_train, kk.n_cal, kk.k, q.qhat,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN te.r <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  CAST((SUM(CASE WHEN te.r <= q.qhat THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS coverage_ppm,
+        |  f.slope, f.intercept
+        |FROM te, fit2 f, kk, q
+        |GROUP BY f.n_train, kk.n_cal, kk.k, q.qhat, f.slope, f.intercept"""
+        .stripMargin,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

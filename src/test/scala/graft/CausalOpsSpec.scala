@@ -60,4 +60,22 @@ class CausalOpsSpec extends SparkSpec {
       assert(h == ne * 1000000L / nr && h <= 1000000L)
     }
   }
+
+  test("q227: split-conformal coverage lands near the 90% contract") {
+    val Seq((nTrain, nCal, k, qhat, nTest, nCov, ppm)) =
+      SparkEntry.queries("q227_conformal_coverage")(
+        spark, "/root/testdata/sf0.001")
+        .select("n_train", "n_cal", "k", "qhat", "n_test", "n_covered",
+          "coverage_ppm")
+        .as[(Long, Long, Long, Double, Long, Long, Long)]
+        .collect().toSeq
+    assert(nTrain > 0 && nCal > 0 && nTest > 0)
+    assert(k == (9L * (nCal + 1L) + 9L) / 10L, "exact-integer ceil(0.9(n+1))")
+    assert(k >= 1 && k <= nCal)
+    assert(qhat >= 0.0)
+    assert(nCov <= nTest && ppm == nCov * 1000000L / nTest)
+    // marginal validity: >=90% expected; tolerate small-split noise down
+    // to 80% on the 0.001 fixture
+    assert(ppm >= 800000L && ppm <= 1000000L, s"coverage $ppm ppm")
+  }
 }

@@ -2437,6 +2437,42 @@ object SparkEntry {
         col("slope"), col("intercept"))
   }
 
+  /** CUSUM change-point detection over daily volumes (q228) — Page's
+    * cumulative-sum chart (Page 1954) per event_type: baseline b =
+    * pre-pivot mean daily count (integer floor), allowance a =
+    * max(1, b/20), threshold h = max(1, b); the post-pivot recursion
+    * S_t = max(0, S_{t-1} + x_t - b - a) runs as its PREFIX CLOSED FORM
+    * S_t = P_t - min(0, min_{j<=t} P_j) (P = running sum of deviations)
+    * — two stacked per-type windows, no sequential operator, no
+    * flatMapGroups: the detector a 100 TB events table can run as plain
+    * day-grain window algebra. Everything is exact integers, so the
+    * DuckDB oracle replays the same two windows bit-for-bit. */
+  private def cusumQ(s: SparkSession, dir: String): DataFrame = {
+    def floorDiv(x: Column, y: Column) = ((x - pmod(x, y)) / y).cast("long")
+    val ev = events(s, dir).select(col("event_type"),
+      graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"))
+    val mm = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()(0)
+    val pivot = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
+    val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val base = daily.filter(col("day") < pivot)
+      .groupBy("event_type")
+      .agg(floorDiv(sum(col("x")), count(lit(1))).as("b"))
+      .withColumn("a", greatest(lit(1L), floorDiv(col("b"), lit(20L))))
+      .withColumn("h", greatest(lit(1L), col("b")))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val post = daily.filter(col("day") >= pivot)
+      .join(base, "event_type")
+      .withColumn("p", sum(col("x") - col("b") - col("a")).over(w))
+      .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+    post.groupBy("event_type", "b", "a", "h")
+      .agg(count(lit(1)).as("n_days"),
+        max(col("s")).as("max_cusum"),
+        min(when(col("s") > col("h"), col("day"))).as("alarm_day"),
+        sum(when(col("s") > col("h"), 1L).otherwise(0L)).as("n_alarm_days"))
+      .orderBy("event_type")
+  }
+
   /** Density-aware clustering profile (q222) — the HDBSCAN core idea
     * (Campello, Moulavi & Sander 2013) on the repo's scale kernels:
     * same-IVF-bucket candidate edges (q67's assignment rule) carry exact
@@ -4423,7 +4459,8 @@ object SparkEntry {
     "q224_clustering_coeff" -> (clusteringCoeffQ _),
     "q225_stratified_ate" -> (stratifiedAteQ _),
     "q226_km_risk_table" -> (kmRiskTableQ _),
-    "q227_conformal_coverage" -> (conformalCoverageQ _)
+    "q227_conformal_coverage" -> (conformalCoverageQ _),
+    "q228_cusum_change" -> (cusumQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5603,6 +5640,39 @@ object SparkEntry {
         |FROM te, fit2 f, kk, q
         |GROUP BY f.n_train, kk.n_cal, kk.k, q.qhat, f.slope, f.intercept"""
         .stripMargin,
+    "q228_cusum_change" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |p AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS pivot FROM ev),
+        |daily AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+        |          FROM ev GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type,
+        |    CAST(SUM(x) // COUNT(*) AS BIGINT) AS b,
+        |    CAST(GREATEST(1, (SUM(x) // COUNT(*)) // 20) AS BIGINT) AS a,
+        |    CAST(GREATEST(1, SUM(x) // COUNT(*)) AS BIGINT) AS h
+        |  FROM daily, p WHERE day < p.pivot GROUP BY 1),
+        |post AS (
+        |  SELECT d.event_type, d.day, b.b, b.a, b.h,
+        |    SUM(d.x - b.b - b.a) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        |  FROM daily d JOIN base b USING (event_type), p
+        |  WHERE d.day >= p.pivot),
+        |cs AS (
+        |  SELECT event_type, day, b, a, h,
+        |    pp - LEAST(MIN(pp) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+        |  FROM post)
+        |SELECT event_type, b, a, h,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(s) AS BIGINT) AS max_cusum,
+        |  MIN(CASE WHEN s > h THEN day END) AS alarm_day,
+        |  CAST(SUM(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarm_days
+        |FROM cs GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

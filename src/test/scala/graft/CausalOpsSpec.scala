@@ -78,4 +78,35 @@ class CausalOpsSpec extends SparkSpec {
     // to 80% on the 0.001 fixture
     assert(ppm >= 800000L && ppm <= 1000000L, s"coverage $ppm ppm")
   }
+
+  test("q228: the window closed form equals the sequential CUSUM recursion") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q228_cusum_change")(spark, dir)
+      .select("event_type", "b", "a", "h", "max_cusum", "alarm_day",
+        "n_alarm_days")
+      .as[(String, Long, Long, Long, Long, Option[Long], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    // sequential replay: S_t = max(0, S_{t-1} + x_t - b - a) per type
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.operators.Funnel.epochDayFromNanos(col("ts")).as("day"))
+    val Seq((lo, hi)) =
+      ev.agg(min("day"), max("day")).as[(Long, Long)].collect().toSeq
+    val pivot = (lo + hi + 1L) / 2L
+    val daily = ev.groupBy("event_type", "day").count()
+      .as[(String, Long, Long)].collect()
+    for ((t, (_, b, a, h, mx, alarm, nAlarm)) <- got) {
+      val series = daily.filter(r => r._1 == t && r._2 >= pivot)
+        .sortBy(_._2).map(r => (r._2, r._3))
+      var s = 0L; var best = 0L; var firstAlarm = Option.empty[Long]; var n = 0L
+      for ((day, x) <- series) {
+        s = math.max(0L, s + x - b - a)
+        best = math.max(best, s)
+        if (s > h) { n += 1; if (firstAlarm.isEmpty) firstAlarm = Some(day) }
+      }
+      assert(mx == best && alarm == firstAlarm && nAlarm == n,
+        s"type $t: closed form diverged from the recursion")
+    }
+  }
 }

@@ -117,22 +117,29 @@ object Bench {
     // path is q171 (IVF candidates, same mutuality join), which is here.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/bench-data/sf1")
     val heavy = Seq(
-      "q02_region_revenue", "q05_trailing7", "q11_median_price",
-      "q18_minhash_pairs", "q19_simhash", "q24_pipe_series",
-      "q29_narrative_rollup", "q30_control_classify", "q33_embedding_neardup",
+      "q01_pricing_pivot", "q02_region_revenue", "q05_trailing7",
+      "q06_anomaly_baseline", "q07_gaps_islands", "q11_median_price",
+      "q18_minhash_pairs", "q19_simhash", "q20_active_propagation",
+      "q24_pipe_series",
+      "q29_narrative_rollup", "q30_control_classify",
+      "q32_multimodal_decode", "q33_embedding_neardup",
+      "q38_storyline_scores", "q40_jaccard_verify",
       "q41_quality_score", "q42_repetition_stats", "q43_simhash_pairs",
       "q45_sector_baseline_rows", "q46_crisis_patterns", "q47_dedup_groups",
       "q48_quantized_knn", "q52_asof_join", "q53_range_join",
       "q54_sessionize", "q55_scd2_intervals", "q56_bm25_topk",
       "q57_profile", "q59_contamination", "q60_incremental_dedup",
-      "q61_pii_scrub", "q62_quality_gate", "q65_incremental_exact",
+      "q61_pii_scrub", "q62_quality_gate", "q63_domain_mix",
+      "q65_incremental_exact", "q66_bpe_tokens",
       "q67_semantic_dedup", "q68_dup_spans", "q69_keywords",
-      "q72_token_ids", "q74_dup_spans_inc", "q76_curation_gate",
+      "q72_token_ids", "q73_length_batches", "q74_dup_spans_inc",
+      "q75_interval_overlap", "q76_curation_gate", "q77_quality_deciles",
       "q78_cdc_chunks", "q79_chunk_dedup", "q81_gram_matrix",
       "q84_asof_forward", "q85_dup_span_ranges", "q86_minhash_stats",
       "q87_cut_spans", "q89_gopher_rules", "q90_funnel",
       "q91_retention", "q92_heavy_hitters", "q93_vocab_coverage",
-      "q95_rfm", "q96_funnel_inc", "q97_bloom_prune",
+      "q94_transitions", "q95_rfm", "q96_funnel_inc", "q97_bloom_prune",
+      "q98_table_diff",
       "q100_iqr_outliers", "q101_frequent_pairs", "q103_pearson",
       "q105_blocked_resolve", "q106_mad_outliers", "q107_sorted_neighborhood",
       "q109_expectations", "q110_weighted_quantiles", "q111_interval_union",
@@ -150,15 +157,21 @@ object Bench {
       "q153_gate_kappa", "q154_length_auc", "q155_ks_drift",
       "q156_spearman", "q158_max_concurrency", "q159_salted_join",
       "q160_hilbert_locality", "q161_gate_calibration", "q162_lsh_precision",
-      "q163_quality_keeper", "q166_item_cosine", "q169_minhash_calibration",
-      "q170_lateness_audit", "q171_mutual_knn_ivf", "q174_golden_record",
+      "q163_quality_keeper", "q166_item_cosine", "q168_ks_two_sample",
+      "q169_minhash_calibration",
+      "q170_lateness_audit", "q171_mutual_knn_ivf", "q172_kcenter_coreset",
+      "q173_isotonic_calibration", "q174_golden_record",
       "q175_knn_label_purity", "q176_set_cover", "q177_seq_trigrams",
-      "q180_seasonal_anomaly", "q181_common_neighbors", "q183_profile_store",
+      "q178_cuped",
+      "q180_seasonal_anomaly", "q181_common_neighbors", "q182_aswas_asis",
+      "q183_profile_store",
       "q184_coreset_drift", "q186_hashed_linear", "q187_target_encoding",
-      "q188_rle_audit", "q191_view_maintenance", "q193_cube_rollup",
+      "q188_rle_audit", "q189_bloom_fpr", "q190_checksum_reconcile",
+      "q191_view_maintenance", "q193_cube_rollup",
       "q195_rare_transitions", "q196_growth_accounting", "q197_stickiness",
       "q198_srm_check", "q199_funnel_ab", "q200_makespan_balance",
       "q201_index_advisor", "q203_cluster_silhouette", "q204_watermark_planner",
+      "q205_did_readout",
       "q206_seasonal_strength", "q207_forecast_bands", "q208_max_dup_substring",
       "q209_pca_power", "q210_pca_scores", "q211_bootstrap_ci",
       "q212_skyline", "q213_token_phi", "q214_hits",

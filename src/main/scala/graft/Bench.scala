@@ -7,6 +7,22 @@ import org.apache.spark.sql.SparkSession
   * sink (a bare count() would let Catalyst prune all computed columns and
   * benchmark only the scan). */
 object Bench {
+
+  private def jstr(s: String): String =
+    "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+
+  /** Persist the (so-far) record to the repo root. Called after every
+    * completed section so a killed run still leaves parseable JSON; the
+    * driver captures only the stdout tail, which has been truncated out of
+    * the round artifact before — the file is the durable record. */
+  private def writeOut(json: String): Unit = try {
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json"))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,7 +82,14 @@ object Bench {
     // artifact reader).
     val results: Seq[(String, Either[String, Double])] = baseJson match {
       case Some(base) => ordered.map { case (name, _) =>
-        name -> base.getOrElse(name, None).toRight("absent from base json")
+        // keep 'errored in the base run' distinct from 'not in the base
+        // run at all' — conflating them made a base-run failure look like
+        // a registry mismatch in the durable artifact
+        base.get(name) match {
+          case Some(Some(v)) => name -> Right(v)
+          case Some(None) => name -> Left("errored in base run")
+          case None => name -> Left("absent from base json")
+        }
       }
       case None => ordered.map {
       case (name, fn) =>
@@ -104,6 +127,24 @@ object Bench {
     val okTimes = results.toMap
     val total = results.collect { case (_, Right(v)) => v }.sum
 
+    // Provenance: a section-refresh run copies its sf0.1 per-query times
+    // from a prior artifact — stamp WHERE they came from and which sections
+    // this run actually measured, so a blended record can never be read as
+    // one end-to-end measurement (it used to be recorded only in commit
+    // messages).
+    val provJson = sys.env.get("SPARK_GRAFT_BASE_JSON")
+      .map(p => s""","sf01_source":${jstr(p)},"refreshed_sections":["sf1","sf10","pipeline"]""")
+      .getOrElse("")
+
+    // Durable-record discipline: write BENCH.json after EVERY completed
+    // section (suite → sf1 → sf10 → pipeline), not once at the end — a
+    // timeout-killed run (the driver's capture window is finite and the
+    // full suite+sections run has exceeded it two rounds running) must
+    // still leave valid JSON carrying the sections it finished.
+    val head =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"$provJson"""
+    writeOut(head + "}")
+
     // Scale-proof section: if the 10x replica built by graft.ScaleGen is on
     // disk, run the heavy operator family against it once (single-shot —
     // plans are already JIT-warm from the suite above; the page-cache-cold
@@ -117,10 +158,11 @@ object Bench {
     // path is q171 (IVF candidates, same mutuality join), which is here.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/bench-data/sf1")
     val heavy = Seq(
-      "q01_pricing_pivot", "q02_region_revenue", "q05_trailing7",
+      "q01_pricing_pivot", "q02_region_revenue", "q03_effective_status",
+      "q04_union_daily", "q05_trailing7",
       "q06_anomaly_baseline", "q07_gaps_islands", "q11_median_price",
       "q18_minhash_pairs", "q19_simhash", "q20_active_propagation",
-      "q24_pipe_series",
+      "q22_lag_delta", "q24_pipe_series",
       "q29_narrative_rollup", "q30_control_classify",
       "q32_multimodal_decode", "q33_embedding_neardup",
       "q38_storyline_scores", "q40_jaccard_verify",
@@ -142,6 +184,7 @@ object Bench {
       "q98_table_diff",
       "q100_iqr_outliers", "q101_frequent_pairs", "q103_pearson",
       "q105_blocked_resolve", "q106_mad_outliers", "q107_sorted_neighborhood",
+      "q108_zone_map",
       "q109_expectations", "q110_weighted_quantiles", "q111_interval_union",
       "q112_sessionize_inc", "q113_set_similarity", "q114_ewma_chart",
       "q115_triangles", "q116_sa_dup_ranges", "q117_collocations",
@@ -271,9 +314,10 @@ object Bench {
           val ts = r1.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
           val rs = r1.flatMap { case (k, _, r) => r.map("\"" + k + "\":" + _) }
             .mkString("{", ",", "}")
-          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen); min-of-3 timings after dropping the suite's dead sf0.1 cache blocks (plan-keyed caches cannot be reused across dirs; leaving them pinned inflated sf1 reads 3-5x); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same fixed-dimension effect densifies the co-purchase graph family (q115/q181/q214/q216/q217/q219/q220/q224 all project lineitem onto part-part or order-part edges; ScaleGen shifts orderkeys but keeps partkeys valid against the un-replicated part dim, so per-part degrees - and triangle/common-neighbor work - grow with copies where a real 10x corpus would grow its part catalog too). Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join)""""
+          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog); min-of-3 timings after dropping the suite's dead sf0.1 cache blocks (plan-keyed caches cannot be reused across dirs; leaving them pinned inflated sf1 reads 3-5x); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size. Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join)""""
         }
       }
+    writeOut(head + sf1Json + "}")
     // 100x probe: one point at sf10 turns the 10x sub-linearity argument
     // into a trend for the historically worst-ratio operators. Single-shot
     // (an sf10 run is minutes; variance amortizes over the length); ratio
@@ -287,36 +331,53 @@ object Bench {
     // harvest spills past the machine's disk and takes the whole context
     // down with it. Its honest scale evidence is the sf1 ratio + the
     // sum_df_sq density diagnostic in the run log.
-    val probe = Seq("q18_minhash_pairs", "q67_semantic_dedup",
-      "q116_sa_dup_ranges", "q125_sliding_distinct", "q139_label_prop")
+    // Every suite entry over ~5 s at sf0.1 gets a 100x point (r8 shipped
+    // its heaviest operators on design argument alone). q67 is min-of-3:
+    // its single-shot spread across JVMs reached 4x (35x / 195x / 418x for
+    // the same code+data across three records — the r8 three-way
+    // contradiction), so one sample of it is not evidence.
+    val probe = Seq(
+      "q18_minhash_pairs" -> 1, "q67_semantic_dedup" -> 3,
+      "q116_sa_dup_ranges" -> 1, "q125_sliding_distinct" -> 1,
+      "q139_label_prop" -> 1, "q208_max_dup_substring" -> 1,
+      "q214_hits" -> 1, "q219_single_linkage" -> 1,
+      "q222_hdbscan_profile" -> 1)
     val sf10Json =
       if (!new java.io.File(s"$sf10Dir/lineitem.parquet").exists) ""
       else {
-        val r = probe.filter(h => only.forall(_.contains(h))).flatMap { name =>
-          System.gc()
-          val t0 = System.nanoTime()
-          try {
-            SparkEntry.queries(name)(spark, sf10Dir)
-              .write.format("noop").mode("overwrite").save()
-            val t = (System.nanoTime() - t0) / 1e9
-            val ratio = okTimes.get(name).flatMap(_.toOption)
-              .map(b => math.round(t / b * 100.0) / 100.0)
-            System.err.println(
-              f"[bench] sf10 $name%-24s t=$t%.3f ratio100x=${ratio.getOrElse(-1.0)}%.2f")
-            Some((name, t, ratio))
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] sf10 $name failed: ${e.getMessage}")
-            None
+        val r = probe.filter { case (h, _) => only.forall(_.contains(h)) }
+          .flatMap { case (name, reps) =>
+            val times = (1 to reps).flatMap { _ =>
+              System.gc()
+              val t0 = System.nanoTime()
+              try {
+                SparkEntry.queries(name)(spark, sf10Dir)
+                  .write.format("noop").mode("overwrite").save()
+                Some((System.nanoTime() - t0) / 1e9)
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] sf10 $name failed: ${e.getMessage}")
+                None
+              }
+            }
+            if (times.isEmpty) None
+            else {
+              val t = times.min
+              val ratio = okTimes.get(name).flatMap(_.toOption)
+                .map(b => math.round(t / b * 100.0) / 100.0)
+              System.err.println(
+                f"[bench] sf10 $name%-24s t=$t%.3f ratio100x=${ratio.getOrElse(-1.0)}%.2f samples=${times.map(x => f"$x%.1f").mkString("/")}")
+              Some((name, t, ratio))
+            }
           }
-        }
         if (r.isEmpty) ""
         else {
           val ts = r.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
           val rs = r.flatMap { case (k, _, x) => x.map("\"" + k + "\":" + _) }
             .mkString("{", ",", "}")
-          s""","sf10":$ts,"sf10_over_sf01_ratio":$rs,"sf10_dir":"$sf10Dir","sf10_note":"100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; rotations composed with sign flips past the embedding dim); single-shot timings vs the sf0.1 steady state - ratio ~100 = linear scaling""""
+          s""","sf10":$ts,"sf10_over_sf01_ratio":$rs,"sf10_dir":"$sf10Dir","sf10_note":"100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; part dim scaled with per-copy shifted partkeys; rotations composed with sign flips past the embedding dim); timings vs the sf0.1 steady state, single-shot except q67 (min-of-3; its single-shot family spread 4x across JVMs) - ratio ~100 = linear scaling on FIXED cores. q67 SemDeDup's in-cluster pair stage is Theta(n^1.5) at nlist=sqrt(n), so its expected fixed-core 100x ratio is up to ~1000, NOT sub-linear; the cluster story is that bucket count (= parallelism) also grows as sqrt(n)""""
         }
       }
+    writeOut(head + sf1Json + sf10Json + "}")
     // Composed-job throughput: the end-to-end curation pipeline (scrub ->
     // exact/minhash/span incremental dedup -> gate -> curated append, two
     // batches + epoch sharding) over the documents table — the operator
@@ -344,19 +405,9 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pipeline failed: ${e.getMessage}"); ""
     }
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"$sf1Json$sf10Json$pipeJson}"""
+    val json = head + sf1Json + sf10Json + pipeJson + "}"
     println(json)
-    // Also persist to the repo root: the driver captures only the stdout
-    // tail, and a long per-query map has been truncated out of the round
-    // artifact before — the file is the durable record.
-    try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json"))
-      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
-    }
+    writeOut(json)
     spark.stop()
   }
 }

@@ -24,8 +24,15 @@ import org.apache.spark.sql.functions._
   *    ~linearly like real corpus growth;
   *  - embeddings rotate by i positions (norm-preserving, decorrelates
   *    cross-copy cosine) — ANN/near-dup bucket topology scales naturally;
-  *  - dimension tables (region/nation/customer/supplier/part) copy through
-  *    unchanged so dim joins still resolve.
+  *  - the PART dimension scales WITH the fact copies: copy i's lineitem
+  *    shifts `l_partkey` by the same per-copy offset as a replicated part
+  *    table's `p_partkey`, so dim joins still resolve AND the co-purchase
+  *    graph family (part-part / order-part projections of lineitem) keeps
+  *    realistic per-part degrees — a fixed part catalog under 10× the
+  *    orders densified those graphs superlinearly and every graph-family
+  *    ratio measured the densification artifact, not the operator;
+  *  - the remaining dimensions (region/nation/customer/supplier) copy
+  *    through unchanged so their joins still resolve.
   *
   * Usage: `runMain graft.ScaleGen [srcDir] [outDir] [copies]`; defaults
   * `/root/testdata/sf0.1 → /root/repo/bench-data/sf1 × 10`.
@@ -33,6 +40,7 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
 
   val KeyOffset = 1000000000L
+  val PartOffset = 1000000L
 
   def shuffleWords(text: String, seed: Long): String = {
     if (text == null) return null
@@ -65,6 +73,7 @@ object ScaleGen {
 
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOffset))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * PartOffset))
     }
     replicate("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOffset))
@@ -93,7 +102,10 @@ object ScaleGen {
       df.withColumn("event_id", col("event_id") + lit(i * KeyOffset))
         .withColumn("user_id", col("user_id") + lit(i * 10000000L))
     }
-    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+    replicate("part") { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * PartOffset))
+    }
+    for (dim <- Seq("region", "nation", "customer", "supplier"))
       replicate(dim)((df, i) => if (i == 0) df else df.limit(0))
 
     spark.stop()

@@ -20,9 +20,17 @@ import org.apache.spark.sql.functions._
   * engine-portable integer sums (the [[PageRank]]/[[Pca]] fixed-point
   * posture; the oracle unrolls the identical recurrence in HUGEINT).
   *
-  * Scale shape: per iteration two co-partitioned join+map-side-sum pairs
-  * over the edge list (scores are the small side — broadcast or
-  * co-partitioned at web scale), normalization via ONE lazy 1-row
+  * Scale shape: per iteration two join+map-side-sum pairs over the edge
+  * list. The score side is node-grain but NOT bounded — hubs can be
+  * fact-grain (orders), so broadcasting it unconditionally grows linearly
+  * with the fact table and eventually OOMs the driver. The join strategy
+  * is therefore size-gated: scores broadcast only while both node sets
+  * fit under `maxBroadcastNodes` (probed once, two bounded count actions
+  * on the deduped edge list); past the gate the edge list is pre-shuffled
+  * ONCE per join key (`repartition(a)` / `repartition(h)`, each pinned by
+  * a localCheckpoint that preserves the hash partitioning) so every
+  * iteration shuffles only the small score table into place — the
+  * bucketed co-partitioned posture. Normalization stays a lazy 1-row
   * crossJoin each (the A8 max-probe idiom, never a driver action); the
   * raw-sum table is materialized per half-iteration (see below), which
   * doubles as the iterative-graph lineage cut.
@@ -32,6 +40,13 @@ object Hits {
   /** Returns `(hubs, authorities)`: `(node, score)` each, fixed-point S.
     * Edges are deduplicated; every hub must reach ≥1 authority and vice
     * versa (true by construction for co-occurrence bipartite graphs).
+    *
+    * `broadcastScores`: `Some(true)` forces the per-iteration score
+    * broadcast, `Some(false)` forces the co-partitioned path, `None`
+    * (default) probes both node-set sizes and broadcasts only when the
+    * larger fits under `maxBroadcastNodes` (score rows are two longs —
+    * ~4M rows ≈ a few hundred MB of broadcast, the practical hint
+    * ceiling; a web-scale hub side blows past it and must co-partition).
     *
     * Each raw-sum table is localCheckpointed BEFORE its max is taken:
     * `normalize` consumes the sums twice (max probe + projection), and
@@ -47,12 +62,29 @@ object Hits {
       hubCol: String,
       authCol: String,
       iterations: Int = 8,
-      scale: Long = 1L << 20): (DataFrame, DataFrame) = {
+      scale: Long = 1L << 20,
+      broadcastScores: Option[Boolean] = None,
+      maxBroadcastNodes: Long = 4000000L): (DataFrame, DataFrame) = {
     require(iterations >= 1 && iterations <= 64, "iterations in [1, 64]")
     require(scale >= 1024L, "scale too small for meaningful fixed-point")
     val ed = edges.select(col(hubCol).as("h"), col(authCol).as("a"))
       .distinct().localCheckpoint()
 
+    val bcast = broadcastScores.getOrElse {
+      // two bounded actions against the already-checkpointed edge list;
+      // the gate keys on the LARGER side because both score tables cross
+      // the wire every iteration
+      val nAuth = ed.select("a").distinct().count()
+      val nHub = ed.select("h").distinct().count()
+      math.max(nAuth, nHub) <= maxBroadcastNodes
+    }
+    // co-partitioned path: pay the edge shuffle ONCE per join key; the
+    // checkpoint pins the hash partitioning so each iteration's join
+    // reuses it and only the node-grain score table moves
+    val (edByA, edByH) =
+      if (bcast) (ed, ed)
+      else (ed.repartition(col("a")).localCheckpoint(),
+        ed.repartition(col("h")).localCheckpoint())
     def normalize(rawDf: DataFrame, node: String): DataFrame = {
       val r = rawDf.localCheckpoint()
       val m = r.agg(greatest(max(col("raw")), lit(1L)).as("m"))
@@ -61,25 +93,30 @@ object Hits {
           expr(s"(CAST(raw AS DECIMAL(38,0)) * $scale) div m").as("score"))
     }
 
-    // the score side is node-grain — broadcast it so the (much larger)
-    // edge list never re-shuffles per iteration; on a graph whose node
-    // table outgrows broadcast, drop the hint and bucket both sides on
-    // the join key instead (the co-partitioned posture)
     var auth = ed.select(col("a").as("node")).distinct()
       .withColumn("score", lit(scale))
     var hub: DataFrame = null
     var t = 1
     while (t <= iterations) {
-      hub = normalize(
-        ed.join(broadcast(auth.withColumnRenamed("node", "a")), "a")
-          .groupBy("h").agg(sum(col("score")).as("raw")),
-        "h")
-      auth = normalize(
-        ed.join(broadcast(hub.withColumnRenamed("node", "h")), "h")
-          .groupBy("a").agg(sum(col("score")).as("raw")),
-        "a")
+      hub = normalize(rawSums(edByA, auth, "a", "h", bcast), "h")
+      auth = normalize(rawSums(edByH, hub, "h", "a", bcast), "a")
       t += 1
     }
     (hub, auth)
+  }
+
+  /** One half-iteration's raw-sum join: scores moved to the edge side on
+    * `joinKey`, summed per `outKey`. Package-private so PlanAuditSpec can
+    * pin BOTH join strategies (broadcast vs co-partitioned) on the actual
+    * production expression rather than a replica. */
+  private[graft] def rawSums(
+      edSide: DataFrame,
+      scores: DataFrame,
+      joinKey: String,
+      outKey: String,
+      bcast: Boolean): DataFrame = {
+    val s = scores.withColumnRenamed("node", joinKey)
+    edSide.join(if (bcast) broadcast(s) else s, joinKey)
+      .groupBy(outKey).agg(sum(col("score")).as("raw"))
   }
 }

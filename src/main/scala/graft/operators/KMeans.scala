@@ -83,6 +83,11 @@ object KMeans {
       .select(col("id"), transform(col("xv"), x => x * lit(P)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    // `dim` drives the centroid-update tabulate; a silent mismatch against
+    // the actual vector width would truncate/fabricate coordinates and run
+    // dotLong over mismatched-length arrays — fail loud instead
+    require(cents.forall(_._2.length == dim),
+      s"dim=$dim does not match the qvec width ${cents.head._2.length}")
     var t = 0
     while (t < iterations) {
       // one corpus pass: assignment + per-(cluster, dim) coordinate sums;

@@ -95,8 +95,12 @@ object PageRank {
     * exemplars, a customer segment) rather than global importance. Same
     * plan shape and scale posture as the global variant (one join + one
     * map-side sum per iteration, lineage cut every `checkpointEvery`);
-    * the seed count is the one bounded driver scalar. Seeds not present
-    * in the graph are ignored (inner join against the node table). */
+    * the seed count is the one bounded driver scalar. The node table is
+    * src ∪ dst, so in-edge-only nodes get score rows (they accumulate
+    * mass but, having outdeg 0, contribute nothing onward — the standard
+    * ignore-dangling posture) and a seed that appears only as a
+    * destination still seeds teleport mass. Seeds absent from BOTH edge
+    * columns are ignored (join against the node table). */
   def integerPersonalizedPageRank(
       edges: DataFrame,
       srcCol: String,
@@ -111,10 +115,16 @@ object PageRank {
     val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     val sd = seeds.toDF("node").distinct()
-    val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .select(col("src").as("node"), col("outdeg"))
+    // node table = src ∪ dst: an in-edge-only node is still a node (outdeg
+    // 0 → dangling, score-only); building it from src alone would silently
+    // drop such nodes — and any seed living only on the dst side — from
+    // the output (fine for symmetrized graphs, a trap for directed ones)
+    val deg = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct()
+      .join(ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .withColumnRenamed("src", "node"), Seq("node"), "left")
       .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
-      .select(col("node"), col("outdeg"),
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         coalesce(col("is_seed"), lit(false)).as("is_seed"))
       .localCheckpoint()
     val ns = deg.filter(col("is_seed")).count()
@@ -123,7 +133,9 @@ object PageRank {
     var scores = deg.withColumn("score",
       when(col("is_seed"), lit(scale / ns)).otherwise(lit(0L)))
     for (i <- 1 to iterations) {
-      val contribs = scores
+      // dangling (outdeg-0) nodes hold mass but contribute nothing onward;
+      // the filter also keeps the integer div away from a zero divisor
+      val contribs = scores.filter(col("outdeg") > 0)
         .join(ed, col("node") === col("src"))
         .select(col("dst"), expr("score div outdeg").as("q"))
         .groupBy("dst").agg(sum(col("q")).as("s"))

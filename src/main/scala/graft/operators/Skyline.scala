@@ -84,19 +84,23 @@ object Skyline {
       .select(col(idCol).cast("long"),
         array(dimCols.map(c => col(c).cast("long")): _*))
       .as[(Long, Seq[Long])]
-    val local = ds.mapPartitions(blockSkyline).persist()
-    try {
-      val nCand = local.count()
-      require(nCand <= maxCandidates,
-        s"local-skyline union has $nCand rows (> $maxCandidates): " +
-          "dimensions are so anti-correlated the skyline is a large " +
-          "fraction of the input — a frontier query is the wrong tool here")
-      local.repartition(1).mapPartitions(blockSkyline)
-        .map { case (id, dims) => (id, dims.toArray) }(
-          Encoders.product[(Long, Array[Long])])
-        .toDF(idCol, "__dims")
-        .select(col(idCol) +: dimCols.zipWithIndex.map { case (c, i) =>
-          col("__dims").getItem(i).as(c) }: _*)
-    } finally { local.unpersist(blocking = false); () }
+    // localCheckpoint (eager) rather than persist: the guard count below and
+    // the pass-2 final filter BOTH consume the local-skyline union, and the
+    // result DataFrame is lazy — a persist dropped in a finally block would
+    // be gone before the caller's first action, silently re-running the
+    // pass-1 corpus scan. The checkpoint materializes the (tiny,
+    // ~#partitions · polylog) candidate set once; pass 2 reads its blocks.
+    val local = ds.mapPartitions(blockSkyline).localCheckpoint()
+    val nCand = local.count()
+    require(nCand <= maxCandidates,
+      s"local-skyline union has $nCand rows (> $maxCandidates): " +
+        "dimensions are so anti-correlated the skyline is a large " +
+        "fraction of the input — a frontier query is the wrong tool here")
+    local.repartition(1).mapPartitions(blockSkyline)
+      .map { case (id, dims) => (id, dims.toArray) }(
+        Encoders.product[(Long, Array[Long])])
+      .toDF(idCol, "__dims")
+      .select(col(idCol) +: dimCols.zipWithIndex.map { case (c, i) =>
+        col("__dims").getItem(i).as(c) }: _*)
   }
 }

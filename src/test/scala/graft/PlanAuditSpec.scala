@@ -622,4 +622,32 @@ class PlanAuditSpec extends SparkSpec {
     // two shuffles to grains (term, then freq-of-freq) before the window
     assert(p.contains("Window"), p.take(2000))
   }
+
+  test("HITS score join is size-gated: broadcast under the gate, shuffle join past it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // the production half-iteration expression, both strategies — the
+    // score side is fact-grain (hubs = orders) at scale, so an ungated
+    // broadcast would grow linearly with the fact table
+    val ed = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("h", "a")
+    val scores = ed.select($"a".as("node")).distinct()
+      .withColumn("score", lit(1L << 20))
+    val pb = graft.operators.Hits.rawSums(ed, scores, "a", "h", bcast = true)
+      .queryExecution.executedPlan.toString
+    assert(pb.contains("BroadcastHashJoin"),
+      "gated-small path must broadcast the scores:\n" + pb.take(2000))
+    // at scale the score table's stats exceed the auto-broadcast threshold
+    // too; emulate that on the tiny fixture by disabling the auto threshold
+    // so only the (absent) hint could broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pc = graft.operators.Hits
+        .rawSums(ed.repartition($"a"), scores, "a", "h", bcast = false)
+        .queryExecution.executedPlan.toString
+      assert(!pc.contains("BroadcastHashJoin"),
+        "past the gate the scores must NOT broadcast (co-partitioned join):\n" +
+          pc.take(2000))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }

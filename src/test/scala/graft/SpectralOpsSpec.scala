@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Bootstrap, Hits, Pca, Skyline}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Round-8 spectral/inference/frontier operators: integer-exact power
@@ -159,5 +160,26 @@ class SpectralOpsSpec extends SparkSpec {
     val a2 = Hits.integerHits((base ++ base).toDF("h", "a").repartition(7),
         "h", "a")._2.as[(Long, Long)].collect().toMap
     assert(a1 == a2)
+  }
+
+  test("hits: co-partitioned path is score-identical to the broadcast path") {
+    // integer arithmetic is order-free, so the join strategy must be
+    // invisible in the scores — the size gate can flip at any scale
+    // without changing a single output value
+    val ed = (for { h <- 1L to 20L; a <- 10L to (10L + h % 5) } yield (h, a))
+      .toDF("h", "a")
+    def scores(df: (DataFrame, DataFrame)) = (
+      df._1.as[(Long, Long)].collect().toMap,
+      df._2.as[(Long, Long)].collect().toMap)
+    val bc = scores(Hits.integerHits(ed, "h", "a", iterations = 5,
+      broadcastScores = Some(true)))
+    val cp = scores(Hits.integerHits(ed, "h", "a", iterations = 5,
+      broadcastScores = Some(false)))
+    assert(bc == cp)
+    // auto gate on a forced-large fixture (threshold below the node count)
+    // must take the co-partitioned path and still agree
+    val auto = scores(Hits.integerHits(ed, "h", "a", iterations = 5,
+      maxBroadcastNodes = 1L))
+    assert(auto == bc)
   }
 }

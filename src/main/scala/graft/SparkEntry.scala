@@ -879,6 +879,25 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Perceptual-hash image near-dup (q229): the multimodal member of the
+    * dedup family. Image payloads (REAL PNG bytes) decode through JDK
+    * ImageIO into an 8×8 nearest-neighbor gray lattice, mean-threshold to
+    * a 64-bit aHash carried as 4×16-bit bands
+    * ([[graft.multimodal.Multimodal.aHashBands]]), then pair through the
+    * simhash banding topology — distinct-fingerprint grain, band-bucket
+    * harvest, exact bit_count(xor) Hamming verify, complete to Hamming 3
+    * by pigeonhole ([[Dedup.aHashPairs]]). The oracle replays the closed-
+    * form pixel law (PNG is lossless, so decode ≡ law) — the Spark side
+    * is the only one that touches the codec. */
+  private def phashNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeMedia(
+      documents(s, dir), "doc_id", "text")
+      .filter(col("media_type") === "image")
+    val hashes = graft.multimodal.Multimodal.aHashBands(media)
+    Dedup.aHashPairs(hashes, "media_id", "bands", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding near-dup pairs via banded random-hyperplane LSH + cosine
     * threshold. Planes are deterministic literals, so the oracle replays the
     * identical band keys; cos is emitted as float (1-ulp double wobble
@@ -4460,7 +4479,8 @@ object SparkEntry {
     "q225_stratified_ate" -> (stratifiedAteQ _),
     "q226_km_risk_table" -> (kmRiskTableQ _),
     "q227_conformal_coverage" -> (conformalCoverageQ _),
-    "q228_cusum_change" -> (cusumQ _)
+    "q228_cusum_change" -> (cusumQ _),
+    "q229_phash_neardup" -> (phashNearDupQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -5673,6 +5693,73 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_alarm_days
         |FROM cs GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
+    // Replays the aHash from the closed-form pixel law gray = (id*31 +
+    // x*7 + y*13) % 256 (PNG is lossless, so the Spark side's real
+    // ImageIO decode sees exactly these values): 8x8 nearest-neighbor
+    // lattice -> floor-mean threshold -> 4x16-bit bands -> band-bucket
+    // candidates at the distinct-fingerprint grain -> bit_count(xor)
+    // Hamming verify -> group re-expansion. Same algebra as the Spark
+    // plan, codec-free.
+    "q229_phash_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 32 + 1 AS INTEGER) AS w,
+        |    CAST(doc_id % 24 + 1 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT media_id, (js.j * 8 + ii.i) AS p,
+        |    (media_id * 31 + ((ii.i * w) // 8) * 7
+        |      + ((js.j * h) // 8) * 13) % 256 AS g
+        |  FROM img,
+        |    unnest(generate_series(0, 7)) AS ii(i),
+        |    unnest(generate_series(0, 7)) AS js(j)),
+        |m AS (SELECT media_id, SUM(g) // 64 AS mean FROM px GROUP BY 1),
+        |b AS (
+        |  SELECT px.media_id, p // 16 AS band,
+        |    CAST(SUM(CASE WHEN g >= mean THEN (1 << (p % 16)) ELSE 0 END)
+        |      AS INTEGER) AS bk
+        |  FROM px JOIN m USING (media_id) GROUP BY 1, 2),
+        |hs AS (
+        |  SELECT media_id,
+        |    MAX(CASE WHEN band = 0 THEN bk END) AS b0,
+        |    MAX(CASE WHEN band = 1 THEN bk END) AS b1,
+        |    MAX(CASE WHEN band = 2 THEN bk END) AS b2,
+        |    MAX(CASE WHEN band = 3 THEN bk END) AS b3
+        |  FROM b GROUP BY 1),
+        |grp AS (
+        |  SELECT b0, b1, b2, b3, list_sort(list(media_id)) AS ids,
+        |    MIN(media_id) AS rep
+        |  FROM hs GROUP BY 1, 2, 3, 4),
+        |banded AS (
+        |  SELECT rep, 0 AS band, b0 AS bk FROM grp
+        |  UNION ALL SELECT rep, 1, b1 FROM grp
+        |  UNION ALL SELECT rep, 2, b2 FROM grp
+        |  UNION ALL SELECT rep, 3, b3 FROM grp),
+        |rp AS (
+        |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep),
+        |ham AS (
+        |  SELECT ra, rb,
+        |    CAST(bit_count(xor(ga.b0, gb.b0)) + bit_count(xor(ga.b1, gb.b1))
+        |      + bit_count(xor(ga.b2, gb.b2)) + bit_count(xor(ga.b3, gb.b3))
+        |      AS BIGINT) AS hamming,
+        |    ga.ids AS ia, gb.ids AS ib
+        |  FROM rp
+        |  JOIN grp ga ON ga.rep = ra
+        |  JOIN grp gb ON gb.rep = rb),
+        |cross_pairs AS (
+        |  SELECT LEAST(xa.a, yb.b) AS id_a, GREATEST(xa.a, yb.b) AS id_b,
+        |    hamming
+        |  FROM ham, unnest(ia) AS xa(a), unnest(ib) AS yb(b)
+        |  WHERE hamming <= 3),
+        |within AS (
+        |  SELECT xa.a AS id_a, yb.b AS id_b, CAST(0 AS BIGINT) AS hamming
+        |  FROM grp, unnest(ids) AS xa(a), unnest(ids) AS yb(b)
+        |  WHERE xa.a < yb.b)
+        |SELECT id_a, id_b, hamming FROM cross_pairs
+        |UNION ALL SELECT id_a, id_b, hamming FROM within
+        |ORDER BY id_a, id_b""".stripMargin,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

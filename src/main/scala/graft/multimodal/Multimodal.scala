@@ -157,6 +157,77 @@ object Multimodal {
     }
   }
 
+  /** Average-hash (aHash) perceptual fingerprint of each decodable image
+    * payload — the classic perceptual-dedup primitive: sample the decoded
+    * gray image on a `grid`×`grid` nearest-neighbor lattice, threshold
+    * each sample against the floor-mean of the lattice, and pack the
+    * resulting `grid²` bits into 16-bit band integers (`grid²/16` bands).
+    *
+    * Integer-exact end to end: nearest-neighbor index `(i·w) div grid`,
+    * floor mean `Σg div grid²`, bit `g ≥ mean` — so an engine that knows
+    * the pixel law (the [[synthesizeMedia]] fixtures are closed-form; PNG
+    * is lossless) replays the fingerprint without touching the codec,
+    * while THIS path exercises the real `ImageIO` decode. Bands of 16
+    * bits rather than one 64-bit word keep every value in positive-int
+    * range on every engine (no sign-bit/arithmetic-shift portability
+    * traps) and are exactly the LSH banding grain [[graft.operators.Dedup
+    * .aHashPairs]] buckets on.
+    *
+    * Rows whose payload the JDK cannot decode (the opaque audio/video
+    * stand-ins) are dropped — a perceptual hash of undecodable bytes is
+    * meaningless. Output: `(media_id, bands array<int>)`. */
+  def aHashBands(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 4 && (grid * grid) % 16 == 0,
+      "grid^2 must split into 16-bit bands")
+    val nBands = grid * grid / 16
+    val inSchema = media.schema
+    val idIdx = inSchema.fieldIndex("media_id")
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bands", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null || payload.isEmpty) None
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val g = new Array[Int](grid * grid)
+            var sum = 0L
+            var j = 0
+            while (j < grid) {
+              var i = 0
+              while (i < grid) {
+                val px = img.getRGB((i * w) / grid, (j * h) / grid) & 0xff
+                g(j * grid + i) = px
+                sum += px
+                i += 1
+              }
+              j += 1
+            }
+            val mean = sum / (grid * grid)
+            val bands = new Array[Int](nBands)
+            var p = 0
+            while (p < grid * grid) {
+              if (g(p) >= mean) bands(p / 16) |= 1 << (p % 16)
+              p += 1
+            }
+            Some(Row(r.getLong(idIdx), bands.toSeq))
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling contract for video rows: one output row per sampled
     * frame index (metadata-only here; a real decoder would attach the frame
     * payload). Native explode keeps it distributed and codegen'd. */

@@ -471,6 +471,76 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Perceptual-hash image near-dup pairing — [[simhashPairs]]'s topology
+    * applied to the multimodal grain: fingerprints are aHash band arrays
+    * ([[graft.multimodal.Multimodal.aHashBands]], `grid²/16` ints of 16
+    * bits each), banding IS the band split (by pigeonhole any pair within
+    * Hamming `maxHamming ≤ nBands − 1` agrees on ≥ 1 whole band, so with
+    * 4 bands the candidate harvest is COMPLETE to Hamming 3), and the
+    * verifier is exact `bit_count(xor)` per band.
+    *
+    * Same scale posture as the text family: exact-duplicate images (byte-
+    * identical fingerprints — crops/re-encodes of one asset flood real
+    * corpora) collapse to ONE representative before the quadratic bucket
+    * harvest and re-expand after, and `maxBucket` caps both the distinct-
+    * fingerprint bucket occupancy and the exact-dup group size (an
+    * over-cap flood drops whole — its quadratic pair set belongs in a
+    * group representation, not a pair list). Never an all-pairs join.
+    *
+    * Input: `(idCol, bandsCol array<int>)`. Output:
+    * `(id_a, id_b, hamming)`, `id_a < id_b`, `hamming ≤ maxHamming`. */
+  def aHashPairs(
+      hashes: DataFrame,
+      idCol: String,
+      bandsCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000,
+      nBands: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"$nBands bands are complete only to Hamming ${nBands - 1}")
+    val hs = hashes.select(col(idCol).as("id"), col(bandsCol).as("bands"))
+    val wcap = org.apache.spark.sql.expressions.Window
+      .partitionBy("bands").orderBy(monotonically_increasing_id())
+    val groups = graft.Caching.track(
+      hs.withColumn("__rn", row_number().over(wcap))
+        .filter(col("__rn") <= maxBucket + 1)
+        .groupBy("bands").agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) <= maxBucket)
+        .withColumn("rep", element_at(col("ids"), 1)))
+    val banded = groups.select(col("rep"),
+      posexplode(col("bands")).as(Seq("bno", "bk")))
+    val repPairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
+      col("rep").as("r"), maxBucket)
+      .select(least(col("m_a"), col("m_b")).as("ra"),
+        greatest(col("m_a"), col("m_b")).as("rb"))
+      .distinct()
+    val verified = repPairs
+      .join(groups.select(col("rep").as("ra"), col("bands").as("ba"),
+        col("ids").as("ia")), "ra")
+      .join(groups.select(col("rep").as("rb"), col("bands").as("bb"),
+        col("ids").as("ib")), "rb")
+      .withColumn("hamming",
+        (0 until nBands).map(i =>
+          bit_count(element_at(col("ba"), i + 1)
+            .bitwiseXOR(element_at(col("bb"), i + 1)))).reduce(_ + _)
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val cross = verified.select(
+      explode(flatten(transform(col("ia"), a =>
+        transform(col("ib"), b => struct(a.as("x"), b.as("y")))))).as("p"),
+      col("hamming"))
+      .select(least(col("p.x"), col("p.y")).as("id_a"),
+        greatest(col("p.x"), col("p.y")).as("id_b"), col("hamming"))
+    val within = groups.filter(size(col("ids")) >= 2)
+      .select(explode(flatten(
+        transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+            b => struct(a.as("x"), b.as("y")))))).as("p"))
+      .select(col("p.x").as("id_a"), col("p.y").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * candidate PAIRS (minhash/simhash/embedding LSH output) into dedup
     * GROUPS with a canonical keeper (min id per component).

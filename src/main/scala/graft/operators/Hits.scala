@@ -71,12 +71,14 @@ object Hits {
       .distinct().localCheckpoint()
 
     val bcast = broadcastScores.getOrElse {
-      // two bounded actions against the already-checkpointed edge list;
+      // ONE bounded probe action over the already-checkpointed edge list
+      // (HLL sketches, map-side combined — two exact distinct-counts cost
+      // ~2 s of the query at sf0.1 for a decision a ±2% estimate settles);
       // the gate keys on the LARGER side because both score tables cross
       // the wire every iteration
-      val nAuth = ed.select("a").distinct().count()
-      val nHub = ed.select("h").distinct().count()
-      math.max(nAuth, nHub) <= maxBroadcastNodes
+      val r = ed.agg(approx_count_distinct(col("a")).as("na"),
+        approx_count_distinct(col("h")).as("nh")).head()
+      math.max(r.getLong(0), r.getLong(1)) <= maxBroadcastNodes
     }
     // co-partitioned path: pay the edge shuffle ONCE per join key; the
     // checkpoint pins the hash partitioning so each iteration's join

@@ -65,4 +65,66 @@ class MultimodalSpec extends SparkSpec {
     val got = frames.select("media_id", "frame_ms").as[(Long, Long)].collect().toSet
     assert(got == Set((2L, 0L), (2L, 40L)))
   }
+
+  /** The closed-form aHash twin of [[Multimodal.aHashBands]]: the decoded
+    * PNG pixels ARE the pixel law (lossless codec), so the bands computed
+    * through the REAL decode must equal this law-only replica. */
+  private def lawBands(id: Long): Seq[Int] = {
+    val w = (id % 32 + 1).toInt
+    val h = (id % 24 + 1).toInt
+    val g = for (j <- 0 until 8; i <- 0 until 8)
+      yield Multimodal.pixelGray(id, (i * w) / 8, (j * h) / 8)
+    val mean = g.map(_.toLong).sum / 64
+    val bands = new Array[Int](4)
+    for (p <- 0 until 64 if g(p) >= mean) bands(p / 16) |= 1 << (p % 16)
+    bands.toSeq
+  }
+
+  test("aHashBands: the real-codec hash equals the closed-form pixel law") {
+    val manyDocs = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val m = Multimodal.synthesizeMedia(manyDocs, "doc_id", "text")
+      .filter(col("media_type") === "image")
+    val got = Multimodal.aHashBands(m)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got.size == 20) // ids 0,3,...,57
+    got.foreach { case (id, bands) =>
+      assert(bands == lawBands(id), s"id=$id: $bands vs ${lawBands(id)}")
+    }
+    // non-image payloads (no JDK reader) are dropped, not faked
+    val all = Multimodal.aHashBands(Multimodal.synthesizeMedia(
+      manyDocs, "doc_id", "text"))
+    assert(all.count() == 20)
+  }
+
+  test("aHashPairs equals brute-force all-pairs Hamming (pigeonhole-complete to 3)") {
+    // random 4x16-bit fingerprints with planted near-dup structure
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(4)(rnd.nextInt(1 << 16))
+    def flip(b: Array[Int], k: Int): Array[Int] = {
+      val c = b.clone()
+      var left = k
+      while (left > 0) {
+        val p = rnd.nextInt(64)
+        c(p / 16) ^= 1 << (p % 16) // may re-flip: hamming <= k, fine
+        left -= 1
+      }
+      c
+    }
+    val rows = (0L until 40L).map { i =>
+      val b = if (i % 5 == 0) base.clone()
+        else if (i % 5 == 1) flip(base, 2)
+        else if (i % 5 == 2) flip(base, 3)
+        else Array.fill(4)(rnd.nextInt(1 << 16))
+      (i, b.toSeq)
+    }
+    val df = rows.toDF("id", "bands")
+    val got = graft.operators.Dedup.aHashPairs(df, "id", "bands", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val expect = (for {
+      (a, ba) <- rows; (b, bb) <- rows if a < b
+      d = (0 until 4).map(i => Integer.bitCount(ba(i) ^ bb(i))).sum
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == expect, s"got ${got.size} vs expected ${expect.size}")
+  }
 }

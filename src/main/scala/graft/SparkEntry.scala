@@ -4251,6 +4251,145 @@ object SparkEntry {
       .orderBy("part")
   }
 
+  /** Brand-partition modularity (q230): Newman–Girvan modularity of the
+    * `p_brand` community assignment over the part co-purchase graph (parts
+    * co-ordered in ≥ 2 orders — the q115/q217/q219 edge harvest). One row
+    * per community with the exact-integer ingredients (node count, degree
+    * mass, within-community edges, total edges) plus the community's
+    * contribution to Q = Σ_c [e_c/m − (D_c/2m)²], both as a deterministic
+    * floor-ppm integer and as IEEE doubles derived from the exact counts.
+    *
+    * Scale shape: the pair harvest is the bounded per-order fanout join
+    * (orders carry ≤ ~7 parts); everything downstream lives on the edge
+    * grain (two dim joins, map-side-combined rollups) and the brand grain;
+    * `m` arrives by lazy 1-row crossJoin, never a collect. The squared
+    * degree-mass term runs in decimal(38,0) — D_c²·1e6 overflows long at
+    * ~100× but is 23 digits at worst. */
+  private def modularityQ(s: SparkSession, dir: String): DataFrame = {
+    val op = lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = op.toDF("o", "pa").join(op.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .select("pa", "pb")
+    val brand = part(s, dir)
+      .select(col("p_partkey").as("node"), col("p_brand").as("brand"))
+    val eb = edges
+      .join(brand.select(col("node").as("pa"), col("brand").as("ba")), "pa")
+      .join(brand.select(col("node").as("pb"), col("brand").as("bb")), "pb")
+    val deg = eb.select(col("pa").as("node"), col("ba").as("brand"))
+      .unionByName(eb.select(col("pb").as("node"), col("bb").as("brand")))
+      .groupBy("node", "brand").agg(count(lit(1)).as("deg"))
+    val byBrand = deg.groupBy("brand").agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("deg")).as("degree_sum"))
+    val within = eb.where(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("within_edges"))
+    val m = eb.agg(count(lit(1)).as("m_edges"))
+    val d38 = "decimal(38,0)"
+    byBrand.join(within, Seq("brand"), "left")
+      .na.fill(0L, Seq("within_edges"))
+      .crossJoin(m)
+      .withColumn("__w6", col("within_edges") * lit(1000000L))
+      .withColumn("__d6",
+        col("degree_sum").cast(d38) * col("degree_sum").cast(d38) * lit(1000000L).cast(d38))
+      .withColumn("__4m2",
+        col("m_edges").cast(d38) * col("m_edges").cast(d38) * lit(4L).cast(d38))
+      .withColumn("__dh", (col("degree_sum").cast("double") /
+        (col("m_edges").cast("double") * lit(2.0))))
+      .select(
+        col("brand"), col("n_nodes"), col("degree_sum"),
+        col("within_edges"), col("m_edges"),
+        (((col("__w6") - pmod(col("__w6"), col("m_edges"))) / col("m_edges")).cast("long")
+          - ((col("__d6") - pmod(col("__d6"), col("__4m2"))) / col("__4m2")).cast("long"))
+          .as("contrib_ppm"),
+        (col("within_edges").cast("double") / col("m_edges").cast("double")
+          - col("__dh") * col("__dh")).as("contrib"))
+      .orderBy("brand")
+  }
+
+  /** Train/heldout near-dup leakage audit (q231): the q18 MinHash
+    * candidate pairs crossed with the deterministic md5 90/10 split (the
+    * q36 hash law) — the eval-hygiene readout for how much near-duplicate
+    * mass straddles a train/test split (train-side near-dups of held-out
+    * docs inflate held-out metrics; Lee et al. 2022's contamination
+    * argument at the near-dup grain). One summary row: pair counts by
+    * side, the straddling fraction, and the fraction of held-out docs with
+    * at least one train-side near-dup, all integer-exact with floor-ppm
+    * rates. The split labels are two hash projections on the pair grain;
+    * the rollup is one tiny agg — the corpus-scale work is q18's capped
+    * band-bucket harvest, reused unchanged. */
+  private def splitLeakageQ(s: SparkSession, dir: String): DataFrame = {
+    def isTrain(c: Column): Column =
+      pmod(PortableHash.md5Hash60(c), lit(1000000L)) < lit(900000L)
+    val lab = Dedup.minhashCandidatePairs(documents(s, dir), "doc_id", "text",
+      shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+      .select(col("id_a"), col("id_b"),
+        isTrain(col("id_a")).as("ta"), isTrain(col("id_b")).as("tb"))
+    val ag = lab.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("ta") && col("tb"), lit(1L)).otherwise(lit(0L)))
+        .as("n_train_train"),
+      sum(when(!col("ta") && !col("tb"), lit(1L)).otherwise(lit(0L)))
+        .as("n_held_held"),
+      sum(when(col("ta") =!= col("tb"), lit(1L)).otherwise(lit(0L)))
+        .as("n_cross"))
+    val leaked = lab.where(col("ta") =!= col("tb"))
+      .select(when(col("ta"), col("id_b")).otherwise(col("id_a")).as("h"))
+      .agg(count_distinct(col("h")).as("n_held_docs_leaked"))
+    val heldTotal = documents(s, dir)
+      .where(!isTrain(col("doc_id")))
+      .agg(count(lit(1)).as("n_held_docs"))
+    def ppm(n: Column, d: Column): Column =
+      when(d > 0L, ((n * lit(1000000L) - pmod(n * lit(1000000L), d)) / d)
+        .cast("long")).otherwise(lit(0L))
+    ag.crossJoin(leaked).crossJoin(heldTotal)
+      .select(
+        col("n_pairs"), col("n_train_train"), col("n_held_held"),
+        col("n_cross"), col("n_held_docs_leaked"), col("n_held_docs"),
+        ppm(col("n_cross"), col("n_pairs")).as("leak_ppm"),
+        ppm(col("n_held_docs_leaked"), col("n_held_docs")).as("exposure_ppm"))
+  }
+
+  /** Signed-random-projection recall ablation (q232): Achlioptas/JL ±1
+    * projection of the int8-quantized embeddings from 64 to {8,16,32}
+    * dims ([[graft.operators.Similarity.signedProjection]], splitmix-
+    * derived sign literals inlined in BOTH engines), then per probe and
+    * per dim how much of the full-dimension quantized top-5 (the q48
+    * chain) survives in the projected top-5 — the dimension-reduction
+    * member of the ANN ablation family (q122 measures prefix truncation;
+    * this measures a proper JL mix). Every product/sum through the
+    * projection is an integer ≤ 64·127, so the projection is exact in any
+    * summation order; the final cosines are IEEE ops over exact integers
+    * — engine-identical. On this corpus the curve sits near zero at every
+    * dim: the synthetic embeddings are isotropic, so top-k membership
+    * among near-equidistant neighbors is unstable under ANY compression —
+    * JL preserves pairwise distances, not the ranking of ties. That
+    * collapse is the readout: it flags a corpus with no intrinsic
+    * low-dimensional neighborhood structure BEFORE anyone ships a
+    * cheapened index built on it. */
+  private def jlRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
+    val full = Similarity
+      .bruteForceTopKQuantized(q, q.filter(col("vec_id") < 10), "vec_id", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    Seq(8, 16, 32).map { d =>
+      val pq = Similarity.signedProjection(q, "vec_id", "qvec",
+        Similarity.jlSigns(d, 64))
+      val proj = Similarity
+        .bruteForceTopKQuantized(pq, pq.filter(col("vec_id") < 10), "vec_id", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      full.join(proj.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+        .select(col("query_id"), lit(d).as("dim"), col("n_overlap"),
+          (col("n_overlap").cast("double") / 5).as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy("query_id", "dim")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -4480,7 +4619,10 @@ object SparkEntry {
     "q226_km_risk_table" -> (kmRiskTableQ _),
     "q227_conformal_coverage" -> (conformalCoverageQ _),
     "q228_cusum_change" -> (cusumQ _),
-    "q229_phash_neardup" -> (phashNearDupQ _)
+    "q229_phash_neardup" -> (phashNearDupQ _),
+    "q230_modularity" -> (modularityQ _),
+    "q231_split_leakage" -> (splitLeakageQ _),
+    "q232_jl_recall" -> (jlRecallQ _)
   )
 
   /** shared langid scoring subquery SQL (q15 / q39) */
@@ -4901,6 +5043,98 @@ object SparkEntry {
        |  UNION
        |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id)
        |SELECT id, min(lbl) AS component FROM walk GROUP BY id ORDER BY id""".stripMargin
+
+  /** q231 oracle: the q18 pair pipeline crossed with the q36 md5 split
+    * law; counts and floor-ppm rates replayed verbatim. */
+  private lazy val splitLeakageOracleSql: String =
+    s"""WITH $minhashPipelineCte,
+       |mpairs AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM sized a JOIN sized b ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+       |  WHERE a.bsz BETWEEN 2 AND 1000),
+       |lab AS (
+       |  SELECT ia, ib,
+       |    ((${PortableHash.md5Hash60Sql("ia")} % 1000000) < 900000) AS ta,
+       |    ((${PortableHash.md5Hash60Sql("ib")} % 1000000) < 900000) AS tb
+       |  FROM mpairs),
+       |ag AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(COALESCE(SUM(CASE WHEN ta AND tb THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_train_train,
+       |    CAST(COALESCE(SUM(CASE WHEN NOT ta AND NOT tb THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_held_held,
+       |    CAST(COALESCE(SUM(CASE WHEN ta <> tb THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_cross
+       |  FROM lab),
+       |lh AS (
+       |  SELECT CAST(COUNT(DISTINCT CASE WHEN ta THEN ib ELSE ia END) AS BIGINT)
+       |    AS n_held_docs_leaked
+       |  FROM lab WHERE ta <> tb),
+       |ht AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_held_docs FROM documents
+       |  WHERE (${PortableHash.md5Hash60Sql("doc_id")} % 1000000) >= 900000)
+       |SELECT n_pairs, n_train_train, n_held_held, n_cross,
+       |  n_held_docs_leaked, n_held_docs,
+       |  CASE WHEN n_pairs > 0
+       |    THEN (n_cross * 1000000) // n_pairs ELSE 0 END AS leak_ppm,
+       |  CASE WHEN n_held_docs > 0
+       |    THEN (n_held_docs_leaked * 1000000) // n_held_docs ELSE 0 END
+       |    AS exposure_ppm
+       |FROM ag, lh, ht""".stripMargin
+
+  /** q232 oracle: the q48 quantization replay, projected through the SAME
+    * splitmix ±1 literals the Spark plan carries (both sides inline
+    * [[graft.operators.Similarity.jlSigns]]'s output — that IS the replay
+    * guarantee), full-dim and projected top-5 chains, overlap per probe. */
+  private lazy val jlRecallOracleSql: String = {
+    val dims = Seq(8, 16, 32)
+    def projCte(d: Int): String = {
+      val projList = Similarity.jlSigns(d, 64)
+        .map(row => s"list_dot_product(v, [${row.map(x => s"$x.0").mkString(",")}])")
+        .mkString(",\n      ")
+      s"""p$d AS (
+         |  SELECT vec_id, [
+         |      $projList] AS v
+         |  FROM q)""".stripMargin
+    }
+    def topkCte(src: String, out: String): String =
+      s"""$out AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        list_dot_product(a.v, b.v)
+         |          / (sqrt(list_dot_product(a.v, a.v))
+         |             * sqrt(list_dot_product(b.v, b.v))) DESC,
+         |        b.vec_id) AS r
+         |    FROM $src a JOIN $src b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) z
+         |  WHERE r <= 5)""".stripMargin
+    val dimBlocks = dims.map { d =>
+      s"""SELECT f.query_id, $d AS dim,
+         |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_overlap,
+         |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 5 AS recall
+         |FROM fullk f LEFT JOIN projk$d t
+         |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+         |GROUP BY f.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |    CASE WHEN ma > 0 THEN list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / CAST(ma AS DOUBLE)) + 0.5)
+       |           AS DOUBLE))
+       |    ELSE list_transform(embedding, x -> CAST(0.0 AS DOUBLE)) END AS v
+       |  FROM e),
+       |${dims.map(projCte).mkString(",\n")},
+       |${topkCte("q", "fullk")},
+       |${dims.map(d => topkCte(s"p$d", s"projk$d")).mkString(",\n")}
+       |$dimBlocks
+       |ORDER BY query_id, dim""".stripMargin
+  }
 
   /** Shared CTE body replaying the IVF all-queries top-5 chain
     * (q171/q133/q139/q175): head centroids with nlist=⌈√n⌉, one
@@ -5760,6 +5994,47 @@ object SparkEntry {
         |SELECT id_a, id_b, hamming FROM cross_pairs
         |UNION ALL SELECT id_a, id_b, hamming FROM within
         |ORDER BY id_a, id_b""".stripMargin,
+    // the q115/q217 co-purchase edge harvest + brand dim joins; the
+    // squared degree-mass ppm term runs in HUGEINT (it overflows BIGINT
+    // at ~100x), the doubles are single IEEE ops over exact counts
+    "q230_modularity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS pa, b.p AS pb
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |eb AS (
+        |  SELECT e.pa, e.pb, x.p_brand AS ba, y.p_brand AS bb
+        |  FROM edges e JOIN part x ON x.p_partkey = e.pa
+        |               JOIN part y ON y.p_partkey = e.pb),
+        |deg AS (
+        |  SELECT node, brand, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT pa AS node, ba AS brand FROM eb
+        |    UNION ALL SELECT pb, bb FROM eb) z GROUP BY node, brand),
+        |bb AS (
+        |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(deg) AS BIGINT) AS degree_sum
+        |  FROM deg GROUP BY brand),
+        |wi AS (
+        |  SELECT ba AS brand, CAST(COUNT(*) AS BIGINT) AS within_edges
+        |  FROM eb WHERE ba = bb GROUP BY ba),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM eb)
+        |SELECT b.brand, b.n_nodes, b.degree_sum,
+        |  CAST(COALESCE(w.within_edges, 0) AS BIGINT) AS within_edges,
+        |  m.m_edges,
+        |  CAST((COALESCE(w.within_edges, 0) * 1000000) // m.m_edges
+        |    - (CAST(b.degree_sum AS HUGEINT) * b.degree_sum * 1000000)
+        |      // (CAST(m.m_edges AS HUGEINT) * m.m_edges * 4)
+        |    AS BIGINT) AS contrib_ppm,
+        |  CAST(COALESCE(w.within_edges, 0) AS DOUBLE) / CAST(m.m_edges AS DOUBLE)
+        |    - (CAST(b.degree_sum AS DOUBLE) / (CAST(m.m_edges AS DOUBLE) * 2.0))
+        |      * (CAST(b.degree_sum AS DOUBLE) / (CAST(m.m_edges AS DOUBLE) * 2.0))
+        |    AS contrib
+        |FROM bb b LEFT JOIN wi w USING (brand), m
+        |ORDER BY brand""".stripMargin,
+    "q231_split_leakage" -> splitLeakageOracleSql,
+    "q232_jl_recall" -> jlRecallOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

@@ -86,6 +86,42 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas 2003's
+    * database-friendly projection, the ±1 case): `outDims` rows of
+    * `inDims` signs drawn from the splitmix64 stream — the same literals
+    * every run and every engine, so a generated oracle can inline them. */
+  def jlSigns(outDims: Int, inDims: Int): Seq[Seq[Int]] =
+    (0 until outDims).map { j =>
+      (0 until inDims).map { d =>
+        if (((graft.functions.PortableHash.splitmix(
+          j.toLong * 8191L + d.toLong) >>> 17) & 1L) == 1L) 1 else -1
+      }
+    }
+
+  /** Signed random projection of an integer-valued vector column (e.g.
+    * [[quantizeInt8]]'s `qvec`) onto `signs.length` dimensions: out_j =
+    * Σ_d signs(j)(d)·v(d). Every product and partial sum is an integer
+    * with |out_j| ≤ inDims·max|v| — exactly representable in double, so
+    * the result is summation-order-independent and engine-exact (no float
+    * parity hazard anywhere in the projection). Output keeps the `qvec`
+    * name so the quantized top-k kernels run on it unchanged.
+    *
+    * Scale shape: a narrow per-row projection on the scan — no shuffle,
+    * no state; the matrix rides along as plan literals. */
+  def signedProjection(
+      df: DataFrame, idCol: String, vecCol: String,
+      signs: Seq[Seq[Int]]): DataFrame = {
+    require(signs.nonEmpty && signs.map(_.length).distinct.size == 1,
+      "signs must be a non-empty rectangular matrix")
+    val projected = signs.map { row =>
+      aggregate(
+        zip_with(col(vecCol), lit(row.toArray),
+          (x, sgn) => x.cast("double") * sgn.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.select(col(idCol), array(projected: _*).as("qvec"))
+  }
+
   /** Index-build step: the first `nlist` corpus vectors in id order as
     * stand-in centroids. ONE tiny driver action (limit-pushed scan of nlist
     * rows) at index-build time — never per query. Prefer

@@ -222,7 +222,8 @@ object Bench {
       "q218_kmeans_lloyd", "q219_single_linkage", "q220_bfs_layers",
       "q221_matching_att", "q222_hdbscan_profile", "q223_heaps_curve",
       "q224_clustering_coeff", "q225_stratified_ate", "q226_km_risk_table",
-      "q227_conformal_coverage", "q228_cusum_change", "q229_phash_neardup")
+      "q227_conformal_coverage", "q228_cusum_change", "q229_phash_neardup",
+      "q230_modularity", "q231_split_leakage", "q232_jl_recall")
     // Section hygiene: queries that .cache() pin their sf0.1 blocks in the
     // block manager for the rest of the JVM — by the time the sf1 section
     // runs, executor memory is part-occupied by dead sf0.1 cache (the

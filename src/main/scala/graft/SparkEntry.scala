@@ -4275,18 +4275,28 @@ object SparkEntry {
       .select("pa", "pb")
     val brand = part(s, dir)
       .select(col("p_partkey").as("node"), col("p_brand").as("brand"))
+    // the harvest feeds three different grains (brand-pair cells, node
+    // distincts, the global edge count) — materialize it once instead of
+    // re-running the order-pair self-join per consumer
     val eb = edges
       .join(brand.select(col("node").as("pa"), col("brand").as("ba")), "pa")
       .join(brand.select(col("node").as("pb"), col("brand").as("bb")), "pb")
-    val deg = eb.select(col("pa").as("node"), col("ba").as("brand"))
+      .localCheckpoint()
+    // ONE edge-grain aggregate to the ≤|brands|² cell grain; degree mass,
+    // within-edges and m are all tiny reads off it (an edge contributes its
+    // count to ba's and bb's degree mass — same total as per-node degrees)
+    val cells = eb.groupBy("ba", "bb").agg(count(lit(1)).as("c"))
+    val degByBrand = cells.select(col("ba").as("brand"), col("c"))
+      .unionByName(cells.select(col("bb").as("brand"), col("c")))
+      .groupBy("brand").agg(sum(col("c")).as("degree_sum"))
+    val nNodes = eb.select(col("pa").as("node"), col("ba").as("brand"))
       .unionByName(eb.select(col("pb").as("node"), col("bb").as("brand")))
-      .groupBy("node", "brand").agg(count(lit(1)).as("deg"))
-    val byBrand = deg.groupBy("brand").agg(
-      count(lit(1)).as("n_nodes"),
-      sum(col("deg")).as("degree_sum"))
-    val within = eb.where(col("ba") === col("bb"))
-      .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("within_edges"))
-    val m = eb.agg(count(lit(1)).as("m_edges"))
+      .distinct()
+      .groupBy("brand").agg(count(lit(1)).as("n_nodes"))
+    val byBrand = degByBrand.join(nNodes, Seq("brand"))
+    val within = cells.where(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(sum(col("c")).as("within_edges"))
+    val m = cells.agg(sum(col("c")).as("m_edges"))
     val d38 = "decimal(38,0)"
     byBrand.join(within, Seq("brand"), "left")
       .na.fill(0L, Seq("within_edges"))
@@ -4323,10 +4333,14 @@ object SparkEntry {
   private def splitLeakageQ(s: SparkSession, dir: String): DataFrame = {
     def isTrain(c: Column): Column =
       pmod(PortableHash.md5Hash60(c), lit(1000000L)) < lit(900000L)
+    // the pair table feeds two aggregates (side counts + distinct leaked
+    // held docs); it is tiny (flood-capped harvest) — materialize it once
+    // instead of re-running the signature/band pipeline per consumer
     val lab = Dedup.minhashCandidatePairs(documents(s, dir), "doc_id", "text",
       shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
       .select(col("id_a"), col("id_b"),
         isTrain(col("id_a")).as("ta"), isTrain(col("id_b")).as("tb"))
+      .localCheckpoint()
     val ag = lab.agg(
       count(lit(1)).as("n_pairs"),
       sum(when(col("ta") && col("tb"), lit(1L)).otherwise(lit(0L)))

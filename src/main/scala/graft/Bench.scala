@@ -248,6 +248,14 @@ object Bench {
         // q113 cold-cache min-of-2 read 4.97x where the warm steady state
         // is ~3.2x. Same methodology as the sf0.1 suite now.
         val r1 = heavy.filter(h => only.forall(_.contains(h))).flatMap { name =>
+          // per-QUERY hygiene, not just per-section: a query's .cache()
+          // pins sf1 blocks that are dead weight for every LATER query in
+          // the section (plan-keyed, never reusable across queries), and
+          // the accumulated pressure inflated late entries 2-5x vs their
+          // fresh-JVM steady state (r9 measured: q33 16.3s in-section vs
+          // 3.3s isolated, q166 13.4 vs 4.4, q38 3.4 vs 0.9). Each query
+          // now measures with only its own cache — the graft.Once posture.
+          dropDeadCache()
           val times = (1 to 3).flatMap { _ =>
             System.gc()
             val t0 = System.nanoTime()
@@ -315,7 +323,7 @@ object Bench {
           val ts = r1.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
           val rs = r1.flatMap { case (k, _, r) => r.map("\"" + k + "\":" + _) }
             .mkString("{", ",", "}")
-          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog); min-of-3 timings after dropping the suite's dead sf0.1 cache blocks (plan-keyed caches cannot be reused across dirs; leaving them pinned inflated sf1 reads 3-5x); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size. Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join)""""
+          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog); min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size. Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join)""""
         }
       }
     writeOut(head + sf1Json + "}")
@@ -348,6 +356,7 @@ object Bench {
       else {
         val r = probe.filter { case (h, _) => only.forall(_.contains(h)) }
           .flatMap { case (name, reps) =>
+            dropDeadCache() // same per-query hygiene as the sf1 section
             val times = (1 to reps).flatMap { _ =>
               System.gc()
               val t0 = System.nanoTime()

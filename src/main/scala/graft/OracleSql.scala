@@ -2130,7 +2130,8 @@ private[graft] object OracleSql {
       val zsql = graft.operators.Layout.zValue2Sql("cx", "cy", 16)
       val hctes = graft.operators.Layout.hilbert2SqlCtes("hin", 16, Seq("cx", "cy"))
       s"""WITH cells AS (
-         |  SELECT DISTINCT l_suppkey AS cx, l_partkey AS cy FROM lineitem),
+         |  SELECT DISTINCT l_suppkey % 65536 AS cx, l_partkey % 65536 AS cy
+         |  FROM lineitem),
          |hin AS (SELECT cx, cy, cx AS hx, cy AS hy FROM cells),
          |$hctes,
          |hz AS (SELECT 'hilbert' AS strategy, cx, cy, hd AS idx FROM hil16

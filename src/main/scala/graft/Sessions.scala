@@ -57,6 +57,14 @@ object Sessions {
       // on unannotated, potentially-unbounded windows.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
+      // The whole-stage-codegen class cache holds 100 compiled plans by
+      // default (static conf) — a 232-query suite churns it, so by the
+      // time a long-lived JVM re-executes a plan its generated class has
+      // been evicted and every execution pays Janino recompilation (the
+      // literal-heavy band-LSH plans pay seconds: q33's sf1 samples read
+      // 11-16 s mid-suite vs 3.3 s isolated). Hold every plan of a full
+      // suite pass instead; entries are compiled classes, O(10 KB) each.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

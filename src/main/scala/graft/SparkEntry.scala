@@ -3127,8 +3127,14 @@ object SparkEntry {
     * NOT discriminate — at dyadic bucket sizes both curves tile the same
     * rectangles; the jump metric is the one that sees Morton's seams. */
   private def hilbertLocalityQ(s: SparkSession, dir: String): DataFrame = {
+    // keys fold into the 2^16 grid (pmod) — raw key domains are unbounded
+    // at scale (the 10x replica's shifted partkeys overflow 16 bits; a
+    // real catalog would too), and a layout audit only needs the bounded
+    // cell grid, not key identity. Identity at sf<=0.1 (keys < 2^16), so
+    // the oracle grain is unchanged.
     val cells = lineitem(s, dir)
-      .select(col("l_suppkey").as("cx"), col("l_partkey").as("cy")).distinct()
+      .select(pmod(col("l_suppkey"), lit(65536L)).as("cx"),
+        pmod(col("l_partkey"), lit(65536L)).as("cy")).distinct()
     val z = cells
       .withColumn("idx", graft.operators.Layout.zValue2(col("cx"), col("cy"), bits = 16))
       .withColumn("strategy", lit("zorder"))

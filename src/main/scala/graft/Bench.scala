@@ -5,7 +5,25 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Results are fully materialized through the noop
   * sink (a bare count() would let Catalyst prune all computed columns and
-  * benchmark only the scan). */
+  * benchmark only the scan).
+  *
+  * Artifact durability contract (three rounds of timeout-killed driver
+  * captures motivated this):
+  *   1. BENCH.json is (re)written after EVERY completed section, so a
+  *      killed run still leaves valid JSON.
+  *   2. Sections this run does NOT measure (deselected via
+  *      SPARK_GRAFT_SECTIONS, or skipped because the wall budget would be
+  *      blown) are CARRIED FORWARD verbatim from the existing record
+  *      (SPARK_GRAFT_BASE_JSON if set, else the current BENCH.json) — a
+  *      partial run can therefore never make the committed artifact LESS
+  *      complete than it was, only fresher. Carried sections are stamped
+  *      in `carried_sections` + `carried_from`.
+  *   3. A wall budget (SPARK_GRAFT_BUDGET_SEC, default 3300 s) is checked
+  *      before each sf1 query / sf10 probe / the pipeline run: work whose
+  *      estimate exceeds the remaining budget is SKIPPED WITH A LOGGED
+  *      REASON (and carried from the prior record where available)
+  *      instead of dying mid-query at the driver's timeout.
+  */
 object Bench {
 
   private def jstr(s: String): String =
@@ -24,52 +42,95 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t0) / 1e9
+    val budgetSec = sys.env.get("SPARK_GRAFT_BUDGET_SEC")
+      .map(_.toDouble).getOrElse(3300.0)
+    def remainingSec: Double = budgetSec - elapsedSec
+    def sectionDone(name: String): Unit = System.err.println(
+      f"[bench] section $name done: elapsed=$elapsedSec%.0fs remaining=$remainingSec%.0fs of budget $budgetSec%.0fs")
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Which sections THIS run measures (suite,sf1,sf10,pipeline). The
+    // driver sets nothing, so its run measures everything the budget
+    // allows; a section-refresh run names just the sections it re-measures
+    // and the rest is carried forward from the prior record.
+    val sections: Set[String] = sys.env.get("SPARK_GRAFT_SECTIONS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("suite", "sf1", "sf10", "pipeline"))
+
+    // Carry-forward source: an explicit base artifact, else the existing
+    // output file. Parsed leniently — an absent/corrupt file just means
+    // nothing can be carried.
+    val benchOutPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
+    val carrySrcPath: String =
+      sys.env.getOrElse("SPARK_GRAFT_BASE_JSON", benchOutPath)
+    val carryTree: Option[com.fasterxml.jackson.databind.JsonNode] =
+      try {
+        val f = new java.io.File(carrySrcPath)
+        if (f.exists) Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(f))
+        else None
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] carry source unreadable: ${e.getMessage}"); None
+      }
+    /** Re-emit `keys` verbatim from the carry source as a JSON fragment. */
+    def carriedFragment(keys: Seq[String]): String =
+      carryTree.map { t =>
+        keys.flatMap(k => Option(t.get(k)).map(v => s""","$k":${v.toString}"""))
+          .mkString
+      }.getOrElse("")
+
     val spark = Sessions.local(cpus)
+    // dev-only subset filter (comma-separated names); the driver sets no
+    // SPARK_GRAFT_ONLY, so its run always covers the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Suite reuse: when this run does not measure the suite, per-query
+    // sf0.1 times come from the carry source (provenance stamped below).
+    val baseJson: Option[Map[String, Option[Double]]] =
+      if (sections.contains("suite")) None
+      else carryTree.flatMap { t =>
+        Option(t.get("queries")).map { node =>
+          val it = node.fields()
+          val m = scala.collection.mutable.Map[String, Option[Double]]()
+          while (it.hasNext) {
+            val e = it.next()
+            m(e.getKey) =
+              if (e.getValue.isNull) None else Some(e.getValue.asDouble)
+          }
+          m.toMap
+        }
+      }
+    if (!sections.contains("suite") && baseJson.isEmpty)
+      System.err.println(
+        "[bench] WARNING: suite deselected but no carry source has 'queries' — suite will re-measure")
+    val measureSuite = sections.contains("suite") || baseJson.isEmpty
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Steady-state methodology: one untimed warmup pass of the full suite
     // (JIT + codegen compilation + page cache), then the timed pass. The
     // first cold execution of a query otherwise absorbs JVM cold-start that
     // has nothing to do with the query's plan — alphabetically-first queries
     // were charged ~2s of C2 compiler time. Engine throughput (what the
-    // 100 TB posture cares about) is the steady-state number.
-    // dev-only subset filter (comma-separated names); the driver sets no
-    // SPARK_GRAFT_ONLY, so its run always covers the full suite
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Section-refresh mode: SPARK_GRAFT_BASE_JSON=<path to a prior full
-    // BENCH.json> skips the ~40-min sf0.1 suite pass and reuses its
-    // measured per-query times (provenance: that committed artifact), while
-    // the sf1/sf10/pipeline sections below re-measure fresh. Exists so a
-    // section-level methodology fix (like the dead-cache drop below) can
-    // regenerate the affected sections without paying for an unaffected
-    // suite re-run. The driver sets no SPARK_GRAFT_BASE_JSON, so its run is
-    // always end-to-end.
-    val baseJson: Option[Map[String, Option[Double]]] =
-      sys.env.get("SPARK_GRAFT_BASE_JSON").map { p =>
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(p)).get("queries")
-        val it = node.fields()
-        val m = scala.collection.mutable.Map[String, Option[Double]]()
-        while (it.hasNext) {
-          val e = it.next()
-          m(e.getKey) = if (e.getValue.isNull) None else Some(e.getValue.asDouble)
+    // 100 TB posture cares about) is the steady-state number. The warmup
+    // runs whenever ANY in-JVM timing section runs (suite/sf1/sf10):
+    // section-refresh measurements are only comparable to full-run ones if
+    // the JVM reaches the same JIT state first. Measured without it: q33's
+    // three sf1 samples all read ~17 s (C2 queue saturated by the first
+    // heavy queries' kernels) where the same query isolated in a warm JVM
+    // runs 3.3 s.
+    if (sections.exists(Set("suite", "sf1", "sf10"))) {
+      ordered.foreach { case (name, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
         }
-        m.toMap
       }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    ordered.foreach { case (name, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
-      }
+      sectionDone("warmup")
     }
-    // The warmup pass runs in BOTH modes: section-refresh measurements are
-    // only comparable to full-run ones if the JVM reaches the same JIT
-    // state first. Measured without it: q33's three sf1 samples all read
-    // ~17 s (C2 queue saturated by the first heavy queries' kernels) where
-    // the same query isolated in a warm JVM runs 3.3 s.
     // Timed pass: min of 3 back-to-back executions per query, with a GC
     // between queries so one query's garbage (broadcast blocks, shuffle
     // buffers) is not billed to the next — a single-shot suite measurement
@@ -95,10 +156,10 @@ object Bench {
       case (name, fn) =>
         System.gc()
         val samples = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
+          val t0q = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Right((System.nanoTime() - t0) / 1e9)
+            Right((System.nanoTime() - t0q) / 1e9)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             Left(String.valueOf(e.getMessage).take(300))
@@ -116,6 +177,7 @@ object Bench {
         }
       }
     }
+    if (measureSuite) sectionDone("suite")
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(_)) => "\"" + k + "\":null"
@@ -132,25 +194,54 @@ object Bench {
     // this run actually measured, so a blended record can never be read as
     // one end-to-end measurement (it used to be recorded only in commit
     // messages).
-    val provJson = sys.env.get("SPARK_GRAFT_BASE_JSON")
-      .map(p => s""","sf01_source":${jstr(p)},"refreshed_sections":["sf1","sf10","pipeline"]""")
-      .getOrElse("")
+    val provJson =
+      if (measureSuite) ""
+      else s""","sf01_source":${jstr(carrySrcPath)}"""
 
-    // Durable-record discipline: write BENCH.json after EVERY completed
-    // section (suite → sf1 → sf10 → pipeline), not once at the end — a
-    // timeout-killed run (the driver's capture window is finite and the
-    // full suite+sections run has exceeded it two rounds running) must
-    // still leave valid JSON carrying the sections it finished.
     val head =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"$provJson"""
-    writeOut(head + "}")
+
+    // Assemble-and-persist: the durable file ALWAYS contains every section
+    // — measured ones from this run, the rest carried verbatim — so a kill
+    // at any point leaves the most complete record available.
+    val carriedSections = scala.collection.mutable.LinkedHashSet[String]()
+    val sf1Keys = Seq("sf1", "sf1_over_sf01_ratio", "sf1_dir", "sf1_diag", "sf1_note")
+    val sf10Keys = Seq("sf10", "sf10_over_sf01_ratio", "sf10_dir", "sf10_note")
+    val pipeKeys = Seq("pipeline")
+    var sf1Json = carriedFragment(sf1Keys)
+    var sf10Json = carriedFragment(sf10Keys)
+    var pipeJson = carriedFragment(pipeKeys)
+    if (sf1Json.nonEmpty) carriedSections += "sf1"
+    if (sf10Json.nonEmpty) carriedSections += "sf10"
+    if (pipeJson.nonEmpty) carriedSections += "pipeline"
+    def persist(): Unit = {
+      val stamp =
+        if (carriedSections.isEmpty) ""
+        else s""","carried_sections":[${carriedSections.map("\"" + _ + "\"").mkString(",")}],"carried_from":${jstr(carrySrcPath)}"""
+      writeOut(head + sf1Json + sf10Json + pipeJson + stamp + "}")
+    }
+    persist()
+
+    // Section hygiene: queries that .cache() pin their sf0.1 blocks in the
+    // block manager for the rest of the JVM — by the time the sf1 section
+    // runs, executor memory is part-occupied by dead sf0.1 cache (the
+    // caches key on the plan, so the sf1-dir reads can never reuse them)
+    // and the measurements absorb eviction/GC pressure that has nothing to
+    // do with the plans. Measured effect before this fix: q152 sf1
+    // min-of-3 read 21.6 s inside the full-suite JVM vs 3.9 s in a fresh
+    // one (q33 9.1 vs 2.8, q184 4.3 vs 1.1) — a 3-5x phantom
+    // superlinearity. Dropping dead cache between sections restores the
+    // fresh-JVM numbers without giving up the warm-JIT steady state.
+    def dropDeadCache(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
 
     // Scale-proof section: if the 10x replica built by graft.ScaleGen is on
-    // disk, run the heavy operator family against it once (single-shot —
-    // plans are already JIT-warm from the suite above; the page-cache-cold
-    // scan is part of an honest 10x measurement) and report per-query times
-    // plus the t(10x)/t(1x) ratio. ~10 = linear scaling; the ratio IS the
-    // empirical scaling exponent the plan pins only argue for.
+    // disk, run the heavy operator family against it (min-of-3, per-query
+    // dead-cache drops) and report per-query times plus the t(10x)/t(1x)
+    // ratio. ~10 = linear scaling; the ratio IS the empirical scaling
+    // exponent the plan pins only argue for.
     // Coverage rule: every query whose sf0.1 steady-state time exceeds
     // ~0.5 s is in the list (plus a few named sub-0.5 s ops whose scaling
     // is of independent interest). The one exclusion: q131_mutual_knn is
@@ -223,31 +314,32 @@ object Bench {
       "q221_matching_att", "q222_hdbscan_profile", "q223_heaps_curve",
       "q224_clustering_coeff", "q225_stratified_ate", "q226_km_risk_table",
       "q227_conformal_coverage", "q228_cusum_change", "q229_phash_neardup",
-      "q230_modularity", "q231_split_leakage", "q232_jl_recall")
-    // Section hygiene: queries that .cache() pin their sf0.1 blocks in the
-    // block manager for the rest of the JVM — by the time the sf1 section
-    // runs, executor memory is part-occupied by dead sf0.1 cache (the
-    // caches key on the plan, so the sf1-dir reads can never reuse them)
-    // and the measurements absorb eviction/GC pressure that has nothing to
-    // do with the plans. Measured effect before this fix: q152 sf1
-    // min-of-3 read 21.6 s inside the full-suite JVM vs 3.9 s in a fresh
-    // one (q33 9.1 vs 2.8, q184 4.3 vs 1.1) — a 3-5x phantom
-    // superlinearity. Dropping dead cache between sections restores the
-    // fresh-JVM numbers without giving up the warm-JIT steady state.
-    def dropDeadCache(): Unit = {
-      spark.catalog.clearCache()
-      System.gc()
-    }
-    dropDeadCache()
-    val sf1Json =
-      if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists) ""
-      else {
-        // min-of-3 (was min-of-2, was single-shot): one bad sample at the
-        // 10x scale inflates the ratio ~5x and reads as a phantom
-        // superlinearity — r5's q18 "13.4x" was exactly that, and r7's
-        // q113 cold-cache min-of-2 read 4.97x where the warm steady state
-        // is ~3.2x. Same methodology as the sf0.1 suite now.
-        val r1 = heavy.filter(h => only.forall(_.contains(h))).flatMap { name =>
+      "q230_modularity", "q231_split_leakage", "q232_jl_recall",
+      "q233_dhash_neardup", "q234_group_leakage", "q235_hyperplane_stats")
+    // sf1 per-query budget estimate: 3 samples x base x (worst observed
+    // 10x ratio ~10, so x10) + overhead. Unknown-base queries get a flat
+    // conservative guess.
+    def sf1Est(name: String): Double =
+      okTimes.get(name).flatMap(_.toOption).map(b => 3 * b * 10 + 5).getOrElse(60.0)
+    if (sections.contains("sf1")
+        && new java.io.File(s"$sf1Dir/lineitem.parquet").exists) {
+      dropDeadCache()
+      // min-of-3 (was min-of-2, was single-shot): one bad sample at the
+      // 10x scale inflates the ratio ~5x and reads as a phantom
+      // superlinearity — r5's q18 "13.4x" was exactly that, and r7's
+      // q113 cold-cache min-of-2 read 4.97x where the warm steady state
+      // is ~3.2x. Same methodology as the sf0.1 suite now.
+      var sf1Stopped: Option[String] = None
+      val heavySel = heavy.filter(h => only.forall(_.contains(h)))
+      val r1 = heavySel.flatMap { name =>
+        if (sf1Stopped.isDefined) None
+        else if (remainingSec < sf1Est(name) + 120) {
+          // leave >=2 min so the sf10/pipeline carry-persist still happens
+          sf1Stopped = Some(name)
+          System.err.println(
+            f"[bench] sf1 section stopped at $name: est ${sf1Est(name)}%.0fs > remaining ${remainingSec}%.0fs-120s (budget $budgetSec%.0fs)")
+          None
+        } else {
           // per-QUERY hygiene, not just per-section: a query's .cache()
           // pins sf1 blocks that are dead weight for every LATER query in
           // the section (plan-keyed, never reusable across queries), and
@@ -258,11 +350,11 @@ object Bench {
           dropDeadCache()
           val times = (1 to 3).flatMap { _ =>
             System.gc()
-            val t0 = System.nanoTime()
+            val t0q = System.nanoTime()
             try {
               SparkEntry.queries(name)(spark, sf1Dir)
                 .write.format("noop").mode("overwrite").save()
-              Some((System.nanoTime() - t0) / 1e9)
+              Some((System.nanoTime() - t0q) / 1e9)
             } catch { case e: Throwable =>
               System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}"); None
             }
@@ -276,148 +368,230 @@ object Bench {
             Some((name, t, ratio))
           }
         }
-        // q18 scaling diagnostic: the pair harvest's cost driver is bucket
-        // occupancy at the distinct-signature grain; report it for both
-        // scales so a superlinear time ratio can be attributed (occupancy
-        // growth vs per-row constants) from the bench notes alone
-        if (r1.exists(_._1 == "q18_minhash_pairs")) {
-          for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
-            val st = graft.operators.Dedup.minhashBucketStats(
-              Tables.documents(spark, d), "doc_id", "text",
-              shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
-              .collect().head
-            System.err.println(
-              s"[bench] q18 occupancy $tag: n_buckets=${st.getLong(0)} " +
-                s"sig_band_rows=${st.getLong(1)} max_occ=${st.getLong(2)} " +
-                s"multi_buckets=${st.getLong(3)} pair_work=${st.getLong(4)}")
-          }
-        }
-        // q113 scaling diagnostic: prefix-join candidate work scales with
-        // the token-frequency mass sum(df^2), and ScaleGen's replica keeps
-        // the shingle VOCABULARY nearly fixed while multiplying rows — so
-        // density (and candidate pairs) grows ~quadratically where a real
-        // corpus grows its vocabulary ~linearly. Reporting both scales
-        // makes a superlinear time ratio attributable from the notes alone.
-        if (r1.exists(_._1 == "q113_set_similarity")) {
-          import graft.functions.{SimilarityFunctions => SF}
-          for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
-            val st = Tables.documents(spark, d)
-              .select(org.apache.spark.sql.functions.explode(
-                org.apache.spark.sql.functions.array_distinct(
-                  SF.tokenShingles(org.apache.spark.sql.functions.col("text"), 3)))
-                .as("t"))
-              .groupBy("t").count()
-              .agg(org.apache.spark.sql.functions.count(
-                org.apache.spark.sql.functions.lit(1)).as("n_shingles"),
-                org.apache.spark.sql.functions.sum(
-                  org.apache.spark.sql.functions.col("count") *
-                    org.apache.spark.sql.functions.col("count")).as("df_sq"))
-              .collect().head
-            System.err.println(
-              s"[bench] q113 density $tag: n_shingles=${st.getLong(0)} " +
-                s"sum_df_sq=${st.getLong(1)}")
-          }
-        }
-        if (r1.isEmpty) ""
-        else {
-          val ts = r1.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
-          val rs = r1.flatMap { case (k, _, r) => r.map("\"" + k + "\":" + _) }
-            .mkString("{", ",", "}")
-          s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir","sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog); min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size. Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join)""""
+      }
+      // Scaling diagnostics — durable, IN the artifact (sf1_diag), not
+      // just the run log: a superlinear time ratio must be attributable
+      // (occupancy growth vs per-row constants) from the committed record
+      // alone.
+      val diag = scala.collection.mutable.LinkedHashMap[String, String]()
+      def tagKey(tag: String): String = tag.replace("0.1", "01").replace(".", "")
+      // q18: the pair harvest's cost driver is bucket occupancy at the
+      // distinct-signature grain
+      if (r1.exists(_._1 == "q18_minhash_pairs")) {
+        for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
+          val st = graft.operators.Dedup.minhashBucketStats(
+            Tables.documents(spark, d), "doc_id", "text",
+            shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+            .collect().head
+          System.err.println(
+            s"[bench] q18 occupancy $tag: n_buckets=${st.getLong(0)} " +
+              s"sig_band_rows=${st.getLong(1)} max_occ=${st.getLong(2)} " +
+              s"multi_buckets=${st.getLong(3)} pair_work=${st.getLong(4)}")
+          diag(s"q18_pair_work_${tagKey(tag)}") = st.getLong(4).toString
+          diag(s"q18_max_occ_${tagKey(tag)}") = st.getLong(2).toString
         }
       }
-    writeOut(head + sf1Json + "}")
+      // q33 (the q235 probe, run per scale): the hyperplane harvest's cost
+      // driver is band-key occupancy over a fixed 2^6 key space —
+      // ScaleGen's replica multiplies near-isotropic vectors over the SAME
+      // key space, so per-bucket occupancy (and pair_work = sum
+      // occ*(occ-1)/2) grows ~quadratically with rows where a real corpus
+      // spreads over richer structure. q33's superlinear replica ratio is
+      // attributed here, the q18 pair_work precedent.
+      if (r1.exists(_._1 == "q33_embedding_neardup")) {
+        for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
+          val st = graft.operators.Dedup.hyperplaneBucketStats(
+            Tables.embeddings(spark, d), "vec_id", "embedding",
+            dim = 64, numBands = 4, bandBits = 6)
+            .collect().head
+          System.err.println(
+            s"[bench] q33/q235 occupancy $tag: n_buckets=${st.getLong(0)} " +
+              s"vec_band_rows=${st.getLong(1)} max_occ=${st.getLong(2)} " +
+              s"multi_buckets=${st.getLong(3)} pair_work=${st.getLong(4)}")
+          diag(s"q235_pair_work_${tagKey(tag)}") = st.getLong(4).toString
+          diag(s"q235_max_occ_${tagKey(tag)}") = st.getLong(2).toString
+        }
+      }
+      // q113: prefix-join candidate work scales with the token-frequency
+      // mass sum(df^2), and ScaleGen's replica keeps the shingle
+      // VOCABULARY nearly fixed while multiplying rows — so density (and
+      // candidate pairs) grows ~quadratically where a real corpus grows
+      // its vocabulary ~linearly.
+      if (r1.exists(_._1 == "q113_set_similarity")) {
+        import graft.functions.{SimilarityFunctions => SF}
+        for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
+          val st = Tables.documents(spark, d)
+            .select(org.apache.spark.sql.functions.explode(
+              org.apache.spark.sql.functions.array_distinct(
+                SF.tokenShingles(org.apache.spark.sql.functions.col("text"), 3)))
+              .as("t"))
+            .groupBy("t").count()
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_shingles"),
+              org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.col("count") *
+                  org.apache.spark.sql.functions.col("count")).as("df_sq"))
+            .collect().head
+          System.err.println(
+            s"[bench] q113 density $tag: n_shingles=${st.getLong(0)} " +
+              s"sum_df_sq=${st.getLong(1)}")
+          diag(s"q113_sum_df_sq_${tagKey(tag)}") = st.getLong(1).toString
+        }
+      }
+      if (r1.nonEmpty) {
+        val diagJson =
+          if (diag.isEmpty) ""
+          else s""","sf1_diag":${diag.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}"""
+        val ts = r1.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
+        val rs = r1.flatMap { case (k, _, r) => r.map("\"" + k + "\":" + _) }
+          .mkString("{", ",", "}")
+        val stoppedNote = sf1Stopped
+          .map(n => s" SECTION STOPPED EARLY at $n (wall budget); missing entries are absent, not zero.")
+          .getOrElse("")
+        sf1Json = s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir"$diagJson,"sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog); min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same replica artifact drives q33's hyperplane band-bucket occupancy (q235 pair_work, both scales in the run log) ~quadratically over its fixed 2^6 key space. Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join).$stoppedNote""""
+        carriedSections -= "sf1"
+      }
+      sectionDone("sf1")
+      persist()
+    } else if (sections.contains("sf1")) {
+      System.err.println(s"[bench] sf1 replica not found at $sf1Dir — section carried/skipped")
+    }
+
     // 100x probe: one point at sf10 turns the 10x sub-linearity argument
-    // into a trend for the historically worst-ratio operators. Single-shot
-    // (an sf10 run is minutes; variance amortizes over the length); ratio
-    // is vs the sf0.1 steady state, so ~100 = linear.
-    dropDeadCache()
-    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/bench-data/sf10")
+    // into a trend for the historically worst-ratio operators. Ratio is vs
+    // the sf0.1 steady state, so ~100 = linear on FIXED cores.
     // q113 is NOT probed at 100x: the replica multiplies rows over a
     // near-fixed shingle vocabulary, so PPJoin's candidate volume grows
     // ~quadratically with copies (a replica artifact — real corpora grow
     // vocabulary with size; see sf1_note). At 100 copies the candidate
     // harvest spills past the machine's disk and takes the whole context
     // down with it. Its honest scale evidence is the sf1 ratio + the
-    // sum_df_sq density diagnostic in the run log.
-    // Every suite entry over ~5 s at sf0.1 gets a 100x point (r8 shipped
-    // its heaviest operators on design argument alone). q67 is min-of-3:
-    // its single-shot spread across JVMs reached 4x (35x / 195x / 418x for
-    // the same code+data across three records — the r8 three-way
-    // contradiction), so one sample of it is not evidence.
+    // sum_df_sq density diagnostic in the run log. Same exclusion for
+    // q33/q235's hyperplane harvest at 100x (pair_work grows ~quadratically
+    // over the fixed 2^6 key space — see the occupancy diagnostic).
+    // Every suite entry over ~5 s at sf0.1 gets a 100x point. In-JVM
+    // samples after the first are JIT/cache-warm and read as a FLOOR, not
+    // a representative cold time (q67's in-JVM min-of-3 published 27.8x
+    // where fresh JVMs deliver ~150x) — the committed record's heavies are
+    // therefore measured min-of-3 ACROSS FRESH JVMs by tools/sf10_probe.sh
+    // and carried here; probes this in-suite run measures itself are
+    // single-shot warm-JVM and labeled so in the note.
+    dropDeadCache()
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/bench-data/sf10")
     val probe = Seq(
       "q18_minhash_pairs" -> 1, "q67_semantic_dedup" -> 3,
       "q116_sa_dup_ranges" -> 1, "q125_sliding_distinct" -> 1,
       "q139_label_prop" -> 1, "q208_max_dup_substring" -> 1,
       "q214_hits" -> 1, "q219_single_linkage" -> 1,
       "q222_hdbscan_profile" -> 1)
-    val sf10Json =
-      if (!new java.io.File(s"$sf10Dir/lineitem.parquet").exists) ""
-      else {
-        val r = probe.filter { case (h, _) => only.forall(_.contains(h)) }
-          .flatMap { case (name, reps) =>
+    def sf10Est(name: String, reps: Int): Double =
+      okTimes.get(name).flatMap(_.toOption).map(b => b * 150 * reps + 10)
+        .getOrElse(600.0)
+    if (sections.contains("sf10")
+        && new java.io.File(s"$sf10Dir/lineitem.parquet").exists) {
+      // carried per-probe values (fresh-JVM numbers from the committed
+      // record) survive for any probe this run skips
+      val carriedProbeT = scala.collection.mutable.LinkedHashMap[String, String]()
+      val carriedProbeR = scala.collection.mutable.LinkedHashMap[String, String]()
+      for (t <- carryTree; node <- Option(t.get("sf10"))) {
+        val it = node.fields()
+        while (it.hasNext) { val e = it.next(); carriedProbeT(e.getKey) = e.getValue.toString }
+      }
+      for (t <- carryTree; node <- Option(t.get("sf10_over_sf01_ratio"))) {
+        val it = node.fields()
+        while (it.hasNext) { val e = it.next(); carriedProbeR(e.getKey) = e.getValue.toString }
+      }
+      val carriedUsed = scala.collection.mutable.LinkedHashSet[String]()
+      val measured = scala.collection.mutable.LinkedHashMap[String, (Double, Option[Double])]()
+      probe.filter { case (h, _) => only.forall(_.contains(h)) }
+        .foreach { case (name, reps) =>
+          if (remainingSec < sf10Est(name, reps) + 120) {
+            System.err.println(
+              f"[bench] skip sf10 $name: est ~${sf10Est(name, reps)}%.0fs > remaining ${remainingSec}%.0fs-120s (budget $budgetSec%.0fs)" +
+                (if (carriedProbeT.contains(name)) " — carrying committed value" else " — NO carried value exists"))
+            if (carriedProbeT.contains(name)) carriedUsed += name
+          } else {
             dropDeadCache() // same per-query hygiene as the sf1 section
             val times = (1 to reps).flatMap { _ =>
               System.gc()
-              val t0 = System.nanoTime()
+              val t0q = System.nanoTime()
               try {
                 SparkEntry.queries(name)(spark, sf10Dir)
                   .write.format("noop").mode("overwrite").save()
-                Some((System.nanoTime() - t0) / 1e9)
+                Some((System.nanoTime() - t0q) / 1e9)
               } catch { case e: Throwable =>
                 System.err.println(s"[bench] sf10 $name failed: ${e.getMessage}")
                 None
               }
             }
-            if (times.isEmpty) None
-            else {
+            if (times.nonEmpty) {
               val t = times.min
               val ratio = okTimes.get(name).flatMap(_.toOption)
                 .map(b => math.round(t / b * 100.0) / 100.0)
               System.err.println(
                 f"[bench] sf10 $name%-24s t=$t%.3f ratio100x=${ratio.getOrElse(-1.0)}%.2f samples=${times.map(x => f"$x%.1f").mkString("/")}")
-              Some((name, t, ratio))
-            }
+              measured(name) = (t, ratio)
+            } else if (carriedProbeT.contains(name)) carriedUsed += name
           }
-        if (r.isEmpty) ""
-        else {
-          val ts = r.map { case (k, t, _) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
-          val rs = r.flatMap { case (k, _, x) => x.map("\"" + k + "\":" + _) }
-            .mkString("{", ",", "}")
-          s""","sf10":$ts,"sf10_over_sf01_ratio":$rs,"sf10_dir":"$sf10Dir","sf10_note":"100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; part dim scaled with per-copy shifted partkeys; rotations composed with sign flips past the embedding dim); timings vs the sf0.1 steady state, single-shot except q67 (min-of-3; its single-shot family spread 4x across JVMs) - ratio ~100 = linear scaling on FIXED cores. q67 SemDeDup's in-cluster pair stage is Theta(n^1.5) at nlist=sqrt(n), so its expected fixed-core 100x ratio is up to ~1000, NOT sub-linear; the cluster story is that bucket count (= parallelism) also grows as sqrt(n)""""
         }
+      if (measured.nonEmpty || carriedUsed.nonEmpty) {
+        val tEntries =
+          measured.map { case (k, (t, _)) => "\"" + k + "\":" + t } ++
+            carriedUsed.flatMap(k => carriedProbeT.get(k).map("\"" + k + "\":" + _))
+        val rEntries =
+          measured.flatMap { case (k, (_, r)) => r.map("\"" + k + "\":" + _) } ++
+            carriedUsed.flatMap(k => carriedProbeR.get(k).map("\"" + k + "\":" + _))
+        val carriedNote =
+          if (carriedUsed.isEmpty) ""
+          else s" Entries ${carriedUsed.mkString("/")} are carried from the committed record (min-of-3 across FRESH JVMs via tools/sf10_probe.sh - cold runs, not warm floors); the rest were measured in THIS warm suite JVM."
+        sf10Json = s""","sf10":${tEntries.mkString("{", ",", "}")},"sf10_over_sf01_ratio":${rEntries.mkString("{", ",", "}")},"sf10_dir":"$sf10Dir","sf10_note":"100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; part dim scaled with per-copy shifted partkeys; rotations composed with sign flips past the embedding dim); timings vs the sf0.1 steady state - ratio ~100 = linear scaling on FIXED cores. q67 SemDeDup's in-cluster pair stage is Theta(n^1.5) at nlist=sqrt(n), so its expected fixed-core 100x ratio is up to ~1000, NOT sub-linear; the cluster story is that bucket count (= parallelism) also grows as sqrt(n).$carriedNote""""
+        carriedSections -= "sf10"
       }
-    writeOut(head + sf1Json + sf10Json + "}")
+      sectionDone("sf10")
+      persist()
+    } else if (sections.contains("sf10")) {
+      System.err.println(s"[bench] sf10 replica not found at $sf10Dir — section carried/skipped")
+    }
+
     // Composed-job throughput: the end-to-end curation pipeline (scrub ->
     // exact/minhash/span incremental dedup -> gate -> curated append, two
     // batches + epoch sharding) over the documents table — the operator
-    // library exercised as ONE job, not 86 isolated queries.
-    val pipeJson = try {
-      dropDeadCache()
-      import org.apache.spark.sql.functions.col
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
-      val docs = Tables.documents(spark, sfDir)
-      val cfgP = graft.pipeline.CurationPipeline.Config(baseDir = tmp)
-      val t0 = System.nanoTime()
-      val rs = Seq(
-        graft.pipeline.CurationPipeline.runBatch(
-          spark, docs.filter(col("doc_id") % 2 === 0), "b1", cfgP),
-        graft.pipeline.CurationPipeline.runBatch(
-          spark, docs.filter(col("doc_id") % 2 === 1), "b2", cfgP))
-      graft.pipeline.CurationPipeline.shardEpoch(spark, cfgP, epoch = 1).collect()
-      val t = (System.nanoTime() - t0) / 1e9
-      for (r <- rs)
-        System.err.println(s"[bench] pipeline ${r.batchId}: " +
-          r.stages.map(s => s"${s.stage} ${s.rowsIn}->${s.rowsOut}").mkString(", "))
-      val curated = rs.flatMap(_.stages.lastOption.map(_.rowsOut)).sum
-      System.err.println(f"[bench] pipeline end-to-end t=$t%.3f curated=$curated")
-      s""","pipeline":{"sec":$t,"docs_in":${rs.flatMap(_.stages.headOption.map(_.rowsIn)).sum},"curated":$curated,"note":"2 incremental batches + epoch sharding over documents"}"""
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] pipeline failed: ${e.getMessage}"); ""
+    // library exercised as ONE job, not isolated queries.
+    if (sections.contains("pipeline") && remainingSec >= 120) {
+      try {
+        dropDeadCache()
+        import org.apache.spark.sql.functions.col
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
+        val docs = Tables.documents(spark, sfDir)
+        val cfgP = graft.pipeline.CurationPipeline.Config(baseDir = tmp)
+        val t0p = System.nanoTime()
+        val rs = Seq(
+          graft.pipeline.CurationPipeline.runBatch(
+            spark, docs.filter(col("doc_id") % 2 === 0), "b1", cfgP),
+          graft.pipeline.CurationPipeline.runBatch(
+            spark, docs.filter(col("doc_id") % 2 === 1), "b2", cfgP))
+        graft.pipeline.CurationPipeline.shardEpoch(spark, cfgP, epoch = 1).collect()
+        val t = (System.nanoTime() - t0p) / 1e9
+        for (r <- rs)
+          System.err.println(s"[bench] pipeline ${r.batchId}: " +
+            r.stages.map(s => s"${s.stage} ${s.rowsIn}->${s.rowsOut}").mkString(", "))
+        val curated = rs.flatMap(_.stages.lastOption.map(_.rowsOut)).sum
+        System.err.println(f"[bench] pipeline end-to-end t=$t%.3f curated=$curated")
+        pipeJson = s""","pipeline":{"sec":$t,"docs_in":${rs.flatMap(_.stages.headOption.map(_.rowsIn)).sum},"curated":$curated,"note":"2 incremental batches + epoch sharding over documents"}"""
+        carriedSections -= "pipeline"
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+      }
+      sectionDone("pipeline")
+    } else if (sections.contains("pipeline")) {
+      System.err.println(
+        f"[bench] skip pipeline: remaining ${remainingSec}%.0fs < 120s — carrying prior value if present")
     }
-    val json = head + sf1Json + sf10Json + pipeJson + "}"
-    println(json)
-    writeOut(json)
+    persist()
+    val stamp =
+      if (carriedSections.isEmpty) ""
+      else s""","carried_sections":[${carriedSections.map("\"" + _ + "\"").mkString(",")}],"carried_from":${jstr(carrySrcPath)}"""
+    println(head + sf1Json + sf10Json + pipeJson + stamp + "}")
     spark.stop()
   }
 }

@@ -478,6 +478,155 @@ private[graft] object OracleSql {
        |    AS exposure_ppm
        |FROM ag, lh, ht""".stripMargin
 
+  /** q234 oracle: the q18 pair pipeline labeled under BOTH split laws —
+    * row-keyed and group-keyed md5 buckets (the [[graft.operators.Splits]]
+    * salt law, replayed via [[graft.operators.Splits.bucketSql]]) — one
+    * row per law with the same counts/floor-ppm algebra as q231. */
+  private lazy val groupLeakageOracleSql: String = {
+    import graft.operators.Splits
+    val trainPpm = 800000L
+    def lawBlock(ta: String, tb: String, heldBucket: String,
+        tag: String): String =
+      s"""ag$tag AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(COALESCE(SUM(CASE WHEN ga = gb THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_same_group,
+         |    CAST(COALESCE(SUM(CASE WHEN $ta <> $tb THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_cross
+         |  FROM lab),
+         |lh$tag AS (
+         |  SELECT CAST(COUNT(DISTINCT CASE WHEN $ta THEN ib ELSE ia END)
+         |    AS BIGINT) AS n_held_docs_leaked
+         |  FROM lab WHERE $ta <> $tb),
+         |ht$tag AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_held_docs FROM documents
+         |  WHERE $heldBucket >= $trainPpm)""".stripMargin
+    def lawSelect(law: String, tag: String): String =
+      s"""SELECT '$law' AS split_law, n_pairs, n_same_group, n_cross,
+         |  CASE WHEN n_pairs > 0
+         |    THEN (n_cross * 1000000) // n_pairs ELSE 0 END AS leak_ppm,
+         |  n_held_docs_leaked, n_held_docs,
+         |  CASE WHEN n_held_docs > 0
+         |    THEN (n_held_docs_leaked * 1000000) // n_held_docs ELSE 0 END
+         |    AS exposure_ppm
+         |FROM ag$tag, lh$tag, ht$tag""".stripMargin
+    s"""WITH $minhashPipelineCte,
+       |mpairs AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM sized a JOIN sized b ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+       |  WHERE a.bsz BETWEEN 2 AND 1000),
+       |lab AS (
+       |  SELECT ia, ib, da.source AS ga, db.source AS gb,
+       |    (${Splits.bucketSql("ia")} < $trainPpm) AS ta_doc,
+       |    (${Splits.bucketSql("ib")} < $trainPpm) AS tb_doc,
+       |    (${Splits.bucketSql("da.source")} < $trainPpm) AS ta_grp,
+       |    (${Splits.bucketSql("db.source")} < $trainPpm) AS tb_grp
+       |  FROM mpairs
+       |  JOIN documents da ON da.doc_id = ia
+       |  JOIN documents db ON db.doc_id = ib),
+       |${lawBlock("ta_doc", "tb_doc", Splits.bucketSql("doc_id"), "d")},
+       |${lawBlock("ta_grp", "tb_grp", Splits.bucketSql("source"), "g")}
+       |${lawSelect("doc_hash", "d")}
+       |UNION ALL
+       |${lawSelect("group_hash", "g")}
+       |ORDER BY split_law""".stripMargin
+  }
+
+  /** q233 oracle: q229's closed-form pixel-law replay extended with the
+    * dHash lattice — aHash on the 8×8 grid, dHash signs on the 9×8 grid,
+    * union band harvest over all 8 bands at the combined-fingerprint
+    * grain, exact per-family bit_count(xor) Hamming, pair kept when
+    * EITHER distance ≤ 3 (the Spark side is the only one touching the
+    * PNG codec; lossless decode ≡ law). */
+  private lazy val dhashNearDupOracleSql: String = {
+    val aCols = (0 until 4).map(i => s"a$i")
+    val dCols = (0 until 4).map(i => s"d$i")
+    def pivot(out: Seq[String]): String =
+      out.zipWithIndex.map { case (c, i) =>
+        s"MAX(CASE WHEN band = $i THEN bk END) AS $c"
+      }.mkString(",\n    ")
+    val allCols = (aCols ++ dCols).mkString(", ")
+    val bandedSelects = (aCols ++ dCols).zipWithIndex.map { case (c, i) =>
+      if (i == 0) s"SELECT rep, 0 AS band, $c AS bk FROM grp"
+      else s"UNION ALL SELECT rep, $i, $c FROM grp"
+    }.mkString("\n  ")
+    def hammingSum(cols: Seq[String]): String =
+      cols.map(c => s"bit_count(xor(ga.$c, gb.$c))").mkString(" + ")
+    s"""WITH img AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(doc_id % 32 + 1 AS INTEGER) AS w,
+       |    CAST(doc_id % 24 + 1 AS INTEGER) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |px AS (
+       |  SELECT media_id, (js.j * 8 + ii.i) AS p,
+       |    (media_id * 31 + ((ii.i * w) // 8) * 7
+       |      + ((js.j * h) // 8) * 13) % 256 AS g
+       |  FROM img,
+       |    unnest(generate_series(0, 7)) AS ii(i),
+       |    unnest(generate_series(0, 7)) AS js(j)),
+       |m AS (SELECT media_id, SUM(g) // 64 AS mean FROM px GROUP BY 1),
+       |ab AS (
+       |  SELECT px.media_id, p // 16 AS band,
+       |    CAST(SUM(CASE WHEN g >= mean THEN (1 << (p % 16)) ELSE 0 END)
+       |      AS INTEGER) AS bk
+       |  FROM px JOIN m USING (media_id) GROUP BY 1, 2),
+       |pxd AS (
+       |  SELECT media_id, ii.i AS i, js.j AS j,
+       |    (media_id * 31 + ((ii.i * w) // 9) * 7
+       |      + ((js.j * h) // 8) * 13) % 256 AS g
+       |  FROM img,
+       |    unnest(generate_series(0, 8)) AS ii(i),
+       |    unnest(generate_series(0, 7)) AS js(j)),
+       |db AS (
+       |  SELECT a.media_id, (a.j * 8 + a.i) // 16 AS band,
+       |    CAST(SUM(CASE WHEN b.g > a.g
+       |      THEN (1 << ((a.j * 8 + a.i) % 16)) ELSE 0 END) AS INTEGER) AS bk
+       |  FROM pxd a JOIN pxd b
+       |    ON b.media_id = a.media_id AND b.j = a.j AND b.i = a.i + 1
+       |  WHERE a.i < 8 GROUP BY 1, 2),
+       |ha AS (
+       |  SELECT media_id,
+       |    ${pivot(aCols)}
+       |  FROM ab GROUP BY 1),
+       |hd AS (
+       |  SELECT media_id,
+       |    ${pivot(dCols)}
+       |  FROM db GROUP BY 1),
+       |hs AS (
+       |  SELECT media_id, $allCols FROM ha JOIN hd USING (media_id)),
+       |grp AS (
+       |  SELECT $allCols, list_sort(list(media_id)) AS ids,
+       |    MIN(media_id) AS rep
+       |  FROM hs GROUP BY ALL),
+       |banded AS (
+       |  $bandedSelects),
+       |rp AS (
+       |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep),
+       |ham AS (
+       |  SELECT ra, rb,
+       |    CAST(${hammingSum(aCols)} AS BIGINT) AS hamming_a,
+       |    CAST(${hammingSum(dCols)} AS BIGINT) AS hamming_d,
+       |    ga.ids AS ia, gb.ids AS ib
+       |  FROM rp
+       |  JOIN grp ga ON ga.rep = ra
+       |  JOIN grp gb ON gb.rep = rb),
+       |cross_pairs AS (
+       |  SELECT LEAST(xa.a, yb.b) AS id_a, GREATEST(xa.a, yb.b) AS id_b,
+       |    hamming_a, hamming_d
+       |  FROM ham, unnest(ia) AS xa(a), unnest(ib) AS yb(b)
+       |  WHERE LEAST(hamming_a, hamming_d) <= 3),
+       |within AS (
+       |  SELECT xa.a AS id_a, yb.b AS id_b,
+       |    CAST(0 AS BIGINT) AS hamming_a, CAST(0 AS BIGINT) AS hamming_d
+       |  FROM grp, unnest(ids) AS xa(a), unnest(ids) AS yb(b)
+       |  WHERE xa.a < yb.b)
+       |SELECT id_a, id_b, hamming_a, hamming_d FROM cross_pairs
+       |UNION ALL SELECT id_a, id_b, hamming_a, hamming_d FROM within
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q232 oracle: the q48 quantization replay, projected through the SAME
     * splitmix ±1 literals the Spark plan carries (both sides inline
     * [[graft.operators.Similarity.jlSigns]]'s output — that IS the replay
@@ -662,7 +811,10 @@ private[graft] object OracleSql {
   /** q33 oracle: replay the hyperplane band keys (same float-rounded plane
     * literals, sign of dot == sign of cosine), bucket-size gate, then exact
     * double cosine over candidate pairs. */
-  private lazy val embNearDupOracleSql: String = {
+  /** Shared q33/q235 CTE: the hyperplane band keys replayed from the SAME
+    * splitmix plane literals the Spark plan inlines — `e` (doubled
+    * vectors) + `banded` (id, bno, bk). */
+  private lazy val hyperplaneBandedCte: String = {
     val dim = 64; val numBands = 4; val bandBits = 6
     def planeSql(p: Int): String =
       (0 until dim).map(i => Dedup.planeCoeff(p, i).toDouble.toString)
@@ -674,11 +826,30 @@ private[graft] object OracleSql {
     val bandSelects = (0 until numBands).map(b =>
       s"SELECT vec_id AS id, $b AS bno,\n    ${bandKeySql(b)} AS bk FROM e")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |banded AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** q235 oracle: occupancy rollup over the shared band CTE — the same
+    * (bno, bk) buckets q33's harvest expands. */
+  private lazy val hyperplaneStatsOracleSql: String =
+    s"""WITH $hyperplaneBandedCte,
+       |occ AS (
+       |  SELECT bno, bk, CAST(COUNT(*) AS BIGINT) AS occ
+       |  FROM banded GROUP BY 1, 2)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(occ) AS BIGINT) AS n_vec_band_rows,
+       |  CAST(MAX(occ) AS BIGINT) AS max_occ,
+       |  CAST(COALESCE(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_multi_buckets,
+       |  CAST(COALESCE(SUM((occ * (occ - 1)) // 2), 0) AS BIGINT) AS pair_work
+       |FROM occ""".stripMargin
+
+  private lazy val embNearDupOracleSql: String = {
+    s"""WITH $hyperplaneBandedCte,
        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bno, bk) AS bsz FROM banded),
        |pp AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -1431,6 +1602,9 @@ private[graft] object OracleSql {
         |ORDER BY brand""".stripMargin,
     "q231_split_leakage" -> splitLeakageOracleSql,
     "q232_jl_recall" -> jlRecallOracleSql,
+    "q233_dhash_neardup" -> dhashNearDupOracleSql,
+    "q234_group_leakage" -> groupLeakageOracleSql,
+    "q235_hyperplane_stats" -> hyperplaneStatsOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

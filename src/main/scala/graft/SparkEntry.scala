@@ -4410,6 +4410,56 @@ object SparkEntry {
       .orderBy("query_id", "dim")
   }
 
+  /** Cross-grid perceptual near-dup (q233): q229's aHash pairing made
+    * robust to the brightness/contrast edits that flip aHash bits near the
+    * lattice mean — BOTH perceptual fingerprints (aHash + gradient dHash)
+    * computed in one real-ImageIO decode pass
+    * ([[graft.multimodal.Multimodal.perceptualHashBands]]), candidates
+    * harvested from the UNION of the two hashes' band buckets at the
+    * combined-fingerprint grain, exact `bit_count(xor)` verify on each
+    * family, pair kept when EITHER Hamming ≤ 3 (pigeonhole-complete per
+    * family; [[Dedup.dualHashPairs]]). The oracle replays both lattices
+    * from the closed-form pixel law (PNG is lossless, so decode ≡ law) —
+    * the Spark side is the only one that touches the codec. */
+  private def dhashNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeMedia(
+      documents(s, dir), "doc_id", "text")
+      .filter(col("media_type") === "image")
+    val hashes = graft.multimodal.Multimodal.perceptualHashBands(media)
+    Dedup.dualHashPairs(hashes, "media_id", "abands", "dbands", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Group-split leakage audit (q234): q231's near-dup straddle
+    * measurement re-run under BOTH split laws — the row-keyed md5 split
+    * and q118's GROUP-keyed (source-hashed) split — over the same q18
+    * MinHash candidate pairs ([[graft.operators.Splits.pairSplitLeakage]]).
+    * This is the reference check that group hashing actually removes the
+    * leakage q231 measures: a same-source near-dup pair can never straddle
+    * the group-law cut (both sides hash the same key), so the two rows'
+    * `n_cross`/`exposure_ppm` gap IS the leakage that source-keyed
+    * splitting eliminates, and `n_same_group` shows how much of the pair
+    * mass that guarantee covers. */
+  private def groupLeakageQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairs(documents(s, dir), "doc_id", "text",
+      shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+    graft.operators.Splits.pairSplitLeakage(
+      pairs, documents(s, dir), "doc_id", "source", trainPpm = 800000L)
+      .orderBy("split_law")
+  }
+
+  /** Hyperplane band-bucket occupancy probe (q235): q86's occupancy
+    * diagnostic applied to q33's random-hyperplane LSH harvest — one row
+    * of `(n_buckets, n_vec_band_rows, max_occ, n_multi_buckets,
+    * pair_work)` over the exact (band, key) buckets q33 expands
+    * ([[Dedup.hyperplaneBucketStats]]). `pair_work` is the harvest's
+    * expansion cost `sum(occ·(occ−1)/2)`; tracked per scale it attributes
+    * q33's superlinear replica growth (band-key collision density over a
+    * fixed 2^6 key space, not per-row hashing) from the artifact alone. */
+  private def hyperplaneStatsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.hyperplaneBucketStats(embeddings(s, dir), "vec_id", "embedding",
+      dim = 64, numBands = 4, bandBits = 6)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -4642,7 +4692,10 @@ object SparkEntry {
     "q229_phash_neardup" -> (phashNearDupQ _),
     "q230_modularity" -> (modularityQ _),
     "q231_split_leakage" -> (splitLeakageQ _),
-    "q232_jl_recall" -> (jlRecallQ _)
+    "q232_jl_recall" -> (jlRecallQ _),
+    "q233_dhash_neardup" -> (dhashNearDupQ _),
+    "q234_group_leakage" -> (groupLeakageQ _),
+    "q235_hyperplane_stats" -> (hyperplaneStatsQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

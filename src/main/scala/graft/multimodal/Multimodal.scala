@@ -228,6 +228,96 @@ object Multimodal {
     }
   }
 
+  /** Both perceptual fingerprints of each decodable image in ONE decode
+    * pass: the [[aHashBands]] average hash plus its gradient twin dHash —
+    * the pair the cross-grid dedup query (q233) buckets on. aHash
+    * thresholds absolute gray against the lattice mean, so smooth
+    * brightness/contrast drift flips every bit whose gray sits near the
+    * mean; dHash compares each lattice sample against its RIGHT neighbor
+    * (`grid+1`×`grid` samples → `grid²` sign bits), so any perturbation
+    * that preserves local gradients — global offset, smooth illumination
+    * ramps — leaves it intact. Pairing on the UNION of both hashes' bands
+    * ([[graft.operators.Dedup.dualHashPairs]]) keeps recall where either
+    * family survives the edit.
+    *
+    * Integer-exact like aHash: dHash samples at `x=(i·w) div (grid+1)`,
+    * `y=(j·h) div grid`, bit `j·grid+i` set iff `g(i+1,j) > g(i,j)`
+    * (strict — ties are 0 in every engine). Output:
+    * `(media_id, abands array<int>, dbands array<int>)`, bands 16-bit as
+    * in [[aHashBands]]. Undecodable payloads are dropped. */
+  def perceptualHashBands(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 4 && (grid * grid) % 16 == 0,
+      "grid^2 must split into 16-bit bands")
+    val nBands = grid * grid / 16
+    val inSchema = media.schema
+    val idIdx = inSchema.fieldIndex("media_id")
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("abands", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("dbands", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null || payload.isEmpty) None
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            // aHash lattice: grid x grid
+            val g = new Array[Int](grid * grid)
+            var sum = 0L
+            var j = 0
+            while (j < grid) {
+              var i = 0
+              while (i < grid) {
+                val px = img.getRGB((i * w) / grid, (j * h) / grid) & 0xff
+                g(j * grid + i) = px
+                sum += px
+                i += 1
+              }
+              j += 1
+            }
+            val mean = sum / (grid * grid)
+            val abands = new Array[Int](nBands)
+            var p = 0
+            while (p < grid * grid) {
+              if (g(p) >= mean) abands(p / 16) |= 1 << (p % 16)
+              p += 1
+            }
+            // dHash lattice: (grid+1) x grid, bit = right-neighbor gradient
+            val dbands = new Array[Int](nBands)
+            j = 0
+            while (j < grid) {
+              val y = (j * h) / grid
+              var prev = img.getRGB(0, y) & 0xff // x index (0*w)/(grid+1) = 0
+              var i = 0
+              while (i < grid) {
+                val cur = img.getRGB(((i + 1) * w) / (grid + 1), y) & 0xff
+                if (cur > prev) {
+                  val q = j * grid + i
+                  dbands(q / 16) |= 1 << (q % 16)
+                }
+                prev = cur
+                i += 1
+              }
+              j += 1
+            }
+            Some(Row(r.getLong(idIdx), abands.toSeq, dbands.toSeq))
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling contract for video rows: one output row per sampled
     * frame index (metadata-only here; a real decoder would attach the frame
     * payload). Native explode keeps it distributed and codegen'd. */

@@ -541,6 +541,91 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Cross-grid perceptual near-dup pairing — [[aHashPairs]] extended to
+    * TWO fingerprint families per image (aHash + dHash,
+    * [[graft.multimodal.Multimodal.perceptualHashBands]]): candidates come
+    * from the UNION of both hashes' band buckets, so a pair survives
+    * whenever EITHER family survives the edit (brightness/contrast drift
+    * kills aHash bits near the mean but leaves dHash's gradient signs
+    * alone — the classic aHash failure mode). A pair is emitted when its
+    * exact Hamming distance on EITHER hash is ≤ `maxHamming`; both
+    * distances are reported so the caller can see which family matched.
+    *
+    * Completeness: by pigeonhole, a pair within Hamming `maxHamming ≤
+    * nBands − 1` on hash X agrees on ≥ 1 whole band of X, and every band
+    * of both hashes is bucketed — so the union harvest is complete for the
+    * `least(hamming_a, hamming_d) ≤ maxHamming` gate.
+    *
+    * Scale posture identical to [[aHashPairs]]: exact-duplicate
+    * fingerprint pairs collapse to one representative before the
+    * quadratic bucket harvest (grain = the COMBINED (abands, dbands)
+    * fingerprint), `maxBucket` caps bucket occupancy and group size, and
+    * the band split doubles from 4 to 8 buckets per image — 2× harvest
+    * rows, never an all-pairs join.
+    *
+    * Input: `(idCol, aCol array<int>, dCol array<int>)`. Output:
+    * `(id_a, id_b, hamming_a, hamming_d)`, `id_a < id_b`,
+    * `least(hamming_a, hamming_d) ≤ maxHamming`. */
+  def dualHashPairs(
+      hashes: DataFrame,
+      idCol: String,
+      aCol: String,
+      dCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000,
+      nBands: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"$nBands bands per family are complete only to Hamming ${nBands - 1}")
+    val hs = hashes.select(col(idCol).as("id"),
+      col(aCol).as("ab"), col(dCol).as("db"))
+    val wcap = org.apache.spark.sql.expressions.Window
+      .partitionBy("ab", "db").orderBy(monotonically_increasing_id())
+    val groups = graft.Caching.track(
+      hs.withColumn("__rn", row_number().over(wcap))
+        .filter(col("__rn") <= maxBucket + 1)
+        .groupBy("ab", "db").agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) <= maxBucket)
+        .withColumn("rep", element_at(col("ids"), 1)))
+    // band families share one bucket key space: bno 0..nBands-1 = aHash
+    // bands, nBands..2*nBands-1 = dHash bands — the union harvest is one
+    // posexplode over the concatenated band arrays
+    val banded = groups.select(col("rep"),
+      posexplode(concat(col("ab"), col("db"))).as(Seq("bno", "bk")))
+    val repPairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
+      col("rep").as("r"), maxBucket)
+      .select(least(col("m_a"), col("m_b")).as("ra"),
+        greatest(col("m_a"), col("m_b")).as("rb"))
+      .distinct()
+    def hamming(x: String, y: String): Column =
+      (0 until nBands).map(i =>
+        bit_count(element_at(col(x), i + 1)
+          .bitwiseXOR(element_at(col(y), i + 1)))).reduce(_ + _)
+        .cast("long")
+    val verified = repPairs
+      .join(groups.select(col("rep").as("ra"), col("ab").as("aa"),
+        col("db").as("da"), col("ids").as("ia")), "ra")
+      .join(groups.select(col("rep").as("rb"), col("ab").as("abb"),
+        col("db").as("dbb"), col("ids").as("ib")), "rb")
+      .withColumn("hamming_a", hamming("aa", "abb"))
+      .withColumn("hamming_d", hamming("da", "dbb"))
+      .filter(least(col("hamming_a"), col("hamming_d")) <= maxHamming)
+    val cross = verified.select(
+      explode(flatten(transform(col("ia"), a =>
+        transform(col("ib"), b => struct(a.as("x"), b.as("y")))))).as("p"),
+      col("hamming_a"), col("hamming_d"))
+      .select(least(col("p.x"), col("p.y")).as("id_a"),
+        greatest(col("p.x"), col("p.y")).as("id_b"),
+        col("hamming_a"), col("hamming_d"))
+    val within = groups.filter(size(col("ids")) >= 2)
+      .select(explode(flatten(
+        transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+            b => struct(a.as("x"), b.as("y")))))).as("p"))
+      .select(col("p.x").as("id_a"), col("p.y").as("id_b"),
+        lit(0L).as("hamming_a"), lit(0L).as("hamming_d"))
+    cross.unionByName(within)
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * candidate PAIRS (minhash/simhash/embedding LSH output) into dedup
     * GROUPS with a canonical keeper (min id per component).
@@ -700,6 +785,31 @@ object Dedup {
     * expression; `dim` is a required parameter (schema knowledge — no
     * driver-side probe job).
     */
+  /** The `(id, vec, bno, bk)` hyperplane band table shared by
+    * [[embeddingNearDupPairs]] (the harvest) and
+    * [[hyperplaneBucketStats]] (its occupancy probe) — same planes, same
+    * sign rule, same key packing, so the probe measures exactly the
+    * buckets the harvest expands. */
+  private def hyperplaneBanded(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numBands: Int,
+      bandBits: Int): DataFrame = {
+    val spark = emb.sparkSession
+    def plane(p: Int): Column =
+      array((0 until dim).map(i => lit(planeCoeff(p, i))): _*)
+    def bandKey(b: Int): Column =
+      (0 until bandBits).map { bit =>
+        when(graft.plans.GraftExtensions.cosine(spark,
+          col("vec"), plane(b * bandBits + bit)) > 0.0d, lit(1L << bit)).otherwise(0L)
+      }.reduce(_ + _)
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"),
+        posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("bno", "bk")))
+  }
+
   def embeddingNearDupPairs(
       emb: DataFrame,
       idCol: String,
@@ -710,16 +820,7 @@ object Dedup {
       bandBits: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
     val spark = emb.sparkSession
-    def plane(p: Int): Column =
-      array((0 until dim).map(i => lit(planeCoeff(p, i))): _*)
-    def bandKey(b: Int): Column =
-      (0 until bandBits).map { bit =>
-        when(graft.plans.GraftExtensions.cosine(spark,
-          col("vec"), plane(b * bandBits + bit)) > 0.0d, lit(1L << bit)).otherwise(0L)
-      }.reduce(_ + _)
-    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .select(col("id"), col("vec"),
-        posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("bno", "bk")))
+    val banded = hyperplaneBanded(emb, idCol, vecCol, dim, numBands, bandBits)
     val pairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
       struct(col("id"), col("vec")), maxBucket)
     pairs.select(
@@ -728,6 +829,38 @@ object Dedup {
       graft.plans.GraftExtensions.cosine(spark, col("m_a.vec"), col("m_b.vec")).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
+  }
+
+  /** Band-bucket occupancy probe for the hyperplane-LSH harvest — the
+    * [[minhashBucketStats]] twin over [[embeddingNearDupPairs]]'s band
+    * buckets. The harvest's expansion work is `sum(occ·(occ−1)/2)` over
+    * (band, key) buckets at the id grain (embeddings are unique, so there
+    * is no distinct-fingerprint collapse to account for), and this one-row
+    * probe reports it per corpus BEFORE committing the run: `pair_work`
+    * growing faster than corpus size means band-key COLLISION RATE (the
+    * replica multiplies near-isotropic vectors over a fixed 2^bandBits key
+    * space, so occupancy per bucket — and pair work — grows ~quadratically
+    * with rows), not per-row hashing cost, is the scaling driver; the
+    * knobs are more `bandBits` (smaller collision rate per band) or a
+    * tighter `maxBucket`. Output: `(n_buckets, n_vec_band_rows, max_occ,
+    * n_multi_buckets, pair_work)`. */
+  def hyperplaneBucketStats(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numBands: Int = 8,
+      bandBits: Int = 16): DataFrame = {
+    val occ = hyperplaneBanded(emb, idCol, vecCol, dim, numBands, bandBits)
+      .groupBy("bno", "bk").agg(count(lit(1)).as("occ"))
+    occ.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("occ")).as("n_vec_band_rows"),
+      max(col("occ")).as("max_occ"),
+      sum(when(col("occ") >= 2, lit(1L)).otherwise(lit(0L))).as("n_multi_buckets"),
+      // occ*(occ-1) is even, so the halved double is integer-exact
+      sum((col("occ") * (col("occ") - lit(1L))) / lit(2.0)).cast("long")
+        .as("pair_work"))
   }
 
   /** Duplicated-span detection — the exact-substring dedup signal of

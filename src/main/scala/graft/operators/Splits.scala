@@ -97,4 +97,78 @@ object Splits {
         floor(col("n_rows") * lit(Ppm) / col("__total")).cast("long")
           .as("rows_ppm_achieved"))
   }
+
+  /** Near-dup straddle audit at BOTH split grains — the reference check
+    * that group-keyed hashing ([[groupSplitAudit]]) actually removes the
+    * train/heldout leakage a row-keyed split leaves behind (q231's
+    * measurement). A near-dup pair "straddles" when its two documents land
+    * on opposite sides of the train/heldout cut; under the GROUP law a
+    * same-group pair can NEVER straddle (both sides hash the same group
+    * key), so group-law leakage is bounded by the cross-group pair count —
+    * `n_same_group` is reported so the mechanism is visible in the output.
+    *
+    * One row per law: `(split_law ∈ {doc_hash, group_hash}, n_pairs,
+    * n_same_group, n_cross, leak_ppm, n_held_docs_leaked, n_held_docs,
+    * exposure_ppm)` — "held" = bucket ≥ `trainPpm` under that law's key,
+    * rates integer floor-ppm, the whole readout engine-exact.
+    *
+    * Scale shape: the pair table is the capped LSH harvest (tiny relative
+    * to the corpus); both group lookups are joins OF THE PAIRS against the
+    * `(id, group)` projection (shuffle-on-id — the doc table is never
+    * assumed broadcastable), both laws' labels are projections over ONE
+    * materialized labeled pair table, and the per-law rollups are tiny
+    * aggregates. */
+  def pairSplitLeakage(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      trainPpm: Long = 800000L,
+      salt: String = "split"): DataFrame = {
+    require(trainPpm > 0 && trainPpm < Ppm, s"trainPpm must be in (0, $Ppm)")
+    def bucket(c: Column): Column =
+      pmod(PortableHash.md5Hash60(concat(lit(salt), lit(":"), c.cast("string"))),
+        lit(Ppm))
+    val d = docs.select(col(idCol).as("__id"), col(groupCol).as("__grp"))
+    // label once, aggregate twice (per law): materialize the labeled pair
+    // table — it is flood-capped-small and double-consumed
+    val lab = pairs.select(col("id_a"), col("id_b"))
+      .join(d.select(col("__id").as("id_a"), col("__grp").as("ga")), "id_a")
+      .join(d.select(col("__id").as("id_b"), col("__grp").as("gb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("ga"), col("gb"),
+        (bucket(col("id_a")) < trainPpm).as("ta_doc"),
+        (bucket(col("id_b")) < trainPpm).as("tb_doc"),
+        (bucket(col("ga")) < trainPpm).as("ta_grp"),
+        (bucket(col("gb")) < trainPpm).as("tb_grp"))
+      .localCheckpoint()
+    // floor-ppm via subtract-the-remainder: the divided value is an exact
+    // multiple of the denominator, so the double division is exact (the
+    // q231 idiom — a bare floor(long/long) rides a double quotient that
+    // can sit 1 ulp under an integer)
+    def ppm(n: Column, den: Column): Column =
+      when(den > 0L,
+        ((n * lit(Ppm) - pmod(n * lit(Ppm), den)) / den).cast("long"))
+        .otherwise(lit(0L))
+    def lawRow(law: String, ta: String, tb: String, heldKey: Column): DataFrame = {
+      val ag = lab.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("ga") === col("gb"), lit(1L)).otherwise(lit(0L)))
+          .as("n_same_group"),
+        sum(when(col(ta) =!= col(tb), lit(1L)).otherwise(lit(0L))).as("n_cross"))
+      val leaked = lab.where(col(ta) =!= col(tb))
+        .select(when(col(ta), col("id_b")).otherwise(col("id_a")).as("h"))
+        .agg(count_distinct(col("h")).as("n_held_docs_leaked"))
+      val heldTotal = docs
+        .where(bucket(heldKey) >= trainPpm)
+        .agg(count(lit(1)).as("n_held_docs"))
+      ag.crossJoin(leaked).crossJoin(heldTotal)
+        .select(lit(law).as("split_law"),
+          col("n_pairs"), col("n_same_group"), col("n_cross"),
+          ppm(col("n_cross"), col("n_pairs")).as("leak_ppm"),
+          col("n_held_docs_leaked"), col("n_held_docs"),
+          ppm(col("n_held_docs_leaked"), col("n_held_docs")).as("exposure_ppm"))
+    }
+    lawRow("doc_hash", "ta_doc", "tb_doc", col(idCol))
+      .unionByName(lawRow("group_hash", "ta_grp", "tb_grp", col(groupCol)))
+  }
 }

@@ -96,6 +96,97 @@ class MultimodalSpec extends SparkSpec {
     assert(all.count() == 20)
   }
 
+  /** Closed-form dHash twin of [[Multimodal.perceptualHashBands]]'s
+    * gradient half: (grid+1)×grid lattice, bit = right-neighbor `>`. */
+  private def lawDBands(id: Long): Seq[Int] = {
+    val w = (id % 32 + 1).toInt
+    val h = (id % 24 + 1).toInt
+    val bands = new Array[Int](4)
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val a = Multimodal.pixelGray(id, (i * w) / 9, (j * h) / 8)
+      val b = Multimodal.pixelGray(id, ((i + 1) * w) / 9, (j * h) / 8)
+      if (b > a) { val p = j * 8 + i; bands(p / 16) |= 1 << (p % 16) }
+    }
+    bands.toSeq
+  }
+
+  test("perceptualHashBands: one decode pass, both hashes equal the pixel law") {
+    val manyDocs = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val m = Multimodal.synthesizeMedia(manyDocs, "doc_id", "text")
+      .filter(col("media_type") === "image")
+    val got = Multimodal.perceptualHashBands(m)
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+    assert(got.length == 20)
+    got.foreach { case (id, ab, db) =>
+      assert(ab == lawBands(id), s"id=$id aHash: $ab vs ${lawBands(id)}")
+      assert(db == lawDBands(id), s"id=$id dHash: $db vs ${lawDBands(id)}")
+    }
+  }
+
+  /** Encode an arbitrary gray-pixel function as real PNG bytes (test-side
+    * twin of the fixture encoder, for perturbed variants). */
+  private def pngOf(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dualHashPairs: union banding survives a tone-curve edit that kills aHash") {
+    // base images from the pixel law + a gamma-curve twin (g -> g*g/255):
+    // a MONOTONE tone remap preserves every neighbor comparison, so dHash
+    // is (near-)invariant, while the mean of the remapped grays moves
+    // nonlinearly and flips every aHash bit whose gray sits between the
+    // old and new thresholds — the classic aHash failure mode
+    val w = 24; val h = 16
+    val baseIds = (0L until 30L by 3).toSeq
+    val rows = baseIds.flatMap { id =>
+      def base(x: Int, y: Int) = Multimodal.pixelGray(id, x, y)
+      Seq(
+        (id, pngOf(w, h, base)),
+        (id + 1000L, pngOf(w, h, (x, y) => { val g = base(x, y); g * g / 255 })))
+    }
+    val media = rows.toDF("media_id", "payload")
+    val hashes = Multimodal.perceptualHashBands(media)
+    val planted = baseIds.map(id => (id, id + 1000L)).toSet
+    val aOnly = graft.operators.Dedup.aHashPairs(
+      hashes.select(col("media_id"), col("abands").as("bands")),
+      "media_id", "bands", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val dual = graft.operators.Dedup.dualHashPairs(
+      hashes, "media_id", "abands", "dbands", maxHamming = 3)
+    val dualPairs = dual.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val aRecall = planted.intersect(aOnly).size
+    val dualRecall = planted.intersect(dualPairs).size
+    assert(dualRecall >= aRecall, s"union recall $dualRecall < aHash $aRecall")
+    // measured on this fixture: every planted pair sits at aHash Hamming
+    // 4-6 but dHash Hamming <= 1 — the union must recover ALL of them
+    // while aHash-only recovers none
+    assert(aRecall == 0, s"fixture drifted: aHash-only recalled $aRecall")
+    assert(dualRecall == planted.size,
+      s"union recalled only $dualRecall of ${planted.size}")
+    // full brute-force differential: emitted == all pairs with either
+    // Hamming <= 3, with exact per-family distances
+    val hm = hashes.as[(Long, Seq[Int], Seq[Int])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    def hamming(a: Seq[Int], b: Seq[Int]): Long =
+      (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum.toLong
+    val ids = hm.keys.toSeq.sorted
+    val expect = (for {
+      a <- ids; b <- ids if a < b
+      ha = hamming(hm(a)._1, hm(b)._1)
+      hd = hamming(hm(a)._2, hm(b)._2)
+      if math.min(ha, hd) <= 3
+    } yield (a, b, ha, hd)).toSet
+    val got = dual.as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect, s"got ${got.size} vs expected ${expect.size}")
+  }
+
   test("aHashPairs equals brute-force all-pairs Hamming (pigeonhole-complete to 3)") {
     // random 4x16-bit fingerprints with planted near-dup structure
     val rnd = new scala.util.Random(7)

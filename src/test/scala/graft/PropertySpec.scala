@@ -198,6 +198,37 @@ class PropertySpec extends SparkSpec {
     assert(fallback == star)
   }
 
+  test("hyperplaneBucketStats equals the brute-force bucket census") {
+    import org.apache.spark.sql.functions._
+    val dim = 16; val numBands = 4; val bandBits = 6
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(j => ((graft.functions.PortableHash.splitmix(
+        seed * 977 + j) % 2000L) - 1000L) / 500.0f)
+    val rows = (0L until 120L).map(s => (s, vec(s)))
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val got = graft.operators.Dedup.hyperplaneBucketStats(
+      emb, "vec_id", "embedding", dim = dim,
+      numBands = numBands, bandBits = bandBits)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // replica: band keys from the sign of the double dot against the SAME
+    // plane literals (cosine > 0 <=> dot > 0; norms are positive)
+    def bandKey(v: Array[Float], b: Int): Long =
+      (0 until bandBits).map { bit =>
+        val p = b * bandBits + bit
+        val dot = (0 until dim)
+          .map(i => v(i).toDouble * graft.operators.Dedup.planeCoeff(p, i).toDouble)
+          .sum
+        if (dot > 0) 1L << bit else 0L
+      }.sum
+    val occ = rows
+      .flatMap { case (_, v) => (0 until numBands).map(b => (b, bandKey(v, b))) }
+      .groupBy(identity).map(_._2.size).toSeq
+    val expect = (occ.size.toLong, 120L * numBands, occ.max.toLong,
+      occ.count(_ >= 2).toLong, occ.map(o => o.toLong * (o - 1) / 2).sum)
+    assert(got == expect, s"$got vs $expect")
+  }
+
   test("bucketPairs: a flooded bucket is dropped whole — output stays bounded") {
     import org.apache.spark.sql.functions._
     // 100 identical vectors all but guarantee one dense bucket per band;

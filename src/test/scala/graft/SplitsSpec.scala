@@ -45,6 +45,39 @@ class SplitsSpec extends SparkSpec {
     }
   }
 
+  test("pairSplitLeakage: a same-group pair can never straddle the group law") {
+    // 20 groups of 5 docs; every near-dup pair is WITHIN a group — the
+    // configuration group-keyed splitting exists for
+    val docs = (0L until 100L).map(i => (i, s"g${i / 5}")).toDF("doc_id", "source")
+    val pairList = (0L until 100L by 5).flatMap(b => Seq((b, b + 1), (b + 2, b + 4)))
+    val pairs = pairList.toDF("id_a", "id_b")
+    val got = Splits.pairSplitLeakage(pairs, docs, "doc_id", "source",
+      trainPpm = 800000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("doc_hash", "group_hash"))
+    // group law: zero straddle, zero exposure — structurally guaranteed
+    val g = got("group_hash")
+    assert(g._2 == 40 && g._3 == 40, s"n_pairs/n_same_group: $g")
+    assert(g._4 == 0 && g._5 == 0 && g._6 == 0 && g._8 == 0,
+      s"group law must have zero leakage on within-group pairs: $g")
+    // doc law: straddle recomputed from the assignment law directly
+    val assign = Splits.hashSplit(docs.select("doc_id"), "doc_id",
+      Seq(("train", 800000L), ("held", 200000L)))
+      .select(col("doc_id"), (col("split") === "train").as("t"))
+      .as[(Long, Boolean)].collect().toMap
+    val crossPairs = pairList.filter { case (a, b) => assign(a) != assign(b) }
+    val d = got("doc_hash")
+    assert(d._2 == 40 && d._3 == 40)
+    assert(d._4 == crossPairs.size, s"doc-law n_cross: $d")
+    assert(d._5 == (if (d._2 > 0) d._4 * 1000000L / d._2 else 0L))
+    val leakedExp = crossPairs
+      .map { case (a, b) => if (assign(a)) b else a }.distinct.size
+    assert(d._6 == leakedExp, s"doc-law n_held_docs_leaked: $d")
+    assert(d._7 == assign.count(!_._2), s"doc-law n_held_docs: $d")
+    assert(d._8 == (if (d._7 > 0) d._6 * 1000000L / d._7 else 0L))
+  }
+
   test("pearsonByKey: exact r/slope, null on zero variance, matches corr") {
     val rows =
       (1 to 50).map(i => ("lin", i.toDouble, 2.0 * i + 1.0)) ++        // r=1, slope=2

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Merge fresh-JVM sf10 probe samples (tools/sf10_probe.sh CSV) into
+BENCH.json: per-query min across fresh JVMs, ratio vs the record's own
+sf0.1 steady-state times, protocol named in sf10_note. Everything else in
+the record is preserved byte-for-byte at the JSON level.
+
+Usage: python3 tools/merge_bench.py <probes.csv> [BENCH.json path]
+"""
+import csv
+import json
+import sys
+
+csv_path = sys.argv[1]
+bench_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH.json"
+
+samples = {}
+with open(csv_path) as f:
+    for q, i, v in csv.reader(f):
+        if v in ("timeout", "error"):
+            samples.setdefault(q, [])
+            continue
+        samples.setdefault(q, []).append(float(v))
+
+d = json.load(open(bench_path))
+base = d["queries"]
+sf10, ratios = {}, {}
+for q, ts in samples.items():
+    if not ts:
+        print(f"[merge] {q}: no successful sample — left out", file=sys.stderr)
+        continue
+    t = min(ts)
+    sf10[q] = t
+    if base.get(q):
+        ratios[q] = round(t / base[q], 2)
+    n = len(ts)
+    print(f"[merge] {q}: min-of-{n} fresh JVMs = {t:.1f}s "
+          f"(samples {'/'.join(f'{x:.1f}' for x in sorted(ts))}) "
+          f"ratio100x={ratios.get(q, float('nan')):.2f}", file=sys.stderr)
+
+d["sf10"] = dict(sorted(sf10.items()))
+d["sf10_over_sf01_ratio"] = dict(sorted(ratios.items()))
+d["sf10_dir"] = d.get("sf10_dir", "/root/repo/bench-data/sf10")
+d["sf10_note"] = (
+    "100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; part "
+    "dim scaled with per-copy shifted partkeys; rotations composed with sign "
+    "flips past the embedding dim). Protocol: min across FRESH JVMs (one JVM "
+    "per sample, tools/sf10_probe.sh - each sample pays full JIT + page-cache "
+    "cold start, so these are COLD times, not the warm in-JVM floor that "
+    "published q67=27.8x in r9 where fresh JVMs deliver ~150x); ratio vs the "
+    "sf0.1 steady state, ~100 = linear scaling on FIXED cores. q67 SemDeDup's "
+    "in-cluster pair stage is Theta(n^1.5) at nlist=sqrt(n), so its expected "
+    "fixed-core 100x ratio is up to ~1000, NOT sub-linear; the cluster story "
+    "is that bucket count (= parallelism) also grows as sqrt(n). q113 and "
+    "q235's harvests are excluded at 100x: the replica densifies their "
+    "candidate work ~quadratically over a fixed vocabulary/key space (a "
+    "replica artifact - see sf1_note and sf1_diag)."
+)
+
+with open(bench_path, "w") as f:
+    json.dump(d, f, separators=(",", ":"))
+    f.write("\n")
+print(f"[merge] wrote {bench_path}: sf10={len(sf10)} entries", file=sys.stderr)

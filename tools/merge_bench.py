@@ -56,6 +56,14 @@ d["sf10_note"] = (
     "replica artifact - see sf1_note and sf1_diag)."
 )
 
+# sf10 is now freshly measured — clear any carried-forward stamp for it
+carried = [s for s in d.get("carried_sections", []) if s != "sf10"]
+if carried:
+    d["carried_sections"] = carried
+else:
+    d.pop("carried_sections", None)
+    d.pop("carried_from", None)
+
 with open(bench_path, "w") as f:
     json.dump(d, f, separators=(",", ":"))
     f.write("\n")

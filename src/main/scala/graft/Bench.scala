@@ -412,6 +412,31 @@ object Bench {
           diag(s"q235_max_occ_${tagKey(tag)}") = st.getLong(2).toString
         }
       }
+      // q233 (dual perceptual hash): the replica's shifted doc ids land on
+      // the SAME pixel-law images (the law's period divides the copy
+      // shift), so every image gains byte-identical copies. Those collapse
+      // at the distinct-fingerprint grain — pair_work stays FLAT across
+      // scales — but the within-group pair set the operator must EMIT
+      // (exact_dup_pairs) grows ~quadratically with copy count. A time
+      // ratio below exact_dup_pairs growth is sub-output-linear: the
+      // answer's own mass, not the pairing stage, is the cost.
+      if (r1.exists(_._1 == "q233_dhash_neardup")) {
+        for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
+          val media = graft.multimodal.Multimodal.synthesizeMedia(
+            Tables.documents(spark, d), "doc_id", "text")
+            .filter(org.apache.spark.sql.functions.col("media_type") === "image")
+          val st = graft.operators.Dedup.dualHashBucketStats(
+            graft.multimodal.Multimodal.perceptualHashBands(media),
+            "media_id", "abands", "dbands")
+            .collect().head
+          System.err.println(
+            s"[bench] q233 cost $tag: n_images=${st.getLong(0)} " +
+              s"n_fingerprints=${st.getLong(1)} exact_dup_pairs=${st.getLong(2)} " +
+              s"rep_pair_work=${st.getLong(7)} max_occ=${st.getLong(5)}")
+          diag(s"q233_exact_dup_pairs_${tagKey(tag)}") = st.getLong(2).toString
+          diag(s"q233_rep_pair_work_${tagKey(tag)}") = st.getLong(7).toString
+        }
+      }
       // q113: prefix-join candidate work scales with the token-frequency
       // mass sum(df^2), and ScaleGen's replica keeps the shingle
       // VOCABULARY nearly fixed while multiplying rows — so density (and
@@ -448,7 +473,7 @@ object Bench {
         val stoppedNote = sf1Stopped
           .map(n => s" SECTION STOPPED EARLY at $n (wall budget); missing entries are absent, not zero.")
           .getOrElse("")
-        sf1Json = s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir"$diagJson,"sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog); min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same replica artifact drives q33's hyperplane band-bucket occupancy (q235 pair_work, both scales in the run log) ~quadratically over its fixed 2^6 key space. Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join).$stoppedNote""""
+        sf1Json = s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir"$diagJson,"sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog); min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same replica artifact drives q33's hyperplane band-bucket occupancy (q235 pair_work in sf1_diag, both scales) ~quadratically over its fixed 2^6 key space, and q233's replica ratio is OUTPUT growth - byte-identical image copies collapse to one representative (q233 rep_pair_work FLAT in sf1_diag) but the within-group pair set the operator must emit grows ~quadratically with copy count (q233 exact_dup_pairs in sf1_diag); time growing slower than exact_dup_pairs is sub-output-linear. Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join).$stoppedNote""""
         carriedSections -= "sf1"
       }
       sectionDone("sf1")

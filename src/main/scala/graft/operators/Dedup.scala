@@ -626,6 +626,51 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Cost probe for the dual-hash (aHash ∪ dHash) harvest — BOTH grains
+    * of [[dualHashPairs]]'s work, because they scale independently:
+    *
+    *  - distinct-FINGERPRINT grain (what the band buckets see):
+    *    `pair_work` = Σ occ·(occ−1)/2 over (band, key) buckets of
+    *    distinct (a, d) fingerprints — the representative-pair expansion
+    *    cost. On a replica of byte-identical image copies this stays
+    *    FLAT: exact duplicates collapse to one representative before the
+    *    quadratic stage, by design.
+    *  - IMAGE grain: `exact_dup_pairs` = Σ cnt·(cnt−1)/2 over fingerprint
+    *    groups — the size of the within-group output the operator must
+    *    EMIT. A replica that multiplies identical images grows this
+    *    ~quadratically with copy count; a time ratio below this growth is
+    *    sub-output-linear, i.e. the pairing stage is not the bottleneck,
+    *    the answer's own mass is.
+    *
+    * Output: `(n_images, n_fingerprints, exact_dup_pairs, n_buckets,
+    * n_fp_band_rows, max_occ, n_multi_buckets, pair_work)`. */
+  def dualHashBucketStats(
+      hashes: DataFrame,
+      idCol: String,
+      aCol: String,
+      dCol: String): DataFrame = {
+    val fp = hashes.select(col(idCol).as("id"),
+      col(aCol).as("ab"), col(dCol).as("db"))
+    val groups = fp.groupBy("ab", "db").agg(count(lit(1)).as("cnt"))
+    val grain = groups.agg(
+      sum(col("cnt")).as("n_images"),
+      count(lit(1)).as("n_fingerprints"),
+      sum((col("cnt") * (col("cnt") - lit(1L))) / lit(2.0)).cast("long")
+        .as("exact_dup_pairs"))
+    val occ = groups
+      .select(posexplode(concat(col("ab"), col("db"))).as(Seq("bno", "bk")))
+      .groupBy("bno", "bk").agg(count(lit(1)).as("occ"))
+    val buckets = occ.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("occ")).as("n_fp_band_rows"),
+      max(col("occ")).as("max_occ"),
+      sum(when(col("occ") >= 2, lit(1L)).otherwise(lit(0L))).as("n_multi_buckets"),
+      // occ*(occ-1) is even, so the halved double is integer-exact
+      sum((col("occ") * (col("occ") - lit(1L))) / lit(2.0)).cast("long")
+        .as("pair_work"))
+    grain.crossJoin(buckets)
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * candidate PAIRS (minhash/simhash/embedding LSH output) into dedup
     * GROUPS with a canonical keeper (min id per component).

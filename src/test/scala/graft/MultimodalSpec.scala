@@ -187,6 +187,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got == expect, s"got ${got.size} vs expected ${expect.size}")
   }
 
+  test("dualHashBucketStats equals the brute-force bucket census") {
+    val manyDocs = (0L until 90L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val m = Multimodal.synthesizeMedia(manyDocs, "doc_id", "text")
+      .filter(col("media_type") === "image")
+    val hashes = Multimodal.perceptualHashBands(m)
+    val got = graft.operators.Dedup.dualHashBucketStats(
+      hashes, "media_id", "abands", "dbands")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val all = hashes.as[(Long, Seq[Int], Seq[Int])].collect()
+    val groups = all.groupBy(t => (t._2, t._3)).values.map(_.size).toSeq
+    val fps = all.map(t => (t._2, t._3)).distinct
+    val occ = fps.flatMap { case (ab, db) =>
+      (ab ++ db).zipWithIndex.map { case (bk, bno) => (bno, bk) }
+    }.groupBy(identity).map(_._2.size).toSeq
+    val expect = (all.length.toLong, fps.size.toLong,
+      groups.map(g => g.toLong * (g - 1) / 2).sum,
+      occ.size.toLong, fps.size.toLong * 8, occ.max.toLong,
+      occ.count(_ >= 2).toLong, occ.map(o => o.toLong * (o - 1) / 2).sum)
+    assert(got == expect, s"$got vs $expect")
+  }
+
   test("aHashPairs equals brute-force all-pairs Hamming (pigeonhole-complete to 3)") {
     // random 4x16-bit fingerprints with planted near-dup structure
     val rnd = new scala.util.Random(7)

@@ -315,7 +315,8 @@ object Bench {
       "q224_clustering_coeff", "q225_stratified_ate", "q226_km_risk_table",
       "q227_conformal_coverage", "q228_cusum_change", "q229_phash_neardup",
       "q230_modularity", "q231_split_leakage", "q232_jl_recall",
-      "q233_dhash_neardup", "q234_group_leakage", "q235_hyperplane_stats")
+      "q233_dhash_neardup", "q234_group_leakage", "q235_hyperplane_stats",
+      "q236_image_dedup_groups")
     // sf1 per-query budget estimate: 3 samples x base x (worst observed
     // 10x ratio ~10, so x10) + overhead. Unknown-base queries get a flat
     // conservative guess.

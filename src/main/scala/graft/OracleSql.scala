@@ -538,7 +538,7 @@ private[graft] object OracleSql {
     * grain, exact per-family bit_count(xor) Hamming, pair kept when
     * EITHER distance ≤ 3 (the Spark side is the only one touching the
     * PNG codec; lossless decode ≡ law). */
-  private lazy val dhashNearDupOracleSql: String = {
+  private lazy val dhashPairsCtes: String = {
     val aCols = (0 until 4).map(i => s"a$i")
     val dCols = (0 until 4).map(i => s"d$i")
     def pivot(out: Seq[String]): String =
@@ -552,7 +552,7 @@ private[graft] object OracleSql {
     }.mkString("\n  ")
     def hammingSum(cols: Seq[String]): String =
       cols.map(c => s"bit_count(xor(ga.$c, gb.$c))").mkString(" + ")
-    s"""WITH img AS (
+    s"""img AS (
        |  SELECT doc_id AS media_id,
        |    CAST(doc_id % 32 + 1 AS INTEGER) AS w,
        |    CAST(doc_id % 24 + 1 AS INTEGER) AS h
@@ -621,11 +621,31 @@ private[graft] object OracleSql {
        |  SELECT xa.a AS id_a, yb.b AS id_b,
        |    CAST(0 AS BIGINT) AS hamming_a, CAST(0 AS BIGINT) AS hamming_d
        |  FROM grp, unnest(ids) AS xa(a), unnest(ids) AS yb(b)
-       |  WHERE xa.a < yb.b)
+       |  WHERE xa.a < yb.b)""".stripMargin
+  }
+
+  private lazy val dhashNearDupOracleSql: String =
+    s"""WITH $dhashPairsCtes
        |SELECT id_a, id_b, hamming_a, hamming_d FROM cross_pairs
        |UNION ALL SELECT id_a, id_b, hamming_a, hamming_d FROM within
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** q236 oracle: the q233 pair CTEs folded to components by recursive
+    * reachability (q47's dedupGroups pattern) — min reachable id per node
+    * == the distributed label propagation's canonical keeper. */
+  private lazy val imageDedupGroupsOracleSql: String =
+    s"""WITH RECURSIVE $dhashPairsCtes,
+       |allp AS (
+       |  SELECT id_a, id_b FROM cross_pairs
+       |  UNION ALL SELECT id_a, id_b FROM within),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM allp
+       |  UNION SELECT id_b, id_a FROM allp),
+       |walk(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id)
+       |SELECT id, min(lbl) AS component FROM walk GROUP BY id ORDER BY id""".stripMargin
 
   /** q232 oracle: the q48 quantization replay, projected through the SAME
     * splitmix ±1 literals the Spark plan carries (both sides inline
@@ -1605,6 +1625,7 @@ private[graft] object OracleSql {
     "q233_dhash_neardup" -> dhashNearDupOracleSql,
     "q234_group_leakage" -> groupLeakageOracleSql,
     "q235_hyperplane_stats" -> hyperplaneStatsOracleSql,
+    "q236_image_dedup_groups" -> imageDedupGroupsOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

@@ -4430,6 +4430,23 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Image dedup GROUPS (q236): the step q233's pairs exist for — the
+    * union-band pair graph folded into dedup groups with a canonical
+    * keeper (min media_id per component), q47's components topology on the
+    * multimodal grain. The pair graph is persisted before the iterative
+    * label propagation ([[graft.Caching.track]]) so CC rounds never re-run
+    * the decode+hash pipeline; the oracle derives components by recursive
+    * reachability over the same closed-form pair set. */
+  private def imageDedupGroupsQ(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeMedia(
+      documents(s, dir), "doc_id", "text")
+      .filter(col("media_type") === "image")
+    val hashes = graft.multimodal.Multimodal.perceptualHashBands(media)
+    Dedup.connectedComponents(graft.Caching.track(
+      Dedup.dualHashPairs(hashes, "media_id", "abands", "dbands", maxHamming = 3)))
+      .orderBy("id")
+  }
+
   /** Group-split leakage audit (q234): q231's near-dup straddle
     * measurement re-run under BOTH split laws — the row-keyed md5 split
     * and q118's GROUP-keyed (source-hashed) split — over the same q18
@@ -4695,7 +4712,8 @@ object SparkEntry {
     "q232_jl_recall" -> (jlRecallQ _),
     "q233_dhash_neardup" -> (dhashNearDupQ _),
     "q234_group_leakage" -> (groupLeakageQ _),
-    "q235_hyperplane_stats" -> (hyperplaneStatsQ _)
+    "q235_hyperplane_stats" -> (hyperplaneStatsQ _),
+    "q236_image_dedup_groups" -> (imageDedupGroupsQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

@@ -180,6 +180,39 @@ class PlanAuditSpec extends SparkSpec {
     // shares bucketPairs
   }
 
+  test("q233 dual-hash pairing: band-bucket harvest, no cartesian, only the two capped group-expansion joins") {
+    val p = planString("q233_dhash_neardup")
+    assert(!p.contains("CartesianProduct"), "no all-pairs image join")
+    // allowed joins: repPairs ⟕ groups(ra) and ⟕ groups(rb) — rep-keyed
+    // equi-joins of the flood-capped fingerprint-group table; the pair
+    // candidates themselves come from the in-bucket expansion
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(joins <= 2, s"expected at most the two group-expansion joins, found $joins:\n" + p.take(2500))
+  }
+
+  test("q234 leakage audit: pair-table joins only — no cartesian beyond 1-row scalar crossJoins") {
+    val p = planString("q234_group_leakage")
+    assert(!p.contains("CartesianProduct"), "no unbounded cartesian")
+    // the lazy-scalar idiom (1-row aggregate crossJoins) surfaces as
+    // BroadcastNestedLoopJoin — every other join must be an equi-join of
+    // the flood-capped pair table against the (id, group) projection
+    // (shuffle-on-id; the doc table is never assumed broadcastable)
+    assert(!p.contains("ShuffledNestedLoop"), "nested loops must be 1-row broadcasts")
+  }
+
+  test("q236 image dedup groups: label propagation truncates lineage, no cartesian") {
+    val p = planString("q236_image_dedup_groups")
+    assert(!p.contains("CartesianProduct"), "no all-pairs expansion")
+    // like q67: connectedComponents localCheckpoints its labels, so the
+    // visible plan is the label join over Scan ExistingRDD; the pairing
+    // subtree's harvest shape is pinned by the q233 test (shared
+    // bucketPairs + group expansion)
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(joins <= 1, s"expected at most the label join, found $joins:\n" + p.take(2500))
+  }
+
   test("q68 duplicated spans: window-hash grain only — zero join operators") {
     val p = planString("q68_dup_spans")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),

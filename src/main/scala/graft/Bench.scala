@@ -479,9 +479,12 @@ object Bench {
           }
           m.toMap
         }
-        val carriedT = if (sf1Stopped.isEmpty) Map.empty[String, String]
+        // partial = budget-stopped OR ONLY-filtered: either way the fresh
+        // entries are a subset, and the unmeasured rest must survive
+        val partial = sf1Stopped.isDefined || only.isDefined
+        val carriedT = if (!partial) Map.empty[String, String]
           else carriedMap("sf1").filterKeys(!measuredNames(_)).toMap
-        val carriedR = if (sf1Stopped.isEmpty) Map.empty[String, String]
+        val carriedR = if (!partial) Map.empty[String, String]
           else carriedMap("sf1_over_sf01_ratio").filterKeys(!measuredNames(_)).toMap
         val carriedD = if (diag.isEmpty) carriedMap("sf1_diag")
           else Map.empty[String, String]
@@ -497,7 +500,10 @@ object Bench {
           .mkString("{", ",", "}")
         val stoppedNote = sf1Stopped
           .map(n => s" SECTION STOPPED EARLY at $n (wall budget); the ${carriedT.size} unreached entries are carried verbatim from the prior record ($carrySrcPath), measured entries are fresh.")
-          .getOrElse("")
+          .getOrElse(
+            if (carriedT.nonEmpty)
+              s" Partial refresh: ${measuredNames.size} entries fresh, ${carriedT.size} carried verbatim from the prior record ($carrySrcPath)."
+            else "")
         sf1Json = s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir"$diagJson,"sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog); min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same replica artifact drives q33's hyperplane band-bucket occupancy (q235 pair_work in sf1_diag, both scales) ~quadratically over its fixed 2^6 key space, and q233's replica ratio is OUTPUT growth - byte-identical image copies collapse to one representative (q233 rep_pair_work FLAT in sf1_diag) but the within-group pair set the operator must emit grows ~quadratically with copy count (q233 exact_dup_pairs in sf1_diag); time growing slower than exact_dup_pairs is sub-output-linear. Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join).$stoppedNote""""
         carriedSections -= "sf1"
       }

@@ -108,7 +108,8 @@ object Bench {
         "[bench] WARNING: suite deselected but no carry source has 'queries' — suite will re-measure")
     val measureSuite = sections.contains("suite") || baseJson.isEmpty
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val orderedAll = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = orderedAll
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Steady-state methodology: one untimed warmup pass of the full suite
     // (JIT + codegen compilation + page cache), then the timed pass. The
@@ -142,7 +143,11 @@ object Bench {
     // plausible ~0.05-0.17s "successes" — a regression invisible to the
     // artifact reader).
     val results: Seq[(String, Either[String, Double])] = baseJson match {
-      case Some(base) => ordered.map { case (name, _) =>
+      // a CARRIED suite always reconstructs the base run's FULL coverage —
+      // the ONLY filter scopes what this run measures (warmup + scale
+      // sections), never what it preserves; filtering here once downgraded
+      // the committed 236-entry suite to the one filtered query
+      case Some(base) => orderedAll.map { case (name, _) =>
         // keep 'errored in the base run' distinct from 'not in the base
         // run at all' — conflating them made a base-run failure look like
         // a registry mismatch in the durable artifact

@@ -87,11 +87,12 @@ object Bench {
     // SPARK_GRAFT_ONLY, so its run always covers the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Suite reuse: when this run does not measure the suite, per-query
-    // sf0.1 times come from the carry source (provenance stamped below).
+    // Suite reuse: when this run does not measure the suite — or measures
+    // only an ONLY-filtered slice of it — per-query sf0.1 times for the
+    // unmeasured queries come from the carry source (provenance stamped
+    // below).
     val baseJson: Option[Map[String, Option[Double]]] =
-      if (sections.contains("suite")) None
-      else carryTree.flatMap { t =>
+      carryTree.flatMap { t =>
         Option(t.get("queries")).map { node =>
           val it = node.fields()
           val m = scala.collection.mutable.Map[String, Option[Double]]()
@@ -142,46 +143,47 @@ object Bench {
     // never as its time-to-throw (round 6 recorded 24 broken queries as
     // plausible ~0.05-0.17s "successes" — a regression invisible to the
     // artifact reader).
-    val results: Seq[(String, Either[String, Double])] = baseJson match {
-      // a CARRIED suite always reconstructs the base run's FULL coverage —
-      // the ONLY filter scopes what this run measures (warmup + scale
-      // sections), never what it preserves; filtering here once downgraded
-      // the committed 236-entry suite to the one filtered query
-      case Some(base) => orderedAll.map { case (name, _) =>
-        // keep 'errored in the base run' distinct from 'not in the base
-        // run at all' — conflating them made a base-run failure look like
-        // a registry mismatch in the durable artifact
-        base.get(name) match {
-          case Some(Some(v)) => name -> Right(v)
-          case Some(None) => name -> Left("errored in base run")
-          case None => name -> Left("absent from base json")
-        }
-      }
-      case None => ordered.map {
-      case (name, fn) =>
-        System.gc()
-        val samples = (1 to 3).map { _ =>
-          val t0q = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Right((System.nanoTime() - t0q) / 1e9)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            Left(String.valueOf(e.getMessage).take(300))
+    // The durable suite always reconstructs FULL registry coverage — the
+    // ONLY filter scopes what this run MEASURES, never what it preserves
+    // (filtering the record once downgraded the committed 236-entry suite
+    // to the one filtered query; an ONLY-scoped suite refresh did the same
+    // a round later from the measuring path). Per name: measure when this
+    // run's suite measurement covers it, else carry from the base record.
+    val measuredHere: String => Boolean = name =>
+      measureSuite && only.forall(_.contains(name))
+    val results: Seq[(String, Either[String, Double])] =
+      orderedAll.map { case (name, fn) =>
+        if (measuredHere(name)) {
+          System.gc()
+          val samples = (1 to 3).map { _ =>
+            val t0q = System.nanoTime()
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Right((System.nanoTime() - t0q) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              Left(String.valueOf(e.getMessage).take(300))
+            }
           }
-        }
-        val times = samples.collect { case Right(t) => t }
-        if (times.isEmpty) name -> Left(samples.head.left.getOrElse("failed"))
-        else {
-          // variance note (stderr — stdout carries only the driver's JSON
-          // line): spread = (max-min)/min over the 3 samples; anything large
-          // means the min is load-dependent, not plan-dependent
-          System.err.println(
-            f"[bench] $name%-28s min=${times.min}%.3f spread=${(times.max - times.min) / times.min}%.2f")
-          name -> Right(times.min)
+          val times = samples.collect { case Right(t) => t }
+          if (times.isEmpty) name -> Left(samples.head.left.getOrElse("failed"))
+          else {
+            // variance note (stderr — stdout carries only the driver's JSON
+            // line): spread = (max-min)/min over the 3 samples; anything large
+            // means the min is load-dependent, not plan-dependent
+            System.err.println(
+              f"[bench] $name%-28s min=${times.min}%.3f spread=${(times.max - times.min) / times.min}%.2f")
+            name -> Right(times.min)
+          }
+        } else baseJson.map(_.get(name)) match {
+          // keep 'errored in the base run' distinct from 'not in the base
+          // run at all' — conflating them made a base-run failure look like
+          // a registry mismatch in the durable artifact
+          case Some(Some(Some(v))) => name -> Right(v)
+          case Some(Some(None)) => name -> Left("errored in base run")
+          case _ => name -> Left("absent from base json")
         }
       }
-    }
     if (measureSuite) sectionDone("suite")
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
@@ -200,7 +202,7 @@ object Bench {
     // one end-to-end measurement (it used to be recorded only in commit
     // messages).
     val provJson =
-      if (measureSuite) ""
+      if (measureSuite && only.isEmpty) ""
       else s""","sf01_source":${jstr(carrySrcPath)}"""
 
     val head =
@@ -321,7 +323,9 @@ object Bench {
       "q227_conformal_coverage", "q228_cusum_change", "q229_phash_neardup",
       "q230_modularity", "q231_split_leakage", "q232_jl_recall",
       "q233_dhash_neardup", "q234_group_leakage", "q235_hyperplane_stats",
-      "q236_image_dedup_groups")
+      "q236_image_dedup_groups", "q237_audio_fingerprint",
+      "q238_video_framesig", "q239_media_dedup_manifest",
+      "q240_component_split", "q241_image_caption_cells")
     // sf1 per-query budget estimate: 3 samples x base x (worst observed
     // 10x ratio ~10, so x10) + overhead. Unknown-base queries get a flat
     // conservative guess.
@@ -441,6 +445,29 @@ object Bench {
               s"rep_pair_work=${st.getLong(7)} max_occ=${st.getLong(5)}")
           diag(s"q233_exact_dup_pairs_${tagKey(tag)}") = st.getLong(2).toString
           diag(s"q233_rep_pair_work_${tagKey(tag)}") = st.getLong(7).toString
+        }
+      }
+      // q237/q239 (audio fingerprint): the PCM law's 53-track key space is
+      // FIXED, so a key-shifted replica multiplies byte-identical tracks —
+      // distinct fingerprints stay flat (rep-grain pair_work FLAT) while
+      // the within-group pair set the pairing must EMIT (and q239's CC
+      // must traverse) grows ~quadratically with copy count. A real 100x
+      // audio corpus grows its track space with size; the diag pins which
+      // grain carries the replica growth.
+      if (r1.exists(_._1 == "q237_audio_fingerprint")) {
+        for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
+          val st = graft.operators.Dedup.aHashBucketStats(
+            graft.multimodal.Multimodal.audioEnergyBands(
+              graft.multimodal.Multimodal.synthesizeAudio(
+                Tables.documents(spark, d), "doc_id")),
+            "media_id", "bands")
+            .collect().head
+          System.err.println(
+            s"[bench] q237 cost $tag: n_rows=${st.getLong(0)} " +
+              s"n_fingerprints=${st.getLong(1)} exact_dup_pairs=${st.getLong(2)} " +
+              s"rep_pair_work=${st.getLong(7)} max_occ=${st.getLong(5)}")
+          diag(s"q237_exact_dup_pairs_${tagKey(tag)}") = st.getLong(2).toString
+          diag(s"q237_rep_pair_work_${tagKey(tag)}") = st.getLong(7).toString
         }
       }
       // q113: prefix-join candidate work scales with the token-frequency

@@ -132,28 +132,32 @@ private[graft] object OracleSql {
 
   /** Shared CTE body replaying the portable minhash pipeline in DuckDB SQL —
     * md5Hash60 shingle hashes, 32 affine permutations, band CSV keys, the
-    * (2, maxBucket) bucket-size gate (feeds q18 and q47). */
-  private lazy val minhashPipelineCte: String = {
+    * (2, maxBucket) bucket-size gate (feeds q18 and q47). Prefix-
+    * parameterized so q241 can compose it next to the image CTE family
+    * (both define a `banded` otherwise). */
+  private def minhashPipelineCtes(p: String): String = {
     val n = 32; val rpb = 8; val bands = n / rpb
     val mins = (0 until n)
       .map(i => s"min(${PortableHash.affine31Sql(i, "h")}) AS m$i").mkString(",\n    ")
     val sigList = (0 until n).map(i => s"m$i").mkString(", ")
     val bandSelects = (0 until bands).map { b =>
       val csv = (0 until rpb).map(r => s"m${b * rpb + r}").mkString(", ")
-      s"SELECT id, [$sigList] AS sig, $b AS bno, concat_ws(',', $csv) AS bk FROM sig"
+      s"SELECT id, [$sigList] AS sig, $b AS bno, concat_ws(',', $csv) AS bk FROM ${p}sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""toks AS (
+    s"""${p}toks AS (
        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS tk
        |  FROM documents),
-       |sh AS (
+       |${p}sh AS (
        |  SELECT id, array_to_string(tk[u.i + 1 : u.i + 2], ' ') AS s
-       |  FROM toks, unnest(range(greatest(len(tk) - 1, 1))) AS u(i)),
-       |h AS (SELECT id, ${PortableHash.md5Hash60Sql("s")} AS h FROM sh),
-       |sig AS (SELECT id, $mins FROM h GROUP BY id),
-       |banded AS (
+       |  FROM ${p}toks, unnest(range(greatest(len(tk) - 1, 1))) AS u(i)),
+       |${p}h AS (SELECT id, ${PortableHash.md5Hash60Sql("s")} AS h FROM ${p}sh),
+       |${p}sig AS (SELECT id, $mins FROM ${p}h GROUP BY id),
+       |${p}banded AS (
        |  $bandSelects),
-       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bno, bk) AS bsz FROM banded)""".stripMargin
+       |${p}sized AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY bno, bk) AS bsz FROM ${p}banded)""".stripMargin
   }
+  private lazy val minhashPipelineCte: String = minhashPipelineCtes("")
 
   /** q128 oracle: the q18 signature pipeline generalized over
     * rows-per-band (4/8/16 → 8/4/2 bands over the same 32 permutations),
@@ -629,6 +633,278 @@ private[graft] object OracleSql {
        |SELECT id_a, id_b, hamming_a, hamming_d FROM cross_pairs
        |UNION ALL SELECT id_a, id_b, hamming_a, hamming_d FROM within
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Audio fingerprint pair CTEs (prefix-parameterized so q239 can
+    * compose them next to the image/video families): the closed-form PCM
+    * law replayed codec-free (WAV PCM is lossless, so the Spark side's
+    * real `javax.sound.sampled` decode sees exactly these samples):
+    * |sample| summed over 60-sample frames → 64 energy-gradient sign bits
+    * → 4×16-bit bands → q229's pairing algebra verbatim. Produces
+    * `${p}cross_pairs` / `${p}within` with (id_a, id_b, hamming). */
+  private def audioPairCtes(p: String): String =
+    s"""${p}aud AS (
+       |  SELECT doc_id AS media_id, doc_id % 53 AS trk,
+       |    CAST(3 + 2 * ((doc_id % 53) % 5) AS BIGINT) AS st,
+       |    CAST(1 + doc_id % 2 AS BIGINT) AS g
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |${p}sm AS (
+       |  SELECT media_id, ts.t // 60 AS f,
+       |    abs(((trk * 31 + ts.t * st) % 256) - 128) * g AS a
+       |  FROM ${p}aud, unnest(generate_series(0, 3899)) AS ts(t)),
+       |${p}en AS (SELECT media_id, f, SUM(a) AS e FROM ${p}sm GROUP BY 1, 2),
+       |${p}bits AS (
+       |  SELECT x.media_id, x.f AS p,
+       |    CASE WHEN y.e > x.e THEN 1 ELSE 0 END AS bit
+       |  FROM ${p}en x JOIN ${p}en y
+       |    ON y.media_id = x.media_id AND y.f = x.f + 1
+       |  WHERE x.f < 64),
+       |${p}b AS (
+       |  SELECT media_id, p // 16 AS band,
+       |    CAST(SUM(bit * (1 << (p % 16))) AS INTEGER) AS bk
+       |  FROM ${p}bits GROUP BY 1, 2),
+       |${p}hs AS (
+       |  SELECT media_id,
+       |    MAX(CASE WHEN band = 0 THEN bk END) AS b0,
+       |    MAX(CASE WHEN band = 1 THEN bk END) AS b1,
+       |    MAX(CASE WHEN band = 2 THEN bk END) AS b2,
+       |    MAX(CASE WHEN band = 3 THEN bk END) AS b3
+       |  FROM ${p}b GROUP BY 1),
+       |${p}grp AS (
+       |  SELECT b0, b1, b2, b3, list_sort(list(media_id)) AS ids,
+       |    MIN(media_id) AS rep
+       |  FROM ${p}hs GROUP BY 1, 2, 3, 4),
+       |${p}banded AS (
+       |  SELECT rep, 0 AS band, b0 AS bk FROM ${p}grp
+       |  UNION ALL SELECT rep, 1, b1 FROM ${p}grp
+       |  UNION ALL SELECT rep, 2, b2 FROM ${p}grp
+       |  UNION ALL SELECT rep, 3, b3 FROM ${p}grp),
+       |${p}rp AS (
+       |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
+       |  FROM ${p}banded x JOIN ${p}banded y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep),
+       |${p}ham AS (
+       |  SELECT ra, rb,
+       |    CAST(bit_count(xor(ga.b0, gb.b0)) + bit_count(xor(ga.b1, gb.b1))
+       |      + bit_count(xor(ga.b2, gb.b2)) + bit_count(xor(ga.b3, gb.b3))
+       |      AS BIGINT) AS hamming,
+       |    ga.ids AS ia, gb.ids AS ib
+       |  FROM ${p}rp
+       |  JOIN ${p}grp ga ON ga.rep = ra
+       |  JOIN ${p}grp gb ON gb.rep = rb),
+       |${p}cross_pairs AS (
+       |  SELECT LEAST(xa.a, yb.b) AS id_a, GREATEST(xa.a, yb.b) AS id_b,
+       |    hamming
+       |  FROM ${p}ham, unnest(ia) AS xa(a), unnest(ib) AS yb(b)
+       |  WHERE hamming <= 3),
+       |${p}within AS (
+       |  SELECT xa.a AS id_a, yb.b AS id_b, CAST(0 AS BIGINT) AS hamming
+       |  FROM ${p}grp, unnest(ids) AS xa(a), unnest(ids) AS yb(b)
+       |  WHERE xa.a < yb.b)""".stripMargin
+
+  /** q237 oracle: [[audioPairCtes]] unprefixed, pairs emitted. */
+  private lazy val audioFingerprintOracleSql: String =
+    s"""WITH ${audioPairCtes("")}
+       |SELECT id_a, id_b, hamming FROM cross_pairs
+       |UNION ALL SELECT id_a, id_b, hamming FROM within
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Video sampled-frame pair CTEs (prefix-parameterized for q239):
+    * per-frame pixel-law replay (TIFF is lossless — the Spark side's real
+    * multi-page ImageIO decode sees exactly these values) at the sampled
+    * indices 0,2,…, the q229 aHash lattice per frame, then exact-match
+    * pairing at the (frame, fingerprint) grain with the same ≤10000
+    * bucket cap the Spark harvest applies. Produces `${p}pc`
+    * (id_a, id_b, n_match) and `${p}cnt` (media_id, n). */
+  private def videoPairCtes(p: String): String =
+    s"""${p}vid AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(doc_id % 16 + 8 AS BIGINT) AS w,
+       |    CAST(doc_id % 12 + 6 AS BIGINT) AS h,
+       |    CAST(4 + doc_id % 5 AS BIGINT) AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |${p}fr AS (
+       |  SELECT media_id, w, h, fs.f
+       |  FROM ${p}vid, unnest(generate_series(0, 7)) AS fs(f)
+       |  WHERE fs.f < nf AND fs.f % 2 = 0),
+       |${p}px AS (
+       |  SELECT media_id, f, (js.j * 8 + ii.i) AS p,
+       |    ((media_id + f * 9973) * 31 + ((ii.i * w) // 8) * 7
+       |      + ((js.j * h) // 8) * 13) % 256 AS g
+       |  FROM ${p}fr,
+       |    unnest(generate_series(0, 7)) AS ii(i),
+       |    unnest(generate_series(0, 7)) AS js(j)),
+       |${p}m AS (
+       |  SELECT media_id, f, SUM(g) // 64 AS mean FROM ${p}px GROUP BY 1, 2),
+       |${p}b AS (
+       |  SELECT ${p}px.media_id, ${p}px.f, p // 16 AS band,
+       |    CAST(SUM(CASE WHEN g >= mean THEN (1 << (p % 16)) ELSE 0 END)
+       |      AS INTEGER) AS bk
+       |  FROM ${p}px JOIN ${p}m USING (media_id, f) GROUP BY 1, 2, 3),
+       |${p}hs AS (
+       |  SELECT media_id, f,
+       |    MAX(CASE WHEN band = 0 THEN bk END) AS b0,
+       |    MAX(CASE WHEN band = 1 THEN bk END) AS b1,
+       |    MAX(CASE WHEN band = 2 THEN bk END) AS b2,
+       |    MAX(CASE WHEN band = 3 THEN bk END) AS b3
+       |  FROM ${p}b GROUP BY 1, 2),
+       |${p}occ AS (
+       |  SELECT f, b0, b1, b2, b3, COUNT(*) AS c
+       |  FROM ${p}hs GROUP BY ALL),
+       |${p}mp AS (
+       |  SELECT x.media_id AS ia, y.media_id AS ib
+       |  FROM ${p}hs x JOIN ${p}hs y
+       |    ON x.f = y.f AND x.b0 = y.b0 AND x.b1 = y.b1
+       |      AND x.b2 = y.b2 AND x.b3 = y.b3 AND x.media_id < y.media_id
+       |  JOIN ${p}occ o ON o.f = x.f AND o.b0 = x.b0 AND o.b1 = x.b1
+       |    AND o.b2 = x.b2 AND o.b3 = x.b3
+       |  WHERE o.c <= 10000),
+       |${p}pc AS (
+       |  SELECT ia AS id_a, ib AS id_b, CAST(COUNT(*) AS BIGINT) AS n_match
+       |  FROM ${p}mp GROUP BY 1, 2),
+       |${p}cnt AS (
+       |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM ${p}hs GROUP BY 1)""".stripMargin
+
+  /** q238 oracle: [[videoPairCtes]] unprefixed, pairs + frame counts. */
+  private lazy val videoFrameSigOracleSql: String =
+    s"""WITH ${videoPairCtes("")}
+       |SELECT id_a, id_b, n_match, ca.n AS n_a, cb.n AS n_b
+       |FROM pc
+       |JOIN cnt ca ON ca.media_id = id_a
+       |JOIN cnt cb ON cb.media_id = id_b
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q239 oracle: the three modality pair families (image [[dhashPairsCtes]],
+    * audio [[audioPairCtes]], video [[videoPairCtes]] — id spaces disjoint
+    * by the doc_id % 3 residue law) unioned into one edge list, folded to
+    * components by recursive reachability (q236's walk), then joined back
+    * to the FULL media universe: singletons keep themselves. */
+  private lazy val mediaDedupManifestOracleSql: String =
+    s"""WITH RECURSIVE $dhashPairsCtes,
+       |${audioPairCtes("a_")},
+       |${videoPairCtes("v_")},
+       |allp AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM cross_pairs
+       |  UNION SELECT id_a, id_b FROM within
+       |  UNION SELECT id_a, id_b FROM a_cross_pairs
+       |  UNION SELECT id_a, id_b FROM a_within
+       |  UNION SELECT id_a, id_b FROM v_pc),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS a, id_b AS b FROM allp
+       |  UNION SELECT id_b, id_a FROM allp),
+       |walk(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id),
+       |comp AS (SELECT id, MIN(lbl) AS c FROM walk GROUP BY id)
+       |SELECT d.doc_id AS media_id,
+       |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+       |       WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+       |    AS media_type,
+       |  COALESCE(c.c, d.doc_id) AS component,
+       |  (COALESCE(c.c, d.doc_id) = d.doc_id) AS keep
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |ORDER BY media_id""".stripMargin
+
+  /** q240 oracle: the q239 component manifest (three pair families +
+    * recursive components + full-universe left join) labeled under BOTH
+    * split laws — row-keyed md5 and COMPONENT-keyed md5 — with q234's
+    * counts/floor-ppm algebra. The group-law row must read n_cross = 0:
+    * both ends of every pair share a component by construction. */
+  private lazy val componentSplitOracleSql: String = {
+    import graft.operators.Splits
+    val trainPpm = 800000L
+    def lawBlock(ta: String, tb: String, heldBucket: String,
+        tag: String): String =
+      s"""ag$tag AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(COALESCE(SUM(CASE WHEN ga = gb THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_same_group,
+         |    CAST(COALESCE(SUM(CASE WHEN $ta <> $tb THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_cross
+         |  FROM lab),
+         |lh$tag AS (
+         |  SELECT CAST(COUNT(DISTINCT CASE WHEN $ta THEN ib ELSE ia END)
+         |    AS BIGINT) AS n_held_docs_leaked
+         |  FROM lab WHERE $ta <> $tb),
+         |ht$tag AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_held_docs FROM md
+         |  WHERE $heldBucket >= $trainPpm)""".stripMargin
+    def lawSelect(law: String, tag: String): String =
+      s"""SELECT '$law' AS split_law, n_pairs, n_same_group, n_cross,
+         |  CASE WHEN n_pairs > 0
+         |    THEN (n_cross * 1000000) // n_pairs ELSE 0 END AS leak_ppm,
+         |  n_held_docs_leaked, n_held_docs,
+         |  CASE WHEN n_held_docs > 0
+         |    THEN (n_held_docs_leaked * 1000000) // n_held_docs ELSE 0 END
+         |    AS exposure_ppm
+         |FROM ag$tag, lh$tag, ht$tag""".stripMargin
+    s"""WITH RECURSIVE $dhashPairsCtes,
+       |${audioPairCtes("a_")},
+       |${videoPairCtes("v_")},
+       |allp AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM cross_pairs
+       |  UNION SELECT id_a, id_b FROM within
+       |  UNION SELECT id_a, id_b FROM a_cross_pairs
+       |  UNION SELECT id_a, id_b FROM a_within
+       |  UNION SELECT id_a, id_b FROM v_pc),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS a, id_b AS b FROM allp
+       |  UNION SELECT id_b, id_a FROM allp),
+       |walk(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id),
+       |comp AS (SELECT id, MIN(lbl) AS c FROM walk GROUP BY id),
+       |md AS (
+       |  SELECT d.doc_id AS media_id, COALESCE(c.c, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |lab AS (
+       |  SELECT p.id_a AS ia, p.id_b AS ib,
+       |    ma.component AS ga, mb.component AS gb,
+       |    (${Splits.bucketSql("p.id_a")} < $trainPpm) AS ta_doc,
+       |    (${Splits.bucketSql("p.id_b")} < $trainPpm) AS tb_doc,
+       |    (${Splits.bucketSql("ma.component")} < $trainPpm) AS ta_grp,
+       |    (${Splits.bucketSql("mb.component")} < $trainPpm) AS tb_grp
+       |  FROM allp p
+       |  JOIN md ma ON ma.media_id = p.id_a
+       |  JOIN md mb ON mb.media_id = p.id_b),
+       |${lawBlock("ta_doc", "tb_doc", Splits.bucketSql("media_id"), "d")},
+       |${lawBlock("ta_grp", "tb_grp", Splits.bucketSql("component"), "g")}
+       |${lawSelect("doc_hash", "d")}
+       |UNION ALL
+       |${lawSelect("group_hash", "g")}
+       |ORDER BY split_law""".stripMargin
+  }
+
+  /** q241 oracle: the image pair family ([[dhashPairsCtes]]) full-outer
+    * joined at the pair grain with the caption MinHash pairs (the q18
+    * pipeline, prefixed `c_`, restricted to image-modality rows) — three
+    * exact policy-cell counts. */
+  private lazy val imageCaptionCellsOracleSql: String =
+    s"""WITH ${minhashPipelineCtes("c_")},
+       |$dhashPairsCtes,
+       |cpairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM c_sized a JOIN c_sized b
+       |    ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+       |  WHERE a.bsz BETWEEN 2 AND 1000
+       |    AND a.id % 3 = 0 AND b.id % 3 = 0),
+       |ip AS (
+       |  SELECT id_a, id_b FROM cross_pairs
+       |  UNION SELECT id_a, id_b FROM within),
+       |u AS (
+       |  SELECT (i.id_a IS NOT NULL) AS img, (c.id_a IS NOT NULL) AS cap
+       |  FROM ip i FULL OUTER JOIN cpairs c
+       |    ON c.id_a = i.id_a AND c.id_b = i.id_b)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(SUM(CASE WHEN img AND cap THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_both,
+       |  CAST(COALESCE(SUM(CASE WHEN img AND NOT cap THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_image_only,
+       |  CAST(COALESCE(SUM(CASE WHEN NOT img AND cap THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_caption_only
+       |FROM u""".stripMargin
 
   /** q236 oracle: the q233 pair CTEs folded to components by recursive
     * reachability (q47's dedupGroups pattern) — min reachable id per node
@@ -1626,6 +1902,11 @@ private[graft] object OracleSql {
     "q234_group_leakage" -> groupLeakageOracleSql,
     "q235_hyperplane_stats" -> hyperplaneStatsOracleSql,
     "q236_image_dedup_groups" -> imageDedupGroupsOracleSql,
+    "q237_audio_fingerprint" -> audioFingerprintOracleSql,
+    "q238_video_framesig" -> videoFrameSigOracleSql,
+    "q239_media_dedup_manifest" -> mediaDedupManifestOracleSql,
+    "q240_component_split" -> componentSplitOracleSql,
+    "q241_image_caption_cells" -> imageCaptionCellsOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

@@ -4447,6 +4447,148 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Audio fingerprint near-dup (q237): the audio member of the
+    * multimodal dedup family, through a REAL audio codec — WAV payloads
+    * (RIFF/PCM 16-bit, [[graft.multimodal.Multimodal.synthesizeAudio]])
+    * decode through `javax.sound.sampled` into 65 frame energies, the 64
+    * energy-gradient sign bits pack into 4×16-bit bands
+    * ([[graft.multimodal.Multimodal.audioEnergyBands]] — dHash's move
+    * applied in time, robust to global gain), and pairing reuses q229's
+    * banding topology verbatim ([[Dedup.aHashPairs]]: distinct-fingerprint
+    * grain, band-bucket harvest, exact bit_count(xor) Hamming, complete
+    * to Hamming 3 by pigeonhole). The oracle replays the closed-form PCM
+    * law (PCM is lossless, so decode ≡ law) — the Spark side is the only
+    * one that touches the codec. */
+  private def audioFingerprintQ(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeAudio(
+      documents(s, dir), "doc_id")
+    val hashes = graft.multimodal.Multimodal.audioEnergyBands(media)
+    Dedup.aHashPairs(hashes, "media_id", "bands", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Video sampled-frame near-dup (q238): the video member of the
+    * multimodal dedup family, through a REAL multi-frame codec — each
+    * video row is a multi-page TIFF (4–8 closed-form frames,
+    * [[graft.multimodal.Multimodal.synthesizeVideo]]), the ImageIO TIFF
+    * reader walks the page directory and hashes every 2nd frame with the
+    * q229 aHash lattice (the frame-sample contract:
+    * [[graft.multimodal.Multimodal.videoFrameHashes]]), and videos pair
+    * on exact fingerprint agreement at the same sampled index with the
+    * match count as the overlap verifier ([[Dedup.frameSigMatches]] —
+    * bucket-capped, never all-pairs). The oracle replays frame lattices
+    * from the closed-form pixel law (TIFF is lossless, so decode ≡ law). */
+  private def videoFrameSigQ(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeVideo(
+      documents(s, dir), "doc_id")
+    val sigs = graft.multimodal.Multimodal.videoFrameHashes(media, stride = 2)
+    Dedup.frameSigMatches(sigs, "media_id", "frame_idx", "bands")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Multimodal dedup manifest (q239): the step the three modality pair
+    * graphs exist for — ONE keep/drop manifest over the whole media
+    * universe. Image pairs (q233's dual perceptual hash), audio pairs
+    * (q237's energy-gradient fingerprint), and video pairs (q238's
+    * sampled-frame matches) union into one edge list (id spaces are
+    * disjoint by the doc_id % 3 modality law), fold to components with a
+    * canonical keeper (min id, [[Dedup.connectedComponents]]), and join
+    * back to every media row — singletons keep themselves. The pair graph
+    * is persisted before the iterative propagation so CC rounds never
+    * re-run the three decode+hash pipelines. */
+  /** Shared by q239/q240: the three modality pair graphs unioned (id
+    * spaces disjoint by the doc_id % 3 law; persisted — flood-capped-small
+    * and multiply consumed) and the full-universe manifest with canonical
+    * component per media row. */
+  private def mediaPairsAndManifest(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val mm = graft.multimodal.Multimodal
+    val docs = documents(s, dir)
+    val imgPairs = Dedup.dualHashPairs(
+      mm.perceptualHashBands(
+        mm.synthesizeMedia(docs, "doc_id", "text")
+          .filter(col("media_type") === "image")),
+      "media_id", "abands", "dbands", maxHamming = 3)
+      .select("id_a", "id_b")
+    val audPairs = Dedup.aHashPairs(
+      mm.audioEnergyBands(mm.synthesizeAudio(docs, "doc_id")),
+      "media_id", "bands", maxHamming = 3)
+      .select("id_a", "id_b")
+    val vidPairs = Dedup.frameSigMatches(
+      mm.videoFrameHashes(mm.synthesizeVideo(docs, "doc_id"), stride = 2),
+      "media_id", "frame_idx", "bands")
+      .select("id_a", "id_b")
+    val pairs = graft.Caching.track(
+      imgPairs.unionByName(audPairs).unionByName(vidPairs))
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "media_id")
+    val manifest = docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"))
+      .join(comps, Seq("media_id"), "left")
+      .select(col("media_id"), col("media_type"),
+        coalesce(col("component"), col("media_id")).as("component"),
+        (coalesce(col("component"), col("media_id")) === col("media_id"))
+          .as("keep"))
+    (pairs, manifest)
+  }
+
+  private def mediaDedupManifestQ(s: SparkSession, dir: String): DataFrame =
+    mediaPairsAndManifest(s, dir)._2.orderBy("media_id")
+
+  /** Component-keyed split audit (q240): the END of the leakage story arc
+    * q231 (measure) → q234 (group law) → here (the dedup-derived group) —
+    * split assignment hashed on q239's COMPONENT id, audited against the
+    * row-keyed law over the same multimodal pair graph
+    * ([[graft.operators.Splits.pairSplitLeakage]] with the manifest as the
+    * group table). Every near-dup pair lives inside one component by
+    * construction, so the group-law row reads n_cross = 0 / n_same_group
+    * = n_pairs structurally — THE property that makes a dedup manifest
+    * the right split key — while the doc-law row shows the leakage a
+    * row-keyed split would admit on identical data. */
+  private def componentSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, manifest) = mediaPairsAndManifest(s, dir)
+    graft.operators.Splits.pairSplitLeakage(
+      pairs, manifest, "media_id", "component", trainPpm = 800000L)
+      .orderBy("split_law")
+  }
+
+  /** Image↔caption dedup cells (q241): the cross-MODAL agreement
+    * contingency a paired image+text corpus curates on — every candidate
+    * pair classified into the three policy cells: near-dup on BOTH
+    * modalities (a true duplicate asset: drop), image-only (same image
+    * re-captioned: keep one image, merge captions), caption-only
+    * (boilerplate caption over different images: keep, caption is the
+    * dup). Image pairs are q233's dual perceptual hash; caption pairs are
+    * q18's MinHash harvest restricted to the image-modality rows; one
+    * full-outer join at the pair grain, three exact counts. */
+  private def imageCaptionCellsQ(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val docs = documents(s, dir)
+    val imgPairs = Dedup.dualHashPairs(
+      mm.perceptualHashBands(
+        mm.synthesizeMedia(docs, "doc_id", "text")
+          .filter(col("media_type") === "image")),
+      "media_id", "abands", "dbands", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), lit(true).as("img"))
+    val capPairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, rowsPerBand = 8, portable = true)
+      .filter(col("id_a") % 3 === 0 && col("id_b") % 3 === 0)
+      .select(col("id_a"), col("id_b"), lit(true).as("cap"))
+    imgPairs.join(capPairs, Seq("id_a", "id_b"), "full_outer")
+      .select(coalesce(col("img"), lit(false)).as("img"),
+        coalesce(col("cap"), lit(false)).as("cap"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("img") && col("cap"), lit(1L)).otherwise(lit(0L)))
+          .as("n_both"),
+        sum(when(col("img") && !col("cap"), lit(1L)).otherwise(lit(0L)))
+          .as("n_image_only"),
+        sum(when(!col("img") && col("cap"), lit(1L)).otherwise(lit(0L)))
+          .as("n_caption_only"))
+  }
+
   /** Group-split leakage audit (q234): q231's near-dup straddle
     * measurement re-run under BOTH split laws — the row-keyed md5 split
     * and q118's GROUP-keyed (source-hashed) split — over the same q18
@@ -4713,7 +4855,12 @@ object SparkEntry {
     "q233_dhash_neardup" -> (dhashNearDupQ _),
     "q234_group_leakage" -> (groupLeakageQ _),
     "q235_hyperplane_stats" -> (hyperplaneStatsQ _),
-    "q236_image_dedup_groups" -> (imageDedupGroupsQ _)
+    "q236_image_dedup_groups" -> (imageDedupGroupsQ _),
+    "q237_audio_fingerprint" -> (audioFingerprintQ _),
+    "q238_video_framesig" -> (videoFrameSigQ _),
+    "q239_media_dedup_manifest" -> (mediaDedupManifestQ _),
+    "q240_component_split" -> (componentSplitQ _),
+    "q241_image_caption_cells" -> (imageCaptionCellsQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

@@ -326,4 +326,307 @@ object Multimodal {
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
       .select(col("media_id"), col("frame_ms"), col("mime"), col("source_url"))
+
+  // ---------------------------------------------------------------------
+  // Audio: REAL WAV codec round-trip (javax.sound.sampled ships in the
+  // JDK; PCM_SIGNED 16-bit is lossless, so decode ≡ the sample law).
+  // ---------------------------------------------------------------------
+
+  /** Frame-energy fingerprint geometry: 65 frame energies → 64 gradient
+    * bits → 4×16-bit bands (the same banding grain as [[aHashBands]]). */
+  val audioFrames: Int = 65
+  /** Samples per energy frame. 60 (= 4·15) keeps the phase walk between
+    * consecutive frames at additive order 64 mod 256 — no short period
+    * inside the 65-frame window, so fingerprints stay informative. */
+  val audioFrameLen: Int = 60
+
+  /** Coarse "track" key of the PCM law: a real audio corpus carries many
+    * re-encodes of one master, so ids collapse to 53 track classes —
+    * same-track rows are the exact-duplicate groups the pairing's
+    * distinct-fingerprint grain collapses. */
+  def audioTrack(id: Long): Int = java.lang.Math.floorMod(id, 53L).toInt
+
+  /** Per-track sample stride — odd, so each frame covers `audioFrameLen`
+    * DISTINCT ring positions mod 256. */
+  def audioStep(id: Long): Int = (3 + 2 * (audioTrack(id) % 5))
+
+  /** Per-id gain (1 or 2) — a positive scale the energy-GRADIENT
+    * fingerprint is provably invariant to (g·a > g·b ⟺ a > b), which is
+    * the reason to hash gradients rather than energies: re-encodes at
+    * different volume still fingerprint identically. */
+  def audioGain(id: Long): Int = (1L + java.lang.Math.floorMod(id, 2L)).toInt
+
+  /** Closed-form PCM sample law shared by the WAV encoder and any oracle:
+    * s(id, t) = (((track·31 + t·step) mod 256) − 128) · gain —
+    * integer-exact, so a SQL engine replays the fingerprint without
+    * touching the codec. */
+  def pcmSample(id: Long, t: Int): Int = {
+    val k = audioTrack(id)
+    (java.lang.Math.floorMod(k * 31L + t.toLong * audioStep(id), 256L).toInt
+      - 128) * audioGain(id)
+  }
+
+  /** Encode the deterministic PCM stream for `id` as REAL WAV bytes
+    * (RIFF container, PCM_SIGNED 16-bit mono little-endian — lossless). */
+  private[multimodal] def encodeWav(id: Long): Array[Byte] = {
+    val n = audioFrames * audioFrameLen
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = pcmSample(id, t)
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private lazy val encodeWavUdf = udf((id: Long) => encodeWav(id))
+
+  /** Audio twin of [[synthesizeMedia]]'s image path: the rows
+    * [[synthesizeMedia]] types as audio (id % 3 == 1) re-synthesized with
+    * REAL WAV payloads of the deterministic PCM law — an actual audio
+    * codec round-trip with no external dependency. */
+  def synthesizeAudio(docs: DataFrame, idCol: String): DataFrame =
+    docs.filter(col(idCol) % 3 === 1)
+      .select(
+        col(idCol).cast("long").as("media_id"),
+        lit("audio").as("media_type"),
+        encodeWavUdf(col(idCol).cast("long")).as("payload"),
+        lit("audio/wav").as("mime"),
+        lit(audioFrames * audioFrameLen).as("n_samples"),
+        concat(lit("https://media.example/"), col(idCol), lit(".wav"))
+          .as("source_url"))
+
+  /** Batched per-partition WAV decode → frame-energy gradient fingerprint:
+    * decode the payload with `AudioSystem.getAudioInputStream` (the REAL
+    * codec — RIFF parse + PCM frame extraction), sum |sample| over each
+    * [[audioFrameLen]]-sample frame, threshold each energy against its
+    * successor (bit f = E(f+1) > E(f) — the dHash move applied in time,
+    * robust to global gain changes that scale every energy together), and
+    * pack the `audioFrames − 1` sign bits into 16-bit bands — exactly the
+    * banding grain [[graft.operators.Dedup.aHashPairs]] buckets on.
+    *
+    * Integer-exact end to end (energies are integer sums of |s|, the
+    * comparison is strict), so an engine that knows [[pcmSample]] replays
+    * the fingerprint codec-free, while THIS path exercises the real
+    * decoder. Payloads the sound stack cannot parse are dropped. Output:
+    * `(media_id, bands array<int>)`. */
+  def audioEnergyBands(media: DataFrame): DataFrame = {
+    val nBits = audioFrames - 1
+    require(nBits % 16 == 0, "gradient bits must split into 16-bit bands")
+    val nBands = nBits / 16
+    val inSchema = media.schema
+    val idIdx = inSchema.fieldIndex("media_id")
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bands", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null || payload.isEmpty) None
+        else {
+          val in =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
+          if (in == null) None
+          else {
+            val fmt = in.getFormat
+            val bytes = in.readAllBytes()
+            in.close()
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+            else {
+              val big = fmt.isBigEndian
+              val nSamples = bytes.length / 2
+              val nFrames = math.min(audioFrames, nSamples / audioFrameLen)
+              val energy = new Array[Long](nFrames)
+              var f = 0
+              while (f < nFrames) {
+                var e = 0L
+                var u = 0
+                while (u < audioFrameLen) {
+                  val t = f * audioFrameLen + u
+                  val s =
+                    if (big) ((bytes(2 * t) << 8) | (bytes(2 * t + 1) & 0xff)).toShort
+                    else ((bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xff)).toShort
+                  e += math.abs(s.toLong)
+                  u += 1
+                }
+                energy(f) = e
+                f += 1
+              }
+              if (nFrames < audioFrames) None
+              else {
+                val bands = new Array[Int](nBands)
+                var p = 0
+                while (p < nBits) {
+                  if (energy(p + 1) > energy(p)) bands(p / 16) |= 1 << (p % 16)
+                  p += 1
+                }
+                Some(Row(r.getLong(idIdx), bands.toSeq))
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Video: REAL multi-frame codec round-trip (the JDK's ImageIO TIFF
+  // plugin supports multi-page sequences; baseline TIFF is lossless).
+  // ---------------------------------------------------------------------
+
+  /** Video geometry laws shared by the encoder and any oracle. */
+  def videoFrameCount(id: Long): Int =
+    (4L + java.lang.Math.floorMod(id, 5L)).toInt
+  def videoWidth(id: Long): Int =
+    (java.lang.Math.floorMod(id, 16L) + 8L).toInt
+  def videoHeight(id: Long): Int =
+    (java.lang.Math.floorMod(id, 12L) + 6L).toInt
+  /** Frame f of video `id` carries the [[pixelGray]] image of the shifted
+    * id `id + f·9973` — each frame is a distinct closed-form image. */
+  val videoFrameShift: Long = 9973L
+
+  /** Encode the deterministic frame sequence for `id` as REAL multi-page
+    * TIFF bytes (ImageIO sequence writer; baseline gray TIFF is lossless,
+    * so every frame round-trips exactly). */
+  private[multimodal] def encodeTiff(id: Long): Array[Byte] = {
+    val w = videoWidth(id)
+    val h = videoHeight(id)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("tiff").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    val nf = videoFrameCount(id)
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = pixelGray(id + f * videoFrameShift, x, y)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  private lazy val encodeTiffUdf = udf((id: Long) => encodeTiff(id))
+
+  /** Video twin of [[synthesizeMedia]]'s image path: the rows typed as
+    * video (id % 3 == 2) re-synthesized with REAL multi-page TIFF
+    * payloads — an actual multi-frame codec round-trip, JDK-only. */
+  def synthesizeVideo(docs: DataFrame, idCol: String): DataFrame =
+    docs.filter(col(idCol) % 3 === 2)
+      .select(
+        col(idCol).cast("long").as("media_id"),
+        lit("video").as("media_type"),
+        encodeTiffUdf(col(idCol).cast("long")).as("payload"),
+        lit("image/tiff").as("mime"),
+        concat(lit("https://media.example/"), col(idCol), lit(".tiff"))
+          .as("source_url"))
+
+  /** Batched per-partition multi-frame decode + frame sampling + per-frame
+    * perceptual hash: parse the payload with the REAL ImageIO TIFF reader
+    * (`getNumImages(true)` walks the page directory), keep every
+    * `stride`-th frame (the frame-sample contract — a 100 TB video corpus
+    * never hashes every frame), and fingerprint each sampled frame with
+    * the [[aHashBands]] lattice (8×8 nearest-neighbor gray samples →
+    * floor-mean threshold → 4×16-bit bands).
+    *
+    * One output row per (video, sampled frame): `(media_id, frame_idx,
+    * bands array<int>)` — the signature table
+    * [[graft.operators.Dedup.frameSigMatches]] pairs on. Undecodable
+    * payloads are dropped. */
+  def videoFrameHashes(media: DataFrame, grid: Int = 8, stride: Int = 2): DataFrame = {
+    require(grid >= 4 && (grid * grid) % 16 == 0,
+      "grid^2 must split into 16-bit bands")
+    require(stride >= 1, "stride must be positive")
+    val nBands = grid * grid / 16
+    val inSchema = media.schema
+    val idIdx = inSchema.fieldIndex("media_id")
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("bands", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null || payload.isEmpty) Iterator.empty
+        else {
+          val readers = javax.imageio.ImageIO.getImageReadersByFormatName("tiff")
+          if (!readers.hasNext) Iterator.empty
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload)), false, true)
+              val n = reader.getNumImages(true)
+              val id = r.getLong(idIdx)
+              (0 until n by stride).iterator.map { f =>
+                val img = reader.read(f)
+                val w = img.getWidth
+                val h = img.getHeight
+                val g = new Array[Int](grid * grid)
+                var sum = 0L
+                var j = 0
+                while (j < grid) {
+                  var i = 0
+                  while (i < grid) {
+                    val px = img.getRGB((i * w) / grid, (j * h) / grid) & 0xff
+                    g(j * grid + i) = px
+                    sum += px
+                    i += 1
+                  }
+                  j += 1
+                }
+                val mean = sum / (grid * grid)
+                val bands = new Array[Int](nBands)
+                var p = 0
+                while (p < grid * grid) {
+                  if (g(p) >= mean) bands(p / 16) |= 1 << (p % 16)
+                  p += 1
+                }
+                Row(id, f, bands.toSeq)
+              }.toVector.iterator
+            } catch {
+              case _: java.io.IOException => Iterator.empty
+            } finally reader.dispose()
+          }
+        }
+      }
+    }
+  }
 }

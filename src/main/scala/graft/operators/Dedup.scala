@@ -541,6 +541,52 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Banded perceptual-fingerprint band table — [[aHashPairs]]'s bucketing
+    * grain materialized as one row per (id, band), carrying the full band
+    * array for the exact-Hamming verify stage (the aHash twin of
+    * [[minhashBandTable]]; the persisted store format of the streaming
+    * media dedup). */
+  def aHashBandTable(
+      hashes: DataFrame,
+      idCol: String,
+      bandsCol: String): DataFrame =
+    hashes.select(col(idCol).as("id"), col(bandsCol).as("bands"))
+      .select(col("id"), col("bands"), posexplode(col("bands")).as(Seq("bno", "bk")))
+
+  /** Incremental perceptual-hash pairing — [[minhashIncrementalPairs]]'s
+    * topology on the aHash grain: new fingerprints probe the accumulated
+    * band store (broadcast semi-join prunes the store scan to touched
+    * buckets — partition pruning when the store is partitioned by band
+    * key), pairs are verified with exact `bit_count(xor)` Hamming, and
+    * only pairs involving a NEW id are emitted — so the telescoping union
+    * of per-batch emissions equals the one-shot [[aHashPairs]] batch set
+    * (pinned in StreamingSpec). */
+  def aHashIncrementalPairs(
+      newBand: DataFrame,
+      storeBand: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000,
+      nBands: Int = 4): DataFrame = {
+    val tagged = storeBand.withColumn("__new", lit(false))
+      .unionByName(newBand.withColumn("__new", lit(true)))
+    val touched = tagged.join(
+      broadcast(newBand.select("bno", "bk").distinct()), Seq("bno", "bk"), "left_semi")
+    bucketPairs(touched, Seq(col("bno"), col("bk")),
+      struct(col("id"), col("bands"), col("__new")), maxBucket)
+      .filter(col("m_a.__new") || col("m_b.__new"))
+      .withColumn("hamming",
+        (0 until nBands).map(i =>
+          bit_count(element_at(col("m_a.bands"), i + 1)
+            .bitwiseXOR(element_at(col("m_b.bands"), i + 1)))).reduce(_ + _)
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(
+        least(col("m_a.id"), col("m_b.id")).as("id_a"),
+        greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
+        col("hamming"))
+      .distinct()
+  }
+
   /** Cross-grid perceptual near-dup pairing — [[aHashPairs]] extended to
     * TWO fingerprint families per image (aHash + dHash,
     * [[graft.multimodal.Multimodal.perceptualHashBands]]): candidates come
@@ -669,6 +715,74 @@ object Dedup {
       sum((col("occ") * (col("occ") - lit(1L))) / lit(2.0)).cast("long")
         .as("pair_work"))
     grain.crossJoin(buckets)
+  }
+
+  /** Cost probe for a single-family banded-hash harvest ([[aHashPairs]]'s
+    * work — the audio fingerprint q237 and image aHash q229 both pair
+    * through it): the [[dualHashBucketStats]] twin over ONE band array.
+    * `exact_dup_pairs` is the within-group output mass the operator must
+    * EMIT (quadratic in exact-copy count — a replica artifact when the
+    * fingerprint key space is fixed); `pair_work` is the representative-
+    * grain bucket expansion cost, which stays FLAT when copies collapse
+    * to one representative. Output: `(n_rows, n_fingerprints,
+    * exact_dup_pairs, n_buckets, n_band_rows, max_occ, n_multi_buckets,
+    * pair_work)`. */
+  def aHashBucketStats(
+      hashes: DataFrame,
+      idCol: String,
+      bandsCol: String): DataFrame = {
+    val fp = hashes.select(col(idCol).as("id"), col(bandsCol).as("bands"))
+    val groups = fp.groupBy("bands").agg(count(lit(1)).as("cnt"))
+    val grain = groups.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_fingerprints"),
+      sum((col("cnt") * (col("cnt") - lit(1L))) / lit(2.0)).cast("long")
+        .as("exact_dup_pairs"))
+    val occ = groups
+      .select(posexplode(col("bands")).as(Seq("bno", "bk")))
+      .groupBy("bno", "bk").agg(count(lit(1)).as("occ"))
+    val buckets = occ.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("occ")).as("n_band_rows"),
+      max(col("occ")).as("max_occ"),
+      sum(when(col("occ") >= 2, lit(1L)).otherwise(lit(0L))).as("n_multi_buckets"),
+      sum((col("occ") * (col("occ") - lit(1L))) / lit(2.0)).cast("long")
+        .as("pair_work"))
+    grain.crossJoin(buckets)
+  }
+
+  /** Video near-dup pairing over sampled-frame signatures — exact-match
+    * containment at the (frame index, frame fingerprint) grain: two videos
+    * are candidates whenever a sampled frame hashes identically at the
+    * SAME sampled index ([[graft.multimodal.Multimodal.videoFrameHashes]]
+    * emits the signature table). The match count doubles as the verifier —
+    * `n_match` of `min(n_a, n_b)` aligned frames is the overlap readout a
+    * curation gate thresholds on.
+    *
+    * Scale posture: the harvest is [[bucketPairs]] over (frame_idx, bands)
+    * buckets — flooded buckets (a black frame shared by half the corpus)
+    * are dropped whole at `maxBucket`, never an all-pairs join; per-video
+    * frame counts come from one aggregate of the same signature table.
+    *
+    * Output: `(id_a, id_b, n_match, n_a, n_b)`, `id_a < id_b`, one row per
+    * video pair sharing ≥ 1 surviving frame bucket. */
+  def frameSigMatches(
+      sigs: DataFrame,
+      idCol: String,
+      frameCol: String,
+      bandsCol: String,
+      maxBucket: Int = 10000): DataFrame = {
+    val s = sigs.select(col(idCol).as("id"), col(frameCol).as("f"),
+      col(bandsCol).as("bands"))
+    val matches = bucketPairs(s, Seq(col("f"), col("bands")), col("id"), maxBucket)
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_match"))
+    val counts = s.groupBy("id").agg(count(lit(1)).as("n"))
+    matches
+      .join(counts.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select("id_a", "id_b", "n_match", "n_a", "n_b")
   }
 
   /** Connected components over a near-dup pair graph — the step that turns

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.multimodal.Multimodal
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Continuous-ingest PERCEPTUAL media dedup — the multimodal face of
+  * [[DedupStream]]: each micro-batch of media payloads is decoded ONCE
+  * through the real JDK codec ([[Multimodal.aHashBands]] — ImageIO for the
+  * image rows this stream fingerprints), the fingerprints probe the
+  * accumulated band store, near-dup pairs (exact Hamming ≤ `maxHamming`)
+  * are emitted exactly once — when the LATER asset arrives — and the new
+  * fingerprints append to the store. The corpus is never re-decoded: the
+  * store carries fingerprints, not payloads, so a 100 TB media corpus
+  * reduces to a few GB of band rows.
+  *
+  * The telescoping union of per-batch emissions equals the one-shot
+  * [[Dedup.aHashPairs]] batch pair set (pinned in StreamingSpec). State
+  * lives in the store parquet, not Spark streaming state — restarts resume
+  * from the store, and the store doubles as the batch-side fingerprint
+  * table. At scale, partition the store by band key so the touched-bucket
+  * probe becomes partition pruning; a replayed batch re-emits its pairs —
+  * dedupe downstream on (id_a, id_b) or write to a keyed sink. */
+object MediaDedupStream {
+
+  def processBatch(
+      storePath: String,
+      pairsPath: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000)(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val newBand = Dedup.aHashBandTable(
+      Multimodal.aHashBands(batch), "media_id", "bands").persist()
+    try {
+      val storeHPath = new org.apache.hadoop.fs.Path(storePath)
+      val storeFs = storeHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val store =
+        if (storeFs.exists(storeHPath)) spark.read.parquet(storePath)
+        else newBand.limit(0)
+      Dedup.aHashIncrementalPairs(newBand, store, maxHamming, maxBucket)
+        .write.mode("append").parquet(pairsPath)
+      newBand.write.mode("append").parquet(storePath)
+    } finally newBand.unpersist(blocking = false)
+  }
+
+  /** Streaming writer wiring [[processBatch]] — input rows carry
+    * `(media_id, payload binary)`. Available-now by default (the
+    * scheduled-drop ingest shape); pass a continuous trigger for a
+    * long-lived query. */
+  def writer(
+      media: DataFrame,
+      storePath: String,
+      pairsPath: String,
+      checkpoint: String,
+      maxHamming: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    media.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(processBatch(storePath, pairsPath, maxHamming) _)
+}

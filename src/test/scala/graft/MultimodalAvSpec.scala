@@ -1,0 +1,174 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Audio (WAV) and video (multi-page TIFF) codec paths: real-JDK-codec
+  * round-trips pinned against their closed-form laws, plus the pairing
+  * operators' semantics on small brute-force fixtures. */
+class MultimodalAvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(ids: Seq[Long]) =
+    ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+
+  // ---- audio -----------------------------------------------------------
+
+  /** Closed-form twin of [[Multimodal.audioEnergyBands]]: WAV PCM is
+    * lossless, so the bands computed through the REAL decode must equal
+    * this law-only replica. */
+  private def lawAudioBands(id: Long): Seq[Int] = {
+    val n = Multimodal.audioFrames * Multimodal.audioFrameLen
+    val s = (0 until n).map(t => math.abs(Multimodal.pcmSample(id, t)).toLong)
+    val e = (0 until Multimodal.audioFrames).map(f =>
+      s.slice(f * Multimodal.audioFrameLen, (f + 1) * Multimodal.audioFrameLen).sum)
+    val bands = new Array[Int](4)
+    for (p <- 0 until 64 if e(p + 1) > e(p)) bands(p / 16) |= 1 << (p % 16)
+    bands.toSeq
+  }
+
+  test("audioEnergyBands: the real-WAV-decode fingerprint equals the PCM law") {
+    val media = Multimodal.synthesizeAudio(docsOf(0L until 40L), "doc_id")
+    assert(media.select("media_type").distinct().as[String].collect().toSeq ==
+      Seq("audio")) // only id % 3 == 1 rows
+    val got = Multimodal.audioEnergyBands(media)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got.size == 13) // ids 1,4,...,37
+    got.foreach { case (id, bands) => assert(bands == lawAudioBands(id)) }
+  }
+
+  test("audio gradient fingerprint is gain-invariant (same track, different gain)") {
+    // ids 1 and 54 share track (1 % 53 == 54 % 53) but differ in gain:
+    // the gradient fingerprint must agree anyway (g·a > g·b ⟺ a > b)
+    assert(Multimodal.audioTrack(1L) == Multimodal.audioTrack(54L))
+    assert(Multimodal.audioGain(1L) != Multimodal.audioGain(54L))
+    assert(Multimodal.pcmSample(1L, 17) != Multimodal.pcmSample(54L, 17))
+    assert(lawAudioBands(1L) == lawAudioBands(54L))
+    assert(lawAudioBands(1L) != lawAudioBands(4L)) // different track
+  }
+
+  test("audioEnergyBands drops undecodable payloads") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+      .toDF("media_id", "payload")
+    assert(Multimodal.audioEnergyBands(junk).count() == 0)
+  }
+
+  test("audio pairing matches a brute-force law replay (aHashPairs reuse)") {
+    val ids = (0L until 400L).filter(_ % 3 == 1)
+    val media = Multimodal.synthesizeAudio(docsOf(0L until 400L), "doc_id")
+    val got = Dedup.aHashPairs(
+      Multimodal.audioEnergyBands(media), "media_id", "bands", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over the law fingerprints
+    val fps = ids.map(i => i -> lawAudioBands(i)).toMap
+    def ham(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y).toLong }.sum
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      h = ham(fps(a), fps(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == want)
+    assert(want.exists(_._3 > 0), "fixture must contain NEAR pairs, not only exact")
+    assert(want.exists(_._3 == 0), "fixture must contain exact-dup groups")
+  }
+
+  test("aHashBucketStats pins the two cost grains of the audio harvest") {
+    val media = Multimodal.synthesizeAudio(docsOf(0L until 400L), "doc_id")
+    val st = Dedup.aHashBucketStats(
+      Multimodal.audioEnergyBands(media), "media_id", "bands")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val ids = (0L until 400L).filter(_ % 3 == 1)
+    val fps = ids.groupBy(lawAudioBands).view.mapValues(_.size).toMap
+    assert(st._1 == ids.size) // n_rows
+    assert(st._2 == fps.size) // n_fingerprints
+    assert(st._3 == fps.values.map(c => c.toLong * (c - 1) / 2).sum) // exact_dup_pairs
+    // band-bucket pair work at the representative grain
+    val occ = fps.keys.toSeq.flatMap(_.zipWithIndex).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(st._8 == occ.values.map(o => o * (o - 1) / 2).sum) // pair_work
+  }
+
+  // ---- video -----------------------------------------------------------
+
+  /** Closed-form aHash of frame `f` of video `id` (TIFF is lossless). */
+  private def lawFrameBands(id: Long, f: Int): Seq[Int] = {
+    val w = Multimodal.videoWidth(id)
+    val h = Multimodal.videoHeight(id)
+    val g = for (j <- 0 until 8; i <- 0 until 8)
+      yield Multimodal.pixelGray(id + f * Multimodal.videoFrameShift,
+        (i * w) / 8, (j * h) / 8)
+    val mean = g.map(_.toLong).sum / 64
+    val bands = new Array[Int](4)
+    for (p <- 0 until 64 if g(p) >= mean) bands(p / 16) |= 1 << (p % 16)
+    bands.toSeq
+  }
+
+  test("videoFrameHashes: real multi-page TIFF decode equals the pixel law at stride 2") {
+    val media = Multimodal.synthesizeVideo(docsOf(0L until 30L), "doc_id")
+    val got = Multimodal.videoFrameHashes(media, stride = 2)
+      .as[(Long, Int, Seq[Int])].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val vids = (0L until 30L).filter(_ % 3 == 2)
+    assert(got.keySet == vids.toSet)
+    vids.foreach { id =>
+      val nf = Multimodal.videoFrameCount(id)
+      val sampled = (0 until nf by 2)
+      assert(got(id).keySet == sampled.toSet) // every 2nd page, all pages walked
+      sampled.foreach(f => assert(got(id)(f) == lawFrameBands(id, f)))
+    }
+  }
+
+  test("videoFrameHashes drops undecodable payloads") {
+    val junk = Seq((1L, Array[Byte](9, 9, 9, 9)))
+      .toDF("media_id", "payload")
+    assert(Multimodal.videoFrameHashes(junk).count() == 0)
+  }
+
+  test("frameSigMatches matches a brute-force overlap count") {
+    val media = Multimodal.synthesizeVideo(docsOf(0L until 600L), "doc_id")
+    val sigs = Multimodal.videoFrameHashes(media, stride = 2)
+    val got = Dedup.frameSigMatches(sigs, "media_id", "frame_idx", "bands")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val vids = (0L until 600L).filter(_ % 3 == 2)
+    val sig = vids.map(id => id ->
+      (0 until Multimodal.videoFrameCount(id) by 2)
+        .map(f => f -> lawFrameBands(id, f)).toMap).toMap
+    val want = (for {
+      a <- vids; b <- vids if a < b
+      m = sig(a).keySet.intersect(sig(b).keySet)
+        .count(f => sig(a)(f) == sig(b)(f)).toLong if m > 0
+    } yield (a, b, m, sig(a).size.toLong, sig(b).size.toLong)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must produce frame matches")
+  }
+
+  test("component-keyed split admits ZERO cross-split near-dup pairs (q240's law)") {
+    // any pair graph: both ends of every pair share a connected component,
+    // so hashing the COMPONENT id can never put them on different sides
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).withColumnRenamed("id", "media_id")
+    val universe = (1L to 30L).toDF("media_id")
+      .join(comps, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("component"), col("media_id")).as("component"))
+    val rows = graft.operators.Splits.pairSplitLeakage(
+      pairs, universe, "media_id", "component", trainPpm = 500000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val grp = rows("group_hash")
+    assert(grp._4 == 0L && grp._5 == 0L) // n_cross, leak_ppm
+    assert(grp._3 == grp._2) // n_same_group == n_pairs: all pairs in-component
+  }
+
+  test("frameSigMatches drops flooded frame buckets whole at maxBucket") {
+    // 5 videos share an identical (frame, hash) signature row
+    val sigs = (1L to 5L).map(i => (i, 0, Seq(1, 2, 3, 4)))
+      .toDF("media_id", "frame_idx", "bands")
+    assert(Dedup.frameSigMatches(sigs, "media_id", "frame_idx", "bands",
+      maxBucket = 4).count() == 0)
+    assert(Dedup.frameSigMatches(sigs, "media_id", "frame_idx", "bands",
+      maxBucket = 5).count() == 10)
+  }
+}

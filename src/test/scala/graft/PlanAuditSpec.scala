@@ -201,6 +201,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("ShuffledNestedLoop"), "nested loops must be 1-row broadcasts")
   }
 
+  test("q237 audio fingerprint pairing: band-bucket harvest, no cartesian") {
+    val p = planString("q237_audio_fingerprint")
+    assert(!p.contains("CartesianProduct"), "no all-pairs audio join")
+    // same topology as q233 with ONE hash family: the only joins are the
+    // two rep-keyed group-expansion equi-joins of the flood-capped
+    // fingerprint-group table
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(joins <= 2, s"expected at most the two group-expansion joins, found $joins:\n" + p.take(2500))
+  }
+
+  test("q238 video frame-sig pairing: bucket harvest + two count joins, no cartesian") {
+    val p = planString("q238_video_framesig")
+    assert(!p.contains("CartesianProduct"), "no all-pairs video join")
+    // pairs come from the in-bucket expansion over (frame, fingerprint)
+    // buckets; the only joins attach each side's sampled-frame count
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(joins <= 2, s"expected at most the two frame-count joins, found $joins:\n" + p.take(2500))
+  }
+
+  test("q239 media manifest: components truncate lineage, one label join, no cartesian") {
+    val p = planString("q239_media_dedup_manifest")
+    assert(!p.contains("CartesianProduct"), "no all-pairs expansion")
+    // like q236: connectedComponents localCheckpoints its labels — the
+    // visible plan is the docs ⟕ components label join; the three
+    // modality harvests' shapes are pinned by the q233/q237/q238 tests
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(joins <= 1, s"expected at most the label join, found $joins:\n" + p.take(2500))
+  }
+
+  test("q240 component split: pair-table joins only — no cartesian beyond 1-row scalar crossJoins") {
+    val p = planString("q240_component_split")
+    assert(!p.contains("CartesianProduct"), "no unbounded cartesian")
+    assert(!p.contains("ShuffledNestedLoop"), "nested loops must be 1-row broadcasts")
+  }
+
+  test("q241 image-caption cells: two harvests + one pair-grain outer join, no cartesian") {
+    val p = planString("q241_image_caption_cells")
+    assert(!p.contains("CartesianProduct"), "no all-pairs expansion")
+    assert(!p.contains("ShuffledNestedLoop"), "no nested-loop joins")
+  }
+
   test("q236 image dedup groups: label propagation truncates lineage, no cartesian") {
     val p = planString("q236_image_dedup_groups")
     assert(!p.contains("CartesianProduct"), "no all-pairs expansion")

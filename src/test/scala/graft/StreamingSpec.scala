@@ -166,6 +166,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).select("id").distinct().count() == docs.count())
   }
 
+  test("streaming media dedup: per-batch emissions telescope to the batch pair set") {
+    import graft.streaming.MediaDedupStream
+    val base = Files.createTempDirectory("graft-mdstream").toString
+    val store = s"$base/store"
+    val pairs = s"$base/pairs"
+    val media = graft.multimodal.Multimodal.synthesizeMedia(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text")
+      .filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MediaDedupStream.writer(
+      input.toDF().toDF("media_id", "payload"), store, pairs, s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // three deliveries carve the corpus by media_id thirds — cross-batch
+    // near-dups must be caught by the store probe, not the batch harvest
+    val rows = media.as[(Long, Array[Byte])].collect()
+    for (b <- 0 until 3) {
+      input.addData(rows.filter(_._1 / 3 % 3 == b).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.read.parquet(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Dedup.aHashPairs(
+      graft.multimodal.Multimodal.aHashBands(media), "media_id", "bands",
+      maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty, s"${streamed.size} vs ${batch.size}")
+    // the store now holds every image's band rows exactly once
+    assert(spark.read.parquet(store).select("id").distinct().count() == media.count())
+  }
+
   test("streaming span screen: online scoring matches the offline incremental prefix") {
     import graft.streaming.SpanScreenStream
     val base = Files.createTempDirectory("graft-spanstream").toString

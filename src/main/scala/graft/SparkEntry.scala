@@ -4496,42 +4496,60 @@ object SparkEntry {
     * back to every media row — singletons keep themselves. The pair graph
     * is persisted before the iterative propagation so CC rounds never
     * re-run the three decode+hash pipelines. */
-  /** Shared by q239/q240: the three modality pair graphs unioned (id
-    * spaces disjoint by the doc_id % 3 law; persisted — flood-capped-small
-    * and multiply consumed) and the full-universe manifest with canonical
-    * component per media row. */
+  /** Shared by q239/q240: the three modality pair graphs (id spaces
+    * disjoint by the doc_id % 3 law) and the full-universe manifest with
+    * canonical component per media row.
+    *
+    * The manifest runs connected components at the REPRESENTATIVE grain
+    * ([[Dedup.dualHashPairGraph]]/[[Dedup.aHashPairGraph]]): the expanded
+    * pair set carries Σ group² within-clique edges — quadratic in
+    * exact-copy count, the dominant mass on dup-heavy corpora (the q237
+    * diag reads 2.6M expanded pairs over 50 rep-grain pairs at sf1) — but
+    * components are determined by the rep graph alone (rep = min member
+    * id, so min-reachable-rep == min-reachable-member; pinned by a
+    * differential spec). The EXPANDED union is returned lazily and only
+    * executed by pair-audit consumers (q240); the q239 manifest never
+    * materializes it. Video rows are their own representatives (frame-sig
+    * pairing has no exact-fingerprint collapse). */
   private def mediaPairsAndManifest(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val mm = graft.multimodal.Multimodal
     val docs = documents(s, dir)
-    val imgPairs = Dedup.dualHashPairs(
+    val (imgMembers, imgRepPairs, imgPairs) = Dedup.dualHashPairGraph(
       mm.perceptualHashBands(
         mm.synthesizeMedia(docs, "doc_id", "text")
           .filter(col("media_type") === "image")),
       "media_id", "abands", "dbands", maxHamming = 3)
-      .select("id_a", "id_b")
-    val audPairs = Dedup.aHashPairs(
+    val (audMembers, audRepPairs, audPairs) = Dedup.aHashPairGraph(
       mm.audioEnergyBands(mm.synthesizeAudio(docs, "doc_id")),
       "media_id", "bands", maxHamming = 3)
-      .select("id_a", "id_b")
     val vidPairs = Dedup.frameSigMatches(
       mm.videoFrameHashes(mm.synthesizeVideo(docs, "doc_id"), stride = 2),
       "media_id", "frame_idx", "bands")
       .select("id_a", "id_b")
-    val pairs = graft.Caching.track(
-      imgPairs.unionByName(audPairs).unionByName(vidPairs))
-    val comps = Dedup.connectedComponents(pairs)
-      .withColumnRenamed("id", "media_id")
+    val repPairs = graft.Caching.track(
+      imgRepPairs.unionByName(audRepPairs).unionByName(vidPairs))
+    val comps = Dedup.connectedComponents(repPairs)
+      .withColumnRenamed("id", "rep")
+    val selfReps = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("id"), col("doc_id").as("rep"))
+    val labeled = imgMembers.unionByName(audMembers).unionByName(selfReps)
+      .join(comps, Seq("rep"), "left")
+      .select(col("id").as("media_id"),
+        coalesce(col("component"), col("rep")).as("component"))
     val manifest = docs.select(col("doc_id").as("media_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("media_type"))
-      .join(comps, Seq("media_id"), "left")
+      .join(labeled, Seq("media_id"), "left")
       .select(col("media_id"), col("media_type"),
         coalesce(col("component"), col("media_id")).as("component"),
         (coalesce(col("component"), col("media_id")) === col("media_id"))
           .as("keep"))
-    (pairs, manifest)
+    val expanded = imgPairs.select("id_a", "id_b")
+      .unionByName(audPairs.select("id_a", "id_b"))
+      .unionByName(vidPairs)
+    (expanded, manifest)
   }
 
   private def mediaDedupManifestQ(s: SparkSession, dir: String): DataFrame =

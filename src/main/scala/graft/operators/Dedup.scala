@@ -495,7 +495,30 @@ object Dedup {
       bandsCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 10000,
-      nBands: Int = 4): DataFrame = {
+      nBands: Int = 4): DataFrame =
+    aHashPairGraph(hashes, idCol, bandsCol, maxHamming, maxBucket, nBands)._3
+
+  /** Rep-grain decomposition of [[aHashPairs]]: `(members, repPairs,
+    * pairs)` where `members` is (id, rep) — every row's exact-fingerprint
+    * group representative — `repPairs` is the verified cross-group pair
+    * set AT THE REPRESENTATIVE GRAIN (id_a, id_b), and `pairs` is the
+    * fully expanded [[aHashPairs]] output (lazy — never executed unless
+    * consumed).
+    *
+    * Why expose the grains: connected components over the EXPANDED graph
+    * traverses Σ group² within-clique edges — quadratic in exact-copy
+    * count, the dominant mass on dup-heavy corpora — while the components
+    * themselves are determined by the rep graph alone (rep = min member
+    * id, so min-reachable-rep == min-reachable-member). Dedup GROUP
+    * consumers (the q239 manifest) run CC on `repPairs` and label members
+    * through `members`; only pair AUDITS (q240) pay for the expansion. */
+  def aHashPairGraph(
+      hashes: DataFrame,
+      idCol: String,
+      bandsCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000,
+      nBands: Int = 4): (DataFrame, DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming < nBands,
       s"$nBands bands are complete only to Hamming ${nBands - 1}")
     val hs = hashes.select(col(idCol).as("id"), col(bandsCol).as("bands"))
@@ -538,7 +561,11 @@ object Dedup {
             b => struct(a.as("x"), b.as("y")))))).as("p"))
       .select(col("p.x").as("id_a"), col("p.y").as("id_b"),
         lit(0L).as("hamming"))
-    cross.unionByName(within)
+    val members = groups.select(col("rep"), explode(col("ids")).as("id"))
+      .select(col("id"), col("rep"))
+    (members,
+      verified.select(col("ra").as("id_a"), col("rb").as("id_b")),
+      cross.unionByName(within))
   }
 
   /** Banded perceptual-fingerprint band table — [[aHashPairs]]'s bucketing
@@ -619,7 +646,20 @@ object Dedup {
       dCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 10000,
-      nBands: Int = 4): DataFrame = {
+      nBands: Int = 4): DataFrame =
+    dualHashPairGraph(hashes, idCol, aCol, dCol, maxHamming, maxBucket, nBands)._3
+
+  /** Rep-grain decomposition of [[dualHashPairs]] — see [[aHashPairGraph]]
+    * for the grains and why CC consumers want them: `(members, repPairs,
+    * pairs)` at the COMBINED (abands, dbands) fingerprint grain. */
+  def dualHashPairGraph(
+      hashes: DataFrame,
+      idCol: String,
+      aCol: String,
+      dCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000,
+      nBands: Int = 4): (DataFrame, DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming < nBands,
       s"$nBands bands per family are complete only to Hamming ${nBands - 1}")
     val hs = hashes.select(col(idCol).as("id"),
@@ -669,7 +709,11 @@ object Dedup {
             b => struct(a.as("x"), b.as("y")))))).as("p"))
       .select(col("p.x").as("id_a"), col("p.y").as("id_b"),
         lit(0L).as("hamming_a"), lit(0L).as("hamming_d"))
-    cross.unionByName(within)
+    val members = groups.select(col("rep"), explode(col("ids")).as("id"))
+      .select(col("id"), col("rep"))
+    (members,
+      verified.select(col("ra").as("id_a"), col("rb").as("id_b")),
+      cross.unionByName(within))
   }
 
   /** Cost probe for the dual-hash (aHash ∪ dHash) harvest — BOTH grains

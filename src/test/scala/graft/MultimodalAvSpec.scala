@@ -143,6 +143,40 @@ class MultimodalAvSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must produce frame matches")
   }
 
+  test("q239 rep-grain components equal expanded-graph components (differential)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q239_media_dedup_manifest")(spark, dir)
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    // the pre-optimization construction: CC over the fully EXPANDED pair
+    // union (within-clique edges included) — must label identically
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mm = Multimodal
+    val imgPairs = Dedup.dualHashPairs(
+      mm.perceptualHashBands(mm.synthesizeMedia(docs, "doc_id", "text")
+        .filter(col("media_type") === "image")),
+      "media_id", "abands", "dbands", maxHamming = 3).select("id_a", "id_b")
+    val audPairs = Dedup.aHashPairs(
+      mm.audioEnergyBands(mm.synthesizeAudio(docs, "doc_id")),
+      "media_id", "bands", maxHamming = 3).select("id_a", "id_b")
+    val vidPairs = Dedup.frameSigMatches(
+      mm.videoFrameHashes(mm.synthesizeVideo(docs, "doc_id"), stride = 2),
+      "media_id", "frame_idx", "bands").select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(
+      imgPairs.unionByName(audPairs).unionByName(vidPairs))
+      .withColumnRenamed("id", "media_id")
+    val want = docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"))
+      .join(comps, Seq("media_id"), "left")
+      .select(col("media_id"), col("media_type"),
+        coalesce(col("component"), col("media_id")).as("component"),
+        (coalesce(col("component"), col("media_id")) === col("media_id")).as("keep"))
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(got == want)
+    assert(got.exists(!_._4), "fixture must contain dropped duplicates")
+  }
+
   test("component-keyed split admits ZERO cross-split near-dup pairs (q240's law)") {
     // any pair graph: both ends of every pair share a connected component,
     // so hashing the COMPONENT id can never put them on different sides

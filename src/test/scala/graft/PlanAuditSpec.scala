@@ -222,15 +222,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins <= 2, s"expected at most the two frame-count joins, found $joins:\n" + p.take(2500))
   }
 
-  test("q239 media manifest: components truncate lineage, one label join, no cartesian") {
+  test("q239 media manifest: components truncate lineage, two label joins, no cartesian") {
     val p = planString("q239_media_dedup_manifest")
     assert(!p.contains("CartesianProduct"), "no all-pairs expansion")
-    // like q236: connectedComponents localCheckpoints its labels — the
-    // visible plan is the docs ⟕ components label join; the three
-    // modality harvests' shapes are pinned by the q233/q237/q238 tests
+    // connectedComponents localCheckpoints its labels (over the REP graph
+    // — the expanded pair union is never executed on this path); the
+    // visible plan is members ⟕ components (rep-keyed) then docs ⟕
+    // labeled (id-keyed). The three modality harvests' shapes are pinned
+    // by the q233/q237/q238 tests.
     val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
       .findAllIn(p).size
-    assert(joins <= 1, s"expected at most the label join, found $joins:\n" + p.take(2500))
+    assert(joins <= 2, s"expected the two label joins, found $joins:\n" + p.take(2500))
   }
 
   test("q240 component split: pair-table joins only — no cartesian beyond 1-row scalar crossJoins") {

@@ -325,7 +325,8 @@ object Bench {
       "q233_dhash_neardup", "q234_group_leakage", "q235_hyperplane_stats",
       "q236_image_dedup_groups", "q237_audio_fingerprint",
       "q238_video_framesig", "q239_media_dedup_manifest",
-      "q240_component_split", "q241_image_caption_cells")
+      "q240_component_split", "q241_image_caption_cells",
+      "q242_resize_audit", "q243_component_keeper")
     // sf1 per-query budget estimate: 3 samples x base x (worst observed
     // 10x ratio ~10, so x10) + overhead. Unknown-base queries get a flat
     // conservative guess.

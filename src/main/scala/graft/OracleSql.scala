@@ -774,13 +774,17 @@ private[graft] object OracleSql {
        |JOIN cnt cb ON cb.media_id = id_b
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** q239 oracle: the three modality pair families (image [[dhashPairsCtes]],
-    * audio [[audioPairCtes]], video [[videoPairCtes]] — id spaces disjoint
-    * by the doc_id % 3 residue law) unioned into one edge list, folded to
-    * components by recursive reachability (q236's walk), then joined back
-    * to the FULL media universe: singletons keep themselves. */
-  private lazy val mediaDedupManifestOracleSql: String =
-    s"""WITH RECURSIVE $dhashPairsCtes,
+  /** Shared CTE chain for the q239/q240/q243 family: the three modality
+    * pair families (image [[dhashPairsCtes]], audio [[audioPairCtes]],
+    * video [[videoPairCtes]] — id spaces disjoint by the doc_id % 3
+    * residue law) unioned into one MATERIALIZED edge list (the recursive
+    * walk must not re-evaluate the three-family pipeline per round —
+    * uncached it ran >300 s, materialized ~1 s), folded to components by
+    * recursive reachability (q236's walk), then joined back to the FULL
+    * media universe as `md(media_id, media_type, component)` — singletons
+    * keep themselves. */
+  private lazy val mediaComponentCtes: String =
+    s"""$dhashPairsCtes,
        |${audioPairCtes("a_")},
        |${videoPairCtes("v_")},
        |allp AS MATERIALIZED (
@@ -796,15 +800,21 @@ private[graft] object OracleSql {
        |  SELECT a, a FROM edges
        |  UNION
        |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id),
-       |comp AS (SELECT id, MIN(lbl) AS c FROM walk GROUP BY id)
-       |SELECT d.doc_id AS media_id,
-       |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
-       |       WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
-       |    AS media_type,
-       |  COALESCE(c.c, d.doc_id) AS component,
-       |  (COALESCE(c.c, d.doc_id) = d.doc_id) AS keep
-       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-       |ORDER BY media_id""".stripMargin
+       |comp AS (SELECT id, MIN(lbl) AS c FROM walk GROUP BY id),
+       |md AS (
+       |  SELECT d.doc_id AS media_id,
+       |    CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+       |         WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+       |      AS media_type,
+       |    COALESCE(c.c, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)""".stripMargin
+
+  /** q239 oracle: [[mediaComponentCtes]], manifest emitted. */
+  private lazy val mediaDedupManifestOracleSql: String =
+    s"""WITH RECURSIVE $mediaComponentCtes
+       |SELECT media_id, media_type, component,
+       |  (component = media_id) AS keep
+       |FROM md ORDER BY media_id""".stripMargin
 
   /** q240 oracle: the q239 component manifest (three pair families +
     * recursive components + full-universe left join) labeled under BOTH
@@ -839,26 +849,7 @@ private[graft] object OracleSql {
          |    THEN (n_held_docs_leaked * 1000000) // n_held_docs ELSE 0 END
          |    AS exposure_ppm
          |FROM ag$tag, lh$tag, ht$tag""".stripMargin
-    s"""WITH RECURSIVE $dhashPairsCtes,
-       |${audioPairCtes("a_")},
-       |${videoPairCtes("v_")},
-       |allp AS MATERIALIZED (
-       |  SELECT id_a, id_b FROM cross_pairs
-       |  UNION SELECT id_a, id_b FROM within
-       |  UNION SELECT id_a, id_b FROM a_cross_pairs
-       |  UNION SELECT id_a, id_b FROM a_within
-       |  UNION SELECT id_a, id_b FROM v_pc),
-       |edges AS MATERIALIZED (
-       |  SELECT id_a AS a, id_b AS b FROM allp
-       |  UNION SELECT id_b, id_a FROM allp),
-       |walk(id, lbl) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id),
-       |comp AS (SELECT id, MIN(lbl) AS c FROM walk GROUP BY id),
-       |md AS (
-       |  SELECT d.doc_id AS media_id, COALESCE(c.c, d.doc_id) AS component
-       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    s"""WITH RECURSIVE $mediaComponentCtes,
        |lab AS (
        |  SELECT p.id_a AS ia, p.id_b AS ib,
        |    ma.component AS ga, mb.component AS gb,
@@ -905,6 +896,53 @@ private[graft] object OracleSql {
        |  CAST(COALESCE(SUM(CASE WHEN NOT img AND cap THEN 1 ELSE 0 END), 0)
        |    AS BIGINT) AS n_caption_only
        |FROM u""".stripMargin
+
+  /** q242 oracle: the closed-form pixel law evaluated at the nearest-
+    * neighbor resample coordinates ((x·w) div 8, (y·h) div 6) — every hop
+    * of the Spark side's encode→decode→resize→encode→decode chain is
+    * lossless PNG, so the re-decoded gray sum equals this law replay. */
+  private lazy val resizeAuditOracleSql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(doc_id % 32 + 1 AS BIGINT) AS w,
+      |    CAST(doc_id % 24 + 1 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT media_id,
+      |    (media_id * 31 + ((xs.x * w) // 8) * 7
+      |      + ((ys.y * h) // 6) * 13) % 256 AS g
+      |  FROM img,
+      |    unnest(generate_series(0, 7)) AS xs(x),
+      |    unnest(generate_series(0, 5)) AS ys(y))
+      |SELECT media_id, CAST(8 AS INTEGER) AS decoded_width,
+      |  CAST(6 AS INTEGER) AS decoded_height,
+      |  CAST(SUM(g) AS BIGINT) AS gray_sum
+      |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  /** q243 oracle: [[mediaComponentCtes]] + the q41 token-count formula —
+    * per component, the member with the (max tokens, min id) keeper rank. */
+  private lazy val qualityKeeperOracleSql: String =
+    s"""WITH RECURSIVE $mediaComponentCtes,
+       |tk AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |j AS (
+       |  SELECT md.media_id, md.component, tk.n_tokens
+       |  FROM md JOIN tk USING (media_id)),
+       |r AS (
+       |  SELECT component, media_id, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY component
+       |      ORDER BY n_tokens DESC, media_id) AS rn
+       |  FROM j),
+       |c AS (
+       |  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM j GROUP BY 1)
+       |SELECT c.component, c.n_members, r.n_tokens AS keeper_tokens,
+       |  r.media_id AS keeper_id
+       |FROM c JOIN r ON r.component = c.component AND r.rn = 1
+       |ORDER BY c.component""".stripMargin
 
   /** q236 oracle: the q233 pair CTEs folded to components by recursive
     * reachability (q47's dedupGroups pattern) — min reachable id per node
@@ -1907,6 +1945,8 @@ private[graft] object OracleSql {
     "q239_media_dedup_manifest" -> mediaDedupManifestOracleSql,
     "q240_component_split" -> componentSplitOracleSql,
     "q241_image_caption_cells" -> imageCaptionCellsOracleSql,
+    "q242_resize_audit" -> resizeAuditOracleSql,
+    "q243_component_keeper" -> qualityKeeperOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

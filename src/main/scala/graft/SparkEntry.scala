@@ -4572,6 +4572,46 @@ object SparkEntry {
       .orderBy("split_law")
   }
 
+  /** Resize audit (q242): the resize member of the multimodal contract —
+    * real decode → nearest-neighbor resample on the aHash lattice
+    * convention → real PNG re-encode ([[graft.multimodal.Multimodal
+    * .resizeImages]]), then the resized payloads go BACK through the real
+    * decoder ([[graft.multimodal.Multimodal.decodeFeatures]]) — a full
+    * encode→decode→resize→encode→decode chain where the only thing the
+    * oracle shares is the closed-form pixel law at the resampled
+    * coordinates (PNG is lossless at every hop). */
+  private def resizeAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val resized = mm.resizeImages(
+      mm.synthesizeMedia(documents(s, dir), "doc_id", "text")
+        .filter(col("media_type") === "image"),
+      outW = 8, outH = 6)
+    mm.decodeFeatures(resized)
+      .select(col("media_id"), col("decoded_width"), col("decoded_height"),
+        col("gray_sum"))
+      .orderBy("media_id")
+  }
+
+  /** Quality-weighted keeper selection (q243): real curation keeps the
+    * BEST duplicate, not the first — per q239 component, the keeper is
+    * the member with the highest caption token count (integer, so both
+    * engines replay the argmax exactly; ties break to min id via the
+    * struct-max ordering). One row per component with the keeper and its
+    * score — the upgrade path from q239's min-id canonical keeper. */
+  private def componentKeeperQ(s: SparkSession, dir: String): DataFrame = {
+    val manifest = mediaPairsAndManifest(s, dir)._2
+    val toks = documents(s, dir).select(col("doc_id").as("media_id"),
+      TF.tokenCount(col("text")).as("n_tokens"))
+    manifest.join(toks, "media_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_tokens").as("t"), (-col("media_id")).as("nid")))
+          .as("m"))
+      .select(col("component"), col("n_members"),
+        col("m.t").as("keeper_tokens"), (-col("m.nid")).as("keeper_id"))
+      .orderBy("component")
+  }
+
   /** Image↔caption dedup cells (q241): the cross-MODAL agreement
     * contingency a paired image+text corpus curates on — every candidate
     * pair classified into the three policy cells: near-dup on BOTH
@@ -4878,7 +4918,9 @@ object SparkEntry {
     "q238_video_framesig" -> (videoFrameSigQ _),
     "q239_media_dedup_manifest" -> (mediaDedupManifestQ _),
     "q240_component_split" -> (componentSplitQ _),
-    "q241_image_caption_cells" -> (imageCaptionCellsQ _)
+    "q241_image_caption_cells" -> (imageCaptionCellsQ _),
+    "q242_resize_audit" -> (resizeAuditQ _),
+    "q243_component_keeper" -> (componentKeeperQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

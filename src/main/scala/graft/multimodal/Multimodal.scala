@@ -327,6 +327,60 @@ object Multimodal {
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
       .select(col("media_id"), col("frame_ms"), col("mime"), col("source_url"))
 
+  /** Batched per-partition nearest-neighbor image RESIZE — the remaining
+    * member of the multimodal contract vocabulary (decode /
+    * feature-extract / resize / frame-sample): decode the payload with
+    * the REAL codec, resample gray on the `(x·w) div outW` lattice (the
+    * [[aHashBands]] sampling convention, integer-exact so an oracle
+    * replays the resized pixels from the law), and re-encode as real PNG
+    * bytes — the output rows are themselves decodable media. Undecodable
+    * payloads are dropped; output schema `(media_id, payload, mime,
+    * width, height)`. */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, "output dims must be positive")
+    val inSchema = media.schema
+    val idIdx = inSchema.fieldIndex("media_id")
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null || payload.isEmpty) None
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val out = new java.awt.image.BufferedImage(
+              outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < outH) {
+              var x = 0
+              while (x < outW) {
+                out.setRGB(x, y, img.getRGB((x * w) / outW, (y * h) / outH))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(Row(r.getLong(idIdx), bos.toByteArray, "image/png", outW, outH))
+          }
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Audio: REAL WAV codec round-trip (javax.sound.sampled ships in the
   // JDK; PCM_SIGNED 16-bit is lossless, so decode ≡ the sample law).

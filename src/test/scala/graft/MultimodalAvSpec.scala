@@ -89,6 +89,55 @@ class MultimodalAvSpec extends SparkSpec {
     assert(st._8 == occ.values.map(o => o * (o - 1) / 2).sum) // pair_work
   }
 
+  test("resizeImages: real decode → NN resample → re-encode equals the pixel law") {
+    val media = Multimodal.synthesizeMedia(docsOf(0L until 30L), "doc_id", "text")
+      .filter(col("media_type") === "image")
+    val resized = Multimodal.resizeImages(media, outW = 8, outH = 6)
+    // the resized payloads are themselves decodable media: run them back
+    // through the real decoder and check the law at resample coordinates
+    val decoded = Multimodal.decodeFeatures(resized)
+      .select("media_id", "decoded_width", "decoded_height", "gray_sum")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(decoded.length == 10 && decoded.forall(r => r._2 == 8 && r._3 == 6))
+    decoded.foreach { case (id, _, _, gs) =>
+      val w = (id % 32 + 1).toInt
+      val h = (id % 24 + 1).toInt
+      val want = (for (y <- 0 until 6; x <- 0 until 8)
+        yield Multimodal.pixelGray(id, (x * w) / 8, (y * h) / 6).toLong).sum
+      assert(gs == want)
+    }
+    // resize to own dims == identity lattice ((i*w)/w = i): id 0 is a
+    // 1×1 image, so a 1×1 resize must reproduce pixel (0,0) exactly
+    val same = Multimodal.resizeImages(
+      media.filter(col("media_id") === 0L), 1, 1)
+    val g0 = Multimodal.decodeFeatures(same).select("gray_sum").as[Long].head()
+    assert(g0 == Multimodal.pixelGray(0L, 0, 0))
+  }
+
+  test("resizeImages drops undecodable payloads") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.resizeImages(junk, 4, 4).count() == 0)
+  }
+
+  test("component keeper: max-tokens wins, ties break to min id (q243's rank)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q243_component_keeper")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    val manifest = SparkEntry.queries("q239_media_dedup_manifest")(spark, dir)
+      .select("media_id", "component").as[(Long, Long)].collect()
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+      .as[(Long, Long)].collect().toMap
+    val want = manifest.groupBy(_._2).map { case (comp, ms) =>
+      val members = ms.map(_._1)
+      val keeper = members.minBy(id => (-toks(id), id))
+      (comp, members.length.toLong, toks(keeper), keeper)
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.exists(_._2 > 1), "fixture must contain multi-member components")
+  }
+
   // ---- video -----------------------------------------------------------
 
   /** Closed-form aHash of frame `f` of video `id` (TIFF is lossless). */

@@ -519,8 +519,12 @@ object Bench {
           else carriedMap("sf1").filterKeys(!measuredNames(_)).toMap
         val carriedR = if (!partial) Map.empty[String, String]
           else carriedMap("sf1_over_sf01_ratio").filterKeys(!measuredNames(_)).toMap
-        val carriedD = if (diag.isEmpty) carriedMap("sf1_diag")
-          else Map.empty[String, String]
+        // per-KEY diag carry (not all-or-nothing): an ONLY-filtered refresh
+        // produces only its own queries' diag blocks — the rest must
+        // survive from the carry source, or a 2-query refresh silently
+        // drops the q18/q113/q235 diagnostics the notes reference
+        val carriedD = carriedMap("sf1_diag")
+          .filterKeys(k => !diag.contains(k)).toMap
         val diagAll = diag.map { case (k, v) => (k, v) }.toMap ++ carriedD
         val diagJson =
           if (diagAll.isEmpty) ""

@@ -326,7 +326,7 @@ object Bench {
       "q236_image_dedup_groups", "q237_audio_fingerprint",
       "q238_video_framesig", "q239_media_dedup_manifest",
       "q240_component_split", "q241_image_caption_cells",
-      "q242_resize_audit", "q243_component_keeper")
+      "q242_resize_audit", "q243_component_keeper", "q244_clip_reuse")
     // sf1 per-query budget estimate: 3 samples x base x (worst observed
     // 10x ratio ~10, so x10) + overhead. Unknown-base queries get a flat
     // conservative guess.
@@ -471,6 +471,29 @@ object Bench {
           diag(s"q237_rep_pair_work_${tagKey(tag)}") = st.getLong(7).toString
         }
       }
+      // q244 (clip reuse): the replica multiplies byte-identical videos,
+      // so every copy of V matches every copy of V' at every shared
+      // offset — the aligned-match mass (exact_dup_pairs at the FRAME-HASH
+      // grain) grows ~quadratically with copy count while the distinct
+      // frame-fingerprint space stays flat. Same artifact family as
+      // q233/q237; a time ratio below the match-mass growth is
+      // sub-output-linear.
+      if (r1.exists(_._1 == "q244_clip_reuse")) {
+        for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
+          val st = graft.operators.Dedup.aHashBucketStats(
+            graft.multimodal.Multimodal.videoFrameHashes(
+              graft.multimodal.Multimodal.synthesizeVideo(
+                Tables.documents(spark, d), "doc_id"), stride = 1),
+            "media_id", "bands")
+            .collect().head
+          System.err.println(
+            s"[bench] q244 cost $tag: n_frames=${st.getLong(0)} " +
+              s"n_fingerprints=${st.getLong(1)} match_mass=${st.getLong(2)} " +
+              s"max_occ=${st.getLong(5)}")
+          diag(s"q244_match_mass_${tagKey(tag)}") = st.getLong(2).toString
+          diag(s"q244_n_fingerprints_${tagKey(tag)}") = st.getLong(1).toString
+        }
+      }
       // q113: prefix-join candidate work scales with the token-frequency
       // mass sum(df^2), and ScaleGen's replica keeps the shingle
       // VOCABULARY nearly fixed while multiplying rows — so density (and
@@ -541,7 +564,7 @@ object Bench {
             if (carriedT.nonEmpty)
               s" Partial refresh: ${measuredNames.size} entries fresh, ${carriedT.size} carried verbatim from the prior record ($carrySrcPath)."
             else "")
-        sf1Json = s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir"$diagJson,"sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog); min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same replica artifact drives q33's hyperplane band-bucket occupancy (q235 pair_work in sf1_diag, both scales) ~quadratically over its fixed 2^6 key space, and q233's replica ratio is OUTPUT growth - byte-identical image copies collapse to one representative (q233 rep_pair_work FLAT in sf1_diag) but the within-group pair set the operator must emit grows ~quadratically with copy count (q233 exact_dup_pairs in sf1_diag); time growing slower than exact_dup_pairs is sub-output-linear. Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join).$stoppedNote""""
+        sf1Json = s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir"$diagJson,"sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog); min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same replica artifact drives q33's hyperplane band-bucket occupancy (q235 pair_work in sf1_diag, both scales) ~quadratically over its fixed 2^6 key space, and q233's replica ratio is OUTPUT growth - byte-identical image copies collapse to one representative (q233 rep_pair_work FLAT in sf1_diag) but the within-group pair set the operator must emit grows ~quadratically with copy count (q233 exact_dup_pairs in sf1_diag); time growing slower than exact_dup_pairs is sub-output-linear; q244's clip-reuse aligned-match mass (q244_match_mass in sf1_diag) densifies the same way over a FLAT frame-fingerprint space - every replica copy of a video matches every copy of its partner at every shared offset. Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join).$stoppedNote""""
         carriedSections -= "sf1"
       }
       sectionDone("sf1")

@@ -715,7 +715,7 @@ private[graft] object OracleSql {
     * pairing at the (frame, fingerprint) grain with the same ≤10000
     * bucket cap the Spark harvest applies. Produces `${p}pc`
     * (id_a, id_b, n_match) and `${p}cnt` (media_id, n). */
-  private def videoPairCtes(p: String): String =
+  private def videoPairCtes(p: String, stride: Int = 2): String =
     s"""${p}vid AS (
        |  SELECT doc_id AS media_id,
        |    CAST(doc_id % 16 + 8 AS BIGINT) AS w,
@@ -725,7 +725,7 @@ private[graft] object OracleSql {
        |${p}fr AS (
        |  SELECT media_id, w, h, fs.f
        |  FROM ${p}vid, unnest(generate_series(0, 7)) AS fs(f)
-       |  WHERE fs.f < nf AND fs.f % 2 = 0),
+       |  WHERE fs.f < nf AND fs.f % $stride = 0),
        |${p}px AS (
        |  SELECT media_id, f, (js.j * 8 + ii.i) AS p,
        |    ((media_id + f * 9973) * 31 + ((ii.i * w) // 8) * 7
@@ -943,6 +943,38 @@ private[graft] object OracleSql {
        |  r.media_id AS keeper_id
        |FROM c JOIN r ON r.component = c.component AND r.rn = 1
        |ORDER BY c.component""".stripMargin
+
+  /** q244 oracle: [[videoPairCtes]] at stride 1 (all frames), fingerprint-
+    * only cross-video matches grouped by constant index offset, longest
+    * consecutive run per (pair, offset) via the q07 islands algebra, with
+    * the same ≤10000 hash-bucket cap the Spark harvest applies. */
+  private lazy val clipReuseOracleSql: String =
+    s"""WITH ${videoPairCtes("", stride = 1)},
+       |hocc AS (
+       |  SELECT b0, b1, b2, b3, COUNT(*) AS c FROM hs GROUP BY ALL),
+       |ali AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    CAST(b.f - a.f AS INTEGER) AS frame_offset, a.f AS fa
+       |  FROM hs a JOIN hs b
+       |    ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
+       |      AND a.media_id < b.media_id
+       |  JOIN hocc o ON o.b0 = a.b0 AND o.b1 = a.b1 AND o.b2 = a.b2
+       |    AND o.b3 = a.b3
+       |  WHERE o.c <= 10000),
+       |isl AS (
+       |  SELECT id_a, id_b, frame_offset,
+       |    fa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, frame_offset
+       |      ORDER BY fa) AS grp
+       |  FROM ali),
+       |runs AS (
+       |  SELECT id_a, id_b, frame_offset, grp, COUNT(*) AS run
+       |  FROM isl GROUP BY ALL)
+       |SELECT id_a, id_b, frame_offset,
+       |  CAST(SUM(run) AS BIGINT) AS n_aligned,
+       |  CAST(MAX(run) AS BIGINT) AS max_run
+       |FROM runs GROUP BY 1, 2, 3
+       |HAVING MAX(run) >= 2
+       |ORDER BY id_a, id_b, frame_offset""".stripMargin
 
   /** q236 oracle: the q233 pair CTEs folded to components by recursive
     * reachability (q47's dedupGroups pattern) — min reachable id per node
@@ -1947,6 +1979,7 @@ private[graft] object OracleSql {
     "q241_image_caption_cells" -> imageCaptionCellsOracleSql,
     "q242_resize_audit" -> resizeAuditOracleSql,
     "q243_component_keeper" -> qualityKeeperOracleSql,
+    "q244_clip_reuse" -> clipReuseOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

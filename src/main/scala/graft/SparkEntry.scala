@@ -4612,6 +4612,23 @@ object SparkEntry {
       .orderBy("component")
   }
 
+  /** Clip-reuse detection (q244): the shot-reuse member of the video
+    * family — q238's index-aligned matching misses re-posted footage with
+    * a new intro (every frame shifts by the same delta), so this pairs on
+    * fingerprint-ONLY buckets over ALL frames (stride 1 — clip detection
+    * cannot skip frames), groups matches by constant index offset, and
+    * reports the longest consecutive aligned run per (pair, offset) via
+    * the q07 gaps-and-islands idiom ([[Dedup.clipReusePairs]]). The
+    * oracle replays frame lattices from the closed-form pixel law and
+    * derives runs with the same islands algebra. */
+  private def clipReuseQ(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val sigs = mm.videoFrameHashes(
+      mm.synthesizeVideo(documents(s, dir), "doc_id"), stride = 1)
+    Dedup.clipReusePairs(sigs, "media_id", "frame_idx", "bands", minRun = 2)
+      .orderBy("id_a", "id_b", "frame_offset")
+  }
+
   /** Image↔caption dedup cells (q241): the cross-MODAL agreement
     * contingency a paired image+text corpus curates on — every candidate
     * pair classified into the three policy cells: near-dup on BOTH
@@ -4920,7 +4937,8 @@ object SparkEntry {
     "q240_component_split" -> (componentSplitQ _),
     "q241_image_caption_cells" -> (imageCaptionCellsQ _),
     "q242_resize_audit" -> (resizeAuditQ _),
-    "q243_component_keeper" -> (componentKeeperQ _)
+    "q243_component_keeper" -> (componentKeeperQ _),
+    "q244_clip_reuse" -> (clipReuseQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

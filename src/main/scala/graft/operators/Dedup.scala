@@ -829,6 +829,56 @@ object Dedup {
       .select("id_a", "id_b", "n_match", "n_a", "n_b")
   }
 
+  /** Clip-reuse detection over per-frame signatures — the shot-reuse
+    * primitive: two videos share a CLIP when a run of frames matches at a
+    * constant index offset (re-posted footage with a new intro shifts
+    * every frame by the same delta, which index-aligned matching
+    * ([[frameSigMatches]]) misses entirely). Candidates come from
+    * fingerprint-only buckets (no index in the key), each cross-video
+    * frame match contributes to its pair's OFFSET group, and the longest
+    * consecutive run per (pair, offset) is the q07 gaps-and-islands idiom
+    * over frame indices.
+    *
+    * Scale posture: [[bucketPairs]] over hash buckets (flood-capped, never
+    * all-pairs); the islands window partitions by (pair, offset) — bounded
+    * by matched-frame mass, not video count.
+    *
+    * Output: `(id_a, id_b, frame_offset, n_aligned, max_run)`, `id_a <
+    * id_b`, one row per (pair, offset) whose longest aligned run reaches
+    * `minRun`. `frame_offset` = frame index in `id_b` minus the matching
+    * index in `id_a`. */
+  def clipReusePairs(
+      sigs: DataFrame,
+      idCol: String,
+      frameCol: String,
+      bandsCol: String,
+      minRun: Int = 2,
+      maxBucket: Int = 10000): DataFrame = {
+    require(minRun >= 1, "minRun must be positive")
+    val s = sigs.select(col(idCol).as("id"), col(frameCol).as("f"),
+      col(bandsCol).as("bands"))
+    val aligned = bucketPairs(s, Seq(col("bands")),
+      struct(col("id"), col("f")), maxBucket)
+      .filter(col("m_a.id") =!= col("m_b.id"))
+      .select(
+        least(col("m_a.id"), col("m_b.id")).as("id_a"),
+        greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
+        when(col("m_a.id") < col("m_b.id"), col("m_a.f"))
+          .otherwise(col("m_b.f")).as("fa"),
+        when(col("m_a.id") < col("m_b.id"), col("m_b.f"))
+          .otherwise(col("m_a.f")).as("fb"))
+      .withColumn("frame_offset", col("fb") - col("fa"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "frame_offset").orderBy("fa")
+    aligned
+      .withColumn("isl", col("fa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "frame_offset", "isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("id_a", "id_b", "frame_offset")
+      .agg(sum(col("run")).as("n_aligned"), max(col("run")).as("max_run"))
+      .filter(col("max_run") >= minRun)
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * candidate PAIRS (minhash/simhash/embedding LSH output) into dedup
     * GROUPS with a canonical keeper (min id per component).

@@ -245,6 +245,49 @@ class MultimodalAvSpec extends SparkSpec {
     assert(grp._3 == grp._2) // n_same_group == n_pairs: all pairs in-component
   }
 
+  test("clipReusePairs finds shifted clips that index-aligned matching misses") {
+    // video 1 frames [A,B,C,D]; video 2 = new 2-frame intro + the same
+    // clip: [X,Y,A,B,C] — no frame matches at the SAME index, but a
+    // 3-frame run matches at offset +2
+    def sig(k: Int) = Seq(k, k + 1, k + 2, k + 3)
+    val sigs = (Seq((1L, 0, sig(10)), (1L, 1, sig(20)), (1L, 2, sig(30)),
+      (1L, 3, sig(40))) ++
+      Seq((2L, 0, sig(90)), (2L, 1, sig(91)), (2L, 2, sig(10)),
+        (2L, 3, sig(20)), (2L, 4, sig(30))))
+      .toDF("media_id", "frame_idx", "bands")
+    assert(Dedup.frameSigMatches(sigs, "media_id", "frame_idx", "bands")
+      .count() == 0) // index-aligned: blind to the shift
+    val got = Dedup.clipReusePairs(sigs, "media_id", "frame_idx", "bands",
+      minRun = 2)
+      .as[(Long, Long, Int, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2, 3L, 3L))) // offset +2, run of 3
+  }
+
+  test("clipReusePairs matches a brute-force islands replay on real videos") {
+    val media = Multimodal.synthesizeVideo(docsOf(0L until 900L), "doc_id")
+    val sigs = Multimodal.videoFrameHashes(media, stride = 1)
+    val got = Dedup.clipReusePairs(sigs, "media_id", "frame_idx", "bands",
+      minRun = 2)
+      .as[(Long, Long, Int, Long, Long)].collect().toSet
+    val vids = (0L until 900L).filter(_ % 3 == 2)
+    val sig = vids.map(id => id ->
+      (0 until Multimodal.videoFrameCount(id))
+        .map(f => f -> lawFrameBands(id, f)).toMap).toMap
+    val want = (for {
+      a <- vids; b <- vids if a < b
+      matches = for {
+        (fa, ha) <- sig(a).toSeq; (fb, hb) <- sig(b).toSeq if ha == hb
+      } yield (fb - fa, fa)
+      (off, fs) <- matches.groupBy(_._1).toSeq
+      fas = fs.map(_._2).sorted
+      runs = fas.zipWithIndex.groupBy { case (f, i) => f - i }
+        .values.map(_.size.toLong)
+      if runs.max >= 2
+    } yield (a, b, off, fas.size.toLong, runs.max)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must contain clip reuse")
+  }
+
   test("frameSigMatches drops flooded frame buckets whole at maxBucket") {
     // 5 videos share an identical (frame, hash) signature row
     val sigs = (1L to 5L).map(i => (i, 0, Seq(1, 2, 3, 4)))

@@ -13,6 +13,25 @@ class MultimodalAvSpec extends SparkSpec {
   private def docsOf(ids: Seq[Long]) =
     ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
 
+  test("media parquet: metadata-only queries prune the payload out of the scan") {
+    // the scale posture the Multimodal scaladoc claims: payload columns
+    // are huge relative to metadata, so a query that doesn't decode must
+    // never read the bytes — parquet column pruning, visible in ReadSchema
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    Multimodal.synthesizeMedia(docsOf(0L until 30L), "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .groupBy("media_type").agg(count(lit(1)).as("n"),
+        sum(col("width").cast("long")).as("w"))
+    val plan = q.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("media_type") && readSchema.contains("width"),
+      s"scan must read the queried metadata: $readSchema")
+    assert(!readSchema.contains("payload"),
+      s"payload must be pruned out of the scan: $readSchema")
+    assert(q.collect().map(_.getLong(1)).sum == 30)
+  }
+
   // ---- audio -----------------------------------------------------------
 
   /** Closed-form twin of [[Multimodal.audioEnergyBands]]: WAV PCM is

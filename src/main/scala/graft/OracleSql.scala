@@ -542,6 +542,16 @@ private[graft] object OracleSql {
     * grain, exact per-family bit_count(xor) Hamming, pair kept when
     * EITHER distance ≤ 3 (the Spark side is the only one touching the
     * PNG codec; lossless decode ≡ law). */
+  /** Per-block pixel-law columns — [[graft.multimodal.Multimodal
+    * .pixelXCoef]] / `pixelPhase` replayed in SQL: `cx` (x-coefficient)
+    * and `ph` (additive phase) derived from the 1M-id media block of
+    * `idExpr`. Identity in block 0 (cx = 7, ph = 0), so base-sf results
+    * are unchanged; at replica scale each block carries its own pixel-law
+    * class and the image/video fingerprint space grows with the corpus. */
+  private def pixelBlockCols(idExpr: String): String =
+    s"CAST(7 + 2 * (((($idExpr) // 1000000) * 5) % 96) AS BIGINT) AS cx,\n" +
+      s"    CAST(((($idExpr) // 1000000) * 97) % 256 AS BIGINT) AS ph"
+
   private lazy val dhashPairsCtes: String = {
     val aCols = (0 until 4).map(i => s"a$i")
     val dCols = (0 until 4).map(i => s"d$i")
@@ -559,12 +569,13 @@ private[graft] object OracleSql {
     s"""img AS (
        |  SELECT doc_id AS media_id,
        |    CAST(doc_id % 32 + 1 AS INTEGER) AS w,
-       |    CAST(doc_id % 24 + 1 AS INTEGER) AS h
+       |    CAST(doc_id % 24 + 1 AS INTEGER) AS h,
+       |    ${pixelBlockCols("doc_id")}
        |  FROM documents WHERE doc_id % 3 = 0),
        |px AS (
        |  SELECT media_id, (js.j * 8 + ii.i) AS p,
-       |    (media_id * 31 + ((ii.i * w) // 8) * 7
-       |      + ((js.j * h) // 8) * 13) % 256 AS g
+       |    (media_id * 31 + ((ii.i * w) // 8) * cx
+       |      + ((js.j * h) // 8) * 13 + ph) % 256 AS g
        |  FROM img,
        |    unnest(generate_series(0, 7)) AS ii(i),
        |    unnest(generate_series(0, 7)) AS js(j)),
@@ -576,8 +587,8 @@ private[graft] object OracleSql {
        |  FROM px JOIN m USING (media_id) GROUP BY 1, 2),
        |pxd AS (
        |  SELECT media_id, ii.i AS i, js.j AS j,
-       |    (media_id * 31 + ((ii.i * w) // 9) * 7
-       |      + ((js.j * h) // 8) * 13) % 256 AS g
+       |    (media_id * 31 + ((ii.i * w) // 9) * cx
+       |      + ((js.j * h) // 8) * 13 + ph) % 256 AS g
        |  FROM img,
        |    unnest(generate_series(0, 8)) AS ii(i),
        |    unnest(generate_series(0, 7)) AS js(j)),
@@ -599,15 +610,22 @@ private[graft] object OracleSql {
        |hs AS (
        |  SELECT media_id, $allCols FROM ha JOIN hd USING (media_id)),
        |grp AS (
+       |  -- the Spark harvest drops over-cap exact-fingerprint groups whole
+       |  -- (Dedup.dualHashPairGraph maxBucket): model the cap so an
+       |  -- over-cap corpus diverges loudly here instead of silently
        |  SELECT $allCols, list_sort(list(media_id)) AS ids,
        |    MIN(media_id) AS rep
-       |  FROM hs GROUP BY ALL),
+       |  FROM hs GROUP BY ALL HAVING COUNT(*) <= 10000),
        |banded AS (
        |  $bandedSelects),
+       |bocc AS (SELECT band, bk, COUNT(*) AS c FROM banded GROUP BY 1, 2),
        |rp AS (
+       |  -- band-bucket occupancy cap (bucketPairs maxBucket at rep grain)
        |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
        |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep),
+       |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep
+       |  JOIN bocc o ON o.band = x.band AND o.bk = x.bk
+       |  WHERE o.c <= 10000),
        |ham AS (
        |  SELECT ra, rb,
        |    CAST(${hammingSum(aCols)} AS BIGINT) AS hamming_a,
@@ -643,8 +661,13 @@ private[graft] object OracleSql {
     * `${p}cross_pairs` / `${p}within` with (id_a, id_b, hamming). */
   private def audioPairCtes(p: String): String =
     s"""${p}aud AS (
-       |  SELECT doc_id AS media_id, doc_id % 53 AS trk,
-       |    CAST(3 + 2 * ((doc_id % 53) % 5) AS BIGINT) AS st,
+       |  -- block-extended track/stride laws (Multimodal.audioTrack/
+       |  -- audioStep): 53 tracks PER 1M-id block, stride alphabet widened
+       |  -- by 5*(block % 11) — identity in block 0
+       |  SELECT doc_id AS media_id,
+       |    (doc_id % 53) + 53 * (doc_id // 1000000) AS trk,
+       |    CAST(3 + 2 * ((((doc_id % 53) + 53 * (doc_id // 1000000)) % 5)
+       |      + 5 * ((doc_id // 1000000) % 11)) AS BIGINT) AS st,
        |    CAST(1 + doc_id % 2 AS BIGINT) AS g
        |  FROM documents WHERE doc_id % 3 = 1),
        |${p}sm AS (
@@ -670,18 +693,25 @@ private[graft] object OracleSql {
        |    MAX(CASE WHEN band = 3 THEN bk END) AS b3
        |  FROM ${p}b GROUP BY 1),
        |${p}grp AS (
+       |  -- model Dedup.aHashPairGraph's maxBucket group cap: over-cap
+       |  -- exact-fingerprint groups drop whole on the Spark side, so the
+       |  -- oracle drops them too (divergence surfaces, never silent)
        |  SELECT b0, b1, b2, b3, list_sort(list(media_id)) AS ids,
        |    MIN(media_id) AS rep
-       |  FROM ${p}hs GROUP BY 1, 2, 3, 4),
+       |  FROM ${p}hs GROUP BY 1, 2, 3, 4 HAVING COUNT(*) <= 10000),
        |${p}banded AS (
        |  SELECT rep, 0 AS band, b0 AS bk FROM ${p}grp
        |  UNION ALL SELECT rep, 1, b1 FROM ${p}grp
        |  UNION ALL SELECT rep, 2, b2 FROM ${p}grp
        |  UNION ALL SELECT rep, 3, b3 FROM ${p}grp),
+       |${p}bocc AS (
+       |  SELECT band, bk, COUNT(*) AS c FROM ${p}banded GROUP BY 1, 2),
        |${p}rp AS (
        |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
        |  FROM ${p}banded x JOIN ${p}banded y
-       |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep),
+       |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep
+       |  JOIN ${p}bocc o ON o.band = x.band AND o.bk = x.bk
+       |  WHERE o.c <= 10000),
        |${p}ham AS (
        |  SELECT ra, rb,
        |    CAST(bit_count(xor(ga.b0, gb.b0)) + bit_count(xor(ga.b1, gb.b1))
@@ -723,13 +753,14 @@ private[graft] object OracleSql {
        |    CAST(4 + doc_id % 5 AS BIGINT) AS nf
        |  FROM documents WHERE doc_id % 3 = 2),
        |${p}fr AS (
-       |  SELECT media_id, w, h, fs.f
+       |  SELECT media_id, w, h, fs.f,
+       |    ${pixelBlockCols("media_id + fs.f * 9973")}
        |  FROM ${p}vid, unnest(generate_series(0, 7)) AS fs(f)
        |  WHERE fs.f < nf AND fs.f % $stride = 0),
        |${p}px AS (
        |  SELECT media_id, f, (js.j * 8 + ii.i) AS p,
-       |    ((media_id + f * 9973) * 31 + ((ii.i * w) // 8) * 7
-       |      + ((js.j * h) // 8) * 13) % 256 AS g
+       |    ((media_id + f * 9973) * 31 + ((ii.i * w) // 8) * cx
+       |      + ((js.j * h) // 8) * 13 + ph) % 256 AS g
        |  FROM ${p}fr,
        |    unnest(generate_series(0, 7)) AS ii(i),
        |    unnest(generate_series(0, 7)) AS js(j)),
@@ -902,15 +933,16 @@ private[graft] object OracleSql {
     * of the Spark side's encode→decode→resize→encode→decode chain is
     * lossless PNG, so the re-decoded gray sum equals this law replay. */
   private lazy val resizeAuditOracleSql: String =
-    """WITH img AS (
+    s"""WITH img AS (
       |  SELECT doc_id AS media_id,
       |    CAST(doc_id % 32 + 1 AS BIGINT) AS w,
-      |    CAST(doc_id % 24 + 1 AS BIGINT) AS h
+      |    CAST(doc_id % 24 + 1 AS BIGINT) AS h,
+      |    ${pixelBlockCols("doc_id")}
       |  FROM documents WHERE doc_id % 3 = 0),
       |px AS (
       |  SELECT media_id,
-      |    (media_id * 31 + ((xs.x * w) // 8) * 7
-      |      + ((ys.y * h) // 6) * 13) % 256 AS g
+      |    (media_id * 31 + ((xs.x * w) // 8) * cx
+      |      + ((ys.y * h) // 6) * 13 + ph) % 256 AS g
       |  FROM img,
       |    unnest(generate_series(0, 7)) AS xs(x),
       |    unnest(generate_series(0, 5)) AS ys(y))
@@ -1868,15 +1900,16 @@ private[graft] object OracleSql {
     // Hamming verify -> group re-expansion. Same algebra as the Spark
     // plan, codec-free.
     "q229_phash_neardup" ->
-      """WITH img AS (
+      s"""WITH img AS (
         |  SELECT doc_id AS media_id,
         |    CAST(doc_id % 32 + 1 AS INTEGER) AS w,
-        |    CAST(doc_id % 24 + 1 AS INTEGER) AS h
+        |    CAST(doc_id % 24 + 1 AS INTEGER) AS h,
+        |    ${pixelBlockCols("doc_id")}
         |  FROM documents WHERE doc_id % 3 = 0),
         |px AS (
         |  SELECT media_id, (js.j * 8 + ii.i) AS p,
-        |    (media_id * 31 + ((ii.i * w) // 8) * 7
-        |      + ((js.j * h) // 8) * 13) % 256 AS g
+        |    (media_id * 31 + ((ii.i * w) // 8) * cx
+        |      + ((js.j * h) // 8) * 13 + ph) % 256 AS g
         |  FROM img,
         |    unnest(generate_series(0, 7)) AS ii(i),
         |    unnest(generate_series(0, 7)) AS js(j)),
@@ -1894,18 +1927,23 @@ private[graft] object OracleSql {
         |    MAX(CASE WHEN band = 3 THEN bk END) AS b3
         |  FROM b GROUP BY 1),
         |grp AS (
+        |  -- model Dedup.aHashPairGraph's maxBucket group cap (see
+        |  -- audioPairCtes): over-cap groups drop whole on both sides
         |  SELECT b0, b1, b2, b3, list_sort(list(media_id)) AS ids,
         |    MIN(media_id) AS rep
-        |  FROM hs GROUP BY 1, 2, 3, 4),
+        |  FROM hs GROUP BY 1, 2, 3, 4 HAVING COUNT(*) <= 10000),
         |banded AS (
         |  SELECT rep, 0 AS band, b0 AS bk FROM grp
         |  UNION ALL SELECT rep, 1, b1 FROM grp
         |  UNION ALL SELECT rep, 2, b2 FROM grp
         |  UNION ALL SELECT rep, 3, b3 FROM grp),
+        |bocc AS (SELECT band, bk, COUNT(*) AS c FROM banded GROUP BY 1, 2),
         |rp AS (
         |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
         |  FROM banded x JOIN banded y
-        |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep),
+        |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep
+        |  JOIN bocc o ON o.band = x.band AND o.bk = x.bk
+        |  WHERE o.c <= 10000),
         |ham AS (
         |  SELECT ra, rb,
         |    CAST(bit_count(xor(ga.b0, gb.b0)) + bit_count(xor(ga.b1, gb.b1))
@@ -5491,15 +5529,16 @@ private[graft] object OracleSql {
     // replays the decoded checksum without ever touching the codec. Audio/
     // video rows are opaque stand-ins (no codec) -> decode_ok false.
     "q32_multimodal_decode" ->
-      """WITH img AS (
+      s"""WITH img AS (
         |  SELECT doc_id,
         |    CAST(doc_id % 32 + 1 AS INTEGER) AS w,
-        |    CAST(doc_id % 24 + 1 AS INTEGER) AS h
+        |    CAST(doc_id % 24 + 1 AS INTEGER) AS h,
+        |    ${pixelBlockCols("doc_id")}
         |  FROM documents WHERE doc_id % 3 = 0),
         |px AS (
         |  SELECT doc_id,
-        |    CAST(sum((doc_id * 31 + xs.x * 7 + ys.y * 13) % 256) AS BIGINT)
-        |      AS gray_sum
+        |    CAST(sum((doc_id * 31 + xs.x * cx + ys.y * 13 + ph) % 256)
+        |      AS BIGINT) AS gray_sum
         |  FROM img,
         |    unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS xs(x),
         |    unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS ys(y)

@@ -32,7 +32,16 @@ import org.apache.spark.sql.functions._
   *    orders densified those graphs superlinearly and every graph-family
   *    ratio measured the densification artifact, not the operator;
   *  - the remaining dimensions (region/nation/customer/supplier) copy
-  *    through unchanged so their joins still resolve.
+  *    through unchanged so their joins still resolve;
+  *  - the MEDIA key spaces scale through the documents offset itself:
+  *    [[graft.multimodal.Multimodal]]'s fixture laws carve their key
+  *    space per 1M-id block ([[graft.multimodal.Multimodal.mediaBlock]],
+  *    span == this generator's per-copy document offset) — 53 audio
+  *    tracks and one pixel-law class per block — so copy `i`'s media rows
+  *    are NEW tracks / pixel classes, not byte-identical re-encodes of
+  *    copy 0's, and the multimodal dedup family's replica ratios measure
+  *    real key-space growth (53 -> 530 distinct PCM streams, ~10x the
+  *    image/video fingerprint classes at 10 copies).
   *
   * Usage: `runMain graft.ScaleGen [srcDir] [outDir] [copies]`; defaults
   * `/root/testdata/sf0.1 → /root/repo/bench-data/sf1 × 10`.

@@ -39,10 +39,43 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("source_url", StringType)))
 
+  /** Media key-space BLOCK of an id — `id div 1e6`. Every fixture law
+    * below takes its key-space slice from the block, and the block span
+    * matches [[graft.ScaleGen]]'s per-copy document offset (1,000,000):
+    * a real corpus's master/track/fingerprint universe grows with corpus
+    * size, and the synthetic laws model that by giving each id block its
+    * own slice — replica copy `i` lands in block `i` and contributes NEW
+    * tracks / pixel-law classes instead of byte-identical re-encodes of
+    * block 0's. All base testdata ids (< 1e6) sit in block 0, where every
+    * block term vanishes and the laws reduce to their original form. */
+  val MediaBlockSpan: Long = 1000000L
+  def mediaBlock(id: Long): Long = java.lang.Math.floorDiv(id, MediaBlockSpan)
+
+  /** Per-block x-coefficient of the pixel law — odd (7 + 2·(5·block mod
+    * 96) ∈ [7, 197]), distinct for 96 consecutive blocks (5 ⊥ 96), and
+    * exactly 7 in block 0. Varying the COEFFICIENT (not just an additive
+    * phase) is what grows the perceptual-fingerprint space: aHash/dHash
+    * threshold pixel DIFFERENCES, which an additive offset mostly cancels
+    * (only mod-256 wraparound survives it) but a gradient change never
+    * does. */
+  def pixelXCoef(id: Long): Int =
+    (7L + 2L * java.lang.Math.floorMod(mediaBlock(id) * 5L, 96L)).toInt
+
+  /** Per-block additive phase of the pixel law — 97·block mod 256
+    * (97 ⊥ 256, so distinct for 256 consecutive blocks), 0 in block 0. */
+  def pixelPhase(id: Long): Int =
+    java.lang.Math.floorMod(mediaBlock(id) * 97L, 256L).toInt
+
   /** Deterministic pixel law shared by the encoder and any oracle:
-    * gray(id, x, y) — integer arithmetic only, so replay is exact. */
+    * gray(id, x, y) — integer arithmetic only, so replay is exact. The
+    * per-block coefficient/phase terms ([[pixelXCoef]]/[[pixelPhase]])
+    * vanish in block 0 and give each 1M-id block its own pixel-law class,
+    * so the image/video fingerprint space scales with corpus size instead
+    * of collapsing to the ~768 classes a single block carries. */
   def pixelGray(id: Long, x: Int, y: Int): Int =
-    java.lang.Math.floorMod(id * 31L + x * 7L + y * 13L, 256L).toInt
+    java.lang.Math.floorMod(
+      id * 31L + x.toLong * pixelXCoef(id) + y * 13L + pixelPhase(id),
+      256L).toInt
 
   /** Encode the deterministic gray image for `id` as real PNG bytes
     * (JDK ImageIO; PNG is lossless, so the round-trip is exact). */
@@ -395,14 +428,24 @@ object Multimodal {
   val audioFrameLen: Int = 60
 
   /** Coarse "track" key of the PCM law: a real audio corpus carries many
-    * re-encodes of one master, so ids collapse to 53 track classes —
-    * same-track rows are the exact-duplicate groups the pairing's
-    * distinct-fingerprint grain collapses. */
-  def audioTrack(id: Long): Int = java.lang.Math.floorMod(id, 53L).toInt
+    * re-encodes of one master, so ids collapse to 53 track classes PER
+    * 1M-id BLOCK ([[mediaBlock]]) — same-track rows are the
+    * exact-duplicate groups the pairing's distinct-fingerprint grain
+    * collapses, and the track universe grows with corpus size (53·blocks)
+    * the way a real corpus's master list does, instead of staying a fixed
+    * 53 under replication. Block 0 (all base testdata) is the original
+    * 0..52 range. */
+  def audioTrack(id: Long): Int =
+    (java.lang.Math.floorMod(id, 53L) + 53L * mediaBlock(id)).toInt
 
   /** Per-track sample stride — odd, so each frame covers `audioFrameLen`
-    * DISTINCT ring positions mod 256. */
-  def audioStep(id: Long): Int = (3 + 2 * (audioTrack(id) % 5))
+    * DISTINCT ring positions mod 256. The per-block term (5·(block mod
+    * 11), 0 in block 0) widens the stride alphabet from 5 to 55 classes,
+    * so tracks from different blocks keep distinct PCM streams well past
+    * the 256-phase period of the `track·31` term. */
+  def audioStep(id: Long): Int =
+    (3 + 2 * ((audioTrack(id) % 5)
+      + 5 * java.lang.Math.floorMod(mediaBlock(id), 11L).toInt))
 
   /** Per-id gain (1 or 2) — a positive scale the energy-GRADIENT
     * fingerprint is provably invariant to (g·a > g·b ⟺ a > b), which is

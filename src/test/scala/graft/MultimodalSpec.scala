@@ -239,4 +239,57 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b, d.toLong)).toSet
     assert(got == expect, s"got ${got.size} vs expected ${expect.size}")
   }
+
+  test("block-scaled key spaces: block 0 is the original law, blocks grow the space") {
+    // block 0 identities — every base-testdata id (< 1e6) behaves exactly
+    // as the pre-block laws did
+    for (id <- Seq(0L, 1L, 52L, 53L, 999999L)) {
+      assert(Multimodal.mediaBlock(id) == 0L)
+      assert(Multimodal.pixelXCoef(id) == 7)
+      assert(Multimodal.pixelPhase(id) == 0)
+      assert(Multimodal.audioTrack(id) == java.lang.Math.floorMod(id, 53L))
+      assert(Multimodal.audioStep(id) == 3 + 2 * (Multimodal.audioTrack(id) % 5))
+    }
+    // each 1M-id block carries its own key-space slice: the ScaleGen copy
+    // offset (1e6 per copy) lands replica copies in fresh blocks, so the
+    // track / pixel-law universe grows with corpus size instead of
+    // replicating byte-identical masters
+    val blocks = (0L until 10L).map(_ * Multimodal.MediaBlockSpan)
+    assert(blocks.map(Multimodal.audioTrack).distinct.size == 10)
+    assert(blocks.map(id =>
+      (Multimodal.pixelXCoef(id), Multimodal.pixelPhase(id))).distinct.size == 10)
+    // same doc residue, different block -> different PCM stream (not an
+    // exact-dup group member): first-frame energies differ
+    def frameEnergy(id: Long): Long =
+      (0 until Multimodal.audioFrameLen)
+        .map(t => math.abs(Multimodal.pcmSample(id, t)).toLong).sum
+    assert(frameEnergy(1L) != frameEnergy(1L + Multimodal.MediaBlockSpan))
+  }
+
+  test("decode == law still holds in a nonzero block (real codec round-trip)") {
+    // image row (id % 3 == 0) in block 3, chosen ≡ 6 mod 768 — the
+    // pre-block pixel law had period 768 (lcm of its mod-256 phase and the
+    // mod-32/24 dims), so id 6 and this id used to fingerprint IDENTICALLY;
+    // the block terms are exactly what breaks that collapse
+    val bid = 6L + 3907L * 768L // = 3000582, block 3
+    val d = Seq((bid, "cross-block fixture text")).toDF("doc_id", "text")
+    val m = Multimodal.synthesizeMedia(d, "doc_id", "text")
+    val w = (bid % 32 + 1).toInt
+    val h = (bid % 24 + 1).toInt
+    val lawSum = (for { y <- 0 until h; x <- 0 until w }
+      yield Multimodal.pixelGray(bid, x, y).toLong).sum
+    val row = Multimodal.decodeFeatures(m)
+      .select("decode_ok", "decoded_width", "decoded_height", "gray_sum")
+      .as[(Boolean, Int, Int, Long)].head()
+    assert(row == ((true, w, h, lawSum)))
+    // and the block's fingerprint differs from its block-0 twin (≡ mod
+    // 768, so the PRE-block law collapsed them to one fingerprint)
+    val twin = 6L
+    val d2 = Seq((bid, "a"), (twin, "b")).toDF("doc_id", "text")
+    val bands = Multimodal.aHashBands(
+      Multimodal.synthesizeMedia(d2, "doc_id", "text")
+        .filter(col("media_type") === "image"))
+      .select("bands").as[Seq[Int]].collect()
+    assert(bands.length == 2 && bands(0) != bands(1))
+  }
 }

@@ -332,7 +332,8 @@ object Bench {
       "q236_image_dedup_groups", "q237_audio_fingerprint",
       "q238_video_framesig", "q239_media_dedup_manifest",
       "q240_component_split", "q241_image_caption_cells",
-      "q242_resize_audit", "q243_component_keeper", "q244_clip_reuse")
+      "q242_resize_audit", "q243_component_keeper", "q244_clip_reuse",
+      "q245_resize_robust_dedup", "q246_hyperplane_auto")
     // sf1 per-query budget estimate: 3 samples x base x (worst observed
     // 10x ratio ~10, so x10) + overhead. Unknown-base queries get a flat
     // conservative guess.
@@ -427,6 +428,28 @@ object Bench {
               s"multi_buckets=${st.getLong(3)} pair_work=${st.getLong(4)}")
           diag(s"q235_pair_work_${tagKey(tag)}") = st.getLong(4).toString
           diag(s"q235_max_occ_${tagKey(tag)}") = st.getLong(2).toString
+        }
+      }
+      // q246 (auto-sized hyperplane): the fix for the q235 artifact — the
+      // band width derives from the corpus count (autoBandBits), so the
+      // key space re-sizes per scale and pair_work should grow ~linearly
+      // with rows (vs q235's ~quadratic growth over the fixed 2^6 keys);
+      // the per-scale diag entries ARE the order's flatness evidence.
+      if (r1.exists(_._1 == "q246_hyperplane_auto")) {
+        for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
+          val embT = Tables.embeddings(spark, d)
+          val bits = graft.operators.Dedup.autoBandBits(embT.count())
+          val st = graft.operators.Dedup.hyperplaneBucketStats(
+            embT, "vec_id", "embedding",
+            dim = 64, numBands = 4, bandBits = bits, planeStride = 24)
+            .collect().head
+          System.err.println(
+            s"[bench] q246 occupancy $tag: bits=$bits n_buckets=${st.getLong(0)} " +
+              s"vec_band_rows=${st.getLong(1)} max_occ=${st.getLong(2)} " +
+              s"multi_buckets=${st.getLong(3)} pair_work=${st.getLong(4)}")
+          diag(s"q246_band_bits_${tagKey(tag)}") = bits.toString
+          diag(s"q246_pair_work_${tagKey(tag)}") = st.getLong(4).toString
+          diag(s"q246_max_occ_${tagKey(tag)}") = st.getLong(2).toString
         }
       }
       // q233 (dual perceptual hash): the pixel law is block-scaled

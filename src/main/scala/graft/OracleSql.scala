@@ -951,6 +951,92 @@ private[graft] object OracleSql {
       |  CAST(SUM(g) AS BIGINT) AS gray_sum
       |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** q245 oracle: the q229 aHash algebra over the UNION of original
+    * fingerprints and resized-derivative fingerprints. The derivative's
+    * lattice replays as law-at-resample-coordinates: the resized 16×12
+    * thumbnail's pixel (x, y) is the original's ((x·w) div 16,
+    * (y·h) div 12), and the aHash of a 16×12 image samples (2i,
+    * (3j) div 2) — so derivative gray = law(id, (i·w) div 8,
+    * ((((3j) div 2)·h) div 12)). Derivative ids carry +500000000; pair
+    * kinds as in the Spark builder. */
+  private lazy val resizeRobustOracleSql: String =
+    s"""WITH img AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(doc_id % 32 + 1 AS INTEGER) AS w,
+       |    CAST(doc_id % 24 + 1 AS INTEGER) AS h,
+       |    ${pixelBlockCols("doc_id")}
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |opx AS (
+       |  SELECT media_id, (js.j * 8 + ii.i) AS p,
+       |    (media_id * 31 + ((ii.i * w) // 8) * cx
+       |      + ((js.j * h) // 8) * 13 + ph) % 256 AS g
+       |  FROM img,
+       |    unnest(generate_series(0, 7)) AS ii(i),
+       |    unnest(generate_series(0, 7)) AS js(j)),
+       |rpx AS (
+       |  SELECT media_id + 500000000 AS rid, (js.j * 8 + ii.i) AS p,
+       |    (media_id * 31 + ((ii.i * w) // 8) * cx
+       |      + (((((js.j * 3) // 2)) * h) // 12) * 13 + ph) % 256 AS g
+       |  FROM img,
+       |    unnest(generate_series(0, 7)) AS ii(i),
+       |    unnest(generate_series(0, 7)) AS js(j)),
+       |px AS (
+       |  SELECT media_id, p, g FROM opx
+       |  UNION ALL SELECT rid, p, g FROM rpx),
+       |m AS (SELECT media_id, SUM(g) // 64 AS mean FROM px GROUP BY 1),
+       |b AS (
+       |  SELECT px.media_id, p // 16 AS band,
+       |    CAST(SUM(CASE WHEN g >= mean THEN (1 << (p % 16)) ELSE 0 END)
+       |      AS INTEGER) AS bk
+       |  FROM px JOIN m USING (media_id) GROUP BY 1, 2),
+       |hs AS (
+       |  SELECT media_id,
+       |    MAX(CASE WHEN band = 0 THEN bk END) AS b0,
+       |    MAX(CASE WHEN band = 1 THEN bk END) AS b1,
+       |    MAX(CASE WHEN band = 2 THEN bk END) AS b2,
+       |    MAX(CASE WHEN band = 3 THEN bk END) AS b3
+       |  FROM b GROUP BY 1),
+       |grp AS (
+       |  SELECT b0, b1, b2, b3, list_sort(list(media_id)) AS ids,
+       |    MIN(media_id) AS rep
+       |  FROM hs GROUP BY 1, 2, 3, 4 HAVING COUNT(*) <= 10000),
+       |banded AS (
+       |  SELECT rep, 0 AS band, b0 AS bk FROM grp
+       |  UNION ALL SELECT rep, 1, b1 FROM grp
+       |  UNION ALL SELECT rep, 2, b2 FROM grp
+       |  UNION ALL SELECT rep, 3, b3 FROM grp),
+       |bocc AS (SELECT band, bk, COUNT(*) AS c FROM banded GROUP BY 1, 2),
+       |rp AS (
+       |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep
+       |  JOIN bocc o ON o.band = x.band AND o.bk = x.bk
+       |  WHERE o.c <= 10000),
+       |ham AS (
+       |  SELECT ra, rb,
+       |    CAST(bit_count(xor(ga.b0, gb.b0)) + bit_count(xor(ga.b1, gb.b1))
+       |      + bit_count(xor(ga.b2, gb.b2)) + bit_count(xor(ga.b3, gb.b3))
+       |      AS BIGINT) AS hamming,
+       |    ga.ids AS ia, gb.ids AS ib
+       |  FROM rp
+       |  JOIN grp ga ON ga.rep = ra
+       |  JOIN grp gb ON gb.rep = rb),
+       |allp AS (
+       |  SELECT LEAST(xa.a, yb.b) AS id_a, GREATEST(xa.a, yb.b) AS id_b,
+       |    hamming
+       |  FROM ham, unnest(ia) AS xa(a), unnest(ib) AS yb(b)
+       |  WHERE hamming <= 3
+       |  UNION ALL
+       |  SELECT xa.a, yb.b, CAST(0 AS BIGINT)
+       |  FROM grp, unnest(ids) AS xa(a), unnest(ids) AS yb(b)
+       |  WHERE xa.a < yb.b)
+       |SELECT id_a, id_b, hamming,
+       |  CASE WHEN id_b - id_a = 500000000 THEN 'self'
+       |       WHEN id_b < 500000000 THEN 'orig_orig'
+       |       WHEN id_a >= 500000000 THEN 'resized_resized'
+       |       ELSE 'cross' END AS pair_kind
+       |FROM allp ORDER BY id_a, id_b""".stripMargin
+
   /** q243 oracle: [[mediaComponentCtes]] + the q41 token-count formula —
     * per component, the member with the (max tokens, min id) keeper rank. */
   private lazy val qualityKeeperOracleSql: String =
@@ -1245,6 +1331,49 @@ private[graft] object OracleSql {
        |    AS BIGINT) AS n_multi_buckets,
        |  CAST(COALESCE(SUM((occ * (occ - 1)) // 2), 0) AS BIGINT) AS pair_work
        |FROM occ""".stripMargin
+
+  /** q246 oracle: the q33 algebra with the band width DERIVED from the
+    * corpus count — bits = smallest b in [6, 24] with n ≤ 32·2^b (pure
+    * integer comparison, mirroring [[Dedup.autoBandBits]] exactly), each
+    * of the 24 per-band bit terms gated on `bit < bits`, planes drawn
+    * from the fixed stride-24 layout the Spark side uses. */
+  private lazy val hyperplaneAutoOracleSql: String = {
+    val dim = 64; val numBands = 4; val stride = 24
+    def planeSql(p: Int): String =
+      (0 until dim).map(i => Dedup.planeCoeff(p, i).toDouble.toString)
+        .mkString("[", ", ", "]")
+    def bandKeySql(b: Int): String =
+      (0 until stride).map { bit =>
+        s"CASE WHEN $bit < bits AND list_dot_product(v, ${planeSql(b * stride + bit)}) > 0 THEN ${1L << bit} ELSE 0 END"
+      }.mkString("\n    + ")
+    val bandSelects = (0 until numBands).map(b =>
+      s"SELECT vec_id AS id, $b AS bno,\n    ${bandKeySql(b)} AS bk FROM e, nb")
+      .mkString("\n  UNION ALL\n  ")
+    val bitRows = (6 to 24).map(b => s"($b)").mkString(", ")
+    s"""WITH nb AS (
+       |  SELECT COALESCE(MIN(b), 24) AS bits
+       |  FROM (VALUES $bitRows) t(b),
+       |       (SELECT COUNT(*) AS n FROM embeddings) c
+       |  WHERE c.n <= 32 * (CAST(1 AS BIGINT) << b)),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |banded AS (
+       |  $bandSelects),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bno, bk) AS bsz FROM banded),
+       |pp AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM sized a JOIN sized b ON a.bno = b.bno AND a.bk = b.bk AND a.id < b.id
+       |  WHERE a.bsz BETWEEN 2 AND 1000),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    list_dot_product(ea.v, eb.v)
+       |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS c
+       |  FROM pp JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+       |SELECT id_a, id_b, CAST(c AS FLOAT) AS cos
+       |FROM scored WHERE c >= CAST(0.3 AS DOUBLE)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   private lazy val embNearDupOracleSql: String = {
     s"""WITH $hyperplaneBandedCte,
@@ -2018,6 +2147,8 @@ private[graft] object OracleSql {
     "q242_resize_audit" -> resizeAuditOracleSql,
     "q243_component_keeper" -> qualityKeeperOracleSql,
     "q244_clip_reuse" -> clipReuseOracleSql,
+    "q245_resize_robust_dedup" -> resizeRobustOracleSql,
+    "q246_hyperplane_auto" -> hyperplaneAutoOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

@@ -4629,6 +4629,66 @@ object SparkEntry {
       .orderBy("id_a", "id_b", "frame_offset")
   }
 
+  /** Tag offset separating resized-derivative ids from original media ids
+    * in q245's union (far above any replica id — ScaleGen's 100-copy sf10
+    * tops out near 1e8). */
+  private val ResizeTag = 500000000L
+
+  /** Resize-robust image dedup (q245): a real corpus carries the same
+    * image at multiple resolutions, and q233 pairs only same-lattice
+    * fingerprints — here every original image is paired against the
+    * corpus's RESIZED derivatives (q242's operator — real decode →
+    * integer NN resample → real PNG re-encode, [[graft.multimodal
+    * .Multimodal.resizeImages]]) through the SAME aHash machinery: the
+    * aHash lattice samples any w×h, so original and derivative
+    * fingerprint into one space and [[Dedup.aHashPairs]]' band harvest
+    * finds original↔resized pairs at Hamming ≤ 3 with no resize-aware
+    * code anywhere. The 16×12 thumbnail target PRESERVES the 8×8 lattice
+    * geometry — the x-samples land on exactly the original's lattice
+    * columns ((2i·w) div 16 = (i·w) div 8) and the y-samples within one
+    * floor step — which is precisely why perceptual-hash dedup is
+    * resize-robust on real thumbnails (q242's 8×6 audit target, by
+    * contrast, collapses 8 lattice rows onto 6 and is a codec-audit
+    * fixture, not a dedup scenario). Derivative ids carry a
+    * +[[ResizeTag]] offset; each pair is labeled `self`
+    * (an original with its own derivative — the recall readout),
+    * `orig_orig` / `resized_resized` (within-family near-dups), or
+    * `cross` (an original matching a DIFFERENT image's derivative). The
+    * oracle replays the resized fingerprints from the pixel law at the
+    * resample coordinates (PNG is lossless at every hop). */
+  private def resizeRobustDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val orig = mm.synthesizeMedia(documents(s, dir), "doc_id", "text")
+      .filter(col("media_type") === "image")
+    val origBands = mm.aHashBands(orig)
+    val resizedBands = mm.aHashBands(mm.resizeImages(orig, outW = 16, outH = 12))
+      .withColumn("media_id", col("media_id") + lit(ResizeTag))
+    Dedup.aHashPairs(origBands.unionByName(resizedBands),
+        "media_id", "bands", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        when(col("id_b") - col("id_a") === ResizeTag, "self")
+          .when(col("id_b") < ResizeTag, "orig_orig")
+          .when(col("id_a") >= ResizeTag, "resized_resized")
+          .otherwise("cross").as("pair_kind"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Auto-sized hyperplane near-dup (q246): q33 with the band width
+    * DERIVED from the corpus count ([[Dedup.autoBandBits]]: smallest
+    * bits ≥ 6 with n ≤ 32·2^bits, pure integer logic both engines replay
+    * exactly) — the scale path q235's occupancy probe argues for: a fixed
+    * 2^6 key space has pair_work grow ~quadratically once rows outrun it
+    * (137k → 13.8M across one 10×), while the derived width re-sizes the
+    * key space per corpus and keeps per-bucket occupancy ~flat at every
+    * scale (pinned per-scale in the bench's sf1_diag). Planes use the
+    * fixed stride-24 layout so every derived width draws from one
+    * deterministic plane family. */
+  private def embeddingNearDupAutoQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairsAuto(embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.3, dim = 64, numBands = 4)
+      .select(col("id_a"), col("id_b"), col("cos").cast("float").as("cos"))
+      .orderBy("id_a", "id_b")
+
   /** Image↔caption dedup cells (q241): the cross-MODAL agreement
     * contingency a paired image+text corpus curates on — every candidate
     * pair classified into the three policy cells: near-dup on BOTH
@@ -4938,7 +4998,9 @@ object SparkEntry {
     "q241_image_caption_cells" -> (imageCaptionCellsQ _),
     "q242_resize_audit" -> (resizeAuditQ _),
     "q243_component_keeper" -> (componentKeeperQ _),
-    "q244_clip_reuse" -> (clipReuseQ _)
+    "q244_clip_reuse" -> (clipReuseQ _),
+    "q245_resize_robust_dedup" -> (resizeRobustDedupQ _),
+    "q246_hyperplane_auto" -> (embeddingNearDupAutoQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

@@ -587,7 +587,17 @@ object Dedup {
     * key), pairs are verified with exact `bit_count(xor)` Hamming, and
     * only pairs involving a NEW id are emitted — so the telescoping union
     * of per-batch emissions equals the one-shot [[aHashPairs]] batch set
-    * (pinned in StreamingSpec). */
+    * (pinned in StreamingSpec).
+    *
+    * Grain caveat vs [[aHashPairs]]: this path buckets at the RAW id grain
+    * (the store is an id-keyed band table), so `maxBucket` counts raw rows
+    * where the one-shot batch path counts distinct-fingerprint
+    * representatives and group sizes — near the cap on a duplicate-flooded
+    * bucket the two can drop different pair sets, and the telescoping
+    * parity holds only while buckets stay under BOTH caps (the pinned
+    * specs and all bench scales do). The explicit `id =!= id` guard below
+    * keeps a REPLAYED batch (ids already in the store) from emitting
+    * self-pairs that exist in neither formulation. */
   def aHashIncrementalPairs(
       newBand: DataFrame,
       storeBand: DataFrame,
@@ -601,6 +611,7 @@ object Dedup {
     bucketPairs(touched, Seq(col("bno"), col("bk")),
       struct(col("id"), col("bands"), col("__new")), maxBucket)
       .filter(col("m_a.__new") || col("m_b.__new"))
+      .filter(col("m_a.id") =!= col("m_b.id"))
       .withColumn("hamming",
         (0 until nBands).map(i =>
           bit_count(element_at(col("m_a.bands"), i + 1)
@@ -846,16 +857,34 @@ object Dedup {
     * Output: `(id_a, id_b, frame_offset, n_aligned, max_run)`, `id_a <
     * id_b`, one row per (pair, offset) whose longest aligned run reaches
     * `minRun`. `frame_offset` = frame index in `id_b` minus the matching
-    * index in `id_a`. */
+    * index in `id_a`.
+    *
+    * `sigStride` declares the sampling stride of the INPUT signature
+    * table (1 for every frame — the clip-detection default; q238's
+    * sampled table is stride 2). The islands algebra needs consecutive
+    * integers, so frame indices are divided by the stride first — offsets
+    * and runs are then in SAMPLED-frame units — and indices that are not
+    * multiples of the stride fail loudly rather than silently fragmenting
+    * every run to length 1 (the failure mode of feeding a sampled table
+    * to the old stride-1-only formulation). */
   def clipReusePairs(
       sigs: DataFrame,
       idCol: String,
       frameCol: String,
       bandsCol: String,
       minRun: Int = 2,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      sigStride: Int = 1): DataFrame = {
     require(minRun >= 1, "minRun must be positive")
-    val s = sigs.select(col(idCol).as("id"), col(frameCol).as("f"),
+    require(sigStride >= 1, "sigStride must be positive")
+    val fNorm =
+      if (sigStride == 1) col(frameCol)
+      else when(col(frameCol) % sigStride === 0,
+        (col(frameCol).cast("long") / sigStride).cast("int"))
+        .otherwise(raise_error(concat(
+          lit(s"clipReusePairs: frame index not a multiple of sigStride=$sigStride: "),
+          col(frameCol).cast("string"))))
+    val s = sigs.select(col(idCol).as("id"), fNorm.as("f"),
       col(bandsCol).as("bands"))
     val aligned = bucketPairs(s, Seq(col("bands")),
       struct(col("id"), col("f")), maxBucket)
@@ -1049,18 +1078,70 @@ object Dedup {
       vecCol: String,
       dim: Int,
       numBands: Int,
-      bandBits: Int): DataFrame = {
+      bandBits: Int,
+      planeStride: Int = 0): DataFrame = {
     val spark = emb.sparkSession
+    // planeStride: plane index = bno * stride + bit. The default (0 ->
+    // bandBits) is the historical dense layout; the AUTO variant passes a
+    // FIXED stride so the first `bandBits` planes of each band are stable
+    // as bandBits grows with the corpus — band keys at different scales
+    // then share plane prefixes, and a static oracle can inline the full
+    // stride's plane literals and gate each bit on the derived bandBits.
+    val stride = if (planeStride <= 0) bandBits else planeStride
+    require(bandBits <= stride, "bandBits must fit the plane stride")
     def plane(p: Int): Column =
       array((0 until dim).map(i => lit(planeCoeff(p, i))): _*)
     def bandKey(b: Int): Column =
       (0 until bandBits).map { bit =>
         when(graft.plans.GraftExtensions.cosine(spark,
-          col("vec"), plane(b * bandBits + bit)) > 0.0d, lit(1L << bit)).otherwise(0L)
+          col("vec"), plane(b * stride + bit)) > 0.0d, lit(1L << bit)).otherwise(0L)
       }.reduce(_ + _)
     emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .select(col("id"), col("vec"),
         posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("bno", "bk")))
+  }
+
+  /** Smallest band width (in sign bits) in `[minBits, maxBits]` whose
+    * 2^bits key space keeps expected band-bucket occupancy at or under
+    * `targetOcc` for an `n`-vector corpus: `n <= targetOcc · 2^bits`.
+    * Pure integer logic, so Spark and any SQL oracle agree exactly at
+    * power-of-two boundaries (a float log2 could straddle them by 1 ulp).
+    *
+    * This is the q235 lesson as code: a FIXED band width has its
+    * pair-expansion work grow ~quadratically once corpus growth outruns
+    * the key space (occupancy per bucket grows linearly, pair work as its
+    * square); deriving bits from the corpus count — nbits ≈ log2(n/occ),
+    * the [[semanticDedupGroupsAuto]] √n sizing move applied to LSH key
+    * width — keeps per-bucket occupancy (and the harvest's cost per row)
+    * ~flat at every scale. */
+  def autoBandBits(
+      n: Long,
+      minBits: Int = 6,
+      maxBits: Int = 24,
+      targetOcc: Long = 32L): Int = {
+    require(minBits >= 1 && maxBits >= minBits && maxBits <= 62 && targetOcc >= 1)
+    (minBits to maxBits).find(b => n <= (targetOcc << b)).getOrElse(maxBits)
+  }
+
+  /** [[embeddingNearDupPairs]] with the band width DERIVED from the
+    * corpus ([[autoBandBits]]): one count at plan-build time sizes the
+    * key space so band-bucket occupancy stays ~flat as the corpus grows —
+    * the scale path past q33's fixed 2^6 keys (whose occupancy probe
+    * q235 shows pair_work exploding once rows outrun the key space).
+    * Planes use the fixed `planeStride` layout so the same literal plane
+    * family serves every derived width. */
+  def embeddingNearDupPairsAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      numBands: Int = 4,
+      maxBucket: Int = 1000,
+      planeStride: Int = 24): DataFrame = {
+    val bits = autoBandBits(emb.count())
+    embeddingNearDupPairs(emb, idCol, vecCol, threshold, dim,
+      numBands, bits, maxBucket, planeStride)
   }
 
   def embeddingNearDupPairs(
@@ -1071,9 +1152,11 @@ object Dedup {
       dim: Int,
       numBands: Int = 8,
       bandBits: Int = 16,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      planeStride: Int = 0): DataFrame = {
     val spark = emb.sparkSession
-    val banded = hyperplaneBanded(emb, idCol, vecCol, dim, numBands, bandBits)
+    val banded = hyperplaneBanded(emb, idCol, vecCol, dim, numBands, bandBits,
+      planeStride)
     val pairs = bucketPairs(banded, Seq(col("bno"), col("bk")),
       struct(col("id"), col("vec")), maxBucket)
     pairs.select(
@@ -1103,8 +1186,10 @@ object Dedup {
       vecCol: String,
       dim: Int,
       numBands: Int = 8,
-      bandBits: Int = 16): DataFrame = {
-    val occ = hyperplaneBanded(emb, idCol, vecCol, dim, numBands, bandBits)
+      bandBits: Int = 16,
+      planeStride: Int = 0): DataFrame = {
+    val occ = hyperplaneBanded(emb, idCol, vecCol, dim, numBands, bandBits,
+      planeStride)
       .groupBy("bno", "bk").agg(count(lit(1)).as("occ"))
     occ.agg(
       count(lit(1)).as("n_buckets"),

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.multimodal.Multimodal
 import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 
@@ -21,8 +22,17 @@ import org.apache.spark.sql.Row
   * lives in the store parquet, not Spark streaming state — restarts resume
   * from the store, and the store doubles as the batch-side fingerprint
   * table. At scale, partition the store by band key so the touched-bucket
-  * probe becomes partition pruning; a replayed batch re-emits its pairs —
-  * dedupe downstream on (id_a, id_b) or write to a keyed sink. */
+  * probe becomes partition pruning.
+  *
+  * Exactly-once via batch-OWNED partitions (the CurationPipeline
+  * contract): both the store and pairs roots are written as
+  * `batch=<id>/` subdirectories a batch overwrites whole, and the store
+  * probe EXCLUDES the running batch's own partition — so a batch replayed
+  * after a crash between the two writes overwrites its own partial output
+  * instead of appending duplicate band rows (which would emit duplicate
+  * pairs in later batches and double-count toward the maxBucket flood
+  * cap) and the on-disk state after replay is byte-identical to a
+  * crash-free run. */
 object MediaDedupStream {
 
   def processBatch(
@@ -39,10 +49,14 @@ object MediaDedupStream {
       val storeFs = storeHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val store =
         if (storeFs.exists(storeHPath)) spark.read.parquet(storePath)
+          // exclude the running batch's own (possibly partial, crashed-run)
+          // partition; cast because numeric-looking ids infer numeric
+          .filter(col("batch").cast("long") =!= batchId)
+          .drop("batch")
         else newBand.limit(0)
       Dedup.aHashIncrementalPairs(newBand, store, maxHamming, maxBucket)
-        .write.mode("append").parquet(pairsPath)
-      newBand.write.mode("append").parquet(storePath)
+        .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+      newBand.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
     } finally newBand.unpersist(blocking = false)
   }
 

@@ -240,6 +240,36 @@ class MultimodalSpec extends SparkSpec {
     assert(got == expect, s"got ${got.size} vs expected ${expect.size}")
   }
 
+  test("resize-robust dedup: originals pair with their 16x12 thumbnails (brute-force parity)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val orig = Multimodal.synthesizeMedia(d, "doc_id", "text")
+      .filter(col("media_type") === "image")
+    val ob = Multimodal.aHashBands(orig)
+    val rb = Multimodal.aHashBands(Multimodal.resizeImages(orig, 16, 12))
+      .withColumn("media_id", col("media_id") + lit(500000000L))
+    val all = ob.unionByName(rb)
+    val got = graft.operators.Dedup.aHashPairs(all, "media_id", "bands",
+      maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    // LSH harvest == brute-force all-pairs Hamming over the same
+    // fingerprints (pigeonhole-complete to 3) — the q245 machinery proof
+    val fp = all.as[(Long, Seq[Int])].collect()
+    val expect = (for {
+      (a, ba) <- fp; (b, bb) <- fp if a < b
+      dd = (0 until 4).map(i => Integer.bitCount(ba(i) ^ bb(i))).sum if dd <= 3
+    } yield (a, b, dd.toLong)).toSet
+    assert(got == expect, s"${got.size} vs ${expect.size}")
+    // the recall readout: a solid majority of originals find their OWN
+    // thumbnail at Hamming <= 3 — the 16x12 target preserves the aHash
+    // lattice geometry (x exactly, y within one floor step); the misses
+    // are the tiniest originals, which NN UPSAMPLING genuinely distorts
+    val selfPairs = got.count { case (a, b, _) => b - a == 500000000L }
+    val nImg = orig.count()
+    assert(selfPairs.toDouble / nImg >= 0.6, s"self recall $selfPairs/$nImg")
+    assert(got.exists { case (a, b, h) => b - a == 500000000L && h > 0 },
+      "expected some nonzero-Hamming self pairs (a trivially exact resample would prove nothing)")
+  }
+
   test("block-scaled key spaces: block 0 is the original law, blocks grow the space") {
     // block 0 identities — every base-testdata id (< 1e6) behaves exactly
     // as the pre-block laws did

@@ -229,6 +229,32 @@ class PropertySpec extends SparkSpec {
     assert(got == expect, s"$got vs $expect")
   }
 
+  test("autoBandBits: exact integer boundaries; auto pairing == explicit-bits pairing") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    // integer sizing: smallest b in [6,24] with n <= 32*2^b — exact at
+    // power-of-two boundaries where a float log2 could straddle by 1 ulp
+    assert(Dedup.autoBandBits(0L) == 6)
+    assert(Dedup.autoBandBits(32L << 6) == 6) // 2048: boundary stays at 6
+    assert(Dedup.autoBandBits((32L << 6) + 1) == 7) // one past it
+    assert(Dedup.autoBandBits(32L << 10) == 10)
+    assert(Dedup.autoBandBits(Long.MaxValue / 4) == 24) // capped
+    // the auto variant IS the explicit variant at the derived width on the
+    // stride-24 plane layout (one count, then identical plans)
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val auto = Dedup.embeddingNearDupPairsAuto(
+      emb, "vec_id", "embedding", threshold = 0.5, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val explicit = Dedup.embeddingNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.5, dim = 16,
+      numBands = 4, bandBits = Dedup.autoBandBits(300L), maxBucket = 1000,
+      planeStride = 24)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == explicit)
+  }
+
   test("bucketPairs: a flooded bucket is dropped whole — output stays bounded") {
     import org.apache.spark.sql.functions._
     // 100 identical vectors all but guarantee one dense bucket per band;

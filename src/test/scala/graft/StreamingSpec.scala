@@ -193,6 +193,7 @@ class StreamingSpec extends SparkSpec {
     q.stop()
 
     val streamed = spark.read.parquet(pairs)
+      .select("id_a", "id_b", "hamming")
       .as[(Long, Long, Long)].collect().toSet
     val batch = graft.operators.Dedup.aHashPairs(
       graft.multimodal.Multimodal.aHashBands(media), "media_id", "bands",
@@ -201,6 +202,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty, s"${streamed.size} vs ${batch.size}")
     // the store now holds every image's band rows exactly once
     assert(spark.read.parquet(store).select("id").distinct().count() == media.count())
+
+    // crash-replay idempotence: re-running a delivered batch overwrites its
+    // own batch-owned partitions — store row count, distinct ids, and the
+    // pair set are all byte-identical to the crash-free run (an APPEND
+    // store would duplicate band rows here and emit duplicate pairs in
+    // every later batch)
+    val storeRowsBefore = spark.read.parquet(store).count()
+    MediaDedupStream.processBatch(store, pairs)(
+      media.filter(expr("(media_id div 3) % 3 = 0")), batchId = 0L)
+    assert(spark.read.parquet(store).count() == storeRowsBefore)
+    val replayed = spark.read.parquet(pairs)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replayed == batch)
   }
 
   test("streaming span screen: online scoring matches the offline incremental prefix") {

@@ -722,7 +722,26 @@ object Bench {
             r.stages.map(s => s"${s.stage} ${s.rowsIn}->${s.rowsOut}").mkString(", "))
         val curated = rs.flatMap(_.stages.lastOption.map(_.rowsOut)).sum
         System.err.println(f"[bench] pipeline end-to-end t=$t%.3f curated=$curated")
-        pipeJson = s""","pipeline":{"sec":$t,"docs_in":${rs.flatMap(_.stages.headOption.map(_.rowsIn)).sum},"curated":$curated,"note":"2 incremental batches + epoch sharding over documents"}"""
+        // media face: the same incremental contract over the image corpus
+        // (decode once -> perceptual fingerprint -> band-store probe ->
+        // manifest drop), timed separately so the text number stays
+        // comparable across rounds
+        val media = graft.multimodal.Multimodal.synthesizeMedia(
+          docs, "doc_id", "text").filter(col("media_type") === "image")
+        val t0m = System.nanoTime()
+        val ms = Seq(
+          graft.pipeline.CurationPipeline.runMediaBatch(
+            spark, media.filter(col("media_id") % 2 === 0), "b1", cfgP),
+          graft.pipeline.CurationPipeline.runMediaBatch(
+            spark, media.filter(col("media_id") % 2 === 1), "b2", cfgP))
+        val tm = (System.nanoTime() - t0m) / 1e9
+        for (r <- ms)
+          System.err.println(s"[bench] media pipeline ${r.batchId}: " +
+            r.stages.map(s => s"${s.stage} ${s.rowsIn}->${s.rowsOut}").mkString(", "))
+        val mediaIn = ms.flatMap(_.stages.headOption.map(_.rowsIn)).sum
+        val mediaKept = ms.flatMap(_.stages.lastOption.map(_.rowsOut)).sum
+        System.err.println(f"[bench] media pipeline end-to-end t=$tm%.3f curated=$mediaKept")
+        pipeJson = s""","pipeline":{"sec":$t,"docs_in":${rs.flatMap(_.stages.headOption.map(_.rowsIn)).sum},"curated":$curated,"media_sec":$tm,"media_in":$mediaIn,"media_curated":$mediaKept,"note":"sec = 2 incremental text batches + epoch sharding over documents; media_sec = 2 incremental media batches (decode -> perceptual fingerprint -> band-store probe -> manifest drop) over the image corpus"}"""
         carriedSections -= "pipeline"
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline failed: ${e.getMessage}")

@@ -363,6 +363,103 @@ object CurationPipeline {
     BatchReport(batchId, skipped = false, manifest)
   }
 
+  /** The MEDIA face of [[runBatch]] — the multimodal corpus needs the
+    * composed job, not just the q229/q233 queries: each arriving batch of
+    * media payloads is decoded ONCE through the real JDK codec and
+    * perceptually fingerprinted ([[graft.multimodal.Multimodal
+    * .aHashBands]]), the fingerprints probe the accumulated band store
+    * ([[Dedup.aHashIncrementalPairs]] — the [[graft.streaming
+    * .MediaDedupStream]] topology as a batch stage), near-dups are
+    * dropped manifest-style (store wins — shipped media are never
+    * retracted; within the batch the min-id asset wins, the text
+    * pipeline's minhash policy), and the survivors' fingerprints append
+    * to the store.
+    *
+    * Same restartability contract as [[runBatch]]: every write goes to a
+    * batch-owned `batch=<id>/` partition overwritten whole, store reads
+    * exclude the running batch's own partition, and the one-row-per-stage
+    * manifest is written LAST as the commit marker (a committed batch is
+    * skipped on re-run; an uncommitted crash replays byte-identically).
+    * Media state lives under its own namespaces (`stores/media_bands`,
+    * `media_curated`, `media_manifests`) so a text batch and a media
+    * batch may share a batch id.
+    *
+    * 100 TB posture: payloads are decoded once and NEVER stored — the
+    * curated output is `(media_id, bands)` (the keep manifest + its
+    * fingerprint; payload bytes stay in the object store, keyed by id),
+    * and the band store carries fingerprints only, so the corpus state is
+    * GBs against a 100 TB payload universe. Undecodable payloads drop at
+    * the fingerprint stage (no perceptual identity — route them to a
+    * checksum-dedup lane).
+    *
+    * Stages: `fingerprint` (decodable payloads → distinct-id hashes),
+    * `media_dedup` (store + within-batch near-dup drop at Hamming ≤ 3). */
+  def runMediaBatch(
+      spark: SparkSession,
+      rawMedia: DataFrame,
+      batchId: String,
+      cfg: Config): BatchReport = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '='),
+      s"batchId must be a plain directory token: '$batchId'")
+    val manifestDir = s"${cfg.baseDir}/media_manifests/batch=$batchId"
+    if (exists(spark, manifestDir)) {
+      val m = spark.read.parquet(manifestDir)
+        .orderBy("idx").select("stage", "rows_in", "rows_out")
+        .collect().map(r => StageCount(r.getString(0), r.getLong(1), r.getLong(2)))
+      return BatchReport(batchId, skipped = true, m.toSeq)
+    }
+    val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    val nIn = rawMedia.count()
+
+    // 1. decode + fingerprint: ONE codec pass per payload, per-partition
+    //    codec init inside aHashBands; undecodable payloads drop here
+    val hashes = graft.multimodal.Multimodal.aHashBands(rawMedia)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nFp = hashes.count()
+    counts += StageCount("fingerprint", nIn, nFp)
+
+    // 2. perceptual dedup vs store + within batch: pairs at Hamming <= 3,
+    //    store side always wins, within the batch the smaller id wins
+    val bandRoot = s"${cfg.baseDir}/stores/media_bands"
+    val newBand = Dedup.aHashBandTable(hashes, "media_id", "bands")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandStore = readStore(spark, bandRoot, batchId, newBand)
+    val pairs = Dedup.aHashIncrementalPairs(
+      newBand, bandStore, maxHamming = 3, maxBucket = cfg.maxBucket)
+    val batchIds = hashes.select(col("media_id").as("__bid"))
+    val marked = pairs
+      .join(batchIds, col("id_a") === col("__bid"), "left")
+      .withColumn("__a_new", col("__bid").isNotNull).drop("__bid")
+      .join(batchIds, col("id_b") === col("__bid"), "left")
+      .withColumn("__b_new", col("__bid").isNotNull).drop("__bid")
+    val drops = marked.select(
+      when(col("__a_new") && col("__b_new"), col("id_b"))
+        .when(col("__a_new"), col("id_a"))
+        .otherwise(col("id_b")).as("media_id")).distinct()
+    val kept = hashes.join(drops, Seq("media_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nKept = kept.count()
+    counts += StageCount("media_dedup", nFp, nKept)
+
+    // 3. batch-owned persists; manifest LAST as the commit marker. The
+    //    band store takes dedup SURVIVORS only (a dropped near-dup would
+    //    flood the buckets its keeper already covers).
+    writeBatchDir(
+      newBand.join(kept.select("media_id").withColumnRenamed("media_id", "id"),
+        Seq("id"), "left_semi"),
+      bandRoot, batchId)
+    writeBatchDir(kept, s"${cfg.baseDir}/media_curated", batchId)
+    val manifest = counts.toSeq
+    import spark.implicits._
+    writeBatchDir(
+      manifest.zipWithIndex
+        .map { case (s, i) => (i, s.stage, s.rowsIn, s.rowsOut) }
+        .toDF("idx", "stage", "rows_in", "rows_out"),
+      s"${cfg.baseDir}/media_manifests", batchId)
+    Seq(hashes, newBand, kept).foreach(_.unpersist(blocking = false))
+    BatchReport(batchId, skipped = false, manifest)
+  }
+
   /** The JSONL ingest face: parse `path` with the schema-enforced
     * [[graft.sources.JsonlCorpus]] source, write the corrupt-line
     * quarantine to a batch-owned partition, and run the good side through

@@ -253,4 +253,67 @@ class CurationPipelineSpec extends SparkSpec {
     // one task wrote each shard: compact by construction, audit agrees
     assert(repA == repB && repA.forall(r => r._2 == 1L && !r._4))
   }
+
+  // ---- media face -------------------------------------------------------
+
+  /** Synthesized media rows for the given ids. Ids ≡ mod 768 carry
+    * byte-identical pixel laws in block 0 (same w/h/phase), so they are
+    * the exact perceptual duplicates the store probe must catch; id 1 is
+    * an audio row whose opaque payload is undecodable and must drop at
+    * the fingerprint stage. */
+  private def mediaFor(ids: Seq[Long]) =
+    graft.multimodal.Multimodal.synthesizeMedia(
+      ids.map(i => (i, s"text for $i")).toDF("doc_id", "text"),
+      "doc_id", "text")
+
+  private def mediaCurated(base: String): Set[Long] =
+    spark.read.parquet(s"$base/media_curated")
+      .select("media_id").as[Long].collect().toSet
+
+  test("media batches: decode gate, within-batch and cross-batch perceptual drops") {
+    val base = Files.createTempDirectory("graft-pipe-media").toString
+    // batch 1: images 0/3/6, 771 (= 3 + 768: within-batch exact dup of 3),
+    // and audio row 1 (undecodable -> fingerprint-stage drop)
+    val r1 = CurationPipeline.runMediaBatch(
+      spark, mediaFor(Seq(0L, 1L, 3L, 6L, 771L)), "b1", cfg(base))
+    assert(r1.stages.map(s => (s.stage, s.rowsIn, s.rowsOut)) == Seq(
+      ("fingerprint", 5L, 4L), ("media_dedup", 4L, 3L)))
+    assert(mediaCurated(base) == Set(0L, 3L, 6L))
+    // batch 2: 768 duplicates batch 1's shipped 0 (the STORE must catch
+    // it — within-batch pairing alone cannot), 9 is fresh
+    val r2 = CurationPipeline.runMediaBatch(
+      spark, mediaFor(Seq(768L, 9L)), "b2", cfg(base))
+    assert(r2.stages.map(s => (s.stage, s.rowsIn, s.rowsOut)) == Seq(
+      ("fingerprint", 2L, 2L), ("media_dedup", 2L, 1L)))
+    assert(mediaCurated(base) == Set(0L, 3L, 6L, 9L))
+    // the store holds survivors' band rows only (4 bands per kept id)
+    assert(spark.read.parquet(s"$base/stores/media_bands")
+      .select("id").distinct().as[Long].collect().toSet == Set(0L, 3L, 6L, 9L))
+  }
+
+  test("media batches: committed replay is a skip; crash replay lands identical state") {
+    val base = Files.createTempDirectory("graft-pipe-media").toString
+    CurationPipeline.runMediaBatch(spark, mediaFor(Seq(0L, 3L)), "b1", cfg(base))
+    CurationPipeline.runMediaBatch(spark, mediaFor(Seq(768L, 9L)), "b2", cfg(base))
+    val before = mediaCurated(base)
+    val storeBefore = spark.read.parquet(s"$base/stores/media_bands")
+      .select("id", "bno", "bk").as[(Long, Int, Int)].collect().toSet
+
+    val again = CurationPipeline.runMediaBatch(
+      spark, mediaFor(Seq(768L, 9L)), "b2", cfg(base))
+    assert(again.skipped)
+    assert(again.stages.map(_.stage) == Seq("fingerprint", "media_dedup"))
+
+    // crash AFTER data writes, BEFORE the marker: delete only b2's
+    // manifest — the replay must redo b2 against b1-only store state (its
+    // own partial partition is excluded) and land byte-identically
+    val mfs = new org.apache.hadoop.fs.Path(s"$base/media_manifests/batch=b2")
+    mfs.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mfs, true)
+    val replay = CurationPipeline.runMediaBatch(
+      spark, mediaFor(Seq(768L, 9L)), "b2", cfg(base))
+    assert(!replay.skipped)
+    assert(mediaCurated(base) == before)
+    assert(spark.read.parquet(s"$base/stores/media_bands")
+      .select("id", "bno", "bk").as[(Long, Int, Int)].collect().toSet == storeBefore)
+  }
 }

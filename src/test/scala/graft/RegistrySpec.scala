@@ -37,4 +37,27 @@ class RegistrySpec extends AnyFunSuite {
       s"All $n declared queries carry full rows/schema/hash DuckDB oracles"),
       s"SURVEY.md §2.12 count out of sync with registry size $n")
   }
+
+  test("SURVEY.md §6 outlier sentence is generated from BENCH.json, not typed") {
+    // re-derive the canonical sentence tools/bench_summary.py emits (worst
+    // 5 sf1/sf0.1 ratios, ties broken by name, values verbatim from the
+    // record) and grep SURVEY for it — r10's defect was exactly this prose
+    // drifting from the record it claimed to cite
+    val f = new java.io.File("BENCH.json")
+    assume(f.exists, "no BENCH.json at repo root")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    val node = tree.get("sf1_over_sf01_ratio")
+    assume(node != null, "record has no sf1 section")
+    val it = node.fields()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double, String)]
+    while (it.hasNext) {
+      val e = it.next()
+      buf += ((e.getKey, e.getValue.asDouble, e.getValue.toString))
+    }
+    val worst = buf.sortBy(t => (-t._2, t._1)).take(5)
+    val sentence = "Worst sf1/sf0.1 ratios at HEAD: " +
+      worst.map(t => s"${t._1}=${t._3}").mkString(", ") + "."
+    assert(read("SURVEY.md").contains(sentence),
+      s"SURVEY.md §6 must embed the generated outlier sentence verbatim:\n$sentence")
+  }
 }

@@ -17,9 +17,15 @@ ts = sorted(q.values())
 print(f"median {statistics.median(ts):.2f}s  p90 {ts[int(len(ts)*0.9)]:.2f}s  max {ts[-1]:.2f}s ({max(q, key=q.get)})")
 r1 = d.get("sf1_over_sf01_ratio", {})
 if r1:
-    worst = sorted(r1.items(), key=lambda kv: -kv[1])[:6]
-    print(f"sf1 section: {len(r1)} queries; worst 10x ratios: "
-          + ", ".join(f"{k}={v}" for k, v in worst))
+    worst = sorted(r1.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    # the CANONICAL outlier sentence: SURVEY.md §6 embeds this line
+    # verbatim and RegistrySpec re-derives it from BENCH.json and greps
+    # SURVEY for it — prose can no longer drift from the record (the r10
+    # verdict's defect #1). Keep format changes in lockstep with
+    # RegistrySpec's "SURVEY outlier sentence" test.
+    print(f"sf1 section: {len(r1)} queries")
+    print("Worst sf1/sf0.1 ratios at HEAD: "
+          + ", ".join(f"{k}={v}" for k, v in worst) + ".")
 r10 = d.get("sf10_over_sf01_ratio", {})
 if r10:
     print("sf10 probe: " + ", ".join(f"{k}={v}" for k, v in sorted(r10.items(), key=lambda kv: -kv[1])))

@@ -47,4 +47,32 @@ object CurationStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch(processBatch(cfg, prefix) _)
+
+  /** MEDIA twin of [[processBatch]]: each micro-batch of media payloads
+    * runs the full [[graft.pipeline.CurationPipeline.runMediaBatch]]
+    * chain (real-codec decode → perceptual fingerprint → band-store
+    * probe → manifest drop) against the same parquet store state the
+    * offline media job uses; the media manifest commit marker makes a
+    * replayed micro-batch a no-op skip — the identical exactly-once
+    * story, on the media namespaces. */
+  def processMediaBatch(cfg: CurationPipeline.Config, prefix: String)(
+      batch: DataFrame, id: Long): Unit = {
+    if (batch.isEmpty) return
+    CurationPipeline.runMediaBatch(
+      batch.sparkSession, batch, batchId(prefix, id), cfg)
+    ()
+  }
+
+  /** Streaming writer wiring [[processMediaBatch]] — input rows carry
+    * `(media_id, payload binary)`. */
+  def mediaWriter(
+      media: DataFrame,
+      cfg: CurationPipeline.Config,
+      checkpoint: String,
+      prefix: String = "s",
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    media.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(processMediaBatch(cfg, prefix) _)
 }

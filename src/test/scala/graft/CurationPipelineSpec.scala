@@ -174,6 +174,37 @@ class CurationPipelineSpec extends SparkSpec {
     assert(CurationPipeline.runBatch(spark, df(batch2), "s1", cfg(base)).skipped)
   }
 
+  test("streaming media curation == offline media batches on the same prefix; replay is a skip") {
+    import graft.streaming.CurationStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-pipe-mstream").toString
+    val offline = Files.createTempDirectory("graft-pipe-moff").toString
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(0L, 1L, 3L, 6L, 771L) // 771 = within-batch dup of 3; 1 undecodable
+    val b2 = Seq(768L, 9L) // 768 = cross-batch dup of shipped 0
+    def payloads(ids: Seq[Long]) = mediaFor(ids)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = CurationStream.mediaWriter(
+      input.toDF().toDF("media_id", "payload"),
+      cfg(base), s"$base/ckpt", trigger = Trigger.ProcessingTime(0)).start()
+    input.addData(payloads(b1): _*)
+    q.processAllAvailable()
+    input.addData(payloads(b2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // offline job with the stream's derived batch ids -> identical curated
+    // manifest and store state
+    CurationPipeline.runMediaBatch(spark, mediaFor(b1), "s0", cfg(offline))
+    CurationPipeline.runMediaBatch(spark, mediaFor(b2), "s1", cfg(offline))
+    assert(mediaCurated(base) == mediaCurated(offline))
+    assert(mediaCurated(base) == Set(0L, 3L, 6L, 9L))
+    // a replayed micro-batch hits the media manifest commit marker and skips
+    assert(CurationPipeline.runMediaBatch(spark, mediaFor(b2), "s1", cfg(base)).skipped)
+  }
+
   test("optional span-cut stage deletes residual duplicated spans in place") {
     // two surviving docs share one 4-token run (1 of 16 windows each —
     // far under maxDupFrac, so the screen keeps both); with cutSpans on,

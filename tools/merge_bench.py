@@ -22,6 +22,12 @@ with open(csv_path) as f:
         samples.setdefault(q, []).append(float(v))
 
 d = json.load(open(bench_path))
+# a provenance tail appended to the prior note (after "Provenance:")
+# records which rounds measured which probes — preserve it across merges
+# so a partial re-probe can't silently erase the record's history
+prior_prov = ""
+if "Provenance:" in d.get("sf10_note", ""):
+    prior_prov = " Provenance:" + d["sf10_note"].split("Provenance:", 1)[1]
 base = d["queries"]
 sf10, ratios = {}, {}
 for q, ts in samples.items():
@@ -61,7 +67,7 @@ d["sf10_note"] = (
     "q235's harvests are excluded at 100x: the replica densifies their "
     "candidate work ~quadratically over a fixed vocabulary/key space (a "
     "replica artifact - see sf1_note and sf1_diag; q246's derived-nbits "
-    "hyperplane is the auto-sized scale path)."
+    "hyperplane is the auto-sized scale path)." + prior_prov
 )
 
 # sf10 is now freshly measured — clear any carried-forward stamp for it

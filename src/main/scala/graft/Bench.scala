@@ -333,7 +333,8 @@ object Bench {
       "q238_video_framesig", "q239_media_dedup_manifest",
       "q240_component_split", "q241_image_caption_cells",
       "q242_resize_audit", "q243_component_keeper", "q244_clip_reuse",
-      "q245_resize_robust_dedup", "q246_hyperplane_auto")
+      "q245_resize_robust_dedup", "q246_hyperplane_auto",
+      "q247_audio_clip_reuse", "q248_scene_cuts")
     // sf1 per-query budget estimate: 3 samples x base x (worst observed
     // 10x ratio ~10, so x10) + overhead. Unknown-base queries get a flat
     // conservative guess.

@@ -1094,6 +1094,129 @@ private[graft] object OracleSql {
        |HAVING MAX(run) >= 2
        |ORDER BY id_a, id_b, frame_offset""".stripMargin
 
+  /** q247 oracle: per-frame energies of the SHIFTED clip law (hash-noise
+    * frame values via the portable md5Hash60 stream; clip re-post =
+    * master played from `(id div 53) mod 4` whole frames in), 16-bit
+    * windowed gradient signatures, then the q244 clip algebra —
+    * fingerprint-only buckets with the ≤10000 cap, constant-offset
+    * grouping, islands runs, minRun 8. WAV PCM is lossless, so the Spark
+    * side's real `javax.sound.sampled` decode sees exactly 60·|value|·g
+    * per frame. */
+  private lazy val audioClipReuseOracleSql: String =
+    s"""WITH aud AS (
+       |  SELECT doc_id AS media_id,
+       |    (doc_id % 53) + 53 * (doc_id // 1000000) AS trk,
+       |    CAST(1 + doc_id % 2 AS BIGINT) AS g,
+       |    (doc_id // 53) % 4 AS sh
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |en AS (
+       |  SELECT media_id, fs.f,
+       |    60 * abs((${graft.functions.PortableHash
+                        .md5Hash60Sql("trk || ':' || (fs.f + sh)")} % 255)
+       |      - 127) * g AS e
+       |  FROM aud, unnest(generate_series(0, 64)) AS fs(f)),
+       |bits AS (
+       |  SELECT x.media_id, x.f AS p,
+       |    CASE WHEN y.e > x.e THEN 1 ELSE 0 END AS bit
+       |  FROM en x JOIN en y
+       |    ON y.media_id = x.media_id AND y.f = x.f + 1
+       |  WHERE x.f < 64),
+       |sig AS (
+       |  SELECT a.media_id, a.p AS f,
+       |    CAST(SUM(b.bit * (1 << (b.p - a.p))) AS INTEGER) AS sg
+       |  FROM bits a JOIN bits b
+       |    ON b.media_id = a.media_id AND b.p BETWEEN a.p AND a.p + 15
+       |  WHERE a.p <= 48
+       |  GROUP BY 1, 2),
+       |socc AS (SELECT sg, COUNT(*) AS c FROM sig GROUP BY 1),
+       |ali AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    CAST(b.f - a.f AS INTEGER) AS frame_offset, a.f AS fa
+       |  FROM sig a JOIN sig b
+       |    ON a.sg = b.sg AND a.media_id < b.media_id
+       |  JOIN socc o ON o.sg = a.sg
+       |  WHERE o.c <= 10000),
+       |isl AS (
+       |  SELECT id_a, id_b, frame_offset,
+       |    fa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, frame_offset
+       |      ORDER BY fa) AS grp
+       |  FROM ali),
+       |runs AS (
+       |  SELECT id_a, id_b, frame_offset, grp, COUNT(*) AS run
+       |  FROM isl GROUP BY ALL)
+       |SELECT id_a, id_b, frame_offset,
+       |  CAST(SUM(run) AS BIGINT) AS n_aligned,
+       |  CAST(MAX(run) AS BIGINT) AS max_run
+       |FROM runs GROUP BY 1, 2, 3
+       |HAVING MAX(run) >= 8
+       |ORDER BY id_a, id_b, frame_offset""".stripMargin
+
+  /** q248 oracle: the SHOT pixel law ((f div 3)·9973 frame shift)
+    * replayed per frame at stride 1, the q229 aHash lattice, then the
+    * same lag / running-cut-count / islands algebra — all integers. */
+  private lazy val sceneCutsOracleSql: String =
+    s"""WITH vid AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(doc_id % 16 + 8 AS BIGINT) AS w,
+       |    CAST(doc_id % 12 + 6 AS BIGINT) AS h,
+       |    CAST(4 + doc_id % 5 AS BIGINT) AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (
+       |  SELECT media_id, w, h, fs.f,
+       |    ${pixelBlockCols("media_id + (fs.f // 3) * 9973")}
+       |  FROM vid, unnest(generate_series(0, 7)) AS fs(f)
+       |  WHERE fs.f < nf),
+       |px AS (
+       |  SELECT media_id, f, (js.j * 8 + ii.i) AS p,
+       |    ((media_id + (f // 3) * 9973) * 31 + ((ii.i * w) // 8) * cx
+       |      + ((js.j * h) // 8) * 13 + ph) % 256 AS g
+       |  FROM fr,
+       |    unnest(generate_series(0, 7)) AS ii(i),
+       |    unnest(generate_series(0, 7)) AS js(j)),
+       |m AS (
+       |  SELECT media_id, f, SUM(g) // 64 AS mean FROM px GROUP BY 1, 2),
+       |b AS (
+       |  SELECT px.media_id, px.f, p // 16 AS band,
+       |    CAST(SUM(CASE WHEN g >= mean THEN (1 << (p % 16)) ELSE 0 END)
+       |      AS INTEGER) AS bk
+       |  FROM px JOIN m USING (media_id, f) GROUP BY 1, 2, 3),
+       |hs AS (
+       |  SELECT media_id, f,
+       |    MAX(CASE WHEN band = 0 THEN bk END) AS b0,
+       |    MAX(CASE WHEN band = 1 THEN bk END) AS b1,
+       |    MAX(CASE WHEN band = 2 THEN bk END) AS b2,
+       |    MAX(CASE WHEN band = 3 THEN bk END) AS b3
+       |  FROM b GROUP BY 1, 2),
+       |prevd AS (
+       |  SELECT media_id, f, b0, b1, b2, b3,
+       |    LAG(b0) OVER w AS p0, LAG(b1) OVER w AS p1,
+       |    LAG(b2) OVER w AS p2, LAG(b3) OVER w AS p3
+       |  FROM hs WINDOW w AS (PARTITION BY media_id ORDER BY f)),
+       |cuts AS (
+       |  SELECT media_id, f,
+       |    CASE WHEN p0 IS NOT NULL
+       |      AND bit_count(xor(b0, p0)) + bit_count(xor(b1, p1))
+       |        + bit_count(xor(b2, p2)) + bit_count(xor(b3, p3)) >= 8
+       |      THEN 1 ELSE 0 END AS cut
+       |  FROM prevd),
+       |shots AS (
+       |  SELECT media_id, f, cut,
+       |    SUM(cut) OVER (PARTITION BY media_id ORDER BY f
+       |      ROWS UNBOUNDED PRECEDING) AS shot
+       |  FROM cuts),
+       |sl AS (SELECT media_id, shot, COUNT(*) AS len FROM shots GROUP BY 1, 2),
+       |agg1 AS (
+       |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |    CAST(SUM(cut) AS BIGINT) AS n_cuts
+       |  FROM shots GROUP BY 1),
+       |agg2 AS (
+       |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_shots,
+       |    CAST(MAX(len) AS BIGINT) AS max_shot_len
+       |  FROM sl GROUP BY 1)
+       |SELECT media_id, n_frames, n_cuts, n_shots, max_shot_len
+       |FROM agg1 JOIN agg2 USING (media_id)
+       |ORDER BY media_id""".stripMargin
+
   /** q236 oracle: the q233 pair CTEs folded to components by recursive
     * reachability (q47's dedupGroups pattern) — min reachable id per node
     * == the distributed label propagation's canonical keeper. */
@@ -2149,6 +2272,8 @@ private[graft] object OracleSql {
     "q244_clip_reuse" -> clipReuseOracleSql,
     "q245_resize_robust_dedup" -> resizeRobustOracleSql,
     "q246_hyperplane_auto" -> hyperplaneAutoOracleSql,
+    "q247_audio_clip_reuse" -> audioClipReuseOracleSql,
+    "q248_scene_cuts" -> sceneCutsOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

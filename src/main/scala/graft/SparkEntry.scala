@@ -4689,6 +4689,49 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), col("cos").cast("float").as("cos"))
       .orderBy("id_a", "id_b")
 
+  /** Audio clip reuse (q247): the audio member of the shot-reuse family —
+    * q237's whole-stream fingerprint misses a re-post that starts a few
+    * frames into the master (every energy shifts by the same delta), so
+    * audio rows are synthesized as time-shifted re-posts
+    * ([[graft.multimodal.Multimodal.synthesizeAudioClips]] — real WAV
+    * codec, each clip starting `audioClipShift` whole frames into its
+    * track's PCM law), decoded into per-FRAME 16-bit gradient signatures
+    * ([[graft.multimodal.Multimodal.audioFrameSigs]] — the audio twin of
+    * the video frame-signature table), and paired with the SAME
+    * gaps-and-islands clip detector the video family uses
+    * ([[Dedup.clipReusePairs]], fingerprint-only buckets, constant-offset
+    * grouping, minRun 8). The oracle replays shifted energies from the
+    * PCM law and the islands algebra. */
+  private def audioClipReuseQ(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val sigs = mm.audioFrameSigs(
+      mm.synthesizeAudioClips(documents(s, dir), "doc_id"))
+    Dedup.clipReusePairs(sigs, "media_id", "frame_idx", "bands", minRun = 8)
+      .orderBy("id_a", "id_b", "frame_offset")
+  }
+
+  /** Scene-cut detection (q248): the segmentation primitive a video
+    * curation pipeline runs before per-shot sampling/dedup — videos are
+    * synthesized with SHOT structure ([[graft.multimodal.Multimodal
+    * .synthesizeVideoShots]]: every 3 consecutive frames repeat one
+    * closed-form image, real multi-page TIFF), every frame is hashed at
+    * stride 1 (a sampled table would alias shot boundaries), and
+    * [[Dedup.sceneCuts]] marks a cut where consecutive fingerprints
+    * differ by ≥ 8 bits — one window pass per video, shots via the q07
+    * islands algebra, exact integer readouts `(n_frames, n_cuts,
+    * n_shots, max_shot_len)`. The oracle replays the shot pixel law and
+    * the same lag/running-sum algebra. */
+  private def sceneCutsQ(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val sigs = mm.videoFrameHashes(
+      mm.synthesizeVideoShots(documents(s, dir), "doc_id", shotLen = 3),
+      stride = 1)
+    Dedup.sceneCuts(sigs, "media_id", "frame_idx", "bands", minHamming = 8)
+      .select(col("id").as("media_id"), col("n_frames"), col("n_cuts"),
+        col("n_shots"), col("max_shot_len"))
+      .orderBy("media_id")
+  }
+
   /** Image↔caption dedup cells (q241): the cross-MODAL agreement
     * contingency a paired image+text corpus curates on — every candidate
     * pair classified into the three policy cells: near-dup on BOTH
@@ -5000,7 +5043,9 @@ object SparkEntry {
     "q243_component_keeper" -> (componentKeeperQ _),
     "q244_clip_reuse" -> (clipReuseQ _),
     "q245_resize_robust_dedup" -> (resizeRobustDedupQ _),
-    "q246_hyperplane_auto" -> (embeddingNearDupAutoQ _)
+    "q246_hyperplane_auto" -> (embeddingNearDupAutoQ _),
+    "q247_audio_clip_reuse" -> (audioClipReuseQ _),
+    "q248_scene_cuts" -> (sceneCutsQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

@@ -70,6 +70,18 @@ object PortableHash {
   def md5Hash60Sql(expr: String): String =
     s"(('0x' || substring(md5(CAST($expr AS VARCHAR)), 2, 15))::BIGINT)"
 
+  /** The same 60-bit md5 computation as plain driver/executor-side Scala
+    * (for fixture laws and tests that need the portable stream outside a
+    * Column context): hex digits 2..16 of md5(utf8(s)), base 16 —
+    * identical to [[md5Hash60]] / [[md5Hash60Sql]] on the same string. */
+  def md5Hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    java.lang.Long.parseLong(sb.substring(1, 16), 16)
+  }
+
   /** Deterministic splitmix64 step — the coefficient source for permutation
     * families and hyperplane literals (same stream every run/engine). */
   def splitmix(x0: Long): Long = {

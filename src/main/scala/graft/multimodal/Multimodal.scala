@@ -463,14 +463,53 @@ object Multimodal {
       - 128) * audioGain(id)
   }
 
+  /** Frame-aligned time shift of a re-encoded clip — the audio
+    * clip-reuse fixture law ([[synthesizeAudioClips]]): re-posts of one
+    * track start `audioClipShift(id)` FRAMES into the master, so two
+    * re-posts' frame-energy sequences agree at a constant frame offset
+    * (what [[graft.operators.Dedup.clipReusePairs]] detects). 0–3 frames,
+    * keyed off `id div 53` so same-track ids get DIFFERENT shifts. */
+  def audioClipShift(id: Long): Int =
+    java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 53L), 4L).toInt
+
+  /** Per-frame base value of the CLIP fixture law: hash noise keyed by
+    * (track, ABSOLUTE frame index) through the portable md5Hash60 stream
+    * ([[graft.functions.PortableHash]] — the same cross-engine hash the
+    * minhash family replays in DuckDB), mapped into [−127, 127]. Why hash
+    * noise: a real track's frame energies carry high entropy, while the
+    * linear ring-walk law ([[pcmSample]]) produces energy-GRADIENT
+    * sequences that are periodic rotations of one cycle within a step
+    * class — under a clip detector every same-step track pair then reads
+    * as a structurally "shifted clip" (measured: 13k of C(167,2)≈13.8k
+    * pairs matched at sf0.01). The law is a function of absolute time, so
+    * a re-post starting Δ frames in is exactly the master shifted by Δ —
+    * the one property clip reuse needs. */
+  def clipFrameValue(id: Long, frame: Int): Int =
+    (java.lang.Math.floorMod(
+      graft.functions.PortableHash.md5Hash60Local(s"${audioTrack(id)}:$frame"),
+      255L) - 127L).toInt
+
   /** Encode the deterministic PCM stream for `id` as REAL WAV bytes
     * (RIFF container, PCM_SIGNED 16-bit mono little-endian — lossless). */
-  private[multimodal] def encodeWav(id: Long): Array[Byte] = {
+  private[multimodal] def encodeWav(id: Long): Array[Byte] =
+    encodeWavOf(t => pcmSample(id, t))
+
+  /** CLIP-fixture WAV: all 60 samples of frame `f` carry
+    * [[clipFrameValue]] at master frame `f + audioClipShift(id)` (times
+    * the per-id gain) — a time-shifted re-post whose frame-energy
+    * sequence is exactly the master's shifted by whole frames. */
+  private[multimodal] def encodeWavClip(id: Long): Array[Byte] = {
+    val sh = audioClipShift(id)
+    val g = audioGain(id)
+    encodeWavOf(t => clipFrameValue(id, t / audioFrameLen + sh) * g)
+  }
+
+  private def encodeWavOf(sample: Int => Int): Array[Byte] = {
     val n = audioFrames * audioFrameLen
     val pcm = new Array[Byte](n * 2)
     var t = 0
     while (t < n) {
-      val s = pcmSample(id, t)
+      val s = sample(t)
       pcm(2 * t) = (s & 0xff).toByte
       pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
       t += 1
@@ -485,6 +524,7 @@ object Multimodal {
   }
 
   private lazy val encodeWavUdf = udf((id: Long) => encodeWav(id))
+  private lazy val encodeWavClipUdf = udf((id: Long) => encodeWavClip(id))
 
   /** Audio twin of [[synthesizeMedia]]'s image path: the rows
     * [[synthesizeMedia]] types as audio (id % 3 == 1) re-synthesized with
@@ -500,6 +540,102 @@ object Multimodal {
         lit(audioFrames * audioFrameLen).as("n_samples"),
         concat(lit("https://media.example/"), col(idCol), lit(".wav"))
           .as("source_url"))
+
+  /** Audio CLIP fixture: the audio rows re-synthesized as time-shifted
+    * re-posts of their master track — each id's WAV starts
+    * [[audioClipShift]] whole frames into the [[pcmSample]] stream, so
+    * same-track ids are REUSED CLIPS at a constant frame offset (not
+    * exact duplicates), which index-aligned fingerprinting misses and
+    * [[graft.operators.Dedup.clipReusePairs]] over [[audioFrameSigs]]
+    * detects. Real WAV codec round-trip like [[synthesizeAudio]]. */
+  def synthesizeAudioClips(docs: DataFrame, idCol: String): DataFrame =
+    docs.filter(col(idCol) % 3 === 1)
+      .select(
+        col(idCol).cast("long").as("media_id"),
+        lit("audio").as("media_type"),
+        encodeWavClipUdf(col(idCol).cast("long")).as("payload"),
+        lit("audio/wav").as("mime"),
+        lit(audioFrames * audioFrameLen).as("n_samples"),
+        concat(lit("https://media.example/"), col(idCol), lit(".wav"))
+          .as("source_url"))
+
+  /** Batched per-partition WAV decode → per-FRAME gradient signatures —
+    * the audio twin of [[videoFrameHashes]]'s signature table: decode the
+    * payload with the REAL codec into frame energies (as
+    * [[audioEnergyBands]]), then emit one signature per frame position
+    * `f` packing the next `window` gradient sign bits
+    * (bit k = E(f+k+1) > E(f+k)) into one 16-bit band. Time-shifted
+    * re-encodes of one track produce the SAME signature sequence at a
+    * constant frame offset — exactly the input contract of
+    * [[graft.operators.Dedup.clipReusePairs]] (stride 1).
+    * Output: `(media_id, frame_idx, bands array<int>)` (1 band). */
+  def audioFrameSigs(media: DataFrame, window: Int = 16): DataFrame = {
+    require(window >= 1 && window <= 16, "window must pack into one 16-bit band")
+    val inSchema = media.schema
+    val idIdx = inSchema.fieldIndex("media_id")
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("bands", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null || payload.isEmpty) Iterator.empty
+        else {
+          val in =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
+          if (in == null) Iterator.empty
+          else {
+            val fmt = in.getFormat
+            val bytes = in.readAllBytes()
+            in.close()
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) Iterator.empty
+            else {
+              val big = fmt.isBigEndian
+              val nSamples = bytes.length / 2
+              val nFrames = nSamples / audioFrameLen
+              val energy = new Array[Long](nFrames)
+              var f = 0
+              while (f < nFrames) {
+                var e = 0L
+                var u = 0
+                while (u < audioFrameLen) {
+                  val t = f * audioFrameLen + u
+                  val s =
+                    if (big) ((bytes(2 * t) << 8) | (bytes(2 * t + 1) & 0xff)).toShort
+                    else ((bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xff)).toShort
+                  e += math.abs(s.toLong)
+                  u += 1
+                }
+                energy(f) = e
+                f += 1
+              }
+              val id = r.getLong(idIdx)
+              (0 until nFrames - window).iterator.map { p =>
+                var sig = 0
+                var k = 0
+                while (k < window) {
+                  if (energy(p + k + 1) > energy(p + k)) sig |= 1 << k
+                  k += 1
+                }
+                Row(id, p, Seq(sig))
+              }.toVector.iterator
+            }
+          }
+        }
+      }
+    }
+  }
 
   /** Batched per-partition WAV decode → frame-energy gradient fingerprint:
     * decode the payload with `AudioSystem.getAudioInputStream` (the REAL
@@ -603,7 +739,7 @@ object Multimodal {
   /** Encode the deterministic frame sequence for `id` as REAL multi-page
     * TIFF bytes (ImageIO sequence writer; baseline gray TIFF is lossless,
     * so every frame round-trips exactly). */
-  private[multimodal] def encodeTiff(id: Long): Array[Byte] = {
+  private[multimodal] def encodeTiff(id: Long, shotLen: Int = 1): Array[Byte] = {
     val w = videoWidth(id)
     val h = videoHeight(id)
     val writer = javax.imageio.ImageIO
@@ -621,7 +757,9 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val g = pixelGray(id + f * videoFrameShift, x, y)
+          // shotLen > 1 groups frames into SHOTS: frames of one shot carry
+          // the same closed-form image (the scene-cut fixture law)
+          val g = pixelGray(id + (f / shotLen) * videoFrameShift, x, y)
           img.setRGB(x, y, (g << 16) | (g << 8) | g)
           x += 1
         }
@@ -637,6 +775,26 @@ object Multimodal {
   }
 
   private lazy val encodeTiffUdf = udf((id: Long) => encodeTiff(id))
+  private lazy val encodeTiffShotsUdf =
+    udf((id: Long, shotLen: Int) => encodeTiff(id, shotLen))
+
+  /** Scene-cut fixture: video rows re-synthesized with SHOT structure —
+    * every `shotLen` consecutive frames repeat one closed-form image,
+    * then the scene cuts to the next ([[encodeTiff]]'s shot law). Real
+    * multi-page TIFF round-trip; [[videoFrameHashes]] at stride 1 over
+    * these payloads feeds [[graft.operators.Dedup.sceneCuts]]. */
+  def synthesizeVideoShots(
+      docs: DataFrame, idCol: String, shotLen: Int = 3): DataFrame = {
+    require(shotLen >= 1, "shotLen must be positive")
+    docs.filter(col(idCol) % 3 === 2)
+      .select(
+        col(idCol).cast("long").as("media_id"),
+        lit("video").as("media_type"),
+        encodeTiffShotsUdf(col(idCol).cast("long"), lit(shotLen)).as("payload"),
+        lit("image/tiff").as("mime"),
+        concat(lit("https://media.example/"), col(idCol), lit(".tiff"))
+          .as("source_url"))
+  }
 
   /** Video twin of [[synthesizeMedia]]'s image path: the rows typed as
     * video (id % 3 == 2) re-synthesized with REAL multi-page TIFF

@@ -908,6 +908,55 @@ object Dedup {
       .filter(col("max_run") >= minRun)
   }
 
+  /** Shot-boundary (scene cut) detection over per-frame perceptual
+    * signatures — the segmentation primitive a video curation pipeline
+    * runs before per-shot sampling/dedup: a CUT falls between consecutive
+    * frames of one video whose fingerprints differ by more than
+    * `minHamming` bits; shots are the runs between cuts.
+    *
+    * One window pass per video (lag + running cut count — the q07
+    * gaps-and-islands family), then two integer aggregates. Partitioned
+    * by video id and bounded by frames-per-video, so a 100 TB corpus
+    * parallelizes across videos with no cross-video shuffle beyond the
+    * signature table's own partitioning.
+    *
+    * Output: one row per video — `(id, n_frames, n_cuts, n_shots,
+    * max_shot_len)`, all exact integers. Input must be a stride-1
+    * signature table ([[graft.multimodal.Multimodal.videoFrameHashes]]);
+    * sampled tables would alias shot boundaries. */
+  def sceneCuts(
+      sigs: DataFrame,
+      idCol: String,
+      frameCol: String,
+      bandsCol: String,
+      minHamming: Int = 8,
+      nBands: Int = 4): DataFrame = {
+    require(minHamming >= 1, "minHamming must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("f")
+    val s = sigs.select(col(idCol).as("id"), col(frameCol).as("f"),
+      col(bandsCol).as("bands"))
+      .withColumn("__prev", lag(col("bands"), 1).over(w))
+    val ham = (0 until nBands).map(i =>
+      bit_count(element_at(col("bands"), i + 1)
+        .bitwiseXOR(element_at(col("__prev"), i + 1)))).reduce(_ + _)
+      .cast("long")
+    val marked = s
+      .withColumn("__cut",
+        when(col("__prev").isNotNull && ham >= minHamming, 1L).otherwise(0L))
+      .withColumn("__shot", sum(col("__cut")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val perShot = marked.groupBy("id", "__shot")
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shots"), max(col("__len")).as("max_shot_len"))
+    marked.groupBy("id")
+      .agg(count(lit(1)).as("n_frames"), sum(col("__cut")).as("n_cuts"))
+      .join(perShot, "id")
+      .select(col("id"), col("n_frames"), col("n_cuts"),
+        col("n_shots"), col("max_shot_len"))
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * candidate PAIRS (minhash/simhash/embedding LSH output) into dedup
     * GROUPS with a canonical keeper (min id per component).

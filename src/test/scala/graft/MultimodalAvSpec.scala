@@ -307,6 +307,81 @@ class MultimodalAvSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must contain clip reuse")
   }
 
+  test("audio clip reuse: shifted re-posts pair at their exact frame offset, no cross-track noise") {
+    // same audio track (id ≡ 1 mod 3 AND same id mod 53 → ids differ by
+    // 159), four re-posts at clip shifts 0/3/2/1; plus two other-track ids
+    val clipIds = Seq(1L, 160L, 319L, 478L)
+    val ids = clipIds ++ Seq(4L, 7L)
+    val sigs = Multimodal.audioFrameSigs(
+      Multimodal.synthesizeAudioClips(docsOf(ids), "doc_id"))
+    // real decode produces one 16-bit signature per frame position, and
+    // the signature sequence equals the hash-noise law replay
+    val gotSigs = sigs.as[(Long, Int, Seq[Int])].collect()
+    assert(gotSigs.count(_._1 == 1L) == 49) // 65 frames - 16 window
+    def lawSig(id: Long, p: Int): Int =
+      (0 until 16).foldLeft(0) { (acc, k) =>
+        val sh = Multimodal.audioClipShift(id)
+        val e1 = math.abs(Multimodal.clipFrameValue(id, p + k + 1 + sh))
+        val e0 = math.abs(Multimodal.clipFrameValue(id, p + k + sh))
+        if (e1 > e0) acc | (1 << k) else acc
+      }
+    assert(gotSigs.forall { case (id, p, b) => b == Seq(lawSig(id, p)) })
+    val pairs = Dedup.clipReusePairs(sigs, "media_id", "frame_idx", "bands",
+      minRun = 8)
+      .select("id_a", "id_b", "frame_offset", "max_run")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // every same-track pair found at offset shift_a - shift_b with a full
+    // overlap run (49 - |offset|); no cross-track pair survives minRun 8
+    def shift(id: Long) = Multimodal.audioClipShift(id)
+    val want = (for {
+      a <- clipIds; b <- clipIds if a < b
+      off = shift(a) - shift(b)
+    } yield (a, b, off, 49L - math.abs(off))).toSet
+    assert(pairs == want, s"got $pairs")
+  }
+
+  test("scene cuts: shot boundaries from consecutive-frame hamming equal the shot law") {
+    val ids = Seq(2L, 5L, 8L, 11L, 14L, 17L, 20L, 23L) // video ids (≡ 2 mod 3)
+    val sigs = Multimodal.videoFrameHashes(
+      Multimodal.synthesizeVideoShots(docsOf(ids), "doc_id", shotLen = 3),
+      stride = 1)
+    val got = Dedup.sceneCuts(sigs, "media_id", "frame_idx", "bands",
+      minHamming = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // law replay: shot s of video id carries the pixel-law image of
+    // id + s·shift; cut where consecutive frame hashes differ by >= 8
+    def shotBands(id: Long, s: Int): Seq[Int] = {
+      val w = Multimodal.videoWidth(id)
+      val h = Multimodal.videoHeight(id)
+      val g = for (j <- 0 until 8; i <- 0 until 8)
+        yield Multimodal.pixelGray(id + s * Multimodal.videoFrameShift,
+          (i * w) / 8, (j * h) / 8)
+      val mean = g.map(_.toLong).sum / 64
+      val bands = new Array[Int](4)
+      for (p <- 0 until 64 if g(p) >= mean) bands(p / 16) |= 1 << (p % 16)
+      bands.toSeq
+    }
+    val want = ids.map { id =>
+      val nf = Multimodal.videoFrameCount(id)
+      val frames = (0 until nf).map(f => shotBands(id, f / 3))
+      val cuts = (1 until nf).count { f =>
+        (0 until 4).map(i =>
+          Integer.bitCount(frames(f)(i) ^ frames(f - 1)(i))).sum >= 8
+      }
+      // shot lengths via the same running-cut walk
+      var lens = List(1)
+      for (f <- 1 until nf) {
+        val cut = (0 until 4).map(i =>
+          Integer.bitCount(frames(f)(i) ^ frames(f - 1)(i))).sum >= 8
+        lens = if (cut) 1 :: lens else (lens.head + 1) :: lens.tail
+      }
+      (id, nf.toLong, cuts.toLong, (cuts + 1).toLong, lens.max.toLong)
+    }.toSet
+    assert(got == want, s"got $got\nwant $want")
+    // the fixture genuinely has multi-shot structure
+    assert(want.exists(_._4 >= 2))
+  }
+
   test("frameSigMatches drops flooded frame buckets whole at maxBucket") {
     // 5 videos share an identical (frame, hash) signature row
     val sigs = (1L to 5L).map(i => (i, 0, Seq(1, 2, 3, 4)))

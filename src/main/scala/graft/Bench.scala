@@ -520,6 +520,26 @@ object Bench {
           diag(s"q244_n_fingerprints_${tagKey(tag)}") = st.getLong(1).toString
         }
       }
+      // q247 (audio clip reuse): per-track clip density is scale-constant
+      // (n/53-per-block tracks), so the aligned-match output mass should
+      // grow ~linearly with rows — the diag pins match mass and the
+      // signature space per scale (the video-family q244 diag's shape).
+      if (r1.exists(_._1 == "q247_audio_clip_reuse")) {
+        for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
+          val st = graft.operators.Dedup.aHashBucketStats(
+            graft.multimodal.Multimodal.audioFrameSigs(
+              graft.multimodal.Multimodal.synthesizeAudioClips(
+                Tables.documents(spark, d), "doc_id")),
+            "media_id", "bands")
+            .collect().head
+          System.err.println(
+            s"[bench] q247 cost $tag: n_sig_rows=${st.getLong(0)} " +
+              s"n_fingerprints=${st.getLong(1)} match_mass=${st.getLong(2)} " +
+              s"max_occ=${st.getLong(5)}")
+          diag(s"q247_match_mass_${tagKey(tag)}") = st.getLong(2).toString
+          diag(s"q247_n_fingerprints_${tagKey(tag)}") = st.getLong(1).toString
+        }
+      }
       // q113: prefix-join candidate work scales with the token-frequency
       // mass sum(df^2), and ScaleGen's replica keeps the shingle
       // VOCABULARY nearly fixed while multiplying rows — so density (and

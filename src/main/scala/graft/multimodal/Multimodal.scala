@@ -501,7 +501,10 @@ object Multimodal {
   private[multimodal] def encodeWavClip(id: Long): Array[Byte] = {
     val sh = audioClipShift(id)
     val g = audioGain(id)
-    encodeWavOf(t => clipFrameValue(id, t / audioFrameLen + sh) * g)
+    // one hash per FRAME, not per sample (the md5 stream is 65× cheaper
+    // than a per-sample evaluation and the law is frame-constant anyway)
+    val vals = Array.tabulate(audioFrames)(f => clipFrameValue(id, f + sh) * g)
+    encodeWavOf(t => vals(t / audioFrameLen))
   }
 
   private def encodeWavOf(sample: Int => Int): Array[Byte] = {

@@ -958,7 +958,12 @@ private[graft] object OracleSql {
     * (y·h) div 12), and the aHash of a 16×12 image samples (2i,
     * (3j) div 2) — so derivative gray = law(id, (i·w) div 8,
     * ((((3j) div 2)·h) div 12)). Derivative ids carry +500000000; pair
-    * kinds as in the Spark builder. */
+    * kinds as in the Spark builder.
+    *
+    * LOCKSTEP NOTE: the m/b/hs/grp/banded/bocc/rp/ham algebra below is
+    * the q229 aHash pair algebra (also inlined in the q229 oracle and,
+    * prefix-parameterized, in [[audioPairCtes]]) — a cap or Hamming
+    * change to Dedup.aHashPairGraph must be applied to ALL copies. */
   private lazy val resizeRobustOracleSql: String =
     s"""WITH img AS (
        |  SELECT doc_id AS media_id,

@@ -911,8 +911,9 @@ object Dedup {
   /** Shot-boundary (scene cut) detection over per-frame perceptual
     * signatures — the segmentation primitive a video curation pipeline
     * runs before per-shot sampling/dedup: a CUT falls between consecutive
-    * frames of one video whose fingerprints differ by more than
-    * `minHamming` bits; shots are the runs between cuts.
+    * frames of one video whose fingerprints differ by at least
+    * `minHamming` bits (`ham >= minHamming`, matching the oracle); shots
+    * are the runs between cuts.
     *
     * One window pass per video (lag + running cut count — the q07
     * gaps-and-islands family), then two integer aggregates. Partitioned

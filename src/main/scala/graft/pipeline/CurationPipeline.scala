@@ -419,14 +419,24 @@ object CurationPipeline {
     counts += StageCount("fingerprint", nIn, nFp)
 
     // 2. perceptual dedup vs store + within batch: pairs at Hamming <= 3,
-    //    store side always wins, within the batch the smaller id wins
+    //    store side always wins, within the batch the smaller id wins.
+    //    An id ALREADY IN THE STORE (an at-least-once source re-delivering
+    //    a shipped asset in a later batch) is dropped outright first: its
+    //    only store pair would be the (id, id) self-pair the incremental
+    //    probe correctly suppresses, so without this guard a re-delivery
+    //    would ship twice and append duplicate band rows.
     val bandRoot = s"${cfg.baseDir}/stores/media_bands"
-    val newBand = Dedup.aHashBandTable(hashes, "media_id", "bands")
+    val bandStore = readStore(spark, bandRoot, batchId,
+      Dedup.aHashBandTable(hashes.limit(0), "media_id", "bands"))
+    val fresh = hashes.join(
+      bandStore.select(col("id").as("media_id")).distinct(),
+      Seq("media_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bandStore = readStore(spark, bandRoot, batchId, newBand)
+    val newBand = Dedup.aHashBandTable(fresh, "media_id", "bands")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.aHashIncrementalPairs(
       newBand, bandStore, maxHamming = 3, maxBucket = cfg.maxBucket)
-    val batchIds = hashes.select(col("media_id").as("__bid"))
+    val batchIds = fresh.select(col("media_id").as("__bid"))
     val marked = pairs
       .join(batchIds, col("id_a") === col("__bid"), "left")
       .withColumn("__a_new", col("__bid").isNotNull).drop("__bid")
@@ -436,7 +446,7 @@ object CurationPipeline {
       when(col("__a_new") && col("__b_new"), col("id_b"))
         .when(col("__a_new"), col("id_a"))
         .otherwise(col("id_b")).as("media_id")).distinct()
-    val kept = hashes.join(drops, Seq("media_id"), "left_anti")
+    val kept = fresh.join(drops, Seq("media_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nKept = kept.count()
     counts += StageCount("media_dedup", nFp, nKept)
@@ -456,7 +466,7 @@ object CurationPipeline {
         .map { case (s, i) => (i, s.stage, s.rowsIn, s.rowsOut) }
         .toDF("idx", "stage", "rows_in", "rows_out"),
       s"${cfg.baseDir}/media_manifests", batchId)
-    Seq(hashes, newBand, kept).foreach(_.unpersist(blocking = false))
+    Seq(hashes, fresh, newBand, kept).foreach(_.unpersist(blocking = false))
     BatchReport(batchId, skipped = false, manifest)
   }
 

@@ -48,15 +48,27 @@ object MediaDedupStream {
       val storeHPath = new org.apache.hadoop.fs.Path(storePath)
       val storeFs = storeHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val store =
-        if (storeFs.exists(storeHPath)) spark.read.parquet(storePath)
+        if (!storeFs.exists(storeHPath)) newBand.limit(0)
+        else {
+          val raw = spark.read.parquet(storePath)
           // exclude the running batch's own (possibly partial, crashed-run)
-          // partition; cast because numeric-looking ids infer numeric
-          .filter(col("batch").cast("long") =!= batchId)
-          .drop("batch")
-        else newBand.limit(0)
-      Dedup.aHashIncrementalPairs(newBand, store, maxHamming, maxBucket)
+          // partition; cast because numeric-looking ids infer numeric.
+          // Pre-partitioned (flat append-era) stores have no batch column
+          // and carry no partial partitions to exclude — read as-is.
+          if (raw.columns.contains("batch"))
+            raw.filter(col("batch").cast("long") =!= batchId).drop("batch")
+          else raw
+        }
+      // an id the store already carries is a RE-DELIVERY (at-least-once
+      // source), not a new asset: its pairs were emitted when it first
+      // arrived, and appending its band rows again would emit duplicate
+      // pairs in later batches — drop it from this batch outright (the
+      // (id, id) self-pair the probe suppresses could never catch it)
+      val freshBand = newBand.join(
+        store.select("id").distinct(), Seq("id"), "left_anti")
+      Dedup.aHashIncrementalPairs(freshBand, store, maxHamming, maxBucket)
         .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
-      newBand.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      freshBand.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
     } finally newBand.unpersist(blocking = false)
   }
 

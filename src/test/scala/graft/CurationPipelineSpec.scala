@@ -322,6 +322,22 @@ class CurationPipelineSpec extends SparkSpec {
       .select("id").distinct().as[Long].collect().toSet == Set(0L, 3L, 6L, 9L))
   }
 
+  test("media batches: a re-delivered already-shipped id drops instead of shipping twice") {
+    // the (id, id) self-pair the incremental probe suppresses was the only
+    // store pair that could catch an at-least-once source re-delivering a
+    // shipped asset under a NEW batch id — the store-id guard drops it
+    val base = Files.createTempDirectory("graft-pipe-media").toString
+    CurationPipeline.runMediaBatch(spark, mediaFor(Seq(0L, 3L)), "b1", cfg(base))
+    val r2 = CurationPipeline.runMediaBatch(
+      spark, mediaFor(Seq(0L, 9L)), "b2", cfg(base)) // 0 re-delivered
+    assert(r2.stages.map(s => (s.stage, s.rowsIn, s.rowsOut)) == Seq(
+      ("fingerprint", 2L, 2L), ("media_dedup", 2L, 1L)))
+    assert(mediaCurated(base) == Set(0L, 3L, 9L)) // 0 shipped exactly once
+    // and the store carries 0's band rows exactly once (4 bands per id)
+    val store = spark.read.parquet(s"$base/stores/media_bands")
+    assert(store.groupBy("id").count().filter(col("count") =!= 4).count() == 0)
+  }
+
   test("media batches: committed replay is a skip; crash replay lands identical state") {
     val base = Files.createTempDirectory("graft-pipe-media").toString
     CurationPipeline.runMediaBatch(spark, mediaFor(Seq(0L, 3L)), "b1", cfg(base))

@@ -216,6 +216,16 @@ class StreamingSpec extends SparkSpec {
       .select("id_a", "id_b", "hamming")
       .as[(Long, Long, Long)].collect().toSet
     assert(replayed == batch)
+
+    // RE-DELIVERY under a NEW batch id (at-least-once source): already-
+    // shipped ids add no store rows and emit no pairs — without the
+    // store-id guard they would duplicate band rows and re-emit pairs
+    MediaDedupStream.processBatch(store, pairs)(
+      media.filter(expr("(media_id div 3) % 3 = 0")), batchId = 99L)
+    assert(spark.read.parquet(store).count() == storeRowsBefore)
+    assert(spark.read.parquet(pairs)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet == batch)
   }
 
   test("streaming span screen: online scoring matches the offline incremental prefix") {

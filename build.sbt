@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked JVM's stdout/stderr RAW instead of through sbt's
+// logger: the driver wrapper json-parses the last parseable stdout line
+// of `sbt "runMain graft.Bench"`, and the logger's "[info] " prefix made
+// Bench's compact trailer line unparseable three rounds running
+// (BENCH_r09..r11 all captured parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -782,10 +782,19 @@ object Bench {
     // record line above is tens of KB and front-truncates to garbage
     // (BENCH_r08..r10 all captured parsed:null). This line is standalone
     // valid JSON well under the tail window; the committed BENCH.json
-    // remains the complete artifact.
+    // remains the complete artifact. `"trailer":true` distinguishes it
+    // from the full record line (both carry metric:"total" — a consumer
+    // matching on the metric name alone could pick the tens-of-KB line),
+    // and the same line goes to stderr as well: sbt's logger used to
+    // prefix stdout with "[info] " (now disabled via run/outputStrategy
+    // := StdoutOutput in build.sbt), which defeated the wrapper's parse
+    // two rounds running — the raw stderr copy survives either capture.
     val nOk = results.count(_._2.isRight)
     val nErr = results.size - nOk
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_ok":$nOk,"queries_err":$nErr,"full_record":"$benchOutPath"}""")
+    val trailer =
+      s"""{"metric":"total","trailer":true,"value":$total,"unit":"sec","sf":"$sfDir","queries_ok":$nOk,"queries_err":$nErr,"full_record":"$benchOutPath"}"""
+    System.err.println(trailer)
+    println(trailer)
     spark.stop()
   }
 }

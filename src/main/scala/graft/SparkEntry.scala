@@ -901,7 +901,17 @@ object SparkEntry {
   /** Embedding near-dup pairs via banded random-hyperplane LSH + cosine
     * threshold. Planes are deterministic literals, so the oracle replays the
     * identical band keys; cos is emitted as float (1-ulp double wobble
-    * between engines' accumulators disappears at float precision). */
+    * between engines' accumulators disappears at float precision).
+    *
+    * DELIBERATE fixed-width contrast fixture: this query keeps its 2^6
+    * band-key space FIXED at every corpus size — so its replica ratios
+    * (and the q235 occupancy probe over the same space) demonstrate what
+    * goes wrong when corpus growth outruns a static LSH key space
+    * (pair_work ~quadratic, 137k → 13.8M across one 10×). Its sf1 ratio
+    * exceeding ~10 is therefore the EXPECTED exhibit, not a regression;
+    * the production-posture twin is q246 ([[embeddingNearDupAutoQ]]),
+    * whose width derives from the corpus count and whose occupancy diag
+    * stays ~flat. Excluded from 100× probes for the same reason. */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
     // synthetic embeddings are near-orthogonal (max pairwise cos ~0.48), so
     // the "near-dup" gate is set where the data actually has neighbors

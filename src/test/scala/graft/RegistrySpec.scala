@@ -42,10 +42,29 @@ class RegistrySpec extends AnyFunSuite {
     // re-derive the canonical sentence tools/bench_summary.py emits (worst
     // 5 sf1/sf0.1 ratios, ties broken by name, values verbatim from the
     // record) and grep SURVEY for it — r10's defect was exactly this prose
-    // drifting from the record it claimed to cite
-    val f = new java.io.File("BENCH.json")
-    assume(f.exists, "no BENCH.json at repo root")
-    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    // drifting from the record it claimed to cite.
+    //
+    // The record read is the COMMITTED one (`git show HEAD:BENCH.json`),
+    // not the working-tree file: the driver re-runs bench AFTER the final
+    // commit, rewriting the working-tree BENCH.json with refreshed ratios
+    // the (already committed) SURVEY sentence cannot cite — pinning the
+    // working-tree file made the delivered suite RED every round on a
+    // test-harness seam, not an engine bug (r11's one failure). SURVEY
+    // and BENCH.json are committed together, so HEAD is the pair the pin
+    // actually guards. Outside a git repo (or with BENCH.json not yet
+    // tracked) the working-tree file is the only record there is.
+    val committed: Option[String] =
+      try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCH.json").start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+      } catch { case _: Throwable => None }
+    val record: Option[String] = committed.orElse {
+      val f = new java.io.File("BENCH.json")
+      if (f.exists) Some(read("BENCH.json")) else None
+    }
+    assume(record.isDefined, "no committed or working-tree BENCH.json")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(record.get)
     val node = tree.get("sf1_over_sf01_ratio")
     assume(node != null, "record has no sf1 section")
     val it = node.fields()

@@ -442,6 +442,17 @@ object CurationPipeline {
       .withColumn("__a_new", col("__bid").isNotNull).drop("__bid")
       .join(batchIds, col("id_b") === col("__bid"), "left")
       .withColumn("__b_new", col("__bid").isNotNull).drop("__bid")
+    // Within-batch drop policy is PER-PAIR (chain-drop), deliberately:
+    // in a new-item chain A<B<C with pairs (A,B),(B,C) but not (A,C),
+    // BOTH B and C drop even though C's only matching keeper B is itself
+    // dropped — one-pass, no iterative connected components inside the
+    // ingest hot path, and identical to the text minhash stage's policy
+    // (runBatch dedup_minhash), so the two faces of the pipeline cull
+    // the same way. This trades recall (transitively-near items may lose
+    // more members than a component-keeper would) for a bounded
+    // single-join stage; the component-resolved keeper is the OFFLINE
+    // posture, shipped as q239/q243 (connected components + min-id
+    // keeper at the rep grain) for corpus-wide sweeps.
     val drops = marked.select(
       when(col("__a_new") && col("__b_new"), col("id_b"))
         .when(col("__a_new"), col("id_a"))

@@ -35,6 +35,39 @@ import org.apache.spark.sql.Row
   * crash-free run. */
 object MediaDedupStream {
 
+  /** One-time layout migration for flat (append-era) stores: move any
+    * data files sitting DIRECTLY under the store root into a
+    * `batch=legacy` partition. Reading a flat store "as-is" works for
+    * exactly one batch — that batch then writes `batch=<id>/` next to the
+    * flat files, and the NEXT batch's `spark.read.parquet(root)` dies in
+    * partition discovery ("conflicting directory structures"), crashing
+    * the stream one batch after a seemingly successful resume. A rename
+    * per file (no data copy) keeps the legacy rows probe-able forever;
+    * stray root-level commit markers (`_SUCCESS`) are dropped so only
+    * partition directories remain. Idempotent: a migrated (or new-style)
+    * store has no root-level data files and is left untouched. */
+  private def migrateFlatStore(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val entries = fs.listStatus(root)
+    val isMarker = (n: String) => n.startsWith("_") || n.startsWith(".")
+    val flat = entries.filter(e => e.isFile && !isMarker(e.getPath.getName))
+    if (flat.nonEmpty) {
+      val legacy = new org.apache.hadoop.fs.Path(root, "batch=legacy")
+      fs.mkdirs(legacy)
+      for (f <- flat) {
+        val to = new org.apache.hadoop.fs.Path(legacy, f.getPath.getName)
+        if (!fs.rename(f.getPath, to))
+          // a silent half-migration would leave the exact mixed layout
+          // this guards against — fail the batch loudly instead
+          throw new java.io.IOException(
+            s"flat-store migration: could not rename ${f.getPath} to $to")
+      }
+      entries.filter(e => e.isFile && isMarker(e.getPath.getName))
+        .foreach(e => fs.delete(e.getPath, false))
+    }
+  }
+
   def processBatch(
       storePath: String,
       pairsPath: String,
@@ -50,13 +83,20 @@ object MediaDedupStream {
       val store =
         if (!storeFs.exists(storeHPath)) newBand.limit(0)
         else {
+          // flat append-era stores migrate into a batch=legacy partition
+          // first — mixing root-level files with batch=<id> dirs breaks
+          // the NEXT batch's partition discovery (see migrateFlatStore)
+          migrateFlatStore(storeFs, storeHPath)
           val raw = spark.read.parquet(storePath)
           // exclude the running batch's own (possibly partial, crashed-run)
-          // partition; cast because numeric-looking ids infer numeric.
-          // Pre-partitioned (flat append-era) stores have no batch column
-          // and carry no partial partitions to exclude — read as-is.
+          // partition. STRING compare, not a long cast: with a
+          // batch=legacy partition present the partition column infers as
+          // string, and casting "legacy" to long yields null — a null
+          // comparison would silently drop every legacy row from the probe.
           if (raw.columns.contains("batch"))
-            raw.filter(col("batch").cast("long") =!= batchId).drop("batch")
+            raw.filter(col("batch").cast("string") =!=
+              org.apache.spark.sql.functions.lit(batchId.toString))
+              .drop("batch")
           else raw
         }
       // an id the store already carries is a RE-DELIVERY (at-least-once

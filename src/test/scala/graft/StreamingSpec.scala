@@ -228,6 +228,65 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == batch)
   }
 
+  test("streaming media dedup: resuming from a flat append-era store survives multiple batches") {
+    import graft.streaming.MediaDedupStream
+    val base = Files.createTempDirectory("graft-mdflat").toString
+    val store = s"$base/store"
+    val pairs = s"$base/pairs"
+    val media = graft.multimodal.Multimodal.synthesizeMedia(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text")
+      .filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"))
+    def third(b: Int) = media.filter(expr(s"(media_id div 3) % 3 = $b"))
+
+    // a FLAT (append-era) store: band rows of the first third written
+    // directly under the root, the layout DedupStream still uses
+    graft.operators.Dedup.aHashBandTable(
+      graft.multimodal.Multimodal.aHashBands(third(0)), "media_id", "bands")
+      .write.mode("append").parquet(store)
+
+    // two new-style batches on top. Before the legacy migration this
+    // sequence worked for exactly ONE batch: batch 1 wrote batch=1/ next
+    // to the flat files and batch 2's partition discovery died on the
+    // mixed layout ("conflicting directory structures").
+    MediaDedupStream.processBatch(store, pairs)(third(1), batchId = 1L)
+    MediaDedupStream.processBatch(store, pairs)(third(2), batchId = 2L)
+
+    // the flat files moved whole into batch=legacy — nothing lost, and
+    // the root carries only partition directories now
+    val storeIds = spark.read.parquet(store)
+    assert(storeIds.select("id").distinct().count() == media.count())
+    assert(storeIds.filter(col("batch") === "legacy").select("id").distinct()
+      .count() == third(0).count())
+
+    // emitted pairs = all pairs except those wholly inside the legacy
+    // prefix (their emission belonged to the flat era, before this store
+    // was handed over) — i.e. the legacy rows still PROBE correctly
+    val all = graft.operators.Dedup.aHashPairs(
+      graft.multimodal.Multimodal.aHashBands(media), "media_id", "bands",
+      maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val legacyOnly = graft.operators.Dedup.aHashPairs(
+      graft.multimodal.Multimodal.aHashBands(third(0)), "media_id", "bands",
+      maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val streamed = spark.read.parquet(pairs)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == (all -- legacyOnly) && streamed.nonEmpty,
+      s"${streamed.size} vs ${(all -- legacyOnly).size}")
+
+    // re-delivery of an id the LEGACY store carries is still dropped
+    // (the guard reads across the migrated partition)
+    val rowsBefore = spark.read.parquet(store).count()
+    MediaDedupStream.processBatch(store, pairs)(third(0), batchId = 3L)
+    assert(spark.read.parquet(store).count() == rowsBefore)
+    assert(spark.read.parquet(pairs)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet == (all -- legacyOnly))
+  }
+
   test("streaming span screen: online scoring matches the offline incremental prefix") {
     import graft.streaming.SpanScreenStream
     val base = Files.createTempDirectory("graft-spanstream").toString

@@ -552,6 +552,79 @@ private[graft] object OracleSql {
     s"CAST(7 + 2 * (((($idExpr) // 1000000) * 5) % 96) AS BIGINT) AS cx,\n" +
       s"    CAST(((($idExpr) // 1000000) * 97) % 256 AS BIGINT) AS ph"
 
+  /** The [[graft.operators.Dedup.aHashPairGraph]] banded-fingerprint
+    * pair algebra as ONE parameterized CTE chain — the single home of
+    * the two cap constants (exact-fingerprint group cap, band-bucket
+    * occupancy cap, both 10000) that were previously hand-duplicated
+    * across the q229/q233/q237/q245 oracles; a cap or Hamming change
+    * now edits exactly one place. Reads an existing CTE
+    * `${p}hs(media_id, <bands...>)` and emits `${p}grp` (ids grouped by
+    * exact fingerprint, over-cap groups dropped WHOLE so an over-cap
+    * corpus diverges loudly instead of silently), `${p}banded`/
+    * `${p}bocc`/`${p}rp` (rep pairs sharing a band bucket, over-cap
+    * buckets dropped — bucketPairs' maxBucket at the rep grain),
+    * `${p}ham` (one XOR-popcount distance per `hammings` entry),
+    * `${p}cross_pairs` (the rep-pair expansion to id pairs, kept when
+    * `gate` — a boolean over the hamming output names — holds) and
+    * `${p}within` (the within-group distance-0 expansion). */
+  private def aHashPairAlgebraCtes(
+      p: String,
+      bands: Seq[String],
+      hammings: Seq[(String, Seq[String])],
+      gate: String): String = {
+    val bandList = bands.mkString(", ")
+    val bandedSelects = bands.zipWithIndex.map { case (c, i) =>
+      if (i == 0) s"SELECT rep, 0 AS band, $c AS bk FROM ${p}grp"
+      else s"UNION ALL SELECT rep, $i, $c FROM ${p}grp"
+    }.mkString("\n  ")
+    val hamCols = hammings.map { case (n, cols) =>
+      s"CAST(${cols.map(c => s"bit_count(xor(ga.$c, gb.$c))").mkString(" + ")} AS BIGINT) AS $n"
+    }.mkString(",\n    ")
+    val hamNames = hammings.map(_._1).mkString(", ")
+    val zeroCols = hammings.map { case (n, _) => s"CAST(0 AS BIGINT) AS $n" }
+      .mkString(", ")
+    s"""${p}grp AS (
+       |  -- the Spark harvest drops over-cap exact-fingerprint groups whole
+       |  -- (Dedup.aHashPairGraph maxBucket): model the cap so an over-cap
+       |  -- corpus diverges loudly here instead of silently
+       |  SELECT $bandList, list_sort(list(media_id)) AS ids,
+       |    MIN(media_id) AS rep
+       |  FROM ${p}hs GROUP BY ALL HAVING COUNT(*) <= 10000),
+       |${p}banded AS (
+       |  $bandedSelects),
+       |${p}bocc AS (SELECT band, bk, COUNT(*) AS c FROM ${p}banded GROUP BY 1, 2),
+       |${p}rp AS (
+       |  -- band-bucket occupancy cap (bucketPairs maxBucket at rep grain)
+       |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
+       |  FROM ${p}banded x JOIN ${p}banded y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep
+       |  JOIN ${p}bocc o ON o.band = x.band AND o.bk = x.bk
+       |  WHERE o.c <= 10000),
+       |${p}ham AS (
+       |  SELECT ra, rb,
+       |    $hamCols,
+       |    ga.ids AS ia, gb.ids AS ib
+       |  FROM ${p}rp
+       |  JOIN ${p}grp ga ON ga.rep = ra
+       |  JOIN ${p}grp gb ON gb.rep = rb),
+       |${p}cross_pairs AS (
+       |  SELECT LEAST(xa.a, yb.b) AS id_a, GREATEST(xa.a, yb.b) AS id_b,
+       |    $hamNames
+       |  FROM ${p}ham, unnest(ia) AS xa(a), unnest(ib) AS yb(b)
+       |  WHERE $gate),
+       |${p}within AS (
+       |  SELECT xa.a AS id_a, yb.b AS id_b, $zeroCols
+       |  FROM ${p}grp, unnest(ids) AS xa(a), unnest(ids) AS yb(b)
+       |  WHERE xa.a < yb.b)""".stripMargin
+  }
+
+  /** The q229/q237-shaped single-hash instantiation of
+    * [[aHashPairAlgebraCtes]]: 4×16-bit bands `b0..b3`, one `hamming`,
+    * pairs kept at Hamming ≤ 3. */
+  private def aHashPairAlgebraCtes4(p: String): String =
+    aHashPairAlgebraCtes(p, (0 until 4).map(i => s"b$i"),
+      Seq(("hamming", (0 until 4).map(i => s"b$i"))), "hamming <= 3")
+
   private lazy val dhashPairsCtes: String = {
     val aCols = (0 until 4).map(i => s"a$i")
     val dCols = (0 until 4).map(i => s"d$i")
@@ -560,12 +633,6 @@ private[graft] object OracleSql {
         s"MAX(CASE WHEN band = $i THEN bk END) AS $c"
       }.mkString(",\n    ")
     val allCols = (aCols ++ dCols).mkString(", ")
-    val bandedSelects = (aCols ++ dCols).zipWithIndex.map { case (c, i) =>
-      if (i == 0) s"SELECT rep, 0 AS band, $c AS bk FROM grp"
-      else s"UNION ALL SELECT rep, $i, $c FROM grp"
-    }.mkString("\n  ")
-    def hammingSum(cols: Seq[String]): String =
-      cols.map(c => s"bit_count(xor(ga.$c, gb.$c))").mkString(" + ")
     s"""img AS (
        |  SELECT doc_id AS media_id,
        |    CAST(doc_id % 32 + 1 AS INTEGER) AS w,
@@ -609,41 +676,9 @@ private[graft] object OracleSql {
        |  FROM db GROUP BY 1),
        |hs AS (
        |  SELECT media_id, $allCols FROM ha JOIN hd USING (media_id)),
-       |grp AS (
-       |  -- the Spark harvest drops over-cap exact-fingerprint groups whole
-       |  -- (Dedup.dualHashPairGraph maxBucket): model the cap so an
-       |  -- over-cap corpus diverges loudly here instead of silently
-       |  SELECT $allCols, list_sort(list(media_id)) AS ids,
-       |    MIN(media_id) AS rep
-       |  FROM hs GROUP BY ALL HAVING COUNT(*) <= 10000),
-       |banded AS (
-       |  $bandedSelects),
-       |bocc AS (SELECT band, bk, COUNT(*) AS c FROM banded GROUP BY 1, 2),
-       |rp AS (
-       |  -- band-bucket occupancy cap (bucketPairs maxBucket at rep grain)
-       |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
-       |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep
-       |  JOIN bocc o ON o.band = x.band AND o.bk = x.bk
-       |  WHERE o.c <= 10000),
-       |ham AS (
-       |  SELECT ra, rb,
-       |    CAST(${hammingSum(aCols)} AS BIGINT) AS hamming_a,
-       |    CAST(${hammingSum(dCols)} AS BIGINT) AS hamming_d,
-       |    ga.ids AS ia, gb.ids AS ib
-       |  FROM rp
-       |  JOIN grp ga ON ga.rep = ra
-       |  JOIN grp gb ON gb.rep = rb),
-       |cross_pairs AS (
-       |  SELECT LEAST(xa.a, yb.b) AS id_a, GREATEST(xa.a, yb.b) AS id_b,
-       |    hamming_a, hamming_d
-       |  FROM ham, unnest(ia) AS xa(a), unnest(ib) AS yb(b)
-       |  WHERE LEAST(hamming_a, hamming_d) <= 3),
-       |within AS (
-       |  SELECT xa.a AS id_a, yb.b AS id_b,
-       |    CAST(0 AS BIGINT) AS hamming_a, CAST(0 AS BIGINT) AS hamming_d
-       |  FROM grp, unnest(ids) AS xa(a), unnest(ids) AS yb(b)
-       |  WHERE xa.a < yb.b)""".stripMargin
+       |${aHashPairAlgebraCtes("", aCols ++ dCols,
+            Seq(("hamming_a", aCols), ("hamming_d", dCols)),
+            "LEAST(hamming_a, hamming_d) <= 3")}""".stripMargin
   }
 
   private lazy val dhashNearDupOracleSql: String =
@@ -692,44 +727,7 @@ private[graft] object OracleSql {
        |    MAX(CASE WHEN band = 2 THEN bk END) AS b2,
        |    MAX(CASE WHEN band = 3 THEN bk END) AS b3
        |  FROM ${p}b GROUP BY 1),
-       |${p}grp AS (
-       |  -- model Dedup.aHashPairGraph's maxBucket group cap: over-cap
-       |  -- exact-fingerprint groups drop whole on the Spark side, so the
-       |  -- oracle drops them too (divergence surfaces, never silent)
-       |  SELECT b0, b1, b2, b3, list_sort(list(media_id)) AS ids,
-       |    MIN(media_id) AS rep
-       |  FROM ${p}hs GROUP BY 1, 2, 3, 4 HAVING COUNT(*) <= 10000),
-       |${p}banded AS (
-       |  SELECT rep, 0 AS band, b0 AS bk FROM ${p}grp
-       |  UNION ALL SELECT rep, 1, b1 FROM ${p}grp
-       |  UNION ALL SELECT rep, 2, b2 FROM ${p}grp
-       |  UNION ALL SELECT rep, 3, b3 FROM ${p}grp),
-       |${p}bocc AS (
-       |  SELECT band, bk, COUNT(*) AS c FROM ${p}banded GROUP BY 1, 2),
-       |${p}rp AS (
-       |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
-       |  FROM ${p}banded x JOIN ${p}banded y
-       |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep
-       |  JOIN ${p}bocc o ON o.band = x.band AND o.bk = x.bk
-       |  WHERE o.c <= 10000),
-       |${p}ham AS (
-       |  SELECT ra, rb,
-       |    CAST(bit_count(xor(ga.b0, gb.b0)) + bit_count(xor(ga.b1, gb.b1))
-       |      + bit_count(xor(ga.b2, gb.b2)) + bit_count(xor(ga.b3, gb.b3))
-       |      AS BIGINT) AS hamming,
-       |    ga.ids AS ia, gb.ids AS ib
-       |  FROM ${p}rp
-       |  JOIN ${p}grp ga ON ga.rep = ra
-       |  JOIN ${p}grp gb ON gb.rep = rb),
-       |${p}cross_pairs AS (
-       |  SELECT LEAST(xa.a, yb.b) AS id_a, GREATEST(xa.a, yb.b) AS id_b,
-       |    hamming
-       |  FROM ${p}ham, unnest(ia) AS xa(a), unnest(ib) AS yb(b)
-       |  WHERE hamming <= 3),
-       |${p}within AS (
-       |  SELECT xa.a AS id_a, yb.b AS id_b, CAST(0 AS BIGINT) AS hamming
-       |  FROM ${p}grp, unnest(ids) AS xa(a), unnest(ids) AS yb(b)
-       |  WHERE xa.a < yb.b)""".stripMargin
+       |${aHashPairAlgebraCtes4(p)}""".stripMargin
 
   /** q237 oracle: [[audioPairCtes]] unprefixed, pairs emitted. */
   private lazy val audioFingerprintOracleSql: String =
@@ -960,10 +958,8 @@ private[graft] object OracleSql {
     * ((((3j) div 2)·h) div 12)). Derivative ids carry +500000000; pair
     * kinds as in the Spark builder.
     *
-    * LOCKSTEP NOTE: the m/b/hs/grp/banded/bocc/rp/ham algebra below is
-    * the q229 aHash pair algebra (also inlined in the q229 oracle and,
-    * prefix-parameterized, in [[audioPairCtes]]) — a cap or Hamming
-    * change to Dedup.aHashPairGraph must be applied to ALL copies. */
+    * The pair algebra is the shared [[aHashPairAlgebraCtes4]] chain —
+    * cap/Hamming constants live in one place for all aHash oracles. */
   private lazy val resizeRobustOracleSql: String =
     s"""WITH img AS (
        |  SELECT doc_id AS media_id,
@@ -1001,40 +997,10 @@ private[graft] object OracleSql {
        |    MAX(CASE WHEN band = 2 THEN bk END) AS b2,
        |    MAX(CASE WHEN band = 3 THEN bk END) AS b3
        |  FROM b GROUP BY 1),
-       |grp AS (
-       |  SELECT b0, b1, b2, b3, list_sort(list(media_id)) AS ids,
-       |    MIN(media_id) AS rep
-       |  FROM hs GROUP BY 1, 2, 3, 4 HAVING COUNT(*) <= 10000),
-       |banded AS (
-       |  SELECT rep, 0 AS band, b0 AS bk FROM grp
-       |  UNION ALL SELECT rep, 1, b1 FROM grp
-       |  UNION ALL SELECT rep, 2, b2 FROM grp
-       |  UNION ALL SELECT rep, 3, b3 FROM grp),
-       |bocc AS (SELECT band, bk, COUNT(*) AS c FROM banded GROUP BY 1, 2),
-       |rp AS (
-       |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
-       |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep
-       |  JOIN bocc o ON o.band = x.band AND o.bk = x.bk
-       |  WHERE o.c <= 10000),
-       |ham AS (
-       |  SELECT ra, rb,
-       |    CAST(bit_count(xor(ga.b0, gb.b0)) + bit_count(xor(ga.b1, gb.b1))
-       |      + bit_count(xor(ga.b2, gb.b2)) + bit_count(xor(ga.b3, gb.b3))
-       |      AS BIGINT) AS hamming,
-       |    ga.ids AS ia, gb.ids AS ib
-       |  FROM rp
-       |  JOIN grp ga ON ga.rep = ra
-       |  JOIN grp gb ON gb.rep = rb),
+       |${aHashPairAlgebraCtes4("")},
        |allp AS (
-       |  SELECT LEAST(xa.a, yb.b) AS id_a, GREATEST(xa.a, yb.b) AS id_b,
-       |    hamming
-       |  FROM ham, unnest(ia) AS xa(a), unnest(ib) AS yb(b)
-       |  WHERE hamming <= 3
-       |  UNION ALL
-       |  SELECT xa.a, yb.b, CAST(0 AS BIGINT)
-       |  FROM grp, unnest(ids) AS xa(a), unnest(ids) AS yb(b)
-       |  WHERE xa.a < yb.b)
+       |  SELECT id_a, id_b, hamming FROM cross_pairs
+       |  UNION ALL SELECT id_a, id_b, hamming FROM within)
        |SELECT id_a, id_b, hamming,
        |  CASE WHEN id_b - id_a = 500000000 THEN 'self'
        |       WHEN id_b < 500000000 THEN 'orig_orig'
@@ -2183,42 +2149,7 @@ private[graft] object OracleSql {
         |    MAX(CASE WHEN band = 2 THEN bk END) AS b2,
         |    MAX(CASE WHEN band = 3 THEN bk END) AS b3
         |  FROM b GROUP BY 1),
-        |grp AS (
-        |  -- model Dedup.aHashPairGraph's maxBucket group cap (see
-        |  -- audioPairCtes): over-cap groups drop whole on both sides
-        |  SELECT b0, b1, b2, b3, list_sort(list(media_id)) AS ids,
-        |    MIN(media_id) AS rep
-        |  FROM hs GROUP BY 1, 2, 3, 4 HAVING COUNT(*) <= 10000),
-        |banded AS (
-        |  SELECT rep, 0 AS band, b0 AS bk FROM grp
-        |  UNION ALL SELECT rep, 1, b1 FROM grp
-        |  UNION ALL SELECT rep, 2, b2 FROM grp
-        |  UNION ALL SELECT rep, 3, b3 FROM grp),
-        |bocc AS (SELECT band, bk, COUNT(*) AS c FROM banded GROUP BY 1, 2),
-        |rp AS (
-        |  SELECT DISTINCT x.rep AS ra, y.rep AS rb
-        |  FROM banded x JOIN banded y
-        |    ON x.band = y.band AND x.bk = y.bk AND x.rep < y.rep
-        |  JOIN bocc o ON o.band = x.band AND o.bk = x.bk
-        |  WHERE o.c <= 10000),
-        |ham AS (
-        |  SELECT ra, rb,
-        |    CAST(bit_count(xor(ga.b0, gb.b0)) + bit_count(xor(ga.b1, gb.b1))
-        |      + bit_count(xor(ga.b2, gb.b2)) + bit_count(xor(ga.b3, gb.b3))
-        |      AS BIGINT) AS hamming,
-        |    ga.ids AS ia, gb.ids AS ib
-        |  FROM rp
-        |  JOIN grp ga ON ga.rep = ra
-        |  JOIN grp gb ON gb.rep = rb),
-        |cross_pairs AS (
-        |  SELECT LEAST(xa.a, yb.b) AS id_a, GREATEST(xa.a, yb.b) AS id_b,
-        |    hamming
-        |  FROM ham, unnest(ia) AS xa(a), unnest(ib) AS yb(b)
-        |  WHERE hamming <= 3),
-        |within AS (
-        |  SELECT xa.a AS id_a, yb.b AS id_b, CAST(0 AS BIGINT) AS hamming
-        |  FROM grp, unnest(ids) AS xa(a), unnest(ids) AS yb(b)
-        |  WHERE xa.a < yb.b)
+        |${aHashPairAlgebraCtes4("")}
         |SELECT id_a, id_b, hamming FROM cross_pairs
         |UNION ALL SELECT id_a, id_b, hamming FROM within
         |ORDER BY id_a, id_b""".stripMargin,

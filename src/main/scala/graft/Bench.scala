@@ -334,7 +334,8 @@ object Bench {
       "q240_component_split", "q241_image_caption_cells",
       "q242_resize_audit", "q243_component_keeper", "q244_clip_reuse",
       "q245_resize_robust_dedup", "q246_hyperplane_auto",
-      "q247_audio_clip_reuse", "q248_scene_cuts")
+      "q247_audio_clip_reuse", "q248_scene_cuts",
+      "q249_audio_clip_autosig")
     // sf1 per-query budget estimate: 3 samples x base x (worst observed
     // 10x ratio ~10, so x10) + overhead. Unknown-base queries get a flat
     // conservative guess.
@@ -538,6 +539,34 @@ object Bench {
               s"max_occ=${st.getLong(5)}")
           diag(s"q247_match_mass_${tagKey(tag)}") = st.getLong(2).toString
           diag(s"q247_n_fingerprints_${tagKey(tag)}") = st.getLong(1).toString
+        }
+      }
+      // q249 (auto-sized audio signature): the q246 cure applied to the
+      // audio family — the signature window derives from the corpus
+      // count, so sig-bucket match mass should grow ~linearly with rows
+      // (vs q247's FIXED 16-bit space, whose match mass grows ~25x per
+      // 10x as chance collisions flood the saturating key space); the
+      // per-scale bits/match-mass entries ARE the flatness evidence.
+      if (r1.exists(_._1 == "q249_audio_clip_autosig")) {
+        for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
+          val docsT = Tables.documents(spark, d)
+          val nClips = docsT.filter(
+            org.apache.spark.sql.functions.col("doc_id") % 3 === 1).count()
+          val w = graft.operators.Dedup.autoBandBits(
+            nClips * graft.multimodal.Multimodal.audioFrames, 16, 32, 2)
+          val st = graft.operators.Dedup.aHashBucketStats(
+            graft.multimodal.Multimodal.audioFrameSigs(
+              graft.multimodal.Multimodal.synthesizeAudioClips(
+                docsT, "doc_id"), w),
+            "media_id", "bands")
+            .collect().head
+          System.err.println(
+            s"[bench] q249 cost $tag: sig_bits=$w n_sig_rows=${st.getLong(0)} " +
+              s"n_fingerprints=${st.getLong(1)} match_mass=${st.getLong(2)} " +
+              s"max_occ=${st.getLong(5)}")
+          diag(s"q249_sig_bits_${tagKey(tag)}") = w.toString
+          diag(s"q249_match_mass_${tagKey(tag)}") = st.getLong(2).toString
+          diag(s"q249_n_fingerprints_${tagKey(tag)}") = st.getLong(1).toString
         }
       }
       // q113: prefix-join candidate work scales with the token-frequency

@@ -1122,6 +1122,70 @@ private[graft] object OracleSql {
        |HAVING MAX(run) >= 8
        |ORDER BY id_a, id_b, frame_offset""".stripMargin
 
+  /** q249 oracle: the q247 clip-law replay with the signature WIDTH
+    * derived from the corpus count — w = smallest bits in [16, 32] with
+    * clips·65 ≤ 2·2^bits ([[graft.operators.Dedup.autoBandBits]]'s pure
+    * integer rule, replayed in SQL so both engines agree exactly at
+    * power-of-two boundaries). Signatures pack into ONE BIGINT here:
+    * the Spark side's band-ARRAY equality (bit k → band k/16, position
+    * k%16) is equivalent to full-window bit equality, which is what the
+    * single integer compares. Then the identical fingerprint-bucket /
+    * constant-offset / islands algebra at minRun 8 and the ≤10000 cap. */
+  private lazy val audioClipAutoSigOracleSql: String =
+    s"""WITH aud AS (
+       |  SELECT doc_id AS media_id,
+       |    (doc_id % 53) + 53 * (doc_id // 1000000) AS trk,
+       |    CAST(1 + doc_id % 2 AS BIGINT) AS g,
+       |    (doc_id // 53) % 4 AS sh
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |wsel AS (
+       |  SELECT COALESCE(MIN(gs.b), 32) AS w
+       |  FROM unnest(generate_series(16, 32)) AS gs(b)
+       |  WHERE (SELECT COUNT(*) * 65 FROM aud)
+       |    <= 2 * (CAST(1 AS BIGINT) << gs.b)),
+       |en AS (
+       |  SELECT media_id, fs.f,
+       |    60 * abs((${graft.functions.PortableHash
+                        .md5Hash60Sql("trk || ':' || (fs.f + sh)")} % 255)
+       |      - 127) * g AS e
+       |  FROM aud, unnest(generate_series(0, 64)) AS fs(f)),
+       |bits AS (
+       |  SELECT x.media_id, x.f AS p,
+       |    CASE WHEN y.e > x.e THEN 1 ELSE 0 END AS bit
+       |  FROM en x JOIN en y
+       |    ON y.media_id = x.media_id AND y.f = x.f + 1
+       |  WHERE x.f < 64),
+       |sig AS (
+       |  SELECT a.media_id, a.p AS f,
+       |    SUM(b.bit * (CAST(1 AS BIGINT) << (b.p - a.p))) AS sg
+       |  FROM bits a JOIN bits b
+       |    ON b.media_id = a.media_id
+       |      AND b.p BETWEEN a.p AND a.p + (SELECT w FROM wsel) - 1
+       |  WHERE a.p <= 64 - (SELECT w FROM wsel)
+       |  GROUP BY 1, 2),
+       |socc AS (SELECT sg, COUNT(*) AS c FROM sig GROUP BY 1),
+       |ali AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    CAST(b.f - a.f AS INTEGER) AS frame_offset, a.f AS fa
+       |  FROM sig a JOIN sig b
+       |    ON a.sg = b.sg AND a.media_id < b.media_id
+       |  JOIN socc o ON o.sg = a.sg
+       |  WHERE o.c <= 10000),
+       |isl AS (
+       |  SELECT id_a, id_b, frame_offset,
+       |    fa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, frame_offset
+       |      ORDER BY fa) AS grp
+       |  FROM ali),
+       |runs AS (
+       |  SELECT id_a, id_b, frame_offset, grp, COUNT(*) AS run
+       |  FROM isl GROUP BY ALL)
+       |SELECT id_a, id_b, frame_offset,
+       |  CAST(SUM(run) AS BIGINT) AS n_aligned,
+       |  CAST(MAX(run) AS BIGINT) AS max_run
+       |FROM runs GROUP BY 1, 2, 3
+       |HAVING MAX(run) >= 8
+       |ORDER BY id_a, id_b, frame_offset""".stripMargin
+
   /** q248 oracle: the SHOT pixel law ((f div 3)·9973 frame shift)
     * replayed per frame at stride 1, the q229 aHash lattice, then the
     * same lag / running-cut-count / islands algebra — all integers. */
@@ -2210,6 +2274,7 @@ private[graft] object OracleSql {
     "q246_hyperplane_auto" -> hyperplaneAutoOracleSql,
     "q247_audio_clip_reuse" -> audioClipReuseOracleSql,
     "q248_scene_cuts" -> sceneCutsOracleSql,
+    "q249_audio_clip_autosig" -> audioClipAutoSigOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

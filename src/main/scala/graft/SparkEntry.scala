@@ -4711,11 +4711,46 @@ object SparkEntry {
     * gaps-and-islands clip detector the video family uses
     * ([[Dedup.clipReusePairs]], fingerprint-only buckets, constant-offset
     * grouping, minRun 8). The oracle replays shifted energies from the
-    * PCM law and the islands algebra. */
+    * PCM law and the islands algebra.
+    *
+    * FIXED-width contrast fixture (the audio twin of q33-vs-q246): the
+    * 16-bit signature space is kept static at every corpus size, so its
+    * replica diag exhibits the saturation that hits any fixed signature
+    * space once corpus frame mass outruns its 65k keys (match mass ~25×
+    * over one 10× — chance collisions flooding the buckets). The
+    * production-posture twin is q249 ([[audioClipReuseAutoQ]]), whose
+    * width derives from the corpus count; excluded from 100× probes for
+    * the same reason q33 is. */
   private def audioClipReuseQ(s: SparkSession, dir: String): DataFrame = {
     val mm = graft.multimodal.Multimodal
     val sigs = mm.audioFrameSigs(
       mm.synthesizeAudioClips(documents(s, dir), "doc_id"))
+    Dedup.clipReusePairs(sigs, "media_id", "frame_idx", "bands", minRun = 8)
+      .orderBy("id_a", "id_b", "frame_offset")
+  }
+
+  /** Auto-sized audio clip reuse (q249): q247 with the frame-signature
+    * WIDTH derived from the corpus — the q246 move applied to the audio
+    * family. q247's fixed 16-bit gradient signature saturates once corpus
+    * frame mass outruns its 65k keys (its own diag: sig-bucket match mass
+    * grows ~25× over one 10× — chance collisions flooding the buckets the
+    * way q33's fixed 2^6 hyperplane space does), so here the window is
+    * [[Dedup.autoBandBits]](clips · frames, 16..32 bits, occupancy 2):
+    * one COUNT at plan-build time — 16 bits at sf0.1 (byte-identical
+    * behavior to q247's width there), 20 at sf1, 23 at sf10 — keeping
+    * expected signature-bucket occupancy (and the harvest's chance-match
+    * mass) ~flat at every scale. Wider windows pack into 2×16-bit bands
+    * ([[graft.multimodal.Multimodal.audioFrameSigs]]); the detector —
+    * fingerprint-only buckets, constant-offset islands, minRun 8 — is
+    * q247's unchanged. The oracle derives the same width from the same
+    * count (pure integer logic) and replays the shifted energies. */
+  private def audioClipReuseAutoQ(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val nClips = documents(s, dir).filter(col("doc_id") % 3 === 1).count()
+    val window = Dedup.autoBandBits(nClips * mm.audioFrames,
+      minBits = 16, maxBits = 32, targetOcc = 2)
+    val sigs = mm.audioFrameSigs(
+      mm.synthesizeAudioClips(documents(s, dir), "doc_id"), window)
     Dedup.clipReusePairs(sigs, "media_id", "frame_idx", "bands", minRun = 8)
       .orderBy("id_a", "id_b", "frame_offset")
   }
@@ -5055,7 +5090,8 @@ object SparkEntry {
     "q245_resize_robust_dedup" -> (resizeRobustDedupQ _),
     "q246_hyperplane_auto" -> (embeddingNearDupAutoQ _),
     "q247_audio_clip_reuse" -> (audioClipReuseQ _),
-    "q248_scene_cuts" -> (sceneCutsQ _)
+    "q248_scene_cuts" -> (sceneCutsQ _),
+    "q249_audio_clip_autosig" -> (audioClipReuseAutoQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

@@ -567,13 +567,20 @@ object Multimodal {
     * payload with the REAL codec into frame energies (as
     * [[audioEnergyBands]]), then emit one signature per frame position
     * `f` packing the next `window` gradient sign bits
-    * (bit k = E(f+k+1) > E(f+k)) into one 16-bit band. Time-shifted
-    * re-encodes of one track produce the SAME signature sequence at a
-    * constant frame offset — exactly the input contract of
+    * (bit k = E(f+k+1) > E(f+k), band k/16, position k%16) into
+    * ceil(window/16) 16-bit bands. Time-shifted re-encodes of one track
+    * produce the SAME signature sequence at a constant frame offset —
+    * exactly the input contract of
     * [[graft.operators.Dedup.clipReusePairs]] (stride 1).
-    * Output: `(media_id, frame_idx, bands array<int>)` (1 band). */
+    * Output: `(media_id, frame_idx, bands array<int>)` — one band for
+    * window ≤ 16 (byte-identical to the pre-r12 single-band layout), two
+    * for the corpus-derived widths [[graft.operators.Dedup.autoBandBits]]
+    * picks past 16 bits (the q249 scale path: a FIXED 16-bit signature
+    * space saturates once corpus frame mass outruns its 65k keys and
+    * chance-collision match mass grows ~quadratically — q247's diag). */
   def audioFrameSigs(media: DataFrame, window: Int = 16): DataFrame = {
-    require(window >= 1 && window <= 16, "window must pack into one 16-bit band")
+    require(window >= 1 && window <= 32, "window must pack into <= 2 16-bit bands")
+    val nSigBands = (window + 15) / 16
     val inSchema = media.schema
     val idIdx = inSchema.fieldIndex("media_id")
     val payloadIdx = inSchema.fieldIndex("payload")
@@ -625,13 +632,14 @@ object Multimodal {
               }
               val id = r.getLong(idIdx)
               (0 until nFrames - window).iterator.map { p =>
-                var sig = 0
+                val sig = new Array[Int](nSigBands)
                 var k = 0
                 while (k < window) {
-                  if (energy(p + k + 1) > energy(p + k)) sig |= 1 << k
+                  if (energy(p + k + 1) > energy(p + k))
+                    sig(k / 16) |= 1 << (k % 16)
                   k += 1
                 }
-                Row(id, p, Seq(sig))
+                Row(id, p, sig.toSeq)
               }.toVector.iterator
             }
           }

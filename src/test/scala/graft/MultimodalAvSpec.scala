@@ -340,6 +340,53 @@ class MultimodalAvSpec extends SparkSpec {
     assert(pairs == want, s"got $pairs")
   }
 
+  test("auto-sized audio signatures: corpus-derived widths, two-band packing, same detector") {
+    import graft.operators.Dedup
+    // the q249 width rule (autoBandBits over clips*frames at occupancy 2):
+    // 16 bits at sf0.1's ~1667 clips, 20 at sf1's ~16.7k, 23 at sf10's
+    // ~167k, floor 16 for tiny corpora, ceiling 32
+    assert(Dedup.autoBandBits(1667L * 65, 16, 32, 2) == 16)
+    assert(Dedup.autoBandBits(16667L * 65, 16, 32, 2) == 20)
+    assert(Dedup.autoBandBits(166667L * 65, 16, 32, 2) == 23)
+    assert(Dedup.autoBandBits(1L, 16, 32, 2) == 16)
+    assert(Dedup.autoBandBits(Long.MaxValue / 2, 16, 32, 2) == 32)
+
+    // a 20-bit window packs into 2 bands (bit k -> band k/16, pos k%16)
+    // and the signature sequence still equals the hash-noise law replay
+    val clipIds = Seq(1L, 160L, 319L, 478L)
+    val ids = clipIds ++ Seq(4L, 7L)
+    val w = 20
+    val sigs = Multimodal.audioFrameSigs(
+      Multimodal.synthesizeAudioClips(docsOf(ids), "doc_id"), window = w)
+    val gotSigs = sigs.as[(Long, Int, Seq[Int])].collect()
+    assert(gotSigs.count(_._1 == 1L) == 65 - w)
+    def lawBands(id: Long, p: Int): Seq[Int] = {
+      val sh = Multimodal.audioClipShift(id)
+      val b = new Array[Int](2)
+      for (k <- 0 until w) {
+        val e1 = math.abs(Multimodal.clipFrameValue(id, p + k + 1 + sh))
+        val e0 = math.abs(Multimodal.clipFrameValue(id, p + k + sh))
+        if (e1 > e0) b(k / 16) |= 1 << (k % 16)
+      }
+      b.toSeq
+    }
+    assert(gotSigs.forall { case (id, p, b) => b == lawBands(id, p) })
+
+    // the unchanged q244/q247 detector over the wider signatures: every
+    // same-track pair at its exact offset with the full (65-w)-|off| run,
+    // no cross-track pair at minRun 8
+    val pairs = Dedup.clipReusePairs(sigs, "media_id", "frame_idx", "bands",
+      minRun = 8)
+      .select("id_a", "id_b", "frame_offset", "max_run")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    def shift(id: Long) = Multimodal.audioClipShift(id)
+    val want = (for {
+      a <- clipIds; b <- clipIds if a < b
+      off = shift(a) - shift(b)
+    } yield (a, b, off, (65L - w) - math.abs(off))).toSet
+    assert(pairs == want, s"got $pairs")
+  }
+
   test("scene cuts: shot boundaries from consecutive-frame hamming equal the shot law") {
     val ids = Seq(2L, 5L, 8L, 11L, 14L, 17L, 20L, 23L) // video ids (≡ 2 mod 3)
     val sigs = Multimodal.videoFrameHashes(

@@ -109,6 +109,26 @@ object Bench {
         "[bench] WARNING: suite deselected but no carry source has 'queries' — suite will re-measure")
     val measureSuite = sections.contains("suite") || baseJson.isEmpty
 
+    // Per-query measurement provenance (suite_provenance): the blended
+    // record used to carry sf0.1 entries from prior runs with only a
+    // record-level stamp, so a single-query move (q234 in r11) could not
+    // be adjudicated from the artifact — "when was this number taken" now
+    // has a per-query answer. Measured entries get THIS run's tag; carried
+    // entries keep the base record's stamp (or name the carry source).
+    val runTag: String =
+      java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+        java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS)) +
+        " sections=" + sections.toSeq.sorted.mkString("+")
+    val baseProv: Map[String, String] =
+      carryTree.flatMap { t =>
+        Option(t.get("suite_provenance")).map { node =>
+          val it = node.fields()
+          val m = scala.collection.mutable.Map[String, String]()
+          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText() }
+          m.toMap
+        }
+      }.getOrElse(Map.empty)
+
     val orderedAll = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = orderedAll
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -185,6 +205,10 @@ object Bench {
         }
       }
     if (measureSuite) sectionDone("suite")
+    val provenance: Seq[(String, String)] = results.map { case (name, _) =>
+      name -> (if (measuredHere(name)) runTag
+               else baseProv.getOrElse(name, s"carried from $carrySrcPath"))
+    }
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(_)) => "\"" + k + "\":null"
@@ -210,9 +234,12 @@ object Bench {
     // that on the 232 shared queries with no single-query regression) —
     // stated in the record so cross-round comparisons don't re-litigate it
     val suiteNote =
-      ""","suite_note":"suite = min-of-3 per query inside ONE warmed JVM after a full-suite warmup pass; a fresh end-to-end run reads uniformly ~10 percent slower than warmed section refreshes (protocol, not regression)""""
+      ""","suite_note":"suite = min-of-3 per query inside ONE warmed JVM after a full-suite warmup pass; a fresh end-to-end run reads uniformly ~10 percent slower than warmed section refreshes (protocol, not regression). suite_provenance stamps the measuring run (ISO time + sections) per query; carried entries keep their original stamp""""
+    val provMapJson = provenance.map { case (k, v) =>
+      "\"" + k + "\":" + jstr(v)
+    }.mkString(""","suite_provenance":{""", ",", "}")
     val head =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"$provJson$suiteNote"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$provMapJson,"sf":"$sfDir"$provJson$suiteNote"""
 
     // Assemble-and-persist: the durable file ALWAYS contains every section
     // — measured ones from this run, the rest carried verbatim — so a kill
@@ -639,7 +666,7 @@ object Bench {
             if (carriedT.nonEmpty)
               s" Partial refresh: ${measuredNames.size} entries fresh, ${carriedT.size} carried verbatim from the prior record ($carrySrcPath)."
             else "")
-        sf1Json = s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir"$diagJson,"sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog). The MEDIA key spaces scale with the same copy offset: Multimodal's fixture laws carve their key space per 1M-id BLOCK (mediaBlock = id div 1e6 = the ScaleGen copy index) - 53 audio tracks and one pixel-law class per block - so this replica grows the audio track space 53 -> 530 (distinct PCM streams measured) and the image/video fingerprint spaces ~10x (208 -> 2137 image aHash classes, 606 -> 6217 video frame classes) the way a real corpus grows its master list, and the q229/q233/q236-q244 ratios measure REAL scaling; the sf1_diag rep-grain probes (q233/q237 rep_pair_work + exact_dup_pairs, q244 n_fingerprints + match_mass) pin that the rep grain now grows ~linearly instead of staying FLAT over a fixed key space as pre-r11. Min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Caveat: the replica multiplies rows over a ~fixed shingle vocabulary, so prefix-join candidate work (q113) densifies ~quadratically (sum_df_sq in the run log) where a real corpus grows vocabulary with size; the same artifact drives q33's FIXED-nbits hyperplane occupancy (q235 pair_work in sf1_diag, both scales) ~quadratically over its 2^6 key space - q246 is the auto-sized scale path (nbits derived from the corpus count): its occupancy diag stays ~linear (pair_work 137k -> 1.06M, max_occ bounded) and its TIME ratio exceeding 10 is the derived width itself - 4 bands x 10 bits at sf1 vs x 6 at sf0.1 gives expected 10 x 10/6 = 16.7x per-row hashing work, measured 16.7x; the quadratic collision blowup is gone and the log-n hashing term is the price. Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join).$stoppedNote""""
+        sf1Json = s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir"$diagJson,"sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog). The MEDIA key spaces scale with the same copy offset: Multimodal's fixture laws carve their key space per 1M-id BLOCK (mediaBlock = id div 1e6 = the ScaleGen copy index) - 53 audio tracks and one pixel-law class per block - so this replica grows the audio track space 53 -> 530 (distinct PCM streams measured) and the image/video fingerprint spaces ~10x (208 -> 2137 image aHash classes, 606 -> 6217 video frame classes) the way a real corpus grows its master list, and the q229/q233/q236-q244 ratios measure REAL scaling; the sf1_diag rep-grain probes (q233/q237 rep_pair_work + exact_dup_pairs, q244 n_fingerprints + match_mass) pin that the rep grain now grows ~linearly instead of staying FLAT over a fixed key space as pre-r11. Min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Since r12 the TEXT vocabulary is block-carved too (ScaleGen.carveToken: one vocabulary slice per copy - a length/case/punctuation-preserving token bijection, within-copy shingle equality intact), so token-frequency-driven harvests measure real scaling instead of fixed-vocab densification: q113's prefix-join candidate mass sum_df_sq grows ~linearly (sf1_diag; it grew 90x per 10x on the fixed-vocab replica, which excluded q113 at 100x - now probed at sf10). Honest corollary: fixed-keyword classifiers and stopword-ratio gates match ~only copy 0's text - their per-row scan work is unchanged, match-dependent downstream work reads ~copy-0-sized. The remaining fixed-key-space behaviors are DELIBERATE contrast fixtures: q33's FIXED-nbits hyperplane occupancy (q235 pair_work in sf1_diag, both scales) goes ~quadratic over its 2^6 key space - q246 is the auto-sized scale path (nbits derived from the corpus count): its occupancy diag stays ~linear and its TIME ratio exceeding 10 is the derived width itself (4 bands x 10 bits at sf1 vs x 6 at sf0.1 = expected 16.7x per-row hashing, measured 16.7x; the quadratic collision blowup is gone and the log-n hashing term is the price); likewise q247's FIXED 16-bit audio frame signature saturates (sig-bucket match mass ~25x per 10x in its diag) and q249 is its auto-sized path (sig_bits/match_mass per scale in sf1_diag, match mass ~flat per row). Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join).$stoppedNote""""
         carriedSections -= "sf1"
       }
       sectionDone("sf1")
@@ -651,15 +678,16 @@ object Bench {
     // 100x probe: one point at sf10 turns the 10x sub-linearity argument
     // into a trend for the historically worst-ratio operators. Ratio is vs
     // the sf0.1 steady state, so ~100 = linear on FIXED cores.
-    // q113 is NOT probed at 100x: the replica multiplies rows over a
-    // near-fixed shingle vocabulary, so PPJoin's candidate volume grows
-    // ~quadratically with copies (a replica artifact — real corpora grow
-    // vocabulary with size; see sf1_note). At 100 copies the candidate
-    // harvest spills past the machine's disk and takes the whole context
-    // down with it. Its honest scale evidence is the sf1 ratio + the
-    // sum_df_sq density diagnostic in the run log. Same exclusion for
-    // q33/q235's hyperplane harvest at 100x (pair_work grows ~quadratically
-    // over the fixed 2^6 key space — see the occupancy diagnostic).
+    // q113 IS probed since r12: the vocab-carved replica (ScaleGen
+    // .carveToken) grows the shingle vocabulary with copies, so PPJoin's
+    // candidate mass is ~linear (sf1_diag sum_df_sq) — on the pre-r12
+    // fixed-vocab replica it grew ~quadratically and the 100x harvest
+    // spilled past the machine's disk, which is why it was excluded.
+    // Still excluded, as DELIBERATE fixed-key-space contrast fixtures:
+    // q33/q235's fixed-2^6 hyperplane harvest and q247's fixed 16-bit
+    // audio signature (their occupancy/match-mass grows ~quadratically BY
+    // DESIGN — the exhibits next to their auto-sized paths q246/q249,
+    // which re-size per corpus and are probed instead).
     // Every suite entry over ~5 s at sf0.1 gets a 100x point. In-JVM
     // samples after the first are JIT/cache-warm and read as a FLOOR, not
     // a representative cold time (q67's in-JVM min-of-3 published 27.8x
@@ -678,7 +706,10 @@ object Bench {
       // media dedup probes — meaningful at 100x since r11's block-scaled
       // key spaces (pre-r11 these were excluded as replica artifacts)
       "q239_media_dedup_manifest" -> 1, "q240_component_split" -> 1,
-      "q243_component_keeper" -> 1)
+      "q243_component_keeper" -> 1,
+      // meaningful at 100x since r12: the vocab-carved replica (q113) and
+      // the corpus-sized audio signature (q249)
+      "q113_set_similarity" -> 1, "q249_audio_clip_autosig" -> 1)
     def sf10Est(name: String, reps: Int): Double =
       okTimes.get(name).flatMap(_.toOption).map(b => b * 150 * reps + 10)
         .getOrElse(600.0)
@@ -739,7 +770,7 @@ object Bench {
         val carriedNote =
           if (carriedUsed.isEmpty) ""
           else s" Entries ${carriedUsed.mkString("/")} are carried from the committed record (min-of-3 across FRESH JVMs via tools/sf10_probe.sh - cold runs, not warm floors); the rest were measured in THIS warm suite JVM."
-        sf10Json = s""","sf10":${tEntries.mkString("{", ",", "}")},"sf10_over_sf01_ratio":${rEntries.mkString("{", ",", "}")},"sf10_dir":"$sf10Dir","sf10_note":"100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; part dim scaled with per-copy shifted partkeys; rotations composed with sign flips past the embedding dim; MEDIA key spaces scale with the copy offset - 53 audio tracks and one pixel-law class per 1M-id block, so the media probes measure real scaling); timings vs the sf0.1 steady state - ratio ~100 = linear scaling on FIXED cores. q67 SemDeDup's in-cluster pair stage is Theta(n^1.5) at nlist=sqrt(n), so its expected fixed-core 100x ratio is up to ~1000, NOT sub-linear; the cluster story is that bucket count (= parallelism) also grows as sqrt(n).$carriedNote""""
+        sf10Json = s""","sf10":${tEntries.mkString("{", ",", "}")},"sf10_over_sf01_ratio":${rEntries.mkString("{", ",", "}")},"sf10_dir":"$sf10Dir","sf10_note":"100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; part dim scaled with per-copy shifted partkeys; rotations composed with sign flips past the embedding dim; MEDIA key spaces scale with the copy offset - 53 audio tracks and one pixel-law class per 1M-id block; TEXT vocabulary block-carved per copy since r12 - ScaleGen.carveToken - so the media AND token-frequency probes measure real scaling); timings vs the sf0.1 steady state - ratio ~100 = linear scaling on FIXED cores. q67 SemDeDup's in-cluster pair stage is Theta(n^1.5) at nlist=sqrt(n), so its expected fixed-core 100x ratio is up to ~1000, NOT sub-linear; the cluster story is that bucket count (= parallelism) also grows as sqrt(n). Excluded BY DESIGN: q33/q235 (fixed 2^6 hyperplane space) and q247 (fixed 16-bit audio signature) are the deliberate fixed-key-space contrast fixtures - their auto-sized paths q246/q249 are the probed scale posture.$carriedNote""""
         carriedSections -= "sf10"
       }
       sectionDone("sf10")
@@ -791,7 +822,33 @@ object Bench {
         val mediaIn = ms.flatMap(_.stages.headOption.map(_.rowsIn)).sum
         val mediaKept = ms.flatMap(_.stages.lastOption.map(_.rowsOut)).sum
         System.err.println(f"[bench] media pipeline end-to-end t=$tm%.3f curated=$mediaKept")
-        pipeJson = s""","pipeline":{"sec":$t,"docs_in":${rs.flatMap(_.stages.headOption.map(_.rowsIn)).sum},"curated":$curated,"media_sec":$tm,"media_in":$mediaIn,"media_curated":$mediaKept,"note":"sec = 2 incremental text batches + epoch sharding over documents; media_sec = 2 incremental media batches (decode -> perceptual fingerprint -> band-store probe -> manifest drop) over the image corpus"}"""
+        // media face at the 10x replica too: the text side has had an sf1
+        // point for rounds, the media side had only the sf0.1 corpus —
+        // without a second scale the in-artifact ratio does not exist
+        var mediaSf1 = ""
+        if (new java.io.File(s"$sf1Dir/documents.parquet").exists
+            && remainingSec >= 240) {
+          val media1 = graft.multimodal.Multimodal.synthesizeMedia(
+            Tables.documents(spark, sf1Dir), "doc_id", "text")
+            .filter(col("media_type") === "image")
+          val tmp1 = java.nio.file.Files.createTempDirectory("graft-bench-pipe-sf1").toString
+          val cfg1 = graft.pipeline.CurationPipeline.Config(baseDir = tmp1)
+          val t0m1 = System.nanoTime()
+          val ms1 = Seq(
+            graft.pipeline.CurationPipeline.runMediaBatch(
+              spark, media1.filter(col("media_id") % 2 === 0), "b1", cfg1),
+            graft.pipeline.CurationPipeline.runMediaBatch(
+              spark, media1.filter(col("media_id") % 2 === 1), "b2", cfg1))
+          val tm1 = (System.nanoTime() - t0m1) / 1e9
+          val in1 = ms1.flatMap(_.stages.headOption.map(_.rowsIn)).sum
+          val kept1 = ms1.flatMap(_.stages.lastOption.map(_.rowsOut)).sum
+          val ratio1 = math.round(tm1 / tm * 100.0) / 100.0
+          System.err.println(
+            f"[bench] media pipeline sf1 t=$tm1%.3f in=$in1 curated=$kept1 ratio=$ratio1%.2f")
+          mediaSf1 = s""","media_sec_sf1":$tm1,"media_in_sf1":$in1,"media_curated_sf1":$kept1,"media_sf1_over_sf01_ratio":$ratio1"""
+        } else System.err.println(
+          "[bench] media pipeline sf1 point skipped (no replica or <240s budget left)")
+        pipeJson = s""","pipeline":{"sec":$t,"docs_in":${rs.flatMap(_.stages.headOption.map(_.rowsIn)).sum},"curated":$curated,"media_sec":$tm,"media_in":$mediaIn,"media_curated":$mediaKept$mediaSf1,"note":"sec = 2 incremental text batches + epoch sharding over documents; media_sec = 2 incremental media batches (decode -> perceptual fingerprint -> band-store probe -> manifest drop) over the image corpus; media_sec_sf1 = the same 2-batch media job on the 10x replica's image corpus (ratio ~10 = linear in decoded assets)"}"""
         carriedSections -= "pipeline"
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline failed: ${e.getMessage}")

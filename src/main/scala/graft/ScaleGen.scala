@@ -17,11 +17,27 @@ import org.apache.spark.sql.functions._
   *    per-copy offset — sessionization/SCD2/as-of see 10× users, each with
   *    the original per-user timeline;
   *  - document text for copy i > 0 is word-shuffled with a per-copy seed
-  *    (same permutation stream for every doc in a copy): token/length/
-  *    vocabulary statistics are preserved exactly, WITHIN-copy near-dup
-  *    structure survives (equal-length near-dups shuffle identically), and
-  *    cross-copy shingle overlap is destroyed — so LSH pair counts scale
-  *    ~linearly like real corpus growth;
+  *    (same permutation stream for every doc in a copy) AND its tokens
+  *    are VOCABULARY-CARVED per copy ([[carveToken]]: a copy-keyed
+  *    substitution on letters/digits plus a character rotation — length,
+  *    case pattern and punctuation preserved exactly): within-copy
+  *    near-dup structure survives (a uniform per-copy bijection keeps
+  *    equal shingles equal), token/length statistics match the source,
+  *    and copy i's token SURFACE FORMS are disjoint from copy j's — the
+  *    text twin of the media key-space block carve. Before the carve the
+  *    replica multiplied rows over ONE fixed vocabulary, so every
+  *    token-frequency-driven harvest (q113's prefix-join candidate mass
+  *    sum(df²), q18's shingle DF) densified ~quadratically and measured
+  *    a replica artifact, not scaling; with one vocabulary slice per
+  *    copy those masses grow ~linearly like a real corpus's. (Real
+  *    vocabulary growth is Heaps-sublinear — V ∝ N^~0.5 — with stopword
+  *    df growing linearly, so fixed-vocab and carved replicas bracket
+  *    reality from the dense and sparse sides; the carved side is the
+  *    one whose harvests a fixed-key-space artifact cannot dominate.
+  *    Corollary, stated honestly: fixed-keyword classifiers and
+  *    stopword-ratio gates match ~only copy 0's text — their per-row
+  *    scan work is unchanged, but match-dependent downstream work reads
+  *    ~copy-0-sized.);
   *  - embeddings rotate by i positions (norm-preserving, decorrelates
   *    cross-copy cosine) — ANN/near-dup bucket topology scales naturally;
   *  - the PART dimension scales WITH the fact copies: copy i's lineitem
@@ -64,6 +80,49 @@ object ScaleGen {
     w.mkString(" ")
   }
 
+  /** Per-copy vocabulary carve: map a token to copy `c`'s vocabulary
+    * slice by a copy-keyed character substitution (Caesar shift c mod 26
+    * on letters, shift c mod 10 on digits) composed with a right
+    * rotation of the token by (c div 26) characters. Length, case
+    * pattern, and punctuation are preserved EXACTLY (token/length/
+    * whitespace statistics match the source corpus), the map is a
+    * bijection applied uniformly within a copy (equal tokens — and
+    * therefore equal shingles — stay equal within the copy). A token of
+    * length L has 26·L distinct transforms, so tokens of length ≥ 4 are
+    * fully disjoint across even the 100-copy sf10 replica; 1–3-char
+    * tokens collide only between copies ≥ 26·L apart (at most
+    * ceil(copies/26L) copies share a form — shared-df mass bounded by a
+    * small constant times one copy's, never the all-copies pile-up that
+    * made the fixed-vocab replica's sum(df²) quadratic). Pure-punctuation
+    * tokens are fixed points — negligible df mass. Copy 0 is the
+    * identity, so base-sf results never change. */
+  def carveToken(tok: String, copy: Int): String = {
+    if (copy == 0 || tok.isEmpty) return tok
+    val shift = copy % 26
+    val dshift = copy % 10
+    val arr = tok.toCharArray
+    var i = 0
+    while (i < arr.length) {
+      val c = arr(i)
+      if (c >= 'a' && c <= 'z') arr(i) = ('a' + (c - 'a' + shift) % 26).toChar
+      else if (c >= 'A' && c <= 'Z') arr(i) = ('A' + (c - 'A' + shift) % 26).toChar
+      else if (c >= '0' && c <= '9') arr(i) = ('0' + (c - '0' + dshift) % 10).toChar
+      i += 1
+    }
+    val rot = (copy / 26) % arr.length
+    if (rot == 0) new String(arr)
+    else new String(arr, arr.length - rot, rot) + new String(arr, 0, arr.length - rot)
+  }
+
+  /** The full per-copy text decorrelation: word shuffle (per-copy
+    * permutation stream) + vocabulary carve (per-copy token slice). */
+  def decorrelateText(text: String, copy: Int): String = {
+    if (text == null) return null
+    if (copy == 0) return text
+    shuffleWords(text, copy.toLong).split(" ")
+      .map(carveToken(_, copy)).mkString(" ")
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/root/repo/bench-data/sf1")
@@ -71,7 +130,7 @@ object ScaleGen {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
 
-    val shuffleUdf = udf(shuffleWords _)
+    val decorrelateUdf = udf(decorrelateText _)
 
     def replicate(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
       val src = Tables.table(spark, srcDir, name)
@@ -88,7 +147,7 @@ object ScaleGen {
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOffset))
     }
     replicate("documents") { (df, i) =>
-      val t = if (i == 0) col("text") else shuffleUdf(col("text"), lit(i.toLong))
+      val t = if (i == 0) col("text") else decorrelateUdf(col("text"), lit(i))
       df.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
         .withColumn("text", t)
     }

@@ -54,20 +54,22 @@ d["sf10_note"] = (
     "dim scaled with per-copy shifted partkeys; rotations composed with sign "
     "flips past the embedding dim; MEDIA key spaces scale with the copy "
     "offset - Multimodal's laws carve 53 audio tracks and one pixel-law "
-    "class per 1M-id block, so 100 copies carry ~100x the track/fingerprint "
-    "universe and the media probes measure real scaling, not exact-copy "
-    "emission). Protocol: min across FRESH JVMs (one JVM per sample, "
-    "tools/sf10_probe.sh - each sample pays full JIT + page-cache cold "
-    "start, so these are COLD times, not the warm in-JVM floor that "
-    "published q67=27.8x in r9 where fresh JVMs deliver ~150x); ratio vs the "
-    "sf0.1 steady state, ~100 = linear scaling on FIXED cores. q67 SemDeDup's "
-    "in-cluster pair stage is Theta(n^1.5) at nlist=sqrt(n), so its expected "
-    "fixed-core 100x ratio is up to ~1000, NOT sub-linear; the cluster story "
-    "is that bucket count (= parallelism) also grows as sqrt(n). q113 and "
-    "q235's harvests are excluded at 100x: the replica densifies their "
-    "candidate work ~quadratically over a fixed vocabulary/key space (a "
-    "replica artifact - see sf1_note and sf1_diag; q246's derived-nbits "
-    "hyperplane is the auto-sized scale path)." + prior_prov
+    "class per 1M-id block; TEXT vocabulary block-carved per copy since r12 "
+    "- ScaleGen.carveToken, one vocabulary slice per copy - so 100 copies "
+    "carry ~100x the track/fingerprint/shingle universe and the media AND "
+    "token-frequency probes, q113 included, measure real scaling, not "
+    "fixed-key-space densification). Protocol: min across FRESH JVMs (one "
+    "JVM per sample, tools/sf10_probe.sh - each sample pays full JIT + "
+    "page-cache cold start, so these are COLD times, not the warm in-JVM "
+    "floor that published q67=27.8x in r9 where fresh JVMs deliver ~150x); "
+    "ratio vs the sf0.1 steady state, ~100 = linear scaling on FIXED cores. "
+    "q67 SemDeDup's in-cluster pair stage is Theta(n^1.5) at nlist=sqrt(n), "
+    "so its expected fixed-core 100x ratio is up to ~1000, NOT sub-linear; "
+    "the cluster story is that bucket count (= parallelism) also grows as "
+    "sqrt(n). Excluded BY DESIGN: q33/q235 (fixed 2^6 hyperplane space) and "
+    "q247 (fixed 16-bit audio signature) are the deliberate fixed-key-space "
+    "contrast fixtures - their auto-sized paths q246/q249 are the probed "
+    "scale posture (see sf1_note and sf1_diag)." + prior_prov
 )
 
 # sf10 is now freshly measured — clear any carried-forward stamp for it

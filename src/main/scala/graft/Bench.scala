@@ -760,6 +760,14 @@ object Bench {
             } else if (carriedProbeT.contains(name)) carriedUsed += name
           }
         }
+      // Carry EVERY unmeasured entry from the carry source, not just the
+      // names in this build's probe list: sf10 entries are also added
+      // out-of-band by tools/sf10_probe.sh + merge_bench.py (q216/q236 in
+      // r11), and restricting the carry to the in-suite probe list made
+      // the r11 driver run silently DROP those two committed fresh-JVM
+      // measurements from the durable record.
+      for (k <- carriedProbeT.keys if !measured.contains(k))
+        carriedUsed += k
       if (measured.nonEmpty || carriedUsed.nonEmpty) {
         val tEntries =
           measured.map { case (k, (t, _)) => "\"" + k + "\":" + t } ++

@@ -16,7 +16,8 @@ shift || true
 if [ $# -gt 0 ]; then PROBES=("$@"); else
   PROBES=(q18_minhash_pairs=3 q116_sa_dup_ranges=3 q125_sliding_distinct=3
           q139_label_prop=3 q67_semantic_dedup=3 q219_single_linkage=3
-          q222_hdbscan_profile=3 q214_hits=2 q208_max_dup_substring=2)
+          q222_hdbscan_profile=3 q214_hits=2 q208_max_dup_substring=2
+          q113_set_similarity=3 q249_audio_clip_autosig=3)
 fi
 mkdir -p "$(dirname "$OUT")"
 CP="${SPARK_GRAFT_CP:-target/scala-2.13/classes:/opt/spark/jars/*}"

@@ -666,7 +666,7 @@ object Bench {
             if (carriedT.nonEmpty)
               s" Partial refresh: ${measuredNames.size} entries fresh, ${carriedT.size} carried verbatim from the prior record ($carrySrcPath)."
             else "")
-        sf1Json = s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir"$diagJson,"sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog). The MEDIA key spaces scale with the same copy offset: Multimodal's fixture laws carve their key space per 1M-id BLOCK (mediaBlock = id div 1e6 = the ScaleGen copy index) - 53 audio tracks and one pixel-law class per block - so this replica grows the audio track space 53 -> 530 (distinct PCM streams measured) and the image/video fingerprint spaces ~10x (208 -> 2137 image aHash classes, 606 -> 6217 video frame classes) the way a real corpus grows its master list, and the q229/q233/q236-q244 ratios measure REAL scaling; the sf1_diag rep-grain probes (q233/q237 rep_pair_work + exact_dup_pairs, q244 n_fingerprints + match_mass) pin that the rep grain now grows ~linearly instead of staying FLAT over a fixed key space as pre-r11. Min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Since r12 the TEXT vocabulary is block-carved too (ScaleGen.carveToken: one vocabulary slice per copy - a length/case/punctuation-preserving token bijection, within-copy shingle equality intact), so token-frequency-driven harvests measure real scaling instead of fixed-vocab densification: q113's prefix-join candidate mass sum_df_sq grows ~linearly (sf1_diag; it grew 90x per 10x on the fixed-vocab replica, which excluded q113 at 100x - now probed at sf10). Honest corollary: fixed-keyword classifiers and stopword-ratio gates match ~only copy 0's text - their per-row scan work is unchanged, match-dependent downstream work reads ~copy-0-sized. The remaining fixed-key-space behaviors are DELIBERATE contrast fixtures: q33's FIXED-nbits hyperplane occupancy (q235 pair_work in sf1_diag, both scales) goes ~quadratic over its 2^6 key space - q246 is the auto-sized scale path (nbits derived from the corpus count): its occupancy diag stays ~linear and its TIME ratio exceeding 10 is the derived width itself (4 bands x 10 bits at sf1 vs x 6 at sf0.1 = expected 16.7x per-row hashing, measured 16.7x; the quadratic collision blowup is gone and the log-n hashing term is the price); likewise q247's FIXED 16-bit audio frame signature saturates (sig-bucket match mass ~25x per 10x in its diag) and q249 is its auto-sized path (sig_bits/match_mass per scale in sf1_diag, match mass ~flat per row). Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join).$stoppedNote""""
+        sf1Json = s""","sf1":$ts,"sf1_over_sf01_ratio":$rs,"sf1_dir":"$sf1Dir"$diagJson,"sf1_note":"10x key-shifted decorrelated replica of sf0.1 (graft.ScaleGen; the part dimension is scaled too - each copy gets shifted partkeys matching its orderkey shift, so co-purchase graph degrees stay realistic instead of densifying against a fixed part catalog). The MEDIA key spaces scale with the same copy offset: Multimodal's fixture laws carve their key space per 1M-id BLOCK (mediaBlock = id div 1e6 = the ScaleGen copy index) - 53 audio tracks and one pixel-law class per block - so this replica grows the audio track space 53 -> 530 (distinct PCM streams measured) and the image/video fingerprint spaces ~10x (208 -> 2137 image aHash classes, 606 -> 6217 video frame classes) the way a real corpus grows its master list, and the q229/q233/q236-q244 ratios measure REAL scaling; the sf1_diag rep-grain probes (q233/q237 rep_pair_work + exact_dup_pairs, q244 n_fingerprints + match_mass) pin that the rep grain now grows ~linearly instead of staying FLAT over a fixed key space as pre-r11. Min-of-3 timings with per-QUERY dead-cache drops (plan-keyed caches are never reusable across queries or dirs; accumulated pinned blocks inflated late section entries 2-5x vs their fresh-JVM steady state); ratio ~10 = linear scaling. Since r12 the TEXT vocabulary is block-carved too (ScaleGen.carveToken: one vocabulary slice per copy - a length/case/punctuation-preserving token bijection, within-copy shingle equality intact), so token-frequency-driven harvests measure real scaling instead of fixed-vocab densification: q113's prefix-join candidate mass sum_df_sq grows ~linearly (sf1_diag; it grew 90x per 10x on the fixed-vocab replica, which excluded q113 at 100x - now probed at sf10). Honest corollary: fixed-keyword classifiers and stopword-ratio gates match ~only copy 0's text - their per-row scan work is unchanged, match-dependent downstream work reads ~copy-0-sized. The remaining fixed-key-space behaviors are DELIBERATE contrast fixtures: q33's FIXED-nbits hyperplane occupancy (q235 pair_work in sf1_diag, both scales) goes ~quadratic over its 2^6 key space - q246 is the auto-sized scale path (nbits derived from the corpus count): its occupancy diag stays ~linear and its TIME ratio exceeding 10 is the derived width itself (4 bands x 10 bits at sf1 vs x 6 at sf0.1 bounds the per-row hashing term at 16.7x; measured ratios land between linear 10 and that bound - 16.7x in r11, 11.1x in r12; the quadratic collision blowup is gone and the log-n hashing term is the price); likewise q247's FIXED 16-bit audio frame signature saturates (sig-bucket match mass ~25x per 10x in its diag) and q249 is its auto-sized path (sig_bits/match_mass per scale in sf1_diag, match mass ~flat per row). Ratios near 10 on row-linear audits (q188 RLE runs) are the EXPECTED linear point, not a defect - the operator must touch every row. Exact mutual-kNN (q131) is O(n^2) by definition and benches here via its sub-quadratic IVF scale path q171 (nlist=ceil(sqrt(n)); same mutuality join).$stoppedNote""""
         carriedSections -= "sf1"
       }
       sectionDone("sf1")

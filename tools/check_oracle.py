@@ -6,10 +6,22 @@ sfdir = os.environ.get('SFDIR', '/root/testdata/sf0.01')
 out = os.environ.get('VOUT', '/tmp/verify_out')
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # testdata ships single .parquet FILES; ScaleGen replicas (bench-data/
+    # sf1, sf10) write Spark DIRECTORIES of part files — glob those, so
+    # cross-engine checks run against the replicas too (q249's derived
+    # width only widens past 16 bits at sf1+)
+    p = f'{sfdir}/{t}.parquet'
+    pat = p if os.path.isfile(p) else f'{p}/*.parquet'
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
+# optional substring filters (same contract as Verify's args) — running all
+# 249 oracles against an sf1 replica takes hours in DuckDB, so targeted
+# cross-engine checks need a way to run just the query under test
+filters = sys.argv[1:]
 for name, sql in sorted(oracle.items()):
+    if filters and not any(f in name for f in filters):
+        continue
     try:
         exp = con.execute(sql).df()
     except Exception as e:

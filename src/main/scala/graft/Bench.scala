@@ -362,7 +362,8 @@ object Bench {
       "q242_resize_audit", "q243_component_keeper", "q244_clip_reuse",
       "q245_resize_robust_dedup", "q246_hyperplane_auto",
       "q247_audio_clip_reuse", "q248_scene_cuts",
-      "q249_audio_clip_autosig")
+      "q249_audio_clip_autosig", "q250_bradley_terry",
+      "q251_annotator_audit")
     // sf1 per-query budget estimate: 3 samples x base x (worst observed
     // 10x ratio ~10, so x10) + overhead. Unknown-base queries get a flat
     // conservative guess.
@@ -778,7 +779,7 @@ object Bench {
         val carriedNote =
           if (carriedUsed.isEmpty) ""
           else s" Entries ${carriedUsed.mkString("/")} are carried from the committed record (min-of-3 across FRESH JVMs via tools/sf10_probe.sh - cold runs, not warm floors); the rest were measured in THIS warm suite JVM."
-        sf10Json = s""","sf10":${tEntries.mkString("{", ",", "}")},"sf10_over_sf01_ratio":${rEntries.mkString("{", ",", "}")},"sf10_dir":"$sf10Dir","sf10_note":"100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; part dim scaled with per-copy shifted partkeys; rotations composed with sign flips past the embedding dim; MEDIA key spaces scale with the copy offset - 53 audio tracks and one pixel-law class per 1M-id block; TEXT vocabulary block-carved per copy since r12 - ScaleGen.carveToken - so the media AND token-frequency probes measure real scaling); timings vs the sf0.1 steady state - ratio ~100 = linear scaling on FIXED cores. q67 SemDeDup's in-cluster pair stage is Theta(n^1.5) at nlist=sqrt(n), so its expected fixed-core 100x ratio is up to ~1000, NOT sub-linear; the cluster story is that bucket count (= parallelism) also grows as sqrt(n). Excluded BY DESIGN: q33/q235 (fixed 2^6 hyperplane space) and q247 (fixed 16-bit audio signature) are the deliberate fixed-key-space contrast fixtures - their auto-sized paths q246/q249 are the probed scale posture.$carriedNote""""
+        sf10Json = s""","sf10":${tEntries.mkString("{", ",", "}")},"sf10_over_sf01_ratio":${rEntries.mkString("{", ",", "}")},"sf10_dir":"$sf10Dir","sf10_note":"100x key-shifted decorrelated replica (graft.ScaleGen, 100 copies; part dim scaled with per-copy shifted partkeys; rotations composed with sign flips past the embedding dim; MEDIA key spaces scale with the copy offset - 53 audio tracks and one pixel-law class per 1M-id block; TEXT vocabulary block-carved per copy since r12 - ScaleGen.carveToken - so the media AND token-frequency probes measure real scaling); timings vs the sf0.1 steady state - ratio ~100 = linear scaling on FIXED cores. q67 SemDeDup's in-cluster pair stage is Theta(n^1.5) at nlist=sqrt(n), so its expected fixed-core 100x ratio is up to ~1000, NOT sub-linear; the cluster story is that bucket count (= parallelism) also grows as sqrt(n). Excluded BY DESIGN: q33/q235 (fixed 2^6 hyperplane space) and q247 (fixed 16-bit audio signature) are the deliberate fixed-key-space contrast fixtures - their auto-sized paths q246/q249 are the probed scale posture. A cold ratio slightly over 100 on a small warm base is the fresh-JVM cold start itself, not super-linearity: q236's ~108 is linear work (warm sf1 ratio 3.0) plus the ~30-60 s JVM+page-cache start its 4.3 s sf0.1 base cannot amortize (cold samples span 466-688 s across r12 probes; min taken).$carriedNote""""
         carriedSections -= "sf10"
       }
       sectionDone("sf10")
@@ -830,33 +831,39 @@ object Bench {
         val mediaIn = ms.flatMap(_.stages.headOption.map(_.rowsIn)).sum
         val mediaKept = ms.flatMap(_.stages.lastOption.map(_.rowsOut)).sum
         System.err.println(f"[bench] media pipeline end-to-end t=$tm%.3f curated=$mediaKept")
-        // media face at the 10x replica too: the text side has had an sf1
-        // point for rounds, the media side had only the sf0.1 corpus —
-        // without a second scale the in-artifact ratio does not exist
-        var mediaSf1 = ""
-        if (new java.io.File(s"$sf1Dir/documents.parquet").exists
-            && remainingSec >= 240) {
-          val media1 = graft.multimodal.Multimodal.synthesizeMedia(
-            Tables.documents(spark, sf1Dir), "doc_id", "text")
-            .filter(col("media_type") === "image")
-          val tmp1 = java.nio.file.Files.createTempDirectory("graft-bench-pipe-sf1").toString
-          val cfg1 = graft.pipeline.CurationPipeline.Config(baseDir = tmp1)
-          val t0m1 = System.nanoTime()
-          val ms1 = Seq(
-            graft.pipeline.CurationPipeline.runMediaBatch(
-              spark, media1.filter(col("media_id") % 2 === 0), "b1", cfg1),
-            graft.pipeline.CurationPipeline.runMediaBatch(
-              spark, media1.filter(col("media_id") % 2 === 1), "b2", cfg1))
-          val tm1 = (System.nanoTime() - t0m1) / 1e9
-          val in1 = ms1.flatMap(_.stages.headOption.map(_.rowsIn)).sum
-          val kept1 = ms1.flatMap(_.stages.lastOption.map(_.rowsOut)).sum
-          val ratio1 = math.round(tm1 / tm * 100.0) / 100.0
-          System.err.println(
-            f"[bench] media pipeline sf1 t=$tm1%.3f in=$in1 curated=$kept1 ratio=$ratio1%.2f")
-          mediaSf1 = s""","media_sec_sf1":$tm1,"media_in_sf1":$in1,"media_curated_sf1":$kept1,"media_sf1_over_sf01_ratio":$ratio1"""
-        } else System.err.println(
-          "[bench] media pipeline sf1 point skipped (no replica or <240s budget left)")
-        pipeJson = s""","pipeline":{"sec":$t,"docs_in":${rs.flatMap(_.stages.headOption.map(_.rowsIn)).sum},"curated":$curated,"media_sec":$tm,"media_in":$mediaIn,"media_curated":$mediaKept$mediaSf1,"note":"sec = 2 incremental text batches + epoch sharding over documents; media_sec = 2 incremental media batches (decode -> perceptual fingerprint -> band-store probe -> manifest drop) over the image corpus; media_sec_sf1 = the same 2-batch media job on the 10x replica's image corpus (ratio ~10 = linear in decoded assets)"}"""
+        // media face at the replica scales too: the sf0.1 corpus is 1,667
+        // images, so its 2-batch time is mostly fixed job overhead — the
+        // slope only shows once the decoded-asset count dominates. One
+        // helper, two scales (10x and 100x), each budget-guarded.
+        def mediaPointAt(dir: String, tag: String, minBudget: Double): String =
+          if (new java.io.File(s"$dir/documents.parquet").exists
+              && remainingSec >= minBudget) {
+            val mediaN = graft.multimodal.Multimodal.synthesizeMedia(
+              Tables.documents(spark, dir), "doc_id", "text")
+              .filter(col("media_type") === "image")
+            val tmpN = java.nio.file.Files.createTempDirectory(s"graft-bench-pipe-$tag").toString
+            val cfgN = graft.pipeline.CurationPipeline.Config(baseDir = tmpN)
+            val t0mN = System.nanoTime()
+            val msN = Seq(
+              graft.pipeline.CurationPipeline.runMediaBatch(
+                spark, mediaN.filter(col("media_id") % 2 === 0), "b1", cfgN),
+              graft.pipeline.CurationPipeline.runMediaBatch(
+                spark, mediaN.filter(col("media_id") % 2 === 1), "b2", cfgN))
+            val tmN = (System.nanoTime() - t0mN) / 1e9
+            val inN = msN.flatMap(_.stages.headOption.map(_.rowsIn)).sum
+            val keptN = msN.flatMap(_.stages.lastOption.map(_.rowsOut)).sum
+            val ratioN = math.round(tmN / tm * 100.0) / 100.0
+            System.err.println(
+              f"[bench] media pipeline $tag t=$tmN%.3f in=$inN curated=$keptN ratio=$ratioN%.2f")
+            s""","media_sec_$tag":$tmN,"media_in_$tag":$inN,"media_curated_$tag":$keptN,"media_${tag}_over_sf01_ratio":$ratioN"""
+          } else {
+            System.err.println(
+              s"[bench] media pipeline $tag point skipped (no replica or <${minBudget.toInt}s budget left)")
+            ""
+          }
+        val mediaSf1 = mediaPointAt(sf1Dir, "sf1", 240)
+        val mediaSf10 = mediaPointAt(sf10Dir, "sf10", 600)
+        pipeJson = s""","pipeline":{"sec":$t,"docs_in":${rs.flatMap(_.stages.headOption.map(_.rowsIn)).sum},"curated":$curated,"media_sec":$tm,"media_in":$mediaIn,"media_curated":$mediaKept$mediaSf1$mediaSf10,"note":"sec = 2 incremental text batches + epoch sharding over documents; media_sec = 2 incremental media batches (decode -> perceptual fingerprint -> band-store probe -> manifest drop) over the image corpus; media_sec_sf1/_sf10 = the same 2-batch media job on the 10x/100x replica's image corpus (ratio ~10/~100 = linear in decoded assets; the sf0.1 denominator is mostly fixed job overhead at 1,667 images, so the honest slope is the sf1->sf10 marginal: (media_sec_sf10-media_sec_sf1)/(media_in_sf10-media_in_sf1))"}"""
         carriedSections -= "pipeline"
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline failed: ${e.getMessage}")

@@ -1618,6 +1618,106 @@ private[graft] object OracleSql {
        |$steps""".stripMargin
   }
 
+  /** Shared q250/q251 judgment synthesis: the SparkEntry.prefJudgments
+    * law replayed verbatim — portable 60-bit md5 draws for both item
+    * positions and the winner roll, the generating law an exact integer
+    * Bradley–Terry with latent strength item+1. `fa`/`fb` are the
+    * positions-as-shown (q251's bias read needs them). */
+  private def prefJudgmentCtes: String = {
+    def h(tag: String) =
+      PortableHash.md5Hash60Sql(s"CAST(event_id AS VARCHAR) || '$tag'")
+    s"""ab AS (
+       |  SELECT event_id, user_id,
+       |    ${h(":pa")} % 50 AS a,
+       |    ${h(":pb")} % 49 AS b0,
+       |    ${h(":pw")} AS wroll
+       |  FROM events),
+       |jd AS (
+       |  SELECT event_id, user_id, a AS fa,
+       |    CASE WHEN b0 >= a THEN b0 + 1 ELSE b0 END AS fb,
+       |    CASE WHEN wroll % (a + (CASE WHEN b0 >= a THEN b0 + 1 ELSE b0 END) + 2)
+       |              < a + 1
+       |         THEN a ELSE CASE WHEN b0 >= a THEN b0 + 1 ELSE b0 END END AS winner
+       |  FROM ab)""".stripMargin
+  }
+
+  /** q250 oracle: the Hunter-2004 MM recurrence unrolled 5 rounds in the
+    * q120 integer-fixed-point idiom — SCALE=1e6, every division a floor
+    * division, every sum CAST back to BIGINT (DuckDB SUM(BIGINT) widens
+    * to HUGEINT; Spark stays Long), renormalized to mean SCALE with a
+    * floor of 1 each round, exactly [[graft.operators.Preference
+    * .bradleyTerryFixedPoint]]'s contract. */
+  private def bradleyTerryOracleSql: String = {
+    val iters = (1 to 5).map { k =>
+      val prev = s"s${k - 1}"
+      s"""d$k AS (
+         |  SELECT sym.i AS item,
+         |    CAST(SUM(sym.n * 1000000000000 // (si.score + sj.score)) AS BIGINT)
+         |      AS denom
+         |  FROM sym JOIN $prev si ON si.item = sym.i
+         |  JOIN $prev sj ON sj.item = sym.j
+         |  GROUP BY 1),
+         |r$k AS (
+         |  SELECT it.item, it.wins * 1000000000000 // d$k.denom AS raw
+         |  FROM it JOIN d$k ON d$k.item = it.item),
+         |t$k AS (SELECT CAST(SUM(raw) AS BIGINT) AS total FROM r$k),
+         |s$k AS (
+         |  SELECT item, GREATEST(raw * (nn.n * 1000000) // t$k.total, 1) AS score
+         |  FROM r$k, t$k, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $prefJudgmentCtes,
+       |pl AS (
+       |  SELECT winner AS w, CASE WHEN winner = fa THEN fb ELSE fa END AS l
+       |  FROM jd),
+       |wins AS (SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS wins
+       |         FROM pl GROUP BY 1),
+       |sym AS (
+       |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT w AS i, l AS j FROM pl UNION ALL SELECT l, w FROM pl)
+       |  GROUP BY 1, 2),
+       |it AS (
+       |  SELECT items.item, COALESCE(wins.wins, 0) AS wins
+       |  FROM (SELECT DISTINCT i AS item FROM sym) items
+       |  LEFT JOIN wins ON wins.item = items.item),
+       |nn AS (SELECT COUNT(*) AS n FROM it),
+       |s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS score FROM it),
+       |$iters
+       |SELECT it.item, it.wins, s5.score,
+       |  ROW_NUMBER() OVER (ORDER BY s5.score DESC, it.item) AS rank
+       |FROM it JOIN s5 ON s5.item = it.item
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** q251 oracle: pair-majority verdicts (tie → smaller id) joined back
+    * onto the judgment rows, per-annotator counts and floor-division
+    * basis points — all BIGINT. */
+  private def annotatorAuditOracleSql: String =
+    s"""WITH $prefJudgmentCtes,
+       |pm AS (
+       |  SELECT LEAST(fa, fb) AS lo, GREATEST(fa, fb) AS hi,
+       |    CAST(SUM(CASE WHEN winner = LEAST(fa, fb) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS lo_wins,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM jd GROUP BY 1, 2),
+       |mj AS (
+       |  SELECT lo, hi,
+       |    CASE WHEN lo_wins * 2 >= n THEN lo ELSE hi END AS majority
+       |  FROM pm),
+       |base AS (
+       |  SELECT jd.user_id AS annotator,
+       |    CAST(COUNT(*) AS BIGINT) AS n_judgments,
+       |    CAST(SUM(CASE WHEN jd.winner = mj.majority THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS agree_cnt,
+       |    CAST(SUM(CASE WHEN jd.winner = jd.fa THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS first_wins
+       |  FROM jd JOIN mj
+       |    ON mj.lo = LEAST(jd.fa, jd.fb) AND mj.hi = GREATEST(jd.fa, jd.fb)
+       |  GROUP BY 1)
+       |SELECT annotator, n_judgments, agree_cnt,
+       |  agree_cnt * 10000 // n_judgments AS agree_bp,
+       |  first_wins, first_wins * 10000 // n_judgments AS first_bp
+       |FROM base ORDER BY annotator""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q209_pca_power" ->
       s"""WITH $pcaChainSql
@@ -2275,6 +2375,8 @@ private[graft] object OracleSql {
     "q247_audio_clip_reuse" -> audioClipReuseOracleSql,
     "q248_scene_cuts" -> sceneCutsOracleSql,
     "q249_audio_clip_autosig" -> audioClipAutoSigOracleSql,
+    "q250_bradley_terry" -> bradleyTerryOracleSql,
+    "q251_annotator_audit" -> annotatorAuditOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

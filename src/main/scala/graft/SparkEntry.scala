@@ -4842,6 +4842,73 @@ object SparkEntry {
     Dedup.hyperplaneBucketStats(embeddings(s, dir), "vec_id", "embedding",
       dim = 64, numBands = 4, bandBits = 6)
 
+  /** Shared synthesis for the preference family (q250/q251): every event
+    * row becomes ONE pairwise judgment over a 50-variant candidate pool,
+    * derived from the portable 60-bit md5 stream so both engines replay
+    * the identical corpus — `first` uniform in [0,50), `second` uniform
+    * over the other 49, and the winner drawn by an exact integer
+    * Bradley–Terry law with latent strength `item+1`:
+    * `first` wins iff `md5h(event:pw) mod (first+second+2) < first+1`,
+    * i.e. P(first wins) = (first+1)/(first+second+2). The generating law
+    * IS the model q250 fits, so the fitted ordering must recover the
+    * latent one; the annotator is the event's `user_id` (q251's grain).
+    * No position-vs-strength confound: positions are assigned by
+    * independent hash draws. */
+  private def prefJudgments(s: SparkSession, dir: String): DataFrame = {
+    val e = col("event_id").cast("string")
+    def h(tag: String) = PortableHash.md5Hash60(concat(e, lit(tag)))
+    val a = h(":pa") % 50
+    val b0 = h(":pb") % 49
+    val b = when(b0 >= a, b0 + 1).otherwise(b0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        a.as("first"), b.as("second"), h(":pw").as("wroll"))
+      .select(col("event_id"), col("user_id"), col("first"), col("second"),
+        when(col("wroll") % (col("first") + col("second") + lit(2L))
+               < col("first") + lit(1L),
+          col("first")).otherwise(col("second")).as("winner"))
+  }
+
+  /** Bradley–Terry preference strengths (q250): the RLHF reward-data
+    * face — [[prefJudgments]]'s (winner, loser) rows fitted with
+    * [[graft.operators.Preference.bradleyTerryFixedPoint]] (Hunter-2004
+    * MM recurrence, 5 rounds, integer fixed point at SCALE=1e6 — the
+    * q120 unrolled-fixed-point idiom, so the oracle replays every floor
+    * division exactly). Output `(item, wins, score, rank)`: rank by
+    * fitted strength must track the latent strength `item+1` the
+    * synthesis draws from. The 100 TB posture: the judgment table
+    * aggregates ONCE to |items|-bounded wins and |items|²-bounded pair
+    * tables; the 5 MM rounds iterate over those aggregates only. */
+  private def bradleyTerryQ(s: SparkSession, dir: String): DataFrame = {
+    val j = prefJudgments(s, dir)
+      .select(col("winner"),
+        when(col("winner") === col("first"), col("second"))
+          .otherwise(col("first")).as("loser"))
+    graft.operators.Preference
+      .bradleyTerryFixedPoint(j, "winner", "loser", iterations = 5)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          // bounded domain: one row per ITEM (50-variant pool), not per
+          // judgment — the lit(0) key is the engine's bounded-window
+          // annotation (see Sessions), not a data funnel
+          .partitionBy(lit(0)).orderBy(col("score").desc, col("item")))
+          .cast("long"))
+      .orderBy("rank")
+  }
+
+  /** Annotator quality audit (q251): the rater-triage face of the same
+    * preference corpus — per-annotator agreement with the per-pair
+    * majority verdict (tie → smaller item id) and first-position win
+    * counts, all integer (counts + basis points via floor division), via
+    * [[graft.operators.Preference.annotatorAudit]]. One pass to the
+    * unordered-pair grain (bounded by the 50-variant pool → broadcast
+    * back), one pass to the annotator grain. */
+  private def annotatorAuditQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference
+      .annotatorAudit(prefJudgments(s, dir),
+        "user_id", "first", "second", "winner")
+      .orderBy("annotator")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -5091,7 +5158,9 @@ object SparkEntry {
     "q246_hyperplane_auto" -> (embeddingNearDupAutoQ _),
     "q247_audio_clip_reuse" -> (audioClipReuseQ _),
     "q248_scene_cuts" -> (sceneCutsQ _),
-    "q249_audio_clip_autosig" -> (audioClipReuseAutoQ _)
+    "q249_audio_clip_autosig" -> (audioClipReuseAutoQ _),
+    "q250_bradley_terry" -> (bradleyTerryQ _),
+    "q251_annotator_audit" -> (annotatorAuditQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

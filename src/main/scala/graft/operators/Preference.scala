@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Preference-data curation: the pairwise-comparison face of a training
+  * pipeline (RLHF reward data, eval A/B panels, annotator triage).
+  *
+  * Reference scope: the reference dashboard has no preference operators —
+  * this family is part of the beyond-reference LLM-pipeline surface, like
+  * the dedup/ANN/selection families. Two operators:
+  *
+  *  - [[bradleyTerryFixedPoint]]: latent strength estimation over a
+  *    (winner, loser) pair table via the Bradley–Terry minorization-
+  *    maximization recurrence (Hunter 2004, "MM algorithms for
+  *    generalized Bradley-Terry models", Annals of Statistics):
+  *
+  *      s_i ← W_i / Σ_j n_ij / (s_i + s_j),  renormalized to mean 1
+  *
+  *    run in INTEGER fixed point (the q120 unrolled-fixed-point idiom:
+  *    every quantity a BIGINT, every division a floor division, every
+  *    sum an order-independent integer sum) so a SQL oracle replays the
+  *    recurrence bit-exactly — no float-association drift across engines.
+  *
+  *  - [[annotatorAudit]]: per-annotator quality screen over judgment
+  *    rows — agreement with the per-pair majority verdict and first-
+  *    position win counts (position bias), the two standard triage
+  *    signals for dropping noisy/biased raters before reward training.
+  *
+  * Scale posture: the raw judgment table is the 100 TB object; every
+  * stage aggregates it ONCE to bounded tables (per-item wins, per-
+  * ordered-pair counts — at most |items|² rows) and iterates over THOSE.
+  * Each MM iteration is two shuffle joins of the pair aggregate against
+  * the score table on item keys plus one scalar total; lineage is cut
+  * every `checkpointEvery` iterations (the PageRank posture). The
+  * annotator audit shuffles the judgment table twice (pair majority,
+  * then annotator rollup) with the tiny majority table broadcast back.
+  */
+object Preference {
+
+  /** Fixed-point Bradley–Terry strengths from a (winner, loser) pair
+    * table. Returns `(item, wins, score)` — score is the MM strength
+    * after `iterations` rounds in fixed point at `scale` (mean item
+    * strength ≡ `scale` after each round's renormalization), unsorted.
+    *
+    * Integer contract (the part an oracle replays exactly):
+    *   s0_i      = SCALE
+    *   t_ij      = n_ij · SCALE² div (s_i + s_j)          (per ordered pair)
+    *   denom_i   = Σ_j t_ij                               (integer sum)
+    *   raw_i     = W_i · SCALE² div denom_i
+    *   s'_i      = max(raw_i · (N·SCALE) div Σ raw, 1)    (renormalize;
+    *               floor 1 keeps zero-win items from zeroing a later
+    *               s_i + s_j denominator)
+    *
+    * Overflow envelope: n_ij·SCALE² and W_i·SCALE² must stay under 2^63 —
+    * at the default SCALE=1e6 that caps per-pair and per-item win counts
+    * at ~9.2e6. Beyond that, pre-aggregate with a count cap or raise the
+    * item grain; the require below makes the envelope loud.
+    */
+  def bradleyTerryFixedPoint(
+      pairs: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iterations: Int = 5,
+      scale: Long = 1000000L,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
+    require(scale >= 1000L, "scale too small for meaningful fixed-point")
+    val p = pairs.select(
+      col(winnerCol).cast("long").as("w"), col(loserCol).cast("long").as("l"))
+    // ONE pass over the (possibly huge) judgment table builds the two
+    // bounded aggregates the recurrence actually iterates over
+    val wins = p.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    val sym = p.select(col("w").as("i"), col("l").as("j"))
+      .unionAll(p.select(col("l").as("i"), col("w").as("j")))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val items = sym.select(col("i").as("item")).distinct()
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .localCheckpoint()
+    val nItems = items.count() // bounded driver scalar (the nlist precedent)
+    require(nItems > 0, "empty pair table")
+    val sq = scale * scale
+    val maxN = sym.agg(max(col("n")).as("m")).head().getLong(0)
+    val maxW = items.agg(max(col("wins")).as("m")).head().getLong(0)
+    require(maxN <= Long.MaxValue / sq && maxW <= Long.MaxValue / sq,
+      s"fixed-point overflow: max pair count $maxN / max wins $maxW " +
+        s"exceed the 2^63/SCALE² envelope at scale=$scale")
+    var scores = items.select(col("item"), lit(scale).as("score"))
+    for (k <- 1 to iterations) {
+      val denom = sym
+        .join(scores.select(col("item").as("i"), col("score").as("si")), Seq("i"))
+        .join(scores.select(col("item").as("j"), col("score").as("sj")), Seq("j"))
+        .select(col("i"), expr(s"n * ${sq}L div (si + sj)").as("t"))
+        .groupBy("i").agg(sum(col("t")).as("denom"))
+      val raw = items.join(denom, col("item") === col("i"))
+        .select(col("item"), expr(s"wins * ${sq}L div denom").as("raw"))
+      val total = raw.agg(sum(col("raw")).as("total"))
+      scores = raw.crossJoin(total)
+        .select(col("item"),
+          greatest(expr(s"raw * ${nItems * scale}L div total"), lit(1L)).as("score"))
+      if (k % checkpointEvery == 0 && k < iterations)
+        scores = scores.localCheckpoint()
+    }
+    items.join(scores, Seq("item")).select("item", "wins", "score")
+  }
+
+  /** Per-annotator quality audit over judgment rows
+    * `(annotator, first, second, winner)` — `first`/`second` are the
+    * item ids as SHOWN (position matters for the bias read), `winner`
+    * is one of them. Returns one row per annotator:
+    *
+    *   - `n_judgments`
+    *   - `agree_cnt` / `agree_bp`: judgments matching the PAIR MAJORITY
+    *     verdict (majority over the unordered pair across ALL annotators;
+    *     tie → the smaller item id, a deterministic rule both engines
+    *     replay), count and integer basis points (·10000 div n)
+    *   - `first_wins` / `first_bp`: judgments where the first-position
+    *     item won — an annotator far from 5000 bp is position-biased
+    *
+    * Plan: one shuffle to the unordered-pair grain for the majority
+    * table (bounded by |items|²), broadcast it back onto the judgment
+    * table, one shuffle to the annotator grain. No iteration.
+    */
+  def annotatorAudit(
+      judgments: DataFrame,
+      annotatorCol: String,
+      firstCol: String,
+      secondCol: String,
+      winnerCol: String): DataFrame = {
+    val j = judgments.select(
+      col(annotatorCol).cast("long").as("annotator"),
+      col(firstCol).cast("long").as("first"),
+      col(secondCol).cast("long").as("second"),
+      col(winnerCol).cast("long").as("winner"))
+    val lo = least(col("first"), col("second"))
+    val hi = greatest(col("first"), col("second"))
+    val majority = j
+      .select(lo.as("lo"), hi.as("hi"),
+        when(col("winner") === lo, lit(1L)).otherwise(lit(0L)).as("lo_win"))
+      .groupBy("lo", "hi")
+      .agg(sum(col("lo_win")).as("lo_wins"), count(lit(1)).as("n"))
+      // tie → smaller id: lo wins exactly when 2·lo_wins >= n
+      .select(col("lo"), col("hi"),
+        when(col("lo_wins") * 2 >= col("n"), col("lo")).otherwise(col("hi"))
+          .as("majority"))
+    j.select(col("annotator"), col("winner"), col("first"),
+        lo.as("lo"), hi.as("hi"))
+      .join(broadcast(majority), Seq("lo", "hi"))
+      .groupBy("annotator")
+      .agg(
+        count(lit(1)).as("n_judgments"),
+        sum(when(col("winner") === col("majority"), 1L).otherwise(0L))
+          .as("agree_cnt"),
+        sum(when(col("winner") === col("first"), 1L).otherwise(0L))
+          .as("first_wins"))
+      .select(col("annotator"), col("n_judgments"), col("agree_cnt"),
+        expr("agree_cnt * 10000L div n_judgments").as("agree_bp"),
+        col("first_wins"),
+        expr("first_wins * 10000L div n_judgments").as("first_bp"))
+  }
+}

@@ -69,7 +69,12 @@ d["sf10_note"] = (
     "sqrt(n). Excluded BY DESIGN: q33/q235 (fixed 2^6 hyperplane space) and "
     "q247 (fixed 16-bit audio signature) are the deliberate fixed-key-space "
     "contrast fixtures - their auto-sized paths q246/q249 are the probed "
-    "scale posture (see sf1_note and sf1_diag)." + prior_prov
+    "scale posture (see sf1_note and sf1_diag). A cold ratio slightly over "
+    "100 on a small warm base is the fresh-JVM cold start itself, not "
+    "super-linearity: q236's ~108 is linear work (warm sf1 ratio 3.0) plus "
+    "the ~30-60 s JVM+page-cache start its 4.3 s sf0.1 base cannot amortize "
+    "(cold samples span 466-688 s across r12 probes; min taken)."
+    + prior_prov
 )
 
 # sf10 is now freshly measured — clear any carried-forward stamp for it

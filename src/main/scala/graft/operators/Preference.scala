@@ -68,12 +68,38 @@ object Preference {
     require(scale >= 1000L, "scale too small for meaningful fixed-point")
     val p = pairs.select(
       col(winnerCol).cast("long").as("w"), col(loserCol).cast("long").as("l"))
-    // ONE pass over the (possibly huge) judgment table builds the two
-    // bounded aggregates the recurrence actually iterates over
-    val wins = p.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
-    val sym = p.select(col("w").as("i"), col("l").as("j"))
-      .unionAll(p.select(col("l").as("i"), col("w").as("j")))
-      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+    // ONE pass over the (possibly huge) judgment table builds the bounded
+    // counts grain the recurrence actually consumes
+    bradleyTerryFromCounts(
+      p.groupBy("w", "l").agg(count(lit(1)).as("n")),
+      "w", "l", "n", iterations, scale, checkpointEvery)
+  }
+
+  /** The same fit from a PRE-AGGREGATED (winner, loser, count) table —
+    * the grain an incremental/streaming caller accumulates (per-batch
+    * pair counts add associatively, so a fit over summed counts is
+    * bit-identical to the batch fit over the raw judgments; see
+    * [[graft.streaming.PreferenceStream]]). Duplicate (winner, loser)
+    * rows are summed here, so callers may append per-batch drops
+    * without pre-merging. */
+  def bradleyTerryFromCounts(
+      counts: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      nCol: String,
+      iterations: Int = 5,
+      scale: Long = 1000000L,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
+    require(scale >= 1000L, "scale too small for meaningful fixed-point")
+    val c = counts.select(
+        col(winnerCol).cast("long").as("w"), col(loserCol).cast("long").as("l"),
+        col(nCol).cast("long").as("cn"))
+      .groupBy("w", "l").agg(sum(col("cn")).as("cn"))
+    val wins = c.groupBy(col("w").as("item")).agg(sum(col("cn")).as("wins"))
+    val sym = c.select(col("w").as("i"), col("l").as("j"), col("cn"))
+      .unionAll(c.select(col("l").as("i"), col("w").as("j"), col("cn")))
+      .groupBy("i", "j").agg(sum(col("cn")).as("n"))
       .localCheckpoint()
     val items = sym.select(col("i").as("item")).distinct()
       .join(wins, Seq("item"), "left")

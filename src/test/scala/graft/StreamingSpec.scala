@@ -838,4 +838,46 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Int, Double)].collect().toSet == oneShot,
       "replayed batch moved the replicate means")
   }
+
+  test("streaming bradley-terry: counts store fit equals the batch fit under any batching") {
+    import graft.streaming.PreferenceStream
+    val base = Files.createTempDirectory("graft-prefstream").toString
+    // the q250 generative law in miniature: md5-drawn pairs over 8 items,
+    // latent strength item+1
+    val rows = (0L until 600L).map { e =>
+      def h(tag: String) =
+        graft.functions.PortableHash.md5Hash60Local(s"$e$tag")
+      val a = h(":a") % 8
+      val b0 = h(":b") % 7
+      val b = if (b0 >= a) b0 + 1 else b0
+      if (h(":w") % (a + b + 2) < a + 1) (a, b) else (b, a)
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = PreferenceStream.writer(
+      input.toDF().toDF("winner", "loser"),
+      s"$base/store", s"$base/ckpt", "winner", "loser",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // arbitrary uneven batching, shuffled order — pair counts add
+    // associatively, so the fit must not care
+    for (batch <- rows.reverse.grouped(171).toSeq.reverse) {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = PreferenceStream.strengths(spark, s"$base/store")
+      .as[(Long, Long, Long)].collect().toSet
+    val batchFit = graft.operators.Preference.bradleyTerryFixedPoint(
+        rows.toDF("winner", "loser"), "winner", "loser")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batchFit && batchFit.size == 8,
+      s"streamed=$streamed batch=$batchFit")
+    // restart-resume posture: a second fit straight off the store parquet
+    // (no stream state) reads the same answer
+    assert(PreferenceStream.strengths(spark, s"$base/store")
+      .as[(Long, Long, Long)].collect().toSet == batchFit)
+  }
 }

@@ -363,7 +363,7 @@ object Bench {
       "q245_resize_robust_dedup", "q246_hyperplane_auto",
       "q247_audio_clip_reuse", "q248_scene_cuts",
       "q249_audio_clip_autosig", "q250_bradley_terry",
-      "q251_annotator_audit")
+      "q251_annotator_audit", "q252_pref_calibration")
     // sf1 per-query budget estimate: 3 samples x base x (worst observed
     // 10x ratio ~10, so x10) + overhead. Unknown-base queries get a flat
     // conservative guess.

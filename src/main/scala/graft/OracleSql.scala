@@ -1626,13 +1626,13 @@ private[graft] object OracleSql {
   private def prefJudgmentCtes: String = {
     def h(tag: String) =
       PortableHash.md5Hash60Sql(s"CAST(event_id AS VARCHAR) || '$tag'")
-    s"""ab AS (
+    s"""ab AS MATERIALIZED (
        |  SELECT event_id, user_id,
        |    ${h(":pa")} % 50 AS a,
        |    ${h(":pb")} % 49 AS b0,
        |    ${h(":pw")} AS wroll
        |  FROM events),
-       |jd AS (
+       |jd AS MATERIALIZED (
        |  SELECT event_id, user_id, a AS fa,
        |    CASE WHEN b0 >= a THEN b0 + 1 ELSE b0 END AS fb,
        |    CASE WHEN wroll % (a + (CASE WHEN b0 >= a THEN b0 + 1 ELSE b0 END) + 2)
@@ -1647,46 +1647,83 @@ private[graft] object OracleSql {
     * to HUGEINT; Spark stays Long), renormalized to mean SCALE with a
     * floor of 1 each round, exactly [[graft.operators.Preference
     * .bradleyTerryFixedPoint]]'s contract. */
-  private def bradleyTerryOracleSql: String = {
+  /** The full BT fit chain as CTEs — judgment synthesis through the 5
+    * unrolled MM rounds, ending in `s5(item, score)` (plus `it`, `jd`
+    * for downstream reuse). ONE copy feeds both the q250 fit readout
+    * and the q252 calibration that scores judgments against the fit
+    * (the aHashPairAlgebraCtes lesson: a recurrence constant hand-
+    * duplicated across oracles silently diverges). */
+  private def btChainCtes: String = {
     val iters = (1 to 5).map { k =>
       val prev = s"s${k - 1}"
-      s"""d$k AS (
+      s"""d$k AS MATERIALIZED (
          |  SELECT sym.i AS item,
          |    CAST(SUM(sym.n * 1000000000000 // (si.score + sj.score)) AS BIGINT)
          |      AS denom
          |  FROM sym JOIN $prev si ON si.item = sym.i
          |  JOIN $prev sj ON sj.item = sym.j
          |  GROUP BY 1),
-         |r$k AS (
+         |r$k AS MATERIALIZED (
          |  SELECT it.item, it.wins * 1000000000000 // d$k.denom AS raw
          |  FROM it JOIN d$k ON d$k.item = it.item),
          |t$k AS (SELECT CAST(SUM(raw) AS BIGINT) AS total FROM r$k),
-         |s$k AS (
+         |s$k AS MATERIALIZED (
          |  SELECT item, GREATEST(raw * (nn.n * 1000000) // t$k.total, 1) AS score
          |  FROM r$k, t$k, nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $prefJudgmentCtes,
-       |pl AS (
+    s"""$prefJudgmentCtes,
+       |pl AS MATERIALIZED (
        |  SELECT winner AS w, CASE WHEN winner = fa THEN fb ELSE fa END AS l
        |  FROM jd),
-       |wins AS (SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS wins
+       |wins AS MATERIALIZED (SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS wins
        |         FROM pl GROUP BY 1),
-       |sym AS (
+       |sym AS MATERIALIZED (
        |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM (
        |    SELECT w AS i, l AS j FROM pl UNION ALL SELECT l, w FROM pl)
        |  GROUP BY 1, 2),
-       |it AS (
+       |it AS MATERIALIZED (
        |  SELECT items.item, COALESCE(wins.wins, 0) AS wins
        |  FROM (SELECT DISTINCT i AS item FROM sym) items
        |  LEFT JOIN wins ON wins.item = items.item),
        |nn AS (SELECT COUNT(*) AS n FROM it),
-       |s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS score FROM it),
-       |$iters
+       |s0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) AS score FROM it),
+       |$iters""".stripMargin
+  }
+
+  private def bradleyTerryOracleSql: String =
+    s"""WITH $btChainCtes
        |SELECT it.item, it.wins, s5.score,
        |  ROW_NUMBER() OVER (ORDER BY s5.score DESC, it.item) AS rank
        |FROM it JOIN s5 ON s5.item = it.item
        |ORDER BY rank""".stripMargin
-  }
+
+  /** q252 oracle: the shared BT chain scored back onto the judgments —
+    * predicted lo-win ppm per pair from s5, 10 predicted-probability
+    * buckets, observed vs mean-predicted basis points, all floor
+    * division. */
+  private def prefCalibrationOracleSql: String =
+    s"""WITH $btChainCtes,
+       |cal AS (
+       |  SELECT LEAST(fa, fb) AS lo, GREATEST(fa, fb) AS hi,
+       |    CASE WHEN winner = LEAST(fa, fb) THEN 1 ELSE 0 END AS lo_win
+       |  FROM jd),
+       |pp AS (
+       |  SELECT cal.lo_win,
+       |    slo.score * 1000000 // (slo.score + shi.score) AS ppm
+       |  FROM cal JOIN s5 slo ON slo.item = cal.lo
+       |  JOIN s5 shi ON shi.item = cal.hi),
+       |b AS (
+       |  SELECT ppm * 10 // 1000000 AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_judgments,
+       |    CAST(SUM(lo_win) AS BIGINT) AS lo_wins,
+       |    CAST(SUM(ppm) AS BIGINT) AS sum_ppm
+       |  FROM pp GROUP BY 1)
+       |SELECT bucket, n_judgments, lo_wins,
+       |  lo_wins * 10000 // n_judgments AS obs_bp,
+       |  sum_ppm * 10000 // (n_judgments * 1000000) AS avg_pred_bp,
+       |  ABS(lo_wins * 10000 // n_judgments
+       |      - sum_ppm * 10000 // (n_judgments * 1000000)) AS gap_bp
+       |FROM b ORDER BY bucket""".stripMargin
 
   /** q251 oracle: pair-majority verdicts (tie → smaller id) joined back
     * onto the judgment rows, per-annotator counts and floor-division
@@ -2377,6 +2414,7 @@ private[graft] object OracleSql {
     "q249_audio_clip_autosig" -> audioClipAutoSigOracleSql,
     "q250_bradley_terry" -> bradleyTerryOracleSql,
     "q251_annotator_audit" -> annotatorAuditOracleSql,
+    "q252_pref_calibration" -> prefCalibrationOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

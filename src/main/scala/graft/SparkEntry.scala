@@ -4909,6 +4909,28 @@ object SparkEntry {
         "user_id", "first", "second", "winner")
       .orderBy("annotator")
 
+  /** Preference-model calibration (q252): the reliability diagram over
+    * the q250 fit — every judgment scored with the model's predicted
+    * win probability for its pair's smaller item id, bucketed into 10
+    * predicted-probability bins, observed lo-win rate vs mean predicted
+    * per bin ([[graft.operators.Preference.calibrationCurve]], all
+    * integer fixed point / basis points). Because the synthesis draws
+    * winners from the exact BT law the fit estimates, the curve must
+    * track the diagonal up to sampling noise — a large per-bin gap
+    * localizes misfit (or rater noise) in a real corpus. The oracle
+    * replays the shared BT chain (`btChainCtes`) and the same bucket
+    * algebra. */
+  private def prefCalibrationQ(s: SparkSession, dir: String): DataFrame = {
+    val j = prefJudgments(s, dir)
+      .select(col("winner"),
+        when(col("winner") === col("first"), col("second"))
+          .otherwise(col("first")).as("loser"))
+    val fit = graft.operators.Preference
+      .bradleyTerryFixedPoint(j, "winner", "loser", iterations = 5)
+    graft.operators.Preference
+      .calibrationCurve(j, "winner", "loser", fit.select("item", "score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -5160,7 +5182,8 @@ object SparkEntry {
     "q248_scene_cuts" -> (sceneCutsQ _),
     "q249_audio_clip_autosig" -> (audioClipReuseAutoQ _),
     "q250_bradley_terry" -> (bradleyTerryQ _),
-    "q251_annotator_audit" -> (annotatorAuditQ _)
+    "q251_annotator_audit" -> (annotatorAuditQ _),
+    "q252_pref_calibration" -> (prefCalibrationQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

@@ -132,6 +132,57 @@ object Preference {
     items.join(scores, Seq("item")).select("item", "wins", "score")
   }
 
+  /** Reliability diagram for a fitted Bradley–Terry model (the q161
+    * gate-calibration analog for preference data): each judgment is
+    * scored with the model's predicted win probability for the SMALLER
+    * item id of its pair (a deterministic orientation — predicting "the
+    * winner's" probability would be 1 by construction),
+    *
+    *   ppm = s_lo · SCALE div (s_lo + s_hi)        (fixed point, < SCALE)
+    *
+    * bucketed into `buckets` predicted-probability bins, and compared
+    * with the observed lo-win rate per bin — a well-calibrated fit has
+    * `obs_bp ≈ avg_pred_bp` in every bin; a large `gap_bp` in some bin
+    * localizes where the model (or the raters) disagree with the data.
+    * All integer: counts, floor-division basis points, ppm sums.
+    *
+    * Plan: two broadcast joins of the judgment table against the
+    * bounded strengths table, then one partial-aggregated shuffle to
+    * `buckets` keys. Returns one row per non-empty bucket:
+    * `(bucket, n_judgments, lo_wins, obs_bp, avg_pred_bp, gap_bp)`. */
+  def calibrationCurve(
+      judgments: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      strengths: DataFrame,
+      scale: Long = 1000000L,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, "buckets in [2, 1000]")
+    val j = judgments.select(
+      col(winnerCol).cast("long").as("w"), col(loserCol).cast("long").as("l"))
+    val s = strengths.select(col("item"), col("score"))
+    val scored = j
+      .select(least(col("w"), col("l")).as("lo"),
+        greatest(col("w"), col("l")).as("hi"),
+        when(col("w") < col("l"), lit(1L)).otherwise(lit(0L)).as("lo_win"))
+      .join(broadcast(s.select(col("item").as("lo"), col("score").as("slo"))),
+        Seq("lo"))
+      .join(broadcast(s.select(col("item").as("hi"), col("score").as("shi"))),
+        Seq("hi"))
+      .select(col("lo_win"), expr(s"slo * ${scale}L div (slo + shi)").as("ppm"))
+    scored
+      .groupBy(expr(s"ppm * ${buckets}L div ${scale}L").as("bucket"))
+      .agg(count(lit(1)).as("n_judgments"),
+        sum(col("lo_win")).as("lo_wins"),
+        sum(col("ppm")).as("sum_ppm"))
+      .select(col("bucket"), col("n_judgments"), col("lo_wins"),
+        expr("lo_wins * 10000L div n_judgments").as("obs_bp"),
+        expr(s"sum_ppm * 10000L div (n_judgments * ${scale}L)").as("avg_pred_bp"),
+        expr(s"abs(lo_wins * 10000L div n_judgments - " +
+          s"sum_ppm * 10000L div (n_judgments * ${scale}L))").as("gap_bp"))
+      .orderBy("bucket")
+  }
+
   /** Per-annotator quality audit over judgment rows
     * `(annotator, first, second, winner)` — `first`/`second` are the
     * item ids as SHOWN (position matters for the bias read), `winner`

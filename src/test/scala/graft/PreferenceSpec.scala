@@ -90,6 +90,47 @@ class PreferenceSpec extends SparkSpec {
     assert(got(1) == ((20L, 2L, 0L, 0L, 1L, 5000L)))
   }
 
+  test("calibration curve: hand-checkable bucket algebra") {
+    // fixed strengths (no fit): item 0 at 0.75, item 1 at 0.25 → every
+    // (0,1) judgment predicts lo-win ppm 750000 → bucket 7; feed 3 wins
+    // for 0 and 1 for 1 → observed 7500 bp, perfectly calibrated
+    val strengths = Seq((0L, 750000L), (1L, 250000L)).toDF("item", "score")
+    val j = Seq((0L, 1L), (0L, 1L), (0L, 1L), (1L, 0L)).toDF("winner", "loser")
+    val got = Preference.calibrationCurve(j, "winner", "loser", strengths)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((7L, 4L, 3L, 7500L, 7500L, 0L)))
+  }
+
+  test("calibration curve: the BT-law corpus tracks the diagonal") {
+    // fit + score the same md5-law corpus the recovery test uses: the
+    // generating law IS the fitted model family, so the reliability
+    // curve must hug the diagonal — judgment-weighted mean |gap| small,
+    // and every bucket's predicted mean inside its own bin edges
+    val k = 10L
+    val rows = (0L until 4000L).map { e =>
+      def h(tag: String) =
+        graft.functions.PortableHash.md5Hash60Local(s"$e$tag")
+      val a = h(":a") % k
+      val b0 = h(":b") % (k - 1)
+      val b = if (b0 >= a) b0 + 1 else b0
+      if (h(":w") % (a + b + 2) < a + 1) (a, b) else (b, a)
+    }
+    val j = rows.toDF("winner", "loser")
+    val fit = Preference.bradleyTerryFixedPoint(j, "winner", "loser")
+    val got = Preference
+      .calibrationCurve(j, "winner", "loser", fit.select("item", "score"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.forall(r => r._1 >= 0 && r._1 <= 9))
+    got.foreach { case (bucket, _, _, obs, pred, gap) =>
+      assert(pred >= bucket * 1000 && pred < (bucket + 1) * 1000,
+        s"bucket $bucket mean prediction $pred outside its bin")
+      assert(gap == math.abs(obs - pred))
+    }
+    val n = got.map(_._2).sum
+    val wgap = got.map(r => r._6 * r._2).sum / n
+    assert(wgap <= 700, s"judgment-weighted mean |gap| $wgap bp off-diagonal")
+  }
+
   test("q250/q251 builders run at sf0.001 with exact integer outputs") {
     val bt = SparkEntry.queries("q250_bradley_terry")(
       spark, "/root/testdata/sf0.001").collect()

@@ -729,4 +729,25 @@ class PlanAuditSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("q252 calibration: strengths broadcast onto the judgment scan, bucket agg partial") {
+    // the judgment table is the 100 TB object; the fitted strengths table
+    // is |items|-bounded and explicitly broadcast (twice: lo and hi side),
+    // and the 10-key bucket rollup must combine map-side before its
+    // exchange — a plain shuffle of per-judgment rows to 10 keys is the
+    // classic skew bomb
+    val p = planString("q252_pref_calibration")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "lo+hi strength lookups must both broadcast:\n" + p.take(2000))
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "bucket rollup must partial-aggregate map-side:\n" + p.take(2000))
+  }
+
+  test("q251 audit: the bounded pair-majority table broadcasts back onto judgments") {
+    val p = planString("q251_annotator_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      "majority table must broadcast:\n" + p.take(2000))
+    assert(p.contains("partial_count"),
+      "annotator rollup must partial-aggregate:\n" + p.take(2000))
+  }
 }

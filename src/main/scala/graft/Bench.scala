@@ -863,7 +863,27 @@ object Bench {
           }
         val mediaSf1 = mediaPointAt(sf1Dir, "sf1", 240)
         val mediaSf10 = mediaPointAt(sf10Dir, "sf10", 600)
-        pipeJson = s""","pipeline":{"sec":$t,"docs_in":${rs.flatMap(_.stages.headOption.map(_.rowsIn)).sum},"curated":$curated,"media_sec":$tm,"media_in":$mediaIn,"media_curated":$mediaKept$mediaSf1$mediaSf10,"note":"sec = 2 incremental text batches + epoch sharding over documents; media_sec = 2 incremental media batches (decode -> perceptual fingerprint -> band-store probe -> manifest drop) over the image corpus; media_sec_sf1/_sf10 = the same 2-batch media job on the 10x/100x replica's image corpus (ratio ~10/~100 = linear in decoded assets; the sf0.1 denominator is mostly fixed job overhead at 1,667 images, so the honest slope is the sf1->sf10 marginal: (media_sec_sf10-media_sec_sf1)/(media_in_sf10-media_in_sf1))"}"""
+        // preference face: the judgment corpus (one judgment per event)
+        // through counts-grain ingest -> annotator screen -> BT fit, two
+        // batches under the same manifest contract
+        val judg = graft.SparkEntry.prefJudgments(spark, sfDir)
+          .withColumnRenamed("user_id", "annotator")
+        val tmpP = java.nio.file.Files.createTempDirectory("graft-bench-pipe-pref").toString
+        val cfgPr = graft.pipeline.CurationPipeline.Config(baseDir = tmpP)
+        val t0pr = System.nanoTime()
+        val ps = Seq(
+          graft.pipeline.CurationPipeline.runPreferenceBatch(
+            spark, judg.filter(col("event_id") % 2 === 0), "b1", cfgPr),
+          graft.pipeline.CurationPipeline.runPreferenceBatch(
+            spark, judg.filter(col("event_id") % 2 === 1), "b2", cfgPr))
+        val tpr = (System.nanoTime() - t0pr) / 1e9
+        for (r <- ps)
+          System.err.println(s"[bench] pref pipeline ${r.batchId}: " +
+            r.stages.map(s => s"${s.stage} ${s.rowsIn}->${s.rowsOut}").mkString(", "))
+        val prefIn = ps.flatMap(_.stages.headOption.map(_.rowsIn)).sum
+        val prefItems = ps.lastOption.flatMap(_.stages.lastOption.map(_.rowsOut)).getOrElse(0L)
+        System.err.println(f"[bench] pref pipeline end-to-end t=$tpr%.3f items=$prefItems")
+        pipeJson = s""","pipeline":{"sec":$t,"docs_in":${rs.flatMap(_.stages.headOption.map(_.rowsIn)).sum},"curated":$curated,"media_sec":$tm,"media_in":$mediaIn,"media_curated":$mediaKept$mediaSf1$mediaSf10,"pref_sec":$tpr,"pref_in":$prefIn,"pref_items":$prefItems,"note":"sec = 2 incremental text batches + epoch sharding over documents; media_sec = 2 incremental media batches (decode -> perceptual fingerprint -> band-store probe -> manifest drop) over the image corpus; media_sec_sf1/_sf10 = the same 2-batch media job on the 10x/100x replica's image corpus (ratio ~10/~100 = linear in decoded assets; the sf0.1 denominator is mostly fixed job overhead at 1,667 images, so the honest slope is the sf1->sf10 marginal: (media_sec_sf10-media_sec_sf1)/(media_in_sf10-media_in_sf1)); pref_sec = 2 incremental preference batches (judgment firehose -> counts grain on arrival -> annotator screen vs pair majority -> Bradley-Terry fit) over one judgment per event"}"""
         carriedSections -= "pipeline"
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline failed: ${e.getMessage}")

@@ -4854,7 +4854,7 @@ object SparkEntry {
     * latent one; the annotator is the event's `user_id` (q251's grain).
     * No position-vs-strength confound: positions are assigned by
     * independent hash draws. */
-  private def prefJudgments(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def prefJudgments(s: SparkSession, dir: String): DataFrame = {
     val e = col("event_id").cast("string")
     def h(tag: String) = PortableHash.md5Hash60(concat(e, lit(tag)))
     val a = h(":pa") % 50

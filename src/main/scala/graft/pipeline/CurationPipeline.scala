@@ -78,7 +78,12 @@ object CurationPipeline {
       decontaminationN: Int = 3,
       decontaminationOverlap: Double = 0.5,
       coverageVocabPath: Option[String] = None,
-      minCoverage: Double = 0.5)
+      minCoverage: Double = 0.5,
+      // preference face: annotators with >= minAnnotatorJudgments rows
+      // and majority-agreement below minAnnotatorAgreeBp basis points
+      // are screened out of the strength fit
+      minAnnotatorAgreeBp: Long = 6000L,
+      minAnnotatorJudgments: Long = 5L)
 
   /** One row per pipeline stage: how many documents entered and survived. */
   final case class StageCount(stage: String, rowsIn: Long, rowsOut: Long)
@@ -478,6 +483,136 @@ object CurationPipeline {
         .toDF("idx", "stage", "rows_in", "rows_out"),
       s"${cfg.baseDir}/media_manifests", batchId)
     Seq(hashes, fresh, newBand, kept).foreach(_.unpersist(blocking = false))
+    BatchReport(batchId, skipped = false, manifest)
+  }
+
+  /** The PREFERENCE face: incremental curation of pairwise human-judgment
+    * drops (RLHF reward data) under the same batch contract as the text
+    * and media faces — batch-owned `batch=<id>/` store partitions,
+    * manifest written LAST as the commit marker (a committed batch is
+    * skipped; an uncommitted crash replays byte-identically because every
+    * write is a partition overwrite derived from the delivered rows).
+    * Judgment columns: `(annotator, first, second, winner)` — positions
+    * as shown, winner one of them.
+    *
+    * 100 TB posture: the judgment firehose is aggregated ON ARRIVAL to
+    * the `(annotator, lo, hi, lo_win)` counts grain and never re-read —
+    * the store is bounded by annotators × pairs, not judgments, and every
+    * downstream readout (pair majority, annotator agreement, the
+    * Bradley–Terry fit over screened annotators) is derivable from those
+    * counts exactly (they add associatively, the
+    * [[graft.streaming.PreferenceStream]] argument).
+    *
+    * Exactly-once contract: STABLE BATCH IDS. A replayed batch id
+    * overwrites its own partitions (idempotent); the counts grain carries
+    * no judgment ids, so a source that re-delivers the same judgments
+    * under a NEW batch id double-counts them — unlike the media face,
+    * which dedups re-deliveries by asset id against the store. That is
+    * the price of never persisting the judgment grain; callers with an
+    * unstable-id source should key batches by source offset ranges.
+    *
+    * Stages: `pref_counts` (judgments → counts-grain rows),
+    * `annotator_screen` (annotators seen → annotators kept: agreement vs
+    * the CURRENT corpus-wide pair majority, tie → smaller id; annotators
+    * under `cfg.minAnnotatorJudgments` rows keep — insufficient
+    * evidence), `bt_fit` (kept-annotator judgment mass → items fitted).
+    * The fit snapshot lands in `pref_strengths/batch=<id>` (the newest
+    * committed partition is the current model). */
+  def runPreferenceBatch(
+      spark: SparkSession,
+      judgments: DataFrame,
+      batchId: String,
+      cfg: Config): BatchReport = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '='),
+      s"batchId must be a plain directory token: '$batchId'")
+    val manifestDir = s"${cfg.baseDir}/pref_manifests/batch=$batchId"
+    if (exists(spark, manifestDir)) {
+      val m = spark.read.parquet(manifestDir)
+        .orderBy("idx").select("stage", "rows_in", "rows_out")
+        .collect().map(r => StageCount(r.getString(0), r.getLong(1), r.getLong(2)))
+      return BatchReport(batchId, skipped = true, m.toSeq)
+    }
+    val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    val j = judgments.select(
+      col("annotator").cast("long").as("annotator"),
+      col("first").cast("long").as("fa"),
+      col("second").cast("long").as("fb"),
+      col("winner").cast("long").as("winner"))
+    val nIn = j.count()
+
+    // 1. judgment grain -> counts grain, once, on arrival
+    val batchCounts = j
+      .select(col("annotator"),
+        least(col("fa"), col("fb")).as("lo"),
+        greatest(col("fa"), col("fb")).as("hi"),
+        when(col("winner") === least(col("fa"), col("fb")), lit(1L))
+          .otherwise(lit(0L)).as("lo_win"))
+      .groupBy("annotator", "lo", "hi", "lo_win")
+      .agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nCountRows = batchCounts.count()
+    counts += StageCount("pref_counts", nIn, nCountRows)
+    val countsRoot = s"${cfg.baseDir}/stores/pref_counts"
+    writeBatchDir(batchCounts, countsRoot, batchId)
+
+    // 2. annotator screen against the WHOLE store (this batch included —
+    //    its partition is already down, and a crash replay overwrites it
+    //    with identical bytes)
+    val store = spark.read.parquet(countsRoot).drop("batch")
+      .groupBy("annotator", "lo", "hi", "lo_win").agg(sum(col("n")).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val majority = store.groupBy("lo", "hi")
+      .agg(sum(when(col("lo_win") === 1L, col("n")).otherwise(0L)).as("lo_wins"),
+        sum(col("n")).as("tot"))
+      .select(col("lo"), col("hi"),
+        when(col("lo_wins") * 2 >= col("tot"), col("lo")).otherwise(col("hi"))
+          .as("majority"))
+    val perAnnotator = store
+      .join(broadcast(majority), Seq("lo", "hi"))
+      .withColumn("w", when(col("lo_win") === 1L, col("lo")).otherwise(col("hi")))
+      .groupBy("annotator")
+      .agg(sum(col("n")).as("nj"),
+        sum(when(col("w") === col("majority"), col("n")).otherwise(0L))
+          .as("agree"))
+    val kept = perAnnotator
+      .filter(col("nj") < cfg.minAnnotatorJudgments ||
+        expr("agree * 10000L div nj") >= cfg.minAnnotatorAgreeBp)
+      .select("annotator")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAnnotators = perAnnotator.count()
+    val nKeptAnnotators = kept.count()
+    counts += StageCount("annotator_screen", nAnnotators, nKeptAnnotators)
+
+    // 3. BT fit over the kept annotators' counts (bounded aggregates in,
+    //    |items| rows out)
+    val fitCounts = store.join(kept, Seq("annotator"))
+      .select(
+        when(col("lo_win") === 1L, col("lo")).otherwise(col("hi")).as("w"),
+        when(col("lo_win") === 1L, col("hi")).otherwise(col("lo")).as("l"),
+        col("n"))
+    val fitMass = fitCounts.agg(coalesce(sum(col("n")), lit(0L)).as("m"))
+      .head().getLong(0)
+    val strengths = (if (fitMass == 0L)
+      // every annotator screened (or an empty drop): an empty fit, not a
+      // crash — the manifest still commits the batch
+      fitCounts.select(col("w").as("item"), col("n").as("wins"),
+        col("n").as("score")).limit(0)
+    else graft.operators.Preference
+      .bradleyTerryFromCounts(fitCounts, "w", "l", "n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nItems = strengths.count()
+    counts += StageCount("bt_fit", fitMass, nItems)
+    writeBatchDir(strengths, s"${cfg.baseDir}/pref_strengths", batchId)
+
+    // 4. manifest LAST — the commit marker
+    val manifest = counts.toSeq
+    import spark.implicits._
+    writeBatchDir(
+      manifest.zipWithIndex
+        .map { case (s, i) => (i, s.stage, s.rowsIn, s.rowsOut) }
+        .toDF("idx", "stage", "rows_in", "rows_out"),
+      s"${cfg.baseDir}/pref_manifests", batchId)
+    Seq(batchCounts, store, kept, strengths).foreach(_.unpersist(blocking = false))
     BatchReport(batchId, skipped = false, manifest)
   }
 

@@ -482,6 +482,32 @@ object Bench {
           diag(s"q246_max_occ_${tagKey(tag)}") = st.getLong(2).toString
         }
       }
+      // q250 (Bradley-Terry): the fit's sub-linear ratio is BY
+      // CONSTRUCTION — the judgment table aggregates once to wins/pair
+      // tables bounded by the item pool, and the MM rounds iterate over
+      // those only. The diag pins the boundedness from the artifact:
+      // judgments grow 10x while the ordered-pair row count and item
+      // count stay FLAT (only the per-pair counts, max_n, grow ~10x).
+      if (r1.exists(_._1 == "q250_bradley_terry")) {
+        for ((tag, d) <- Seq("sf0.1" -> sfDir, "sf1" -> sf1Dir)) {
+          import org.apache.spark.sql.functions.{col => c, count => cnt, countDistinct, lit => l, max => mx, sum => sm, when => wh}
+          val j = graft.SparkEntry.prefJudgments(spark, d)
+            .select(c("winner"),
+              wh(c("winner") === c("first"), c("second"))
+                .otherwise(c("first")).as("loser"))
+          val st = j.groupBy("winner", "loser").agg(cnt(l(1)).as("n"))
+            .agg(sm(c("n")).as("judgments"), cnt(l(1)).as("pair_rows"),
+              mx(c("n")).as("max_n"), countDistinct(c("winner")).as("items"))
+            .collect().head
+          System.err.println(
+            s"[bench] q250 grain $tag: judgments=${st.getLong(0)} " +
+              s"pair_rows=${st.getLong(1)} max_n=${st.getLong(2)} " +
+              s"items=${st.getLong(3)}")
+          diag(s"q250_judgments_${tagKey(tag)}") = st.getLong(0).toString
+          diag(s"q250_pair_rows_${tagKey(tag)}") = st.getLong(1).toString
+          diag(s"q250_max_n_${tagKey(tag)}") = st.getLong(2).toString
+        }
+      }
       // q233 (dual perceptual hash): the pixel law is block-scaled
       // (Multimodal.mediaBlock — each 1M-id block, i.e. each ScaleGen
       // copy, carries its own pixel-law class), so the replica grows the

@@ -4921,10 +4921,14 @@ object SparkEntry {
     * replays the shared BT chain (`btChainCtes`) and the same bucket
     * algebra. */
   private def prefCalibrationQ(s: SparkSession, dir: String): DataFrame = {
+    // one events scan: the fit aggregates j once and the scoring pass
+    // reads it again — materialize the synthesized judgments instead of
+    // replaying the md5 draws per consumer
     val j = prefJudgments(s, dir)
       .select(col("winner"),
         when(col("winner") === col("first"), col("second"))
           .otherwise(col("first")).as("loser"))
+      .localCheckpoint()
     val fit = graft.operators.Preference
       .bradleyTerryFixedPoint(j, "winner", "loser", iterations = 5)
     graft.operators.Preference

@@ -363,7 +363,8 @@ object Bench {
       "q245_resize_robust_dedup", "q246_hyperplane_auto",
       "q247_audio_clip_reuse", "q248_scene_cuts",
       "q249_audio_clip_autosig", "q250_bradley_terry",
-      "q251_annotator_audit", "q252_pref_calibration")
+      "q251_annotator_audit", "q252_pref_calibration",
+      "q253_ivf_index_store")
     // sf1 per-query budget estimate: 3 samples x base x (worst observed
     // 10x ratio ~10, so x10) + overhead. Unknown-base queries get a flat
     // conservative guess.

@@ -1755,6 +1755,37 @@ private[graft] object OracleSql {
        |  first_wins, first_wins * 10000 // n_judgments AS first_bp
        |FROM base ORDER BY annotator""".stripMargin
 
+  /** q17/q253 oracle: head-init codebook, nearest-centroid assignment,
+    * nprobe-4 probe, per-query cosine top-5 — rank-only output. q253 is
+    * the STORE-SERVED twin (the persisted incremental index must answer
+    * exactly what the batch rebuild answers), so one replay serves both
+    * registry rows. */
+  private val cosineIvfOracleSql: String =
+    """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cent
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |corpus_assign AS (
+        |  SELECT e.vec_id AS nid, e.embedding AS vec, c.cent_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
+        |  FROM embeddings e, cents c),
+        |bucketed AS (SELECT nid, vec, cent_id AS bucket FROM corpus_assign WHERE r = 1),
+        |probes AS (
+        |  SELECT qid, qv, bucket FROM (
+        |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cent_id AS bucket,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
+        |    FROM embeddings e, cents c WHERE e.vec_id < 10) t
+        |  WHERE r <= 4),
+        |scored AS (
+        |  SELECT p.qid, b.nid, list_cosine_similarity(p.qv, b.vec) AS cos
+        |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket AND p.qid <> b.nid)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q209_pca_power" ->
       s"""WITH $pcaChainSql
@@ -2415,6 +2446,7 @@ private[graft] object OracleSql {
     "q250_bradley_terry" -> bradleyTerryOracleSql,
     "q251_annotator_audit" -> annotatorAuditOracleSql,
     "q252_pref_calibration" -> prefCalibrationOracleSql,
+    "q253_ivf_index_store" -> cosineIvfOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)
@@ -5862,31 +5894,7 @@ private[graft] object OracleSql {
         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
         |  FROM pairs) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "q17_cosine_ivf" ->
-      """WITH cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cent
-        |  FROM embeddings ORDER BY vec_id LIMIT 16),
-        |corpus_assign AS (
-        |  SELECT e.vec_id AS nid, e.embedding AS vec, c.cent_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
-        |  FROM embeddings e, cents c),
-        |bucketed AS (SELECT nid, vec, cent_id AS bucket FROM corpus_assign WHERE r = 1),
-        |probes AS (
-        |  SELECT qid, qv, bucket FROM (
-        |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cent_id AS bucket,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |             ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS r
-        |    FROM embeddings e, cents c WHERE e.vec_id < 10) t
-        |  WHERE r <= 4),
-        |scored AS (
-        |  SELECT p.qid, b.nid, list_cosine_similarity(p.qv, b.vec) AS cos
-        |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket AND p.qid <> b.nid)
-        |SELECT query_id, neighbor_id, rank FROM (
-        |  SELECT qid AS query_id, nid AS neighbor_id,
-        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q17_cosine_ivf" -> cosineIvfOracleSql,
     "q29_narrative_rollup" -> narrativeOracleSql,
     "q42_repetition_stats" ->
       """WITH toks AS (

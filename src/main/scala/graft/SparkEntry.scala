@@ -4935,6 +4935,35 @@ object SparkEntry {
       .calibrationCurve(j, "winner", "loser", fit.select("item", "score"))
   }
 
+  /** IVF index store, served (q253): q17's exact query answered from the
+    * PERSISTED incremental index ([[graft.streaming.IvfIndexStream]]) —
+    * frozen head-init codebook, corpus ingested in two batches into
+    * `postings/batch=<id>/bucket=<b>/` partitions, then probed. The
+    * store-served answer must equal the batch rebuild bit-for-bit
+    * (assignment is a pure function of the frozen centroids), so the
+    * oracle is q17's replay verbatim; what this row adds over q17 is
+    * driver-oracled evidence that the INDEX PERSISTENCE path (partition
+    * layout, bucket pruning, re-delivery guard) serves unchanged
+    * answers. Builder side effect: a fresh temp directory per call
+    * holds the store. */
+  private def ivfIndexStoreQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-ivf-store").toString
+    graft.streaming.IvfIndexStream.buildCodebook(
+      emb, store, "vec_id", "embedding", nlist = 16)
+    graft.streaming.IvfIndexStream.processBatch(store, "vec_id", "embedding")(
+      emb.filter(col("vec_id") % 2 === 0), 0L)
+    graft.streaming.IvfIndexStream.processBatch(store, "vec_id", "embedding")(
+      emb.filter(col("vec_id") % 2 === 1), 1L)
+    graft.streaming.IvfIndexStream.query(
+        s, store, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -5187,7 +5216,8 @@ object SparkEntry {
     "q249_audio_clip_autosig" -> (audioClipReuseAutoQ _),
     "q250_bradley_terry" -> (bradleyTerryQ _),
     "q251_annotator_audit" -> (annotatorAuditQ _),
-    "q252_pref_calibration" -> (prefCalibrationQ _)
+    "q252_pref_calibration" -> (prefCalibrationQ _),
+    "q253_ivf_index_store" -> (ivfIndexStoreQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

@@ -194,7 +194,7 @@ object Similarity {
   /** Query-side probe buckets: the `nprobe` nearest centroids per query row,
     * via sort of the (negated-cos, cent_id) struct array — on the small query
     * side only; the corpus is never windowed. */
-  private def probeBuckets(
+  private[graft] def probeBuckets(
       spark: org.apache.spark.sql.SparkSession,
       vec: Column,
       centroids: Seq[(Int, Seq[Float])],

@@ -839,6 +839,49 @@ class StreamingSpec extends SparkSpec {
       "replayed batch moved the replicate means")
   }
 
+  test("ivf index store: streamed ingest + probe equals the batch rebuild; re-delivery drops") {
+    import graft.streaming.IvfIndexStream
+    val base = Files.createTempDirectory("graft-ivfstream").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    IvfIndexStream.buildCodebook(emb, base, "vec_id", "embedding", nlist = 8)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = IvfIndexStream.writer(
+      input.toDF().toDF("vec_id", "embedding"),
+      base, s"$base/ckpt", "vec_id", "embedding",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    // uneven batches, shuffled order, and a RE-DELIVERY: the third drop
+    // repeats rows the first already shipped — the id guard must drop
+    // them (an index serving duplicates double-counts neighbors)
+    val (d1, d2) = rows.reverse.splitAt(rows.length / 3)
+    for (batch <- Seq(d1, d2, d1.take(5))) {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // exactly-once at the asset grain despite the re-delivered drop
+    assert(spark.read.parquet(s"$base/postings").select("id").distinct().count()
+      == rows.length)
+    assert(spark.read.parquet(s"$base/postings").count() == rows.length)
+
+    val queries = emb.filter(col("vec_id") < 8L)
+    val served = IvfIndexStream.query(
+        spark, base, queries, "vec_id", "embedding", k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val batchAnswer = graft.operators.Similarity.ivfTopK(
+        emb, queries, "vec_id", "embedding", k = 5,
+        centroids = IvfIndexStream.codebook(spark, base), nprobe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served == batchAnswer && batchAnswer.nonEmpty,
+      s"served=${served.size} batch=${batchAnswer.size}")
+  }
+
   test("streaming bradley-terry: counts store fit equals the batch fit under any batching") {
     import graft.streaming.PreferenceStream
     val base = Files.createTempDirectory("graft-prefstream").toString

@@ -1755,6 +1755,201 @@ private[graft] object OracleSql {
        |  first_wins, first_wins * 10000 // n_judgments AS first_bp
        |FROM base ORDER BY annotator""".stripMargin
 
+  /** q254 oracle: the GRPO group-advantage algebra replayed — 16-wide
+    * prompt groups from event_id, per-group exact Long sums, isqrt as
+    * corrected floor(sqrt) (the q137 idiom), every signed division in
+    * sign-magnitude form so `//` == Spark's `div` on the non-negative
+    * magnitude. */
+  private def grpoAdvantageOracleSql: String = {
+    def h(tag: String) =
+      PortableHash.md5Hash60Sql(s"CAST(event_id AS VARCHAR) || '$tag'")
+    s"""WITH r AS MATERIALIZED (
+       |  SELECT CAST(event_id AS BIGINT) AS id,
+       |    CAST(event_id AS BIGINT) // 16 AS grp,
+       |    (CAST(event_id AS BIGINT) // 16) % 7 * 200
+       |      + ${h(":rw")} % 1000 AS reward
+       |  FROM events),
+       |st AS MATERIALIZED (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(reward) AS BIGINT) AS sr,
+       |    CAST(SUM(reward * reward) AS BIGINT) AS sr2
+       |  FROM r GROUP BY 1),
+       |v AS (
+       |  SELECT r.id, r.grp, r.reward, st.n, st.sr,
+       |    st.n * st.sr2 - st.sr * st.sr AS var_num
+       |  FROM r JOIN st ON st.grp = r.grp),
+       |sq AS (
+       |  SELECT id, grp, reward, n, sr,
+       |    var_num * 1000000 // (n * n) AS x,
+       |    CAST(floor(sqrt(CAST(var_num * 1000000 // (n * n) AS DOUBLE)))
+       |      AS BIGINT) AS s0
+       |  FROM v),
+       |sc AS (
+       |  SELECT id, grp, reward, n, sr, x,
+       |    CASE WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS s1
+       |  FROM sq),
+       |sd AS (
+       |  SELECT id, grp, reward, n, sr,
+       |    CASE WHEN (s1 + 1) * (s1 + 1) <= x THEN s1 + 1 ELSE s1 END
+       |      AS std_milli
+       |  FROM sc)
+       |SELECT id, grp, reward, n AS grp_n,
+       |  CASE WHEN sr < 0 THEN -(ABS(sr) * 1000000 // n)
+       |       ELSE sr * 1000000 // n END AS mean_fp,
+       |  std_milli,
+       |  CASE WHEN reward * n - sr < 0
+       |    THEN -(ABS(reward * n - sr) * 1000000000
+       |           // (n * GREATEST(std_milli, 1)))
+       |    ELSE (reward * n - sr) * 1000000000
+       |         // (n * GREATEST(std_milli, 1)) END AS adv_fp
+       |FROM sd ORDER BY id""".stripMargin
+  }
+
+  /** q255 oracle: the hard-sigmoid logistic fit unrolled — q41's feature
+    * fragments floored into [0,100], the linear label law, 5 GD rounds
+    * each one aggregate (weights as one-row CTEs, the q120/q250 unrolled-
+    * fixed-point idiom, sign-magnitude divisions throughout), then the
+    * reliability-decile readout. iterations/lrDen match the builder
+    * (single source for both constants below). */
+  private def qualityLrOracleSql: String = {
+    val iterN = 12  // LOCKSTEP with SparkEntry.qualityLrQ's iterations
+    val lrDen = 5   // LOCKSTEP with SparkEntry.qualityLrQ's lrDen
+    val stop = Seq("the", "a", "and", "of")
+    val zExpr = (w: String) =>
+      s"$w.b + $w.w1 * fy.x1 + $w.w2 * fy.x2 + $w.w3 * fy.x3 + $w.w4 * fy.x4"
+    val pOfZ =
+      """GREATEST(0, LEAST(1000000, 500000 +
+        |      CASE WHEN z < 0 THEN -(ABS(z) // 4) ELSE z // 4 END))""".stripMargin
+    def step(g: String) =
+      s"CASE WHEN $g < 0 THEN -(ABS($g) // (g.n * $lrDen)) " +
+        s"ELSE $g // (g.n * $lrDen) END"
+    val iters = (1 to iterN).map { k =>
+      val w = s"w${k - 1}"
+      s"""z$k AS (
+         |  SELECT fy.y, fy.x1, fy.x2, fy.x3, fy.x4,
+         |    ${zExpr("w")} AS z
+         |  FROM fc fy, $w w),
+         |p$k AS (
+         |  SELECT y, x1, x2, x3, x4,
+         |    y * 1000000 - $pOfZ AS resid
+         |  FROM z$k),
+         |g$k AS (
+         |  SELECT CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS n,
+         |    CAST(SUM(resid) AS BIGINT) AS g0,
+         |    CAST(SUM(x1 * resid) AS BIGINT) AS g1,
+         |    CAST(SUM(x2 * resid) AS BIGINT) AS g2,
+         |    CAST(SUM(x3 * resid) AS BIGINT) AS g3,
+         |    CAST(SUM(x4 * resid) AS BIGINT) AS g4
+         |  FROM p$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.b + ${step("g.g0")} AS b,
+         |    w.w1 + ${step("g.g1")} AS w1,
+         |    w.w2 + ${step("g.g2")} AS w2,
+         |    w.w3 + ${step("g.g3")} AS w3,
+         |    w.w4 + ${step("g.g4")} AS w4
+         |  FROM $w w, g$k g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fr AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+       |      AS n_nonspace,
+       |    CAST(${qHits(stop)} AS BIGINT) AS stop_hits,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |      AS BIGINT) AS n_digits
+       |  FROM documents),
+       |fx AS (
+       |  SELECT doc_id,
+       |    LEAST(n_tokens, 500) // 5 AS x1,
+       |    stop_hits * 100 // GREATEST(n_tokens, 1) AS x2,
+       |    n_digits * 100 // GREATEST(n_chars, 1) AS x3,
+       |    LEAST(n_nonspace // GREATEST(n_tokens, 1), 100) AS x4
+       |  FROM fr),
+       |fy AS MATERIALIZED (
+       |  SELECT doc_id, x1, x2, x3, x4,
+       |    CASE WHEN ${PortableHash.md5Hash60Sql(
+      "CAST(doc_id AS VARCHAR) || ':ql'")} % 200 <
+       |      GREATEST(0, LEAST(200, 15 * (x1 + x2) - 120))
+       |    THEN 1 ELSE 0 END AS y
+       |  FROM fx),
+       |mn AS (
+       |  SELECT CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS n,
+       |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+       |    CAST(SUM(x3) AS BIGINT) AS s3, CAST(SUM(x4) AS BIGINT) AS s4
+       |  FROM fy),
+       |fc AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    x1 - mn.s1 // mn.n AS x1, x2 - mn.s2 // mn.n AS x2,
+       |    x3 - mn.s3 // mn.n AS x3, x4 - mn.s4 // mn.n AS x4
+       |  FROM fy, mn),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1,
+       |       CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+       |       CAST(0 AS BIGINT) AS w4),
+       |$iters,
+       |zs AS (SELECT fy.y, ${zExpr("w")} AS z FROM fc fy, w$iterN w),
+       |ps AS (SELECT y, $pOfZ AS p FROM zs),
+       |d AS (
+       |  SELECT LEAST(p * 10 // 1000000, 9) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS positives,
+       |    CAST(SUM(p) AS BIGINT) AS sum_p
+       |  FROM ps GROUP BY 1)
+       |SELECT bucket, n, positives,
+       |  positives * 10000 // n AS pos_bp,
+       |  sum_p * 10000 // (n * 1000000) AS avg_pred_bp
+       |FROM d ORDER BY bucket""".stripMargin
+  }
+
+  /** q256 oracle: the linearized DoReMi multiplicative-weights rounds
+    * unrolled over the bounded domain aggregate — uniform ppm start,
+    * mixture-weighted baseline, clamped factor, renormalize-with-floor,
+    * exactly [[graft.operators.Mixing.excessLossMixPpm]]'s Long
+    * sequence (sorted-domain iteration order is irrelevant: every round
+    * is a set-wise map + two order-independent integer sums). */
+  private def doremiMixOracleSql: String = {
+    def h(expr: String) = PortableHash.md5Hash60Sql(expr)
+    val rounds = (1 to 5).map { k =>
+      val prev = s"a${k - 1}"
+      s"""b$k AS (
+         |  SELECT CAST(SUM(p.a * me.me) AS BIGINT)
+         |    // GREATEST(CAST(SUM(p.a) AS BIGINT), 1) AS bl
+         |  FROM $prev p JOIN me ON me.domain = p.domain),
+         |f$k AS (
+         |  SELECT p.domain,
+         |    p.a * GREATEST(10000, LEAST(2000000,
+         |      1000000 + CASE WHEN me.me - b$k.bl < 0
+         |        THEN -(ABS(me.me - b$k.bl) // 10000)
+         |        ELSE (me.me - b$k.bl) // 10000 END)) // 1000000 AS a
+         |  FROM $prev p JOIN me ON me.domain = p.domain, b$k),
+         |s$k AS (SELECT GREATEST(CAST(SUM(a) AS BIGINT), 1) AS t FROM f$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT domain, GREATEST(a * 1000000 // t, 1) AS a
+         |  FROM f$k, s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pd AS (
+       |  SELECT lang AS domain,
+       |    ${h("lang || ':base'")} % 2000 + 800
+       |      + ${h("CAST(doc_id AS VARCHAR) || ':ls'")} % 400 AS loss,
+       |    1500 + ${h("CAST(doc_id AS VARCHAR) || ':lr'")} % 400 AS ref
+       |  FROM documents),
+       |ag AS (
+       |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(GREATEST(loss - ref, 0)) AS BIGINT) AS se
+       |  FROM pd GROUP BY 1),
+       |me AS MATERIALIZED (
+       |  SELECT domain, n, se * 1000000 // GREATEST(n, 1) AS me FROM ag),
+       |dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM me),
+       |a0 AS (SELECT domain, 1000000 // dc.c AS a FROM me, dc),
+       |$rounds
+       |SELECT me.domain, me.n AS n_docs, me.me AS mean_excess_fp,
+       |  a5.a AS weight_ppm,
+       |  ROW_NUMBER() OVER (ORDER BY a5.a DESC, me.domain) AS rank
+       |FROM me JOIN a5 ON a5.domain = me.domain
+       |ORDER BY me.domain""".stripMargin
+  }
+
   /** q17/q253 oracle: head-init codebook, nearest-centroid assignment,
     * nprobe-4 probe, per-query cosine top-5 — rank-only output. q253 is
     * the STORE-SERVED twin (the persisted incremental index must answer
@@ -2447,6 +2642,9 @@ private[graft] object OracleSql {
     "q251_annotator_audit" -> annotatorAuditOracleSql,
     "q252_pref_calibration" -> prefCalibrationOracleSql,
     "q253_ivf_index_store" -> cosineIvfOracleSql,
+    "q254_grpo_advantage" -> grpoAdvantageOracleSql,
+    "q255_quality_lr" -> qualityLrOracleSql,
+    "q256_doremi_mix" -> doremiMixOracleSql,
     // q67's bucket-assignment replay + integer distances + core-4 +
     // mutual-reachability weights, then per-threshold components by
     // recursive reachability (the q219 no-forest differential)

@@ -4964,6 +4964,106 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** GRPO group-relative advantage (q254): the critic-free RLHF advantage
+    * (Shao et al. 2024) over a synthesized completion corpus — every
+    * event is one sampled completion; its prompt group is
+    * `event_id div 16` (16 completions per prompt — groups stay BOUNDED
+    * as the corpus grows: more prompts, never bigger groups), and the
+    * reward law is a per-group base (`(grp mod 7)·200`, the shared
+    * prompt-difficulty term the advantage must strip) plus a portable
+    * md5 noise draw. [[graft.operators.Preference.groupAdvantage]]
+    * normalizes within groups in exact integer arithmetic (isqrt std,
+    * sign-magnitude floor divisions), so per-group advantages sum to
+    * ~0 and the base term cancels — the oracle replays every division.
+    * One shuffle to the group key; no stats join, no second scan. */
+  private def grpoAdvantageQ(s: SparkSession, dir: String): DataFrame = {
+    val e = col("event_id").cast("string")
+    val rewards = Tables.events(s, dir).select(
+      col("event_id").cast("long").as("event_id"),
+      expr("CAST(event_id AS BIGINT) div 16").as("grp"),
+      (expr("CAST(event_id AS BIGINT) div 16") % 7 * 200 +
+        PortableHash.md5Hash60(concat(e, lit(":rw"))) % 1000).as("reward"))
+    graft.operators.Preference
+      .groupAdvantage(rewards, "grp", "event_id", "reward")
+      .orderBy("id")
+  }
+
+  /** Model-based quality filter, trained in-engine (q255): the fastText-
+    * style learned gate of GPT-3/LLaMA data pipelines as a Spark-native
+    * op — four integer quality features per document (length, stopword
+    * bp, digit bp, mean token length, each floored into [0,100]), a
+    * label drawn from a LINEAR probability law over those features (the
+    * hard-sigmoid LR's own model family, so the fit must recover it),
+    * 5 full-batch fixed-point GD rounds
+    * ([[graft.operators.QualityModel.trainHardSigmoidLr]] — each round
+    * ONE map-side-combined aggregate to a single row, weights travel
+    * back as codegen literals), then the reliability-decile readout over
+    * the scored corpus. The output pins the whole chain: any weight
+    * change moves the buckets. */
+  private def qualityLrQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokenCount(col("text"))
+    val stopHits = TF.stopwordHits(col("text"), Seq("the", "a", "and", "of"))
+    val raw = documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      toks.as("n_tokens"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+        .as("n_nonspace"),
+      stopHits.as("stop_hits"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+        .as("n_digits"))
+    val xs = raw.select(
+      col("doc_id"),
+      expr("least(n_tokens, 500L) div 5").as("xs1"),
+      expr("stop_hits * 100L div greatest(n_tokens, 1L)").as("xs2"),
+      expr("n_digits * 100L div greatest(n_chars, 1L)").as("xs3"),
+      least(expr("n_nonspace div greatest(n_tokens, 1L)"), lit(100L)).as("xs4"))
+    // label law: P(y=1) = clamp(15·(xs1+xs2) − 120, 0, 200)/200 — LINEAR
+    // in the features (the hard-sigmoid LR's own model family, steep
+    // enough that 12 rounds recover it: fitted weights land on +xs1/+xs2
+    // with xs3/xs4 ~ 0 and the deciles track the diagonal)
+    val lbl = xs.withColumn("y",
+      when(PortableHash.md5Hash60(concat(col("doc_id").cast("string"),
+            lit(":ql"))) % 200 <
+          greatest(lit(0L), least(lit(200L),
+            (col("xs1") + col("xs2")) * 15 - 120)),
+        lit(1L)).otherwise(lit(0L)))
+      .localCheckpoint()
+    val fcols = Seq("xs1", "xs2", "xs3", "xs4")
+    // centering is load-bearing: see QualityModel.centerFeatures
+    val (centered, _) = graft.operators.QualityModel.centerFeatures(lbl, fcols)
+    val w = graft.operators.QualityModel.trainHardSigmoidLr(
+      centered, "y", fcols, iterations = 12, lrDen = 5L)
+    graft.operators.QualityModel.reliabilityDeciles(
+      graft.operators.QualityModel.scoreHardSigmoid(centered, fcols, w), "y")
+  }
+
+  /** DoReMi-style domain reweighting (q256): the data-mixture
+    * optimization face (Xie et al. 2023) — per-document proxy and
+    * reference losses drawn from portable md5 laws (a per-LANGUAGE base
+    * term makes domains genuinely differ in excess loss; the clamp-at-0
+    * excess zeroes the easy domains exactly as DoReMi's Group-DRO
+    * objective does), aggregated ONCE to the bounded domain grain, then
+    * 5 linearized multiplicative-weights rounds in ppm fixed point with
+    * the baseline recomputed under the moving mixture
+    * ([[graft.operators.Mixing.excessLossMixPpm]]). High-excess
+    * domains end up-weighted, capped by the clamp; the oracle unrolls
+    * the identical integer rounds. */
+  private def doremiMixQ(s: SparkSession, dir: String): DataFrame = {
+    val doc = col("doc_id").cast("string")
+    val perDoc = documents(s, dir).select(
+      col("lang"),
+      (PortableHash.md5Hash60(concat(col("lang"), lit(":base"))) % 2000 +
+        lit(800L) +
+        PortableHash.md5Hash60(concat(doc, lit(":ls"))) % 400).as("loss"),
+      (lit(1500L) +
+        PortableHash.md5Hash60(concat(doc, lit(":lr"))) % 400).as("ref"))
+    graft.operators.Mixing
+      .excessLossMixPpm(perDoc, "lang", "loss", "ref")
+      .orderBy("domain")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_pivot" -> (pricingPivot _),
     "q02_region_revenue" -> (regionRevenue _),
@@ -5217,7 +5317,10 @@ object SparkEntry {
     "q250_bradley_terry" -> (bradleyTerryQ _),
     "q251_annotator_audit" -> (annotatorAuditQ _),
     "q252_pref_calibration" -> (prefCalibrationQ _),
-    "q253_ivf_index_store" -> (ivfIndexStoreQ _)
+    "q253_ivf_index_store" -> (ivfIndexStoreQ _),
+    "q254_grpo_advantage" -> (grpoAdvantageQ _),
+    "q255_quality_lr" -> (qualityLrQ _),
+    "q256_doremi_mix" -> (doremiMixQ _)
   )
 
   /** For each `queries` key, equivalent DuckDB SQL — see [[OracleSql]]

@@ -106,6 +106,92 @@ object Mixing {
       .filter(pmod(PH.md5Hash60(col(idCol)), lit(Ppm)) < col("rate_ppm"))
   }
 
+  /** DoReMi-style excess-loss mixture reweighting (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining", the Group-DRO update of §3 step 2): domains whose
+    * proxy loss exceeds a reference loss get UP-weighted, multiplicative-
+    * weights style, with the baseline recomputed under the moving mixture
+    * each round — linearized to integer arithmetic so any engine replays
+    * it (exp(η·excess) → 1 + η·excess, the standard small-step surrogate).
+    *
+    * Per-document inputs: a proxy loss and a reference loss (both Long).
+    * ONE pass aggregates to the bounded domain grain
+    * (n_d, Σ max(loss−ref, 0)); `rounds` driver-side iterations over that
+    * |domains|-sized table then run, in ppm fixed point:
+    *
+    *   me_d       = Σexcess_d·SCALE div n_d          (mean excess, ≥ 0)
+    *   α_0,d      = SCALE div D                      (uniform ppm start)
+    *   baseline_t = Σ_d α_t,d·me_d div Σ_d α_t,d     (mixture-weighted)
+    *   factor_d   = clamp(SCALE + sign·(|me_d − baseline_t| div etaDen),
+    *                      SCALE div 100, 2·SCALE)
+    *   α'_d       = α_t,d·factor_d div SCALE
+    *   α_{t+1,d}  = max(α'_d·SCALE div Σα', 1)       (renormalize)
+    *
+    * Every division sees non-negative operands (sign outside); iteration
+    * order is the sorted domain list, so the unrolled SQL oracle replays
+    * the identical Long sequence. Fixed point of the update: α uniform ⇔
+    * all me_d equal; otherwise weight flows monotonically toward high-
+    * excess domains, capped by the clamp.
+    *
+    * Scale shape: the per-document table is the 100 TB object and is
+    * touched EXACTLY once (map-side-combined aggregate to |domains|
+    * rows); the iteration is driver arithmetic on that bounded table
+    * (the sqrtTemperatureWeightsPpm / k-means-centroid precedent).
+    * Returns one row per domain:
+    * `(domain, n_docs, mean_excess_fp, weight_ppm, rank)` — rank 1 =
+    * most up-weighted (ties → domain asc). */
+  def excessLossMixPpm(
+      perDoc: DataFrame,
+      domainCol: String,
+      lossCol: String,
+      refCol: String,
+      rounds: Int = 5,
+      etaDen: Long = 10000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, "rounds in [1, 50]")
+    require(etaDen >= 1L, "etaDen >= 1")
+    val spark = perDoc.sparkSession
+    val agg = perDoc
+      .select(col(domainCol).cast("string").as("domain"),
+        greatest(col(lossCol).cast("long") - col(refCol).cast("long"), lit(0L))
+          .as("excess"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n"), sum(col("excess")).as("se"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(agg.nonEmpty, "no domains")
+    val d = agg.length
+    val me = agg.map { case (_, n, se) => se * Ppm / math.max(n, 1L) }
+    // overflow envelope: α stays ≤ 2·Ppm = 2e6 mid-round, so α·me must
+    // fit 2^63 → me (mean excess in ppm fixed point) ≤ 4.6e12, i.e. a
+    // raw mean excess of ~4.6e6 loss units
+    require(me.forall(_ <= 4600000000000L),
+      s"excessLossMixPpm envelope: mean excess fp ${me.max} exceeds the " +
+        "α·me 2^63 bound (raw mean excess ~4.6e6)")
+    var alpha = Array.fill(d)(Ppm / d)
+    for (_ <- 1 to rounds) {
+      val asum = math.max(alpha.sum, 1L)
+      val wsum = alpha.zip(me).map { case (a, m) => a * m }.sum
+      val baseline = wsum / asum
+      val next = alpha.zip(me).map { case (a, m) =>
+        val delta = m - baseline
+        val adj = math.abs(delta) / etaDen
+        val factor0 = Ppm + (if (delta < 0) -adj else adj)
+        val factor = math.max(Ppm / 100, math.min(2 * Ppm, factor0))
+        a * factor / Ppm
+      }
+      val nsum = math.max(next.sum, 1L)
+      alpha = next.map(a => math.max(a * Ppm / nsum, 1L))
+    }
+    val ranked = agg.indices
+      .sortBy(i => (-alpha(i), agg(i)._1))
+      .zipWithIndex.map { case (i, r) => (i, (r + 1).toLong) }.toMap
+    import spark.implicits._
+    agg.indices.map { i =>
+      (agg(i)._1, agg(i)._2, me(i), alpha(i), ranked(i))
+    }.toSeq.toDF("domain", "n_docs", "mean_excess_fp", "weight_ppm", "rank")
+  }
+
   /** Uniform-share mix: every source targets `budgetTokens / nSources`
     * tokens (weights = 1e6 / nSources ppm each, floor division — replay
     * this exact arithmetic in oracles). */

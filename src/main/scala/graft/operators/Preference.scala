@@ -38,6 +38,82 @@ import org.apache.spark.sql.functions._
   */
 object Preference {
 
+  /** Exact integer floor-sqrt as a COLUMN (the per-row twin of
+    * [[Mixing.isqrt]]): floor(sqrt(double)) plus a one-step correction in
+    * each direction. The double error for any x < 2^63 is far below 1
+    * (|sqrt(x̂)−sqrt(x)| ≤ sqrt(x)·2^-52 ≈ 7e-7 at the top of the range),
+    * so the ±1 correction makes the result exact over the full Long
+    * domain — an oracle replays the identical three-step expression. */
+  private[graft] def isqrtCol(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val s1 = when(s0 * s0 > x, s0 - 1).otherwise(s0)
+    when((s1 + 1) * (s1 + 1) <= x, s1 + 1).otherwise(s1)
+  }
+
+  /** GRPO-style group-relative reward normalization (Shao et al. 2024,
+    * "DeepSeekMath", §4: advantage = (r − mean(group)) / std(group) over
+    * the completions sharing one prompt — the critic-free advantage every
+    * group-sampled RLHF batch computes before the policy update). All
+    * integer, oracle-replayable:
+    *
+    *   n, Σr, Σr²   per group (exact Long sums)
+    *   mean_fp      = sign·(|Σr|·SCALE div n)                (SCALE=1e6)
+    *   var_num      = n·Σr² − (Σr)²                          (≥ 0 exact)
+    *   std_milli    = isqrt(var_num·MILLI² div n²)           (MILLI=1e3;
+    *                  std in 1e-3 reward units)
+    *   adv_fp       = sign·(|r·n − Σr|·MILLI·SCALE
+    *                        div (n·max(std_milli, 1)))
+    *
+    * Every division sees non-negative operands (sign carried outside, the
+    * KMeans posture), so `div` == `//` across engines. Overflow envelope:
+    * (n_g·max|r|)²·MILLI² must stay under 2^63 → max|r|·max n_g ≤ 3e6,
+    * checked loudly with one bounded aggregate (the BT-fit precedent).
+    *
+    * Scale posture: groups are prompt-sized (tens of completions), so ONE
+    * hash shuffle to the group key computes the three window sums and the
+    * per-row advantage in the same exchange — no stats join, no second
+    * scan, no driver state. Returns the input grain plus
+    * `(grp_n, mean_fp, std_milli, adv_fp)`. */
+  def groupAdvantage(
+      rewards: DataFrame,
+      groupCol: String,
+      idCol: String,
+      rewardCol: String): DataFrame = {
+    val scale = 1000000L
+    val milli = 1000L
+    val df = rewards.select(
+      col(idCol).cast("long").as("id"),
+      col(groupCol).cast("long").as("grp"),
+      col(rewardCol).cast("long").as("reward"))
+    val env = df.groupBy("grp")
+      .agg(count(lit(1)).as("n"), max(abs(col("reward"))).as("m"))
+      .agg(max(expr("n * m")).as("nm")).head()
+    require(env.isNullAt(0) || env.getLong(0) <= 3000000L,
+      s"groupAdvantage overflow envelope: max(group n · max|reward|) = " +
+        s"${env.getLong(0)} exceeds 3e6 (var_num·MILLI² must fit 2^63)")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val stats = df
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .withColumn("sum_r", sum(col("reward")).over(w))
+      .withColumn("sum_r2", sum(col("reward") * col("reward")).over(w))
+    stats
+      .withColumn("mean_fp",
+        when(col("sum_r") < 0,
+          -expr(s"abs(sum_r) * ${scale}L div grp_n"))
+          .otherwise(expr(s"sum_r * ${scale}L div grp_n")))
+      .withColumn("var_num",
+        col("grp_n") * col("sum_r2") - col("sum_r") * col("sum_r"))
+      .withColumn("std_milli",
+        isqrtCol(expr(s"var_num * ${milli * milli}L div (grp_n * grp_n)")))
+      .withColumn("adv_fp",
+        when(col("reward") * col("grp_n") - col("sum_r") < 0,
+          -expr(s"abs(reward * grp_n - sum_r) * ${milli * scale}L " +
+            s"div (grp_n * greatest(std_milli, 1L))"))
+          .otherwise(expr(s"(reward * grp_n - sum_r) * ${milli * scale}L " +
+            s"div (grp_n * greatest(std_milli, 1L))")))
+      .select("id", "grp", "reward", "grp_n", "mean_fp", "std_milli", "adv_fp")
+  }
+
   /** Fixed-point Bradley–Terry strengths from a (winner, loser) pair
     * table. Returns `(item, wins, score)` — score is the MM strength
     * after `iterations` rounds in fixed point at `scale` (mean item

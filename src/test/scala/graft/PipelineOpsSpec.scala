@@ -91,6 +91,47 @@ class PipelineOpsSpec extends SparkSpec {
     share.values.foreach(t => assert(math.abs(t - 2000L) <= 400L, share.toString))
   }
 
+  test("doremi mix: excess-loss domains gain weight, zero-excess domains shed it") {
+    import graft.operators.Mixing
+    // domain a: loss 100 over ref everywhere; b: exactly at ref; c: under
+    // ref (clamped to 0 excess — must tie b in weight, never go negative)
+    val rows = (1L to 300L).map { i =>
+      val d = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      val (loss, ref) = d match {
+        case "a" => (1100L, 1000L)
+        case "b" => (1000L, 1000L)
+        case _   => (900L, 1000L)
+      }
+      (d, loss, ref)
+    }
+    val got = Mixing.excessLossMixPpm(
+        rows.toDF("domain", "loss", "ref"), "domain", "loss", "ref")
+      .orderBy("domain")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c"))
+    val byD = got.map(g => g._1 -> g).toMap
+    assert(byD("a")._3 == 100000000L, "mean excess fp = 100·1e6")
+    assert(byD("b")._3 == 0L && byD("c")._3 == 0L, "clamped excess")
+    assert(byD("a")._4 > byD("b")._4, "excess domain must be up-weighted")
+    assert(byD("b")._4 == byD("c")._4, "identical excess → identical weight")
+    assert(byD("a")._5 == 1L, "rank 1 = most up-weighted")
+    // weights stay a distribution: ppm sum within renorm floor slack
+    val s = got.map(_._4).sum
+    assert(s >= 999990L && s <= 1000010L, s"ppm sum $s")
+  }
+
+  test("doremi mix: uniform excess is a fixed point") {
+    import graft.operators.Mixing
+    val rows = (1L to 100L).map { i =>
+      (if (i % 2 == 0) "x" else "y", 1500L, 1000L) }
+    val got = Mixing.excessLossMixPpm(
+        rows.toDF("domain", "loss", "ref"), "domain", "loss", "ref")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.map(_._4).distinct.length == 1,
+      s"equal excess must keep the uniform mixture: ${got.toSeq}")
+    assert(got.forall(_._4 == 500000L))
+  }
+
   test("incremental exact dedup: only first-ever-seen fingerprints survive") {
     val store = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
     val batch = Seq(

@@ -131,6 +131,78 @@ class PreferenceSpec extends SparkSpec {
     assert(wgap <= 700, s"judgment-weighted mean |gap| $wgap bp off-diagonal")
   }
 
+  test("group advantage: hand-checkable stats and sign-magnitude algebra") {
+    // group 0: rewards (10, 20, 30) → mean 20, var 200/3 = 66⅔,
+    // std = 8.164965…, std_milli = isqrt(66666666) = 8164.
+    val r = Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 0L, 30L))
+      .toDF("id", "grp", "reward")
+    val got = Preference.groupAdvantage(r, "grp", "id", "reward")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._4).forall(_ == 3L))
+    assert(got.map(_._5).forall(_ == 20000000L), "mean_fp = 60e6 div 3")
+    // var_num = 3·1400 − 60² = 600; x = 600e6 div 9 = 66666666;
+    // isqrt → 8164 (8164² = 66650896 ≤ x < 8165²)
+    assert(got.map(_._6).forall(_ == 8164L), s"std_milli: ${got.toSeq}")
+    // adv = (r·n − Σr)·1e9 div (n·std_milli): r=10 → −30·1e9 div 24492
+    val advs = got.map(_._7)
+    assert(advs(0) == -(30L * 1000000000L / (3L * 8164L)))
+    assert(advs(1) == 0L)
+    assert(advs(2) == 30L * 1000000000L / (3L * 8164L))
+    assert(advs(0) == -advs(2), "symmetric rewards → antisymmetric advantage")
+  }
+
+  test("group advantage: constant group has std 0 and zero advantages") {
+    val r = Seq((1L, 5L, 42L), (2L, 5L, 42L)).toDF("id", "grp", "reward")
+    val got = Preference.groupAdvantage(r, "grp", "id", "reward")
+      .orderBy("id").as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.forall(g => g._6 == 0L && g._7 == 0L))
+    assert(got.forall(_._5 == 42000000L))
+  }
+
+  test("group advantage: negative rewards keep floor-division parity") {
+    // group of (-10, 10): mean 0, var 100, std_milli = 10000,
+    // adv = ±(20·1e9 div 20000) = ±1000000 — and the NEGATIVE branch
+    // must divide the magnitude (floor toward zero), not floor-divide
+    // the signed numerator
+    val r = Seq((1L, 0L, -10L), (2L, 0L, 10L)).toDF("id", "grp", "reward")
+    val got = Preference.groupAdvantage(r, "grp", "id", "reward")
+      .orderBy("id").as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._6).forall(_ == 10000L))
+    assert(got.map(_._7).toSeq == Seq(-1000000L, 1000000L))
+  }
+
+  test("group advantage: overflow envelope is loud") {
+    val r = Seq((1L, 0L, 4000000L), (2L, 0L, 1L)).toDF("id", "grp", "reward")
+    val e = intercept[IllegalArgumentException] {
+      Preference.groupAdvantage(r, "grp", "id", "reward").collect()
+    }
+    assert(e.getMessage.contains("envelope"))
+  }
+
+  test("q254 builder: advantages strip the group base and sum to ~0") {
+    val adv = SparkEntry.queries("q254_grpo_advantage")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(adv.nonEmpty)
+    // per-group advantage sums stay within floor-division slack of 0
+    val byGrp = adv.groupBy(_.getLong(1))
+    byGrp.values.foreach { rows =>
+      val s = rows.map(_.getLong(6)).sum
+      assert(math.abs(s) <= rows.length.toLong,
+        s"group advantage sum $s exceeds floor slack for n=${rows.length}")
+    }
+    // the (grp mod 7)·200 base term is invisible in advantages: the
+    // advantage spread is driven by the md5 noise, not the base — check
+    // means of groups in different base classes stay comparable
+    val cls = byGrp.toSeq.groupBy(_._1 % 7).map { case (k, gs) =>
+      k -> gs.flatMap(_._2.map(_.getLong(6))).map(_.abs).sum /
+        math.max(gs.map(_._2.length).sum, 1)
+    }
+    val vals = cls.values.toSeq
+    assert(vals.max < vals.min * 2,
+      s"per-class mean |adv| should be base-invariant: $cls")
+  }
+
   test("q250/q251 builders run at sf0.001 with exact integer outputs") {
     val bt = SparkEntry.queries("q250_bradley_terry")(
       spark, "/root/testdata/sf0.001").collect()

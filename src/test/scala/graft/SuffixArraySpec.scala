@@ -76,6 +76,39 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == want && want.values.exists(_ > 0))
   }
 
+  test("maxDupSubstring: r12 internals — heavy ties across partitions, " +
+      "unique-rank early exit, identical-to-end tails") {
+    // One shared token flooding every doc forces rank-0 key groups to span
+    // many partitions (the scanRanks boundary-merge path); docs 20/21 are
+    // identical END-TO-END (the fixed-point/padded-tail clamp path); docs
+    // 22/23 share a run whose length is NOT a multiple of 4 (base-4 digit
+    // decomposition); 24 is all-unique (early-exit, best 0 via shared "zz"
+    // only at length 1... kept distinct so best = 0).
+    val docs = (
+      (0L until 20L).map(i => (i, Seq.fill(30)("zz").mkString(" "))) ++ Seq(
+        (20L, "u1 u2 c1 c2 c3 c4 c5 c6 c7"),
+        (21L, "v1 c1 c2 c3 c4 c5 c6 c7"),
+        (22L, "w1 d1 d2 d3 d4 d5 d6 w2 w3"),
+        (23L, "x1 x2 d1 d2 d3 d4 d5 d6 x3"),
+        (24L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"))
+      ).toDF("doc_id", "text")
+    val got = SuffixArray.maxDupSubstring(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // brute force over all grams
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val grams = scala.collection.mutable.Map
+      .empty[Seq[String], scala.collection.mutable.Set[Long]]
+    for ((id, w) <- toks; l <- 1 to w.length; s <- 0 to w.length - l)
+      grams.getOrElseUpdate(w.slice(s, s + l),
+        scala.collection.mutable.Set.empty[Long]) += id
+    val best = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((g, ids) <- grams if ids.size >= 2; id <- ids)
+      best(id) = math.max(best(id), g.length.toLong)
+    assert(got == toks.map(_._1).map(id => id -> best(id)).toMap)
+    assert(got(20L) == 7L && got(22L) == 6L && got(24L) == 0L)
+  }
+
   test("matches the hash screen on the sf0.001 documents table") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val sa = SuffixArray.exactDupSpanRanges(real, "doc_id", "text", 8)

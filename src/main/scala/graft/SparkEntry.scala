@@ -2199,22 +2199,38 @@ object SparkEntry {
       .localCheckpoint()
     val nNodes = pairs
       .select(explode(array(col("pa"), col("pb"))).as("id")).distinct().count()
-    val profiles = Seq(2L, 3L, 5L, 8L).map { m =>
-      val kept = msf.filter(col("w") <= lit(-m)).localCheckpoint()
-      val nKept = kept.count()
-      // star variant, not min-label: a forest's components are long thin
-      // paths (min-label needs O(diameter) rounds and only reaches star
-      // via the 20-round fallback; star is O(log n) on any shape)
-      val sizes = graft.operators.Dedup.connectedComponentsStar(kept, "u", "v")
-        .groupBy("component").agg(count(lit(1)).as("sz"))
-        .agg(coalesce(max(col("sz")), lit(1L)).as("largest"),
-          coalesce(sum(col("sz")), lit(0L)).as("clustered"))
-        .select(lit(m).as("min_count"),
-          lit(nNodes - nKept).as("n_clusters"), // forest: every kept edge merges two
-          col("clustered").as("clustered_nodes"), col("largest").as("largest_cluster"))
-      sizes
-    }
-    profiles.reduce(_ unionByName _).orderBy("min_count")
+    // ONE tagged CC for every threshold (r12): each MSF edge explodes to
+    // the thresholds it survives, node ids carry the threshold index in
+    // their low 3 bits (layers disjoint; min label within a layer decodes
+    // to the layer's min node — exactly the per-threshold CC's component),
+    // so one star-CC over ≤ |thresholds|·|MSF| edges replaces one CC RUN
+    // per threshold (4 kept-checkpoint + count + CC chains → 1 grouped
+    // count + 1 CC + 1 bounded collect). Star variant, not min-label: a
+    // forest's components are long thin paths (min-label needs
+    // O(diameter) rounds; star is O(log n) on any shape). Per-threshold
+    // results are bit-identical: layers never interact.
+    val ms = Seq(2L, 3L, 5L, 8L)
+    val tagged = msf.select(
+      explode(filter(array(ms.zipWithIndex.map { case (m, i) =>
+        when(col("w") <= lit(-m), lit(i.toLong)).otherwise(lit(-1L))
+      }: _*), x => x =!= -1L)).as("ti"),
+      col("u"), col("v")).localCheckpoint()
+    val keptByTi = tagged.groupBy("ti").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizeByTi = graft.operators.Dedup.connectedComponentsStar(
+        tagged.select((col("u") * 8 + col("ti")).as("cu"),
+          (col("v") * 8 + col("ti")).as("cv")), "cu", "cv")
+      .groupBy(pmod(col("id"), lit(8L)).as("ti"), col("component"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("ti")
+      .agg(max(col("sz")).as("largest"), sum(col("sz")).as("clustered"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import s.implicits._
+    ms.zipWithIndex.map { case (m, i) =>
+      val (largest, clustered) = sizeByTi.getOrElse(i.toLong, (1L, 0L))
+      (m, nNodes - keptByTi.getOrElse(i.toLong, 0L), clustered, largest)
+    }.toDF("min_count", "n_clusters", "clustered_nodes", "largest_cluster")
+      .orderBy("min_count")
   }
 
   /** Multi-source BFS layers (q220): hop distance from the 5 smallest
@@ -2564,19 +2580,32 @@ object SparkEntry {
         weighted.withColumn("__k", lit("w")), "__k", "w", Seq(0.25, 0.5, 0.75))
       .select(col("prob"), col("value")).collect()
       .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
-    val profiles = taus.map { case (p, tau) =>
-      val kept = msf.filter(col("w").cast("double") <= lit(tau)).localCheckpoint()
-      val nKept = kept.count()
-      graft.operators.Dedup.connectedComponentsStar(kept, "u", "v")
-        .groupBy("component").agg(count(lit(1)).as("sz"))
-        .agg(coalesce(max(col("sz")), lit(1L)).as("largest"),
-          coalesce(sum(col("sz")), lit(0L)).as("clustered"))
-        .select(lit(p).as("prob"), lit(tau).as("tau"),
-          lit(n - nKept).as("n_clusters"),
-          col("clustered").as("clustered_nodes"),
-          col("largest").as("largest_cluster"))
-    }
-    profiles.reduce(_ unionByName _).orderBy("prob")
+    // ONE tagged CC for all three tau cuts (the q219 r12 move): edges
+    // explode to the cuts they survive, node ids carry the cut index in
+    // their low 3 bits, one star-CC replaces one CC run per tau —
+    // per-cut results bit-identical (layers never interact).
+    val tagged = msf.select(
+      explode(filter(array(taus.zipWithIndex.map { case ((_, tau), i) =>
+        when(col("w").cast("double") <= lit(tau), lit(i.toLong)).otherwise(lit(-1L))
+      }: _*), x => x =!= -1L)).as("ti"),
+      col("u"), col("v")).localCheckpoint()
+    val keptByTi = tagged.groupBy("ti").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizeByTi = graft.operators.Dedup.connectedComponentsStar(
+        tagged.select((col("u") * 8 + col("ti")).as("cu"),
+          (col("v") * 8 + col("ti")).as("cv")), "cu", "cv")
+      .groupBy(pmod(col("id"), lit(8L)).as("ti"), col("component"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("ti")
+      .agg(max(col("sz")).as("largest"), sum(col("sz")).as("clustered"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import s.implicits._
+    taus.zipWithIndex.map { case ((p, tau), i) =>
+      val (largest, clustered) = sizeByTi.getOrElse(i.toLong, (1L, 0L))
+      (p, tau, n - keptByTi.getOrElse(i.toLong, 0L), clustered, largest)
+    }.toSeq
+      .toDF("prob", "tau", "n_clusters", "clustered_nodes", "largest_cluster")
+      .orderBy("prob")
   }
 
   /** Heaps-law vocabulary growth curve (q223): distinct-token count of
@@ -4452,8 +4481,25 @@ object SparkEntry {
       documents(s, dir), "doc_id", "text")
       .filter(col("media_type") === "image")
     val hashes = graft.multimodal.Multimodal.perceptualHashBands(media)
-    Dedup.connectedComponents(graft.Caching.track(
-      Dedup.dualHashPairs(hashes, "media_id", "abands", "dbands", maxHamming = 3)))
+    // CC at the REPRESENTATIVE grain (the q239 move, applied here in r12):
+    // the expanded pair set carries Σ group² within-clique edges, but the
+    // components are determined by the rep graph alone (rep = min member
+    // id, so min-reachable-rep == min-reachable-member — pinned by the
+    // dualHashPairGraph differential spec). A member belongs to the
+    // expanded graph iff its group has ≥ 2 members (within-pairs exist)
+    // or its rep survives a verified cross pair — both read off the
+    // bounded group/rep tables, so the quadratic expansion is never
+    // materialized. Output identical to CC over the expanded pairs.
+    val (members, repPairs, _) = Dedup.dualHashPairGraph(
+      hashes, "media_id", "abands", "dbands", maxHamming = 3)
+    val comps = Dedup.connectedComponents(repPairs)
+      .select(col("id").as("rep"), col("component").as("__c"))
+    val sizes = members.groupBy("rep").agg(count(lit(1)).as("__n"))
+    members
+      .join(sizes, "rep")
+      .join(comps, Seq("rep"), "left")
+      .filter(col("__n") >= 2 || col("__c").isNotNull)
+      .select(col("id"), coalesce(col("__c"), col("rep")).as("component"))
       .orderBy("id")
   }
 

@@ -83,7 +83,13 @@ object IvfIndexStream {
           .select("id")
         assigned.join(seen, Seq("id"), "left_anti")
       } else assigned
-    fresh.write.mode("overwrite")
+    // cluster by bucket before the partitioned write: without the shuffle
+    // every scan task emits one file per bucket it touches (tasks × nlist
+    // files per batch — the classic small-files write); hash-clustered,
+    // each bucket lands in exactly one task → ≤ nlist files per batch,
+    // and the probe's partition-pruned reads open one file per (batch,
+    // bucket). Row content unchanged.
+    fresh.repartition(col("bucket")).write.mode("overwrite")
       .partitionBy("bucket")
       .parquet(s"$postingsRoot/batch=$batchId")
   }

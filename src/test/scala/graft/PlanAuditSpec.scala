@@ -250,13 +250,17 @@ class PlanAuditSpec extends SparkSpec {
   test("q236 image dedup groups: label propagation truncates lineage, no cartesian") {
     val p = planString("q236_image_dedup_groups")
     assert(!p.contains("CartesianProduct"), "no all-pairs expansion")
-    // like q67: connectedComponents localCheckpoints its labels, so the
-    // visible plan is the label join over Scan ExistingRDD; the pairing
-    // subtree's harvest shape is pinned by the q233 test (shared
+    // r12 rep-grain form: CC runs on rep pairs (localCheckpointed labels,
+    // invisible here — the q67 posture) and the visible plan is the
+    // bounded member-labeling: members ⋈ group sizes ⋈ rep components —
+    // three joins on group-grain tables, never the Σ group² expansion
+    // (whose harvest shape stays pinned by the q233 test: shared
     // bucketPairs + group expansion)
     val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
       .findAllIn(p).size
-    assert(joins <= 1, s"expected at most the label join, found $joins:\n" + p.take(2500))
+    assert(joins <= 3,
+      s"expected the member/size/component labeling joins, found $joins:\n" +
+        p.take(2500))
   }
 
   test("q68 duplicated spans: window-hash grain only — zero join operators") {

@@ -2193,10 +2193,10 @@ object SparkEntry {
       .where(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
       .where(col("c") >= 2)
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the MSF's first count job materializes
     val msf = graft.operators.Mst.boruvkaMsf(
       pairs.select(col("pa"), col("pb"), (-col("c")).as("w")), "pa", "pb", "w")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nNodes = pairs
       .select(explode(array(col("pa"), col("pb"))).as("id")).distinct().count()
     // ONE tagged CC for every threshold (r12): each MSF edge explodes to
@@ -2214,12 +2214,14 @@ object SparkEntry {
       explode(filter(array(ms.zipWithIndex.map { case (m, i) =>
         when(col("w") <= lit(-m), lit(i.toLong)).otherwise(lit(-1L))
       }: _*), x => x =!= -1L)).as("ti"),
-      col("u"), col("v")).localCheckpoint()
+      col("u"), col("v")).localCheckpoint(false)
     val keptByTi = tagged.groupBy("ti").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cast BEFORE the ·8: an IntegerType key column would do the shift in
+    // Int space first and throw (ANSI) past 2^28 ids
     val sizeByTi = graft.operators.Dedup.connectedComponentsStar(
-        tagged.select((col("u") * 8 + col("ti")).as("cu"),
-          (col("v") * 8 + col("ti")).as("cv")), "cu", "cv")
+        tagged.select((col("u").cast("long") * 8 + col("ti")).as("cu"),
+          (col("v").cast("long") * 8 + col("ti")).as("cv")), "cu", "cv")
       .groupBy(pmod(col("id"), lit(8L)).as("ti"), col("component"))
       .agg(count(lit(1)).as("sz"))
       .groupBy("ti")
@@ -2247,9 +2249,16 @@ object SparkEntry {
       .where(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
       .where(col("c") >= 2)
-    val ed = pairs.select(col("pa").as("s_"), col("pb").as("d_"))
-      .unionByName(pairs.select(col("pb").as("s_"), col("pa").as("d_")))
-      .localCheckpoint()
+    // r13: edge list pre-shuffled by s_ once (the checkpoint preserves the
+    // hash partitioning — every relaxation round's join reuses it, guide
+    // §2.4), and all checkpoints LAZY — the final layer-count aggregate is
+    // the one action that executes the 6-round DAG, instead of 8 dedicated
+    // materialization jobs; each round's plan is still cut at the
+    // LogicalRDD so Catalyst never sees a 6-round mega-plan
+    val ed = graft.Caching.track(
+      pairs.select(col("pa").as("s_"), col("pb").as("d_"))
+        .unionByName(pairs.select(col("pb").as("s_"), col("pa").as("d_")))
+        .repartition(col("s_"))) // persist pins hashpartitioning — see PageRank
     val nodes = ed.select(col("s_").as("node")).distinct()
     val seeds = nodes.orderBy("node").limit(5)
       .withColumn("__seed", lit(true))
@@ -2257,14 +2266,14 @@ object SparkEntry {
       .select(col("node"),
         when(coalesce(col("__seed"), lit(false)), lit(0L)).otherwise(lit(inf))
           .as("d"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to 6) {
       val relax = ed.join(dist.select(col("node").as("s_"), col("d")), "s_")
         .groupBy(col("d_").as("node")).agg(min(col("d") + lit(1L)).as("__nd"))
       dist = dist.join(relax, Seq("node"), "left")
         .select(col("node"),
           least(col("d"), coalesce(col("__nd"), lit(inf))).as("d"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     dist.groupBy(col("d").as("hops")).agg(count(lit(1)).as("n_nodes"))
       .orderBy("hops")
@@ -2573,9 +2582,9 @@ object SparkEntry {
       .select(col("ia"), col("ib"),
         greatest(col("d"), coalesce(col("ca"), lit(inf)),
           coalesce(col("cb"), lit(inf))).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the MSF's first count job materializes
     val msf = graft.operators.Mst.boruvkaMsf(weighted, "ia", "ib", "w")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val taus = graft.operators.Profiling.exactQuantilesByKey(
         weighted.withColumn("__k", lit("w")), "__k", "w", Seq(0.25, 0.5, 0.75))
       .select(col("prob"), col("value")).collect()
@@ -2588,12 +2597,13 @@ object SparkEntry {
       explode(filter(array(taus.zipWithIndex.map { case ((_, tau), i) =>
         when(col("w").cast("double") <= lit(tau), lit(i.toLong)).otherwise(lit(-1L))
       }: _*), x => x =!= -1L)).as("ti"),
-      col("u"), col("v")).localCheckpoint()
+      col("u"), col("v")).localCheckpoint(false)
     val keptByTi = tagged.groupBy("ti").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cast BEFORE the ·8 (same ANSI-overflow guard as q219)
     val sizeByTi = graft.operators.Dedup.connectedComponentsStar(
-        tagged.select((col("u") * 8 + col("ti")).as("cu"),
-          (col("v") * 8 + col("ti")).as("cv")), "cu", "cv")
+        tagged.select((col("u").cast("long") * 8 + col("ti")).as("cu"),
+          (col("v").cast("long") * 8 + col("ti")).as("cv")), "cu", "cv")
       .groupBy(pmod(col("id"), lit(8L)).as("ti"), col("component"))
       .agg(count(lit(1)).as("sz"))
       .groupBy("ti")
@@ -4563,29 +4573,33 @@ object SparkEntry {
     * diag reads 2.6M expanded pairs over 50 rep-grain pairs at sf1) — but
     * components are determined by the rep graph alone (rep = min member
     * id, so min-reachable-rep == min-reachable-member; pinned by a
-    * differential spec). The EXPANDED union is returned lazily and only
-    * executed by pair-audit consumers (q240); the q239 manifest never
-    * materializes it. Video rows are their own representatives (frame-sig
-    * pairing has no exact-fingerprint collapse). */
+    * differential spec). Since r13 the expansion is not materialized by
+    * ANY consumer: the q240 pair audit reads the same aggregates off the
+    * group grain ([[graft.operators.Splits.groupedPairSplitLeakage]] —
+    * n·(n−1)/2 / |A|·|B| arithmetic on the bounded group tables), so the
+    * helper returns the GRAIN tables (members, repPairs, vidPairs,
+    * manifest) instead of an expanded union. Video rows are their own
+    * representatives (frame-sig pairing has no exact-fingerprint
+    * collapse) and their pairs stay explicit edges. */
   private def mediaPairsAndManifest(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val mm = graft.multimodal.Multimodal
     val docs = documents(s, dir)
-    val (imgMembers, imgRepPairs, imgPairs) = Dedup.dualHashPairGraph(
+    val (imgMembers, imgRepPairs, _) = Dedup.dualHashPairGraph(
       mm.perceptualHashBands(
         mm.synthesizeMedia(docs, "doc_id", "text")
           .filter(col("media_type") === "image")),
       "media_id", "abands", "dbands", maxHamming = 3)
-    val (audMembers, audRepPairs, audPairs) = Dedup.aHashPairGraph(
+    val (audMembers, audRepPairs, _) = Dedup.aHashPairGraph(
       mm.audioEnergyBands(mm.synthesizeAudio(docs, "doc_id")),
       "media_id", "bands", maxHamming = 3)
-    val vidPairs = Dedup.frameSigMatches(
+    val vidPairs = graft.Caching.track(Dedup.frameSigMatches(
       mm.videoFrameHashes(mm.synthesizeVideo(docs, "doc_id"), stride = 2),
       "media_id", "frame_idx", "bands")
-      .select("id_a", "id_b")
+      .select("id_a", "id_b"))
     val repPairs = graft.Caching.track(
-      imgRepPairs.unionByName(audRepPairs).unionByName(vidPairs))
-    val comps = Dedup.connectedComponents(repPairs)
+      imgRepPairs.unionByName(audRepPairs))
+    val comps = Dedup.connectedComponents(repPairs.unionByName(vidPairs))
       .withColumnRenamed("id", "rep")
     val selfReps = docs.filter(col("doc_id") % 3 === 2)
       .select(col("doc_id").as("id"), col("doc_id").as("rep"))
@@ -4602,14 +4616,12 @@ object SparkEntry {
         coalesce(col("component"), col("media_id")).as("component"),
         (coalesce(col("component"), col("media_id")) === col("media_id"))
           .as("keep"))
-    val expanded = imgPairs.select("id_a", "id_b")
-      .unionByName(audPairs.select("id_a", "id_b"))
-      .unionByName(vidPairs)
-    (expanded, manifest)
+    val members = imgMembers.unionByName(audMembers)
+    (members, repPairs, vidPairs, manifest)
   }
 
   private def mediaDedupManifestQ(s: SparkSession, dir: String): DataFrame =
-    mediaPairsAndManifest(s, dir)._2.orderBy("media_id")
+    mediaPairsAndManifest(s, dir)._4.orderBy("media_id")
 
   /** Component-keyed split audit (q240): the END of the leakage story arc
     * q231 (measure) → q234 (group law) → here (the dedup-derived group) —
@@ -4620,11 +4632,19 @@ object SparkEntry {
     * construction, so the group-law row reads n_cross = 0 / n_same_group
     * = n_pairs structurally — THE property that makes a dedup manifest
     * the right split key — while the doc-law row shows the leakage a
-    * row-keyed split would admit on identical data. */
+    * row-keyed split would admit on identical data.
+    *
+    * r13: the audit aggregates at the GROUP grain
+    * ([[graft.operators.Splits.groupedPairSplitLeakage]]) — the Σ group²
+    * expanded pair set is never materialized; every reported count is
+    * reconstructed exactly from per-group size/train-count arithmetic
+    * (differential-pinned against the expanded formulation in
+    * SplitsSpec). Output identical to the expanded audit. */
   private def componentSplitQ(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, manifest) = mediaPairsAndManifest(s, dir)
-    graft.operators.Splits.pairSplitLeakage(
-      pairs, manifest, "media_id", "component", trainPpm = 800000L)
+    val (members, repPairs, vidPairs, manifest) = mediaPairsAndManifest(s, dir)
+    graft.operators.Splits.groupedPairSplitLeakage(
+      members, repPairs, vidPairs, manifest, "media_id", "component",
+      trainPpm = 800000L)
       .orderBy("split_law")
   }
 
@@ -4655,7 +4675,7 @@ object SparkEntry {
     * struct-max ordering). One row per component with the keeper and its
     * score — the upgrade path from q239's min-id canonical keeper. */
   private def componentKeeperQ(s: SparkSession, dir: String): DataFrame = {
-    val manifest = mediaPairsAndManifest(s, dir)._2
+    val manifest = mediaPairsAndManifest(s, dir)._4
     val toks = documents(s, dir).select(col("doc_id").as("media_id"),
       TF.tokenCount(col("text")).as("n_tokens"))
     manifest.join(toks, "media_id")

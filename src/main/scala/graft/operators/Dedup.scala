@@ -1000,21 +1000,28 @@ object Dedup {
     // list (one aggregate — no join against identity labels). Dense near-dup
     // cliques are already converged here, so the loop's first pass is the
     // confirming round and typical inputs finish in ONE iteration.
+    // LAZY checkpoint (r13): the plan is truncated at creation either way;
+    // materialization rides iteration 1's convergence-count job instead of
+    // paying a dedicated job here.
     var labels = edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("__n"))
       .select(col("id"), least(col("id"), col("__n")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("__nlbl"))
       // carry the previous label through, so convergence is a filter-count
-      // on the already-materialized frame — not a second join per round
+      // on the already-materialized frame — not a second join per round.
+      // The checkpoint is LAZY and the count is the materializing action:
+      // one job per round where checkpoint-then-count paid two (r13 — the
+      // per-round job overhead was the measured cost of every iterative
+      // CC consumer at bench scale).
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("__nlbl"), col("lbl"))).as("lbl"),
           col("lbl").as("__old"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("lbl") =!= col("__old")).count()
       labels = next.drop("__old")
       i += 1
@@ -1062,8 +1069,14 @@ object Dedup {
       n.join(n.groupBy("u").agg(min(col("v")).as("__mn")), "u")
         .withColumn("__m", least(col("__mn"), col("u")))
 
+    // all three checkpoints are LAZY (r13): each round's ONE action — the
+    // signature aggregate below — materializes `next` (and, transitively,
+    // `ln` and round 1's `edges`), where eager checkpoints paid 2-3
+    // dedicated jobs per round; multi-consumer frames (`ln` feeds withMin's
+    // self-join) are cached on first compute by the checkpoint mark, so no
+    // subtree re-derivation sneaks back in.
     var edges = canon(pairs.select(col(idACol).as("u"), col(idBCol).as("v")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var sig: (Long, String) = (-1L, "")
     var done = false
     var i = 0
@@ -1071,13 +1084,13 @@ object Dedup {
       val large = withMin(nbrs(edges)).filter(col("v") > col("u"))
         .select(col("v").as("u"), col("__m").as("v"))
       val ln = canon(large.unionByName(edges.select(col("u"), col("v"))))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // small-star over the large-star output
       val n2 = withMin(nbrs(ln))
       val small = n2.filter(col("v") <= col("u"))
         .select(col("v").as("u"), col("__m").as("v"))
         .unionByName(n2.select(col("u"), col("__m").as("v")))
-      val next = canon(small).localCheckpoint()
+      val next = canon(small).localCheckpoint(false)
       // order-independent edge-set signature; decimal sum (ANSI mode throws
       // on Long overflow of summed hashes)
       val row = next.agg(count(lit(1)),

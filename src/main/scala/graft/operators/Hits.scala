@@ -67,8 +67,11 @@ object Hits {
       maxBroadcastNodes: Long = 4000000L): (DataFrame, DataFrame) = {
     require(iterations >= 1 && iterations <= 64, "iterations in [1, 64]")
     require(scale >= 1024L, "scale too small for meaningful fixed-point")
+    // LAZY checkpoint (r13): the probe aggregate below (or, when the
+    // caller forces the strategy, the first half-iteration's max probe)
+    // materializes it — no dedicated job
     val ed = edges.select(col(hubCol).as("h"), col(authCol).as("a"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
 
     val bcast = broadcastScores.getOrElse {
       // ONE bounded probe action over the already-checkpointed edge list
@@ -83,12 +86,23 @@ object Hits {
     // co-partitioned path: pay the edge shuffle ONCE per join key; the
     // checkpoint pins the hash partitioning so each iteration's join
     // reuses it and only the node-grain score table moves
+    // the two co-partitioned copies are PERSISTED, not checkpointed: under
+    // AQE a checkpoint's LogicalRDD reports UnknownPartitioning (probed on
+    // 4.1.2 — eager or lazy), which would put the per-iteration edge
+    // shuffle back; a cached plan keeps its output partitioning
     val (edByA, edByH) =
       if (bcast) (ed, ed)
-      else (ed.repartition(col("a")).localCheckpoint(),
-        ed.repartition(col("h")).localCheckpoint())
+      else (graft.Caching.track(ed.repartition(col("a"))),
+        graft.Caching.track(ed.repartition(col("h"))))
+    // the raw-sum checkpoint is LAZY (r13): the broadcast build of `m`
+    // is the materializing pass (it aggregates every partition of r, which
+    // caches them), the projection then reads the cached copy — the
+    // double-consumption guard of the eager formulation is kept while the
+    // 2·iterations dedicated checkpoint jobs disappear; the whole
+    // iteration chain now executes as ONE job DAG driven by the caller's
+    // action, with the same per-half-iteration lineage cuts
     def normalize(rawDf: DataFrame, node: String): DataFrame = {
-      val r = rawDf.localCheckpoint()
+      val r = rawDf.localCheckpoint(false)
       val m = r.agg(greatest(max(col("raw")), lit(1L)).as("m"))
       r.crossJoin(broadcast(m))
         .select(col(node).as("node"),

@@ -52,6 +52,14 @@ object Mst {
       wCol: String,
       maxRounds: Int = 40): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be positive")
+    // r13 round-machinery cut: every checkpoint is LAZY and the per-round
+    // edge COUNT is the materializing action (one job where
+    // checkpoint-then-isEmpty paid two), the per-round `sel.distinct()`
+    // exchange is deferred to ONE final distinct over the whole forest
+    // (an edge picked by both endpoints duplicates only within its round —
+    // after the merge it is intra-component and never reappears — and the
+    // nested CC / relabel aggregates never needed unique rows), and `sel`
+    // itself materializes inside the nested CC's first convergence job.
     var ed = edges
       .select(least(col(uCol), col(vCol)).as("u"),
         greatest(col(uCol), col(vCol)).as("v"),
@@ -60,60 +68,58 @@ object Mst {
       .groupBy("u", "v").agg(min(col("w")).as("w"))
       .select(col("u").as("cu"), col("v").as("cv"),
         col("w"), col("u"), col("v"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var nEdges = ed.count()
     val picked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
-    var done = false
-    while (!done && round < maxRounds) {
-      if (ed.isEmpty) done = true
-      else {
-        // each endpoint component nominates the edge; min(struct) is the
-        // total-order argmin, map-side combined at the component grain
-        val sel = ed.select(explode(array(
-            struct(col("cu").as("comp"), col("w"), col("u"), col("v"),
-              col("cu").as("ecu"), col("cv").as("ecv")),
-            struct(col("cv").as("comp"), col("w"), col("u"), col("v"),
-              col("cu").as("ecu"), col("cv").as("ecv")))).as("x"))
-          .select(col("x.*"))
-          .groupBy("comp")
-          .agg(min(struct(col("w"), col("u"), col("v"),
-            col("ecu"), col("ecv"))).as("m"))
-          .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"),
-            col("m.ecu").as("cu"), col("m.ecv").as("cv"))
-          .distinct() // one edge can be both endpoints' minimum
-          .localCheckpoint()
-        picked += sel.select("u", "v", "w")
-        // contract: components linked by selected edges merge (min label
-        // over the tiny ≤-one-edge-per-component selection graph), then
-        // the edge list relabels, drops intra-component rows, and
-        // collapses parallels to their (w, u, v)-minimum
-        val merged = Dedup.connectedComponents(
-            sel.select(col("cu"), col("cv")), "cu", "cv")
-          .select(col("id"), col("component"))
-        val mu = merged.select(col("id").as("cu"), col("component").as("__nu"))
-        val mv = merged.select(col("id").as("cv"), col("component").as("__nv"))
-        ed = ed.join(mu, Seq("cu"), "left").join(mv, Seq("cv"), "left")
-          .select(
-            least(coalesce(col("__nu"), col("cu")),
-              coalesce(col("__nv"), col("cv"))).as("ncu"),
-            greatest(coalesce(col("__nu"), col("cu")),
-              coalesce(col("__nv"), col("cv"))).as("ncv"),
-            col("w"), col("u"), col("v"))
-          .filter(col("ncu") =!= col("ncv"))
-          .groupBy("ncu", "ncv")
-          .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
-          .select(col("ncu").as("cu"), col("ncv").as("cv"),
-            col("m.w").as("w"), col("m.u").as("u"), col("m.v").as("v"))
-          .localCheckpoint()
-      }
+    while (nEdges > 0L && round < maxRounds) {
+      // each endpoint component nominates the edge; min(struct) is the
+      // total-order argmin, map-side combined at the component grain
+      val sel = ed.select(explode(array(
+          struct(col("cu").as("comp"), col("w"), col("u"), col("v"),
+            col("cu").as("ecu"), col("cv").as("ecv")),
+          struct(col("cv").as("comp"), col("w"), col("u"), col("v"),
+            col("cu").as("ecu"), col("cv").as("ecv")))).as("x"))
+        .select(col("x.*"))
+        .groupBy("comp")
+        .agg(min(struct(col("w"), col("u"), col("v"),
+          col("ecu"), col("ecv"))).as("m"))
+        .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"),
+          col("m.ecu").as("cu"), col("m.ecv").as("cv"))
+        .localCheckpoint(false)
+      picked += sel.select("u", "v", "w")
+      // contract: components linked by selected edges merge (min label
+      // over the tiny ≤-one-edge-per-component selection graph), then
+      // the edge list relabels, drops intra-component rows, and
+      // collapses parallels to their (w, u, v)-minimum
+      val merged = Dedup.connectedComponents(
+          sel.select(col("cu"), col("cv")), "cu", "cv")
+        .select(col("id"), col("component"))
+      val mu = merged.select(col("id").as("cu"), col("component").as("__nu"))
+      val mv = merged.select(col("id").as("cv"), col("component").as("__nv"))
+      ed = ed.join(mu, Seq("cu"), "left").join(mv, Seq("cv"), "left")
+        .select(
+          least(coalesce(col("__nu"), col("cu")),
+            coalesce(col("__nv"), col("cv"))).as("ncu"),
+          greatest(coalesce(col("__nu"), col("cu")),
+            coalesce(col("__nv"), col("cv"))).as("ncv"),
+          col("w"), col("u"), col("v"))
+        .filter(col("ncu") =!= col("ncv"))
+        .groupBy("ncu", "ncv")
+        .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
+        .select(col("ncu").as("cu"), col("ncv").as("cv"),
+          col("m.w").as("w"), col("m.u").as("u"), col("m.v").as("v"))
+        .localCheckpoint(false)
+      nEdges = ed.count()
       round += 1
     }
-    require(done, s"boruvkaMsf did not converge in $maxRounds rounds " +
+    require(nEdges == 0L,
+      s"boruvkaMsf did not converge in $maxRounds rounds " +
       "(component count halves per round — this needs a graph of 2^40 nodes, " +
       "or a bug)")
     if (picked.isEmpty)
       edges.select(col(uCol).as("u"), col(vCol).as("v"),
         col(wCol).cast("long").as("w")).filter(lit(false))
-    else picked.reduce(_ unionByName _)
+    else picked.reduce(_ unionByName _).distinct()
   }
 }

@@ -56,13 +56,30 @@ object PageRank {
     require(scale >= 1000000L, "scale too small for meaningful fixed-point")
     // materialize the edge list once — its upstream lineage (often a
     // self-join building the graph) would otherwise re-execute on every
-    // iteration; same posture as GraphX caching the edge RDD
-    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
-    val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .select(col("src").as("node"), col("outdeg"))
-      .localCheckpoint()
-    val n = deg.count()
+    // iteration; same posture as GraphX caching the edge RDD. PRE-SHUFFLED
+    // by src (r13): localCheckpoint preserves the hash partitioning, so
+    // every iteration's score⋈edges join reuses it and only the node-grain
+    // score table moves — the bucketed co-partitioned posture (guide §2.4;
+    // the Hits.scala precedent). deg inherits the same partitioning (its
+    // groupBy("src") needs no exchange), so the contribs join-back is
+    // exchange-free on the deg side too: ONE exchange per iteration (the
+    // contribution sum) instead of three.
+    // persist, NOT localCheckpoint: under AQE a checkpoint's LogicalRDD
+    // reports UnknownPartitioning (the adaptive partition count is not
+    // part of the truncated plan — probed on 4.1.2, eager or lazy), while
+    // a cached plan keeps its output partitioning (AQE may not change it:
+    // canChangeCachedPlanOutputPartitioning defaults false). So the
+    // repartition-by-src pays its shuffle ONCE here and every iteration's
+    // score⋈edges join — and deg's groupBy(src) — reuse it exchange-free
+    // (guide §2.4, the bucketed co-partitioned posture). The deg count
+    // below materializes both tables; graft.Caching bounds the registry.
+    val ed = graft.Caching.track(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .repartition(col("src")))
+    val deg = graft.Caching.track(
+      ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .select(col("src").as("node"), col("outdeg")))
+    val n = deg.count() // the one driver scalar
     require(n > 0, "empty graph")
     val base = (15L * scale) / (100L * n)
     var scores = deg.withColumn("score", lit(scale / n))
@@ -76,7 +93,9 @@ object PageRank {
         .select(col("node"), col("outdeg"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("score"))
       if (i % checkpointEvery == 0 && i < iterations)
-        scores = scores.localCheckpoint()
+        // LAZY: truncates the Catalyst plan at the same cadence but defers
+        // materialization to the caller's one action — no per-cut job
+        scores = scores.localCheckpoint(false)
     }
     scores.select("node", "score")
   }
@@ -112,21 +131,24 @@ object PageRank {
     require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(scale >= 1000000L, "scale too small for meaningful fixed-point")
-    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+    // pre-shuffled by src and PERSISTED (same r13 co-partitioned posture
+    // and AQE-vs-checkpoint caveat as [[integerPageRank]]): each iteration
+    // reuses the pinned hashpartitioning(src) instead of re-shuffling
+    val ed = graft.Caching.track(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .repartition(col("src")))
     val sd = seeds.toDF("node").distinct()
     // node table = src ∪ dst: an in-edge-only node is still a node (outdeg
     // 0 → dangling, score-only); building it from src alone would silently
     // drop such nodes — and any seed living only on the dst side — from
     // the output (fine for symmetrized graphs, a trap for directed ones)
-    val deg = ed.select(col("src").as("node"))
+    val deg = graft.Caching.track(ed.select(col("src").as("node"))
       .union(ed.select(col("dst").as("node"))).distinct()
       .join(ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
         .withColumnRenamed("src", "node"), Seq("node"), "left")
       .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
-        coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint()
+        coalesce(col("is_seed"), lit(false)).as("is_seed")))
     val ns = deg.filter(col("is_seed")).count()
     require(ns > 0, "no seed is present in the graph")
     val base = (15L * scale) / (100L * ns)
@@ -145,7 +167,7 @@ object PageRank {
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr("(85 * coalesce(s, 0L)) div 100")).as("score"))
       if (i % checkpointEvery == 0 && i < iterations)
-        scores = scores.localCheckpoint()
+        scores = scores.localCheckpoint(false) // lazy plan cut, no extra job
     }
     scores.select("node", "score")
   }

@@ -196,13 +196,33 @@ object Rollups {
         col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull)
     def ranks(vc: String, out: String): DataFrame = {
+      // two-level prefix sum for the cumulative smaller-value count (the
+      // q158 sweep idiom, r13): the old single window partitioned by __k
+      // alone sorted each key's ENTIRE value grain in one partition — a
+      // one-partition-per-key sort that a high-cardinality value column
+      // (prices) turns into the serial bottleneck (measured: q156 scaling
+      // ratio 1.01 at 8→32 cores). Here the within-bucket prefix runs
+      // partitioned by (__k, value >> 16) — parallel across buckets, each
+      // bounded by 2^16 distinct values — and only the per-BUCKET totals
+      // ride a per-key carry window (bucket grain, 2^16× smaller).
+      // Midranks are bit-identical: a = carry + in is the same
+      // strictly-smaller count (arithmetic shift is monotonic, so bucket
+      // order == value order, negatives included).
       val grain = base.groupBy(col("__k"), col(vc)).agg(count(lit(1)).as("__c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("__k").orderBy(col(vc))
+        .withColumn("__b", shiftright(col(vc), 16))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("__k", "__b").orderBy(col(vc))
+      val perBucket = grain.groupBy("__k", "__b").agg(sum(col("__c")).as("__bc"))
+      val wCarry = org.apache.spark.sql.expressions.Window
+        .partitionBy("__k").orderBy(col("__b"))
+      val carry = perBucket.withColumn("__carry",
+          coalesce(sum(col("__bc")).over(wCarry) - col("__bc"), lit(0L)))
+        .select(col("__k"), col("__b"), col("__carry"))
       grain
-        .withColumn("__a", coalesce(sum(col("__c")).over(w) - col("__c"), lit(0L)))
+        .withColumn("__in", coalesce(sum(col("__c")).over(wIn) - col("__c"), lit(0L)))
+        .join(carry, Seq("__k", "__b"))
         .select(col("__k"), col(vc),
-          (lit(2L) * col("__a") + col("__c") + 1L).as(out))
+          (lit(2L) * (col("__carry") + col("__in")) + col("__c") + 1L).as(out))
     }
     val ranked = base
       .join(ranks("__x", "__rx"), Seq("__k", "__x"))

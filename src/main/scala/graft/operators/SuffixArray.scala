@@ -84,7 +84,18 @@ object SuffixArray {
     *
     * Returns `((id, p, __rank), nGroups)` — the distinct-key count comes
     * free from the stats pass (the Manber–Myers early-exit read).
-    * Deterministic: ranks depend only on the total key order. */
+    * Deterministic: ranks depend only on the total key order.
+    *
+    * INVARIANT (two passes, one partitioning): the stats job and the
+    * rank-assignment pass run over the SAME sorted RDD object, and the
+    * driver-computed offsets are only valid if both passes see identical
+    * partition boundaries and identical within-partition order. The
+    * `localCheckpoint` below pins that: the stats collect materializes the
+    * sorted partitions and the rank pass reads the cached copy — never a
+    * re-executed sort. Do NOT split the two passes across separately
+    * planned DataFrames (each plan would re-sample range boundaries); the
+    * cross-partition boundary-merge path is pinned by SuffixArraySpec's
+    * r12 differential test. */
   private def scanRanks(
       df: DataFrame, keyCols: Seq[String]): (DataFrame, Long) = {
     val spark = df.sparkSession
@@ -92,6 +103,10 @@ object SuffixArray {
     val sorted = df.select(cols: _*).orderBy(keyCols.map(col): _*)
     val nk = keyCols.length
     val rdd = sorted.rdd
+    // cache the sorted scan at first compute (the stats job): the rank
+    // pass then reads the materialized partitions instead of re-running
+    // the per-partition sort and relying on deterministic re-execution
+    rdd.localCheckpoint()
     // per-partition (group count, first key, last key); key equality over
     // the leading nk fields
     def keyOf(r: Row): Seq[Any] = (0 until nk).map(r.get)

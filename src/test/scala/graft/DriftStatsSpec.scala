@@ -62,6 +62,37 @@ class DriftStatsSpec extends SparkSpec {
     assert(pear < 0.95, s"cubic growth should drag pearson below 0.95: $pear")
   }
 
+  test("spearmanByKey two-level ranks: negative values and bucket-boundary ties") {
+    // values straddle the 2^16 bucket boundary and include negatives —
+    // the r13 two-level prefix sum must rank them identically to the
+    // single-window formulation (arithmetic shiftright is monotonic on
+    // negatives; carries cross bucket edges)
+    val vals = Seq(-200000L, -65536L, -1L, 0L, 1L, 65535L, 65536L, 65537L,
+      131072L, 200000L, 65536L, -1L) // dup values -> midrank ties
+    val rows = vals.zipWithIndex.map { case (v, i) => ("k", v, (i * 7 % 12).toLong) }
+    val df = rows.toDF("k", "x", "y")
+    val got = Rollups.spearmanByKey(df, "k", "x", "y")
+      .as[(String, Long, Double)].collect().head
+    // replay: midrank pearson in the JVM
+    def midranks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val below = sorted.count(_ < v)
+        val c = sorted.count(_ == v)
+        v -> (below + (c + 1) / 2.0)
+      }.toMap
+    }
+    val xs = rows.map(_._2); val ys = rows.map(_._3)
+    val (rx, ry) = (midranks(xs), midranks(ys))
+    val (a, b) = (xs.map(rx), ys.map(ry))
+    val n = a.size
+    val num = n * a.zip(b).map { case (p, q) => p * q }.sum - a.sum * b.sum
+    val den = math.sqrt(n * a.map(p => p * p).sum - a.sum * a.sum) *
+      math.sqrt(n * b.map(q => q * q).sum - b.sum * b.sum)
+    assert(got._2 == n.toLong && math.abs(got._3 - num / den) < 1e-12,
+      s"got $got want rho=${num / den}")
+  }
+
   test("spearmanByKey matches a JVM midrank-pearson replay on lineitem") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_returnflag").as("k"),

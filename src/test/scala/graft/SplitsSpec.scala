@@ -78,6 +78,53 @@ class SplitsSpec extends SparkSpec {
     assert(d._8 == (if (d._7 > 0) d._6 * 1000000L / d._7 else 0L))
   }
 
+  test("groupedPairSplitLeakage == pairSplitLeakage over the explicit expansion") {
+    // exact-dup group structure: groups of size 1..6 (singletons included —
+    // they contribute no within pairs but can leak through rep pairs),
+    // rep = min member; rep pairs connect some groups; raw pairs are a
+    // separate id space (the video posture). groupCol = the connected
+    // component of the whole graph (min reachable member), so the
+    // group-homogeneity contract holds by construction.
+    val groupIds: Seq[Seq[Long]] = Seq(
+      Seq(0L, 1L, 2L), Seq(10L, 11L), Seq(20L),
+      Seq(30L, 31L, 32L, 33L, 34L, 35L), Seq(40L, 41L), Seq(50L),
+      Seq(60L, 61L, 62L))
+    val members = groupIds.flatMap(g => g.map(id => (id, g.min))).toDF("id", "rep")
+    // rep graph: {0,10} {10,20} one chain; {30,40} another; 50, 60 isolated
+    val repPairs = Seq((0L, 10L), (10L, 20L), (30L, 40L)).toDF("id_a", "id_b")
+    // raw pairs over a disjoint id space (+ one raw pair inside a component
+    // to exercise the distinct-leaked overlap)
+    val rawPairs = Seq((100L, 101L), (101L, 102L), (0L, 1L)).toDF("id_a", "id_b")
+    // components by hand: {0..2,10,11,20} -> 0; {30..35,40,41} -> 30;
+    // {50} -> 50; {60..62} -> 60; raw ids 100..102 -> 100 (they pair, and
+    // 0/1 already share component 0)
+    val compOf: Long => Long = id =>
+      if (id <= 20) 0L else if (id <= 41) 30L else if (id == 50) 50L
+      else if (id <= 62) 60L else 100L
+    val allIds = groupIds.flatten ++ Seq(100L, 101L, 102L)
+    val docs = allIds.map(id => (id, compOf(id))).toDF("media_id", "component")
+    // explicit expansion: all within pairs + all cross pairs per rep pair
+    // + raw pairs — the formulation groupedPairSplitLeakage must match
+    val byRep = groupIds.map(g => g.min -> g).toMap
+    val within = groupIds.flatMap(g =>
+      for (i <- g.indices; j <- i + 1 until g.size) yield (g(i), g(j)))
+    val cross = Seq((0L, 10L), (10L, 20L), (30L, 40L)).flatMap { case (a, b) =>
+      for (x <- byRep(a); y <- byRep(b)) yield (math.min(x, y), math.max(x, y))
+    }
+    val expanded = (within ++ cross ++ Seq((100L, 101L), (101L, 102L), (0L, 1L)))
+      .toDF("id_a", "id_b")
+    for (trainPpm <- Seq(200000L, 500000L, 800000L)) {
+      val want = Splits.pairSplitLeakage(expanded, docs,
+          "media_id", "component", trainPpm)
+        .orderBy("split_law").collect().map(_.toSeq)
+      val got = Splits.groupedPairSplitLeakage(members, repPairs, rawPairs,
+          docs, "media_id", "component", trainPpm)
+        .orderBy("split_law").collect().map(_.toSeq)
+      assert(got.toSeq == want.toSeq,
+        s"trainPpm=$trainPpm\n got=${got.toSeq}\nwant=${want.toSeq}")
+    }
+  }
+
   test("pearsonByKey: exact r/slope, null on zero variance, matches corr") {
     val rows =
       (1 to 50).map(i => ("lin", i.toDouble, 2.0 * i + 1.0)) ++        // r=1, slope=2
